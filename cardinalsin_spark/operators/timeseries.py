@@ -1,0 +1,304 @@
+"""Time-series operators over a metrics-shaped DataFrame.
+
+These are the operators the reference actually implements on top of its SQL
+engine: time-bucketed aggregation, PromQL-ish rate/increase/delta, latest
+point, top-k, distinct labels/series, first-wins dedup (SURVEY §2.4/§2.6/
+§2.10; reference ``api/query/prometheus_api.rs`` and ``query/dedup.rs``).
+
+Every operator is pure DataFrame algebra — no ``collect()``, no Python UDFs —
+so Catalyst handles pushdown/pruning and all aggregations get map-side
+partial aggregation. Per-series operators key windows on the narrow
+``series`` columns the caller passes (or a precomputed ``series_id``) to
+bound shuffle-key width at high cardinality.
+
+Scale notes (100 TB posture):
+- ``bucket_agg``/``instant_agg`` are single-shuffle hash aggregations with
+  map-side combine; skew on hot metric names is handled by AQE.
+- ``latest_point_per_series`` / ``rate_faithful`` use window functions whose
+  partition key is the series tuple — at 1B series the shuffle is wide but
+  each partition is tiny; prefer ``series_id`` (xxhash64) as the key.
+- ``dedup_first_wins`` is a windowed rank within (timestamp, metric_name) —
+  equivalent row-count to a groupBy, deterministic unlike ``dropDuplicates``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.functions.core import time_bucket
+
+# Aggregations the reference's PromQL layer supports
+# (api/query/prometheus_api.rs:756-779): sum/avg/count/min/max/stddev
+# (stdvar/topk/bottomk parsed but degraded there; we do them correctly).
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "stdvar": F.var_samp,
+}
+
+
+@dataclass(frozen=True)
+class MetricsCols:
+    """Column bindings for a metrics-shaped DataFrame.
+
+    Defaults match the canonical wide table; the driver's ``events`` table
+    binds ``ts``/``event_type``/``value`` (FIXTURES.md F4).
+    """
+
+    ts: str = "timestamp"
+    name: str = "metric_name"
+    value: str = "value"
+    labels: tuple[str, ...] = field(default=())
+
+    @classmethod
+    def events(cls) -> "MetricsCols":
+        return cls(ts="ts", name="event_type", value="value", labels=("user_id",))
+
+
+def _agg_expr(agg: str, value_col: str) -> Column:
+    try:
+        return _AGG_FNS[agg](F.col(value_col))
+    except KeyError:
+        raise ValueError(f"unsupported aggregation {agg!r}") from None
+
+
+def bucket_agg(
+    df: DataFrame,
+    step_seconds: int,
+    agg: str = "avg",
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    value_alias: str = "value",
+) -> DataFrame:
+    """PromQL range-query aggregation: ``agg(value)`` per
+    ``(time_bucket, metric_name, *by)`` — reference
+    ``api/query/prometheus_api.rs:1016-1087``.
+
+    One shuffle, map-side partial agg. Output columns:
+    ``bucket, <name>, *by, <value_alias>`` ordered by bucket then name.
+    """
+    by = by or []
+    keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
+        F.col(b) for b in by
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(_agg_expr(agg, cols.value).alias(value_alias))
+        .orderBy("bucket", cols.name, *by)
+    )
+
+
+def instant_agg(
+    df: DataFrame,
+    agg: str = "avg",
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    value_alias: str = "value",
+) -> DataFrame:
+    """PromQL instant aggregation: one row per (metric_name, *by) with the
+    aggregate over the whole (pre-filtered) range and ``MAX(timestamp)`` as
+    the sample time, ordered by value desc — reference
+    ``api/query/prometheus_api.rs:899-929``."""
+    by = by or []
+    return (
+        df.groupBy(cols.name, *by)
+        .agg(
+            _agg_expr(agg, cols.value).alias(value_alias),
+            F.max(cols.ts).alias("sample_time"),
+        )
+        .orderBy(F.desc(value_alias), cols.name, *by)
+    )
+
+
+def rate_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Reference ``rate()``: per-bucket ``(MAX(v)-MIN(v)) / range_seconds``
+    (``api/query/prometheus_api.rs:969-983``). Known approximation — no
+    counter-reset handling; see :func:`rate_faithful` for the real thing."""
+    by = by or []
+    keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
+        F.col(b) for b in by
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            (
+                (F.max(cols.value) - F.min(cols.value)) / F.lit(float(step_seconds))
+            ).alias("rate")
+        )
+        .orderBy("bucket", cols.name, *by)
+    )
+
+
+def increase_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    alias: str = "increase",
+) -> DataFrame:
+    """Reference ``increase``/``delta``: per-bucket ``MAX(v)-MIN(v)``
+    (``api/query/prometheus_api.rs:984-997``)."""
+    by = by or []
+    keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
+        F.col(b) for b in by
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg((F.max(cols.value) - F.min(cols.value)).alias(alias))
+        .orderBy("bucket", cols.name, *by)
+    )
+
+
+def delta_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    return increase_bucketed(df, step_seconds, by, cols, alias="delta")
+
+
+def rate_faithful(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Counter-reset-aware per-bucket rate — the semantics the reference
+    *ducked* (SURVEY §7 "hard parts").
+
+    Per series (metric_name + series cols), order by time, take positive
+    sample-to-sample deltas (a drop means counter reset → the post-reset
+    value itself is the increase, per Prometheus semantics), then sum per
+    bucket and divide by the bucket width.
+
+    Plan shape: one window shuffle partitioned by series, then one hash agg —
+    series-keyed, so partitions stay small at high cardinality.
+    """
+    series = series or []
+    w = Window.partitionBy(cols.name, *series).orderBy(cols.ts)
+    prev = F.lag(cols.value).over(w)
+    step_delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(cols.value) >= prev, F.col(cols.value) - prev).otherwise(
+            F.col(cols.value)  # counter reset: increase = new value
+        )
+    )
+    with_delta = df.withColumn("_delta", step_delta)
+    keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
+        F.col(s) for s in series
+    ]
+    return (
+        with_delta.groupBy(*keys)
+        .agg((F.sum("_delta") / F.lit(float(step_seconds))).alias("rate"))
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
+def latest_point(df: DataFrame, cols: MetricsCols = MetricsCols()) -> DataFrame:
+    """Instant-query latest sample: ``ORDER BY timestamp DESC LIMIT 1``
+    (reference ``api/query/prometheus_api.rs:931-935``)."""
+    return df.orderBy(F.desc(cols.ts)).limit(1)
+
+
+def latest_point_per_series(
+    df: DataFrame,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Latest sample per series via row_number window — the per-series variant
+    the reference lacks. ``tiebreak`` columns (desc) make equal-timestamp
+    rows deterministic; pass a unique id column when available."""
+    series = series or []
+    order = [F.desc(cols.ts)] + [F.desc(t) for t in (tiebreak or [cols.value])]
+    w = Window.partitionBy(cols.name, *series).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(cols.name, *series)
+    )
+
+
+def topk(
+    df: DataFrame,
+    k: int,
+    agg: str = "avg",
+    by: list[str] | None = None,
+    bottom: bool = False,
+    cols: MetricsCols = MetricsCols(),
+    value_alias: str = "value",
+) -> DataFrame:
+    """PromQL ``topk``/``bottomk`` done *correctly* (the reference parses but
+    degrades them to un-limited aggregation, ``api/query/prometheus_api.rs:757,
+    899-929``): aggregate per (metric_name, *by), order, LIMIT k.
+
+    limit-after-sort compiles to TakeOrderedAndProject — each partition keeps
+    only k rows before the single-stage gather, no full sort at scale.
+    """
+    by = by or []
+    aggregated = df.groupBy(cols.name, *by).agg(
+        _agg_expr(agg, cols.value).alias(value_alias)
+    )
+    order = (
+        [F.asc(value_alias)] if bottom else [F.desc(value_alias)]
+    ) + [F.asc(cols.name)] + [F.asc(b) for b in by]
+    return aggregated.orderBy(*order).limit(k)
+
+
+def distinct_label_values(
+    df: DataFrame, label: str, with_filter: Column | None = None
+) -> DataFrame:
+    """``SELECT DISTINCT label`` (+ optional matchers/time filter), sorted —
+    reference ``api/query/prometheus_api.rs:360-405``. Partial-distinct runs
+    map-side, so the shuffle carries only unique values."""
+    if with_filter is not None:
+        df = df.filter(with_filter)
+    return df.select(label).filter(F.col(label).isNotNull()).distinct().orderBy(label)
+
+
+def distinct_series(
+    df: DataFrame,
+    series_cols: list[str],
+    with_filter: Column | None = None,
+) -> DataFrame:
+    """``SELECT DISTINCT <label cols>`` — reference
+    ``api/query/prometheus_api.rs:428-535``."""
+    if with_filter is not None:
+        df = df.filter(with_filter)
+    return df.select(*series_cols).distinct().orderBy(*series_cols)
+
+
+def dedup_first_wins(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Row-level dedup on ``keys``, keeping the first row per key in
+    ``order_by`` order — reference dual-write dedup keeps the first
+    occurrence per ``(timestamp, metric_name)`` (``query/dedup.rs:22-113``).
+
+    The reference's "first" is arrival order (single-stream); distributed
+    execution has no arrival order, so determinism requires an explicit
+    ``order_by`` tiebreaker. Implemented as a row_number window (one shuffle
+    on the dedup keys; at 100 TB dedup runs within time-bucketed partitions
+    so keys are already co-located after the scan).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,431 @@
+"""Named query registry: each entry pairs a Spark DataFrame implementation
+with an equivalent ANSI-SQL oracle (DuckDB dialect-compatible) over the same
+parquet tables.
+
+This is the correctness contract (driver: ``__spark_entry__.py``): the Spark
+result and the oracle result must match on row count, schema, and
+order-insensitive value hash. Conventions:
+
+- Every computed column is aliased identically on both sides.
+- Float results whose value depends on accumulation order (sum/avg/stddev/
+  percentile) are rounded to a fixed number of decimals on BOTH sides;
+  exact results (min/max/count, integer math) are left unrounded.
+- Time bucketing uses epoch-floor math written identically in both engines
+  (see ``functions.core.time_bucket``).
+
+The ``events`` table plays the metrics role (FIXTURES.md F4):
+ts → timestamp, event_type → metric_name, value → value, user_id → label.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.functions.core import label_matcher, time_bucket
+from cardinalsin_spark.operators.timeseries import (
+    MetricsCols,
+    bucket_agg,
+    dedup_first_wins,
+    distinct_label_values,
+    distinct_series,
+    increase_bucketed,
+    instant_agg,
+    latest_point_per_series,
+    rate_bucketed,
+    rate_faithful,
+    topk,
+)
+
+EV = MetricsCols.events()
+
+# DuckDB-side epoch-floor bucket, identical semantics to functions.core.time_bucket.
+def _sql_bucket(step: int, ts: str = "ts") -> str:
+    return (
+        f"TIMESTAMP '1970-01-01' + INTERVAL (CAST(floor(epoch({ts})/{step})*{step} "
+        f"AS BIGINT)) SECOND"
+    )
+
+
+# --- exact-decimal aggregation -------------------------------------------------
+# Float sums are accumulation-order-dependent; with clean-decimal data the true
+# result often sits exactly on a rounding boundary (e.g. avg = 0.01275), so
+# engine-order noise flips the rounded digit. Fix: quantize to integer units
+# (cents) per row — deterministic in both engines — sum exactly as int64, then
+# do one deterministic float division at the end. Both sides must spell the
+# post-aggregation arithmetic identically (same op order → same bits).
+
+
+def cents(col: F.Column, scale: int = 2) -> F.Column:
+    return F.round(col * F.lit(10**scale)).cast("long")
+
+
+def _sql_cents(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Make an externally-provided SparkSession (the driver builds its own,
+    without our session factory) able to run the registry: ns-timestamp
+    parquet must read as int64, and all time semantics are UTC. Both are
+    runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalsin_spark.sources.tables import normalize_event_time
+
+    ensure_session_conf(spark)
+    return normalize_event_time(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "lineitem")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series operator queries (SURVEY §2.2/2.4/2.6/2.10) over `events`
+# ---------------------------------------------------------------------------
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn("value_cents", cents(F.col("value")))
+
+
+EV_CENTS = MetricsCols(ts="ts", name="event_type", value="value_cents", labels=("user_id",))
+
+
+def q_ts_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL range-aggregation shape: avg per 5-min bucket per metric."""
+    df = bucket_agg(
+        _events_cents(spark, sf_dir), 300, "avg", cols=EV_CENTS, value_alias="v"
+    )
+    return df.select(
+        "bucket", "event_type", F.round(F.col("v") / F.lit(100.0), 4).alias("value")
+    )
+
+
+SQL_TS_BUCKET_AVG = f"""
+SELECT {_sql_bucket(300)} AS bucket, event_type,
+       round(avg({_sql_cents('value')}) / 100.0, 4) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ts_instant_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL instant aggregation: sum by metric + MAX(ts) sample time."""
+    df = instant_agg(
+        _events_cents(spark, sf_dir), "sum", cols=EV_CENTS, value_alias="v"
+    )
+    return df.select(
+        "event_type",
+        F.round(F.col("v").cast("double") / F.lit(100.0), 2).alias("value"),
+        "sample_time",
+    )
+
+
+SQL_TS_INSTANT_SUM = f"""
+SELECT event_type,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value,
+       max(ts) AS sample_time
+FROM events GROUP BY 1
+"""
+
+
+def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference rate(): (max-min)/range per 10-min bucket."""
+    return rate_bucketed(_events(spark, sf_dir), 600, cols=EV)
+
+
+SQL_TS_RATE = f"""
+SELECT {_sql_bucket(600)} AS bucket, event_type,
+       (max(value) - min(value)) / 600.0 AS rate
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ts_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference increase(): max-min per 10-min bucket."""
+    return increase_bucketed(_events(spark, sf_dir), 600, cols=EV)
+
+
+SQL_TS_INCREASE = f"""
+SELECT {_sql_bucket(600)} AS bucket, event_type,
+       max(value) - min(value) AS increase
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ts_rate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware rate per 1h bucket (window lag + bucket agg),
+    computed over exact integer cents so the bucket sums are
+    accumulation-order independent."""
+    df = rate_faithful(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    return df.select(
+        "bucket",
+        "event_type",
+        F.round(F.col("rate") / F.lit(100.0), 6).alias("rate"),
+    )
+
+
+SQL_TS_RATE_FAITHFUL = f"""
+WITH deltas AS (
+  SELECT ts, event_type, {_sql_cents('value')} AS vc,
+         lag({_sql_cents('value')}) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events
+)
+SELECT {_sql_bucket(3600)} AS bucket, event_type,
+       round(sum(CASE WHEN prev IS NULL THEN NULL
+                      WHEN vc >= prev THEN vc - prev
+                      ELSE vc END) / 3600.0 / 100.0, 6) AS rate
+FROM deltas GROUP BY 1, 2
+"""
+
+
+def q_ts_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest sample per metric, deterministic tie-break on event_id."""
+    df = latest_point_per_series(
+        _events(spark, sf_dir), cols=EV, tiebreak=["event_id"]
+    )
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SQL_TS_LATEST_PER_SERIES = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_ts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(3, avg) done correctly (reference degrades topk: no LIMIT)."""
+    df = topk(_events_cents(spark, sf_dir), 3, "avg", cols=EV_CENTS, value_alias="v")
+    return df.select(
+        "event_type", F.round(F.col("v") / F.lit(100.0), 4).alias("value")
+    )
+
+
+SQL_TS_TOPK = f"""
+SELECT event_type, round(avg({_sql_cents('value')}) / 100.0, 4) AS value
+FROM events GROUP BY 1
+ORDER BY avg({_sql_cents('value')}) DESC, event_type LIMIT 3
+"""
+
+
+def q_ts_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL /label/<name>/values: DISTINCT label values."""
+    return distinct_label_values(_events(spark, sf_dir), "event_type")
+
+
+SQL_TS_DISTINCT_VALUES = """
+SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+"""
+
+
+def q_ts_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL /series: DISTINCT series label tuples."""
+    return distinct_series(_events(spark, sf_dir), ["event_type", "user_id"])
+
+
+SQL_TS_DISTINCT_SERIES = """
+SELECT DISTINCT event_type, user_id FROM events
+"""
+
+
+def q_ts_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup on (ts, event_type), deterministic by event_id."""
+    df = dedup_first_wins(_events(spark, sf_dir), ["ts", "event_type"], ["event_id"])
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SQL_TS_DEDUP_FIRST = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY ts, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_ts_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range + label-matcher scan (Eq + regex + value predicate) — the
+    reference's pruning hot path (SURVEY §2.2). Filters push to parquet."""
+    df = _events(spark, sf_dir)
+    return df.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+        & label_matcher("event_type", "=~", "click|view")
+        & (F.col("value") > 100.0)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SQL_TS_FILTER_RANGE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+  AND regexp_matches(event_type, '^(?:click|view)$')
+  AND value > 100.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational pass-through (SURVEY §2.3/§2.7 — joins/set-ops reach the engine
+# through full SQL, same as the reference's DataFusion pass-through)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with multiple aggregates."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0),
+                2,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                ).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0, 2)
+         AS sum_base_price,
+       round(CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE)
+         / 10000.0, 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join (broadcast dims) + agg + top-10 revenue."""
+    cust = F.broadcast(_read(spark, sf_dir, "customer"))
+    orders = _read(spark, sf_dir, "orders")
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                ).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3ISH = f"""
+SELECT o_orderkey, o_orderdate,
+       round(CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE)
+         / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's showcase query (README.md:214-221): per-minute
+    avg + p99 + count per service over a time window — here per event_type."""
+    df = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-08 00:00:00"))
+    )
+    return (
+        df.withColumn("value_cents", cents(F.col("value")))
+        .groupBy(time_bucket("ts", 60).alias("minute"), F.col("event_type"))
+        .agg(
+            F.round(F.avg("value_cents") / F.lit(100.0), 4).alias("avg_value"),
+            F.round(
+                F.percentile("value_cents", F.lit(0.99)) / F.lit(100.0), 4
+            ).alias("p99_value"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+        .orderBy("minute", "event_type")
+    )
+
+
+SQL_FLAGSHIP = f"""
+SELECT {_sql_bucket(60)} AS minute, event_type,
+       round(avg({_sql_cents('value')}) / 100.0, 4) AS avg_value,
+       round(quantile_cont({_sql_cents('value')}, 0.99) / 100.0, 4) AS p99_value,
+       count(*) AS sample_count
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "flagship_minute_p99": (q_flagship, SQL_FLAGSHIP),
+    "ts_bucket_avg": (q_ts_bucket_avg, SQL_TS_BUCKET_AVG),
+    "ts_instant_sum": (q_ts_instant_sum, SQL_TS_INSTANT_SUM),
+    "ts_rate": (q_ts_rate, SQL_TS_RATE),
+    "ts_increase": (q_ts_increase, SQL_TS_INCREASE),
+    "ts_rate_faithful": (q_ts_rate_faithful, SQL_TS_RATE_FAITHFUL),
+    "ts_latest_per_series": (q_ts_latest_per_series, SQL_TS_LATEST_PER_SERIES),
+    "ts_topk": (q_ts_topk, SQL_TS_TOPK),
+    "ts_distinct_values": (q_ts_distinct_values, SQL_TS_DISTINCT_VALUES),
+    "ts_distinct_series": (q_ts_distinct_series, SQL_TS_DISTINCT_SERIES),
+    "ts_dedup_first": (q_ts_dedup_first, SQL_TS_DEDUP_FIRST),
+    "ts_filter_range": (q_ts_filter_range, SQL_TS_FILTER_RANGE),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,79 @@
+"""SparkSession factory with a scale-oriented configuration.
+
+The reference tunes DataFusion with ``batch_size=8192`` and
+``target_partitions=num_cpus`` (reference ``query/engine.rs:70-75``) and lets
+the engine do pruning/pushdown. The Spark equivalents are AQE, parquet filter
+pushdown, and a shuffle-partition count sized to the cluster. On a real
+cluster these configs come from spark-submit; this factory is for local
+dev/test/bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB scale these would be set per-job; locally they keep plans honest:
+# AQE coalesces the 32 shuffle partitions when data is small and splits skewed
+# joins when it is not, exactly as it would at cluster scale.
+_BASE_CONF = {
+    # Adaptive execution: runtime re-planning, partition coalescing, skew-join
+    # handling. The reference's "hot shard detection + split" (sharding/) is
+    # replaced wholesale by AQE skew handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Pushdown / pruning — the Spark-native replacement for the reference's
+    # chunk-pruning metadata catalog (metadata/s3.rs:1075-1136).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # Arrow for any pandas interchange (vectorized UDF path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/...) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Timestamps are UTC end-to-end (reference stores ns-UTC,
+    # schema/metrics.rs:240-244).
+    "spark.sql.session.timeZone": "UTC",
+    # The reference stores nanosecond timestamps; Spark's timestamp is µs.
+    # Read parquet TIMESTAMP(NANOS) as raw int64 ns and derive a µs timestamp
+    # in the loader (sources.tables.load_events) — keeps exact ns arithmetic
+    # available (reference api/query/prometheus_api.rs:971 does integer ns math).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write-side: match the reference's ZSTD-3 parquet encoding
+    # (ingester/parquet_writer.rs:24-52).
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Keep scheduler chatter down in local mode.
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "cardinalsin-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count — at cluster scale this
+    would be ~2-3x total cores; AQE coalesces down when partitions are small.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cpus, 32))
+    conf["spark.default.parallelism"] = str(cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,74 @@
+"""Parquet table catalog over the driver's test tables.
+
+The reference registers metadata-selected parquet chunk paths as a single
+listing table named ``metrics`` (reference ``query/engine.rs:127-187``). Spark's
+equivalent is ``spark.read.parquet`` + temp views; partition pruning and
+row-group stat pruning replace the reference's custom chunk catalog.
+
+Small dimension tables are broadcast-hinted at load so every join against
+them is a broadcast-hash join regardless of fact-table size — at 100 TB the
+dims stay KB-MB sized while facts grow, so this is always the right plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions that remain tiny at any scale factor → always broadcast.
+SMALL_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_time(df)
+    if name in SMALL_DIMS:
+        df = F.broadcast(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """The driver's ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
+    reads as int64 ns under ``spark.sql.legacy.parquet.nanosAsLong``. Keep the
+    exact ns value as ``ts_ns`` and derive the µs-truncated ``ts`` timestamp
+    (same truncation DuckDB applies reading ns into its µs timestamp), so SQL
+    oracles and Spark agree bit-for-bit on time values."""
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df  # already a timestamp (non-ns source)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` pass-through works —
+    the Spark analogue of the reference's always-registered ``metrics`` table
+    (``query/engine.rs:97-103``)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
