@@ -1,0 +1,246 @@
+"""PromQL → DataFrame transpiler.
+
+Re-implements the reference's regex-shaped PromQL support (reference
+``api/query/prometheus_api.rs:744-826`` parse, ``877-935`` instant transpile,
+``938-1087`` range transpile) against a metrics-shaped DataFrame instead of a
+SQL string. Supported grammar (exactly the reference's):
+
+- aggregation: ``agg [by (l1,l2)] (inner)`` for
+  sum/avg/count/min/max/stddev/stdvar/topk/bottomk
+- range functions: ``fn(selector[Nu])`` for rate/increase/irate/delta/
+  idelta/deriv, units s/m/h/d
+- selector: ``metric_name{label op "value", ...}`` with ops = != =~ !~
+
+Deviations from the reference (documented, deliberate):
+- ``topk``/``bottomk`` take their k argument and apply a real LIMIT
+  (the reference degrades them to plain aggregation with no limit,
+  ``api/query/prometheus_api.rs:757``).
+- instant selector queries break timestamp ties deterministically when a
+  ``tiebreak`` column is given (the reference's ``LIMIT 1`` is
+  nondeterministic under ties).
+
+Execution shape: everything compiles to filter → groupBy → agg over built-in
+functions, so Catalyst pushes the metric_name/label/time predicates into the
+parquet scan — the Spark-native equivalent of the reference's chunk pruning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.functions.core import label_matcher, time_bucket
+from cardinalsin_spark.operators.timeseries import MetricsCols
+
+_AGG_RE = re.compile(
+    r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)"
+    r"\s*(?:by\s*\(([^)]+)\))?\s*\((.+)\)$",
+    re.DOTALL,
+)
+_RANGE_FN_RE = re.compile(
+    r"^(rate|increase|irate|delta|idelta|deriv)\s*\((.+)\[(\d+)([smhd])\]\)$",
+    re.DOTALL,
+)
+_SELECTOR_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?$")
+_MATCHER_RE = re.compile(r'(\w+)\s*(=~|!=|!~|=)\s*"([^"]*)"')
+_UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+# topk/bottomk carry a leading k argument: topk(5, metric)
+_TOPK_K_RE = re.compile(r"^\s*(\d+)\s*,\s*(.+)$", re.DOTALL)
+
+
+@dataclass
+class LabelMatcher:
+    label: str
+    op: str  # = != =~ !~
+    value: str
+
+
+@dataclass
+class ParsedPromQL:
+    """Mirror of the reference's ParsedPromQL
+    (``api/query/prometheus_api.rs:689-703``) plus ``k`` for topk/bottomk."""
+
+    metric_name: str = ""
+    label_matchers: list[LabelMatcher] = field(default_factory=list)
+    aggregation: str | None = None
+    group_by: list[str] = field(default_factory=list)
+    range_seconds: float | None = None
+    function: str | None = None
+    k: int | None = None
+
+
+def parse_promql(promql: str) -> ParsedPromQL:
+    promql = promql.strip()
+    out = ParsedPromQL()
+
+    m = _AGG_RE.match(promql)
+    if m:
+        out.aggregation = m.group(1)
+        if m.group(2):
+            out.group_by = [s.strip() for s in m.group(2).split(",")]
+        inner = m.group(3)
+        if out.aggregation in ("topk", "bottomk"):
+            km = _TOPK_K_RE.match(inner)
+            if km:
+                out.k = int(km.group(1))
+                inner = km.group(2)
+        inner_parsed = parse_promql(inner)
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        out.range_seconds = inner_parsed.range_seconds
+        out.function = inner_parsed.function
+        return out
+
+    m = _RANGE_FN_RE.match(promql)
+    if m:
+        out.function = m.group(1)
+        out.range_seconds = float(m.group(3)) * _UNIT_SECONDS[m.group(4)]
+        inner_parsed = parse_promql(m.group(2))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        return out
+
+    m = _SELECTOR_RE.match(promql)
+    if m:
+        out.metric_name = m.group(1)
+        if m.group(2):
+            out.label_matchers = parse_label_matchers(m.group(2))
+    if not out.metric_name:
+        out.metric_name = promql  # reference fallback: whole string is the name
+    return out
+
+
+def parse_label_matchers(s: str) -> list[LabelMatcher]:
+    return [
+        LabelMatcher(label=m.group(1), op=m.group(2), value=m.group(3))
+        for m in _MATCHER_RE.finditer(s)
+    ]
+
+
+def discover_label_columns(parsed: ParsedPromQL) -> list[str]:
+    """Matcher labels + group_by labels, first-seen order (reference
+    ``api/query/prometheus_api.rs:855-874``)."""
+    labels: list[str] = []
+    for m in parsed.label_matchers:
+        if m.label not in labels:
+            labels.append(m.label)
+    for lbl in parsed.group_by:
+        if lbl not in labels:
+            labels.append(lbl)
+    return labels
+
+
+def _selector_filter(parsed: ParsedPromQL, cols: MetricsCols) -> Column:
+    cond = F.col(cols.name) == F.lit(parsed.metric_name)
+    for m in parsed.label_matchers:
+        cond = cond & label_matcher(m.label, m.op, m.value)
+    return cond
+
+
+_INSTANT_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "stdvar": F.var_samp,
+}
+
+
+def _agg_column(agg: str, value_col: str) -> Column:
+    if agg == "count":
+        return F.count(F.lit(1))
+    fn = _INSTANT_AGGS.get(agg, F.avg)  # reference falls back to AVG
+    return fn(F.col(value_col))
+
+
+def promql_instant(
+    df: DataFrame,
+    promql: str,
+    time_s: float | None = None,
+    cols: MetricsCols = MetricsCols(),
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Instant query (reference ``transpile_promql_instant``,
+    ``api/query/prometheus_api.rs:877-935``).
+
+    Aggregated form: one row per (metric, *by) with MAX(ts) as the sample
+    timestamp, ordered by value desc. Selector form: latest single sample.
+    """
+    parsed = parse_promql(promql)
+    out = df.filter(_selector_filter(parsed, cols))
+    if time_s is not None:
+        out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(time_s)))
+
+    if parsed.aggregation in ("topk", "bottomk") and parsed.k is not None:
+        agg_col = _agg_column("avg", cols.value)
+        grouped = out.groupBy(cols.name, *parsed.group_by).agg(
+            F.max(cols.ts).alias("timestamp_"), agg_col.alias("value")
+        )
+        order = F.asc("value") if parsed.aggregation == "bottomk" else F.desc("value")
+        return grouped.orderBy(order, cols.name, *parsed.group_by).limit(parsed.k)
+
+    if parsed.aggregation:
+        agg_col = _agg_column(parsed.aggregation, cols.value)
+        return (
+            out.groupBy(cols.name, *parsed.group_by)
+            .agg(F.max(cols.ts).alias("timestamp_"), agg_col.alias("value"))
+            .orderBy(F.desc("value"), cols.name, *parsed.group_by)
+        )
+
+    order = [F.desc(cols.ts)] + [F.desc(t) for t in (tiebreak or [])]
+    return out.orderBy(*order).limit(1)
+
+
+def promql_range(
+    df: DataFrame,
+    promql: str,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Range query (reference ``transpile_promql_range``,
+    ``api/query/prometheus_api.rs:938-1087``): bucket = floor(ts/step)*step;
+    rate/irate → (max-min)/range_seconds, increase/delta → max-min, anything
+    else (incl. no function) → avg. Output:
+    ``time_bucket, <name>, <labels...>, value`` ordered by bucket."""
+    parsed = parse_promql(promql)
+    out = df.filter(_selector_filter(parsed, cols)).filter(
+        (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
+        & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+    )
+    label_cols = discover_label_columns(parsed)
+    keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
+        F.col(c) for c in label_cols
+    ]
+
+    if parsed.function in ("rate", "irate"):
+        rng = parsed.range_seconds or float(step_s)
+        value = (F.max(cols.value) - F.min(cols.value)) / F.lit(rng)
+    elif parsed.function in ("increase", "delta"):
+        value = F.max(cols.value) - F.min(cols.value)
+    elif parsed.function is not None:
+        value = F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
+    elif parsed.aggregation:
+        # range aggregation groups by time_bucket + metric + group_by only
+        keys = [
+            time_bucket(cols.ts, step_s).alias("time_bucket"),
+            F.col(cols.name),
+        ] + [F.col(c) for c in parsed.group_by]
+        value = _agg_column(parsed.aggregation, cols.value)
+    else:
+        value = F.avg(cols.value)
+
+    return (
+        df_group_sorted(out, keys, value.alias("value"))
+    )
+
+
+def df_group_sorted(df: DataFrame, keys: list[Column], value: Column) -> DataFrame:
+    grouped = df.groupBy(*keys).agg(value)
+    order_cols = [c for c in grouped.columns if c != "value"]
+    return grouped.orderBy(*order_cols)

@@ -284,6 +284,138 @@ WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
 
 
 # ---------------------------------------------------------------------------
+# PromQL transpiler queries (SURVEY §2.2/§2.4 — reference
+# api/query/prometheus_api.rs:744-1087)
+# ---------------------------------------------------------------------------
+
+
+def _events_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped to the metrics shape for PromQL: label values are
+    strings in PromQL, so user_id is cast; value_cents carries exact sums."""
+    return _events_cents(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+
+
+def q_promql_range_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (purchase)` range query, 30-min steps."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (purchase)',
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,  # 2024-02-01
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_RANGE_SUM_BY = f"""
+SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(click[10m])` range query: (max-min)/600 per bucket (exact —
+    max/min are input values, no accumulation order)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "rate(click[10m])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=600,
+        cols=EV,
+    )
+
+
+SQL_PROMQL_RATE_RANGE = f"""
+SELECT {_sql_bucket(600)} AS time_bucket, event_type,
+       (max(value) - min(value)) / 600.0 AS value
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_promql_instant_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (signup{user_id=~"1.*"})` instant query with an
+    upper time bound — regex matcher + grouped aggregation."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (signup{user_id=~"1.*"})',
+        time_s=1705276800.0,  # 2024-01-15
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_INSTANT_SUM = f"""
+SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+       max(ts) AS sample_time,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+FROM events
+WHERE event_type = 'signup'
+  AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
+    topk; deliberate correctness upgrade, SURVEY §2.6)."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "topk by (user_id) (3, view)",
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 4).alias("value"),
+    )
+
+
+SQL_PROMQL_INSTANT_TOPK = f"""
+SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+       max(ts) AS sample_time,
+       round(CAST(avg({_sql_cents('value')}) AS DOUBLE) / 100.0, 4) AS value
+FROM events
+WHERE event_type = 'view'
+GROUP BY 1, 2
+ORDER BY avg({_sql_cents('value')}) DESC, event_type, user_id LIMIT 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Relational pass-through (SURVEY §2.3/§2.7 — joins/set-ops reach the engine
 # through full SQL, same as the reference's DataFusion pass-through)
 # ---------------------------------------------------------------------------
@@ -418,6 +550,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_distinct_series": (q_ts_distinct_series, SQL_TS_DISTINCT_SERIES),
     "ts_dedup_first": (q_ts_dedup_first, SQL_TS_DEDUP_FIRST),
     "ts_filter_range": (q_ts_filter_range, SQL_TS_FILTER_RANGE),
+    "promql_range_sum_by": (q_promql_range_sum_by, SQL_PROMQL_RANGE_SUM_BY),
+    "promql_rate_range": (q_promql_rate_range, SQL_PROMQL_RATE_RANGE),
+    "promql_instant_sum": (q_promql_instant_sum, SQL_PROMQL_INSTANT_SUM),
+    "promql_instant_topk": (q_promql_instant_topk, SQL_PROMQL_INSTANT_TOPK),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
 }
