@@ -1,0 +1,180 @@
+"""Compaction, retention, and downsampling — maintenance jobs as DataFrame ops.
+
+The reference runs a hybrid-LSM compactor (L0 size-tiered by hour bucket at
+≥15 files, L1+ leveled with 250MB/2GB/10GB/50GB targets,
+``metadata/s3.rs:1188-1263``, ``compactor/mod.rs:81-97``), 90-day retention
+(``compactor/mod.rs:921-947``), and *configures* downsampling without ever
+implementing it (``compactor/mod.rs:70-91`` — config only; SURVEY §2.11).
+
+Here the planning inputs are a chunks-metadata DataFrame (FIXTURES.md F3:
+``chunk_path, min_timestamp, max_timestamp, row_count, size_bytes, level``)
+and the planners are pure DataFrame algebra — tiny data (one row per file),
+but expressed distributed so a 100M-file catalog would still plan fine.
+Execution (``compact_partition``) is the Spark idiom: read small files →
+sort by timestamp → write back coalesced.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Reference compactor/mod.rs:81-97.
+L0_TRIGGER_FILES = 15
+LEVEL_TARGET_BYTES = {
+    0: 250 * 1024 * 1024,
+    1: 2 * 1024**3,
+    2: 10 * 1024**3,
+    3: 50 * 1024**3,
+}
+RETENTION_DAYS = 90
+
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def l0_compaction_candidates(
+    chunks: DataFrame,
+    trigger_files: int = L0_TRIGGER_FILES,
+) -> DataFrame:
+    """L0 size-tiered selection (reference ``metadata/s3.rs:1188-1217``):
+    group level-0 chunks by the hour bucket of min_timestamp; any bucket
+    holding ≥ trigger_files files is a merge candidate.
+
+    Output: ``hour_bucket, n_files, total_bytes, total_rows, chunk_paths``
+    (sorted path array → deterministic).
+    """
+    return (
+        chunks.filter(F.col("level") == 0)
+        .groupBy(
+            # integer floor-division: ns timestamps exceed double precision
+            # (2^53), so float division here would mis-bucket edge chunks
+            (F.expr(f"min_timestamp div {_HOUR_NS}") * _HOUR_NS).alias(
+                "hour_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.sum("row_count").alias("total_rows"),
+            F.sort_array(F.collect_list("chunk_path")).alias("chunk_paths"),
+        )
+        .filter(F.col("n_files") >= trigger_files)
+        .orderBy("hour_bucket")
+    )
+
+
+def leveled_compaction_groups(
+    chunks: DataFrame,
+    level: int,
+    target_bytes: int | None = None,
+) -> DataFrame:
+    """L1+ leveled grouping (reference ``metadata/s3.rs:1219-1263``): chunks
+    of a level ordered by min_timestamp, greedily packed to the level's
+    target size.
+
+    The reference's greedy loop is sequential; the order-preserving
+    distributed equivalent is a running-sum window: group_id =
+    floor(cumulative_bytes_before / target). Same invariant (every group
+    except possibly the last reaches the target; time-adjacent chunks stay
+    together).
+    """
+    target = target_bytes or LEVEL_TARGET_BYTES.get(level, LEVEL_TARGET_BYTES[3])
+    w = (
+        Window.orderBy("min_timestamp", "chunk_path")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = chunks.filter(F.col("level") == level).withColumn(
+        "_cum_before", F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    )
+    return (
+        lvl.withColumn(
+            "group_id", (F.col("_cum_before") / F.lit(target)).cast("long")
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.min("min_timestamp").alias("min_timestamp"),
+            F.max("max_timestamp").alias("max_timestamp"),
+            F.sort_array(F.collect_list("chunk_path")).alias("chunk_paths"),
+        )
+        .filter(F.col("n_files") > 1)
+        .orderBy("group_id")
+    )
+
+
+def retention_candidates(chunks: DataFrame, cutoff_ns: int) -> DataFrame:
+    """Chunks wholly older than the cutoff → deletable (reference 90-day
+    retention, ``compactor/mod.rs:921-947``; the skew-safe BoundedClock
+    becomes 'caller passes an authoritative cutoff')."""
+    return chunks.filter(F.col("max_timestamp") < F.lit(cutoff_ns)).orderBy(
+        "chunk_path"
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    root: str,
+    date: str,
+    hour: int,
+    target_files: int = 1,
+) -> int:
+    """Merge one ``date=/hour=`` partition's small files: read → sort by
+    timestamp → rewrite as ``target_files`` files (reference chunk merge:
+    concat → sort → single parquet, ``compactor/merge.rs:23-74``).
+
+    Returns the number of input files merged. Uses overwrite of the single
+    partition directory only.
+    """
+    part_path = os.path.join(root, f"date={date}", f"hour={hour}")
+    df = spark.read.parquet(part_path)
+    n_input = df.select(F.input_file_name()).distinct().count()
+    if n_input <= target_files:
+        return n_input
+    (
+        df.coalesce(target_files)
+        .sortWithinPartitions("timestamp")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(part_path + ".compact.tmp")
+    )
+    # Atomic-ish swap (single-driver; the reference's lease protocol guards
+    # multi-compactor races — out of scope for an engine library).
+    import shutil
+
+    shutil.rmtree(part_path)
+    shutil.move(part_path + ".compact.tmp", part_path)
+    return n_input
+
+
+def downsample(
+    df: DataFrame,
+    step_seconds: int,
+    series_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucket rollup: avg/min/max/count/sum per (bucket, *series).
+
+    The reference ships ``downsample_after_days``/``downsample_resolution``
+    config but no implementation (SURVEY §2.11) — this completes it. Output
+    keeps enough moments to re-aggregate (sum+count → exact avg on rollup).
+    """
+    from cardinalsin_spark.functions.core import time_bucket
+
+    return (
+        df.groupBy(
+            time_bucket(ts_col, step_seconds).alias("bucket"),
+            *[F.col(c) for c in series_cols],
+        )
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.count(value_col).alias("count_value"),
+        )
+        .orderBy("bucket", *series_cols)
+    )

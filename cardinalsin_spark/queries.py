@@ -533,6 +533,150 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Maintenance operators (SURVEY §2.11): compaction planning, retention,
+# time-index pruning, downsampling — exercised over a chunks-metadata table
+# derived deterministically from events (one "chunk" per event_type × day).
+# Timestamps are ns derived from exact integer µs (unix_micros*1000) so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SQL_CHUNKS_CTE = """
+WITH chunks AS (
+  SELECT event_type || '/' || CAST(CAST(ts AS DATE) AS VARCHAR) AS chunk_path,
+         min(epoch_us(ts)) * 1000 AS min_timestamp,
+         max(epoch_us(ts)) * 1000 AS max_timestamp,
+         count(*) AS row_count,
+         count(*) * 64 AS size_bytes,
+         0 AS level
+  FROM events
+  GROUP BY 1
+)
+"""
+
+
+def _derived_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.concat(
+                F.col("event_type"), F.lit("/"), F.to_date("ts").cast("string")
+            ).alias("chunk_path")
+        )
+        .agg(
+            (F.min(F.unix_micros("ts")) * 1000).alias("min_timestamp"),
+            (F.max(F.unix_micros("ts")) * 1000).alias("max_timestamp"),
+            F.count(F.lit(1)).alias("row_count"),
+            (F.count(F.lit(1)) * 64).alias("size_bytes"),
+            F.lit(0).alias("level"),
+        )
+    )
+
+
+def q_maint_l0_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L0 size-tiered compaction candidates: ≥5 level-0 chunks in the same
+    hour bucket of min_timestamp (reference metadata/s3.rs:1188-1217)."""
+    from cardinalsin_spark.operators.compaction import l0_compaction_candidates
+
+    cand = l0_compaction_candidates(_derived_chunks(spark, sf_dir), trigger_files=5)
+    return cand.select(
+        "hour_bucket",
+        "n_files",
+        "total_bytes",
+        "total_rows",
+        F.array_join("chunk_paths", ",").alias("chunk_paths"),
+    )
+
+
+SQL_MAINT_L0_PLAN = f"""
+{_SQL_CHUNKS_CTE}
+SELECT (min_timestamp // 3600000000000) * 3600000000000 AS hour_bucket,
+       count(*) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(row_count) AS BIGINT) AS total_rows,
+       string_agg(chunk_path, ',' ORDER BY chunk_path) AS chunk_paths
+FROM chunks
+WHERE level = 0
+GROUP BY 1
+HAVING count(*) >= 5
+"""
+
+
+def q_maint_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention: chunks wholly before the cutoff are deletable
+    (reference compactor/mod.rs:921-947)."""
+    from cardinalsin_spark.operators.compaction import retention_candidates
+
+    cutoff_ns = 1705276800 * 1_000_000_000  # 2024-01-15
+    return retention_candidates(_derived_chunks(spark, sf_dir), cutoff_ns).select(
+        "chunk_path", "max_timestamp", "row_count"
+    )
+
+
+SQL_MAINT_RETENTION = f"""
+{_SQL_CHUNKS_CTE}
+SELECT chunk_path, max_timestamp, row_count
+FROM chunks WHERE max_timestamp < 1705276800000000000
+"""
+
+
+def q_maint_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-index pruning: chunks overlapping a 3-day window survive
+    (reference metadata/s3.rs:1083-1124)."""
+    from cardinalsin_spark.sources.catalog import prune_chunks_by_time
+
+    start_ns = 1704672000 * 1_000_000_000  # 2024-01-08
+    end_ns = 1704931200 * 1_000_000_000  # 2024-01-11
+    return prune_chunks_by_time(
+        _derived_chunks(spark, sf_dir), start_ns, end_ns
+    ).select("chunk_path", "min_timestamp", "max_timestamp", "row_count")
+
+
+SQL_MAINT_TIME_PRUNE = f"""
+{_SQL_CHUNKS_CTE}
+SELECT chunk_path, min_timestamp, max_timestamp, row_count
+FROM chunks
+WHERE max_timestamp >= 1704672000000000000
+  AND min_timestamp <= 1704931200000000000
+"""
+
+
+def q_maint_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling rollup (1h, per metric): the operator the reference
+    configures but never implemented (compactor/mod.rs:70-91)."""
+    from cardinalsin_spark.operators.compaction import downsample
+
+    ds = downsample(
+        _events_cents(spark, sf_dir),
+        3600,
+        ["event_type"],
+        ts_col="ts",
+        value_col="value_cents",
+    )
+    return ds.select(
+        "bucket",
+        "event_type",
+        F.round(F.col("avg_value") / F.lit(100.0), 4).alias("avg_value"),
+        (F.col("min_value") / F.lit(100.0)).alias("min_value"),
+        (F.col("max_value") / F.lit(100.0)).alias("max_value"),
+        F.round(F.col("sum_value").cast("double") / F.lit(100.0), 2).alias(
+            "sum_value"
+        ),
+        "count_value",
+    )
+
+
+SQL_MAINT_DOWNSAMPLE = f"""
+SELECT {_sql_bucket(3600)} AS bucket, event_type,
+       round(avg({_sql_cents('value')}) / 100.0, 4) AS avg_value,
+       min({_sql_cents('value')}) / 100.0 AS min_value,
+       max({_sql_cents('value')}) / 100.0 AS max_value,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS sum_value,
+       count(value) AS count_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -556,6 +700,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_instant_topk": (q_promql_instant_topk, SQL_PROMQL_INSTANT_TOPK),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
+    "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),
+    "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),
+    "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
+    "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
 }
 
 

@@ -46,6 +46,7 @@ _BASE_CONF = {
     "spark.sql.parquet.compression.codec": "zstd",
     # Keep scheduler chatter down in local mode.
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 

@@ -1,0 +1,132 @@
+"""Batch ingest: normalize arbitrary input to the wide metrics schema and
+write time-partitioned, timestamp-sorted ZSTD parquet.
+
+Replaces the reference's write path (WAL → buffer → Parquet → S3,
+``ingester/mod.rs:588-772``, ``ingester/parquet_writer.rs:24-89``) with the
+Spark-native equivalent: ``df.write.partitionBy("date","hour")`` gives the
+Hive layout that *is* the reference's time index
+(``tenant/data/year=/month=/day=/hour=/chunk_*.parquet``), and
+``sortWithinPartitions("timestamp")`` reproduces the compactor's
+sort-on-write clustering (``compactor/merge.rs:56-74``) so parquet min/max
+stats stay tight for row-group pruning.
+
+Value-type routing mirrors Prometheus remote-write ingestion
+(``api/ingest/prometheus.rs:405-430``): non-integral floats → value_f64,
+integral ≥0 → value_u64, integral <0 → value_i64. Spark has no u64;
+value_u64 is LongType (documented lossy above 2^63-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.schema import metrics_schema
+
+# 2^53: beyond this a double can't represent integers exactly, so treat as float.
+_MAX_EXACT_INT_IN_DOUBLE = 2**53
+
+
+def route_value_types(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Split a raw double value column into value_f64/value_i64/value_u64.
+
+    Exactly one of the three is non-null per row. Pure column expressions —
+    stays in whole-stage codegen.
+    """
+    v = F.col(value_col)
+    is_integral = (
+        v.isNotNull()
+        & (v == F.floor(v))
+        & (F.abs(v) < F.lit(float(_MAX_EXACT_INT_IN_DOUBLE)))
+    )
+    return (
+        df.withColumn("value_f64", F.when(~is_integral, v))
+        .withColumn(
+            "value_u64", F.when(is_integral & (v >= 0), v.cast("long"))
+        )
+        .withColumn(
+            "value_i64", F.when(is_integral & (v < 0), v.cast("long"))
+        )
+    )
+
+
+def normalize_to_metrics(
+    df: DataFrame,
+    ts_col: str,
+    name_col: str,
+    value_col: str,
+    label_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Map an arbitrary input frame onto the wide metrics schema.
+
+    ``label_cols`` maps output label name → input column; labels are cast to
+    string (labels-as-columns model, reference ``schema/metrics.rs:127-131``).
+    """
+    label_cols = label_cols or {}
+    ts = F.col(ts_col)
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":  # already epoch-ns
+        ts_ns = ts
+        ts_val = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    else:
+        ts_ns = (ts.cast("double") * F.lit(1_000_000_000)).cast("long")
+        ts_val = ts
+    out = (
+        df.withColumn("__ts", ts_val)
+        .withColumn("ts_ns", ts_ns)
+        .withColumn("metric_name", F.col(name_col).cast("string"))
+    )
+    out = route_value_types(out, value_col)
+    selected = [
+        F.col("__ts").alias("timestamp"),
+        F.col("ts_ns"),
+        F.col("metric_name"),
+        F.col("value_f64"),
+        F.col("value_i64"),
+        F.col("value_u64"),
+    ] + [F.col(src).cast("string").alias(dst) for dst, src in label_cols.items()]
+    return out.select(*selected)
+
+
+def write_metrics(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    target_partitions: int | None = None,
+) -> None:
+    """Write the metrics frame as ``date=/hour=`` partitioned parquet,
+    timestamp-sorted within each file.
+
+    ``repartition(date, hour)`` puts each Hive partition's rows in one task
+    (one file per partition per write — no small-file explosion at scale; at
+    100 TB you'd raise ``target_partitions`` so each file lands near the
+    reference's L0 250-500 MB target, ``compactor/mod.rs:84-87``).
+    """
+    out = df.withColumn("date", F.to_date("timestamp")).withColumn(
+        "hour", F.hour("timestamp")
+    )
+    if target_partitions:
+        out = out.repartition(target_partitions, "date", "hour")
+    else:
+        out = out.repartition("date", "hour")
+    (
+        out.sortWithinPartitions("timestamp")
+        .write.mode(mode)
+        .option("compression", "zstd")
+        .partitionBy("date", "hour")
+        .parquet(path)
+    )
+
+
+def register_metrics(
+    spark: SparkSession, path: str, view_name: str = "metrics"
+) -> DataFrame:
+    """Register the metrics table (or an empty frame with the default schema
+    when nothing has been written yet — reference EmptyTable fallback,
+    ``query/engine.rs:189-205``: `FROM metrics` must never error)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = spark.createDataFrame([], metrics_schema())
+    df.createOrReplaceTempView(view_name)
+    return df

@@ -1,0 +1,199 @@
+"""Write path + catalog + compaction behavior tests (side-effectful, so
+pytest-only — no SQL oracle)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators.compaction import (
+    compact_partition,
+    l0_compaction_candidates,
+    leveled_compaction_groups,
+    retention_candidates,
+)
+from cardinalsin_spark.sources.catalog import (
+    chunk_stats,
+    prune_chunks_by_stats,
+    prune_chunks_by_time,
+)
+from cardinalsin_spark.sources.ingest import (
+    normalize_to_metrics,
+    register_metrics,
+    route_value_types,
+    write_metrics,
+)
+from cardinalsin_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def metrics_path(spark, sf_dir, tmp_path_factory):
+    """events → metrics schema → partitioned write, shared by tests."""
+    path = str(tmp_path_factory.mktemp("metrics_store") / "metrics")
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(
+        ev, ts_col="ts_ns", name_col="event_type", value_col="value",
+        label_cols={"user": "user_id"},
+    )
+    write_metrics(m, path, mode="overwrite")
+    return path
+
+
+def test_value_routing(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (3.0,), (-2.0,), (0.0,), (None,)], "value double"
+    )
+    out = route_value_types(df).collect()
+    got = {r.value: (r.value_f64, r.value_i64, r.value_u64) for r in out}
+    assert got[1.5] == (1.5, None, None)
+    assert got[3.0] == (None, None, 3)
+    assert got[-2.0] == (None, -2, None)
+    assert got[0.0] == (None, None, 0)
+    assert got[None] == (None, None, None)
+
+
+def test_partitioned_layout_and_roundtrip(spark, metrics_path, sf_dir):
+    # Hive layout date=/hour= exists (the reference's time index as dirs)
+    dates = [d for d in os.listdir(metrics_path) if d.startswith("date=")]
+    assert len(dates) >= 28  # ~30 days of events
+    hours = os.listdir(os.path.join(metrics_path, dates[0]))
+    assert any(h.startswith("hour=") for h in hours)
+
+    df = register_metrics(spark, metrics_path)
+    ev_count = load_table(spark, sf_dir, "events").count()
+    assert df.count() == ev_count
+    # exactly one value column non-null per row
+    bad = df.filter(
+        (F.col("value_f64").isNotNull().cast("int")
+         + F.col("value_i64").isNotNull().cast("int")
+         + F.col("value_u64").isNotNull().cast("int")) != 1
+    ).count()
+    assert bad == 0
+
+
+def test_partition_pruning_plan(spark, metrics_path):
+    """A date-filtered query must scan only matching partitions — the Spark
+    replacement for the reference's 99% chunk elimination claim."""
+    from cardinalsin_spark.plans.inspect import plan_string
+
+    df = spark.read.parquet(metrics_path)
+    pruned = df.filter(F.col("date") == "2024-01-05")
+    plan = plan_string(pruned, "formatted")
+    assert "PartitionFilters" in plan and "date" in plan
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    total_files = df.select(F.input_file_name()).distinct().count()
+    assert n_files < total_files / 10
+
+
+def test_sorted_within_files(spark, metrics_path):
+    """sort-on-write clustering: timestamps are nondecreasing within files."""
+    df = spark.read.parquet(metrics_path).select(
+        F.input_file_name().alias("f"), F.col("ts_ns")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    out = (
+        df.withColumn("prev", F.lag("ts_ns").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("ts_ns") < F.col("prev")))
+        .count()
+    )
+    assert out == 0
+
+
+def test_empty_table_fallback(spark, tmp_path):
+    df = register_metrics(spark, str(tmp_path / "nope"))
+    assert df.count() == 0
+    assert "metric_name" in df.columns  # default schema present
+
+
+def test_chunk_stats_and_time_pruning(spark, metrics_path):
+    chunks = chunk_stats(spark, metrics_path)
+    assert chunks.count() > 100  # one per partition file
+    assert chunks.filter(F.col("min_timestamp") > F.col("max_timestamp")).count() == 0
+    # prune to a 1-day window
+    import datetime as dt
+
+    day_start = int(dt.datetime(2024, 1, 5, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    day_end = int(dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    kept = prune_chunks_by_time(chunks, day_start, day_end)
+    assert 0 < kept.count() <= 25  # ≤ 24 hour-files (+1 boundary)
+
+
+def test_stats_pruning_semantics(spark):
+    chunks = spark.createDataFrame(
+        [("a", 0, 10), ("b", 20, 30), ("c", 5, 25)],
+        "chunk_path string, vmin long, vmax long",
+    )
+    eq = prune_chunks_by_stats(chunks, "vmin", "vmax", "=", 15)
+    assert {r.chunk_path for r in eq.collect()} == {"c"}
+    lt = prune_chunks_by_stats(chunks, "vmin", "vmax", "<", 6)
+    assert {r.chunk_path for r in lt.collect()} == {"a", "c"}
+    ne = prune_chunks_by_stats(chunks, "vmin", "vmax", "!=", 15)
+    assert ne.count() == 3  # conservative
+
+
+def test_l0_candidates_and_leveled_groups(spark):
+    hour_ns = 3_600 * 10**9
+    rows = []
+    # 20 files in hour 0 (triggers), 3 files in hour 1 (doesn't)
+    for i in range(20):
+        rows.append((f"h0_{i:02d}", i * 10**9, i * 10**9 + 1, 100, 1000, 0))
+    for i in range(3):
+        rows.append((f"h1_{i}", hour_ns + i, hour_ns + i + 1, 100, 1000, 0))
+    # level-1 chunks: 5 x 900MB → target 2GB → groups of ~2
+    for i in range(5):
+        rows.append((f"l1_{i}", i * hour_ns, (i + 1) * hour_ns, 10_000, 900 * 1024**2, 1))
+    chunks = spark.createDataFrame(
+        rows,
+        "chunk_path string, min_timestamp long, max_timestamp long,"
+        "row_count long, size_bytes long, level int",
+    )
+    cand = l0_compaction_candidates(chunks, trigger_files=15).collect()
+    assert len(cand) == 1 and cand[0].n_files == 20 and cand[0].hour_bucket == 0
+
+    groups = leveled_compaction_groups(chunks, level=1).collect()
+    assert all(g.n_files >= 2 for g in groups)
+    assert sum(g.n_files for g in groups) >= 4  # 5 chunks, ≥2 per group → 2+2(+1 dropped or grouped)
+
+
+def test_retention(spark):
+    chunks = spark.createDataFrame(
+        [("old", 0, 100, 1, 1, 0), ("new", 200, 300, 1, 1, 0)],
+        "chunk_path string, min_timestamp long, max_timestamp long,"
+        "row_count long, size_bytes long, level int",
+    )
+    out = retention_candidates(chunks, cutoff_ns=150).collect()
+    assert [r.chunk_path for r in out] == ["old"]
+
+
+def test_compact_partition_merges_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "m2")
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(ev, "ts_ns", "event_type", "value")
+    # force many small files: repartition wide before write
+    out = m.withColumn("date", F.to_date("timestamp")).withColumn(
+        "hour", F.hour("timestamp")
+    )
+    out.repartition(16).write.partitionBy("date", "hour").parquet(path)
+    # pick the partition with the most files (low-sf hours can be 1-row)
+    best = None
+    for d in os.listdir(path):
+        if not d.startswith("date="):
+            continue
+        for h in os.listdir(os.path.join(path, d)):
+            part = os.path.join(path, d, h)
+            n = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+            if best is None or n > best[2]:
+                best = (d.split("=")[1], int(h.split("=")[1]), n)
+    date, hour, before = best
+    part = os.path.join(path, f"date={date}", f"hour={hour}")
+    assert before > 1
+    pre_rows = spark.read.parquet(part).count()
+    merged = compact_partition(spark, path, date, hour)
+    assert merged == before
+    after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    assert spark.read.parquet(part).count() == pre_rows
