@@ -1,0 +1,192 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and an
+LSH-bucketed approximate variant (scale path). Beyond the reference's
+surface — BASELINE.json north star.
+
+Numerics: the oracle-checked path quantizes embeddings to an integer grid
+(×10^6) so dot products and squared norms are *exact* int64 arithmetic
+(64-dim ±1-ish floats → products ≤1e12, sums ≤6.4e13 « 2^63) and
+accumulation order cannot perturb results; only the final
+``dot / (sqrt(n2a)·sqrt(n2b))`` happens in floating point, identically on
+both engines. A float fast path (``cosine_expr``) exists for production use.
+
+Scale posture: top-k per query = broadcast the (small) query set, compute
+scores in a map stage, then ``row_number`` per query — the shuffle carries
+only per-query candidates. The LSH variant buckets on deterministic
+random-hyperplane sign bits so candidate generation is a groupBy, not a
+cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators.dedup_docs import portable_hash
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize(vec: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<bigint> on a fixed grid (exact integer math)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Quantized cosine: exact ints until one deterministic float step."""
+    return dot_q(a, b).cast("double") / (
+        F.sqrt(norm2_q(a).cast("double")) * F.sqrt(norm2_q(b).cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Float fast path (production): fused multiply-accumulate over doubles."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbours per query vector (quantized cosine).
+
+    ``queries`` has (query_id, vec). The query set broadcasts; scoring is a
+    map-only stage over the corpus; per-query ranking is one window shuffle
+    keyed by query_id.
+    """
+    corpus = df.select(
+        F.col(id_col), quantize(vec_col).alias("qv")
+    )
+    qs = F.broadcast(
+        queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
+    )
+    scored = (
+        corpus.crossJoin(qs)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_q(F.col("qq"), F.col("qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) approximate variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signature(
+    vec_q: Column, dim: int, n_planes: int = 8
+) -> Column:
+    """Sign-bit signature against ``n_planes`` deterministic pseudo-random
+    ±1 hyperplanes (plane p, dim d → sign from the portable md5 hash).
+
+    Buckets collide for nearby vectors; Hamming-near buckets could be probed
+    for recall — here we use exact-bucket candidates (documented recall
+    trade-off).
+    """
+    # NB: single-arg lambda only — PySpark treats a two-arg callable as
+    # (element, index), which would shadow the plane seed.
+    def _plane(p: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                portable_hash(p, d.cast("string")).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("long"),
+        )
+
+    signs = [_plane(p) for p in range(n_planes)]
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_q, plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in signs
+    ]
+    out = F.lit(0)
+    for i, b in enumerate(bits):
+        out = out + b * F.lit(2**i)
+    return out
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Same output shape as brute force (rank gaps show recall loss).
+    """
+    corpus = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
+    )
+    qs = F.broadcast(
+        queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
+        .withColumn("bucket", hyperplane_signature(F.col("qq"), dim, n_planes))
+    )
+    scored = (
+        corpus.join(qs, "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", cosine_q(F.col("qq"), F.col("qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis operators for LLM training-data pipelines (beyond the
+reference's surface — BASELINE.json north star): token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in column expressions (split/regexp/higher-order array
+functions) — JVM-side, whole-stage-codegen, no Python UDFs — so the operators
+scan-parallelize over any corpus size. All formulas are integer/single-
+division arithmetic, so results are bit-deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons for the n-gram/stopword heuristic.
+# Deliberately small + static: the operator's value is its *shape* (vectorized
+# scoring + argmax over languages), not lexicon quality.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# Word-ish tokens: letter runs, digit runs, or single other non-space chars —
+# the "BPE-ish" regex token model.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered: split on runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count via regexp extraction."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens_expr(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or _STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def punct_density(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / F.length(c)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach deterministic quality-signal columns: n_chars_m (measured),
+    n_tokens, avg_token_len, stopword_ratio, punct_density.
+
+    These are the standard cheap quality filters (length/punct/stopword
+    ratios) used to gate LLM training corpora.
+    """
+    toks = tokens_expr(text_col)
+    # total token chars == non-whitespace chars (tokens split on \s+): one
+    # regexp pass instead of an array fold, and an exact integer either way
+    non_ws = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    return (
+        df.withColumn("n_chars_m", F.length(text_col))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("avg_token_len", non_ws / F.size(toks))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("punct_density", punct_density(text_col))
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over lowercase tokens."""
+    toks = tokens_expr(text)
+    out: dict[str, Column] = {}
+    for lang, lex in LANG_LEXICONS.items():
+        arr = F.array(*[F.lit(w) for w in lex])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language with the most lexicon hits (ties → lexicon order,
+    deterministic); zero hits everywhere → 'und'."""
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # reversed so earlier languages win ties (left-most wins via last when())
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("lang_pred", pred)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit-ish (60-bit) integer fingerprint — the join/shuffle-friendly
+    key for dedup at scale (a long shuffles cheaper than 32-char strings)."""
+    return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")

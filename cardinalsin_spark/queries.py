@@ -707,6 +707,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
+def _load_llm_registry() -> None:
+    from cardinalsin_spark.queries_llm import REGISTRY_LLM
+
+    REGISTRY.update(REGISTRY_LLM)
+
+
+_load_llm_registry()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,403 @@
+"""Oracle-checked registry queries for the LLM-pipeline operators
+(dedup / similarity / text analysis) over the ``documents`` and
+``embeddings`` fixture tables.
+
+The DuckDB oracles replicate the exact computation — including the portable
+md5→int64 hash — so MinHash/LSH/SimHash results hash-match across engines.
+DuckDB syntax notes embedded where the dialects diverge (regexp_replace
+needs the 'g' flag; ``//`` for integer division; ``&``/``>>`` for bit ops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators import dedup_docs as dd
+from cardinalsin_spark.operators import similarity as sim
+from cardinalsin_spark.operators import text as tx
+from cardinalsin_spark.operators.text import BPE_TOKEN_RE, LANG_LEXICONS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalsin_spark.queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalsin_spark.queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# SQL building blocks mirroring the Spark expressions exactly
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split_regex({_SQL_NORM}, '\\s+')"
+_SQL_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+
+
+def _sql_hash(seed_expr: str, s_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || ':' || {s_expr}),"
+        f" 1, 15) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id survives per normalized-text md5."""
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DOCS_EXACT_DEDUP = f"""
+SELECT min(doc_id) AS doc_id, md5({_SQL_NORM}) AS fingerprint,
+       count(*) AS dup_count
+FROM documents GROUP BY 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token stats + quality + language ID
+# ---------------------------------------------------------------------------
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        tx.whitespace_token_count("text").alias("n_tokens"),
+        tx.regex_token_count("text").alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_SQL_TOKS_RAW}) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens_bpe,
+       length(text) AS n_chars_m
+FROM documents
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length/stopword/punctuation signals (integer counts
+    with single final divisions → bit-deterministic)."""
+    df = tx.quality_features(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "n_chars_m", "n_tokens", "avg_token_len",
+        "stopword_ratio", "punct_density",
+    )
+
+
+_SQL_EN_SW = ",".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+
+SQL_DOCS_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len({_SQL_TOKS_RAW}) AS n_tokens,
+       length(regexp_replace(text, '\\s', '', 'g')) / len({_SQL_TOKS_RAW})
+         AS avg_token_len,
+       len(list_filter({_SQL_TOKS_RAW}, t -> list_contains([{_SQL_EN_SW}], lower(t))))
+         / len({_SQL_TOKS_RAW}) AS stopword_ratio,
+       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+         / length(text) AS punct_density
+FROM documents
+"""
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID: argmax lexicon hits, ties by lexicon
+    order, no hits → 'und'."""
+    df = tx.lang_id(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "lang_pred", *[f"score_{lang}" for lang in LANG_LEXICONS]
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter({_SQL_TOKS_RAW}, t -> list_contains([{words}], lower(t))))"
+
+
+_SQL_LANG_SCORES = ", ".join(
+    f"{_sql_lang_score(lang)} AS score_{lang}" for lang in LANG_LEXICONS
+)
+_SQL_LANG_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_LEXICONS) + ")"
+_SQL_LANG_PICK = (
+    "CASE WHEN " + _SQL_LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_SQL_LANG_BEST} THEN '{lang}'"
+        for lang in LANG_LEXICONS
+    )
+    + " END"
+)
+
+SQL_DOCS_LANG_ID = f"""
+WITH scored AS (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents)
+SELECT doc_id, {_SQL_LANG_PICK} AS lang_pred,
+       {", ".join(f"score_{lang}" for lang in LANG_LEXICONS)}
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs with exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+_SHINGLE_K = 4
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact char-4-shingle
+    Jaccard for each candidate pair."""
+    docs = _docs(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_SHINGLE_K
+    )
+    out = dd.jaccard_for_pairs(docs, cands, shingle_k=_SHINGLE_K)
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def _sql_minhash_cte() -> str:
+    shingles = (
+        f"list_transform(range(1, greatest(length({_SQL_NORM}) - {_SHINGLE_K - 1}, 1) + 1), "
+        f"i -> substr({_SQL_NORM}, CAST(i AS INT), {_SHINGLE_K}))"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash(str(i), 's')})) AS s{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(s{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        + f") AS b{b}"
+        for b in range(_BANDS)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_BANDS))
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, {shingles} AS shingles FROM documents
+),
+sigs AS (
+  SELECT doc_id, {sig_cols} FROM shingled
+),
+banded AS (
+  SELECT doc_id, {band_cols} FROM sigs
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({band_match})
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shingled
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM doc_sh GROUP BY 1
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN doc_sh sa ON sa.doc_id = c.id_a
+  JOIN doc_sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+"""
+
+
+SQL_DOCS_MINHASH_PAIRS = (
+    _sql_minhash_cte()
+    + """
+SELECT c.id_a, c.id_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_sh AS n_a, zb.n_sh AS n_b,
+       coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+         AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+"""
+)
+
+
+def q_docs_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup survivors: drop docs ≥0.6-Jaccard-similar to a lower id."""
+    out = dd.near_dedup(_docs(spark, sf_dir), threshold=0.6)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_DOCS_NEAR_DEDUP = (
+    _sql_minhash_cte()
+    + """
+, sims AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM sims WHERE jaccard >= 0.6)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct normalized tokens."""
+    return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_DOCS_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_sql_hash("0", "tok")} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, bit, sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS v
+  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_TOPK = 10
+_N_QUERIES = 5
+_QSCALE = sim.QUANT_SCALE
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5
+    (quantized integer math — see operators.similarity)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+
+
+_SQL_QVEC = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))"
+)
+
+SQL_EMB_COSINE_TOPK = f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(qq, qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (8 deterministic hyperplanes) approximate top-10 — the scale
+    path: candidates come from bucket equality, not a cross join."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk_lsh(emb, queries, dim=64, k=_TOPK, n_planes=8)
+
+
+def _sql_plane(p: int) -> str:
+    return (
+        f"list_transform(range(0, 64), d -> ({_sql_hash(str(p), 'CAST(d AS VARCHAR)')} & 1) * 2 - 1)"
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(qv, {_sql_plane(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+    for p in range(8)
+)
+
+SQL_EMB_COSINE_LSH = f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, qv, {_SQL_BUCKET} AS bucket FROM c
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq, bucket FROM bucketed
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(qq, b.qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(b.qv, b.qv)))
+           AS cosine
+  FROM bucketed b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+REGISTRY_LLM = {
+    "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
+    "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
+    "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
+    "docs_lang_id": (q_docs_lang_id, SQL_DOCS_LANG_ID),
+    "docs_minhash_pairs": (q_docs_minhash_pairs, SQL_DOCS_MINHASH_PAIRS),
+    "docs_near_dedup": (q_docs_near_dedup, SQL_DOCS_NEAR_DEDUP),
+    "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
+    "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+    "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
+}
