@@ -23,7 +23,10 @@ from cardinalsin_spark.operators.text import fingerprint, normalize_text, tokens
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
-DEFAULT_SHINGLE_K = 4
+# char-4 shingles of same-language prose share ~0.33 Jaccard *between random
+# docs* — LSH can't separate that from real near-dups. k=8 drops the baseline
+# to ~0.1 while true near-dups stay >0.9 (measured on the documents fixture).
+DEFAULT_SHINGLE_K = 8
 
 
 def portable_hash(seed: int | Column, s: Column) -> Column:
@@ -32,6 +35,12 @@ def portable_hash(seed: int | Column, s: Column) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat(seed_col, F.lit(":"), s)), 1, 15), 16, 10
     ).cast("long")
+
+
+def hash_family_from_md5(md5_col: Column, part: int) -> Column:
+    """One md5 yields two independent 60-bit hash families (hex chars 1-15
+    and 16-30) — halves the md5 calls for a MinHash signature."""
+    return F.conv(F.substring(md5_col, 1 + 15 * part, 15), 16, 10).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -83,40 +92,35 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     )
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
-) -> Column:
-    """Array of ``num_hashes`` min-hash values (one seeded hash family per
-    position). Min over a multiset equals min over the set, so no distinct
-    pass is needed."""
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, sh) rows — one per shingle *position* (multiset; ``.distinct()``
+    for set semantics).
 
-    # NB: the inner lambda must take exactly ONE arg — PySpark treats a
-    # two-arg callable as (element, index) and would shadow the seed.
-    def _family_min(i: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: portable_hash(i, s)))
-
-    return F.array(*[_family_min(i) for i in range(num_hashes)])
-
-
-def lsh_band_hashes(
-    signature: Column, bands: int = DEFAULT_BANDS, rows_per_band: int | None = None
-) -> Column:
-    """Array of ``bands`` bucket keys: md5 over each signature slice."""
-    num_hashes = None
-    # rows_per_band must be provided or derivable by the caller; default 4x4
-    r = rows_per_band or DEFAULT_NUM_HASHES // bands
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(signature, b * r + 1, r), lambda x: x.cast("string")
-                    ),
-                )
-            )
-            for b in range(bands)
-        ]
+    Deliberately NOT ``explode(char_shingles(...))``: a lambda body inside a
+    higher-order function is interpreted per element with no subexpression
+    caching, so the normalize-regexp would run once per shingle. Projecting
+    the normalized text first and exploding a position sequence puts a
+    Generate barrier in the plan: the regexp runs once per document and the
+    per-row substring is whole-stage-codegen'd. ~7× faster on measured data.
+    """
+    n = F.length(F.col("_norm"))
+    return (
+        df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+        .select(
+            id_col,
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            id_col, F.col("_norm").substr(F.col("_i"), F.lit(shingle_k)).alias("sh")
+        )
     )
 
 
@@ -131,17 +135,23 @@ def minhash_signatures_df(
     one row per distinct shingle, then a hash aggregate with ``num_hashes``
     ``min()`` columns.
 
-    This beats the array-column formulation (``minhash_signature``) at every
-    scale: the aggregate is map-side combinable, whole-stage-codegen'd, and
-    the shingle expression is evaluated once per row instead of being inlined
-    into every hash family's expression tree (which costs minutes even on
-    tiny data)."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(char_shingles(text_col, shingle_k))).alias("sh"),
+    This beats an array-column formulation (nested ``F.transform`` per hash
+    family) at every scale: the aggregate is map-side combinable,
+    whole-stage-codegen'd, and the shingle expression is evaluated once per
+    row instead of being inlined into every hash family's expression tree
+    (which costs minutes even on tiny data)."""
+    n_md5 = (num_hashes + 1) // 2
+    # no distinct pass: min over the shingle multiset == min over the set
+    sh = exploded_shingles(df, text_col, id_col, shingle_k).select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(str(m)), F.lit(":"), F.col("sh"))).alias(f"m{m}")
+            for m in range(n_md5)
+        ],
     )
     aggs = [
-        F.min(portable_hash(i, F.col("sh"))).alias(f"s{i}") for i in range(num_hashes)
+        F.min(hash_family_from_md5(F.col(f"m{i // 2}"), i % 2)).alias(f"s{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -168,9 +178,12 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # Persist: signatures are the *compressed* representation (id + a few
+    # longs — tiny next to the corpus at any scale). Without it the expensive
+    # signature aggregate runs once per side of the self-join.
     banded = sigs.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -199,11 +212,22 @@ def jaccard_for_pairs(
 
     |A∩B| via exploded shingle join restricted to candidates; |A∪B| =
     |A|+|B|−|A∩B|. Integer counts → one final division → deterministic.
+
+    Only documents that appear in a candidate pair are exploded (semi-join
+    first) — verify cost scales with |candidates|, not corpus size.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(char_shingles(text_col, shingle_k))).alias("sh"),
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sh = exploded_shingles(
+        df.join(F.broadcast(cand_ids), id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_k,
+    ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))

@@ -48,6 +48,15 @@ def _sql_hash(seed_expr: str, s_expr: str) -> str:
     )
 
 
+def _sql_hash_family(i: int, s_expr: str) -> str:
+    """Family i = 60-bit slice (chars 1-15 / 16-30) of md5((i//2)||':'||s) —
+    mirrors operators.dedup_docs.hash_family_from_md5."""
+    return (
+        f"CAST('0x' || substr(md5('{i // 2}:' || {s_expr}),"
+        f" {1 + 15 * (i % 2)}, 15) AS BIGINT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -158,12 +167,12 @@ FROM scored
 _NUM_HASHES = 16
 _BANDS = 4
 _ROWS = _NUM_HASHES // _BANDS
-_SHINGLE_K = 4
+_SHINGLE_K = dd.DEFAULT_SHINGLE_K
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact char-4-shingle
-    Jaccard for each candidate pair."""
+    """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact char-shingle
+    Jaccard (k=8) for each candidate pair."""
     docs = _docs(spark, sf_dir)
     cands = dd.minhash_lsh_candidates(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_SHINGLE_K
@@ -178,7 +187,7 @@ def _sql_minhash_cte() -> str:
         f"i -> substr({_SQL_NORM}, CAST(i AS INT), {_SHINGLE_K}))"
     )
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_hash(str(i), 's')})) AS s{i}"
+        f"list_min(list_transform(shingles, s -> {_sql_hash_family(i, 's')})) AS s{i}"
         for i in range(_NUM_HASHES)
     )
     band_cols = ", ".join(
