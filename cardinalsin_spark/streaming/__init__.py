@@ -1,0 +1,17 @@
+from cardinalsin_spark.streaming.live import (
+    historical_live_merge,
+    live_filter,
+    read_metrics_stream,
+    session_agg,
+    stateful_counter_increase,
+    windowed_agg,
+)
+
+__all__ = [
+    "historical_live_merge",
+    "live_filter",
+    "read_metrics_stream",
+    "session_agg",
+    "stateful_counter_increase",
+    "windowed_agg",
+]

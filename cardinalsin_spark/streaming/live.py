@@ -1,0 +1,216 @@
+"""Structured Streaming operators: the Spark-native rebuild of the
+reference's historical+live streaming queries.
+
+Reference behavior being re-expressed (all ``/root/reference``):
+- Historical+live merge (``query/streaming.rs:73-202``): run SQL over stored
+  chunks, then tail the ingester broadcast; ``merge_timestamp = now()`` at
+  query start, live rows with ``ts < merge_timestamp`` dropped to avoid
+  double-counting rows that were already flushed.
+- Row-level live filter (``query/streaming.rs:228-468``): a hand-rolled
+  predicate interpreter over Arrow batches. In Spark this is just
+  ``.filter`` on the streaming DataFrame — Catalyst compiles it.
+- Tumbling-bucket aggregation (``api/query/prometheus_api.rs:1016-1070``):
+  integer time-bucket GROUP BY. Spark gives strictly more: event-time
+  windows (tumbling AND sliding), watermarks with a late-data policy, and
+  session windows — the reference has none of these (SURVEY §2.9).
+- Stateful per-series operators: absent in the reference (its "state" is a
+  broadcast channel). ``stateful_counter_increase`` shows the
+  ``applyInPandasWithState`` pattern for PromQL-faithful counter increase
+  across micro-batches (reset-aware), which the reference approximates
+  statelessly with MAX-MIN per bucket (``api/query/prometheus_api.rs:969-983``).
+
+Scale posture: watermarks bound state size (without one, a windowed agg on
+an unbounded stream grows state forever); per-series state keys on the
+precomputed ``series_id`` long, not N string label columns, so the state
+store and shuffle stay narrow at 1B-series cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cardinalsin_spark.schema import metrics_schema, value_expr
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def read_metrics_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of metrics parquet chunks — the
+    Spark analogue of tailing the ingester's flush output. New chunk files
+    appearing under ``path`` become micro-batches."""
+    reader = spark.readStream.schema(schema or metrics_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def live_filter(sdf: DataFrame, predicate: str) -> DataFrame:
+    """Row-level predicate on the live stream. The reference interprets a
+    parsed SQL AST against every Arrow batch (``query/streaming.rs:353-468``);
+    Spark compiles the same predicate into the micro-batch plan."""
+    return sdf.filter(F.expr(predicate))
+
+
+def historical_live_merge(
+    historical: DataFrame,
+    live: DataFrame,
+    merge_timestamp,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Union historical (batch) and live (stream) frames without
+    double-counting: historical keeps rows strictly before the merge point,
+    live keeps rows at/after it (reference ``query/streaming.rs:109-161``
+    drops live rows below ``merge_timestamp``).
+
+    Works for batch+batch (backfill join-up) and batch+stream (the streaming
+    union is what ``foreachBatch`` or a union query would execute).
+    """
+    m = F.lit(merge_timestamp)
+    hist = historical.filter(F.col(ts_col) < m)
+    tail = live.filter(F.col(ts_col) >= m)
+    return hist.unionByName(tail, allowMissingColumns=True)
+
+
+def windowed_agg(
+    sdf: DataFrame,
+    width: str = "1 minute",
+    slide: str | None = None,
+    by: list[str] | None = None,
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Event-time windowed aggregation with a late-data watermark.
+
+    Tumbling (``slide=None``) or sliding windows over the coalesced metric
+    value: avg/sum/count/min/max per (window, metric_name, *by). The
+    watermark bounds state: rows later than ``watermark`` behind the max
+    observed event time are dropped, and closed windows are evicted —
+    mandatory for unbounded streams (the reference has no late-data story;
+    this is the documented superset)."""
+    by = by or []
+    win = (
+        F.window(ts_col, width, slide) if slide else F.window(ts_col, width)
+    )
+    v = value_expr()
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .withColumn("value", v)
+        .groupBy(win.alias("window"), "metric_name", *by)
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("sum_value"),
+            F.count("value").alias("sample_count"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def session_agg(
+    sdf: DataFrame,
+    gap: str = "5 minutes",
+    by: list[str] | None = None,
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Session-window aggregation (gap-based) — absent from the reference
+    entirely; included because Structured Streaming gives it for free."""
+    by = by or []
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .withColumn("value", value_expr())
+        .groupBy(F.session_window(ts_col, gap).alias("session"), "metric_name", *by)
+        .agg(
+            F.count("value").alias("sample_count"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: reset-aware counter increase across micro-batches
+# ---------------------------------------------------------------------------
+
+_INCREASE_OUTPUT = (
+    "series_id long, metric_name string, batch_increase double, "
+    "n_samples long, last_ts_ns long"
+)
+_INCREASE_STATE = "last_ts_ns long, last_value double"
+
+
+def _increase_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Per-series state: (last_ts_ns, last_value). For each micro-batch,
+    accumulate PromQL-style increase: on a counter reset (v < prev) the
+    whole new value counts; otherwise the delta does."""
+    import pandas as pd
+
+    if state.exists:
+        last_ts, last_val = state.get
+    else:
+        last_ts, last_val = None, None
+
+    total = 0.0
+    n = 0
+    metric_name = None
+    for pdf in pdf_iter:
+        # value as tiebreak: deterministic when samples share a timestamp
+        pdf = pdf.sort_values(["ts_ns", "value"])
+        for ts_ns, v, m in zip(pdf["ts_ns"], pdf["value"], pdf["metric_name"]):
+            metric_name = m
+            if v is None:
+                continue
+            n += 1
+            if last_val is not None:
+                total += v if v < last_val else v - last_val
+            last_ts, last_val = int(ts_ns), float(v)
+
+    state.update((last_ts, last_val))
+    if n == 0:
+        return
+    yield pd.DataFrame(
+        {
+            "series_id": [key[0]],
+            "metric_name": [metric_name],
+            "batch_increase": [total],
+            "n_samples": [n],
+            "last_ts_ns": [last_ts],
+        }
+    )
+
+
+def stateful_counter_increase(
+    sdf: DataFrame, label_cols: list[str] | None = None
+) -> DataFrame:
+    """Reset-aware counter increase per series across micro-batches via
+    ``applyInPandasWithState`` — state is (last_ts_ns, last_value) keyed on
+    the 64-bit ``series_id``, so state-store width is constant regardless of
+    label count/cardinality."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cardinalsin_spark.schema import series_id_expr
+
+    labels = label_cols or []
+    keyed = sdf.select(
+        series_id_expr(labels),
+        "metric_name",
+        "ts_ns",
+        value_expr(),
+    )
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        _increase_fn,
+        outputStructType=_INCREASE_OUTPUT,
+        stateStructType=_INCREASE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,151 @@
+"""Structured Streaming slice: historical+live merge semantics, windowed
+aggregation vs batch equivalence, live filters, and stateful counter
+increase across micro-batches.
+
+Streams are driven deterministically: chunk files written in time order,
+``availableNow``/``maxFilesPerTrigger`` triggers, memory sinks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.schema import value_expr
+from cardinalsin_spark.sources.ingest import normalize_to_metrics
+from cardinalsin_spark.sources.tables import load_table
+from cardinalsin_spark.streaming import (
+    historical_live_merge,
+    live_filter,
+    read_metrics_stream,
+    stateful_counter_increase,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def metrics_df(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return normalize_to_metrics(
+        ev, ts_col="ts_ns", name_col="event_type", value_col="value"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(metrics_df, tmp_path_factory):
+    """Two time-ordered chunk files (early half / late half) — simulates the
+    ingester flushing chunks over time."""
+    base = tmp_path_factory.mktemp("stream_chunks")
+    split = metrics_df.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    early = metrics_df.filter(F.col("ts_ns") <= split)
+    late = metrics_df.filter(F.col("ts_ns") > split)
+    for i, part in enumerate([early, late]):
+        d = str(base / f"tmp{i}")
+        part.coalesce(1).write.parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = str(base / f"chunk_{i}.parquet")
+        os.rename(os.path.join(d, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    for name in os.listdir(base):
+        full = os.path.join(base, name)
+        if os.path.isdir(full):
+            import shutil
+
+            shutil.rmtree(full)
+    return str(base)
+
+
+def _run_stream(sdf, mode: str, tmp_path, trigger_kwargs=None):
+    name = f"sink_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(**(trigger_kwargs or {"availableNow": True}))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return name
+
+
+def test_windowed_agg_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    sdf = read_metrics_stream(spark, chunk_dir)
+    agg = windowed_agg(sdf, width="1 hour", watermark="1 minute")
+    name = _run_stream(agg, "complete", tmp_path)
+    got = {
+        (r.window.start, r.metric_name): (r.sample_count, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    expected = (
+        metrics_df.withColumn("value", value_expr())
+        .groupBy(F.window("timestamp", "1 hour").alias("window"), "metric_name")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert len(got) == len(expected) > 0
+    for r in expected:
+        n, s = got[(r.window.start, r.metric_name)]
+        assert n == r.n
+        assert s == pytest.approx(r.s, rel=1e-9)
+
+
+def test_live_filter_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    pred = "metric_name = 'click' AND value_f64 > 50"
+    sdf = live_filter(read_metrics_stream(spark, chunk_dir), pred)
+    name = _run_stream(sdf, "append", tmp_path)
+    assert spark.table(name).count() == metrics_df.filter(F.expr(pred)).count()
+
+
+def test_historical_live_merge_no_double_count(spark, metrics_df):
+    """Rows present in both stores must count once: live rows below the
+    merge timestamp are dropped (reference query/streaming.rs:109-161)."""
+    cut = metrics_df.approxQuantile("ts_ns", [0.7], 0.0)[0]
+    cut_ts = metrics_df.filter(F.col("ts_ns") == cut).select("timestamp").first()[0]
+    historical = metrics_df  # everything flushed so far
+    live = metrics_df.filter(
+        F.col("ts_ns") >= metrics_df.approxQuantile("ts_ns", [0.4], 0.0)[0]
+    )  # overlapping tail
+    merged = historical_live_merge(historical, live, cut_ts)
+    n_hist = metrics_df.filter(F.col("timestamp") < cut_ts).count()
+    n_live = live.filter(F.col("timestamp") >= cut_ts).count()
+    assert merged.count() == n_hist + n_live == metrics_df.count()
+
+
+def test_stateful_counter_increase(spark, metrics_df, chunk_dir, tmp_path):
+    """State carries across micro-batches: total emitted increase equals the
+    batch lag-window computation (reset-aware) over the full series."""
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    inc = stateful_counter_increase(sdf)
+    name = _run_stream(inc, "append", tmp_path)
+    got = {
+        r.metric_name: r.total
+        for r in spark.table(name)
+        .groupBy("metric_name")
+        .agg(F.sum("batch_increase").alias("total"))
+        .collect()
+    }
+    assert len(got) > 0
+
+    w = Window.partitionBy("metric_name").orderBy("ts_ns", "value")
+    expected = {
+        r.metric_name: r.total
+        for r in metrics_df.withColumn("value", value_expr())
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn(
+            "inc",
+            F.when(F.col("prev").isNull(), F.lit(0.0)).when(
+                F.col("value") < F.col("prev"), F.col("value")
+            ).otherwise(F.col("value") - F.col("prev")),
+        )
+        .groupBy("metric_name")
+        .agg(F.sum("inc").alias("total"))
+        .collect()
+    }
+    for m, total in expected.items():
+        assert got[m] == pytest.approx(total, rel=1e-9), m
