@@ -399,6 +399,37 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal (mapInPandas over binary columns; decode is a deterministic fake
+# — see operators.multimodal. Python-side decode is not SQL-expressible, so
+# these are rows-only entries: no oracle_sql, the driver records the weaker
+# check.)
+# ---------------------------------------------------------------------------
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel stats per image blob via Arrow-batched mapInPandas."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.image_features(mm.documents_as_media(_docs(spark, sf_dir)))
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM stats (rms/peak/zero-crossings) per audio blob."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.audio_features(mm.documents_as_media(_docs(spark, sf_dir)))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampling: every 2nd frame of each video blob."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.sample_frames(
+        mm.documents_as_media(_docs(spark, sf_dir)), every_n=2
+    ).select("media_id", "frame_idx", "width", "height")
+
+
 REGISTRY_LLM = {
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
@@ -409,4 +440,7 @@ REGISTRY_LLM = {
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
+    "media_image_features": (q_media_image_features, None),
+    "media_audio_features": (q_media_audio_features, None),
+    "media_frame_sample": (q_media_frame_sample, None),
 }
