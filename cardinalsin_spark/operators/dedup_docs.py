@@ -92,6 +92,33 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     )
 
 
+def exploded_word_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sh) rows of word n-grams — same Generate-barrier formulation as
+    ``exploded_shingles`` (tokenize once per doc, slice per row)."""
+    cnt = F.size(F.col("_toks"))
+    return (
+        df.select(
+            F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+        )
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n)).alias("sh"),
+        )
+    )
+
+
 def exploded_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -217,17 +244,41 @@ def jaccard_for_pairs(
     first) — verify cost scales with |candidates|, not corpus size.
     """
     pairs = pairs.persist()
+    sh = exploded_shingles(
+        _candidate_docs(df, pairs, id_col), text_col, id_col, shingle_k
+    ).distinct()
+    return _pair_jaccard(sh, pairs, id_col)
+
+
+def ngram_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs — same verify shape as
+    ``jaccard_for_pairs`` but over word n-gram sets instead of char
+    shingles."""
+    pairs = pairs.persist()
+    grams = exploded_word_ngrams(
+        _candidate_docs(df, pairs, id_col), n, text_col, id_col
+    ).distinct()
+    return _pair_jaccard(grams, pairs, id_col)
+
+
+def _candidate_docs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Docs appearing in at least one candidate pair (broadcast semi-join)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = exploded_shingles(
-        df.join(F.broadcast(cand_ids), id_col, "left_semi"),
-        text_col,
-        id_col,
-        shingle_k,
-    ).distinct()
+    return df.join(F.broadcast(cand_ids), id_col, "left_semi")
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Jaccard from distinct (id, sh) item rows, for the given pairs."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))

@@ -190,3 +190,38 @@ def cosine_topk_lsh(
         .select(query_id_col, id_col, "cosine", "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), candidates restricted to same-LSH-bucket vectors.
+
+    The self-join shuffles on the bucket key, so cost is Σ bucket² instead
+    of corpus² — the 100 TB path. Fewer planes ⇒ bigger buckets ⇒ higher
+    recall and higher cost (documented approximate-recall trade-off; an
+    exact variant is the brute-force cross join)."""
+    c = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
+    ).persist()
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cosine_q(F.col("a.qv"), F.col("b.qv")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

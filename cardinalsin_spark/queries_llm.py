@@ -364,10 +364,14 @@ def _sql_plane(p: int) -> str:
     )
 
 
-_SQL_BUCKET = " + ".join(
-    f"(CASE WHEN list_dot_product(qv, {_sql_plane(p)}) >= 0 THEN {2**p} ELSE 0 END)"
-    for p in range(8)
-)
+def _sql_bucket(n_planes: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {_sql_plane(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+_SQL_BUCKET = _sql_bucket(8)
 
 SQL_EMB_COSINE_LSH = f"""
 WITH c AS (
@@ -397,6 +401,93 @@ ranked AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_TOPK}
 """
+
+
+_NEARDUP_THRESHOLD = 0.4
+_NEARDUP_PLANES = 4
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-LSH-bucket candidates (4
+    hyperplanes), cosine ≥ 0.4 (the fixture's vectors are near-orthogonal,
+    so 0.4 marks its true outlier pairs)."""
+    return sim.cosine_near_dup_pairs(
+        _emb(spark, sf_dir),
+        dim=64,
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES,
+    )
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, qv, {_sql_bucket(_NEARDUP_PLANES)} AS bucket FROM c
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.qv, b.qv)
+         / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))
+         AS cosine
+FROM bucketed a
+JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.qv, b.qv)
+        / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))
+      >= {_NEARDUP_THRESHOLD}
+"""
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard verification over the MinHash-LSH candidate
+    pairs (n-gram variant of the shingle verify)."""
+    docs = _docs(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_SHINGLE_K
+    )
+    out = dd.ngram_jaccard_for_pairs(docs, cands, n=2)
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+_SQL_GRAMS = f"""
+, toks AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 1) + 1),
+           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 1), ' ')
+         )) AS g
+  FROM toks
+),
+gsizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1
+),
+ginter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+"""
+
+SQL_DOCS_NGRAM_JACCARD = (
+    _sql_minhash_cte()
+    + _SQL_GRAMS
+    + """
+SELECT c.id_a, c.id_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_sh AS n_a, zb.n_sh AS n_b,
+       coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+         AS jaccard
+FROM cand c
+LEFT JOIN ginter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN gsizes za ON za.doc_id = c.id_a
+JOIN gsizes zb ON zb.doc_id = c.id_b
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +531,8 @@ REGISTRY_LLM = {
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
+    "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
     "media_image_features": (q_media_image_features, None),
     "media_audio_features": (q_media_audio_features, None),
     "media_frame_sample": (q_media_frame_sample, None),
