@@ -1,0 +1,177 @@
+"""Prometheus remote-write ingestion: WriteRequest protobuf → metrics rows.
+
+The reference hand-rolls the protobuf wire-format parse (no prost codegen)
+and routes each sample's value to f64/i64/u64 by integer losslessness
+(reference ``api/ingest/prometheus.rs:89-345, 405-430``); ``__name__``
+becomes ``metric_name`` and every other label a column
+(``api/ingest/prometheus.rs:356-460``).
+
+Wire format parsed here (public Prometheus remote-write proto):
+
+    WriteRequest { repeated TimeSeries timeseries = 1; }
+    TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+    Label        { string name = 1; string value = 2; }
+    Sample       { double value = 1; int64 timestamp = 2; }  // ms epoch
+
+Decode runs in ``mapInPandas`` (Arrow-batched, streamed) because protobuf
+bytes are opaque to Catalyst. This is the documented slow path: one Python
+pass at ingest, after which everything is columnar. On a JVM-library
+deployment you would swap this for ``from_protobuf`` with a descriptor set
+— same output contract. Payloads may be snappy-compressed (the protocol
+default); decompression is attempted when the ``snappy``/``cramjam``
+modules exist, else raw protobuf is assumed.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.sources.ingest import route_value_types
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+FLAT_SCHEMA = "ts_ms long, metric_name string, value double, labels map<string,string>"
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
+    """Walk a protobuf message: yields (field_no, wire_type, value) where
+    value is bytes for length-delimited (2), int for varint (0), raw 8
+    bytes for fixed64 (1)."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field_no, wt = key >> 3, key & 0x07
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+            yield field_no, wt, v
+        elif wt == 1:
+            yield field_no, wt, buf[i : i + 8]
+            i += 8
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            yield field_no, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            yield field_no, wt, buf[i : i + 4]
+            i += 4
+        else:  # pragma: no cover - groups are long-deprecated
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _maybe_decompress(payload: bytes) -> bytes:
+    try:
+        import snappy  # type: ignore[import-not-found]
+
+        try:
+            return snappy.uncompress(payload)
+        except Exception:
+            return payload
+    except ImportError:
+        pass
+    try:
+        import cramjam  # type: ignore[import-not-found]
+
+        try:
+            return bytes(cramjam.snappy.decompress_raw(payload))
+        except Exception:
+            return payload
+    except ImportError:
+        return payload
+
+
+def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
+    """One WriteRequest → [(ts_ms, metric_name, value, labels), ...]."""
+    rows = []
+    buf = _maybe_decompress(payload)
+    for fno, _, ts_bytes in _fields(buf):
+        if fno != 1:
+            continue
+        labels: dict[str, str] = {}
+        samples: list[tuple[float, int]] = []
+        for sfno, _, sval in _fields(ts_bytes):
+            if sfno == 1:  # Label
+                name = value = ""
+                for lfno, _, lval in _fields(sval):
+                    if lfno == 1:
+                        name = lval.decode("utf-8")
+                    elif lfno == 2:
+                        value = lval.decode("utf-8")
+                labels[name] = value
+            elif sfno == 2:  # Sample
+                v = 0.0
+                ts = 0
+                for pfno, pwt, pval in _fields(sval):
+                    if pfno == 1 and pwt == 1:
+                        v = struct.unpack("<d", pval)[0]
+                    elif pfno == 2 and pwt == 0:
+                        # zigzag not used: sint64 isn't in the proto; int64
+                        # negatives arrive as 10-byte varints (two's compl.)
+                        ts = pval - (1 << 64) if pval >= 1 << 63 else pval
+                samples.append((v, ts))
+        metric = labels.pop("__name__", "")
+        for v, ts in samples:
+            rows.append((ts, metric, v, dict(labels)))
+    return rows
+
+
+def remote_write_flatten(
+    payloads: DataFrame, bytes_col: str = "payload"
+) -> DataFrame:
+    """binary WriteRequest payloads → (ts_ms, metric_name, value, labels)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for payload in pdf[bytes_col]:
+                rows.extend(decode_write_request(bytes(payload)))
+            yield pd.DataFrame(
+                rows, columns=["ts_ms", "metric_name", "value", "labels"]
+            )
+
+    return payloads.select(bytes_col).mapInPandas(fn, FLAT_SCHEMA)
+
+
+def remote_write_to_metrics(
+    payloads: DataFrame,
+    label_keys: list[str] | None = None,
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Full remote-write ingest: decode, pivot labels to columns, route
+    value types (f64/i64/u64 by losslessness, like the reference)."""
+    flat = remote_write_flatten(payloads, bytes_col)
+    if label_keys is None:
+        label_keys = sorted(
+            r[0]
+            for r in flat.select(F.explode(F.map_keys("labels")).alias("k"))
+            .distinct()
+            .collect()
+        )
+    out = flat.select(
+        F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+        (F.col("ts_ms") * 1_000_000).alias("ts_ns"),
+        "metric_name",
+        "value",
+        *[F.col("labels").getItem(k).alias(k) for k in label_keys],
+    )
+    return route_value_types(out).drop("value")
