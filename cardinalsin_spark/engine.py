@@ -1,0 +1,171 @@
+"""The engine facade: one object exposing every reference entry point,
+Spark-first.
+
+Reference query lifecycle (SURVEY §3): HTTP SQL (entry A) and PromQL
+(entry B) both funnel into ``QueryNode::query`` — prune chunks, pin,
+register the ``metrics`` table, execute via DataFusion, optionally dedup
+(``query/mod.rs:158-241``). Streaming (entry D) adds a live tail
+(``query/streaming.rs:73-202``). Here the prune/pin/register steps collapse
+into Spark-native partition pruning over a registered parquet path, so the
+lifecycle is: register once → ``spark.sql`` / transpiled PromQL → optional
+dedup — with the adaptive-index stats collector recording usage on the way
+(accounting-only, like the reference's, ``query/engine.rs:259-300``).
+
+Output formats mirror ``api/query/sql_http.rs:76-206`` (json / arrow / csv).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.adaptive import QueryStatsCollector
+from cardinalsin_spark.operators.promql import promql_instant, promql_range
+from cardinalsin_spark.schema import label_columns
+from cardinalsin_spark.sources.ingest import (
+    normalize_to_metrics,
+    register_metrics,
+    write_metrics,
+)
+
+
+class CardinalSin:
+    """A user of the reference switches here: same operations, Spark plans.
+
+    >>> cs = CardinalSin(spark, "/data/metrics")
+    >>> cs.sql("SELECT count(*) FROM metrics WHERE service = 'api'")
+    >>> cs.promql_range("sum by (service) (rate(cpu[5m]))", start, end, step)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        metrics_path: str | None = None,
+        view_name: str = "metrics",
+        dedup: bool = False,
+    ):
+        self.spark = spark
+        self.metrics_path = metrics_path
+        self.view_name = view_name
+        self.dedup = dedup
+        self.metrics = register_metrics(spark, metrics_path or "", view_name)
+        self.collector = QueryStatsCollector(
+            ["metric_name", *label_columns(self.metrics.schema)]
+        )
+
+    # -- write path ----------------------------------------------------------
+
+    def ingest(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        name_col: str,
+        value_col: str,
+        label_cols: dict[str, str] | None = None,
+    ) -> None:
+        """Normalize → partitioned sorted write → re-register (the
+        reference's flush+catalog-register, ``ingester/mod.rs:633-714``)."""
+        if not self.metrics_path:
+            raise ValueError("engine opened without a metrics_path")
+        m = normalize_to_metrics(df, ts_col, name_col, value_col, label_cols)
+        write_metrics(m, self.metrics_path)
+        self.metrics = register_metrics(
+            self.spark, self.metrics_path, self.view_name
+        )
+        # schema-on-ingest: newly arrived labels become stats candidates
+        self.collector.columns = ["metric_name", *label_columns(self.metrics.schema)]
+
+    # -- entry point A: SQL pass-through -------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Full SQL surface over the registered ``metrics`` view — the
+        everything-passes-through property of ``query/engine.rs:252-256``.
+        Dedup on (timestamp, metric_name) applies when a shard-split-style
+        dual write is active (``query/dedup.rs:22-113``)."""
+        out = self.spark.sql(query)
+        self.collector.record(out)
+        if self.dedup:
+            out = out.dropDuplicates(
+                [c for c in ("timestamp", "metric_name") if c in out.columns]
+            )
+        return out
+
+    # -- entry point B: PromQL ------------------------------------------------
+
+    def _promql_frame(self) -> DataFrame:
+        """Wide table + the canonical coalesced value read
+        (``api/query/prometheus_api.rs:26-27``)."""
+        from cardinalsin_spark.schema import value_expr
+
+        return self.metrics.withColumn("value", value_expr())
+
+    def promql_instant(self, promql: str, time_s: float | None = None) -> DataFrame:
+        """`/api/v1/query` — epoch-seconds evaluation time, like the
+        Prometheus HTTP API."""
+        out = promql_instant(self._promql_frame(), promql, time_s)
+        self.collector.record(out)
+        return out
+
+    def promql_range(
+        self, promql: str, start_s: float, end_s: float, step_s: int
+    ) -> DataFrame:
+        """`/api/v1/query_range` — epoch-seconds range + step."""
+        out = promql_range(self._promql_frame(), promql, start_s, end_s, step_s)
+        self.collector.record(out)
+        return out
+
+    # -- Prometheus metadata endpoints (labels / label values / series) ------
+
+    def labels(self) -> list[str]:
+        """`/api/v1/labels` — information_schema column discovery
+        (``api/query/prometheus_api.rs:287-340``)."""
+        return ["metric_name", *label_columns(self.metrics.schema)]
+
+    def label_values(self, label: str) -> DataFrame:
+        """`/api/v1/label/<name>/values` — SELECT DISTINCT, validated
+        against the schema (the reference's SQL-injection guard,
+        ``api/query/prometheus_api.rs:1239-1250``)."""
+        if label not in self.labels():
+            raise ValueError(f"unknown label: {label}")
+        return (
+            self.metrics.select(label)
+            .filter(F.col(label).isNotNull())
+            .distinct()
+            .orderBy(label)
+        )
+
+    def series(self) -> DataFrame:
+        """`/api/v1/series` — DISTINCT over all label columns."""
+        return self.metrics.select(self.labels()).distinct()
+
+    # -- entry point D: streaming --------------------------------------------
+
+    def stream(self, chunk_dir: str | None = None, predicate: str | None = None):
+        """Live tail over newly-flushed chunk files, optionally row-filtered
+        (``query/streaming.rs:228-468``); union with ``self.metrics`` via
+        ``streaming.historical_live_merge`` for the full merge semantics."""
+        from cardinalsin_spark.streaming import live_filter, read_metrics_stream
+
+        sdf = read_metrics_stream(
+            self.spark, chunk_dir or self.metrics_path, self.metrics.schema
+        )
+        return live_filter(sdf, predicate) if predicate else sdf
+
+    # -- output formats (api/query/sql_http.rs:76-206) ------------------------
+
+    @staticmethod
+    def to_json(df: DataFrame) -> list[str]:
+        return df.toJSON().collect()
+
+    @staticmethod
+    def to_arrow(df: DataFrame):
+        return df.toArrow()
+
+    @staticmethod
+    def to_csv(df: DataFrame, path: str) -> None:
+        df.write.option("header", True).mode("overwrite").csv(path)
+
+    # -- adaptive indexing (accounting only) ----------------------------------
+
+    def index_recommendations(self, min_uses: int = 2, top_n: int = 5):
+        return self.collector.recommendations(self.metrics, min_uses, top_n)
