@@ -135,6 +135,13 @@ def exploded_shingles(
     Generate barrier in the plan: the regexp runs once per document and the
     per-row substring is whole-stage-codegen'd. ~7× faster on measured data.
     """
+    # The shingle-hash stage is CPU-bound (k md5s per shingle). A small
+    # parquet input arrives as 1-2 partitions, serializing it on one core;
+    # widen to the cluster's parallelism. (At scale inputs already have
+    # plenty of partitions and this is a no-op.)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     n = F.length(F.col("_norm"))
     return (
         df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
@@ -205,12 +212,15 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    # Persist: signatures are the *compressed* representation (id + a few
-    # longs — tiny next to the corpus at any scale). Without it the expensive
-    # signature aggregate runs once per side of the self-join.
+    # Persist + eager materialize: signatures are the *compressed*
+    # representation (id + a few longs — tiny next to the corpus at any
+    # scale). Lazy persist is not enough for a self-join: both sides start
+    # computing the signature aggregate before cache blocks land, doubling
+    # the expensive stage. One count() forces a single materialization.
     banded = sigs.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     ).persist()
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

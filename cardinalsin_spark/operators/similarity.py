@@ -54,6 +54,32 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+def dot_q_vectorized() -> "Column":
+    """Arrow-vectorized exact integer dot product (pandas_udf).
+
+    For pairwise scoring the interpreted higher-order ``dot_q`` costs tens
+    of µs per pair and gets re-evaluated when the same expression appears
+    in both a Filter and a Project (no cross-operator CSE). The pandas UDF
+    batches pairs through Arrow and runs one ``einsum`` per batch — int64
+    all the way (exact: |q|≤1e6·dim ⇒ sums ≪ 2^63), cast to double at the
+    end, so results are bit-identical to ``dot_q``. Python UDFs also plan
+    as their own node, so the value is computed exactly once."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.values).astype(np.int64, copy=False)
+        B = np.stack(b.values).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B).astype("float64"))
+
+    return _dot
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Float fast path (production): fused multiply-accumulate over doubles."""
     dot = F.aggregate(
@@ -92,16 +118,21 @@ def cosine_topk_bruteforce(
     map-only stage over the corpus; per-query ranking is one window shuffle
     keyed by query_id.
     """
-    corpus = df.select(
-        F.col(id_col), quantize(vec_col).alias("qv")
+    corpus = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
+        "norm", F.sqrt(norm2_q(F.col("qv")).cast("double"))
     )
     qs = F.broadcast(
         queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
+        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
     )
     scored = (
         corpus.crossJoin(qs)
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine_q(F.col("qq"), F.col("qv")))
+        .withColumn(
+            "cosine",
+            dot_q_vectorized()(F.col("qq"), F.col("qv"))
+            / (F.col("qnorm") * F.col("norm")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -125,19 +156,21 @@ def hyperplane_signature(
     """Sign-bit signature against ``n_planes`` deterministic pseudo-random
     ±1 hyperplanes (plane p, dim d → sign from the portable md5 hash).
 
-    Buckets collide for nearby vectors; Hamming-near buckets could be probed
-    for recall — here we use exact-bucket candidates (documented recall
-    trade-off).
+    Plane signs are row-independent constants, so they are computed ONCE in
+    Python (hashlib md5 — bit-identical to the engine hash) and embedded as
+    array literals; an expression form would re-hash every dim for every
+    row. Buckets collide for nearby vectors; Hamming-near buckets could be
+    probed for recall — here we use exact-bucket candidates (documented
+    recall trade-off).
     """
-    # NB: single-arg lambda only — PySpark treats a two-arg callable as
-    # (element, index), which would shadow the plane seed.
+    import hashlib
+
     def _plane(p: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                portable_hash(p, d.cast("string")).bitwiseAND(F.lit(1)) * 2 - 1
-            ).cast("long"),
-        )
+        signs = [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1) * 2 - 1
+            for d in range(dim)
+        ]
+        return F.array(*[F.lit(s).cast("long") for s in signs])
 
     signs = [_plane(p) for p in range(n_planes)]
     bits = [
@@ -171,17 +204,24 @@ def cosine_topk_lsh(
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored. Same output shape as brute force (rank gaps show recall loss).
     """
-    corpus = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
-        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
+    corpus = (
+        df.select(F.col(id_col), quantize(vec_col).alias("qv"))
+        .withColumn("bucket", hyperplane_signature(F.col("qv"), dim, n_planes))
+        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
     )
     qs = F.broadcast(
         queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
         .withColumn("bucket", hyperplane_signature(F.col("qq"), dim, n_planes))
+        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
     )
     scored = (
         corpus.join(qs, "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine_q(F.col("qq"), F.col("qv")))
+        .withColumn(
+            "cosine",
+            dot_q_vectorized()(F.col("qq"), F.col("qv"))
+            / (F.col("qnorm") * F.col("norm")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -207,9 +247,13 @@ def cosine_near_dup_pairs(
     of corpus² — the 100 TB path. Fewer planes ⇒ bigger buckets ⇒ higher
     recall and higher cost (documented approximate-recall trade-off; an
     exact variant is the brute-force cross join)."""
-    c = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
-        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
-    ).persist()
+    # norms precomputed per VECTOR (n rows), not per pair (n² worst case)
+    c = (
+        df.select(F.col(id_col), quantize(vec_col).alias("qv"))
+        .withColumn("bucket", hyperplane_signature(F.col("qv"), dim, n_planes))
+        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
+        .persist()
+    )
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
@@ -217,7 +261,11 @@ def cosine_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cosine", cosine_q(F.col("a.qv"), F.col("b.qv")))
+        .withColumn(
+            "cosine",
+            dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
+            / (F.col("a.norm") * F.col("b.norm")),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
