@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cardinalsin_spark.functions.core import label_matcher, time_bucket
@@ -75,6 +75,27 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def _ns_epoch(ts_str: str) -> int:
+    """'YYYY-MM-DD HH:MM:SS' (UTC) → epoch ns, exact integer arithmetic."""
+    import calendar
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(ts_str)
+    return calendar.timegm(d.timetuple()) * 10**9
+
+
+def ns_range_filter(lo: str, hi: str) -> Column:
+    """Time-range predicate on the RAW ns column (``ts_ns``), not the
+    derived µs timestamp: a comparison on ``timestamp_micros(ts div 1000)``
+    is a function of the column and cannot push to the parquet scan, so at
+    scale every row group gets read. Comparing the stored int64 pushes to
+    row-group stats. Equivalent to the timestamp comparison for
+    whole-second bounds."""
+    return (F.col("ts_ns") >= F.lit(_ns_epoch(lo))) & (
+        F.col("ts_ns") < F.lit(_ns_epoch(hi))
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,8 +287,7 @@ def q_ts_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's pruning hot path (SURVEY §2.2). Filters push to parquet."""
     df = _events(spark, sf_dir)
     return df.filter(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+        ns_range_filter("2024-01-05 00:00:00", "2024-01-12 00:00:00")
         & label_matcher("event_type", "=~", "click|view")
         & (F.col("value") > 100.0)
     ).select("event_id", "ts", "user_id", "event_type", "value")
@@ -503,8 +523,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference README's showcase query (README.md:214-221): per-minute
     avg + p99 + count per service over a time window — here per event_type."""
     df = _events(spark, sf_dir).filter(
-        (F.col("ts") >= F.lit("2024-01-01 00:00:00"))
-        & (F.col("ts") < F.lit("2024-01-08 00:00:00"))
+        ns_range_filter("2024-01-01 00:00:00", "2024-01-08 00:00:00")
     )
     return (
         df.withColumn("value_cents", cents(F.col("value")))

@@ -1,0 +1,94 @@
+"""Plan-quality audit over the headline registry queries: the 100 TB
+contract is that filters and projections reach the parquet scan, small dims
+broadcast, aggregates partial-aggregate map-side, and Python only appears
+in plans that are supposed to contain it.
+
+These tests pin the *shape* of the plan, not timings — a regression here
+is a scale regression even if sf0.1 wall-clock looks fine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalsin_spark import queries as q
+from cardinalsin_spark.plans.inspect import (
+    is_broadcast_join,
+    plan_string,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+def _df(spark, sf_dir, name):
+    return q.REGISTRY[name][0](spark, sf_dir)
+
+
+def test_flagship_pushdown_and_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "flagship_minute_p99")
+    plan = plan_string(df, "formatted")
+    # the time-RANGE predicate (not just IsNotNull) must reach the scan:
+    # it compares the raw int64 ns column, so parquet row-group stats prune
+    pf = pushed_filters(df)
+    assert any("GreaterThanOrEqual(ts" in f for f in pf), pf
+    assert any("LessThan(ts" in f for f in pf), pf
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_" in plan
+
+
+def test_filter_range_scan_prunes_columns(spark, sf_dir):
+    df = _df(spark, sf_dir, "ts_filter_range")
+    cols = scan_read_schema(df)
+    # a narrow projection must not drag the full events schema through I/O
+    assert 0 < len(cols) <= 6, cols
+    assert pushed_filters(df)
+
+
+def test_tpch_joins_broadcast_small_dims(spark, sf_dir):
+    df = _df(spark, sf_dir, "tpch_q3ish")
+    assert is_broadcast_join(df), plan_string(df, "simple")
+
+
+def test_no_python_in_relational_paths(spark, sf_dir):
+    """Time-series/relational/maintenance queries must stay JVM-side; only
+    the explicitly-Python operators (vector scoring, media decode,
+    remote-write parse) may plan Python evaluation."""
+    jvm_only = [
+        "flagship_minute_p99", "ts_bucket_avg", "ts_rate_faithful",
+        "ts_latest_per_series", "ts_dedup_first", "promql_range_sum_by",
+        "tpch_q1", "maint_downsample", "docs_exact_dedup", "docs_lang_id",
+        "docs_minhash_pairs", "docs_simhash",
+    ]
+    for name in jvm_only:
+        plan = plan_string(_df(spark, sf_dir, name), "simple")
+        assert "Python" not in plan, f"{name} plans Python eval:\n{plan}"
+
+
+def test_latest_per_series_single_shuffle_for_window(spark, sf_dir):
+    """Per-series latest point should cost one shuffle for the window (plus
+    AQE reads), not repeated exchanges of the same data."""
+    df = _df(spark, sf_dir, "ts_latest_per_series")
+    plan = plan_string(df, "simple")
+    # window over series key then filter — no join, no extra aggregation
+    assert "Window" in plan or "row_number" in plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_minhash_partition_widening(spark, sf_dir):
+    """The shingle-hash stage must not run on 1-2 input partitions."""
+    from cardinalsin_spark.operators.dedup_docs import minhash_signatures_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures_df(docs)
+    assert "Exchange" in plan_string(sigs, "simple")  # repartition present
+
+
+def test_media_features_scan_prunes_blob_metadata(spark, sf_dir):
+    """image_features reads only the columns the UDF consumes."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = mm.image_features(mm.documents_as_media(docs))
+    cols = scan_read_schema(feats)
+    assert "lang" not in cols and "source" not in cols, cols
