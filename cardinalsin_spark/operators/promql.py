@@ -157,6 +157,25 @@ def _agg_column(agg: str, value_col: str) -> Column:
     return fn(F.col(value_col))
 
 
+def _ns_prefilter(
+    df: DataFrame, start_s: float | None, end_s: float | None
+) -> DataFrame:
+    """Scan-pushable companion to the µs-timestamp range filter.
+
+    Frames carrying the raw ns column get an EXTRA predicate on it: the
+    timestamp comparison is a function of the stored int64 and never
+    reaches the parquet scan, while an int64 comparison prunes row groups.
+    Bounds are widened by 1µs so the (still applied) timestamp filter stays
+    the semantic one — this only prunes I/O, never changes results."""
+    if "ts_ns" not in df.columns:
+        return df
+    if start_s is not None:
+        df = df.filter(F.col("ts_ns") >= int(round(start_s * 1e6)) * 1000)
+    if end_s is not None:
+        df = df.filter(F.col("ts_ns") < (int(round(end_s * 1e6)) + 1) * 1000)
+    return df
+
+
 def promql_instant(
     df: DataFrame,
     promql: str,
@@ -174,6 +193,7 @@ def promql_instant(
     out = df.filter(_selector_filter(parsed, cols))
     if time_s is not None:
         out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(time_s)))
+        out = _ns_prefilter(out, None, time_s)
 
     if parsed.aggregation in ("topk", "bottomk") and parsed.k is not None:
         agg_col = _agg_column("avg", cols.value)
@@ -213,6 +233,7 @@ def promql_range(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
         & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
     )
+    out = _ns_prefilter(out, start_s, end_s)
     label_cols = discover_label_columns(parsed)
     keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
         F.col(c) for c in label_cols

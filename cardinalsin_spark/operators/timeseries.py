@@ -206,6 +206,110 @@ def rate_faithful(
     )
 
 
+def irate_faithful(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL-faithful ``irate``: per (bucket, series), the rate between the
+    LAST TWO samples — reset-aware — instead of the reference's AVG fallback
+    (``api/query/prometheus_api.rs:998-1012``).
+
+    Numerics: delta is computed on the raw value column (pass integer units
+    for exactness); the only float step is ``delta * 1e9 / dt_ns`` — one
+    multiply + one divide in a fixed order, so engines agree bitwise.
+    Buckets with <2 samples produce no row (PromQL returns nothing there
+    too). Plan: one window shuffle keyed (bucket, series), then a filter —
+    no aggregation needed.
+    """
+    series = series or []
+    bucket = time_bucket(cols.ts, step_seconds).alias("bucket")
+    base = df.select(
+        bucket,
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        F.col(ts_ns_col).alias("_ts_ns"),
+        F.col(cols.value).alias("_v"),
+    )
+    w = Window.partitionBy("bucket", cols.name, *series).orderBy("_ts_ns")
+    prev_v = F.lag("_v").over(w)
+    prev_ts = F.lag("_ts_ns").over(w)
+    wdesc = Window.partitionBy("bucket", cols.name, *series).orderBy(
+        F.desc("_ts_ns")
+    )
+    # delta MUST read the materialized _prev_v column: a lag expression
+    # placed after the rn==1 filter would window over the filtered rows
+    delta = F.when(
+        F.col("_v") >= F.col("_prev_v"), F.col("_v") - F.col("_prev_v")
+    ).otherwise(F.col("_v"))  # counter reset
+    return (
+        base.withColumn("_prev_v", prev_v)
+        .withColumn("_prev_ts", prev_ts)
+        .withColumn("_rn", F.row_number().over(wdesc))
+        .filter((F.col("_rn") == 1) & F.col("_prev_v").isNotNull())
+        .withColumn(
+            "irate",
+            (delta * F.lit(1_000_000_000)).cast("double")
+            / (F.col("_ts_ns") - F.col("_prev_ts")).cast("double"),
+        )
+        .select("bucket", cols.name, *series, "irate")
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
+def deriv_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL-faithful ``deriv``: per-bucket least-squares slope (per
+    second) of value over time — the reference falls back to AVG
+    (``api/query/prometheus_api.rs:998-1012``).
+
+    Exact-integer formulation: x = ms offset inside the bucket (int), y =
+    the raw value column (pass integer units); slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) computed entirely in int64 sums, one float division at
+    the end, ×1000 to convert per-ms → per-second. Bit-deterministic across
+    engines. Bounds: safe while n·Σ|xy| < 2^63 — holds for ≤ ~10⁵ samples
+    per (bucket, series) at step ≤ 1h with |y| ≤ 10⁶.
+    """
+    series = series or []
+    step_ns = step_seconds * 10**9
+    # x = ms offset within the bucket; explicit floor so the SQL oracle's
+    # float-division path lands on the identical integer
+    x_ms = F.floor((F.col(ts_ns_col) % F.lit(step_ns)) / F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        x_ms.alias("_x"),
+        F.col(cols.value).cast("long").alias("_y"),
+    )
+    agg = base.groupBy("bucket", cols.name, *series).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    return (
+        agg.filter((F.col("_n") >= 2) & (den > 0))
+        .withColumn(
+            "deriv", num.cast("double") * F.lit(1000.0) / den.cast("double")
+        )
+        .select("bucket", cols.name, *series, "deriv")
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
 def latest_point(df: DataFrame, cols: MetricsCols = MetricsCols()) -> DataFrame:
     """Instant-query latest sample: ``ORDER BY timestamp DESC LIMIT 1``
     (reference ``api/query/prometheus_api.rs:931-935``)."""

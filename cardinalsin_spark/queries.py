@@ -215,6 +215,77 @@ FROM deltas GROUP BY 1, 2
 """
 
 
+def q_ts_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-faithful irate: last-two-samples rate per 1h bucket, reset
+    aware (the reference AVG-falls-back for irate)."""
+    from cardinalsin_spark.operators.timeseries import irate_faithful
+
+    df = irate_faithful(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    return df.select(
+        "bucket",
+        "event_type",
+        F.round(F.col("irate") / F.lit(100.0), 6).alias("irate"),
+    )
+
+
+SQL_TS_IRATE_FAITHFUL = f"""
+WITH base AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type,
+         epoch_ns(ts) AS tns, {_sql_cents('value')} AS vc
+  FROM events
+),
+lagged AS (
+  SELECT bucket, event_type, tns, vc,
+         lag(vc) OVER (PARTITION BY bucket, event_type ORDER BY tns) AS pv,
+         lag(tns) OVER (PARTITION BY bucket, event_type ORDER BY tns) AS pt,
+         row_number() OVER (PARTITION BY bucket, event_type
+                            ORDER BY tns DESC) AS rn
+  FROM base
+)
+SELECT bucket, event_type,
+       round(CAST((CASE WHEN vc >= pv THEN vc - pv ELSE vc END)
+                  * 1000000000 AS DOUBLE)
+             / CAST(tns - pt AS DOUBLE) / 100.0, 6) AS irate
+FROM lagged
+WHERE rn = 1 AND pv IS NOT NULL
+ORDER BY bucket, event_type
+"""
+
+
+def q_ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-faithful deriv: per-bucket least-squares slope per second,
+    exact-int sums (the reference AVG-falls-back for deriv)."""
+    from cardinalsin_spark.operators.timeseries import deriv_bucketed
+
+    df = deriv_bucketed(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    return df.select(
+        "bucket",
+        "event_type",
+        F.round(F.col("deriv") / F.lit(100.0), 6).alias("deriv"),
+    )
+
+
+SQL_TS_DERIV = f"""
+WITH base AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type,
+         CAST(floor((epoch_ns(ts) % {3600 * 10**9}) / 1000000.0) AS BIGINT) AS x,
+         {_sql_cents('value')} AS y
+  FROM events
+),
+agg AS (
+  SELECT bucket, event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM base GROUP BY 1, 2
+)
+SELECT bucket, event_type,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000.0
+             / CAST(n * sx2 - sx * sx AS DOUBLE) / 100.0, 6) AS deriv
+FROM agg
+WHERE n >= 2 AND (n * sx2 - sx * sx) > 0
+ORDER BY bucket, event_type
+"""
+
+
 def q_ts_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest sample per metric, deterministic tie-break on event_id."""
     df = latest_point_per_series(
@@ -707,6 +778,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_rate": (q_ts_rate, SQL_TS_RATE),
     "ts_increase": (q_ts_increase, SQL_TS_INCREASE),
     "ts_rate_faithful": (q_ts_rate_faithful, SQL_TS_RATE_FAITHFUL),
+    "ts_irate_faithful": (q_ts_irate_faithful, SQL_TS_IRATE_FAITHFUL),
+    "ts_deriv": (q_ts_deriv, SQL_TS_DERIV),
     "ts_latest_per_series": (q_ts_latest_per_series, SQL_TS_LATEST_PER_SERIES),
     "ts_topk": (q_ts_topk, SQL_TS_TOPK),
     "ts_distinct_values": (q_ts_distinct_values, SQL_TS_DISTINCT_VALUES),

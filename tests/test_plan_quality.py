@@ -45,6 +45,13 @@ def test_filter_range_scan_prunes_columns(spark, sf_dir):
     assert pushed_filters(df)
 
 
+def test_promql_range_pushes_ns_bounds(spark, sf_dir):
+    df = _df(spark, sf_dir, "promql_rate_range")
+    pf = pushed_filters(df)
+    assert any("GreaterThanOrEqual(ts" in f for f in pf), pf
+    assert any("LessThan(ts" in f for f in pf), pf
+
+
 def test_tpch_joins_broadcast_small_dims(spark, sf_dir):
     df = _df(spark, sf_dir, "tpch_q3ish")
     assert is_broadcast_join(df), plan_string(df, "simple")
