@@ -54,10 +54,40 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "write_path": _bench_write_path(spark, sf_dir),
             }
         )
     )
     return 0
+
+
+def _bench_write_path(spark, sf_dir: str) -> dict:
+    """Write-path throughput (BASELINE.md's headline metric): events →
+    metrics normalize → partitioned sorted ZSTD write."""
+    import shutil
+    import tempfile
+
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    out_dir = tempfile.mkdtemp(prefix="bench_write_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        m = normalize_to_metrics(
+            ev, ts_col="ts_ns", name_col="event_type", value_col="value",
+            label_cols={"user": "user_id"},
+        )
+        start = time.perf_counter()
+        write_metrics(m, os.path.join(out_dir, "metrics"), mode="overwrite")
+        elapsed = time.perf_counter() - start
+        return {
+            "rows": n,
+            "sec": round(elapsed, 4),
+            "rows_per_sec": round(n / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
