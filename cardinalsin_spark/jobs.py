@@ -1,0 +1,104 @@
+"""Maintenance job CLI — the spark-submit-able counterpart of the
+reference's compactor loop (``compactor/mod.rs``): compaction, retention,
+downsampling over a metrics store.
+
+    python -m cardinalsin_spark.jobs compact   --path /data/metrics
+    python -m cardinalsin_spark.jobs retention --path /data/metrics --days 90
+    python -m cardinalsin_spark.jobs downsample --path /data/metrics \
+        --older-than-days 30 --resolution-s 300 --out /data/metrics_5m
+
+No leases/locks needed: one Spark driver owns a job run (the reference's
+lease protocol, ``metadata/s3.rs:1602-2058``, exists because many
+single-node compactors race; a cluster scheduler serializes these instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    from cardinalsin_spark.operators.compaction import (
+        compact_partition,
+        downsample,
+        l0_compaction_candidates,
+        retention_candidates,
+    )
+    from cardinalsin_spark.session import get_spark
+    from cardinalsin_spark.sources.catalog import chunk_stats
+
+    p = argparse.ArgumentParser(prog="cardinalsin-jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compact", help="merge small files per hour partition")
+    c.add_argument("--path", required=True)
+    c.add_argument("--trigger-files", type=int, default=15)
+    c.add_argument(
+        "--max-partitions", type=int, default=None,
+        help="compact at most N partitions this run (bounded job time)",
+    )
+
+    r = sub.add_parser("retention", help="list/drop partitions past retention")
+    r.add_argument("--path", required=True)
+    r.add_argument("--days", type=int, default=90)
+    r.add_argument("--apply", action="store_true")
+
+    d = sub.add_parser("downsample", help="rollup old data to coarser buckets")
+    d.add_argument("--path", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--older-than-days", type=int, default=30)
+    d.add_argument("--resolution-s", type=int, default=300)
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
+
+    if args.cmd == "compact":
+        import datetime as dt
+
+        chunks = chunk_stats(spark, args.path)
+        cands = l0_compaction_candidates(
+            chunks, trigger_files=args.trigger_files
+        ).collect()
+        if args.max_partitions is not None:
+            cands = cands[: args.max_partitions]
+        for row in cands:
+            when = dt.datetime.fromtimestamp(
+                row.hour_bucket / 1e9, tz=dt.timezone.utc
+            )
+            date, hour = when.date().isoformat(), when.hour
+            merged = compact_partition(spark, args.path, date, hour)
+            print(f"compacted date={date} hour={hour}: {merged} files -> 1")
+        print(f"done: {len(cands)} partitions compacted")
+
+    elif args.cmd == "retention":
+        cutoff_ns = int((time.time() - args.days * 86_400) * 1e9)
+        chunks = chunk_stats(spark, args.path)
+        old = retention_candidates(chunks, cutoff_ns).collect()
+        for row in old:
+            print(f"expired: {row.chunk_path}")
+        if args.apply:
+            import shutil
+
+            dirs = {row.chunk_path.rsplit("/", 1)[0] for row in old}
+            for dpath in sorted(dirs):
+                shutil.rmtree(dpath.removeprefix("file:"), ignore_errors=True)
+            print(f"dropped {len(dirs)} partitions")
+
+    elif args.cmd == "downsample":
+        df = spark.read.parquet(args.path)
+        cutoff = F.current_timestamp() - F.expr(
+            f"INTERVAL {args.older_than_days} DAYS"
+        )
+        out = downsample(df.filter(F.col("timestamp") < cutoff), args.resolution_s)
+        out.write.mode("overwrite").option("compression", "zstd").parquet(args.out)
+        print(f"downsampled to {args.resolution_s}s buckets -> {args.out}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,12 +27,22 @@ def chunk_stats(
     listing, works at any file count.
     """
     df = spark.read.parquet(path)
+    # input_file_* are nondeterministic expressions: project them first
+    # (allowed), aggregate the projected columns (aggregating them directly
+    # is rejected). Block length == file size while files are below the
+    # split size — exact for the small files compaction cares about.
+    per_row = df.select(
+        F.input_file_name().alias("chunk_path"),
+        F.input_file_block_length().alias("_block_len"),
+        F.col(ts_col).alias("_ts"),
+    )
     return (
-        df.groupBy(F.input_file_name().alias("chunk_path"))
+        per_row.groupBy("chunk_path")
         .agg(
-            (F.min(ts_col).cast("double") * 1e9).cast("long").alias("min_timestamp"),
-            (F.max(ts_col).cast("double") * 1e9).cast("long").alias("max_timestamp"),
+            (F.min("_ts").cast("double") * 1e9).cast("long").alias("min_timestamp"),
+            (F.max("_ts").cast("double") * 1e9).cast("long").alias("max_timestamp"),
             F.count(F.lit(1)).alias("row_count"),
+            F.max("_block_len").alias("size_bytes"),
         )
         .withColumn("level", F.lit(0))
     )

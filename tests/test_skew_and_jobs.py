@@ -1,0 +1,100 @@
+"""Salted-join equivalence and the maintenance-jobs CLI end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.functions.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark, sf_dir):
+    """orders keyed by nation — one synthetic hot key via modulo collapse."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "k", (F.col("o_custkey") % 3).cast("long")  # 3 keys, heavy skew
+    )
+    dim = spark.range(3).select(
+        F.col("id").alias("k"), F.concat(F.lit("grp"), "id").alias("grp")
+    )
+    return orders, dim
+
+
+def test_salted_join_matches_plain_inner(spark, skewed):
+    orders, dim = skewed
+    plain = orders.join(dim, ["k"]).groupBy("grp").count()
+    salted = salted_join(orders, dim, ["k"], n_salts=8).groupBy("grp").count()
+    assert {(r.grp, r["count"]) for r in plain.collect()} == {
+        (r.grp, r["count"]) for r in salted.collect()
+    }
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed):
+    orders, dim = skewed
+    dim2 = dim.filter(F.col("k") < 2)  # drop one key → unmatched left rows
+    plain = orders.join(dim2, ["k"], "left")
+    salted = salted_join(orders, dim2, ["k"], n_salts=8, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("grp").isNull()).count()
+        == plain.filter(F.col("grp").isNull()).count()
+        > 0
+    )
+
+
+def test_salted_join_rejects_right(spark, skewed):
+    orders, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(orders, dim, ["k"], how="right")
+
+
+def test_jobs_compact_cli(spark, sf_dir, tmp_path, capsys):
+    """End-to-end: fragment a store, run the compact job, files merge."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    path = str(tmp_path / "store")
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(ev, "ts_ns", "event_type", "value")
+    out = m.withColumn("date", F.to_date("timestamp")).withColumn(
+        "hour", F.hour("timestamp")
+    )
+    out.repartition(20).write.partitionBy("date", "hour").parquet(path)
+
+    # sf0.001 hours hold only a few rows → a low trigger exercises the path
+    rc = jobs.main(
+        ["compact", "--path", path, "--trigger-files", "2",
+         "--max-partitions", "5"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "compacted date=" in printed
+    # every compacted partition now holds exactly one file
+    for line in printed.splitlines():
+        if not line.startswith("compacted date="):
+            continue
+        date = line.split("date=")[1].split(" ")[0]
+        hour = line.split("hour=")[1].split(":")[0]
+        part = os.path.join(path, f"date={date}", f"hour={hour}")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1, part
+
+
+def test_jobs_retention_cli(spark, sf_dir, tmp_path, capsys):
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    path = str(tmp_path / "store")
+    ev = load_table(spark, sf_dir, "events")
+    write_metrics(
+        normalize_to_metrics(ev, "ts_ns", "event_type", "value"), path,
+        mode="overwrite",
+    )
+    # everything in the fixture is from 2024 → all expired at 90 days
+    rc = jobs.main(["retention", "--path", path, "--days", "90"])
+    assert rc == 0
+    assert "expired:" in capsys.readouterr().out

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the remote-write protobuf
+wire-format parser: any encodable WriteRequest decodes back exactly.
+Pure Python — no Spark session needed."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cardinalsin_spark.sources.remote_write import (
+    _fields,
+    _read_varint,
+    decode_write_request,
+)
+from tests.test_ingest_adapters import _varint, _write_request
+
+label_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+    min_size=1,
+    max_size=12,
+)
+label_values = st.text(min_size=0, max_size=24)
+finite_doubles = st.floats(allow_nan=False, allow_infinity=False, width=64)
+ts_millis = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip(n):
+    out, idx = _read_varint(_varint(n), 0)
+    assert out == n and idx == len(_varint(n))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(label_names, label_values, max_size=5),
+            st.lists(st.tuples(finite_doubles, ts_millis), max_size=5),
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_write_request_roundtrip(series):
+    # give every series a metric name (the parser pops __name__)
+    named = [({"__name__": "m", **labels}, samples) for labels, samples in series]
+    rows = decode_write_request(_write_request(named))
+    expected = [
+        (ts, "m", v, {k: val for k, val in labels.items()})
+        for labels, samples in series
+        for v, ts in samples
+    ]
+    assert len(rows) == len(expected)
+    for (ts, name, v, labels), (ets, ename, ev, elabels) in zip(rows, expected):
+        assert (ts, name, labels) == (ets, ename, elabels)
+        assert v == ev or (math.isnan(v) and math.isnan(ev)) or struct.pack(
+            "<d", v
+        ) == struct.pack("<d", ev)
+
+
+@given(st.binary(max_size=64))
+def test_field_walker_never_reads_past_buffer(buf):
+    """Arbitrary bytes either parse or raise cleanly — no infinite loops,
+    no negative indexes."""
+    try:
+        for fno, wt, val in _fields(buf):
+            assert fno >= 0
+    except (IndexError, ValueError):
+        pass  # malformed input is allowed to raise
