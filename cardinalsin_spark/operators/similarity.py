@@ -232,6 +232,165 @@ def cosine_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed cell search
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic k-means coarse quantizer: init = the k lowest-id
+    vectors, then ``iters`` Lloyd rounds. Assignment is a vectorized
+    pandas_udf (one matrix multiply per Arrow batch); the centroid update
+    is a distributed groupBy over exploded dimensions. Returns a numpy
+    (k, dim) array — centroids are the *index*, tiny by construction, and
+    live on the driver/broadcast like any index metadata."""
+    import numpy as np
+
+    df = df.select(id_col, vec_col).persist()  # read once per Lloyd round
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.array([r[0] for r in init], dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = df.select(
+            id_col, vec_col, ivf_assign_udf(centroids)(F.col(vec_col)).alias("cell")
+        )
+        # element-wise mean per cell: explode dims, one hash aggregate
+        dims = assigned.select(
+            "cell", F.posexplode(vec_col).alias("dim", "x")
+        )
+        rows = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .collect()
+        )
+        for r in rows:
+            centroids[r.cell] = [s.m for s in r.ms]
+    return centroids
+
+
+def ivf_train_centroids_local(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Driver-side k-means over a (small, deterministic) training sample —
+    same init/update rule as ``ivf_train_centroids`` but pure numpy: a
+    training sample is index metadata (KBs), so paying Spark-job round
+    trips per Lloyd round is waste. Pass ``df`` already limited to the
+    sample size."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    centroids = X[:k].copy()
+    for _ in range(iters):
+        d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (X @ centroids.T)
+        cells = d.argmin(axis=1)
+        for c in range(k):
+            members = X[cells == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_udf(centroids):
+    """pandas_udf: embedding → nearest-centroid id (L2). One GEMM per
+    Arrow batch — ||x−c||² = ||x||² − 2x·c + ||c||², argmin over cells."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(v.values).astype(np.float64)
+        d = c_norm2[None, :] - 2.0 * (X @ C.T)  # ||x||² constant per row
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and scores only those
+    vectors. Join shuffles on the cell id — cost ≈ corpus·(nprobe/k) —
+    the 100 TB path when LSH bucket skew bites."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    n_probe = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _probe(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.values).astype(np.float64)
+        d = c_norm2[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    corpus = (
+        df.select(F.col(id_col), F.col(vec_col), quantize(vec_col).alias("qv"))
+        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
+        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
+        .drop(vec_col)
+    )
+    qs = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col), quantize(vec_col).alias("qq")
+        )
+        .withColumn("cells", _probe(F.col(vec_col)))
+        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
+        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
+    )
+    scored = (
+        corpus.join(qs, "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            dot_q_vectorized()(F.col("qq"), F.col("qv"))
+            / (F.col("qnorm") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -403,6 +403,23 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (16 cells, 3 Lloyd
+    rounds), queries probe their 2 nearest cells. Rows-only entry: the
+    iterative trainer is not SQL-expressible (driver records the weaker
+    check); determinism + recall are pinned by tests/test_similarity_ivf."""
+    emb = _emb(spark, sf_dir)
+    # train the quantizer on a deterministic sample, driver-side (standard
+    # IVF practice: index build cost must not scale with the corpus)
+    centroids = sim.ivf_train_centroids_local(
+        emb.orderBy("vec_id").limit(1000), k=16, iters=2
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk_ivf(emb, queries, centroids, k=_TOPK, nprobe=2)
+
+
 _NEARDUP_THRESHOLD = 0.4
 _NEARDUP_PLANES = 4
 
@@ -533,6 +550,7 @@ REGISTRY_LLM = {
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
     "media_image_features": (q_media_image_features, None),
     "media_audio_features": (q_media_audio_features, None),
     "media_frame_sample": (q_media_frame_sample, None),
