@@ -218,11 +218,14 @@ def irate_faithful(
     (``api/query/prometheus_api.rs:998-1012``).
 
     Numerics: delta is computed on the raw value column (pass integer units
-    for exactness); the only float step is ``delta * 1e9 / dt_ns`` — one
-    multiply + one divide in a fixed order, so engines agree bitwise.
-    Buckets with <2 samples produce no row (PromQL returns nothing there
-    too). Plan: one window shuffle keyed (bucket, series), then a filter —
-    no aggregation needed.
+    for exactness). Besides the float ``irate``, the output carries the exact
+    integer pair ``delta``/``dt_ns`` so callers that need bit-identical
+    cross-engine results (the oracle harness) can do the division on an
+    integer grid instead of trusting float rounding — a plain
+    ``round(delta*1e9/dt, 6)`` can land on a half-ulp boundary where two
+    engines' ``round`` disagree. Buckets with <2 samples produce no row
+    (PromQL returns nothing there too). Plan: one window shuffle keyed
+    (bucket, series), then a filter — no aggregation needed.
     """
     series = series or []
     bucket = time_bucket(cols.ts, step_seconds).alias("bucket")
@@ -249,12 +252,14 @@ def irate_faithful(
         .withColumn("_prev_ts", prev_ts)
         .withColumn("_rn", F.row_number().over(wdesc))
         .filter((F.col("_rn") == 1) & F.col("_prev_v").isNotNull())
+        .withColumn("delta", delta.cast("long"))
+        .withColumn("dt_ns", F.col("_ts_ns") - F.col("_prev_ts"))
         .withColumn(
             "irate",
-            (delta * F.lit(1_000_000_000)).cast("double")
-            / (F.col("_ts_ns") - F.col("_prev_ts")).cast("double"),
+            (F.col("delta") * F.lit(1_000_000_000)).cast("double")
+            / F.col("dt_ns").cast("double"),
         )
-        .select("bucket", cols.name, *series, "irate")
+        .select("bucket", cols.name, *series, "delta", "dt_ns", "irate")
         .orderBy("bucket", cols.name, *series)
     )
 

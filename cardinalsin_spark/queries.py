@@ -217,14 +217,22 @@ FROM deltas GROUP BY 1, 2
 
 def q_ts_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-faithful irate: last-two-samples rate per 1h bucket, reset
-    aware (the reference AVG-falls-back for irate)."""
+    aware (the reference AVG-falls-back for irate).
+
+    Exact-integer final step: units/sec to 6 decimals is
+    ``floor(delta_cents * 10^13 / dt_ns) / 1e6`` — the quotient is computed
+    on an integer grid (decimal(38) on Spark, HUGEINT in DuckDB) so both
+    engines produce the identical long before the single float division.
+    A float ``round(delta*1e9/dt/100, 6)`` can land on a half-ulp rounding
+    boundary where engines disagree (the round-1 hash mismatch)."""
     from cardinalsin_spark.operators.timeseries import irate_faithful
 
     df = irate_faithful(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    scaled = F.expr("CAST(delta AS DECIMAL(38,0)) * 10000000000000 div dt_ns")
     return df.select(
         "bucket",
         "event_type",
-        F.round(F.col("irate") / F.lit(100.0), 6).alias("irate"),
+        (scaled / F.lit(1_000_000.0)).alias("irate"),
     )
 
 
@@ -243,9 +251,8 @@ lagged AS (
   FROM base
 )
 SELECT bucket, event_type,
-       round(CAST((CASE WHEN vc >= pv THEN vc - pv ELSE vc END)
-                  * 1000000000 AS DOUBLE)
-             / CAST(tns - pt AS DOUBLE) / 100.0, 6) AS irate
+       CAST(CAST(CASE WHEN vc >= pv THEN vc - pv ELSE vc END AS HUGEINT)
+            * 10000000000000 // (tns - pt) AS BIGINT) / 1000000.0 AS irate
 FROM lagged
 WHERE rn = 1 AND pv IS NOT NULL
 ORDER BY bucket, event_type
