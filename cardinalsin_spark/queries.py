@@ -219,15 +219,30 @@ def q_ts_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-faithful irate: last-two-samples rate per 1h bucket, reset
     aware (the reference AVG-falls-back for irate).
 
-    Exact-integer final step: units/sec to 6 decimals is
-    ``floor(delta_cents * 10^13 / dt_ns) / 1e6`` — the quotient is computed
-    on an integer grid (decimal(38) on Spark, HUGEINT in DuckDB) so both
-    engines produce the identical long before the single float division.
-    A float ``round(delta*1e9/dt/100, 6)`` can land on a half-ulp rounding
-    boundary where engines disagree (the round-1 hash mismatch)."""
+    Cross-engine exactness has TWO requirements, both needed:
+
+    1. **µs-grid divisor.** The parquet column is ``timestamp[ns]``; DuckDB
+       reads it µs-truncated, so the oracle's ``epoch_ns(ts)`` deltas sit on
+       the µs grid while raw ``ts_ns`` deltas don't (…452714 vs …452000).
+       Different divisors → different quotients regardless of rounding, the
+       actual round-1/2 hash mismatch. Fix: truncate the Spark-side ns
+       column to the µs grid before the window, mirroring
+       ``normalize_event_time`` (``sources/tables.py``).
+    2. **Integer-grid division.** units/sec to 6 decimals is
+       ``floor(delta_cents * 10^13 / dt_ns) / 1e6`` on decimal(38)/HUGEINT,
+       so both engines produce the identical long before the single float
+       division (avoids half-ulp ``round`` disagreement).
+
+    dt_ns stays >= 1 µs after truncation (samples closer than 1 µs would
+    collapse to dt=0; the events fixture has >1 s spacing), so the
+    delta_cents*10^13/dt_ns quotient stays far below int64 overflow —
+    see ADVICE r2 on the decimal-div wraparound hazard."""
     from cardinalsin_spark.operators.timeseries import irate_faithful
 
-    df = irate_faithful(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    ev = _events_cents(spark, sf_dir).withColumn(
+        "ts_ns_us", F.expr("ts_ns div 1000 * 1000")
+    )
+    df = irate_faithful(ev, 3600, cols=EV_CENTS, ts_ns_col="ts_ns_us")
     scaled = F.expr("CAST(delta AS DECIMAL(38,0)) * 10000000000000 div dt_ns")
     return df.select(
         "bucket",
