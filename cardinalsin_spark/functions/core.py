@@ -30,7 +30,11 @@ def time_bucket_ns(ts_ns: Column | str, step_ns: int) -> Column:
     """Nanosecond bucketing on a raw ``bigint`` ns column — exact integer
     semantics of the reference (``api/query/prometheus_api.rs:971``)."""
     c = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
-    return (c / F.lit(step_ns)).cast("long") * F.lit(step_ns)
+    # Pure int64 arithmetic: ns epochs exceed 2^53, so a float division
+    # here would mis-bucket values near step boundaries. c - (c % step)
+    # == (c div step) * step for the same truncate-toward-zero semantics
+    # in Spark, DuckDB, and the reference's integer division.
+    return c - (c % F.lit(step_ns))
 
 
 def label_matcher(col: Column | str, op: str, value: str) -> Column:

@@ -89,11 +89,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dropped {len(dirs)} partitions")
 
     elif args.cmd == "downsample":
+        from cardinalsin_spark.schema import label_columns, value_expr
+
         df = spark.read.parquet(args.path)
         cutoff = F.current_timestamp() - F.expr(
             f"INTERVAL {args.older_than_days} DAYS"
         )
-        out = downsample(df.filter(F.col("timestamp") < cutoff), args.resolution_s)
+        # The stored schema has typed value columns (value_f64/i64/u64),
+        # not a single "value"; coalesce them and group by every series
+        # dimension (metric_name + all label columns).
+        series = ["metric_name", *label_columns(df.schema)]
+        old = df.filter(F.col("timestamp") < cutoff).withColumn(
+            "value", value_expr()
+        )
+        out = downsample(old, args.resolution_s, series_cols=series)
         out.write.mode("overwrite").option("compression", "zstd").parquet(args.out)
         print(f"downsampled to {args.resolution_s}s buckets -> {args.out}")
 

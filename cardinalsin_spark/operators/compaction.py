@@ -133,19 +133,27 @@ def compact_partition(
     n_input = df.select(F.input_file_name()).distinct().count()
     if n_input <= target_files:
         return n_input
+    # Stage the rewrite under an underscore-prefixed dir at the table root:
+    # Spark/Hive file listing skips `_*` paths, so a crash before the swap
+    # leaves the table fully readable (a tmp dir inside date=/ would break
+    # partition inference for the whole table). Stale tmps from a crashed
+    # run are cleared before writing.
+    import shutil
+
+    tmp_path = os.path.join(root, "_compaction_tmp", f"date={date}.hour={hour}")
+    shutil.rmtree(tmp_path, ignore_errors=True)
     (
         df.coalesce(target_files)
         .sortWithinPartitions("timestamp")
         .write.mode("overwrite")
         .option("compression", "zstd")
-        .parquet(part_path + ".compact.tmp")
+        .parquet(tmp_path)
     )
-    # Atomic-ish swap (single-driver; the reference's lease protocol guards
-    # multi-compactor races — out of scope for an engine library).
-    import shutil
-
+    # Atomic-ish swap (single-driver, local-fs rename; the reference's lease
+    # protocol guards multi-compactor races — out of scope for an engine
+    # library. On object storage this step becomes a catalog pointer swap.)
     shutil.rmtree(part_path)
-    shutil.move(part_path + ".compact.tmp", part_path)
+    shutil.move(tmp_path, part_path)
     return n_input
 
 

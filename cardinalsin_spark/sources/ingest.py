@@ -69,7 +69,10 @@ def normalize_to_metrics(
         ts_ns = ts
         ts_val = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     else:
-        ts_ns = (ts.cast("double") * F.lit(1_000_000_000)).cast("long")
+        # unix_micros is exact integer math; a double round-trip
+        # (cast("double")*1e9) is off by up to ~256 ns at the current epoch,
+        # which can contradict _ns_prefilter at window boundaries.
+        ts_ns = F.unix_micros(ts.cast("timestamp")) * F.lit(1_000)
         ts_val = ts
     out = (
         df.withColumn("__ts", ts_val)

@@ -42,7 +42,12 @@ FLAT_SCHEMA = "ts_ms long, metric_name string, value double, labels map<string,s
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = 0
     out = 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise ValueError("truncated varint")
+        if shift > 63:  # int64 varints are ≤10 bytes; anything longer is junk
+            raise ValueError("varint overflow")
         b = buf[i]
         i += 1
         out |= (b & 0x7F) << shift
@@ -54,7 +59,8 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
 def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
     """Walk a protobuf message: yields (field_no, wire_type, value) where
     value is bytes for length-delimited (2), int for varint (0), raw 8
-    bytes for fixed64 (1)."""
+    bytes for fixed64 (1). Raises ValueError on truncated or malformed
+    input instead of silently yielding short slices."""
     i = 0
     n = len(buf)
     while i < n:
@@ -64,16 +70,22 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
             v, i = _read_varint(buf, i)
             yield field_no, wt, v
         elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64")
             yield field_no, wt, buf[i : i + 8]
             i += 8
         elif wt == 2:
             ln, i = _read_varint(buf, i)
+            if ln < 0 or i + ln > n:
+                raise ValueError("truncated length-delimited field")
             yield field_no, wt, buf[i : i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32")
             yield field_no, wt, buf[i : i + 4]
             i += 4
-        else:  # pragma: no cover - groups are long-deprecated
+        else:  # groups are long-deprecated
             raise ValueError(f"unsupported wire type {wt}")
 
 
@@ -102,21 +114,21 @@ def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
     """One WriteRequest → [(ts_ms, metric_name, value, labels), ...]."""
     rows = []
     buf = _maybe_decompress(payload)
-    for fno, _, ts_bytes in _fields(buf):
-        if fno != 1:
-            continue
+    for fno, wt, ts_bytes in _fields(buf):
+        if fno != 1 or wt != 2:  # timeseries is length-delimited; a varint
+            continue  # numbered 1 would otherwise be sliced as a message
         labels: dict[str, str] = {}
         samples: list[tuple[float, int]] = []
-        for sfno, _, sval in _fields(ts_bytes):
-            if sfno == 1:  # Label
+        for sfno, swt, sval in _fields(ts_bytes):
+            if sfno == 1 and swt == 2:  # Label
                 name = value = ""
-                for lfno, _, lval in _fields(sval):
-                    if lfno == 1:
+                for lfno, lwt, lval in _fields(sval):
+                    if lfno == 1 and lwt == 2:
                         name = lval.decode("utf-8")
-                    elif lfno == 2:
+                    elif lfno == 2 and lwt == 2:
                         value = lval.decode("utf-8")
                 labels[name] = value
-            elif sfno == 2:  # Sample
+            elif sfno == 2 and swt == 2:  # Sample
                 v = 0.0
                 ts = 0
                 for pfno, pwt, pval in _fields(sval):
@@ -134,9 +146,19 @@ def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
 
 
 def remote_write_flatten(
-    payloads: DataFrame, bytes_col: str = "payload"
+    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
 ) -> DataFrame:
-    """binary WriteRequest payloads → (ts_ms, metric_name, value, labels)."""
+    """binary WriteRequest payloads → (ts_ms, metric_name, value, labels).
+
+    Decode failures are isolated per payload: one malformed/truncated
+    WriteRequest must not fail the whole ingest job (the reference returns
+    a per-request 400 and keeps serving, ``api/ingest/prometheus.rs``).
+    ``on_error="skip"`` (default) drops bad payloads and counts them in the
+    ``rw_decode_errors`` Spark accumulator; ``on_error="raise"`` propagates.
+    """
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    acc = payloads.sparkSession.sparkContext.accumulator(0)
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -144,7 +166,12 @@ def remote_write_flatten(
         for pdf in batches:
             rows: list[tuple] = []
             for payload in pdf[bytes_col]:
-                rows.extend(decode_write_request(bytes(payload)))
+                try:
+                    rows.extend(decode_write_request(bytes(payload)))
+                except (ValueError, UnicodeDecodeError, struct.error):
+                    if on_error == "raise":
+                        raise
+                    acc.add(1)
             yield pd.DataFrame(
                 rows, columns=["ts_ms", "metric_name", "value", "labels"]
             )
