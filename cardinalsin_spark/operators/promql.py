@@ -222,12 +222,25 @@ def promql_range(
     end_s: float,
     step_s: int,
     cols: MetricsCols = MetricsCols(),
+    faithful: bool = False,
+    ts_ns_col: str = "ts_ns",
 ) -> DataFrame:
     """Range query (reference ``transpile_promql_range``,
     ``api/query/prometheus_api.rs:938-1087``): bucket = floor(ts/step)*step;
     rate/irate → (max-min)/range_seconds, increase/delta → max-min, anything
     else (incl. no function) → avg. Output:
-    ``time_bucket, <name>, <labels...>, value`` ordered by bucket."""
+    ``time_bucket, <name>, <labels...>, value`` ordered by bucket.
+
+    ``faithful=True`` upgrades rate/irate/increase/deriv to the real PromQL
+    semantics through this same entry point — counter-reset-aware deltas,
+    last-two-samples irate, least-squares deriv (the reference's documented
+    weakness, ``api/query/prometheus_api.rs:969-1012``). The per-series key
+    is the discovered matcher/group_by labels plus ``cols.labels``; an outer
+    aggregation (``sum by (...) (rate(...))``) then aggregates the
+    per-series values, matching PromQL's two-level evaluation. irate/deriv
+    need a raw-ns column (``ts_ns_col``); if absent it is derived exactly
+    from the timestamp via ``unix_micros``.
+    """
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols)).filter(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
@@ -235,6 +248,10 @@ def promql_range(
     )
     out = _ns_prefilter(out, start_s, end_s)
     label_cols = discover_label_columns(parsed)
+
+    if faithful and parsed.function in ("rate", "irate", "increase", "deriv"):
+        return _promql_range_faithful(out, parsed, step_s, cols, label_cols, ts_ns_col)
+
     keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
         F.col(c) for c in label_cols
     ]
@@ -265,3 +282,58 @@ def df_group_sorted(df: DataFrame, keys: list[Column], value: Column) -> DataFra
     grouped = df.groupBy(*keys).agg(value)
     order_cols = [c for c in grouped.columns if c != "value"]
     return grouped.orderBy(*order_cols)
+
+
+def _promql_range_faithful(
+    out: DataFrame,
+    parsed: ParsedPromQL,
+    step_s: int,
+    cols: MetricsCols,
+    label_cols: list[str],
+    ts_ns_col: str,
+) -> DataFrame:
+    """Faithful range-function dispatch: inner per-series evaluation via the
+    counter-reset-aware operators, optional outer aggregation across series."""
+    from cardinalsin_spark.operators.timeseries import (
+        deriv_bucketed,
+        increase_faithful,
+        irate_faithful,
+        rate_faithful,
+    )
+
+    series = list(dict.fromkeys([*label_cols, *cols.labels]))
+    if parsed.function in ("irate", "deriv") and ts_ns_col not in out.columns:
+        out = out.withColumn(
+            ts_ns_col,
+            F.unix_micros(F.col(cols.ts).cast("timestamp")) * F.lit(1_000),
+        )
+    if parsed.function == "rate":
+        res, vcol = rate_faithful(out, step_s, series=series, cols=cols), "rate"
+    elif parsed.function == "increase":
+        res, vcol = (
+            increase_faithful(out, step_s, series=series, cols=cols),
+            "increase",
+        )
+    elif parsed.function == "irate":
+        res, vcol = (
+            irate_faithful(out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col),
+            "irate",
+        )
+    else:
+        res, vcol = (
+            deriv_bucketed(out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col),
+            "deriv",
+        )
+    res = res.withColumnRenamed("bucket", "time_bucket").withColumnRenamed(
+        vcol, "value"
+    )
+    if parsed.aggregation:
+        keys = ["time_bucket", cols.name, *parsed.group_by]
+        return (
+            res.groupBy(*keys)
+            .agg(_agg_column(parsed.aggregation, "value").alias("value"))
+            .orderBy(*keys)
+        )
+    return res.select("time_bucket", cols.name, *series, "value").orderBy(
+        "time_bucket", cols.name, *series
+    )

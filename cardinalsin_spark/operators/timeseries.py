@@ -170,6 +170,22 @@ def delta_bucketed(
     return increase_bucketed(df, step_seconds, by, cols, alias="delta")
 
 
+def _reset_aware_deltas(
+    df: DataFrame, series: list[str], cols: MetricsCols
+) -> DataFrame:
+    """Append ``_delta``: per-series sample-to-sample increase, counter-reset
+    aware (a drop means reset → the post-reset value itself is the increase,
+    per Prometheus semantics). One window shuffle keyed on the series tuple."""
+    w = Window.partitionBy(cols.name, *series).orderBy(cols.ts)
+    prev = F.lag(cols.value).over(w)
+    step_delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(cols.value) >= prev, F.col(cols.value) - prev).otherwise(
+            F.col(cols.value)  # counter reset: increase = new value
+        )
+    )
+    return df.withColumn("_delta", step_delta)
+
+
 def rate_faithful(
     df: DataFrame,
     step_seconds: int,
@@ -180,28 +196,43 @@ def rate_faithful(
     *ducked* (SURVEY §7 "hard parts").
 
     Per series (metric_name + series cols), order by time, take positive
-    sample-to-sample deltas (a drop means counter reset → the post-reset
-    value itself is the increase, per Prometheus semantics), then sum per
-    bucket and divide by the bucket width.
+    sample-to-sample deltas, then sum per bucket and divide by the bucket
+    width.
 
     Plan shape: one window shuffle partitioned by series, then one hash agg —
     series-keyed, so partitions stay small at high cardinality.
     """
     series = series or []
-    w = Window.partitionBy(cols.name, *series).orderBy(cols.ts)
-    prev = F.lag(cols.value).over(w)
-    step_delta = F.when(prev.isNull(), F.lit(None)).otherwise(
-        F.when(F.col(cols.value) >= prev, F.col(cols.value) - prev).otherwise(
-            F.col(cols.value)  # counter reset: increase = new value
-        )
-    )
-    with_delta = df.withColumn("_delta", step_delta)
+    with_delta = _reset_aware_deltas(df, series, cols)
     keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
         F.col(s) for s in series
     ]
     return (
         with_delta.groupBy(*keys)
         .agg((F.sum("_delta") / F.lit(float(step_seconds))).alias("rate"))
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
+def increase_faithful(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Counter-reset-aware per-bucket increase: the sum of per-series
+    reset-aware deltas, without the rate division — PromQL ``increase``
+    semantics where the reference degrades to MAX−MIN
+    (``api/query/prometheus_api.rs:984-997``). Same plan shape as
+    :func:`rate_faithful` (one series-keyed window + one hash agg)."""
+    series = series or []
+    with_delta = _reset_aware_deltas(df, series, cols)
+    keys = [time_bucket(cols.ts, step_seconds).alias("bucket"), F.col(cols.name)] + [
+        F.col(s) for s in series
+    ]
+    return (
+        with_delta.groupBy(*keys)
+        .agg(F.sum("_delta").alias("increase"))
         .orderBy("bucket", cols.name, *series)
     )
 
@@ -229,6 +260,11 @@ def irate_faithful(
     """
     series = series or []
     bucket = time_bucket(cols.ts, step_seconds).alias("bucket")
+    # Integer value columns keep the exact-int delta contract (delta: long);
+    # float value columns keep their fractional delta (delta: double) —
+    # an unconditional cast("long") would silently truncate gauge deltas.
+    _int_types = {"bigint", "int", "smallint", "tinyint"}
+    value_is_integral = dict(df.dtypes).get(cols.value) in _int_types
     base = df.select(
         bucket,
         F.col(cols.name),
@@ -252,7 +288,7 @@ def irate_faithful(
         .withColumn("_prev_ts", prev_ts)
         .withColumn("_rn", F.row_number().over(wdesc))
         .filter((F.col("_rn") == 1) & F.col("_prev_v").isNotNull())
-        .withColumn("delta", delta.cast("long"))
+        .withColumn("delta", delta.cast("long") if value_is_integral else delta)
         .withColumn("dt_ns", F.col("_ts_ns") - F.col("_prev_ts"))
         .withColumn(
             "irate",

@@ -528,6 +528,110 @@ ORDER BY avg({_sql_cents('value')}) DESC, event_type, user_id LIMIT 3
 """
 
 
+def q_promql_rate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(purchase[600s])` through the transpiler with ``faithful=True``:
+    per-series (event_type, user_id) counter-reset-aware rate, superseding
+    the reference's MAX−MIN/range degradation through the SAME entry point
+    users hit (``api/query/prometheus_api.rs:969-1012``)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "rate(purchase[600s])",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,  # 2024-02-01
+        step_s=600,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") / F.lit(100.0), 6).alias("value"),
+    )
+
+
+SQL_PROMQL_RATE_FAITHFUL = f"""
+WITH filtered AS (
+  SELECT ts, event_type, CAST(user_id AS VARCHAR) AS user_id,
+         {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+deltas AS (
+  SELECT ts, event_type, user_id, vc,
+         lag(vc) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev
+  FROM filtered
+)
+SELECT {_sql_bucket(600)} AS time_bucket, event_type, user_id,
+       round(sum(CASE WHEN prev IS NULL THEN NULL
+                      WHEN vc >= prev THEN vc - prev
+                      ELSE vc END) / 600.0 / 100.0, 6) AS value
+FROM deltas GROUP BY 1, 2, 3
+"""
+
+
+def q_promql_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`irate(click[600s])` through the transpiler with ``faithful=True``:
+    last-two-samples rate per (1d bucket, event_type, user_id) — the
+    reference AVG-falls-back for irate. Divisor is the µs-grid ns delta
+    (ts_ns_us) so the float quotient is bit-identical to DuckDB's
+    µs-truncated epoch_ns; a single IEEE division of exact int64 inputs is
+    deterministic across engines."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    ev = _events_promql(spark, sf_dir).withColumn(
+        "ts_ns_us", F.expr("ts_ns div 1000 * 1000")
+    )
+    df = promql_range(
+        ev,
+        "irate(click[600s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+        faithful=True,
+        ts_ns_col="ts_ns_us",
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_IRATE_FAITHFUL = f"""
+WITH filtered AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+         CAST(user_id AS VARCHAR) AS user_id,
+         epoch_ns(ts) AS tns, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'click'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+lagged AS (
+  SELECT time_bucket, event_type, user_id, tns, vc,
+         lag(vc) OVER (PARTITION BY time_bucket, event_type, user_id
+                       ORDER BY tns) AS pv,
+         lag(tns) OVER (PARTITION BY time_bucket, event_type, user_id
+                        ORDER BY tns) AS pt,
+         row_number() OVER (PARTITION BY time_bucket, event_type, user_id
+                            ORDER BY tns DESC) AS rn
+  FROM filtered
+)
+SELECT time_bucket, event_type, user_id,
+       (CAST((CASE WHEN vc >= pv THEN vc - pv ELSE vc END)
+             * 1000000000 AS DOUBLE) / CAST(tns - pt AS DOUBLE)) / 100.0 AS value
+FROM lagged
+WHERE rn = 1 AND pv IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational pass-through (SURVEY §2.3/§2.7 — joins/set-ops reach the engine
 # through full SQL, same as the reference's DataFusion pass-through)
@@ -812,6 +916,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_rate_range": (q_promql_rate_range, SQL_PROMQL_RATE_RANGE),
     "promql_instant_sum": (q_promql_instant_sum, SQL_PROMQL_INSTANT_SUM),
     "promql_instant_topk": (q_promql_instant_topk, SQL_PROMQL_INSTANT_TOPK),
+    "promql_rate_faithful": (q_promql_rate_faithful, SQL_PROMQL_RATE_FAITHFUL),
+    "promql_irate_faithful": (q_promql_irate_faithful, SQL_PROMQL_IRATE_FAITHFUL),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),

@@ -76,3 +76,110 @@ def test_discover_label_columns_order():
 
 def test_matcher_parse_empty():
     assert parse_label_matchers("") == []
+
+
+# ---------------------------------------------------------------------------
+# faithful=True dispatch: the transpiler must reach the reset-aware operators
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.queries import _events
+
+    return _events(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+
+
+def test_faithful_rate_matches_direct_operator(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols, rate_faithful
+    from pyspark.sql import functions as F
+
+    ev = _ev(spark, sf_dir)
+    cols = MetricsCols(ts="ts", name="event_type", value="value",
+                       labels=("user_id",))
+    start, end = 1704067200.0, 1706745600.0
+    via_promql = promql_range(
+        ev, "rate(purchase[600s])", start, end, 600, cols=cols, faithful=True
+    )
+    direct = rate_faithful(
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(end)))
+        ),
+        600,
+        series=["user_id"],
+        cols=cols,
+    )
+    a = {(r.time_bucket, r.user_id, round(r.value, 9))
+         for r in via_promql.collect() if r.value is not None}
+    b = {(r.bucket, r.user_id, round(r.rate, 9))
+         for r in direct.collect() if r.rate is not None}
+    assert a == b and len(a) > 0
+
+
+def test_faithful_outer_aggregation_sums_series(spark, sf_dir):
+    """sum by () (rate(...)) must aggregate the per-series faithful rates —
+    PromQL two-level evaluation, not a single collapsed groupBy."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    ev = _ev(spark, sf_dir)
+    cols = MetricsCols(ts="ts", name="event_type", value="value",
+                       labels=("user_id",))
+    start, end = 1704067200.0, 1706745600.0
+    per_series = promql_range(
+        ev, "rate(purchase[600s])", start, end, 600, cols=cols, faithful=True
+    )
+    summed = promql_range(
+        ev, "sum(rate(purchase[600s]))", start, end, 600, cols=cols,
+        faithful=True,
+    )
+    expected = {}
+    for r in per_series.collect():
+        if r.value is not None:
+            expected[r.time_bucket] = expected.get(r.time_bucket, 0.0) + r.value
+    got = {r.time_bucket: r.value for r in summed.collect()
+           if r.value is not None}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-6
+
+
+def test_faithful_irate_derives_ns_when_missing(spark, sf_dir):
+    """A frame without ts_ns still works: the transpiler derives the ns
+    column exactly from the timestamp."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    ev = _ev(spark, sf_dir).drop("ts_ns")
+    cols = MetricsCols(ts="ts", name="event_type", value="value",
+                       labels=("user_id",))
+    out = promql_range(
+        ev, "irate(click[600s])", 1704067200.0, 1706745600.0, 86400,
+        cols=cols, faithful=True,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"time_bucket", "event_type", "user_id", "value"} == set(out.columns)
+
+
+def test_faithful_deriv_runs(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+    from pyspark.sql import functions as F
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cols = MetricsCols(ts="ts", name="event_type", value="value_cents",
+                       labels=("user_id",))
+    out = promql_range(
+        ev, "deriv(view[1h])", 1704067200.0, 1706745600.0, 86400,
+        cols=cols, faithful=True,
+    )
+    assert out.count() > 0
