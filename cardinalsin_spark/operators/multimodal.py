@@ -108,26 +108,41 @@ def decode_audio(content: bytes, n_samples: int):
 
 def image_features(media: DataFrame) -> DataFrame:
     """Per-image channel statistics via mapInPandas: decode → mean per RGB
-    channel + gray std. Output drops the blob (features only travel)."""
+    channel + gray std. Output drops the blob (features only travel).
+
+    Numerics: statistics are computed as exact integer sums (uint8 inputs)
+    with ONE float division at the end, so results are bit-deterministic
+    regardless of accumulation order — the same values any engine computing
+    ``sum(int)/n`` reproduces (the SQL oracle relies on this). gray is the
+    per-pixel channel sum (r+g+b); std(gray/3) = sqrt(n·Σg² − (Σg)²)/(3n),
+    numpy-std (ddof=0) semantics."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_image(r.content, r.width, r.height).astype("float64")
-                gray = img.mean(axis=2)
+                img = decode_image(r.content, r.width, r.height).astype("int64")
+                n = int(r.width) * int(r.height)
+                s_r = int(img[:, :, 0].sum())
+                s_g = int(img[:, :, 1].sum())
+                s_b = int(img[:, :, 2].sum())
+                gray3 = img.sum(axis=2)  # r+g+b per pixel, exact int
+                s1 = int(gray3.sum())
+                s2 = int((gray3 * gray3).sum())
                 rows.append(
                     (
                         r.media_id,
                         r.width,
                         r.height,
                         len(r.content or b""),
-                        img[:, :, 0].mean(),
-                        img[:, :, 1].mean(),
-                        img[:, :, 2].mean(),
-                        gray.std(),
+                        s_r / n,
+                        s_g / n,
+                        s_b / n,
+                        math.sqrt(n * s2 - s1 * s1) / (3.0 * n),
                     )
                 )
             yield pd.DataFrame(
@@ -145,24 +160,34 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
-    """Per-clip PCM statistics: RMS, peak, zero crossings."""
+    """Per-clip PCM statistics: RMS, peak, zero crossings.
+
+    Numerics: PCM is the exact grid (b−128)/128, so Σ(b−128)² is an exact
+    integer and rms = sqrt(S/(16384·n)) involves one exact division (power
+    of two when n is) and one correctly-rounded sqrt — bit-deterministic
+    across engines. A zero crossing is a sign flip between adjacent
+    samples; b=128 maps to +0.0 (non-negative), matching IEEE signbit."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                pcm = decode_audio(r.content, n_samples)
-                zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                b = _decode_bytes(r.content, n_samples).astype("int64") - 128
+                s = int((b * b).sum())
+                neg = b < 0
+                zc = int(np.sum(neg[1:] != neg[:-1]))
                 rows.append(
                     (
                         r.media_id,
                         r.sample_rate,
-                        len(pcm),
-                        float(np.sqrt(np.mean(pcm**2))),
-                        float(np.abs(pcm).max()),
+                        n_samples,
+                        math.sqrt(s / (16384.0 * n_samples)),
+                        int(np.abs(b).max()) / 128.0,
                         zc,
                     )
                 )

@@ -292,6 +292,13 @@ def ivf_train_centroids_local(
 
     rows = df.orderBy(id_col).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    return kmeans_numpy(X, k, iters)
+
+
+def kmeans_numpy(X, k: int, iters: int):
+    """The pure-numpy Lloyd loop shared by the Spark trainer and the oracle
+    harness (which must reproduce identical centroids from the same sample):
+    init = first k rows, L2 assignment via ||c||² − 2x·c, mean update."""
     centroids = X[:k].copy()
     for _ in range(iters):
         d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (X @ centroids.T)

@@ -404,10 +404,12 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic k-means coarse quantizer (16 cells, 3 Lloyd
-    rounds), queries probe their 2 nearest cells. Rows-only entry: the
-    iterative trainer is not SQL-expressible (driver records the weaker
-    check); determinism + recall are pinned by tests/test_similarity_ivf."""
+    """IVF ANN: deterministic k-means coarse quantizer (16 cells, 2 Lloyd
+    rounds over the 1000-lowest-id sample), queries probe their 2 nearest
+    cells. Oracle-checked: the harness retrains the same centroids with the
+    shared numpy routine and inlines them as SQL literals (the Lloyd loop
+    itself is not SQL-expressible); determinism + recall are additionally
+    pinned by tests/test_similarity_ivf."""
     emb = _emb(spark, sf_dir)
     # train the quantizer on a deterministic sample, driver-side (standard
     # IVF practice: index build cost must not scale with the corpus)
@@ -509,10 +511,26 @@ JOIN gsizes zb ON zb.doc_id = c.id_b
 
 # ---------------------------------------------------------------------------
 # Multimodal (mapInPandas over binary columns; decode is a deterministic fake
-# — see operators.multimodal. Python-side decode is not SQL-expressible, so
-# these are rows-only entries: no oracle_sql, the driver records the weaker
-# check.)
+# — see operators.multimodal). The fake decode tiles the blob's bytes, and
+# the fixture's documents are pure ASCII, so a DuckDB oracle can replicate
+# the byte math on VARCHAR (1 char = 1 byte): repeat→substring is the tiling,
+# ascii(substring(s,i,1)) is byte access. The feature formulas are exact
+# integer sums + one float division/sqrt, spelled identically in both
+# engines (see operators.multimodal numerics notes).
 # ---------------------------------------------------------------------------
+
+# shared media derivation — mirrors multimodal.documents_as_media on ASCII
+# text ('//' = truncating division, matching Spark's double→int cast for
+# positive values; DuckDB CAST(double AS INT) *rounds*, so // is required)
+_SQL_MEDIA = """
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text, length(text) AS n,
+         CAST(8 + length(text) % 24 AS INT) AS width,
+         CAST(8 + (length(text) // 7) % 24 AS INT) AS height,
+         CAST(4 + doc_id % 12 AS INT) AS n_frames
+  FROM documents
+"""
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +540,33 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(mm.documents_as_media(_docs(spark, sf_dir)))
 
 
+SQL_MEDIA_IMAGE_FEATURES = f"""
+WITH media AS ({_SQL_MEDIA}),
+img AS (
+  SELECT media_id, width, height, n AS n_bytes,
+         substring(repeat(text, CAST((3*width*height + n - 1) // n AS INT)),
+                   1, 3*width*height) AS tiled
+  FROM media WHERE kind = 'image'
+),
+px AS (
+  SELECT media_id, width, height, n_bytes,
+         ascii(substring(tiled, 3*p + 1, 1)) AS r,
+         ascii(substring(tiled, 3*p + 2, 1)) AS g,
+         ascii(substring(tiled, 3*p + 3, 1)) AS b
+  FROM (SELECT media_id, width, height, n_bytes, tiled,
+               unnest(range(0, width*height)) AS p FROM img)
+)
+SELECT media_id, width, height, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(sum(r) AS DOUBLE) / (width*height) AS mean_r,
+       CAST(sum(g) AS DOUBLE) / (width*height) AS mean_g,
+       CAST(sum(b) AS DOUBLE) / (width*height) AS mean_b,
+       sqrt(CAST((width*height)*sum((r+g+b)*(r+g+b))
+                 - sum(r+g+b)*sum(r+g+b) AS DOUBLE)) / (3.0*(width*height))
+         AS std_gray
+FROM px GROUP BY media_id, width, height, n_bytes
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM stats (rms/peak/zero-crossings) per audio blob."""
     from cardinalsin_spark.operators import multimodal as mm
@@ -529,13 +574,141 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(mm.documents_as_media(_docs(spark, sf_dir)))
 
 
+SQL_MEDIA_AUDIO_FEATURES = f"""
+WITH media AS ({_SQL_MEDIA}),
+aud AS (
+  SELECT media_id,
+         substring(repeat(text, CAST((4096 + n - 1) // n AS INT)),
+                   1, 4096) AS tiled
+  FROM media WHERE kind = 'audio'
+),
+samp AS (
+  SELECT media_id,
+         ascii(substring(tiled, p + 1, 1)) - 128 AS d,
+         CASE WHEN p < 4095
+              AND (ascii(substring(tiled, p + 1, 1)) < 128)
+                  <> (ascii(substring(tiled, p + 2, 1)) < 128)
+              THEN 1 ELSE 0 END AS flip
+  FROM (SELECT media_id, tiled, unnest(range(0, 4096)) AS p FROM aud)
+)
+SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+       CAST(4096 AS BIGINT) AS n_samples,
+       sqrt(CAST(sum(d*d) AS DOUBLE) / (16384.0 * 4096)) AS rms,
+       CAST(max(abs(d)) AS DOUBLE) / 128.0 AS peak,
+       CAST(sum(flip) AS BIGINT) AS zero_crossings
+FROM samp GROUP BY media_id
+"""
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-expanding frame sampling: every 2nd frame of each video blob."""
+    """Row-expanding frame sampling: every 2nd frame of each video blob.
+    The registry projection fingerprints each frame (md5) instead of
+    shipping raw bytes through the value-hash compare."""
     from cardinalsin_spark.operators import multimodal as mm
 
     return mm.sample_frames(
         mm.documents_as_media(_docs(spark, sf_dir)), every_n=2
-    ).select("media_id", "frame_idx", "width", "height")
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        "width",
+        "height",
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH media AS ({_SQL_MEDIA}),
+vid AS (
+  SELECT media_id, width, height, n_frames,
+         substring(repeat(text, CAST((3*width*height*n_frames + n - 1) // n
+                                     AS INT)),
+                   1, 3*width*height*n_frames) AS tiled
+  FROM media WHERE kind = 'video'
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       md5(substring(tiled, i*width*height*3 + 1, width*height*3)) AS frame_md5,
+       width, height
+FROM (SELECT media_id, width, height, tiled,
+             unnest(range(0, n_frames, 2)) AS i FROM vid)
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF oracle: the k-means trainer is iterative (not SQL-expressible), but its
+# centroids are deterministic — so the oracle harness reproduces them with
+# the SAME numpy routine from the SAME sample spec and inlines them as SQL
+# literals. The rest of the search (cell assignment, 2-cell probe, quantized
+# cosine, rank) is plain SQL. Built lazily: needs the sf0.01 fixture on disk
+# (the driver's correctness scale); absent fixture → rows-only entry.
+# ---------------------------------------------------------------------------
+
+_IVF_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ivf_oracle_sql() -> str | None:
+    try:
+        import duckdb
+        import numpy as np
+
+        path = os.path.join(_IVF_SF_DIR, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 1000"
+        ).fetchall()
+        con.close()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = sim.kmeans_numpy(X, k=16, iters=2)
+    except Exception:  # pragma: no cover - fixture missing in exotic envs
+        return None
+    cent_rows = ", ".join(
+        f"({cell}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for cell, c in enumerate(centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cdist AS (
+  SELECT c.vec_id, c.qv, cent.cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_dot_product(cent.cv, cent.cv)
+                    - 2 * list_dot_product(c.v, cent.cv), cent.cell
+         ) AS rnk
+  FROM c CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, qv, cell FROM cdist WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, cell
+  FROM cdist WHERE vec_id < {_N_QUERIES} AND rnk <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qq, a.qv)
+           / (sqrt(list_dot_product(p.qq, p.qq))
+              * sqrt(list_dot_product(a.qv, a.qv))) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 
 
 REGISTRY_LLM = {
@@ -550,8 +723,8 @@ REGISTRY_LLM = {
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
-    "media_image_features": (q_media_image_features, None),
-    "media_audio_features": (q_media_audio_features, None),
-    "media_frame_sample": (q_media_frame_sample, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
+    "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
+    "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
 }

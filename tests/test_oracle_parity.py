@@ -11,9 +11,16 @@ from tests.oracle_harness import compare
 CASES = sorted(name for name, (_, sql) in q.REGISTRY.items() if sql is not None)
 
 
+# emb_ivf_topk's oracle inlines centroids trained on the sf0.01 sample (the
+# driver's correctness scale) — it is only meaningful there, so its parity
+# case runs at sf0.01 like the driver gate does.
+SF_PINNED = {"emb_ivf_topk": "/root/testdata/sf0.01"}
+
+
 @pytest.mark.parametrize("name", CASES)
 def test_oracle_parity(spark, sf_dir, name):
     fn, sql = q.REGISTRY[name]
-    df = fn(spark, sf_dir)
-    exact, approx, detail = compare(df, sql, sf_dir)
+    sf = SF_PINNED.get(name, sf_dir)
+    df = fn(spark, sf)
+    exact, approx, detail = compare(df, sql, sf)
     assert exact, f"{name}: {detail} (approx_ok={approx})"
