@@ -121,22 +121,84 @@ class CardinalSin:
         (``api/query/prometheus_api.rs:287-340``)."""
         return ["metric_name", *label_columns(self.metrics.schema)]
 
-    def label_values(self, label: str) -> DataFrame:
+    def _metadata_scope(
+        self,
+        match: str | None = None,
+        start_s: float | None = None,
+        end_s: float | None = None,
+    ) -> DataFrame:
+        """Apply the reference's metadata filters (selector matchers + time
+        bounds, ``api/query/prometheus_api.rs:360-535``) to the metrics
+        frame. ``match`` is a PromQL selector (`metric{l op "v", ...}`);
+        its metric name, when present, filters ``metric_name``. Time
+        bounds filter the timestamp and, when the raw ns column exists,
+        add the scan-pushable int64 predicate."""
+        from cardinalsin_spark.functions.core import label_matcher
+        from cardinalsin_spark.operators.promql import (
+            _ns_prefilter,
+            parse_promql,
+        )
+
+        df = self.metrics
+        if match:
+            parsed = parse_promql(match)
+            if parsed.metric_name:
+                df = df.filter(F.col("metric_name") == parsed.metric_name)
+            known = set(self.labels())
+            for m in parsed.label_matchers:
+                if m.label not in known:  # same guard as label_values
+                    raise ValueError(f"unknown label: {m.label}")
+                df = df.filter(label_matcher(m.label, m.op, m.value))
+        if start_s is not None:
+            df = df.filter(
+                F.col("timestamp") >= F.timestamp_seconds(F.lit(start_s))
+            )
+        if end_s is not None:
+            df = df.filter(
+                F.col("timestamp") <= F.timestamp_seconds(F.lit(end_s))
+            )
+        if start_s is not None or end_s is not None:
+            df = _ns_prefilter(df, start_s, end_s)
+        return df
+
+    def label_values(
+        self,
+        label: str,
+        match: str | None = None,
+        start_s: float | None = None,
+        end_s: float | None = None,
+    ) -> DataFrame:
         """`/api/v1/label/<name>/values` — SELECT DISTINCT, validated
         against the schema (the reference's SQL-injection guard,
-        ``api/query/prometheus_api.rs:1239-1250``)."""
+        ``api/query/prometheus_api.rs:1239-1250``), optionally scoped by
+        selector matchers and a time range like the reference
+        (``api/query/prometheus_api.rs:360-405``): a Grafana variable
+        query `label_values(up{env="prod"}, host)` over a dashboard time
+        range hits exactly this."""
         if label not in self.labels():
             raise ValueError(f"unknown label: {label}")
         return (
-            self.metrics.select(label)
+            self._metadata_scope(match, start_s, end_s)
+            .select(label)
             .filter(F.col(label).isNotNull())
             .distinct()
             .orderBy(label)
         )
 
-    def series(self) -> DataFrame:
-        """`/api/v1/series` — DISTINCT over all label columns."""
-        return self.metrics.select(self.labels()).distinct()
+    def series(
+        self,
+        match: str | None = None,
+        start_s: float | None = None,
+        end_s: float | None = None,
+    ) -> DataFrame:
+        """`/api/v1/series` — DISTINCT over all label columns, optionally
+        scoped by matchers + time bounds
+        (``api/query/prometheus_api.rs:428-535``)."""
+        return (
+            self._metadata_scope(match, start_s, end_s)
+            .select(self.labels())
+            .distinct()
+        )
 
     # -- entry point D: streaming --------------------------------------------
 

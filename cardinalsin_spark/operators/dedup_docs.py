@@ -212,15 +212,17 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    # Persist + eager materialize: signatures are the *compressed*
-    # representation (id + a few longs — tiny next to the corpus at any
-    # scale). Lazy persist is not enough for a self-join: both sides start
+    # Eager localCheckpoint: signatures are the *compressed* representation
+    # (id + a few longs — tiny next to the corpus at any scale). A lazy
+    # persist is not enough for a self-join — both sides would start
     # computing the signature aggregate before cache blocks land, doubling
-    # the expensive stage. One count() forces a single materialization.
+    # the expensive stage — and a plain persist leaks: CacheManager pins the
+    # blocks until an explicit unpersist no caller can safely issue on a
+    # frame the result still reads. localCheckpoint materializes once and
+    # the ContextCleaner frees the blocks when the frame is unreferenced.
     banded = sigs.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    ).persist()
-    banded.count()
+    ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -253,7 +255,10 @@ def jaccard_for_pairs(
     Only documents that appear in a candidate pair are exploded (semi-join
     first) — verify cost scales with |candidates|, not corpus size.
     """
-    pairs = pairs.persist()
+    # localCheckpoint, not persist: pairs feed three consumers (semi-join,
+    # intersection join, final left join); eager materialization computes
+    # the LSH pipeline once and the blocks are GC-cleaned when unreferenced
+    pairs = pairs.localCheckpoint()
     sh = exploded_shingles(
         _candidate_docs(df, pairs, id_col), text_col, id_col, shingle_k
     ).distinct()
@@ -270,7 +275,7 @@ def ngram_jaccard_for_pairs(
     """Exact word-n-gram Jaccard for candidate pairs — same verify shape as
     ``jaccard_for_pairs`` but over word n-gram sets instead of char
     shingles."""
-    pairs = pairs.persist()
+    pairs = pairs.localCheckpoint()  # see jaccard_for_pairs
     grams = exploded_word_ngrams(
         _candidate_docs(df, pairs, id_col), n, text_col, id_col
     ).distinct()
@@ -330,6 +335,94 @@ def near_dedup(
         sims.filter(F.col("jaccard") >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components of the similarity pair graph via iterative
+    min-label propagation to fixpoint: every vertex ends with the smallest
+    id reachable from it.
+
+    Each round is one shuffle join (labels onto edges) plus one min-agg;
+    rounds needed = graph diameter (near-dup graphs are shallow — dup
+    clusters are cliques-ish, so this converges in 2-3 rounds in practice).
+    The labels frame is two longs per *paired* doc — tiny next to the
+    corpus at any scale. For adversarial long-chain graphs at 100 TB,
+    swap in the alternating large-star/small-star variant (O(log n)
+    rounds); the fixpoint loop and convergence check stay identical.
+
+    Input: (id_a, id_b) pairs. Output: (id, comp) with comp = min id of
+    the component. Only vertices that appear in a pair are returned.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist): each round's frame must TRUNCATE its
+    # lineage, or the nested logical plan grows per iteration and Catalyst
+    # re-analysis dominates (~minutes by round 7). On a cluster, swap for
+    # reliable checkpoint() if executor loss during the loop matters.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # min label among self and neighbours
+        prop = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "nc")
+            .join(labels.withColumnRenamed("comp", "oc"), "id")
+            .filter(F.col("nc") != F.col("oc"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_cc(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sims: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Transitive-closure near-dedup: one survivor (the minimum id) per
+    connected component of the ≥threshold similarity graph — the pass
+    :func:`near_dedup` documents as missing. Greedy and CC differ when a
+    doc links two otherwise-dissimilar lower-id docs: edges (A,C),(B,C)
+    with A<B<C — greedy keeps A and B, CC recognizes {A,B,C} as one
+    component and keeps only A.
+
+    ``sims`` overrides the internally-computed LSH+Jaccard pair frame
+    (must carry id_a, id_b, jaccard) — used by tests and by pipelines
+    that already verified pairs."""
+    if sims is None:
+        cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+        sims = jaccard_for_pairs(df, cands, text_col, id_col)
+    edges = sims.filter(F.col("jaccard") >= F.lit(threshold)).select("id_a", "id_b")
+    labels = connected_components(edges)
+    losers = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
 

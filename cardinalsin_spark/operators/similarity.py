@@ -117,6 +117,15 @@ def cosine_topk_bruteforce(
     ``queries`` has (query_id, vec). The query set broadcasts; scoring is a
     map-only stage over the corpus; per-query ranking is one window shuffle
     keyed by query_id.
+
+    CONTRACT — small query set only. The crossJoin below is a deliberate
+    cartesian product: cost is corpus × |queries|, so this is the exact
+    *baseline* for a handful of probes (and the recall yardstick for the
+    approximate paths). For query sets that grow with the corpus use
+    :func:`cosine_topk_lsh` (bucketed candidates) or
+    :func:`cosine_topk_ivf` (cell-probed) — at 100 TB this entry is only
+    usable with |queries| small enough to broadcast and to afford a full
+    corpus scan per batch.
     """
     corpus = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
         "norm", F.sqrt(norm2_q(F.col("qv")).cast("double"))
@@ -273,6 +282,7 @@ def ivf_train_centroids(
         )
         for r in rows:
             centroids[r.cell] = [s.m for s in r.ms]
+    df.unpersist()  # the centroids are driver-side numpy; nothing lazy remains
     return centroids
 
 
@@ -413,12 +423,15 @@ def cosine_near_dup_pairs(
     of corpus² — the 100 TB path. Fewer planes ⇒ bigger buckets ⇒ higher
     recall and higher cost (documented approximate-recall trade-off; an
     exact variant is the brute-force cross join)."""
-    # norms precomputed per VECTOR (n rows), not per pair (n² worst case)
+    # norms precomputed per VECTOR (n rows), not per pair (n² worst case);
+    # eager localCheckpoint so the self-join computes them once and the
+    # blocks are GC-cleaned when the result frame is dropped (a bare
+    # persist would pin them in CacheManager with no unpersist site)
     c = (
         df.select(F.col(id_col), quantize(vec_col).alias("qv"))
         .withColumn("bucket", hyperplane_signature(F.col("qv"), dim, n_planes))
         .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
-        .persist()
+        .localCheckpoint()
     )
     a, b = c.alias("a"), c.alias("b")
     return (

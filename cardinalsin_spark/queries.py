@@ -817,6 +817,47 @@ HAVING count(*) >= 5
 """
 
 
+def q_maint_leveled_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+ leveled compaction grouping: chunks ordered by min_timestamp,
+    greedily packed to a 64 KiB target via running-sum window
+    (reference ``metadata/s3.rs:1219-1263``; the sequential greedy loop
+    becomes group_id = floor(cumulative_bytes_before / target))."""
+    from cardinalsin_spark.operators.compaction import leveled_compaction_groups
+
+    chunks = _derived_chunks(spark, sf_dir).withColumn("level", F.lit(1))
+    groups = leveled_compaction_groups(chunks, level=1, target_bytes=65536)
+    return groups.select(
+        "group_id",
+        "n_files",
+        "total_bytes",
+        "min_timestamp",
+        "max_timestamp",
+        F.array_join("chunk_paths", ",").alias("chunk_paths"),
+    )
+
+
+SQL_MAINT_LEVELED_PLAN = f"""
+{_SQL_CHUNKS_CTE},
+cum AS (
+  SELECT chunk_path, min_timestamp, max_timestamp, row_count, size_bytes,
+         coalesce(sum(size_bytes) OVER (
+           ORDER BY min_timestamp, chunk_path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM chunks
+)
+SELECT CAST(cum_before // 65536 AS BIGINT) AS group_id,
+       count(*) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       min(min_timestamp) AS min_timestamp,
+       max(max_timestamp) AS max_timestamp,
+       string_agg(chunk_path, ',' ORDER BY chunk_path) AS chunk_paths
+FROM cum
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY 1
+"""
+
+
 def q_maint_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention: chunks wholly before the cutoff are deletable
     (reference compactor/mod.rs:921-947)."""
@@ -921,6 +962,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),
+    "maint_leveled_plan": (q_maint_leveled_plan, SQL_MAINT_LEVELED_PLAN),
     "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),

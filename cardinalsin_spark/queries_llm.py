@@ -270,6 +270,45 @@ WHERE doc_id NOT IN (SELECT id_b FROM sims WHERE jaccard >= 0.6)
 )
 
 
+def q_docs_near_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dedup: min-id survivor per connected
+    component of the ≥0.6-Jaccard graph (iterative min-label propagation
+    on Spark; recursive CTE in the oracle)."""
+    out = dd.near_dedup_cc(_docs(spark, sf_dir), threshold=0.6)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# The recursive reachability CTE needs the WITH marked RECURSIVE; the shared
+# minhash CTE chain is reused with its WITH keyword upgraded.
+SQL_DOCS_NEAR_DEDUP_CC = (
+    _sql_minhash_cte().replace("WITH shingled", "WITH RECURSIVE shingled", 1)
+    + """
+, sims AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b, id_a FROM sims WHERE jaccard >= 0.6
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM bi
+  UNION
+  SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -718,6 +757,7 @@ REGISTRY_LLM = {
     "docs_lang_id": (q_docs_lang_id, SQL_DOCS_LANG_ID),
     "docs_minhash_pairs": (q_docs_minhash_pairs, SQL_DOCS_MINHASH_PAIRS),
     "docs_near_dedup": (q_docs_near_dedup, SQL_DOCS_NEAR_DEDUP),
+    "docs_near_dedup_cc": (q_docs_near_dedup_cc, SQL_DOCS_NEAR_DEDUP_CC),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),

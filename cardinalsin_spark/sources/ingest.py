@@ -126,9 +126,18 @@ def register_metrics(
 ) -> DataFrame:
     """Register the metrics table (or an empty frame with the default schema
     when nothing has been written yet — reference EmptyTable fallback,
-    ``query/engine.rs:189-205``: `FROM metrics` must never error)."""
+    ``query/engine.rs:189-205``: `FROM metrics` must never error).
+
+    ``mergeSchema`` makes registration schema-evolution-safe: a label
+    column added by a later ingest is visible across old and new files
+    (null where absent) instead of silently disappearing depending on
+    which file Spark samples — the reference re-infers schema per
+    registration (``query/engine.rs:171-177``) and flushes on schema
+    change (``ingester/mod.rs:588-630``). Cost: one footer read per file
+    at registration; at catalog scale you'd persist the merged schema in
+    a metastore and pass it explicitly instead."""
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         df = spark.createDataFrame([], metrics_schema())
     df.createOrReplaceTempView(view_name)

@@ -85,3 +85,69 @@ def test_index_recommendations(engine):
     assert "user" in by_col
     assert by_col["user"]["filter_uses"] >= 2
     assert by_col["user"]["index_type"] in {"inverted", "range", "bloom_filter"}
+
+
+def test_label_values_with_matchers_and_time_bounds(engine, spark, sf_dir):
+    """Reference api/query/prometheus_api.rs:360-405: metadata endpoints
+    accept selector matchers and time bounds — the Grafana variable-query
+    path. Results must equal the directly-filtered distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc)
+    expected = {
+        str(r.user_id)
+        for r in ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit(lo.replace(tzinfo=None)))
+            & (F.col("ts") <= F.lit(hi.replace(tzinfo=None)))
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r.user
+        for r in engine.label_values(
+            "user", match="click", start_s=lo.timestamp(), end_s=hi.timestamp()
+        ).collect()
+    }
+    assert got == expected and 0 < len(got)
+    # unfiltered is a superset
+    all_vals = {r.user for r in engine.label_values("user").collect()}
+    assert got <= all_vals
+    # matcher-scoped series is narrower than the full series set
+    scoped = engine.series(match='click{user=~"1.*"}')
+    assert 0 < scoped.count() < engine.series().count()
+    assert {r.metric_name for r in scoped.collect()} == {"click"}
+    assert all(r.user.startswith("1") for r in scoped.collect())
+    with pytest.raises(ValueError):
+        engine.label_values("user", match='click{bogus="x"}')
+
+
+def test_schema_evolution_two_ingests(spark, sf_dir, tmp_path):
+    """A label column added by a later ingest must stay queryable across
+    old and new files (mergeSchema; reference re-infers schema per
+    registration, query/engine.rs:171-177). Without it the column can
+    silently vanish depending on file pick order."""
+    path = str(tmp_path / "metrics")
+    cs = CardinalSin(spark, path)
+    ev = load_table(spark, sf_dir, "events").limit(2000).cache()
+    n = ev.count()
+    cs.ingest(ev, ts_col="ts_ns", name_col="event_type", value_col="value")
+    cs.ingest(
+        ev, ts_col="ts_ns", name_col="event_type", value_col="value",
+        label_cols={"region": "user_id"},
+    )
+    assert "region" in cs.labels()
+    counts = cs.sql(
+        "SELECT count(*) AS total, count(region) AS with_region FROM metrics"
+    ).first()
+    assert counts.total == 2 * n          # both generations readable
+    assert counts.with_region == n        # old files read the new label as null
+    # the evolved label is usable in predicates and metadata endpoints
+    assert cs.label_values("region").count() > 0
+    some = cs.sql(
+        "SELECT count(*) AS n FROM metrics WHERE region IS NOT NULL"
+    ).first().n
+    assert some == n
+    ev.unpersist()
