@@ -215,6 +215,79 @@ def promql_instant(
     return out.orderBy(*order).limit(1)
 
 
+def _split_top_level_binop(s: str):
+    """Find the rightmost top-level binary arithmetic operator (outside all
+    parens/braces/quotes), honouring PromQL precedence (+- bind looser than
+    */). Returns (left, op, on_labels, right) or None.
+
+    Supports the optional one-to-one matching modifier:
+    ``a / on(l1, l2) b`` — the reference implements NO binary ops at all
+    (its transpiler is selector/agg/rate-shaped only,
+    ``api/query/prometheus_api.rs:744-826``); this is a superset following
+    SURVEY §2.3's join mapping."""
+    s = s.strip()
+    depth = 0
+    in_str: str | None = None
+    candidates: dict[str, int] = {}
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "\"'":
+            in_str = ch
+        elif ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif depth == 0 and ch in "+-*/" and 0 < i < len(s) - 1:
+            # '-' inside a metric name (fallback parse) has no spaces around;
+            # require whitespace context so names like weird-name still parse
+            if s[i - 1].isspace() or s[i + 1].isspace():
+                candidates[ch] = i
+    pos = max((candidates.get(o, -1) for o in "+-"), default=-1)
+    if pos < 0:
+        pos = max((candidates.get(o, -1) for o in "*/"), default=-1)
+    if pos < 0:
+        return None
+    op = s[pos]
+    left, right = s[:pos].strip(), s[pos + 1 :].strip()
+    on_labels: list[str] | None = None
+    m = re.match(r"^on\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
+    if m:
+        on_labels = [x.strip() for x in m.group(1).split(",") if x.strip()]
+        right = m.group(2)
+    return left, op, on_labels, right
+
+
+def _vector_match(
+    lf: DataFrame,
+    rf: DataFrame,
+    op: str,
+    on_labels: list[str] | None,
+    cols: MetricsCols,
+) -> DataFrame:
+    """One-to-one vector matching: inner equi-join on (time_bucket, shared
+    labels) — PromQL drops unmatched samples and the metric name."""
+    shared = sorted(
+        (set(lf.columns) & set(rf.columns)) - {"time_bucket", cols.name, "value"}
+    )
+    keys = ["time_bucket"] + (on_labels if on_labels is not None else shared)
+    l = lf.select(*keys, F.col("value").alias("_lv"))
+    r = rf.select(*keys, F.col("value").alias("_rv"))
+    ops = {
+        "+": F.col("_lv") + F.col("_rv"),
+        "-": F.col("_lv") - F.col("_rv"),
+        "*": F.col("_lv") * F.col("_rv"),
+        "/": F.col("_lv") / F.col("_rv"),
+    }
+    return (
+        l.join(r, keys)
+        .select(*keys, ops[op].alias("value"))
+        .orderBy(*keys)
+    )
+
+
 def promql_range(
     df: DataFrame,
     promql: str,
@@ -241,6 +314,13 @@ def promql_range(
     need a raw-ns column (``ts_ns_col``); if absent it is derived exactly
     from the timestamp via ``unix_micros``.
     """
+    binop = _split_top_level_binop(promql)
+    if binop:
+        left, op, on_labels, right = binop
+        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        return _vector_match(lf, rf, op, on_labels, cols)
+
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols)).filter(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))

@@ -632,6 +632,51 @@ WHERE rn = 1 AND pv IS NOT NULL
 """
 
 
+def q_promql_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL binary op with vector matching:
+    `sum by (user_id) (purchase) / sum by (user_id) (view)` — an equi-join
+    on (time_bucket, shared labels). The reference implements NO binary
+    ops (transpiler is selector/agg/rate-shaped only,
+    ``api/query/prometheus_api.rs:744-826``); superset per SURVEY §2.3's
+    join mapping. Exact-int sums → one float division → deterministic."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) / sum by (user_id) (view)",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_BINARY_RATIO = f"""
+WITH l AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket,
+         CAST(user_id AS VARCHAR) AS user_id,
+         sum({_sql_cents('value')}) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket,
+         CAST(user_id AS VARCHAR) AS user_id,
+         sum({_sql_cents('value')}) AS v
+  FROM events
+  WHERE event_type = 'view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT l.time_bucket, l.user_id, l.v / r.v AS value
+FROM l JOIN r ON l.time_bucket = r.time_bucket AND l.user_id = r.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational pass-through (SURVEY §2.3/§2.7 — joins/set-ops reach the engine
 # through full SQL, same as the reference's DataFusion pass-through)
@@ -713,6 +758,55 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.4 'grouping sets / cube / rollup' —
+    reachable pass-through in the reference via DataFusion SQL; here the
+    native ``df.rollup`` with ``grouping_id`` pinning the level mask).
+    Exact-int sums → deterministic."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+SQL_SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       sum({_sql_cents('l_quantity')}) AS qty_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over the events table (all 4 grouping levels)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.cube("event_type", "user_id")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("gid", "event_type", "user_id")
+    )
+
+
+SQL_SQL_CUBE = """
+SELECT event_type, user_id,
+       CAST(GROUPING(event_type, user_id) AS BIGINT) AS gid,
+       count(*) AS n
+FROM events
+GROUP BY CUBE (event_type, user_id)
 """
 
 
@@ -959,8 +1053,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_instant_topk": (q_promql_instant_topk, SQL_PROMQL_INSTANT_TOPK),
     "promql_rate_faithful": (q_promql_rate_faithful, SQL_PROMQL_RATE_FAITHFUL),
     "promql_irate_faithful": (q_promql_irate_faithful, SQL_PROMQL_IRATE_FAITHFUL),
+    "promql_binary_ratio": (q_promql_binary_ratio, SQL_PROMQL_BINARY_RATIO),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
+    "sql_rollup": (q_sql_rollup, SQL_SQL_ROLLUP),
+    "sql_cube": (q_sql_cube, SQL_SQL_CUBE),
     "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),
     "maint_leveled_plan": (q_maint_leveled_plan, SQL_MAINT_LEVELED_PLAN),
     "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),

@@ -121,6 +121,22 @@ def write_metrics(
     )
 
 
+def split_by_time(
+    df: DataFrame, split_ns: int, ts_ns_col: str = "ts_ns"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a metrics frame into (before, after) at a timestamp point —
+    the reference's batch split during shard-split dual-write
+    (``ingester/mod.rs:455-500``, `take`-kernel partition by split point).
+
+    Two complementary filters on the int64 ns column: both sides push to
+    the parquet scan, so each half reads only its row groups — no shuffle,
+    unlike ``repartitionByRange``. Boundary row (== split_ns) goes to the
+    'after' side, matching the reference's `< split` / `>= split` halves.
+    """
+    c = F.col(ts_ns_col)
+    return df.filter(c < F.lit(split_ns)), df.filter(c >= F.lit(split_ns))
+
+
 def register_metrics(
     spark: SparkSession, path: str, view_name: str = "metrics"
 ) -> DataFrame:

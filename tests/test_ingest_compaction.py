@@ -197,3 +197,26 @@ def test_compact_partition_merges_files(spark, sf_dir, tmp_path):
     after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(after_files) == 1
     assert spark.read.parquet(part).count() == pre_rows
+
+
+def test_split_by_time_partitions_exactly(spark, sf_dir):
+    """Reference ingester/mod.rs:455-500: batch split at a timestamp point.
+    Halves are disjoint, exhaustive, and the boundary row goes right."""
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.sources.ingest import split_by_time
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # pick an EXISTING median-ish ts so the boundary case is exercised
+    # (percentile_approx would round int64 ns through its double sketch)
+    n_half = ev.count() // 2
+    split_ns = ev.orderBy("ts_ns").offset(n_half).limit(1).first().ts_ns
+    before, after = split_by_time(ev, split_ns)
+    n_b, n_a, n = before.count(), after.count(), ev.count()
+    assert n_b + n_a == n and n_b > 0 and n_a > 0
+    assert before.filter(F.col("ts_ns") >= split_ns).count() == 0
+    assert after.filter(F.col("ts_ns") < split_ns).count() == 0
+    # the boundary row itself lands on the 'after' side
+    assert after.filter(F.col("ts_ns") == split_ns).count() == \
+        ev.filter(F.col("ts_ns") == split_ns).count() > 0

@@ -183,3 +183,77 @@ def test_faithful_deriv_runs(spark, sf_dir):
         cols=cols, faithful=True,
     )
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# binary ops with vector matching (superset — the reference has none)
+# ---------------------------------------------------------------------------
+
+
+def test_binop_split_precedence_and_nesting():
+    from cardinalsin_spark.operators.promql import _split_top_level_binop
+
+    l, op, on, r = _split_top_level_binop("sum(a) / sum(b)")
+    assert (l, op, on, r) == ("sum(a)", "/", None, "sum(b)")
+    # +- binds looser: rightmost top-level + wins over /
+    l, op, on, r = _split_top_level_binop("a / b + c")
+    assert (l, op, r) == ("a / b", "+", "c") and on is None
+    # operators inside parens/brackets/braces are not split points
+    assert _split_top_level_binop('rate(requests_total[5m])') is None
+    assert _split_top_level_binop('m{x="a / b"}') is None
+    # dash-in-name fallback is not an operator (no surrounding whitespace)
+    assert _split_top_level_binop("weird-name-with-dashes") is None
+
+
+def test_binop_on_modifier():
+    from cardinalsin_spark.operators.promql import _split_top_level_binop
+
+    l, op, on, r = _split_top_level_binop("sum(a) / on(user_id, host) sum(b)")
+    assert op == "/" and on == ["user_id", "host"] and r == "sum(b)"
+
+
+def test_binop_vector_match_on(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    ev = _ev(spark, sf_dir)
+    cols = MetricsCols(ts="ts", name="event_type", value="value",
+                       labels=("user_id",))
+    start, end = 1704067200.0, 1706745600.0
+    ratio = promql_range(
+        ev,
+        "sum by (user_id) (purchase) / on(user_id) sum by (user_id) (view)",
+        start, end, 86400, cols=cols,
+    )
+    rows = ratio.collect()
+    assert len(rows) > 0
+    assert set(ratio.columns) == {"time_bucket", "user_id", "value"}
+    # spot-check one row against directly computed sums
+    r0 = rows[0]
+    direct = (
+        ev.filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(end)))
+        )
+        .groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+            ).alias("b"),
+            "event_type",
+            "user_id",
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    p = direct.filter(
+        (F.col("b") == r0.time_bucket)
+        & (F.col("event_type") == "purchase")
+        & (F.col("user_id") == r0.user_id)
+    ).first().v
+    v = direct.filter(
+        (F.col("b") == r0.time_bucket)
+        & (F.col("event_type") == "view")
+        & (F.col("user_id") == r0.user_id)
+    ).first().v
+    assert abs(r0.value - p / v) < 1e-9
