@@ -99,3 +99,48 @@ def test_media_features_scan_prunes_blob_metadata(spark, sf_dir):
     feats = mm.image_features(mm.documents_as_media(docs))
     cols = scan_read_schema(feats)
     assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_binary_ratio_broadcasts_and_pushes_both_sides(spark, sf_dir):
+    """Vector matching must plan as a broadcast join of two pre-aggregated
+    sides, each with metric + ns-range predicates at its own scan."""
+    df = _df(spark, sf_dir, "promql_binary_ratio")
+    assert is_broadcast_join(df), plan_string(df, "simple")
+    plan = plan_string(df, "formatted")
+    assert plan.count("EqualTo(event_type,purchase)") == 1
+    assert plan.count("EqualTo(event_type,view)") == 1
+    assert "partial_sum" in plan
+
+
+def test_rollup_partial_aggregates(spark, sf_dir):
+    plan = plan_string(_df(spark, sf_dir, "sql_rollup"), "formatted")
+    assert "Expand" in plan  # grouping-sets expansion, not N scans
+    # one scan feeds all rollup levels (simple form lists each node once)
+    assert plan_string(_df(spark, sf_dir, "sql_rollup"), "simple").count(
+        "FileScan parquet"
+    ) == 1
+    assert "partial_" in plan
+
+
+def test_split_by_time_pushes_both_halves(spark, sf_dir):
+    from cardinalsin_spark.sources.ingest import split_by_time
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    before, after = split_by_time(ev, 1705000000 * 10**9)
+    # the ts_ns predicate aliases back to the stored int64 `ts` column and
+    # reaches the scan on both halves
+    assert any(f.startswith("LessThan(ts") for f in pushed_filters(before))
+    assert any(
+        f.startswith("GreaterThanOrEqual(ts") for f in pushed_filters(after)
+    )
+
+
+def test_faithful_promql_single_window_shuffle(spark, sf_dir):
+    """faithful rate through the transpiler: one window shuffle keyed on the
+    series, one hash agg — no joins, no Python."""
+    df = _df(spark, sf_dir, "promql_rate_faithful")
+    plan = plan_string(df, "simple")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
