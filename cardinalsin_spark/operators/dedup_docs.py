@@ -16,7 +16,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cardinalsin_spark.operators.text import fingerprint, normalize_text, tokens_expr
@@ -337,6 +337,66 @@ def near_dedup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): hash every char k-gram (rolling-hash family), slide a
+    window of ``window`` consecutive hashes, keep each full window's
+    minimum; the distinct kept hashes are the document's fingerprint set.
+    Guarantee: documents sharing a substring of length ≥ k + window − 1
+    share at least one fingerprint. Documents too short for a full window
+    contribute the minimum over what they have (≥1 fingerprint per doc).
+
+    Plan: shingle explode behind a Generate barrier (regexp-normalize once
+    per doc), one window shuffle keyed by doc id, distinct. Fingerprints
+    are ~1/window of the shingle count — the compressed sketch you'd index
+    for containment search at 100 TB."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    n = F.length(F.col("_norm"))
+    sh = (
+        df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+        .select(
+            id_col,
+            "_norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))
+                )
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.col("_norm").substr(F.col("pos"), F.lit(shingle_k)).alias("sh"),
+            F.greatest(
+                F.length("_norm") - F.lit(shingle_k - 1), F.lit(1)
+            ).alias("_n_sh"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        sh.withColumn("_h", portable_hash(0, F.col("sh")))
+        .withColumn("_wmin", F.min("_h").over(w))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("_n_sh") - F.lit(window - 1), F.lit(1))
+        )
+        .select(F.col(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
 
 
 def connected_components(

@@ -8,7 +8,9 @@ SQL string. Supported grammar (exactly the reference's):
 - aggregation: ``agg [by (l1,l2)] (inner)`` for
   sum/avg/count/min/max/stddev/stdvar/topk/bottomk
 - range functions: ``fn(selector[Nu])`` for rate/increase/irate/delta/
-  idelta/deriv, units s/m/h/d
+  idelta/deriv, units s/m/h/d — plus (beyond the reference) the
+  ``*_over_time`` family (sum/avg/min/max/count/stddev/stdvar/last) and
+  binary arithmetic between vector expressions with ``on(...)`` matching
 - selector: ``metric_name{label op "value", ...}`` with ops = != =~ !~
 
 Deviations from the reference (documented, deliberate):
@@ -41,7 +43,9 @@ _AGG_RE = re.compile(
     re.DOTALL,
 )
 _RANGE_FN_RE = re.compile(
-    r"^(rate|increase|irate|delta|idelta|deriv)\s*\((.+)\[(\d+)([smhd])\]\)$",
+    r"^(rate|increase|irate|delta|idelta|deriv"
+    r"|(?:sum|avg|min|max|count|stddev|stdvar|last)_over_time)"
+    r"\s*\((.+)\[(\d+)([smhd])\]\)$",
     re.DOTALL,
 )
 _SELECTOR_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?$")
@@ -341,6 +345,18 @@ def promql_range(
         value = (F.max(cols.value) - F.min(cols.value)) / F.lit(rng)
     elif parsed.function in ("increase", "delta"):
         value = F.max(cols.value) - F.min(cols.value)
+    elif parsed.function is not None and parsed.function.endswith("_over_time"):
+        # the *_over_time family (beyond the reference's grammar): plain
+        # per-bucket aggregation of the sampled values
+        agg = parsed.function[: -len("_over_time")]
+        if agg == "count":
+            value = F.count(F.lit(1))
+        elif agg == "last":
+            # most recent sample in the bucket (deterministic: ties broken
+            # by the value itself, like max_by's tuple comparison)
+            value = F.expr(f"max_by({cols.value}, {cols.ts})")
+        else:
+            value = _agg_column(agg, cols.value)
     elif parsed.function is not None:
         value = F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
     elif parsed.aggregation:

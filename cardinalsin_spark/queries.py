@@ -632,6 +632,44 @@ WHERE rn = 1 AND pv IS NOT NULL
 """
 
 
+def q_promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(view[600s])` + `count_over_time` shape — the
+    *_over_time family the reference's grammar lacks. max/count are exact
+    (no accumulation order), so no rounding is needed."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    mx = promql_range(
+        _events_promql(spark, sf_dir),
+        "max_over_time(view[600s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=600,
+        cols=EV,
+    )
+    cnt = promql_range(
+        _events_promql(spark, sf_dir),
+        "count_over_time(view[600s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=600,
+        cols=EV,
+    ).withColumnRenamed("value", "n")
+    return mx.join(cnt, ["time_bucket", "event_type"]).select(
+        "time_bucket", "event_type", F.col("value").alias("max_value"), "n"
+    )
+
+
+SQL_PROMQL_OVER_TIME = f"""
+SELECT {_sql_bucket(600)} AS time_bucket, event_type,
+       max(value) AS max_value, count(*) AS n
+FROM events
+WHERE event_type = 'view'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_promql_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL binary op with vector matching:
     `sum by (user_id) (purchase) / sum by (user_id) (view)` — an equi-join
@@ -1054,6 +1092,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_rate_faithful": (q_promql_rate_faithful, SQL_PROMQL_RATE_FAITHFUL),
     "promql_irate_faithful": (q_promql_irate_faithful, SQL_PROMQL_IRATE_FAITHFUL),
     "promql_binary_ratio": (q_promql_binary_ratio, SQL_PROMQL_BINARY_RATIO),
+    "promql_over_time": (q_promql_over_time, SQL_PROMQL_OVER_TIME),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "sql_rollup": (q_sql_rollup, SQL_SQL_ROLLUP),

@@ -270,6 +270,36 @@ WHERE doc_id NOT IN (SELECT id_b FROM sims WHERE jaccard >= 0.6)
 )
 
 
+def q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 shingles, window=4): the MOSS rolling
+    fingerprint sketch, ~1/4 the shingle count per doc."""
+    return dd.winnowed_fingerprints(_docs(spark, sf_dir))
+
+
+_WINNOW_W = 4
+
+SQL_DOCS_WINNOW = f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+sh AS (
+  SELECT doc_id, p AS pos,
+         substr(t, CAST(p AS INT), {_SHINGLE_K}) AS sh,
+         greatest(length(t) - {_SHINGLE_K - 1}, 1) AS n_sh
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {_SHINGLE_K - 1}, 1) + 1)) AS p
+        FROM norm)
+),
+wm AS (
+  SELECT doc_id, pos, n_sh,
+         min({_sql_hash("0", "sh")}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM sh
+)
+SELECT DISTINCT doc_id, wmin AS fp FROM wm
+WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1)
+"""
+
+
 def q_docs_near_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure near-dedup: min-id survivor per connected
     component of the ≥0.6-Jaccard graph (iterative min-label propagation
@@ -758,6 +788,7 @@ REGISTRY_LLM = {
     "docs_minhash_pairs": (q_docs_minhash_pairs, SQL_DOCS_MINHASH_PAIRS),
     "docs_near_dedup": (q_docs_near_dedup, SQL_DOCS_NEAR_DEDUP),
     "docs_near_dedup_cc": (q_docs_near_dedup_cc, SQL_DOCS_NEAR_DEDUP_CC),
+    "docs_winnow": (q_docs_winnow, SQL_DOCS_WINNOW),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),

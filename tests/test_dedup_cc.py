@@ -69,3 +69,27 @@ def test_cc_pipeline_subset_of_greedy(spark, sf_dir):
     cc = {r.doc_id for r in near_dedup_cc(docs, threshold=0.6).collect()}
     assert cc <= greedy
     assert len(cc) > 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + window - 1 must share at
+    least one fingerprint; unrelated docs (different alphabets) none."""
+    from cardinalsin_spark.operators.dedup_docs import winnowed_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"AAAA {shared} BBBB"),
+            Row(doc_id=2, text=f"CCCC {shared} DDDD"),
+            Row(doc_id=3, text="0123456789" * 9),
+        ]
+    )
+    fps = winnowed_fingerprints(docs, shingle_k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # short doc still yields at least one fingerprint
+    tiny = spark.createDataFrame([Row(doc_id=9, text="abcdefgh")])
+    assert winnowed_fingerprints(tiny).count() == 1

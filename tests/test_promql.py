@@ -257,3 +257,9 @@ def test_binop_vector_match_on(spark, sf_dir):
         & (F.col("user_id") == r0.user_id)
     ).first().v
     assert abs(r0.value - p / v) < 1e-9
+
+
+def test_over_time_family_parses():
+    for fn in ("sum", "avg", "min", "max", "count", "stddev", "last"):
+        p = parse_promql(f"{fn}_over_time(m[10m])")
+        assert p.function == f"{fn}_over_time" and p.range_seconds == 600.0
