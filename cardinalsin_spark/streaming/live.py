@@ -138,6 +138,28 @@ def session_agg(
     )
 
 
+def streaming_dedup(
+    sdf: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming dual-write dedup: keep the first occurrence per
+    ``(timestamp, metric_name)`` while a shard split dual-writes — the
+    reference does this with an unbounded in-memory hash set for the
+    query's lifetime (``query/dedup.rs:22-113``).
+
+    ``dropDuplicatesWithinWatermark`` is the scale-safe version: dedup
+    state is evicted once the watermark passes a key's event time, so
+    state size is bounded by the (dup-window × ingest rate), not the
+    stream's lifetime. Duplicates in a dual-write arrive within seconds
+    of each other, so a short watermark horizon suffices."""
+    keys = keys or ["timestamp", "metric_name"]
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: reset-aware counter increase across micro-batches
 # ---------------------------------------------------------------------------

@@ -149,3 +149,27 @@ def test_stateful_counter_increase(spark, metrics_df, chunk_dir, tmp_path):
     }
     for m, total in expected.items():
         assert got[m] == pytest.approx(total, rel=1e-9), m
+
+
+def test_streaming_dedup_within_watermark(spark, metrics_df, tmp_path):
+    """Dual-write dedup: two chunk files carrying the SAME rows (a dual
+    write) collapse to one occurrence per (timestamp, metric_name) —
+    reference query/dedup.rs:22-113, state bounded by the watermark here."""
+    from cardinalsin_spark.streaming import streaming_dedup
+
+    base = tmp_path / "dup_chunks"
+    os.makedirs(base)
+    sample = metrics_df.limit(500)
+    for i in range(2):  # same rows written twice = dual write
+        d = str(tmp_path / f"w{i}")
+        sample.coalesce(1).write.parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, src), str(base / f"chunk_{i}.parquet"))
+    sdf = read_metrics_stream(spark, str(base))
+    dedup = streaming_dedup(sdf)
+    name = _run_stream(dedup, "append", tmp_path)
+    got = spark.table(name).count()
+    expected = sample.select("timestamp", "metric_name").distinct().count()
+    assert got == expected
+    # sanity: without dedup the stream carries both copies
+    assert 2 * sample.count() > got
