@@ -526,6 +526,51 @@ WHERE list_dot_product(a.qv, b.qv)
 """
 
 
+def q_emb_near_dup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup GROUPS: connected components over the cosine
+    pair graph (min-id representative per duplicate cluster) — the same
+    fixpoint operator as docs_near_dedup_cc, over embeddings."""
+    from cardinalsin_spark.operators.dedup_docs import connected_components
+
+    pairs = sim.cosine_near_dup_pairs(
+        _emb(spark, sf_dir),
+        dim=64,
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES,
+    ).select("id_a", "id_b")
+    return connected_components(pairs).orderBy("id")
+
+
+SQL_EMB_NEAR_DUP_CC = f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, qv, {_sql_bucket(_NEARDUP_PLANES)} AS bucket FROM c
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.qv, b.qv)
+          / (sqrt(list_dot_product(a.qv, a.qv))
+             * sqrt(list_dot_product(b.qv, b.qv)))
+        >= {_NEARDUP_THRESHOLD}
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM bi
+  UNION
+  SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+)
+SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a ORDER BY a
+"""
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard verification over the MinHash-LSH candidate
     pairs (n-gram variant of the shingle verify)."""
@@ -793,6 +838,7 @@ REGISTRY_LLM = {
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),

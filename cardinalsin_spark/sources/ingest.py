@@ -96,14 +96,19 @@ def write_metrics(
     path: str,
     mode: str = "append",
     target_partitions: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write the metrics frame as ``date=/hour=`` partitioned parquet,
     timestamp-sorted within each file.
 
     ``repartition(date, hour)`` puts each Hive partition's rows in one task
     (one file per partition per write — no small-file explosion at scale; at
-    100 TB you'd raise ``target_partitions`` so each file lands near the
-    reference's L0 250-500 MB target, ``compactor/mod.rs:84-87``).
+    100 TB you'd raise ``target_partitions`` so tasks stay executor-sized).
+    ``max_records_per_file`` caps file size WITHOUT an extra shuffle — the
+    writer rolls to a new (still timestamp-sorted) file at the cap. This is
+    the knob that lands files near the reference's L0 250-500 MB target
+    (``compactor/mod.rs:84-87``): rows_per_file ≈ target_bytes /
+    avg_encoded_row_size.
     """
     out = df.withColumn("date", F.to_date("timestamp")).withColumn(
         "hour", F.hour("timestamp")
@@ -112,13 +117,14 @@ def write_metrics(
         out = out.repartition(target_partitions, "date", "hour")
     else:
         out = out.repartition("date", "hour")
-    (
+    writer = (
         out.sortWithinPartitions("timestamp")
         .write.mode(mode)
         .option("compression", "zstd")
-        .partitionBy("date", "hour")
-        .parquet(path)
     )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("date", "hour").parquet(path)
 
 
 def split_by_time(

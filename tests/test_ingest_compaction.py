@@ -220,3 +220,31 @@ def test_split_by_time_partitions_exactly(spark, sf_dir):
     # the boundary row itself lands on the 'after' side
     assert after.filter(F.col("ts_ns") == split_ns).count() == \
         ev.filter(F.col("ts_ns") == split_ns).count() > 0
+
+
+def test_write_metrics_max_records_per_file(spark, sf_dir, tmp_path):
+    """maxRecordsPerFile rolls files at the cap (the L0 file-size knob)
+    while keeping each file timestamp-sorted."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    path = str(tmp_path / "capped")
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(ev, "ts_ns", "event_type", "value")
+    write_metrics(m, path, mode="overwrite", max_records_per_file=5)
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    assert files
+    capped_partitions = 0
+    for f in files:
+        t = pq.read_table(f, columns=["timestamp"])
+        assert t.num_rows <= 5
+        if t.num_rows == 5:
+            capped_partitions += 1
+        ts = t.column("timestamp").to_pylist()
+        assert ts == sorted(ts)  # still sorted within the rolled file
+    assert capped_partitions > 0  # the cap actually triggered somewhere
