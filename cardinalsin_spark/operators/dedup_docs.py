@@ -37,10 +37,24 @@ def portable_hash(seed: int | Column, s: Column) -> Column:
     ).cast("long")
 
 
-def hash_family_from_md5(md5_col: Column, part: int) -> Column:
-    """One md5 yields two independent 60-bit hash families (hex chars 1-15
-    and 16-30) — halves the md5 calls for a MinHash signature."""
-    return F.conv(F.substring(md5_col, 1 + 15 * part, 15), 16, 10).cast("long")
+# Same prime Spark MLlib's MinHashLSH uses (< 2^31, so i*h2 + h1 stays far
+# inside int64 and both engines compute it exactly).
+MINHASH_PRIME = 2038074743
+
+
+def km_hash_pair(md5_col: Column) -> tuple[Column, Column]:
+    """2-universal base pair from ONE md5: h1 ∈ [0,p), h2 ∈ [1,p) from the
+    two 56-bit halves of the digest. Family i is ``(h1 + i*h2) mod p`` —
+    for i≠j the map (h1,h2) → (s_i, s_j) is a bijection mod the prime, so
+    families are pairwise independent (the plain Kirsch–Mitzenmacher form
+    without the modulus correlates argmins: one small-(h1,h2) shingle wins
+    every family and LSH candidate pairs explode). One md5 per shingle
+    instead of one per family is what makes signature computation a cheap
+    map stage — the md5 dominates; per-family work is an integer FMA+mod."""
+    p = F.lit(MINHASH_PRIME)
+    h1 = F.conv(F.substring(md5_col, 1, 14), 16, 10).cast("long") % p
+    h2 = F.conv(F.substring(md5_col, 15, 14), 16, 10).cast("long") % (p - 1) + 1
+    return h1, h2
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +187,21 @@ def minhash_signatures_df(
     family) at every scale: the aggregate is map-side combinable,
     whole-stage-codegen'd, and the shingle expression is evaluated once per
     row instead of being inlined into every hash family's expression tree
-    (which costs minutes even on tiny data)."""
-    n_md5 = (num_hashes + 1) // 2
+    (which costs minutes even on tiny data).
+
+    Hash families are 2-universal from ONE md5 per shingle: (h1, h2) base
+    pair, family i = (h1 + i*h2) mod p (:func:`km_hash_pair`). md5
+    dominates the stage cost, so this is ~num_hashes/2 cheaper than
+    hashing per family."""
     # no distinct pass: min over the shingle multiset == min over the set
+    h1, h2 = km_hash_pair(F.md5(F.col("sh")))
     sh = exploded_shingles(df, text_col, id_col, shingle_k).select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(str(m)), F.lit(":"), F.col("sh"))).alias(f"m{m}")
-            for m in range(n_md5)
-        ],
+        id_col, h1.alias("h1"), h2.alias("h2")
     )
     aggs = [
-        F.min(hash_family_from_md5(F.col(f"m{i // 2}"), i % 2)).alias(f"s{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"s{i}"
+        )
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -48,12 +48,16 @@ def _sql_hash(seed_expr: str, s_expr: str) -> str:
     )
 
 
-def _sql_hash_family(i: int, s_expr: str) -> str:
-    """Family i = 60-bit slice (chars 1-15 / 16-30) of md5((i//2)||':'||s) —
-    mirrors operators.dedup_docs.hash_family_from_md5."""
+_MINHASH_PRIME = dd.MINHASH_PRIME
+
+
+def _sql_km_pair(m_expr: str) -> str:
+    """[h1, h2] 2-universal base pair from one md5 hex string — mirrors
+    operators.dedup_docs.km_hash_pair (family i = (h1 + i*h2) % prime)."""
     return (
-        f"CAST('0x' || substr(md5('{i // 2}:' || {s_expr}),"
-        f" {1 + 15 * (i % 2)}, 15) AS BIGINT)"
+        f"[CAST('0x' || substr({m_expr}, 1, 14) AS BIGINT) % {_MINHASH_PRIME}, "
+        f"CAST('0x' || substr({m_expr}, 15, 14) AS BIGINT)"
+        f" % {_MINHASH_PRIME - 1} + 1]"
     )
 
 
@@ -187,7 +191,8 @@ def _sql_minhash_cte() -> str:
         f"i -> substr({_SQL_NORM}, CAST(i AS INT), {_SHINGLE_K}))"
     )
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_hash_family(i, 's')})) AS s{i}"
+        f"list_min(list_transform(hp, p -> (p[1] + {i} * p[2])"
+        f" % {_MINHASH_PRIME})) AS s{i}"
         for i in range(_NUM_HASHES)
     )
     band_cols = ", ".join(
@@ -203,8 +208,14 @@ def _sql_minhash_cte() -> str:
 WITH shingled AS (
   SELECT doc_id, {shingles} AS shingles FROM documents
 ),
+hashed AS (
+  SELECT doc_id,
+         list_transform(list_transform(shingles, s -> md5(s)),
+                        m -> {_sql_km_pair('m')}) AS hp
+  FROM shingled
+),
 sigs AS (
-  SELECT doc_id, {sig_cols} FROM shingled
+  SELECT doc_id, {sig_cols} FROM hashed
 ),
 banded AS (
   SELECT doc_id, {band_cols} FROM sigs
