@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from cardinalsin_spark import queries as q
 from cardinalsin_spark.session import get_spark
 
@@ -34,9 +36,18 @@ def main() -> int:
     spark = get_spark(app_name="cardinalsin-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM/codegen paths outside the timed region.
+    # Warm up the JVM/codegen paths and the Python UDF workers outside the
+    # timed region (the first Arrow-batched UDF otherwise pays ~2 s of
+    # worker fork + import inside whichever query hits it first).
     _run_to_completion(
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1)
+    )
+    from cardinalsin_spark.operators.similarity import dot_q_vectorized
+
+    _run_to_completion(
+        spark.range(1)
+        .selectExpr("array(1L, 2L) AS a", "array(3L, 4L) AS b")
+        .select(dot_q_vectorized()(F.col("a"), F.col("b")).alias("d"))
     )
 
     timings: dict[str, float] = {}

@@ -340,14 +340,19 @@ def near_dedup(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sims: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-duplicate removal: drop any doc similar (≥ threshold) to a
     lower-id doc. Single-pass greedy (not transitive closure — documented:
     B dropped for A, C dropped for B but not A, stays dropped; at corpus
-    scale the iterative connected-components pass is a separate job)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
-    sims = jaccard_for_pairs(df, cands, text_col, id_col)
+    scale the iterative connected-components pass is a separate job).
+
+    ``sims`` overrides the internally-computed LSH+Jaccard pair frame
+    (must carry id_a, id_b, jaccard) — pass a precomputed/shared index."""
+    if sims is None:
+        cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+        sims = jaccard_for_pairs(df, cands, text_col, id_col)
     losers = (
         sims.filter(F.col("jaccard") >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
@@ -419,6 +424,7 @@ def winnowed_fingerprints(
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the similarity pair graph via iterative
     min-label propagation to fixpoint: every vertex ends with the smallest
@@ -432,9 +438,22 @@ def connected_components(
     swap in the alternating large-star/small-star variant (O(log n)
     rounds); the fixpoint loop and convergence check stay identical.
 
+    Below ``driver_threshold`` edges (the same kind of size gate as a
+    broadcast-join threshold — ~16 MB of (long, long) rows at the default)
+    the graph is collected once and solved with union-find on the driver:
+    the fixpoint loop costs ≥2 scheduled jobs per round, pure overhead on
+    an index-metadata-sized edge list. Identical output either way (the
+    gate is an execution strategy, not a semantics change).
+
     Input: (id_a, id_b) pairs. Output: (id, comp) with comp = min id of
     the component. Only vertices that appear in a pair are returned.
     """
+    # one full-parallel materialization (limit().collect() would instead
+    # re-run the upstream pipeline through CollectLimit's scale-up probes);
+    # count + collect on the checkpointed blocks are then free
+    pairs = pairs.localCheckpoint()
+    if pairs.count() <= driver_threshold:
+        return _union_find_components(pairs, pairs.collect())
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -473,6 +492,42 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def _union_find_components(pairs: DataFrame, rows) -> DataFrame:
+    """Driver-side union-find over a collected edge list; returns the same
+    (id, comp=min id of component) frame as the distributed fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        m = comp_min.get(root)
+        if m is None or v < m:
+            comp_min[root] = v
+    out = [(v, comp_min[find(v)]) for v in parent]
+    id_type = pairs.schema["id_a"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 def near_dedup_cc(

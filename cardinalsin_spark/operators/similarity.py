@@ -25,6 +25,31 @@ from cardinalsin_spark.operators.dedup_docs import portable_hash
 
 QUANT_SCALE = 1_000_000
 
+# SQL-string forms of the vector primitives. Each plan-build py4j call costs
+# ~1 ms of driver round-trip; the Column-API higher-order functions (lambda
+# creation, per-literal Columns) made a single projection cost hundreds of
+# calls — seconds of driver time per query *before* Catalyst ran. One
+# ``selectExpr`` with generated SQL is a single round-trip and produces the
+# identical expression tree.
+
+
+def sql_quantize(col_sql: str, scale: int = QUANT_SCALE) -> str:
+    """array<float> → array<bigint> on a fixed grid, as a SQL string."""
+    return (
+        f"transform({col_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {scale})"
+        f" AS BIGINT))"
+    )
+
+
+def sql_dot_q(a: str, b: str) -> str:
+    """Exact integer dot product of quantized vectors, as a SQL string."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+
+def sql_norm_q(a: str) -> str:
+    """Euclidean norm of a quantized vector (one float step at the end)."""
+    return f"sqrt(CAST({sql_dot_q(a, a)} AS DOUBLE))"
+
 
 def quantize(vec: Column | str, scale: int = QUANT_SCALE) -> Column:
     """array<float> → array<bigint> on a fixed grid (exact integer math)."""
@@ -54,6 +79,9 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+_DOT_UDF = None
+
+
 def dot_q_vectorized() -> "Column":
     """Arrow-vectorized exact integer dot product (pandas_udf).
 
@@ -63,7 +91,13 @@ def dot_q_vectorized() -> "Column":
     batches pairs through Arrow and runs one ``einsum`` per batch — int64
     all the way (exact: |q|≤1e6·dim ⇒ sums ≪ 2^63), cast to double at the
     end, so results are bit-identical to ``dot_q``. Python UDFs also plan
-    as their own node, so the value is computed exactly once."""
+    as their own node, so the value is computed exactly once.
+
+    The wrapper is built once per process (module cache) — pandas_udf
+    creation is several py4j round-trips of plan-build latency."""
+    global _DOT_UDF
+    if _DOT_UDF is not None:
+        return _DOT_UDF
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -77,6 +111,7 @@ def dot_q_vectorized() -> "Column":
         B = np.stack(b.values).astype(np.int64, copy=False)
         return pd.Series(np.einsum("ij,ij->i", A, B).astype("float64"))
 
+    _DOT_UDF = _dot
     return _dot
 
 
@@ -127,12 +162,13 @@ def cosine_topk_bruteforce(
     usable with |queries| small enough to broadcast and to afford a full
     corpus scan per batch.
     """
-    corpus = df.select(F.col(id_col), quantize(vec_col).alias("qv")).withColumn(
-        "norm", F.sqrt(norm2_q(F.col("qv")).cast("double"))
-    )
+    corpus = df.selectExpr(
+        id_col, f"{sql_quantize(vec_col)} AS qv"
+    ).selectExpr("*", f"{sql_norm_q('qv')} AS norm")
     qs = F.broadcast(
-        queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
-        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
+        queries.selectExpr(
+            query_id_col, f"{sql_quantize(vec_col)} AS qq"
+        ).selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
     )
     scored = (
         corpus.crossJoin(qs)
@@ -160,7 +196,7 @@ def cosine_topk_bruteforce(
 
 
 def hyperplane_signature(
-    vec_q: Column, dim: int, n_planes: int = 8
+    vec_q: Column | str, dim: int, n_planes: int = 8
 ) -> Column:
     """Sign-bit signature against ``n_planes`` deterministic pseudo-random
     ±1 hyperplanes (plane p, dim d → sign from the portable md5 hash).
@@ -168,36 +204,41 @@ def hyperplane_signature(
     Plane signs are row-independent constants, so they are computed ONCE in
     Python (hashlib md5 — bit-identical to the engine hash) and embedded as
     array literals; an expression form would re-hash every dim for every
-    row. Buckets collide for nearby vectors; Hamming-near buckets could be
-    probed for recall — here we use exact-bucket candidates (documented
-    recall trade-off).
+    row. The whole signature is ONE ``F.expr`` over a generated SQL string:
+    a Column-API formulation would create n_planes×dim literal Columns and
+    per-plane lambdas — thousands of py4j round-trips, seconds of driver
+    time per plan build, before Catalyst even sees it. Buckets collide for
+    nearby vectors; Hamming-near buckets could be probed for recall — here
+    we use exact-bucket candidates (documented recall trade-off).
+
+    ``vec_q``: the quantized-vector column, as a name or SQL expression
+    string (a Column is accepted only if it round-trips via its name).
     """
+    return F.expr(sql_hyperplane_signature(vec_q, dim, n_planes))
+
+
+def sql_hyperplane_signature(
+    vec_q: Column | str, dim: int, n_planes: int = 8
+) -> str:
+    """SQL-string form of :func:`hyperplane_signature`."""
     import hashlib
 
-    def _plane(p: int) -> Column:
+    vec_sql = vec_q if isinstance(vec_q, str) else vec_q._jc.toString()
+
+    def _plane_sql(p: int) -> str:
         signs = [
             (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1) * 2 - 1
             for d in range(dim)
         ]
-        return F.array(*[F.lit(s).cast("long") for s in signs])
+        return "array(" + ",".join(f"{s}L" for s in signs) + ")"
 
-    signs = [_plane(p) for p in range(n_planes)]
     bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_q, plane, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for plane in signs
+        f"(CASE WHEN aggregate(zip_with({vec_sql}, {_plane_sql(p)},"
+        f" (x, s) -> x * s), 0L, (acc, x) -> acc + x) >= 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
     ]
-    out = F.lit(0)
-    for i, b in enumerate(bits):
-        out = out + b * F.lit(2**i)
-    return out
+    return " + ".join(bits)
 
 
 def cosine_topk_lsh(
@@ -213,15 +254,19 @@ def cosine_topk_lsh(
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored. Same output shape as brute force (rank gaps show recall loss).
     """
-    corpus = (
-        df.select(F.col(id_col), quantize(vec_col).alias("qv"))
-        .withColumn("bucket", hyperplane_signature(F.col("qv"), dim, n_planes))
-        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
+    corpus = df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv").selectExpr(
+        "*",
+        f"{sql_hyperplane_signature('qv', dim, n_planes)} AS bucket",
+        f"{sql_norm_q('qv')} AS norm",
     )
     qs = F.broadcast(
-        queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
-        .withColumn("bucket", hyperplane_signature(F.col("qq"), dim, n_planes))
-        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
+        queries.selectExpr(
+            query_id_col, f"{sql_quantize(vec_col)} AS qq"
+        ).selectExpr(
+            "*",
+            f"{sql_hyperplane_signature('qq', dim, n_planes)} AS bucket",
+            f"{sql_norm_q('qq')} AS qnorm",
+        )
     )
     scored = (
         corpus.join(qs, "bucket")
@@ -377,17 +422,17 @@ def cosine_topk_ivf(
         return pd.Series(list(idx.astype("int32")))
 
     corpus = (
-        df.select(F.col(id_col), F.col(vec_col), quantize(vec_col).alias("qv"))
+        df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
+        .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
         .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
-        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
         .drop(vec_col)
     )
     qs = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col), quantize(vec_col).alias("qq")
+        queries.selectExpr(
+            query_id_col, vec_col, f"{sql_quantize(vec_col)} AS qq"
         )
+        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
         .withColumn("cells", _probe(F.col(vec_col)))
-        .withColumn("qnorm", F.sqrt(norm2_q(F.col("qq")).cast("double")))
         .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
     )
     scored = (
@@ -428,9 +473,12 @@ def cosine_near_dup_pairs(
     # blocks are GC-cleaned when the result frame is dropped (a bare
     # persist would pin them in CacheManager with no unpersist site)
     c = (
-        df.select(F.col(id_col), quantize(vec_col).alias("qv"))
-        .withColumn("bucket", hyperplane_signature(F.col("qv"), dim, n_planes))
-        .withColumn("norm", F.sqrt(norm2_q(F.col("qv")).cast("double")))
+        df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv")
+        .selectExpr(
+            "*",
+            f"{sql_hyperplane_signature('qv', dim, n_planes)} AS bucket",
+            f"{sql_norm_q('qv')} AS norm",
+        )
         .localCheckpoint()
     )
     a, b = c.alias("a"), c.alias("b")
