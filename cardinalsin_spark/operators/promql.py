@@ -6,12 +6,16 @@ Re-implements the reference's regex-shaped PromQL support (reference
 SQL string. Supported grammar (exactly the reference's):
 
 - aggregation: ``agg [by (l1,l2)] (inner)`` for
-  sum/avg/count/min/max/stddev/stdvar/topk/bottomk
+  sum/avg/count/min/max/stddev/stdvar/topk/bottomk — plus (beyond the
+  reference) ``quantile(φ, inner)`` and ``count_values("lbl", inner)``
 - range functions: ``fn(selector[Nu])`` for rate/increase/irate/delta/
   idelta/deriv, units s/m/h/d — plus (beyond the reference) the
   ``*_over_time`` family (sum/avg/min/max/count/stddev/stdvar/last) and
   binary arithmetic between vector expressions with ``on(...)`` matching
-- selector: ``metric_name{label op "value", ...}`` with ops = != =~ !~
+- selector: ``metric_name{label op "value", ...}`` with ops = != =~ !~,
+  with an optional ``offset Nu`` modifier (beyond the reference)
+- wrappers (beyond the reference): ``label_replace(v, dst, repl, src, re)``,
+  ``label_join(v, dst, sep, src...)``, ``absent(selector)`` (instant)
 
 Deviations from the reference (documented, deliberate):
 - ``topk``/``bottomk`` take their k argument and apply a real LIMIT
@@ -38,7 +42,7 @@ from cardinalsin_spark.functions.core import label_matcher, time_bucket
 from cardinalsin_spark.operators.timeseries import MetricsCols
 
 _AGG_RE = re.compile(
-    r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk)"
+    r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk|quantile|count_values)"
     r"\s*(?:by\s*\(([^)]+)\))?\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -53,6 +57,15 @@ _MATCHER_RE = re.compile(r'(\w+)\s*(=~|!=|!~|=)\s*"([^"]*)"')
 _UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
 # topk/bottomk carry a leading k argument: topk(5, metric)
 _TOPK_K_RE = re.compile(r"^\s*(\d+)\s*,\s*(.+)$", re.DOTALL)
+# quantile carries a leading φ argument: quantile(0.9, metric)
+_QUANTILE_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*,\s*(.+)$", re.DOTALL)
+# count_values carries a leading label-name argument: count_values("v", metric)
+_COUNT_VALUES_RE = re.compile(r'^\s*"([^"]+)"\s*,\s*(.+)$', re.DOTALL)
+# offset modifier on a selector: metric{...}[5m] offset 1h
+_OFFSET_RE = re.compile(r"\s+offset\s+(\d+)([smhd])\b")
+# label-manipulation wrappers (Prometheus functions the reference lacks)
+_LABEL_FN_RE = re.compile(r"^(label_replace|label_join)\s*\((.+)\)$", re.DOTALL)
+_ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
 
 
 @dataclass
@@ -74,11 +87,21 @@ class ParsedPromQL:
     range_seconds: float | None = None
     function: str | None = None
     k: int | None = None
+    q: float | None = None  # quantile φ
+    dst_label: str | None = None  # count_values output label
+    offset_seconds: float = 0.0
 
 
 def parse_promql(promql: str) -> ParsedPromQL:
     promql = promql.strip()
     out = ParsedPromQL()
+
+    # offset modifier: textually stripped first (one offset per vector
+    # expression in this grammar — it attaches to the single selector)
+    om = _OFFSET_RE.search(promql)
+    if om:
+        out.offset_seconds = float(om.group(1)) * _UNIT_SECONDS[om.group(2)]
+        promql = (promql[: om.start()] + promql[om.end() :]).strip()
 
     m = _AGG_RE.match(promql)
     if m:
@@ -91,11 +114,22 @@ def parse_promql(promql: str) -> ParsedPromQL:
             if km:
                 out.k = int(km.group(1))
                 inner = km.group(2)
+        elif out.aggregation == "quantile":
+            qm = _QUANTILE_RE.match(inner)
+            if qm:
+                out.q = float(qm.group(1))
+                inner = qm.group(2)
+        elif out.aggregation == "count_values":
+            cm = _COUNT_VALUES_RE.match(inner)
+            if cm:
+                out.dst_label = cm.group(1)
+                inner = cm.group(2)
         inner_parsed = parse_promql(inner)
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.range_seconds = inner_parsed.range_seconds
         out.function = inner_parsed.function
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
         return out
 
     m = _RANGE_FN_RE.match(promql)
@@ -105,6 +139,7 @@ def parse_promql(promql: str) -> ParsedPromQL:
         inner_parsed = parse_promql(m.group(2))
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
         return out
 
     m = _SELECTOR_RE.match(promql)
@@ -154,9 +189,13 @@ _INSTANT_AGGS = {
 }
 
 
-def _agg_column(agg: str, value_col: str) -> Column:
+def _agg_column(agg: str, value_col: str, q: float | None = None) -> Column:
     if agg == "count":
         return F.count(F.lit(1))
+    if agg == "quantile" and q is not None:
+        # exact interpolated percentile (matches DuckDB quantile_cont /
+        # ANSI percentile_cont on the same sorted values)
+        return F.percentile(F.col(value_col), F.lit(q))
     fn = _INSTANT_AGGS.get(agg, F.avg)  # reference falls back to AVG
     return fn(F.col(value_col))
 
@@ -193,11 +232,47 @@ def promql_instant(
     Aggregated form: one row per (metric, *by) with MAX(ts) as the sample
     timestamp, ordered by value desc. Selector form: latest single sample.
     """
+    am = _ABSENT_RE.match(promql.strip())
+    if am:
+        # absent(selector): 1-sample vector {value: 1} iff the selector
+        # matches nothing in the window, else empty (PromQL semantics;
+        # the reference's transpiler has no function vocabulary at all)
+        inner = promql_instant(df, am.group(1), time_s, cols, tiebreak)
+        return (
+            inner.agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == 0)
+            .select(F.lit(1.0).alias("value"))
+        )
+
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols))
     if time_s is not None:
-        out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(time_s)))
-        out = _ns_prefilter(out, None, time_s)
+        t_eval = time_s - parsed.offset_seconds
+        out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(t_eval)))
+        out = _ns_prefilter(out, None, t_eval)
+
+    if parsed.aggregation == "count_values" and parsed.dst_label is not None:
+        # count_values("lbl", m): one row per distinct sample value, value =
+        # how many series/samples carry it; the sampled value becomes a
+        # label column. Exact (integer counts, group key is the raw value).
+        return (
+            out.groupBy(
+                F.col(cols.name),
+                F.col(cols.value).alias(parsed.dst_label),
+            )
+            .agg(F.count(F.lit(1)).alias("value"))
+            .orderBy(cols.name, parsed.dst_label)
+        )
+
+    if parsed.aggregation == "quantile" and parsed.q is not None:
+        return (
+            out.groupBy(cols.name, *parsed.group_by)
+            .agg(
+                F.max(cols.ts).alias("timestamp_"),
+                _agg_column("quantile", cols.value, parsed.q).alias("value"),
+            )
+            .orderBy(F.desc("value"), cols.name, *parsed.group_by)
+        )
 
     if parsed.aggregation in ("topk", "bottomk") and parsed.k is not None:
         agg_col = _agg_column("avg", cols.value)
@@ -325,12 +400,33 @@ def promql_range(
         rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _vector_match(lf, rf, op, on_labels, cols)
 
+    lm = _LABEL_FN_RE.match(promql.strip())
+    if lm:
+        inner, args = _split_label_fn_args(lm.group(2))
+        res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        return _apply_label_fn(res, lm.group(1), args)
+
     parsed = parse_promql(promql)
+    off = parsed.offset_seconds
     out = df.filter(_selector_filter(parsed, cols)).filter(
-        (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
-        & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+        (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))
+        & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s - off)))
     )
-    out = _ns_prefilter(out, start_s, end_s)
+    out = _ns_prefilter(out, start_s - off, end_s - off)
+    if off:
+        # offset re-aligns the shifted samples onto the query's bucket
+        # grid: ts + offset (exact integer µs shift) so output timestamps
+        # stay in [start, end] like Prometheus's `... offset 5m` evaluation
+        out = out.withColumn(
+            cols.ts,
+            F.timestamp_micros(
+                F.unix_micros(F.col(cols.ts)) + F.lit(int(round(off * 1e6)))
+            ),
+        )
+        if ts_ns_col in out.columns:
+            # the raw-ns column no longer agrees with the shifted timestamp;
+            # drop it so downstream (faithful irate/deriv) re-derives it
+            out = out.drop(ts_ns_col)
     label_cols = discover_label_columns(parsed)
 
     if faithful and parsed.function in ("rate", "irate", "increase", "deriv"):
@@ -365,13 +461,71 @@ def promql_range(
             time_bucket(cols.ts, step_s).alias("time_bucket"),
             F.col(cols.name),
         ] + [F.col(c) for c in parsed.group_by]
-        value = _agg_column(parsed.aggregation, cols.value)
+        value = _agg_column(parsed.aggregation, cols.value, parsed.q)
     else:
         value = F.avg(cols.value)
 
     return (
         df_group_sorted(out, keys, value.alias("value"))
     )
+
+
+def _split_label_fn_args(argstr: str) -> tuple[str, list[str]]:
+    """Split `label_replace`/`label_join` arguments at top level: the first
+    argument is a vector expression (may contain commas inside parens/braces),
+    the rest are quoted string literals."""
+    parts: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    cur: list[str] = []
+    for ch in argstr:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "\"'":
+            in_str = ch
+            cur.append(ch)
+        elif ch in "({[":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")}]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    inner, raw_args = parts[0], parts[1:]
+    return inner, [a.strip().strip('"') for a in raw_args]
+
+
+def _apply_label_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
+    """Post-transform for the label-manipulation functions (Prometheus
+    semantics; the reference implements no functions at all):
+
+    - ``label_replace(v, dst, repl, src, regex)``: if ``regex`` full-matches
+      ``src``, set ``dst`` to ``repl`` with ``$n`` group expansion, else the
+      series is unchanged (``dst`` keeps its value, or the original ``src``
+      row passes through untouched).
+    - ``label_join(v, dst, sep, src...)``: ``dst = concat_ws(sep, src...)``.
+    """
+    if fn == "label_replace":
+        dst, repl, src, regex = args
+        anchored = f"^(?:{regex})$"
+        existing = F.col(dst) if dst in res.columns else F.lit("")
+        return res.withColumn(
+            dst,
+            F.when(
+                F.col(src).rlike(anchored),
+                F.regexp_replace(F.col(src), anchored, repl),
+            ).otherwise(existing),
+        )
+    dst, sep, *srcs = args
+    return res.withColumn(dst, F.concat_ws(sep, *[F.col(s) for s in srcs]))
 
 
 def df_group_sorted(df: DataFrame, keys: list[Column], value: Column) -> DataFrame:

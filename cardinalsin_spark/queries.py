@@ -715,6 +715,155 @@ FROM l JOIN r ON l.time_bucket = r.time_bucket AND l.user_id = r.user_id
 """
 
 
+def q_promql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile by (user_id) (0.9, purchase)` range query — the PromQL
+    quantile aggregation (beyond the reference's agg vocabulary,
+    ``api/query/prometheus_api.rs:756-779``). Exact interpolated percentile
+    over integer cents; one float division + round at the end."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "quantile by (user_id) (0.9, purchase)",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") / F.lit(100.0), 4).alias("value"),
+    )
+
+
+SQL_PROMQL_QUANTILE = f"""
+SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       round(quantile_cont({_sql_cents('value')}, 0.9) / 100.0, 4) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promql_offset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`delta(purchase[30m] offset 1h)` — the offset modifier (beyond the
+    reference's grammar): samples from [start-1h, end-1h] re-aligned onto
+    the query's bucket grid. max-min is exact, no rounding needed."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "delta(purchase[30m] offset 1h)",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=1800,
+        cols=EV,
+    )
+
+
+SQL_PROMQL_OFFSET_DELTA = """
+SELECT TIMESTAMP '1970-01-01' + INTERVAL (CAST(
+         floor((epoch(ts) + 3600) / 1800) * 1800 AS BIGINT)) SECOND
+         AS time_bucket,
+       event_type,
+       max(value) - min(value) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2023-12-31 23:00:00'
+  AND ts <= TIMESTAMP '2024-01-31 23:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`label_replace(sum by (user_id) (purchase), "tier", "u$1",
+    "user_id", "([0-9]+)")` — Prometheus label manipulation (the reference
+    implements no function vocabulary). Anchored full-match regex with
+    group expansion into a new label column."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        'label_replace(sum by (user_id) (purchase), "tier", "u$1",'
+        ' "user_id", "([0-9]+)")',
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        "tier",
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_LABEL_REPLACE = f"""
+SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       regexp_replace(CAST(user_id AS VARCHAR), '^(?:([0-9]+))$', 'u\\1')
+         AS tier,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`count_values("v", purchase)` instant aggregation: one row per
+    distinct sample value with its occurrence count (beyond the
+    reference's agg vocabulary). Exact: integer group key, integer count."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    return promql_instant(
+        _events_promql(spark, sf_dir),
+        'count_values("v", purchase)',
+        time_s=1706745600.0,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_COUNT_VALUES = f"""
+SELECT event_type, {_sql_cents('value')} AS v, count(*) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`absent(no_such_metric)` instant query: a single {value: 1} sample
+    because the selector matches nothing (Prometheus alerting primitive;
+    beyond the reference's grammar)."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    return promql_instant(
+        _events_promql(spark, sf_dir),
+        "absent(no_such_metric)",
+        time_s=1706745600.0,
+        cols=EV,
+    )
+
+
+SQL_PROMQL_ABSENT = """
+SELECT CAST(1.0 AS DOUBLE) AS value
+WHERE (SELECT count(*) FROM events
+       WHERE event_type = 'no_such_metric'
+         AND ts <= TIMESTAMP '2024-02-01 00:00:00') = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational pass-through (SURVEY §2.3/§2.7 — joins/set-ops reach the engine
 # through full SQL, same as the reference's DataFusion pass-through)
@@ -1093,6 +1242,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_irate_faithful": (q_promql_irate_faithful, SQL_PROMQL_IRATE_FAITHFUL),
     "promql_binary_ratio": (q_promql_binary_ratio, SQL_PROMQL_BINARY_RATIO),
     "promql_over_time": (q_promql_over_time, SQL_PROMQL_OVER_TIME),
+    "promql_quantile": (q_promql_quantile, SQL_PROMQL_QUANTILE),
+    "promql_offset_delta": (q_promql_offset_delta, SQL_PROMQL_OFFSET_DELTA),
+    "promql_label_replace": (q_promql_label_replace, SQL_PROMQL_LABEL_REPLACE),
+    "promql_count_values": (q_promql_count_values, SQL_PROMQL_COUNT_VALUES),
+    "promql_absent": (q_promql_absent, SQL_PROMQL_ABSENT),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "sql_rollup": (q_sql_rollup, SQL_SQL_ROLLUP),

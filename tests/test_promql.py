@@ -263,3 +263,102 @@ def test_over_time_family_parses():
     for fn in ("sum", "avg", "min", "max", "count", "stddev", "last"):
         p = parse_promql(f"{fn}_over_time(m[10m])")
         assert p.function == f"{fn}_over_time" and p.range_seconds == 600.0
+
+
+def test_quantile_param_extraction():
+    p = parse_promql("quantile by (host) (0.95, http_latency)")
+    assert p.aggregation == "quantile" and p.q == 0.95
+    assert p.group_by == ["host"] and p.metric_name == "http_latency"
+
+
+def test_count_values_label_extraction():
+    p = parse_promql('count_values("version", build_info)')
+    assert p.aggregation == "count_values" and p.dst_label == "version"
+    assert p.metric_name == "build_info"
+
+
+def test_offset_modifier_parses_everywhere():
+    p = parse_promql("purchase offset 5m")
+    assert p.metric_name == "purchase" and p.offset_seconds == 300.0
+    p = parse_promql("delta(purchase[30m] offset 1h)")
+    assert p.function == "delta" and p.offset_seconds == 3600.0
+    assert p.range_seconds == 1800.0
+    p = parse_promql("sum by (u) (purchase offset 1d)")
+    assert p.aggregation == "sum" and p.offset_seconds == 86400.0
+
+
+def test_offset_range_realigns_buckets(spark, sf_dir):
+    """delta(...[30m] offset 1h) over [start,end] equals delta(...[30m])
+    over [start-1h,end-1h] with buckets shifted forward by 1h."""
+    import pyspark.sql.functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    start, end = 1704067200.0, 1704671999.0
+    shifted = promql_range(
+        ev, "delta(purchase[30m] offset 1h)", start, end, 1800, cols=EV
+    )
+    base = promql_range(
+        ev, "delta(purchase[30m])", start - 3600, end - 3600, 1800, cols=EV
+    ).withColumn(
+        "time_bucket",
+        F.timestamp_seconds(F.unix_timestamp("time_bucket") + F.lit(3600)),
+    )
+    a = {(r.time_bucket, r.value) for r in shifted.collect()}
+    b = {(r.time_bucket, r.value) for r in base.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_label_replace_non_matching_rows_unchanged(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    out = promql_range(
+        ev,
+        'label_replace(sum by (user_id) (purchase), "tier", "u$1",'
+        ' "user_id", "(1[0-9])")',
+        1704067200.0,
+        1704671999.0,
+        86400,
+        cols=EV_CENTS,
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        if len(r.user_id) == 2 and r.user_id.startswith("1"):
+            assert r.tier == "u" + r.user_id
+        else:
+            assert r.tier == ""  # no match -> dst absent (empty)
+
+
+def test_label_join_concatenates(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    out = promql_range(
+        ev,
+        'label_join(sum by (user_id) (purchase), "key", "-",'
+        ' "event_type", "user_id")',
+        1704067200.0,
+        1704671999.0,
+        86400,
+        cols=EV_CENTS,
+    ).limit(5).collect()
+    assert all(r.key == f"{r.event_type}-{r.user_id}" for r in out)
+
+
+def test_absent_present_metric_is_empty(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    assert (
+        promql_instant(ev, "absent(purchase)", time_s=1706745600.0, cols=EV).count()
+        == 0
+    )
+    assert (
+        promql_instant(ev, "absent(nope)", time_s=1706745600.0, cols=EV).count() == 1
+    )
