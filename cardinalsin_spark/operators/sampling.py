@@ -1,0 +1,122 @@
+"""Deterministic sampling / split / filter operators for training-data
+pipelines.
+
+A 100 TB corpus job cannot use nondeterministic sampling (``rand()`` changes
+under retry/AQE re-computation, and a re-run must reproduce the same split):
+every operator here derives its randomness from the portable md5 hash of a
+stable row id, so results are bit-stable across runs, engines, and partition
+layouts, and each doc's assignment is independent of every other row (pure
+narrow map — no shuffle for the split/filter ops).
+
+The reference engine has no sampling surface at all (its product queries are
+scan/filter/aggregate over metrics, ``query/engine.rs:252-256``); these are
+the corpus-preparation operators a training-data pipeline layers on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators.dedup_docs import portable_hash
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    buckets: int = 10_000,
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    ``bucket = portable_hash(seed, id) mod buckets`` → label by cumulative
+    weight thresholds (floor(cum_weight * buckets) boundaries, exact integer
+    compare). Properties that matter at corpus scale:
+
+    - narrow map, zero shuffle: assignment never moves data;
+    - stable under append: adding new docs never re-assigns old ones
+      (unlike ``randomSplit``, which depends on partition layout);
+    - leakage-safe joins: any table keyed by the same id can recompute the
+      split locally instead of joining the assignment.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = portable_hash(seed, F.col(id_col).cast("string")) % F.lit(buckets)
+    expr: Column | None = None
+    cum = 0.0
+    # walk in insertion order; last label catches the remainder so the
+    # thresholds always cover [0, buckets)
+    labels = list(weights)
+    for name in labels[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * buckets)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    fallback = F.lit(labels[-1])
+    out_col = fallback if expr is None else expr.otherwise(fallback)
+    return df.withColumn(label_col, out_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` docs with the
+    smallest ``portable_hash(seed, id)`` per stratum (ties broken by id).
+
+    Hash-ordering makes the sample uniform-without-replacement per stratum
+    yet reproducible. Executes as one shuffle on the strata columns plus a
+    per-partition sort (window ``row_number``); Spark's window TopK pushes
+    a group-limit before the final sort at scale, and a skewed stratum is
+    bounded by the partial `rank <= n` filter AQE applies after the
+    partial sort.
+    """
+    h = portable_hash(seed, F.col(id_col).cast("string"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(n_per_stratum))
+        .drop("_rn")
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_punct_density: float = 0.2,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher-style composite quality gate over the cheap text signals
+    (length / mean word length / symbol density / stopword presence —
+    the standard corpus-filter rule family). Pure built-in expressions,
+    zero UDF, zero shuffle; emits the signal columns plus a ``keep``
+    boolean and the per-rule failure flags so the filter is auditable
+    (a corpus pipeline reports _why_ docs were dropped, not just counts).
+    """
+    from cardinalsin_spark.operators.text import quality_features
+
+    out = quality_features(df, text_col)
+    fails = {
+        "fail_tokens": ~F.col("n_tokens").between(min_tokens, max_tokens),
+        "fail_token_len": ~F.col("avg_token_len").between(
+            min_avg_token_len, max_avg_token_len
+        ),
+        "fail_punct": F.col("punct_density") > F.lit(max_punct_density),
+        "fail_stopwords": F.col("stopword_ratio") < F.lit(min_stopword_ratio),
+    }
+    keep = F.lit(True)
+    for name, cond in fails.items():
+        out = out.withColumn(name, cond)
+        keep = keep & ~cond
+    return out.withColumn("keep", keep)

@@ -865,6 +865,103 @@ FROM ranked WHERE rank <= {_TOPK}
 SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split / quality gate (operators.sampling)
+# ---------------------------------------------------------------------------
+
+
+def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hashed doc_id (90/5/5):
+    zero-shuffle narrow map, stable under corpus append — the reproducible
+    replacement for randomSplit in a training-data pipeline."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    out = smp.split_assign(
+        _docs(spark, sf_dir),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=42,
+    )
+    return out.select("doc_id", "split")
+
+
+SQL_DOCS_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {_sql_hash("'42'", "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 25 smallest-hash docs per
+    language (uniform-without-replacement per stratum, reproducible)."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    out = smp.stratified_sample(
+        _docs(spark, sf_dir), ["lang"], n_per_stratum=25, seed=7
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash("'7'", "CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 25
+"""
+
+
+def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: survivors of the
+    token-count / mean-token-length / punctuation / stopword rules.
+    All signals are int/int single divisions → bit-deterministic."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    out = smp.quality_filter(
+        _docs(spark, sf_dir),
+        min_tokens=20,
+        max_tokens=50_000,
+        min_avg_token_len=2.5,
+        max_avg_token_len=10.0,
+        max_punct_density=0.1,
+        min_stopword_ratio=0.01,
+    )
+    return out.filter(F.col("keep")).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_density"
+    )
+
+
+SQL_DOCS_QUALITY_FILTER = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_SQL_TOKS_RAW}) AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) / len({_SQL_TOKS_RAW})
+           AS avg_token_len,
+         len(list_filter({_SQL_TOKS_RAW},
+             t -> list_contains([{_SQL_EN_SW}], lower(t))))
+           / len({_SQL_TOKS_RAW}) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           / length(text) AS punct_density
+  FROM documents
+)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_density
+FROM s
+WHERE n_tokens BETWEEN 20 AND 50000
+  AND avg_token_len BETWEEN 2.5 AND 10.0
+  AND punct_density <= 0.1
+  AND stopword_ratio >= 0.01
+"""
+
+
 REGISTRY_LLM = {
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
@@ -884,4 +981,10 @@ REGISTRY_LLM = {
     "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "docs_split_assign": (q_docs_split_assign, SQL_DOCS_SPLIT_ASSIGN),
+    "docs_stratified_sample": (
+        q_docs_stratified_sample,
+        SQL_DOCS_STRATIFIED_SAMPLE,
+    ),
+    "docs_quality_filter": (q_docs_quality_filter, SQL_DOCS_QUALITY_FILTER),
 }
