@@ -205,17 +205,27 @@ def _ns_prefilter(
 ) -> DataFrame:
     """Scan-pushable companion to the µs-timestamp range filter.
 
-    Frames carrying the raw ns column get an EXTRA predicate on it: the
-    timestamp comparison is a function of the stored int64 and never
-    reaches the parquet scan, while an int64 comparison prunes row groups.
-    Bounds are widened by 1µs so the (still applied) timestamp filter stays
-    the semantic one — this only prunes I/O, never changes results."""
+    Frames carrying the raw ns column get an EXTRA predicate on it, and
+    frames whose stored column is a native µs timestamp get one on ``ts``:
+    whichever column is stored (int64 ns for TIMESTAMP(NANOS) parquet,
+    timestamp for TIMESTAMP(MICROS)) pushes to row-group stats; the derived
+    twin's predicate is a cheap post-scan filter. Bounds are widened by 1µs
+    so the (still applied) semantic range filter stays authoritative — this
+    only prunes I/O, never changes results."""
     if "ts_ns" not in df.columns:
         return df
+    dtypes = dict(df.dtypes)
+    has_ts = dtypes.get("ts", "").startswith("timestamp")
     if start_s is not None:
-        df = df.filter(F.col("ts_ns") >= int(round(start_s * 1e6)) * 1000)
+        lo_us = int(round(start_s * 1e6))
+        df = df.filter(F.col("ts_ns") >= lo_us * 1000)
+        if has_ts:
+            df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
     if end_s is not None:
-        df = df.filter(F.col("ts_ns") < (int(round(end_s * 1e6)) + 1) * 1000)
+        hi_us = int(round(end_s * 1e6)) + 1
+        df = df.filter(F.col("ts_ns") < hi_us * 1000)
+        if has_ts:
+            df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(hi_us)))
     return df
 
 

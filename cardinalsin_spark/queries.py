@@ -74,6 +74,10 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # µs-precision parquet timestamps must read as LTZ (UTC), not NTZ —
+    # unix_micros() rejects NTZ and LTZ-under-UTC matches DuckDB's naive
+    # timestamps exactly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 
@@ -87,14 +91,23 @@ def _ns_epoch(ts_str: str) -> int:
 
 
 def ns_range_filter(lo: str, hi: str) -> Column:
-    """Time-range predicate on the RAW ns column (``ts_ns``), not the
-    derived µs timestamp: a comparison on ``timestamp_micros(ts div 1000)``
-    is a function of the column and cannot push to the parquet scan, so at
-    scale every row group gets read. Comparing the stored int64 pushes to
-    row-group stats. Equivalent to the timestamp comparison for
-    whole-second bounds."""
-    return (F.col("ts_ns") >= F.lit(_ns_epoch(lo))) & (
-        F.col("ts_ns") < F.lit(_ns_epoch(hi))
+    """Time-range predicate on BOTH the integer ns column (``ts_ns``) and the
+    µs timestamp (``ts``).
+
+    Exactly one of the two is the stored parquet column (int64 for
+    TIMESTAMP(NANOS) sources, native timestamp for TIMESTAMP(MICROS)
+    sources) — the other is derived by ``normalize_event_time`` and a
+    predicate on it cannot reach the scan. Emitting the conjunction
+    guarantees the stored-column half pushes to parquet row-group stats
+    whichever precision the source uses; the derived-column half is a cheap
+    post-scan no-op. The two halves are equivalent for whole-second
+    bounds."""
+    lo_ns, hi_ns = _ns_epoch(lo), _ns_epoch(hi)
+    return (
+        (F.col("ts_ns") >= F.lit(lo_ns))
+        & (F.col("ts_ns") < F.lit(hi_ns))
+        & (F.col("ts") >= F.timestamp_micros(F.lit(lo_ns // 1000)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(-(-hi_ns // 1000))))
     )
 
 

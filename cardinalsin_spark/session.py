@@ -41,6 +41,11 @@ _BASE_CONF = {
     # in the loader (sources.tables.load_events) — keeps exact ns arithmetic
     # available (reference api/query/prometheus_api.rs:971 does integer ns math).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as a plain
+    # UTC TIMESTAMP, not TIMESTAMP_NTZ: integer-time functions (unix_micros)
+    # take LTZ only, and with the session pinned to UTC the value semantics
+    # match DuckDB's naive-timestamp oracle reads bit-for-bit.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Write-side: match the reference's ZSTD-3 parquet encoding
     # (ingester/parquet_writer.rs:24-52).
     "spark.sql.parquet.compression.codec": "zstd",

@@ -138,9 +138,24 @@ def split_by_time(
     the parquet scan, so each half reads only its row groups — no shuffle,
     unlike ``repartitionByRange``. Boundary row (== split_ns) goes to the
     'after' side, matching the reference's `< split` / `>= split` halves.
+
+    When the frame also carries a native µs ``ts`` timestamp (the stored
+    column for TIMESTAMP(MICROS) parquet, where ``ts_ns`` is derived and
+    cannot push), each half gets an extra 1µs-widened predicate on ``ts``
+    so row-group pruning still happens; the ns predicate stays the
+    semantic cut.
     """
     c = F.col(ts_ns_col)
-    return df.filter(c < F.lit(split_ns)), df.filter(c >= F.lit(split_ns))
+    before = df.filter(c < F.lit(split_ns))
+    after = df.filter(c >= F.lit(split_ns))
+    if ts_ns_col == "ts_ns" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        before = before.filter(
+            F.col("ts") < F.timestamp_micros(F.lit(-(-split_ns // 1000)))
+        )
+        after = after.filter(
+            F.col("ts") >= F.timestamp_micros(F.lit(split_ns // 1000))
+        )
+    return before, after
 
 
 def register_metrics(

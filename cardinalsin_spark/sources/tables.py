@@ -46,16 +46,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_time(df: DataFrame) -> DataFrame:
-    """The driver's ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
-    reads as int64 ns under ``spark.sql.legacy.parquet.nanosAsLong``. Keep the
-    exact ns value as ``ts_ns`` and derive the µs-truncated ``ts`` timestamp
-    (same truncation DuckDB applies reading ns into its µs timestamp), so SQL
-    oracles and Spark agree bit-for-bit on time values."""
-    if dict(df.dtypes).get("ts") != "bigint":
-        return df  # already a timestamp (non-ns source)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    """Guarantee both an exact integer ``ts_ns`` column and a µs ``ts``
+    timestamp, whatever precision the source parquet uses.
+
+    - TIMESTAMP(NANOS) sources arrive as int64 ns (under
+      ``spark.sql.legacy.parquet.nanosAsLong``): keep the ns value, derive the
+      µs-truncated timestamp — the same truncation DuckDB applies reading ns
+      into its µs-precision TIMESTAMP, so oracles agree bit-for-bit.
+    - TIMESTAMP(MICROS) sources (the current driver testdata) arrive as a
+      native timestamp: derive ``ts_ns = unix_micros(ts) * 1000`` — exact
+      integer math on the µs grid, matching DuckDB's ``epoch_ns(ts)``.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1_000))
 
 
 def load_tables(
