@@ -35,7 +35,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cardinalsin_spark.functions.core import label_matcher, time_bucket
@@ -596,4 +596,73 @@ def _promql_range_faithful(
         )
     return res.select("time_bucket", cols.name, *series, "value").orderBy(
         "time_bucket", cols.name, *series
+    )
+
+
+# le value standing in for +Inf in cumulative-bucket frames (sorts after
+# every finite bound; arithmetic on it is guarded behind CASE branches).
+LE_INF = 2**62
+
+
+def histogram_quantile_cumulative(
+    buckets: DataFrame,
+    q_num: int,
+    q_den: int,
+    group_cols: list[str],
+    le_col: str = "le",
+    cum_col: str = "cum",
+    value_alias: str = "value",
+    out_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, m_bucket)`` over a cumulative-bucket
+    frame: one row per (group, le) with the cumulative count ``cum`` of
+    samples <= le, including an ``LE_INF`` row (reference parses
+    histogram_quantile but AVG-degrades it,
+    ``api/query/prometheus_api.rs:998-1012``; this is the real algorithm,
+    promql/quantile.go upstream).
+
+    Per group: find the lowest bucket whose cumulative count reaches
+    q·total (compared as ``q_den·cum >= q_num·total`` — exact integers, no
+    float rank), then interpolate linearly inside it:
+    ``lo + (le−lo)·(q·total − cum_prev)/(cum − cum_prev)``. Falls back to
+    the highest finite bound when the quantile lands in the +Inf bucket
+    (Prometheus semantics). The interpolation is floored onto a 10⁻⁶ grid
+    in exact int64 before ONE float division by ``out_scale``, so results
+    hash-match across engines.
+
+    Plan: two stacked windows on the group key (max + lag share a single
+    shuffle), then a filter — no UDFs, no collect.
+    """
+    g = Window.partitionBy(*group_cols)
+    w = g.orderBy(le_col)
+    le = F.col(le_col)
+    cum = F.col(cum_col)
+    annotated = (
+        buckets.withColumn("_total", F.max(cum).over(g))
+        .withColumn("_prev_cum", F.coalesce(F.lag(cum).over(w), F.lit(0)))
+        .withColumn("_prev_le", F.lag(le).over(w))
+        .withColumn("_rank_ok", (F.lit(q_den) * cum) >= (F.lit(q_num) * F.col("_total")))
+    )
+    hit = (
+        annotated.filter(F.col("_rank_ok") & (F.col("_total") > 0))
+        .withColumn(
+            "_rn", F.row_number().over(w)
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    cnt = cum - F.col("_prev_cum")
+    interp_micro = F.expr(
+        f"(coalesce(_prev_le, 0) * {q_den} * ({cum_col} - _prev_cum)"
+        f" + ({le_col} - coalesce(_prev_le, 0)) * ({q_num} * _total - {q_den} * _prev_cum))"
+        f" * 1000000 div ({q_den} * ({cum_col} - _prev_cum))"
+    )
+    micro = (
+        F.when(le >= F.lit(LE_INF), F.col("_prev_le") * F.lit(1_000_000))
+        .when(cnt > 0, interp_micro)
+        .otherwise(F.lit(None))
+    )
+    return (
+        hit.withColumn(value_alias, micro.cast("double") / F.lit(out_scale))
+        .select(*group_cols, value_alias)
+        .orderBy(*group_cols)
     )

@@ -447,3 +447,273 @@ def dedup_first_wins(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+    right_ts_alias: str = "asof_ts",
+    tolerance_s: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: attach to every left row the latest right row with
+    ``right.ts <= left.ts`` per join key (the canonical time-series
+    point-in-time join; DuckDB/Pandas call it ASOF JOIN — the reference's
+    engine has no native equivalent, its PromQL layer sidesteps the need).
+
+    Distributed via the union + last-observation window trick, NOT a range
+    join: tag both sides, union, and run ``last(value, ignorenulls=True)``
+    over (key, ts, side) with right rows sorting before left rows at equal
+    timestamps (at-or-before semantics). ONE shuffle on the join key and a
+    linear scan per partition — no |left|x|right| candidate blowup, no
+    broadcast requirement, so it survives both sides being 100 TB facts.
+    Skewed keys are handled by AQE like any other window shuffle.
+
+    ``right`` must be pre-projected to ``on + [ts_col] + right_value_cols``
+    with names that don't collide with left columns. Ties inside the right
+    side on (key, ts) are resolved by the LAST value column ordering — pass
+    pre-deduped right frames for full determinism (same caveat as DuckDB's
+    ASOF JOIN). ``tolerance_s`` drops matches older than the window;
+    ``how="left"`` keeps unmatched left rows with nulls.
+    """
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in set(on) | {ts_col}
+        ]
+    fill_cols = [right_ts_alias, *right_value_cols]
+    r = (
+        right.select(*on, ts_col, *right_value_cols)
+        .withColumn(right_ts_alias, F.col(ts_col))
+        .withColumn("_asof_side", F.lit(0))
+    )
+    l = left.withColumn("_asof_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in fill_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("_asof_side") == 1).drop("_asof_side")
+    if tolerance_s is not None:
+        in_tol = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(right_ts_alias))
+        ) <= int(tolerance_s * 1_000_000)
+        keep = F.when(in_tol, True).otherwise(False)
+        if how == "inner":
+            out = out.filter(keep)
+        else:
+            out = out.select(
+                *[
+                    F.when(keep, F.col(c)).alias(c) if c in fill_cols else c
+                    for c in out.columns
+                ]
+            )
+    if how == "inner":
+        out = out.filter(F.col(right_ts_alias).isNotNull())
+    return out
+
+
+def gapfill_locf(
+    df: DataFrame,
+    step_seconds: int,
+    start: str,
+    end: str,
+    agg: str = "avg",
+    cols: MetricsCols = MetricsCols(),
+    value_alias: str = "value",
+) -> DataFrame:
+    """Gap-filled bucketed aggregation with last-observation-carried-forward
+    (TimescaleDB's ``time_bucket_gapfill`` + ``locf``; PromQL's range
+    evaluation implies the same staleness-fill the reference approximates
+    by AVG buckets, ``api/query/prometheus_api.rs:969-1012``).
+
+    Shape: (1) one hash-agg shuffle for the bucket aggregation, (2) the
+    dense (series x bucket) grid built with ``sequence`` + ``explode`` ON
+    EXECUTORS from the distinct-series frame (never a driver-side loop —
+    at 1B series the grid is a thin column-wise blowup of the series list,
+    partitioned by series), (3) a left join of grid to aggregates
+    co-partitioned on (series, bucket), (4) a LOCF window per series.
+    Buckets before a series' first observation stay NULL (same as
+    TimescaleDB locf without a lookback prefix).
+
+    ``start``/``end`` are 'YYYY-MM-DD HH:MM:SS' UTC strings; the grid is
+    [start, end) on the ``step_seconds`` grid.
+    """
+    series = [cols.name]
+    bucket = time_bucket(cols.ts, step_seconds).alias("bucket")
+    in_range = (F.col(cols.ts) >= F.lit(start).cast("timestamp")) & (
+        F.col(cols.ts) < F.lit(end).cast("timestamp")
+    )
+    agged = (
+        df.filter(in_range)
+        .groupBy(bucket, *series)
+        .agg(_agg_expr(agg, cols.value).alias("_agg_v"))
+    )
+    step = F.expr(f"INTERVAL {step_seconds} SECONDS")
+    grid = (
+        agged.select(*series)
+        .distinct()
+        .select(
+            *series,
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp"),
+                    F.lit(end).cast("timestamp") - step,
+                    step,
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(agged, on=["bucket", *series], how="left")
+    w = (
+        Window.partitionBy(*series)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("filled", F.col("_agg_v").isNull())
+        .withColumn(value_alias, F.last("_agg_v", ignorenulls=True).over(w))
+        .drop("_agg_v")
+        .select("bucket", *series, value_alias, "filled")
+    )
+
+
+def resets_changes_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL ``resets()`` and ``changes()`` per bucket, summed over
+    ``by`` groups — `sum by (<by>) (resets(m[step]))`. The reference parses
+    both but degrades them to AVG (``api/query/prometheus_api.rs:998-1012``).
+
+    resets = count of samples strictly below their predecessor (counter
+    reset); changes = count of value changes. Exact integer outputs. One
+    window shuffle keyed (bucket, series) + one partial-aggregated groupBy.
+    Ties on ts_ns break on the value column so both engines see the same
+    neighbor order.
+    """
+    series = series or []
+    by = by or [cols.name]
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        F.col(ts_ns_col).alias("_tns"),
+        F.col(cols.value).alias("_v"),
+    )
+    w = Window.partitionBy("bucket", cols.name, *series).orderBy("_tns", "_v")
+    prev = F.lag("_v").over(w)
+    flagged = base.withColumn(
+        "_reset", F.when(F.col("_v") < prev, 1).otherwise(0)
+    ).withColumn("_change", F.when(F.col("_v") != prev, 1).otherwise(0))
+    return (
+        flagged.groupBy("bucket", *by)
+        .agg(
+            F.sum("_reset").alias("resets"),
+            F.sum("_change").alias("changes"),
+        )
+        .orderBy("bucket", *by)
+    )
+
+
+def predict_linear_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    predict_ahead_s: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL ``predict_linear(m[step], t)``: least-squares extrapolation to
+    ``predict_ahead_s`` past each bucket's end (the reference AVG-falls-back,
+    ``api/query/prometheus_api.rs:998-1012``).
+
+    Same exact-int sums as ``deriv_bucketed``; the prediction
+    ``ŷ = (Σy·den + num·(n·x_eval − Σx)) / (n·den)`` is evaluated on a
+    DECIMAL(38) grid (the numerator reaches ~10²⁵, beyond int64) and floored
+    to a 10⁻⁶ grid before ONE float division, so both engines produce the
+    identical long — the same discipline as the faithful irate. Output
+    column ``predicted`` is in the raw value units.
+    """
+    series = series or []
+    step_ns = step_seconds * 10**9
+    x_eval_ms = (step_seconds + predict_ahead_s) * 1000
+    x_ms = F.floor((F.col(ts_ns_col) % F.lit(step_ns)) / F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        x_ms.alias("_x"),
+        F.col(cols.value).cast("long").alias("_y"),
+    )
+    agg = base.groupBy("bucket", cols.name, *series).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    micro = F.expr(
+        "(CAST(_sy AS DECIMAL(38,0)) * _den"
+        f" + CAST(_num AS DECIMAL(38,0)) * (CAST(_n AS DECIMAL(38,0)) * {x_eval_ms} - _sx))"
+        " * 1000000 div (CAST(_n AS DECIMAL(38,0)) * _den)"
+    )
+    return (
+        agg.filter((F.col("_n") >= 2) & (den > 0))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn("predicted", micro.cast("double") / F.lit(1_000_000.0))
+        .select("bucket", cols.name, *series, "predicted")
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
+def stddev_bucketed_exact(
+    df: DataFrame,
+    step_seconds: int,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """PromQL ``stddev``/``stdvar`` aggregation per bucket with exact-int
+    internals: D = n·Σx² − (Σx)² on int64, stdvar_pop = D/n², stddev =
+    sqrt(D)/n. sqrt and the two divisions are IEEE-deterministic on exact
+    inputs, so results hash-match across engines with no rounding step.
+    Values must be integer units (cents)."""
+    by = by or [cols.name]
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        *[F.col(b) for b in by],
+        F.col(cols.value).cast("long").alias("_y"),
+    )
+    agg = base.groupBy("bucket", *by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sy2"),
+    )
+    d = F.col("_n") * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    return (
+        agg.withColumn("_d", d)
+        .withColumn(
+            "stddev", F.sqrt(F.col("_d").cast("double")) / F.col("_n").cast("double")
+        )
+        .withColumn(
+            "stdvar",
+            F.col("_d").cast("double")
+            / (F.col("_n").cast("double") * F.col("_n").cast("double")),
+        )
+        .select("bucket", *by, "stddev", "stdvar")
+        .orderBy("bucket", *by)
+    )

@@ -1228,6 +1228,363 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time joins and gap-filling (SURVEY §2.3/§2.4 superset — the
+# canonical time-series ops Spark lacks natively, built as compositions)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: each purchase event matched to the same user's latest view
+    at-or-before it. Union + LOCF-window formulation — one shuffle on the
+    join key, linear per-partition scan, both sides may be 100 TB facts."""
+    from cardinalsin_spark.operators.timeseries import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["view_value"],
+        right_ts_alias="view_ts",
+    ).select("user_id", "ts", "purchase_value", "view_ts", "view_value")
+
+
+SQL_TS_ASOF_JOIN = """
+SELECT p.user_id, p.ts, p.value AS purchase_value,
+       v.ts AS view_ts, v.value AS view_value
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf: dense hourly grid over 3 days for a
+    sparse slice (3 users), missing buckets carried forward."""
+    from cardinalsin_spark.operators.timeseries import gapfill_locf
+
+    df = _events_cents(spark, sf_dir).filter(F.col("user_id") < 3)
+    out = gapfill_locf(
+        df, 3600, "2024-01-03 00:00:00", "2024-01-06 00:00:00",
+        agg="avg", cols=EV_CENTS,
+    )
+    return out.select(
+        "bucket",
+        "event_type",
+        F.round(F.col("value") / F.lit(100.0), 4).alias("value"),
+        "filled",
+    )
+
+
+SQL_TS_GAPFILL_LOCF = f"""
+WITH src AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE user_id < 3
+    AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+),
+agg AS (SELECT bucket, event_type, avg(vc) AS v FROM src GROUP BY 1, 2),
+series AS (SELECT DISTINCT event_type FROM agg),
+grid AS (
+  SELECT s.event_type, g.bucket
+  FROM series s CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                                  TIMESTAMP '2024-01-06 00:00:00'
+                                    - INTERVAL 3600 SECOND,
+                                  INTERVAL 3600 SECOND)) AS bucket) g
+)
+SELECT g.bucket, g.event_type,
+       round(last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0,
+             4) AS value,
+       (a.v IS NULL) AS filled
+FROM grid g
+LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# PromQL function-surface widening: resets/changes, predict_linear,
+# stddev/stdvar, histogram_quantile (all AVG-degraded in the reference,
+# api/query/prometheus_api.rs:998-1012 — implemented faithfully here)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (event_type) (resets(m[6h]))` + changes(): counter resets and
+    value changes per series (event_type, user_id), summed per type."""
+    from cardinalsin_spark.operators.timeseries import resets_changes_bucketed
+
+    return resets_changes_bucketed(
+        _events_cents(spark, sf_dir),
+        21600,
+        series=["user_id"],
+        by=["event_type"],
+        cols=EV_CENTS,
+    )
+
+
+SQL_TS_RESETS_CHANGES = f"""
+WITH base AS (
+  SELECT {_sql_bucket(21600)} AS bucket, event_type, user_id,
+         {_sql_cents('value')} AS vc, epoch_ns(ts) AS tns
+  FROM events
+),
+lagged AS (
+  SELECT bucket, event_type, vc,
+         lag(vc) OVER (PARTITION BY bucket, event_type, user_id
+                       ORDER BY tns, vc) AS prev
+  FROM base
+)
+SELECT bucket, event_type,
+       CAST(sum(CASE WHEN vc < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+       CAST(sum(CASE WHEN vc <> prev THEN 1 ELSE 0 END) AS BIGINT) AS changes
+FROM lagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_ts_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear(m[1h], 30m): least-squares extrapolation 30 minutes
+    past each bucket end, DECIMAL(38)-grid exact."""
+    from cardinalsin_spark.operators.timeseries import predict_linear_bucketed
+
+    df = predict_linear_bucketed(
+        _events_cents(spark, sf_dir), 3600, 1800, cols=EV_CENTS
+    )
+    return df.select(
+        "bucket",
+        "event_type",
+        (F.col("predicted") / F.lit(100.0)).alias("predicted"),
+    )
+
+
+_PL_XEVAL_MS = (3600 + 1800) * 1000
+
+SQL_TS_PREDICT_LINEAR = f"""
+WITH base AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type,
+         CAST(floor((epoch_ns(ts) % {3600 * 10**9}) / 1000000.0) AS BIGINT) AS x,
+         {_sql_cents('value')} AS y
+  FROM events
+),
+agg AS (
+  SELECT bucket, event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM base GROUP BY 1, 2
+),
+fit AS (
+  SELECT bucket, event_type, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sx2 - sx * sx AS den
+  FROM agg WHERE n >= 2 AND (n * sx2 - sx * sx) > 0
+)
+SELECT bucket, event_type,
+       CAST((CAST(sy AS HUGEINT) * den
+             + CAST(num AS HUGEINT) * (CAST(n AS HUGEINT) * {_PL_XEVAL_MS} - sx))
+            * 1000000 // (CAST(n AS HUGEINT) * den) AS BIGINT)
+         / 1000000.0 / 100.0 AS predicted
+FROM fit ORDER BY bucket, event_type
+"""
+
+
+def q_ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stddev/stdvar aggregation per 6h bucket, exact-int internals
+    (sqrt + two divisions are IEEE-deterministic on exact inputs)."""
+    from cardinalsin_spark.operators.timeseries import stddev_bucketed_exact
+
+    df = stddev_bucketed_exact(
+        _events_cents(spark, sf_dir), 21600, by=["event_type"], cols=EV_CENTS
+    )
+    return df.select(
+        "bucket",
+        "event_type",
+        (F.col("stddev") / F.lit(100.0)).alias("stddev"),
+        (F.col("stdvar") / F.lit(10_000.0)).alias("stdvar"),
+    )
+
+
+SQL_TS_STDDEV = f"""
+WITH agg AS (
+  SELECT {_sql_bucket(21600)} AS bucket, event_type, count(*) AS n,
+         sum({_sql_cents('value')}) AS sy,
+         sum({_sql_cents('value')} * {_sql_cents('value')}) AS sy2
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type,
+       sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+         AS stddev,
+       CAST(n * sy2 - sy * sy AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS stdvar
+FROM agg ORDER BY bucket, event_type
+"""
+
+
+_HQ_LES = [1000, 2500, 5000, 10000, 20000, 50000]
+
+
+def q_promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9, m_bucket) per day per type over synthesized
+    cumulative le-buckets (the events table has no native _bucket metric, so
+    the classic instrumentation shape is built from the raw samples: one
+    conditional-sum pass per le bound, broadcast tiny le dimension)."""
+    from cardinalsin_spark.operators.promql import (
+        LE_INF,
+        histogram_quantile_cumulative,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    le_df = spark.createDataFrame(
+        [(v,) for v in _HQ_LES + [LE_INF]], "le LONG"
+    )
+    b = ev.select(
+        time_bucket("ts", 86400).alias("day"), "event_type", "value_cents"
+    )
+    cum = (
+        b.crossJoin(F.broadcast(le_df))
+        .groupBy("day", "event_type", "le")
+        .agg(
+            F.sum(
+                F.when(F.col("value_cents") <= F.col("le"), 1).otherwise(0)
+            ).alias("cum")
+        )
+    )
+    return histogram_quantile_cumulative(
+        cum, 9, 10, ["day", "event_type"], out_scale=100_000_000.0
+    )
+
+
+SQL_PROMQL_HISTOGRAM_QUANTILE = f"""
+WITH les(le) AS (VALUES (1000), (2500), (5000), (10000), (20000), (50000),
+                        ({2**62})),
+src AS (
+  SELECT {_sql_bucket(86400)} AS day, event_type, {_sql_cents('value')} AS vc
+  FROM events
+),
+b AS (
+  SELECT day, event_type, le,
+         sum(CASE WHEN vc <= le THEN 1 ELSE 0 END) AS cum
+  FROM src CROSS JOIN les GROUP BY 1, 2, 3
+),
+ann AS (
+  SELECT day, event_type, le, cum,
+         max(cum) OVER (PARTITION BY day, event_type) AS total,
+         coalesce(lag(cum) OVER w, 0) AS prev_cum,
+         lag(le) OVER w AS prev_le
+  FROM b WINDOW w AS (PARTITION BY day, event_type ORDER BY le)
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY day, event_type ORDER BY le) AS rn
+  FROM ann WHERE 10 * cum >= 9 * total AND total > 0
+)
+SELECT day, event_type,
+       CAST(CASE WHEN le >= {2**62} THEN prev_le * 1000000
+                 WHEN cum - prev_cum > 0 THEN
+                   (coalesce(prev_le, 0) * 10 * (cum - prev_cum)
+                    + (le - coalesce(prev_le, 0)) * (9 * total - 10 * prev_cum))
+                   * 1000000 // (10 * (cum - prev_cum))
+                 ELSE NULL END AS BIGINT) / 100000000.0 AS value
+FROM hit WHERE rn = 1
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H widening: q6 (filter-agg) and q5-ish (6-table join)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue: exact-int revenue (price cents x
+    discount hundredths, one float division at the end)."""
+    li = _lineitem(spark, sf_dir)
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount")))
+    return f.agg((rev / F.lit(10_000.0)).alias("revenue"))
+
+
+SQL_TPCH_Q6 = f"""
+SELECT sum({_sql_cents('l_extendedprice')} * {_sql_cents('l_discount')})
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier-volume: customer-orders-lineitem-supplier-
+    nation-region star join filtered to one region/year; all dims broadcast
+    (plan test asserts BroadcastHashJoin), revenue on the exact-cents grid."""
+    from cardinalsin_spark.sources.tables import load_tables
+
+    ensure_session_conf(spark)
+    t = load_tables(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    rev = F.sum(
+        cents(F.col("l_extendedprice"))
+        * (F.lit(100) - cents(F.col("l_discount")))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg((rev / F.lit(10_000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_TPCH_Q5ISH = f"""
+SELECT n_name,
+       sum({_sql_cents('l_extendedprice')}
+           * (100 - {_sql_cents('l_discount')})) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1269,6 +1626,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
+    "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
+    "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
+    "ts_resets_changes": (q_ts_resets_changes, SQL_TS_RESETS_CHANGES),
+    "ts_predict_linear": (q_ts_predict_linear, SQL_TS_PREDICT_LINEAR),
+    "ts_stddev": (q_ts_stddev, SQL_TS_STDDEV),
+    "promql_histogram_quantile": (
+        q_promql_histogram_quantile,
+        SQL_PROMQL_HISTOGRAM_QUANTILE,
+    ),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
 }
 
 

@@ -144,3 +144,34 @@ def test_faithful_promql_single_window_shuffle(spark, sf_dir):
     assert "Python" not in plan
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    """The union+LOCF asof formulation must cost exactly ONE exchange (the
+    window shuffle on the join key) — no join operator, no range-join
+    candidate blowup, no Python."""
+    df = _df(spark, sf_dir, "ts_asof_join")
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_tpch_q5ish_all_joins_broadcast(spark, sf_dir):
+    """Every dimension in the 6-table star join stays broadcast — a single
+    SortMergeJoin here would be a 100 TB shuffle regression."""
+    df = _df(spark, sf_dir, "tpch_q5ish")
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 5, plan
+
+
+def test_gapfill_grid_is_executor_side(spark, sf_dir):
+    """The dense (series x bucket) grid must come from sequence+explode on
+    executors (no collected bucket list, no Python), and the bucket
+    aggregation must partial-aggregate map-side."""
+    df = _df(spark, sf_dir, "ts_gapfill_locf")
+    plan = plan_string(df, "formatted")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "partial_" in plan
+    assert "Python" not in plan
