@@ -47,10 +47,21 @@ _AGG_RE = re.compile(
     re.DOTALL,
 )
 _RANGE_FN_RE = re.compile(
-    r"^(rate|increase|irate|delta|idelta|deriv"
+    r"^(rate|increase|irate|delta|idelta|deriv|resets|changes"
     r"|(?:sum|avg|min|max|count|stddev|stdvar|last)_over_time)"
     r"\s*\((.+)\[(\d+)([smhd])\]\)$",
     re.DOTALL,
+)
+# predict_linear carries a trailing horizon argument in seconds:
+# predict_linear(m[1h], 1800)
+_PREDICT_RE = re.compile(
+    r"^predict_linear\s*\((.+)\[(\d+)([smhd])\]\s*,\s*(\d+)\s*\)$", re.DOTALL
+)
+# histogram_quantile carries a leading quantile argument and evaluates over
+# a cumulative-bucket family carrying an `le` label:
+# histogram_quantile(0.9, m_bucket)
+_HISTQ_RE = re.compile(
+    r"^histogram_quantile\s*\(\s*([0-9]*\.?[0-9]+)\s*,\s*(.+)\)$", re.DOTALL
 )
 _SELECTOR_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?$")
 _MATCHER_RE = re.compile(r'(\w+)\s*(=~|!=|!~|=)\s*"([^"]*)"')
@@ -90,6 +101,8 @@ class ParsedPromQL:
     q: float | None = None  # quantile φ
     dst_label: str | None = None  # count_values output label
     offset_seconds: float = 0.0
+    predict_ahead_s: int | None = None  # predict_linear horizon
+    q_str: str | None = None  # histogram_quantile φ as written (exact)
 
 
 def parse_promql(promql: str) -> ParsedPromQL:
@@ -129,6 +142,28 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.label_matchers = inner_parsed.label_matchers
         out.range_seconds = inner_parsed.range_seconds
         out.function = inner_parsed.function
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        return out
+
+    m = _PREDICT_RE.match(promql)
+    if m:
+        out.function = "predict_linear"
+        out.range_seconds = float(m.group(2)) * _UNIT_SECONDS[m.group(3)]
+        out.predict_ahead_s = int(m.group(4))
+        inner_parsed = parse_promql(m.group(1))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        return out
+
+    m = _HISTQ_RE.match(promql)
+    if m:
+        out.function = "histogram_quantile"
+        out.q = float(m.group(1))
+        out.q_str = m.group(1)
+        inner_parsed = parse_promql(m.group(2))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
         return out
 
@@ -260,6 +295,36 @@ def promql_instant(
         t_eval = time_s - parsed.offset_seconds
         out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(t_eval)))
         out = _ns_prefilter(out, None, t_eval)
+
+    if parsed.function == "histogram_quantile" and parsed.q_str is not None:
+        # histogram_quantile(φ, m_bucket): the selector matches a cumulative
+        # bucket family whose `le` label holds integer upper bounds (or
+        # "+Inf"); the instant vector is the latest cumulative count per
+        # (series, le), fed to the exact-integer quantile algorithm. φ is
+        # turned into an exact num/den pair from its decimal spelling so the
+        # rank comparison stays integral.
+        from fractions import Fraction
+
+        frac = Fraction(parsed.q_str)
+        series = [c for c in discover_label_columns(parsed) if c != "le"]
+        latest = (
+            out.groupBy(cols.name, *series, "le")
+            .agg(F.expr(f"max_by({cols.value}, {cols.ts})").alias("cum"))
+            .withColumn(
+                "_le_n",
+                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
+                    F.col("le").cast("long")
+                ),
+            )
+        )
+        return histogram_quantile_cumulative(
+            latest,
+            frac.numerator,
+            frac.denominator,
+            [cols.name, *series],
+            le_col="_le_n",
+            cum_col="cum",
+        )
 
     if parsed.aggregation == "count_values" and parsed.dst_label is not None:
         # count_values("lbl", m): one row per distinct sample value, value =
@@ -439,7 +504,10 @@ def promql_range(
             out = out.drop(ts_ns_col)
     label_cols = discover_label_columns(parsed)
 
-    if faithful and parsed.function in ("rate", "irate", "increase", "deriv"):
+    if faithful and parsed.function in (
+        "rate", "irate", "increase", "deriv",
+        "resets", "changes", "predict_linear",
+    ):
         return _promql_range_faithful(out, parsed, step_s, cols, label_cols, ts_ns_col)
 
     keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
@@ -558,11 +626,14 @@ def _promql_range_faithful(
         deriv_bucketed,
         increase_faithful,
         irate_faithful,
+        predict_linear_bucketed,
         rate_faithful,
+        resets_changes_bucketed,
     )
 
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
-    if parsed.function in ("irate", "deriv") and ts_ns_col not in out.columns:
+    needs_ns = ("irate", "deriv", "resets", "changes", "predict_linear")
+    if parsed.function in needs_ns and ts_ns_col not in out.columns:
         out = out.withColumn(
             ts_ns_col,
             F.unix_micros(F.col(cols.ts).cast("timestamp")) * F.lit(1_000),
@@ -578,6 +649,30 @@ def _promql_range_faithful(
         res, vcol = (
             irate_faithful(out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col),
             "irate",
+        )
+    elif parsed.function in ("resets", "changes"):
+        res, vcol = (
+            resets_changes_bucketed(
+                out,
+                step_s,
+                series=series,
+                by=[cols.name, *series],
+                cols=cols,
+                ts_ns_col=ts_ns_col,
+            ),
+            parsed.function,
+        )
+    elif parsed.function == "predict_linear":
+        res, vcol = (
+            predict_linear_bucketed(
+                out,
+                step_s,
+                parsed.predict_ahead_s or 0,
+                series=series,
+                cols=cols,
+                ts_ns_col=ts_ns_col,
+            ),
+            "predicted",
         )
     else:
         res, vcol = (

@@ -1498,6 +1498,103 @@ ORDER BY day, event_type
 """
 
 
+def q_promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum(resets(click[21600s]))` through the transpiler with
+    ``faithful=True``: per-series (event_type, user_id) counter-reset
+    counts, summed across series — reachable from the SAME PromQL entry
+    point users hit (the reference AVG-degrades unknown functions,
+    ``api/query/prometheus_api.rs:998-1012``)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "sum(resets(click[21600s]))",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,  # 2024-02-01
+        step_s=21600,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+
+
+SQL_PROMQL_RESETS = f"""
+WITH filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type,
+         CAST(user_id AS VARCHAR) AS user_id, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'click'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+lagged AS (
+  SELECT {_sql_bucket(21600)} AS time_bucket, event_type, vc,
+         lag(vc) OVER (PARTITION BY {_sql_bucket(21600)}, event_type, user_id
+                       ORDER BY tns, vc) AS prev
+  FROM filtered
+)
+SELECT time_bucket, event_type,
+       CAST(sum(CASE WHEN vc < prev THEN 1 ELSE 0 END) AS BIGINT) AS value
+FROM lagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`predict_linear(view[3600s], 1800)` through the transpiler: per-series
+    least-squares extrapolation 30 min past each bucket end."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "predict_linear(view[3600s], 1800)",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=3600,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_PREDICT_LINEAR = f"""
+WITH filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type,
+         CAST(user_id AS VARCHAR) AS user_id, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+base AS (
+  SELECT {_sql_bucket(3600)} AS time_bucket, event_type, user_id,
+         CAST(floor((tns % {3600 * 10**9}) / 1000000.0) AS BIGINT) AS x,
+         vc AS y
+  FROM filtered
+),
+agg AS (
+  SELECT time_bucket, event_type, user_id, count(*) AS n, sum(x) AS sx,
+         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM base GROUP BY 1, 2, 3
+),
+fit AS (
+  SELECT time_bucket, event_type, user_id, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sx2 - sx * sx AS den
+  FROM agg WHERE n >= 2 AND (n * sx2 - sx * sx) > 0
+)
+SELECT time_bucket, event_type, user_id,
+       CAST((CAST(sy AS HUGEINT) * den
+             + CAST(num AS HUGEINT) * (CAST(n AS HUGEINT) * {_PL_XEVAL_MS} - sx))
+            * 1000000 // (CAST(n AS HUGEINT) * den) AS BIGINT)
+         / 1000000.0 / 100.0 AS value
+FROM fit ORDER BY time_bucket, event_type, user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H widening: q6 (filter-agg) and q5-ish (6-table join)
 # ---------------------------------------------------------------------------
@@ -1637,6 +1734,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "promql_resets": (q_promql_resets, SQL_PROMQL_RESETS),
+    "promql_predict_linear": (
+        q_promql_predict_linear,
+        SQL_PROMQL_PREDICT_LINEAR,
+    ),
 }
 
 

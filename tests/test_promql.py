@@ -362,3 +362,54 @@ def test_absent_present_metric_is_empty(spark, sf_dir):
     assert (
         promql_instant(ev, "absent(nope)", time_s=1706745600.0, cols=EV).count() == 1
     )
+
+
+def test_parse_predict_linear_and_histq():
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    p = parse_promql('predict_linear(http_reqs{job="api"}[1h], 1800)')
+    assert p.function == "predict_linear"
+    assert p.range_seconds == 3600.0 and p.predict_ahead_s == 1800
+    assert p.metric_name == "http_reqs"
+
+    h = parse_promql('histogram_quantile(0.9, latency_bucket{app="x"})')
+    assert h.function == "histogram_quantile"
+    assert h.q == 0.9 and h.q_str == "0.9"
+    assert h.metric_name == "latency_bucket"
+
+    r = parse_promql("sum(resets(click[6h]))")
+    assert r.aggregation == "sum" and r.function == "resets"
+    assert r.range_seconds == 21600.0
+
+
+def test_histogram_quantile_through_instant_transpiler(spark):
+    """histogram_quantile(0.5, m_bucket) over a synthetic cumulative family:
+    the latest sample per (series, le) feeds the exact quantile algorithm;
+    stale earlier samples must be ignored."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 1, 0)
+    rows = []
+    # stale scrape at t0 (would give a different quantile), fresh at t1:
+    for ts, cums in [(t0, [2, 2, 2]), (t1, [10, 18, 20])]:
+        for le, cum in zip(["100", "200", "+Inf"], cums):
+            rows.append(
+                Row(timestamp=ts, metric_name="lat_bucket", le=le, value=cum)
+            )
+    df = spark.createDataFrame(rows)
+    out = promql_instant(
+        df,
+        "histogram_quantile(0.5, lat_bucket)",
+        time_s=1704067260.0,
+        cols=MetricsCols(),
+    ).collect()
+    # rank = 0.5*20 = 10 -> first bucket (cum 10 >= 10): lo=0, hi=100,
+    # interp = 0 + 100*(10-0)/10 = 100
+    assert len(out) == 1
+    assert out[0].value == 100.0
