@@ -10,7 +10,7 @@ division arithmetic, so results are bit-deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language function-word lexicons for the n-gram/stopword heuristic.
@@ -123,3 +123,105 @@ def fingerprint64(text: Column | str) -> Column:
     """64-bit-ish (60-bit) integer fingerprint — the join/shuffle-friendly
     key for dedup at scale (a long shuffles cheaper than 32-char strings)."""
     return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+
+def gopher_repetition(
+    df: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    duplicate-word fraction and the fraction of characters covered by the
+    most frequent word 2-gram — the repetition filters a training-data
+    pipeline runs before dedup.
+
+    Shape: posexplode the token array, build 2-grams with a lead window
+    (one shuffle on doc_id, linear per doc), count per (doc, 2-gram) with
+    map-side combine, take the per-doc top by (count desc, 2-gram asc —
+    deterministic tie-break), and join back to per-doc totals. All counts
+    are exact ints; each output fraction is a single int/int division, so
+    results are bit-deterministic and oracle-checkable. At corpus scale
+    this is the same explode-shuffle cost profile as MinHash shingling
+    (``dedup_docs.minhash_signatures``).
+    """
+    words = df.select(
+        doc_id,
+        F.length(F.col(text_col)).alias("_chars"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_w"
+        ),
+    )
+    wlead = Window.partitionBy(doc_id).orderBy("_pos")
+    bigrams = words.withColumn(
+        "_bg", F.concat(F.col("_w"), F.lit(" "), F.lead("_w").over(wlead))
+    )
+    counts = (
+        bigrams.filter(F.col("_bg").isNotNull())
+        .groupBy(doc_id, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wtop = Window.partitionBy(doc_id).orderBy(F.desc("_c"), F.asc("_bg"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") == 1)
+        .select(
+            doc_id,
+            F.col("_bg").alias("top_bigram"),
+            F.col("_c").alias("top_bigram_count"),
+        )
+    )
+    stats = words.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.countDistinct("_w").alias("distinct_words"),
+        F.max("_chars").alias("_chars"),
+    )
+    return (
+        stats.join(top, on=doc_id, how="left")
+        .select(
+            doc_id,
+            "total_words",
+            "distinct_words",
+            (
+                (F.col("total_words") - F.col("distinct_words"))
+                / F.col("total_words")
+            ).alias("dup_word_frac"),
+            "top_bigram",
+            "top_bigram_count",
+            (
+                (F.col("top_bigram_count") * F.length("top_bigram"))
+                / F.col("_chars")
+            ).alias("top_bigram_char_frac"),
+        )
+        .orderBy(doc_id)
+    )
+
+
+# PII patterns chosen from the RE2 ∩ Java-regex common dialect so the same
+# string runs identically in Spark and any RE2-based engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Regex PII detection + redaction: per-kind match counts and a
+    scrubbed text with each match replaced by ``<KIND>``. Pure
+    ``regexp_extract_all``/``regexp_replace`` expressions — JVM-side,
+    codegen'd, linear per row; the standard pre-training scrub pass.
+    SSN runs first so phone's digit-run pattern can't eat its groups."""
+    out = df
+    order = ["ssn", "email", "phone"]
+    for kind in order:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    scrub = F.col(text_col)
+    for kind in order:
+        scrub = F.regexp_replace(
+            scrub, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out.withColumn(out_col, scrub)

@@ -717,3 +717,49 @@ def stddev_bucketed_exact(
         .select("bucket", *by, "stddev", "stdvar")
         .orderBy("bucket", *by)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    key_cols: list[str],
+    cols: MetricsCols = MetricsCols(),
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: per key, a new session starts when the gap
+    to the previous event exceeds ``gap_seconds`` (the batch analogue of
+    Structured Streaming's session windows, ``streaming/live.py``
+    session-window path; classic event-analytics operator the reference
+    lacks).
+
+    Two windows over ONE shuffle on the key: lag to flag session starts,
+    running sum to number them; then a partial-aggregated groupBy for the
+    per-session stats. Gap arithmetic is exact integer µs. ``order_tiebreak``
+    columns make the ordering total when timestamps can tie.
+    """
+    tiebreak = order_tiebreak or []
+    w = Window.partitionBy(*key_cols).orderBy(cols.ts, *tiebreak)
+    us = F.unix_micros(F.col(cols.ts))
+    gap_us = gap_seconds * 1_000_000
+    new_sess = F.when(
+        us - F.lag(us).over(w) > F.lit(gap_us), 1
+    ).otherwise(0)
+    numbered = df.withColumn("_new", new_sess).withColumn(
+        "session_idx",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(*key_cols, "session_idx")
+        .agg(
+            F.min(cols.ts).alias("session_start"),
+            F.max(cols.ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                f"(unix_micros(max({cols.ts})) - unix_micros(min({cols.ts})))"
+                " div 1000000"
+            ).alias("duration_s"),
+        )
+        .orderBy(*key_cols, "session_idx")
+    )

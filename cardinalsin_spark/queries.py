@@ -1313,6 +1313,51 @@ LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
 """
 
 
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h gap) per user: session bounds, event
+    count, exact integer duration."""
+    from cardinalsin_spark.operators.timeseries import sessionize
+
+    out = sessionize(
+        _events(spark, sf_dir),
+        7200,
+        key_cols=["user_id"],
+        cols=EV,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_s",
+    )
+
+
+SQL_TS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 7200000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_idx
+  FROM ordered
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM numbered GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # PromQL function-surface widening: resets/changes, predict_linear,
 # stddev/stdvar, histogram_quantile (all AVG-degraded in the reference,
@@ -1734,6 +1779,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
     "promql_resets": (q_promql_resets, SQL_PROMQL_RESETS),
     "promql_predict_linear": (
         q_promql_predict_linear,

@@ -962,7 +962,57 @@ WHERE n_tokens BETWEEN 20 AND 50000
 """
 
 
+def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate-word
+    fraction + characters covered by the top word 2-gram, per document."""
+    from cardinalsin_spark.operators.text import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+SQL_DOCS_GOPHER_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, length(text) AS chars,
+         generate_subscripts(l, 1) AS pos, unnest(l) AS w
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS l
+        FROM documents)
+),
+big AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM words
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM big WHERE bg IS NOT NULL GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, bg, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, bg) AS rn
+    FROM bc) WHERE rn = 1
+),
+st AS (
+  SELECT doc_id, count(*) AS total_words,
+         count(DISTINCT w) AS distinct_words, max(chars) AS chars
+  FROM words GROUP BY 1
+)
+SELECT st.doc_id, st.total_words, st.distinct_words,
+       (st.total_words - st.distinct_words) / st.total_words
+         AS dup_word_frac,
+       top.bg AS top_bigram, top.c AS top_bigram_count,
+       (top.c * length(top.bg)) / st.chars AS top_bigram_char_frac
+FROM st LEFT JOIN top ON st.doc_id = top.doc_id
+ORDER BY st.doc_id
+"""
+
+
 REGISTRY_LLM = {
+    "docs_gopher_repetition": (
+        q_docs_gopher_repetition,
+        SQL_DOCS_GOPHER_REPETITION,
+    ),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
