@@ -505,7 +505,7 @@ def promql_range(
     label_cols = discover_label_columns(parsed)
 
     if faithful and parsed.function in (
-        "rate", "irate", "increase", "deriv",
+        "rate", "irate", "increase", "deriv", "idelta",
         "resets", "changes", "predict_linear",
     ):
         return _promql_range_faithful(out, parsed, step_s, cols, label_cols, ts_ns_col)
@@ -632,7 +632,7 @@ def _promql_range_faithful(
     )
 
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
-    needs_ns = ("irate", "deriv", "resets", "changes", "predict_linear")
+    needs_ns = ("irate", "deriv", "idelta", "resets", "changes", "predict_linear")
     if parsed.function in needs_ns and ts_ns_col not in out.columns:
         out = out.withColumn(
             ts_ns_col,
@@ -649,6 +649,15 @@ def _promql_range_faithful(
         res, vcol = (
             irate_faithful(out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col),
             "irate",
+        )
+    elif parsed.function == "idelta":
+        from cardinalsin_spark.operators.timeseries import idelta_faithful
+
+        res, vcol = (
+            idelta_faithful(
+                out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col
+            ),
+            "idelta",
         )
     elif parsed.function in ("resets", "changes"):
         res, vcol = (

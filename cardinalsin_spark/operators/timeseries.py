@@ -763,3 +763,42 @@ def sessionize(
         )
         .orderBy(*key_cols, "session_idx")
     )
+
+
+def idelta_faithful(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL ``idelta``: the SIGNED difference of the last two samples per
+    (bucket, series) — a gauge function, so unlike irate there is no
+    counter-reset clamp (reference AVG-falls-back,
+    ``api/query/prometheus_api.rs:998-1012``). Exact integer output for
+    integer value columns. Same single-window plan as irate_faithful."""
+    series = series or []
+    bucket = time_bucket(cols.ts, step_seconds).alias("bucket")
+    base = df.select(
+        bucket,
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        F.col(ts_ns_col).alias("_ts_ns"),
+        F.col(cols.value).alias("_v"),
+    )
+    w = Window.partitionBy("bucket", cols.name, *series).orderBy("_ts_ns")
+    wdesc = Window.partitionBy("bucket", cols.name, *series).orderBy(
+        F.desc("_ts_ns")
+    )
+    return (
+        base.withColumn("_prev_v", F.lag("_v").over(w))
+        .withColumn("_rn", F.row_number().over(wdesc))
+        .filter((F.col("_rn") == 1) & F.col("_prev_v").isNotNull())
+        .select(
+            "bucket",
+            cols.name,
+            *series,
+            (F.col("_v") - F.col("_prev_v")).alias("idelta"),
+        )
+        .orderBy("bucket", cols.name, *series)
+    )

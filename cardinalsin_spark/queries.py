@@ -1640,6 +1640,52 @@ FROM fit ORDER BY time_bucket, event_type, user_id
 """
 
 
+def q_promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`idelta(error[86400s])` through the transpiler: signed last-two-samples
+    delta per (1d bucket, event_type, user_id) — gauge semantics, no reset
+    clamp."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "idelta(error[86400s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_IDELTA = f"""
+WITH filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type,
+         CAST(user_id AS VARCHAR) AS user_id, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'error'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+lagged AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket, event_type, user_id, vc,
+         lag(vc) OVER (PARTITION BY {_sql_bucket(86400)}, event_type, user_id
+                       ORDER BY tns) AS prev,
+         row_number() OVER (PARTITION BY {_sql_bucket(86400)}, event_type,
+                            user_id ORDER BY tns DESC) AS rn
+  FROM filtered
+)
+SELECT time_bucket, event_type, user_id, (vc - prev) / 100.0 AS value
+FROM lagged WHERE rn = 1 AND prev IS NOT NULL
+ORDER BY time_bucket, event_type, user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H widening: q6 (filter-agg) and q5-ish (6-table join)
 # ---------------------------------------------------------------------------
@@ -1785,6 +1831,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_predict_linear,
         SQL_PROMQL_PREDICT_LINEAR,
     ),
+    "promql_idelta": (q_promql_idelta, SQL_PROMQL_IDELTA),
 }
 
 

@@ -4,6 +4,7 @@ from cardinalsin_spark.streaming.live import (
     read_metrics_stream,
     session_agg,
     stateful_counter_increase,
+    stream_enrich,
     streaming_dedup,
     windowed_agg,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_metrics_stream",
     "session_agg",
     "stateful_counter_increase",
+    "stream_enrich",
     "streaming_dedup",
     "windowed_agg",
 ]

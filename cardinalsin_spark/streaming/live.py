@@ -236,3 +236,22 @@ def stateful_counter_increase(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_enrich(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to every
+    live row (the reference's streaming layer exposes raw rows only —
+    ``query/streaming.rs`` has no join surface; SURVEY §2.9 superset).
+
+    Spark executes a stream-static join per micro-batch with the static
+    side broadcast (no state store, no watermark requirement — the static
+    side is re-read each batch, so a refreshed dim table is picked up).
+    At 100 TB the static side must stay broadcast-sized (dims, not facts);
+    stream-stream joins with watermarks are the fact-to-fact path.
+    """
+    return sdf.join(F.broadcast(dim), on=on, how=how)

@@ -173,3 +173,29 @@ def test_streaming_dedup_within_watermark(spark, metrics_df, tmp_path):
     assert got == expected
     # sanity: without dedup the stream carries both copies
     assert 2 * sample.count() > got
+
+
+def test_stream_enrich_matches_batch_join(spark, metrics_df, chunk_dir, tmp_path):
+    """Stream-static enrichment: every live row picks up its dimension
+    attributes; totals equal the equivalent batch broadcast join."""
+    from cardinalsin_spark.streaming import stream_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+         ("signup", "growth"), ("error", "ops")],
+        "metric_name string, category string",
+    )
+    sdf = stream_enrich(read_metrics_stream(spark, chunk_dir), dim,
+                        on=["metric_name"])
+    name = _run_stream(sdf, "append", tmp_path)
+    got = {
+        r.category: r.n
+        for r in spark.table(name)
+        .groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expected = {
+        r.category: r.n
+        for r in metrics_df.join(dim, on=["metric_name"], how="left")
+        .groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected and sum(got.values()) == metrics_df.count()
