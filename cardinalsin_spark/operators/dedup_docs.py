@@ -610,3 +610,44 @@ def simhash(
         .groupBy(id_col)
         .agg(F.sum("bit_val").alias("simhash"))
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    assign: DataFrame,
+    train_label: str = "train",
+    test_label: str = "test",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    window: int = 4,
+    split_col: str = "split",
+) -> DataFrame:
+    """Benchmark-decontamination check: test-split documents sharing at
+    least one winnowing fingerprint (≥ k+window−1 char substring) with any
+    train-split document, with the shared-fingerprint count — the standard
+    n-gram-overlap contamination audit a training-data pipeline runs before
+    an eval release (GPT-3 appendix C / PaLM §7 style, built from public
+    winnowing).
+
+    Shape: fingerprints once over the whole corpus (shingle explode + one
+    window shuffle), split labels join in (zero-shuffle hash assignment),
+    then a broadcast-friendly semi-join of test fingerprints against the
+    distinct train fingerprint set. Everything is exact integer hashing —
+    no probabilistic misses beyond winnowing's guarantee."""
+    fps = winnowed_fingerprints(
+        df, shingle_k=shingle_k, window=window, text_col=text_col, id_col=id_col
+    )
+    labeled = fps.join(
+        assign.select(id_col, split_col), on=id_col, how="inner"
+    )
+    train_fps = (
+        labeled.filter(F.col(split_col) == train_label).select("fp").distinct()
+    )
+    return (
+        labeled.filter(F.col(split_col) == test_label)
+        .join(train_fps, on="fp", how="leftsemi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("fp").alias("n_shared_fps"))
+        .orderBy(id_col)
+    )

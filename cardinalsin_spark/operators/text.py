@@ -225,3 +225,47 @@ def pii_scrub(
             scrub, PII_PATTERNS[kind], f"<{kind.upper()}>"
         )
     return out.withColumn(out_col, scrub)
+
+
+def corpus_frequency_score(
+    df: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document corpus-frequency quality signals: mean corpus frequency
+    of the document's words and the fraction of below-average-frequency
+    ("rare") words — the unigram-LM perplexity proxy that avoids log()
+    (libm rounding differs across engines; integer frequency sums don't).
+
+    Two-pass shape: global word counts (one map-side-combined groupBy over
+    the exploded corpus — the "build the unigram LM" pass), then a
+    frequency join back to the exploded words and a per-doc aggregation.
+    "Rare" is the scale-invariant integer comparison
+    ``count(word) * |vocab| < |corpus tokens|`` (below the mean token
+    frequency), so the signal is stable across corpus sizes. At 100 TB the
+    global count table is vocab-sized (broadcastable); everything else is
+    linear explode + two shuffles.
+    """
+    words = df.select(
+        doc_id, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    )
+    counts = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_gc"))
+    totals = counts.agg(
+        F.sum("_gc").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    joined = (
+        words.join(F.broadcast(counts), on="_w")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_rare",
+            F.when(F.col("_gc") * F.col("_vocab") < F.col("_total"), 1).otherwise(0),
+        )
+    )
+    return (
+        joined.groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_rare").alias("n_rare"),
+            (F.sum("_rare") / F.count(F.lit(1))).alias("rare_frac"),
+            (F.sum("_gc") / F.count(F.lit(1))).alias("mean_corpus_freq"),
+        )
+        .orderBy(doc_id)
+    )

@@ -318,8 +318,10 @@ def q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_W = 4
 
-SQL_DOCS_WINNOW = f"""
-WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+# Shared winnowing CTE body (norm → shingles → window-min → distinct fp),
+# reused by the fingerprint listing and the contamination audit.
+_SQL_WINNOW_BODY = f"""
+norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
 sh AS (
   SELECT doc_id, p AS pos,
          substr(t, CAST(p AS INT), {_SHINGLE_K}) AS sh,
@@ -334,9 +336,15 @@ wm AS (
            PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin
   FROM sh
-)
-SELECT DISTINCT doc_id, wmin AS fp FROM wm
-WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1)
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wm
+  WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1)
+)"""
+
+SQL_DOCS_WINNOW = f"""
+WITH {_SQL_WINNOW_BODY}
+SELECT doc_id, fp FROM fp
 """
 
 
@@ -962,6 +970,71 @@ WHERE n_tokens BETWEEN 20 AND 50000
 """
 
 
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split docs sharing a winnowing
+    fingerprint (>= 11-char substring) with any train-split doc, with the
+    shared-fingerprint count."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    docs = _docs(spark, sf_dir)
+    assign = smp.split_assign(
+        docs, weights={"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    return dd.cross_split_contamination(docs, assign)
+
+
+SQL_DOCS_CONTAMINATION = f"""
+WITH {_SQL_WINNOW_BODY},
+split AS (
+  SELECT doc_id,
+         CASE WHEN b < 9000 THEN 'train'
+              WHEN b < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           {_sql_hash("'42'", "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+    FROM documents
+  )
+),
+labeled AS (
+  SELECT fp.doc_id, fp.fp, split.split
+  FROM fp JOIN split ON fp.doc_id = split.doc_id
+),
+train_fp AS (SELECT DISTINCT fp FROM labeled WHERE split = 'train')
+SELECT doc_id, count(DISTINCT fp) AS n_shared_fps
+FROM labeled
+WHERE split = 'test' AND fp IN (SELECT fp FROM train_fp)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_docs_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency quality signals per doc: mean corpus word
+    frequency + below-average-frequency word fraction (log-free perplexity
+    proxy, exact integer internals)."""
+    from cardinalsin_spark.operators.text import corpus_frequency_score
+
+    return corpus_frequency_score(_docs(spark, sf_dir))
+
+
+SQL_DOCS_RARE_WORDS = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+counts AS (SELECT w, count(*) AS gc FROM words GROUP BY 1),
+totals AS (SELECT sum(gc) AS total, count(*) AS vocab FROM counts)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(CASE WHEN gc * vocab < total THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       sum(CASE WHEN gc * vocab < total THEN 1 ELSE 0 END) / count(*)
+         AS rare_frac,
+       sum(gc) / count(*) AS mean_corpus_freq
+FROM words JOIN counts USING (w) CROSS JOIN totals
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate-word
     fraction + characters covered by the top word 2-gram, per document."""
@@ -1009,6 +1082,8 @@ ORDER BY st.doc_id
 
 
 REGISTRY_LLM = {
+    "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
+    "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
     "docs_gopher_repetition": (
         q_docs_gopher_repetition,
         SQL_DOCS_GOPHER_REPETITION,
