@@ -193,3 +193,98 @@ def test_otlp_to_metrics_label_pivot(spark):
          + F.col("value_u64").isNotNull().cast("int")) != 1
     ).count()
     assert n_bad == 0
+
+
+# ---------------------------------------------------------------------------
+# InfluxDB line protocol
+# ---------------------------------------------------------------------------
+
+
+def test_line_protocol_multi_field_and_routing(spark):
+    from cardinalsin_spark.sources.line_protocol import lines_to_metrics
+
+    lines = spark.createDataFrame(
+        [
+            ("cpu,host=a,region=us usage=0.5,count=3i 1700000000000000100",),
+            ("mem value=12.5 1700000000000000000",),
+            ("disk,host=b free=-42i",),
+        ],
+        "line string",
+    )
+    rows = {r.metric_name: r for r in lines_to_metrics(lines, default_ts_ns=7).collect()}
+    # multi-field lines explode into measurement_field names
+    assert set(rows) == {"cpu_usage", "cpu_count", "mem", "disk_free"}
+    assert rows["cpu_usage"].value_f64 == 0.5 and rows["cpu_usage"].value_i64 is None
+    assert rows["cpu_count"].value_u64 == 3          # 3i -> unsigned int column
+    assert rows["disk_free"].value_i64 == -42        # negative int routes to i64
+    assert rows["mem"].metric_name == "mem"          # bare `value` keeps the name
+    assert rows["cpu_usage"].ts_ns == 1700000000000000100
+    assert rows["disk_free"].ts_ns == 7              # missing ts -> default
+    assert dict(rows["cpu_usage"].tags) == {"host": "a", "region": "us"}
+    assert dict(rows["mem"].tags) == {}
+
+
+def test_line_protocol_malformed_isolation(spark):
+    from cardinalsin_spark.sources.line_protocol import (
+        lines_to_metrics,
+        malformed_count,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("ok value=1 5",),
+            ("no_fields_section",),
+            ("fields without=equals none",),  # 3 sections but ts not numeric
+            ("esc\\aped,x=1 v=2 3",),         # escapes out of subset
+            ("ok2 v=notanumber 5",),          # unparseable field value
+        ],
+        "line string",
+    )
+    good = lines_to_metrics(lines).collect()
+    assert [r.metric_name for r in good] == ["ok"]
+    assert malformed_count(lines) == 4
+
+
+def test_line_protocol_roundtrip_property(spark):
+    """Generated valid lines parse back to their exact components."""
+    import random
+
+    rnd = random.Random(42)
+    cases = []
+    for i in range(50):
+        meas = f"m{i}"
+        tags = {f"t{j}": f"v{rnd.randint(0, 9)}" for j in range(rnd.randint(0, 3))}
+        fields = {
+            f"f{j}": (rnd.randint(-100, 100) if rnd.random() < 0.5
+                      else round(rnd.uniform(-10, 10), 3))
+            for j in range(rnd.randint(1, 3))
+        }
+        ts = rnd.randint(1, 2**60)
+        tag_s = "".join(f",{k}={v}" for k, v in tags.items())
+        field_s = ",".join(
+            f"{k}={v}i" if isinstance(v, int) else f"{k}={v}"
+            for k, v in fields.items()
+        )
+        cases.append((f"{meas}{tag_s} {field_s} {ts}", meas, tags, fields, ts))
+
+    from cardinalsin_spark.sources.line_protocol import lines_to_metrics
+
+    df = spark.createDataFrame([(c[0],) for c in cases], "line string")
+    got = lines_to_metrics(df).collect()
+    n_fields = sum(len(c[3]) for c in cases)
+    assert len(got) == n_fields
+    by_name = {}
+    for r in got:
+        by_name.setdefault(r.metric_name, []).append(r)
+    for line, meas, tags, fields, ts in cases:
+        for fname, fval in fields.items():
+            key = f"{meas}_{fname}" if fname != "value" else meas
+            match = [r for r in by_name[key] if r.ts_ns == ts]
+            assert len(match) == 1, (line, key)
+            r = match[0]
+            assert dict(r.tags) == tags
+            if isinstance(fval, int):
+                stored = r.value_u64 if fval >= 0 else r.value_i64
+                assert stored == fval
+            else:
+                assert r.value_f64 == fval
