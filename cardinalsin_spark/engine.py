@@ -107,10 +107,25 @@ class CardinalSin:
         return out
 
     def promql_range(
-        self, promql: str, start_s: float, end_s: float, step_s: int
+        self,
+        promql: str,
+        start_s: float,
+        end_s: float,
+        step_s: int,
+        faithful: bool = True,
     ) -> DataFrame:
-        """`/api/v1/query_range` — epoch-seconds range + step."""
-        out = promql_range(self._promql_frame(), promql, start_s, end_s, step_s)
+        """`/api/v1/query_range` — epoch-seconds range + step.
+
+        ``faithful=True`` (default) evaluates rate/irate/increase/deriv/
+        idelta/resets/changes/predict_linear with real PromQL semantics
+        (counter-reset-aware, last-two-samples, least-squares) — the
+        reference degrades all of these to (MAX−MIN)/range or AVG
+        (``api/query/prometheus_api.rs:969-1012``); pass ``False`` for its
+        reference-compatible degradation."""
+        out = promql_range(
+            self._promql_frame(), promql, start_s, end_s, step_s,
+            faithful=faithful,
+        )
         self.collector.record(out)
         return out
 

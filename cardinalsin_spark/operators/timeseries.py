@@ -802,3 +802,49 @@ def idelta_faithful(
         )
         .orderBy("bucket", cols.name, *series)
     )
+
+
+def approx_distinct_series(
+    df: DataFrame,
+    series_cols: list[str],
+    rsd: float = 0.05,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog++ series-cardinality estimate (`approx_count_distinct`),
+    optionally grouped — the sketch path for cardinality dashboards at
+    100 TB, where the exact ``distinct_series`` shuffle carries every
+    unique series tuple and this carries a fixed-size sketch per group.
+    Max ~rsd relative error; pair with the exact operator when the answer
+    feeds a decision rather than a chart."""
+    target = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in series_cols])
+    agg = F.approx_count_distinct(target, rsd=rsd).alias("approx_series")
+    if by:
+        return df.groupBy(*by).agg(agg).orderBy(*by)
+    return df.agg(agg)
+
+
+def approx_percentile_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    percentages: list[float],
+    accuracy: int = 10_000,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Bucketed approximate percentiles via Spark's mergeable quantile
+    sketch (``approx_percentile``) — the map-side-combinable alternative to
+    exact ``percentile`` whose per-group state is O(accuracy), not O(rows).
+    At 100 TB exact percentile materializes every value per group through
+    the shuffle; the sketch keeps the same plan shape with bounded state.
+    Error ≤ 1/accuracy of rank."""
+    by = by or [cols.name]
+    return (
+        df.groupBy(time_bucket(cols.ts, step_seconds).alias("bucket"), *by)
+        .agg(
+            F.percentile_approx(
+                cols.value, F.array(*[F.lit(p) for p in percentages]),
+                F.lit(accuracy),
+            ).alias("approx_pcts")
+        )
+        .orderBy("bucket", *by)
+    )

@@ -142,3 +142,32 @@ def test_histogram_quantile_inf_bucket_falls_back_to_highest_finite(spark):
         buckets, 9, 10, ["g"], out_scale=1_000_000.0
     ).collect()
     assert out[0].value == 200.0
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """Sketch operators track exact answers within their documented error:
+    HLL++ distinct-series within 3*rsd, quantile sketch p50 within the
+    value spread implied by rank accuracy."""
+    from cardinalsin_spark.operators.timeseries import (
+        approx_distinct_series,
+        approx_percentile_bucketed,
+    )
+    from cardinalsin_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    exact = ev.select("event_type", "user_id").distinct().count()
+    approx = approx_distinct_series(ev, ["event_type", "user_id"], rsd=0.05)
+    got = approx.collect()[0].approx_series
+    assert abs(got - exact) <= max(3, 3 * 0.05 * exact)
+
+    pct = approx_percentile_bucketed(
+        ev, 86400 * 365, [0.5], accuracy=10_000,   # one bucket: whole fixture
+        by=["event_type"], cols=MetricsCols.events(),
+    ).collect()
+    # the sketch guarantee is on RANK (<= 1/accuracy), not value: assert the
+    # returned value sits at rank 0.5 ± (1/accuracy + one-neighbor slack)
+    for r in pct:
+        sub = ev.filter(F.col("event_type") == r.event_type)
+        n = sub.count()
+        below = sub.filter(F.col("value") <= r.approx_pcts[0]).count()
+        assert abs(below / n - 0.5) <= 1 / 10_000 + 2 / n
