@@ -77,6 +77,12 @@ _OFFSET_RE = re.compile(r"\s+offset\s+(\d+)([smhd])\b")
 # label-manipulation wrappers (Prometheus functions the reference lacks)
 _LABEL_FN_RE = re.compile(r"^(label_replace|label_join)\s*\((.+)\)$", re.DOTALL)
 _ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
+# value-transforming scalar wrappers over an instant vector
+_SCALAR_FN_RE = re.compile(
+    r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc)"
+    r"\s*\((.+)\)$",
+    re.DOTALL,
+)
 
 
 @dataclass
@@ -288,6 +294,13 @@ def promql_instant(
             .filter(F.col("_n") == 0)
             .select(F.lit(1.0).alias("value"))
         )
+
+    sm = _SCALAR_FN_RE.match(promql.strip())
+    if sm and not _RANGE_FN_RE.match(promql.strip()):
+        fn = sm.group(1)
+        inner_expr, args = _split_label_fn_args(sm.group(2))
+        res = promql_instant(df, inner_expr, time_s, cols, tiebreak)
+        return _apply_scalar_fn(res, fn, args)
 
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols))
@@ -770,3 +783,33 @@ def histogram_quantile_cumulative(
         .select(*group_cols, value_alias)
         .orderBy(*group_cols)
     )
+
+
+def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
+    """Value-transforming scalar wrappers over an instant vector (PromQL
+    functions the reference lacks entirely): clamp family, abs/ceil/floor/
+    sgn, and the sort/sort_desc ordering functions. All single built-in
+    expressions on the value column — no extra shuffle except the global
+    sort for sort/sort_desc (which is the function's semantics)."""
+    v = F.col("value")
+    if fn == "clamp":
+        lo, hi = float(args[0]), float(args[1])
+        # PromQL: min > max -> empty vector
+        if lo > hi:
+            return res.filter(F.lit(False))
+        return res.withColumn("value", F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
+    if fn == "clamp_min":
+        return res.withColumn("value", F.greatest(v, F.lit(float(args[0]))))
+    if fn == "clamp_max":
+        return res.withColumn("value", F.least(v, F.lit(float(args[0]))))
+    if fn == "abs":
+        return res.withColumn("value", F.abs(v))
+    if fn == "ceil":
+        return res.withColumn("value", F.ceil(v).cast("double"))
+    if fn == "floor":
+        return res.withColumn("value", F.floor(v).cast("double"))
+    if fn == "sgn":
+        return res.withColumn("value", F.signum(v))
+    if fn in ("sort", "sort_desc"):
+        return res.orderBy(F.asc("value") if fn == "sort" else F.desc("value"))
+    raise ValueError(f"unsupported scalar function {fn!r}")

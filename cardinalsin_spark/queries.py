@@ -1640,6 +1640,34 @@ FROM fit ORDER BY time_bucket, event_type, user_id
 """
 
 
+def q_promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clamp(sum by (user_id) (purchase), 50000, 150000)` — scalar wrapper
+    over an instant vector (cents bounds = $500..$1500)."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "clamp(sum by (user_id) (purchase), 50000, 150000)",
+        time_s=1706745600.0,  # 2024-02-01
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_CLAMP = f"""
+SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+       least(greatest(CAST(sum({_sql_cents('value')}) AS DOUBLE), 50000.0),
+             150000.0) / 100.0 AS value
+FROM events
+WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`idelta(error[86400s])` through the transpiler: signed last-two-samples
     delta per (1d bucket, event_type, user_id) — gauge semantics, no reset
@@ -1832,6 +1860,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PROMQL_PREDICT_LINEAR,
     ),
     "promql_idelta": (q_promql_idelta, SQL_PROMQL_IDELTA),
+    "promql_clamp": (q_promql_clamp, SQL_PROMQL_CLAMP),
 }
 
 

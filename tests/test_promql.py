@@ -413,3 +413,54 @@ def test_histogram_quantile_through_instant_transpiler(spark):
     # interp = 0 + 100*(10-0)/10 = 100
     assert len(out) == 1
     assert out[0].value == 100.0
+
+
+def test_scalar_wrappers(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1706745600.0
+    base = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "sum by (user_id) (purchase)", time_s=t, cols=EV_CENTS
+        ).collect()
+    }
+    lo = min(base.values())
+
+    cmin = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, f"clamp_min(sum by (user_id) (purchase), {lo + 1})",
+            time_s=t, cols=EV_CENTS,
+        ).collect()
+    }
+    assert min(cmin.values()) == lo + 1
+    assert all(cmin[u] == max(v, lo + 1) for u, v in base.items())
+
+    # clamp with min > max -> empty vector (PromQL)
+    empty = promql_instant(
+        ev, "clamp(sum by (user_id) (purchase), 10, 5)", time_s=t, cols=EV_CENTS
+    )
+    assert empty.count() == 0
+
+    sgn = promql_instant(
+        ev, "sgn(sum by (user_id) (purchase))", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert {r.value for r in sgn} == {1.0}
+
+    srt = promql_instant(
+        ev, "sort(sum by (user_id) (purchase))", time_s=t, cols=EV_CENTS
+    ).collect()
+    vals = [r.value for r in srt]
+    assert vals == sorted(vals)
+
+    fl = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "floor(sum by (user_id) (purchase))", time_s=t, cols=EV_CENTS
+        ).collect()
+    }
+    import math
+    assert all(fl[u] == float(math.floor(v)) for u, v in base.items())
