@@ -500,3 +500,47 @@ def cosine_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def centroid_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids — the building block for
+    nearest-centroid classification, cluster summaries, and IVF cell
+    retraining).
+
+    Float vector sums are accumulation-order-dependent, so the mean runs on
+    the quantized integer grid: posexplode → exact int64 sum per (label,
+    dim) → one float division per dim — bit-deterministic and
+    oracle-checkable, same discipline as the cosine operators. Reassembly
+    sorts (dim, value) structs, so the output array order is exact. Two
+    map-side-combinable shuffles on (label, dim) then (label); at 1B
+    vectors the (label, dim) partial aggregate is the only wide stage.
+    """
+    q = df.select(
+        F.col(label_col),
+        F.posexplode(quantize(vec_col, scale)).alias("_pos", "_qv"),
+    )
+    agg = q.groupBy(label_col, "_pos").agg(
+        F.sum("_qv").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    per_dim = agg.withColumn(
+        "_v",
+        F.col("_s").cast("double") / (F.col("_n") * F.lit(float(scale))),
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "_v"))).alias("_pairs"),
+            F.max("_n").alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            F.transform(F.col("_pairs"), lambda p: p["_v"]).alias("centroid"),
+            "n_vectors",
+        )
+        .orderBy(label_col)
+    )

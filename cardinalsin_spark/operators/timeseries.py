@@ -848,3 +848,49 @@ def approx_percentile_bucketed(
         )
         .orderBy("bucket", *by)
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    step_seconds: int,
+    z: int = 3,
+    by: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Per-bucket z-score anomaly detection with an EXACT integer decision
+    rule: a sample is an outlier iff ``(v·n − Σv)² > z²·(n·Σv² − (Σv)²)``
+    — algebraically ``|v − mean| > z·stddev_pop`` with no float compare, so
+    the flagged set is bit-identical across engines. The reported
+    ``zscore`` is one float division of exact ints by one sqrt
+    (IEEE-deterministic). Values must be integer units (cents).
+
+    Plan: partition-wide window aggregates on (bucket, group) — ONE
+    shuffle, no join of the stats back; then a filter. Bounds: exact while
+    ``(v·n)² < 2^63`` — holds for ≤ ~10⁵ samples per group at |v| ≤ 10⁶.
+    """
+    by = by or [cols.name]
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        *[F.col(b) for b in by],
+        F.col(cols.ts).alias("_ts"),
+        F.col(cols.value).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("bucket", *by)
+    st = (
+        base.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_sy", F.sum("_v").over(w))
+        .withColumn("_sy2", F.sum(F.col("_v") * F.col("_v")).over(w))
+    )
+    znum = F.col("_v") * F.col("_n") - F.col("_sy")
+    d = F.col("_n") * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    return (
+        st.filter((F.col("_n") >= 2) & (d > 0) & (znum * znum > F.lit(z * z) * d))
+        .select(
+            "bucket",
+            *by,
+            F.col("_ts").alias(cols.ts),
+            F.col("_v").alias("value_int"),
+            (znum.cast("double") / F.sqrt(d.cast("double"))).alias("zscore"),
+        )
+        .orderBy("bucket", *by, cols.ts, "value_int")
+    )

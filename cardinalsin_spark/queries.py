@@ -1313,6 +1313,39 @@ LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
 """
 
 
+def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-score outliers (|z| > 3) per 6h bucket per event_type — exact
+    integer decision rule, deterministic float zscore."""
+    from cardinalsin_spark.operators.timeseries import zscore_outliers
+
+    return zscore_outliers(
+        _events_cents(spark, sf_dir), 21600, z=3, by=["event_type"],
+        cols=EV_CENTS,
+    )
+
+
+SQL_TS_OUTLIERS = f"""
+WITH base AS (
+  SELECT {_sql_bucket(21600)} AS bucket, event_type, ts,
+         {_sql_cents('value')} AS vc
+  FROM events
+),
+st AS (
+  SELECT bucket, event_type, ts, vc,
+         count(*) OVER w AS n, sum(vc) OVER w AS sy,
+         sum(vc * vc) OVER w AS sy2
+  FROM base WINDOW w AS (PARTITION BY bucket, event_type)
+)
+SELECT bucket, event_type, ts, vc AS value_int,
+       CAST(vc * n - sy AS DOUBLE)
+         / sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) AS zscore
+FROM st
+WHERE n >= 2 AND n * sy2 - sy * sy > 0
+  AND (vc * n - sy) * (vc * n - sy) > 9 * (n * sy2 - sy * sy)
+ORDER BY bucket, event_type, ts, value_int
+"""
+
+
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h gap) per user: session bounds, event
     count, exact integer duration."""
@@ -1854,6 +1887,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
+    "ts_outliers": (q_ts_outliers, SQL_TS_OUTLIERS),
     "promql_resets": (q_promql_resets, SQL_PROMQL_RESETS),
     "promql_predict_linear": (
         q_promql_predict_linear,

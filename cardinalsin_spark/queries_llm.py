@@ -1081,8 +1081,32 @@ ORDER BY st.doc_id
 """
 
 
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding on the quantized-exact grid (class
+    centroids for nearest-centroid classification / cluster summaries)."""
+    return sim.centroid_by_label(_emb(spark, sf_dir))
+
+
+SQL_EMB_CENTROIDS = f"""
+WITH q AS (
+  SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+  FROM (SELECT label, {_SQL_QVEC} AS qv FROM embeddings)
+),
+agg AS (
+  SELECT label, pos, sum(v) AS s, count(*) AS n
+  FROM q GROUP BY 1, 2
+)
+SELECT label,
+       array_agg(CAST(s AS DOUBLE) / (n * {float(sim.QUANT_SCALE)})
+                 ORDER BY pos) AS centroid,
+       max(n) AS n_vectors
+FROM agg GROUP BY label ORDER BY label
+"""
+
+
 REGISTRY_LLM = {
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
+    "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
     "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
     "docs_gopher_repetition": (
         q_docs_gopher_repetition,
