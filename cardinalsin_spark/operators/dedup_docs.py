@@ -614,14 +614,13 @@ def simhash(
 
 def cross_split_contamination(
     df: DataFrame,
-    assign: DataFrame,
+    split_label: Column,
     train_label: str = "train",
     test_label: str = "test",
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = DEFAULT_SHINGLE_K,
     window: int = 4,
-    split_col: str = "split",
 ) -> DataFrame:
     """Benchmark-decontamination check: test-split documents sharing at
     least one winnowing fingerprint (≥ k+window−1 char substring) with any
@@ -631,21 +630,22 @@ def cross_split_contamination(
     winnowing).
 
     Shape: fingerprints once over the whole corpus (shingle explode + one
-    window shuffle), split labels join in (zero-shuffle hash assignment),
-    then a broadcast-friendly semi-join of test fingerprints against the
-    distinct train fingerprint set. Everything is exact integer hashing —
-    no probabilistic misses beyond winnowing's guarantee."""
+    window shuffle), then split labels RECOMPUTED per row from the id via
+    ``split_label`` (a pure column expression, e.g.
+    ``sampling.split_expr()``) — no assignment-table join at all, the
+    leakage-safe-join property split_assign advertises — then a semi-join
+    of test fingerprints against the distinct train fingerprint set.
+    Everything is exact integer hashing — no probabilistic misses beyond
+    winnowing's guarantee."""
     fps = winnowed_fingerprints(
         df, shingle_k=shingle_k, window=window, text_col=text_col, id_col=id_col
     )
-    labeled = fps.join(
-        assign.select(id_col, split_col), on=id_col, how="inner"
-    )
+    labeled = fps.withColumn("_split", split_label)
     train_fps = (
-        labeled.filter(F.col(split_col) == train_label).select("fp").distinct()
+        labeled.filter(F.col("_split") == train_label).select("fp").distinct()
     )
     return (
-        labeled.filter(F.col(split_col) == test_label)
+        labeled.filter(F.col("_split") == test_label)
         .join(train_fps, on="fp", how="leftsemi")
         .groupBy(id_col)
         .agg(F.countDistinct("fp").alias("n_shared_fps"))

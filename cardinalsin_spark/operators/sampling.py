@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 from cardinalsin_spark.operators.dedup_docs import portable_hash
 
 
+def split_expr(
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> Column:
+    """The split label as a pure COLUMN EXPRESSION over the id — so any
+    frame keyed by the same id can recompute its split locally (a narrow
+    map) instead of joining the assignment table. This is the 100 TB form:
+    :func:`split_assign` is just ``withColumn(label, split_expr(...))``."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = portable_hash(seed, F.col(id_col).cast("string")) % F.lit(buckets)
+    expr: Column | None = None
+    cum = 0.0
+    labels = list(weights)
+    for name in labels[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * buckets)
+        cond = bucket < F.lit(bound)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    fallback = F.lit(labels[-1])
+    return fallback if expr is None else expr.otherwise(fallback)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -41,22 +70,9 @@ def split_assign(
     - leakage-safe joins: any table keyed by the same id can recompute the
       split locally instead of joining the assignment.
     """
-    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    bucket = portable_hash(seed, F.col(id_col).cast("string")) % F.lit(buckets)
-    expr: Column | None = None
-    cum = 0.0
-    # walk in insertion order; last label catches the remainder so the
-    # thresholds always cover [0, buckets)
-    labels = list(weights)
-    for name in labels[:-1]:
-        cum += weights[name] / total
-        bound = int(cum * buckets)
-        cond = bucket < F.lit(bound)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    fallback = F.lit(labels[-1])
-    out_col = fallback if expr is None else expr.otherwise(fallback)
-    return df.withColumn(label_col, out_col)
+    return df.withColumn(
+        label_col, split_expr(id_col, weights, seed, buckets)
+    )
 
 
 def stratified_sample(

@@ -976,11 +976,12 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-fingerprint count."""
     from cardinalsin_spark.operators import sampling as smp
 
-    docs = _docs(spark, sf_dir)
-    assign = smp.split_assign(
-        docs, weights={"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    return dd.cross_split_contamination(
+        _docs(spark, sf_dir),
+        smp.split_expr(
+            "doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+        ),
     )
-    return dd.cross_split_contamination(docs, assign)
 
 
 SQL_DOCS_CONTAMINATION = f"""
