@@ -948,8 +948,10 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOCS_QUALITY_FILTER = f"""
-WITH s AS (
+# Shared quality-signal CTE body + gate predicate (reused by the quality
+# filter listing and the end-to-end clean-corpus pipeline).
+_SQL_QUALITY_BODY = f"""
+qsig AS (
   SELECT doc_id,
          len({_SQL_TOKS_RAW}) AS n_tokens,
          length(regexp_replace(text, '\\s', '', 'g')) / len({_SQL_TOKS_RAW})
@@ -960,13 +962,18 @@ WITH s AS (
          (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
            / length(text) AS punct_density
   FROM documents
-)
-SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_density
-FROM s
-WHERE n_tokens BETWEEN 20 AND 50000
+)"""
+
+_SQL_QUALITY_GATE = """n_tokens BETWEEN 20 AND 50000
   AND avg_token_len BETWEEN 2.5 AND 10.0
   AND punct_density <= 0.1
-  AND stopword_ratio >= 0.01
+  AND stopword_ratio >= 0.01"""
+
+SQL_DOCS_QUALITY_FILTER = f"""
+WITH {_SQL_QUALITY_BODY}
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_density
+FROM qsig
+WHERE {_SQL_QUALITY_GATE}
 """
 
 
@@ -1105,8 +1112,74 @@ FROM agg GROUP BY label ORDER BY label
 """
 
 
+def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation pipeline: transitive-closure near-dedup
+    (shared session index) ∩ Gopher-style quality gate → deterministic
+    split assignment. The composition a training-data job actually ships —
+    each stage is the already-oracle-checked operator, chained."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    deduped = dd.near_dedup_cc(
+        _docs(spark, sf_dir), threshold=0.6, sims=_minhash_sims(spark, sf_dir)
+    )
+    gated = smp.quality_filter(
+        deduped,
+        min_tokens=20,
+        max_tokens=50_000,
+        min_avg_token_len=2.5,
+        max_avg_token_len=10.0,
+        max_punct_density=0.1,
+        min_stopword_ratio=0.01,
+    ).filter(F.col("keep"))
+    return (
+        smp.split_assign(gated)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_CLEAN_CORPUS = (
+    _sql_minhash_cte().replace("WITH shingled", "WITH RECURSIVE shingled", 1)
+    + f"""
+, sims AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b, id_a FROM sims WHERE jaccard >= 0.6
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM bi
+  UNION
+  SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+{_SQL_QUALITY_BODY}
+SELECT d.doc_id, d.lang,
+       CASE WHEN {_sql_hash("'42'", "CAST(d.doc_id AS VARCHAR)")} % 10000 < 9000
+              THEN 'train'
+            WHEN {_sql_hash("'42'", "CAST(d.doc_id AS VARCHAR)")} % 10000 < 9500
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d
+JOIN qsig q ON q.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+  AND {_SQL_QUALITY_GATE}
+ORDER BY d.doc_id
+"""
+)
+
+
 REGISTRY_LLM = {
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
+    "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
     "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
     "docs_gopher_repetition": (
