@@ -234,12 +234,13 @@ def q_ts_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness has TWO requirements, both needed:
 
-    1. **µs-grid divisor.** The parquet column is ``timestamp[ns]``; DuckDB
-       reads it µs-truncated, so the oracle's ``epoch_ns(ts)`` deltas sit on
-       the µs grid while raw ``ts_ns`` deltas don't (…452714 vs …452000).
-       Different divisors → different quotients regardless of rounding, the
-       actual round-1/2 hash mismatch. Fix: truncate the Spark-side ns
-       column to the µs grid before the window, mirroring
+    1. **µs-grid divisor.** DuckDB's TIMESTAMP is µs-precision, so the
+       oracle's ``epoch_ns(ts)`` deltas always sit on the µs grid; when the
+       source parquet is TIMESTAMP(NANOS) the raw ``ts_ns`` deltas don't
+       (…452714 vs …452000) and the quotients differ regardless of rounding
+       — the actual round-1/2 hash mismatch. Fix: truncate the Spark-side
+       ns column to the µs grid before the window (a no-op for µs-precision
+       sources like the current driver data), mirroring
        ``normalize_event_time`` (``sources/tables.py``).
     2. **Integer-grid division.** units/sec to 6 decimals is
        ``floor(delta_cents * 10^13 / dt_ns) / 1e6`` on decimal(38)/HUGEINT,
@@ -1313,6 +1314,33 @@ LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
 """
 
 
+def q_ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time × value 2-D histogram (the observability heatmap panel): sample
+    counts per (1d bucket, event_type, $25 value band). Exact integer band
+    index via cents div; one map-side-combinable aggregation."""
+    df = _events_cents(spark, sf_dir)
+    band = F.expr("value_cents div 2500")
+    return (
+        df.groupBy(
+            time_bucket("ts", 86400).alias("bucket"),
+            F.col("event_type"),
+            band.alias("value_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket", "event_type", "value_band")
+    )
+
+
+SQL_TS_HEATMAP = f"""
+SELECT {_sql_bucket(86400)} AS bucket, event_type,
+       {_sql_cents('value')} // 2500 AS value_band,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-score outliers (|z| > 3) per 6h bucket per event_type — exact
     integer decision rule, deterministic float zscore."""
@@ -1888,6 +1916,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
     "ts_outliers": (q_ts_outliers, SQL_TS_OUTLIERS),
+    "ts_heatmap": (q_ts_heatmap, SQL_TS_HEATMAP),
     "promql_resets": (q_promql_resets, SQL_PROMQL_RESETS),
     "promql_predict_linear": (
         q_promql_predict_linear,
