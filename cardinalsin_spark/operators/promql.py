@@ -518,7 +518,7 @@ def promql_range(
     label_cols = discover_label_columns(parsed)
 
     if faithful and parsed.function in (
-        "rate", "irate", "increase", "deriv", "idelta",
+        "rate", "irate", "increase", "deriv", "idelta", "delta",
         "resets", "changes", "predict_linear",
     ):
         return _promql_range_faithful(out, parsed, step_s, cols, label_cols, ts_ns_col)
@@ -645,7 +645,10 @@ def _promql_range_faithful(
     )
 
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
-    needs_ns = ("irate", "deriv", "idelta", "resets", "changes", "predict_linear")
+    needs_ns = (
+        "irate", "deriv", "idelta", "delta",
+        "resets", "changes", "predict_linear",
+    )
     if parsed.function in needs_ns and ts_ns_col not in out.columns:
         out = out.withColumn(
             ts_ns_col,
@@ -671,6 +674,15 @@ def _promql_range_faithful(
                 out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col
             ),
             "idelta",
+        )
+    elif parsed.function == "delta":
+        from cardinalsin_spark.operators.timeseries import delta_faithful
+
+        res, vcol = (
+            delta_faithful(
+                out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col
+            ),
+            "delta",
         )
     elif parsed.function in ("resets", "changes"):
         res, vcol = (

@@ -894,3 +894,41 @@ def zscore_outliers(
         )
         .orderBy("bucket", *by, cols.ts, "value_int")
     )
+
+
+def delta_faithful(
+    df: DataFrame,
+    step_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL ``delta`` for gauges: last sample − first sample per (bucket,
+    series), signed, no counter-reset clamp (reference degrades to MAX−MIN,
+    ``api/query/prometheus_api.rs:984-997``; documented deviation from
+    upstream Prometheus: no extrapolation to the window bounds).
+
+    Pure aggregation — ``max_by``/``min_by`` keyed on (ts, value) structs
+    for a deterministic total order — so it map-side combines in ONE
+    shuffle with no window at all (cheaper than the lag formulation at any
+    scale). Buckets with <2 samples emit nothing (PromQL parity)."""
+    series = series or []
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        F.col(ts_ns_col).alias("_tns"),
+        F.col(cols.value).alias("_v"),
+    )
+    last = F.expr("max_by(_v, struct(_tns, _v))")
+    first = F.expr("min_by(_v, struct(_tns, _v))")
+    return (
+        base.groupBy("bucket", cols.name, *series)
+        .agg(
+            (last - first).alias("delta"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("bucket", cols.name, *series, "delta")
+        .orderBy("bucket", cols.name, *series)
+    )

@@ -1701,6 +1701,57 @@ FROM fit ORDER BY time_bucket, event_type, user_id
 """
 
 
+def q_promql_delta_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`delta(signup[86400s])` through the transpiler: signed last−first
+    gauge drift per (1d bucket, event_type, user_id) — no reset clamp,
+    pure max_by/min_by aggregation (one combinable shuffle, no window)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "delta(signup[86400s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_DELTA_FAITHFUL = f"""
+WITH filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type,
+         CAST(user_id AS VARCHAR) AS user_id, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'signup'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+)
+, win AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket, event_type, user_id,
+         first_value(vc) OVER w AS fv,
+         last_value(vc) OVER (PARTITION BY {_sql_bucket(86400)}, event_type,
+                              user_id ORDER BY tns, vc
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS lv,
+         count(*) OVER (PARTITION BY {_sql_bucket(86400)}, event_type,
+                        user_id) AS n
+  FROM filtered
+  WINDOW w AS (PARTITION BY {_sql_bucket(86400)}, event_type, user_id
+               ORDER BY tns, vc)
+)
+SELECT DISTINCT time_bucket, event_type, user_id, (lv - fv) / 100.0 AS value
+FROM win WHERE n >= 2
+ORDER BY 1, 2, 3
+"""
+
+
 def q_promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`clamp(sum by (user_id) (purchase), 50000, 150000)` — scalar wrapper
     over an instant vector (cents bounds = $500..$1500)."""
@@ -1924,6 +1975,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "promql_idelta": (q_promql_idelta, SQL_PROMQL_IDELTA),
     "promql_clamp": (q_promql_clamp, SQL_PROMQL_CLAMP),
+    "promql_delta_faithful": (
+        q_promql_delta_faithful,
+        SQL_PROMQL_DELTA_FAITHFUL,
+    ),
 }
 
 
