@@ -1912,6 +1912,50 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item report: top-20 customers by revenue lost to
+    returns in a quarter — broadcast dims, exact-cents revenue."""
+    from cardinalsin_spark.sources.tables import load_tables
+
+    ensure_session_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    rev = F.sum(
+        cents(F.col("l_extendedprice"))
+        * (F.lit(100) - cents(F.col("l_discount")))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((rev / F.lit(10_000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10ISH = f"""
+SELECT c_custkey, c_name, n_name,
+       sum({_sql_cents('l_extendedprice')}
+           * (100 - {_sql_cents('l_discount')})) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1965,6 +2009,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "tpch_q10ish": (q_tpch_q10ish, SQL_TPCH_Q10ISH),
     "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
     "ts_outliers": (q_ts_outliers, SQL_TS_OUTLIERS),
     "ts_heatmap": (q_ts_heatmap, SQL_TS_HEATMAP),

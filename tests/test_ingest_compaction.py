@@ -248,3 +248,47 @@ def test_write_metrics_max_records_per_file(spark, sf_dir, tmp_path):
         ts = t.column("timestamp").to_pylist()
         assert ts == sorted(ts)  # still sorted within the rolled file
     assert capped_partitions > 0  # the cap actually triggered somewhere
+
+
+def test_downsample_cascade_reaggregates_exactly(spark, sf_dir):
+    """Rollup cascade correctness: 60s rollups re-aggregated to 3600s must
+    equal the direct 3600s rollup on every re-aggregable moment (sum,
+    count, min, max — and avg recomputed from sum/count). This is the
+    property that lets a retention policy replace raw data with rollups
+    and still serve coarser queries exactly."""
+    from cardinalsin_spark.functions.core import time_bucket
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    fine = downsample(ev, 60, ["event_type"], ts_col="ts", value_col="vc")
+    cascaded = (
+        fine.groupBy(
+            time_bucket("bucket", 3600).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("count_value").alias("count_value"),
+        )
+    )
+    direct = downsample(ev, 3600, ["event_type"], ts_col="ts", value_col="vc")
+
+    c = {
+        (r.bucket, r.event_type): (r.min_value, r.max_value, r.sum_value,
+                                   r.count_value)
+        for r in cascaded.collect()
+    }
+    d = {
+        (r.bucket, r.event_type): (r.min_value, r.max_value, r.sum_value,
+                                   r.count_value)
+        for r in direct.collect()
+    }
+    assert c == d and len(c) > 0
+    # avg recomputed from the cascaded moments equals the direct avg
+    for r in direct.collect():
+        mn, mx, s, n = c[(r.bucket, r.event_type)]
+        assert s / n == r.avg_value
