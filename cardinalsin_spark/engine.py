@@ -16,6 +16,8 @@ Output formats mirror ``api/query/sql_http.rs:76-206`` (json / arrow / csv).
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,3 +248,28 @@ class CardinalSin:
 
     def index_recommendations(self, min_uses: int = 2, top_n: int = 5):
         return self.collector.recommendations(self.metrics, min_uses, top_n)
+
+    @staticmethod
+    def to_prometheus_matrix(
+        df: DataFrame,
+        ts_col: str = "time_bucket",
+        value_col: str = "value",
+    ) -> list[dict]:
+        """Shape a range-query result as the Prometheus HTTP API's matrix
+        body (``/api/v1/query_range`` → ``data.result``): one entry per
+        label set with ``[epoch_seconds, "value"]`` pairs, values stringly
+        typed like the real API. Serialization is inherently driver-side
+        (this is the serving edge — the result set, not the corpus)."""
+        label_cols = [c for c in df.columns if c not in (ts_col, value_col)]
+        series: dict = {}
+        for r in df.collect():
+            key = tuple((c, r[c]) for c in label_cols)
+            ts = r[ts_col]
+            epoch = ts.replace(tzinfo=_dt.timezone.utc).timestamp()
+            series.setdefault(key, []).append([epoch, str(r[value_col])])
+        return [
+            {"metric": {k: str(v) for k, v in key}, "values": sorted(vals)}
+            for key, vals in sorted(
+                series.items(), key=lambda kv: [(k, str(v)) for k, v in kv[0]]
+            )
+        ]

@@ -15,7 +15,7 @@ the corpus-preparation operators a training-data pipeline layers on top.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cardinalsin_spark.operators.dedup_docs import portable_hash
@@ -136,3 +136,65 @@ def quality_filter(
         out = out.withColumn(name, cond)
         keep = keep & ~cond
     return out.withColumn("keep", keep)
+
+
+def pack_stream_offsets(
+    df: DataFrame,
+    capacity_tokens: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    ``order_col`` order form one token stream; each doc gets its exact
+    byte-0 ``stream_offset`` and the ``shard`` index
+    ``floor(offset / capacity)`` — the deterministic shard assignment a
+    pre-training pipeline uses to cut the stream into fixed-size examples.
+
+    The global exclusive cumsum is computed with the parallel two-pass
+    prefix-sum pattern, NOT a single-partition window: range-repartition on
+    the order key, per-partition local cumsum (window keyed on the
+    partition id — rows are already co-located, no extra shuffle), then
+    per-partition totals (one bounded ``collect()`` of n_ranges rows)
+    turned into exclusive partition offsets and added back via a broadcast
+    map. The output is invariant to the sampled range boundaries because
+    the cumsum only depends on the total order of ``order_col``. At 100 TB
+    this is the textbook scalable prefix sum; a plain
+    ``Window.orderBy(id)`` cumsum would serialize the corpus through one
+    task.
+    """
+    spark = df.sparkSession
+    n = n_ranges or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_part")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_ex = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    totals = sorted(
+        (r["_part"], r["_t"])
+        for r in ranged.groupBy("_part")
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for part, tot in totals:
+        offsets[part] = acc
+        acc += tot
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_part"),
+    )
+    return (
+        ranged.withColumn("stream_offset", (local_ex + off_expr).cast("long"))
+        .withColumn(
+            "shard", F.expr(f"stream_offset div {capacity_tokens}").cast("long")
+        )
+        .drop("_part")
+    )

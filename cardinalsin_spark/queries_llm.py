@@ -1043,6 +1043,40 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: exact per-doc stream offset and
+    2048-token shard index via the parallel two-pass prefix sum."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    out = smp.pack_stream_offsets(docs, 2048)
+    return out.select("doc_id", "n_tokens", "stream_offset", "shard").orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOCS_PACK_SHARDS = r"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS stream_offset
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(stream_offset AS BIGINT) AS stream_offset,
+       CAST(stream_offset // 2048 AS BIGINT) AS shard
+FROM cum ORDER BY doc_id
+"""
+
+
 def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate-word
     fraction + characters covered by the top word 2-gram, per document."""
@@ -1182,6 +1216,7 @@ REGISTRY_LLM = {
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
     "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
+    "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
     "docs_gopher_repetition": (
         q_docs_gopher_repetition,
         SQL_DOCS_GOPHER_REPETITION,

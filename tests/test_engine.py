@@ -151,3 +151,19 @@ def test_schema_evolution_two_ingests(spark, sf_dir, tmp_path):
     ).first().n
     assert some == n
     ev.unpersist()
+
+
+def test_prometheus_matrix_shape(spark, engine):
+    """Range result → /api/v1/query_range matrix body: one entry per label
+    set, [epoch, "value"] pairs sorted by time, stringly values."""
+    lo, hi = 1704067200.0, 1704153600.0
+    df = engine.promql_range("avg(click)", lo, hi, 21600)
+    body = engine.to_prometheus_matrix(df)
+    assert len(body) >= 1
+    for entry in body:
+        assert set(entry) == {"metric", "values"}
+        assert entry["metric"].get("event_type", "click") == "click"
+        times = [t for t, _ in entry["values"]]
+        assert times == sorted(times)
+        assert all(lo <= t <= hi for t in times)
+        assert all(isinstance(v, str) for _, v in entry["values"])

@@ -95,3 +95,29 @@ def test_quality_filter_no_shuffle_no_python(docs):
     plan = plan_string(smp.quality_filter(docs), "formatted")
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_pack_stream_offsets_partition_invariant(spark):
+    """The two-pass prefix sum must produce identical offsets whatever the
+    range-partition count — the property that makes it safe at scale."""
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.sampling import pack_stream_offsets
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=(i * 37) % 90 + 10) for i in range(200)]
+    )
+    outs = []
+    for n in (1, 3, 8):
+        got = {
+            r.doc_id: (r.stream_offset, r.shard)
+            for r in pack_stream_offsets(df, 256, n_ranges=n).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    # exact sequential semantics: offset(i) = sum of tokens of ids < i
+    toks = {i: (i * 37) % 90 + 10 for i in range(200)}
+    acc = 0
+    for i in range(200):
+        assert outs[0][i] == (acc, acc // 256)
+        acc += toks[i]
