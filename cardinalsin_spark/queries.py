@@ -1940,6 +1940,49 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion-effect: promo revenue as a fraction of total
+    revenue for one shipping month. Exact-cents numerator/denominator,
+    one final float division."""
+    from cardinalsin_spark.sources.tables import load_tables
+
+    ensure_session_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    rev = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - cents(F.col("l_discount"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .agg(
+            (
+                F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14ISH = f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN {_sql_cents('l_extendedprice')}
+                        * (100 - {_sql_cents('l_discount')})
+                   ELSE 0 END) AS DOUBLE)
+       / CAST(sum({_sql_cents('l_extendedprice')}
+                  * (100 - {_sql_cents('l_discount')})) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
 SQL_TPCH_Q10ISH = f"""
 SELECT c_custkey, c_name, n_name,
        sum({_sql_cents('l_extendedprice')}
@@ -2010,6 +2053,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "tpch_q10ish": (q_tpch_q10ish, SQL_TPCH_Q10ISH),
+    "tpch_q14ish": (q_tpch_q14ish, SQL_TPCH_Q14ISH),
     "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
     "ts_outliers": (q_ts_outliers, SQL_TS_OUTLIERS),
     "ts_heatmap": (q_ts_heatmap, SQL_TS_HEATMAP),

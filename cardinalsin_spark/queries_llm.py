@@ -467,6 +467,83 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: predict each query vector's label by majority
+    vote of its 10 exact-cosine neighbours (self excluded), ties to the
+    smallest label — the eval loop a labeled-embedding pipeline runs.
+    Composition of the oracle-checked top-k with two exact-count stages."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+    nb = emb.select(
+        F.col("vec_id").alias("_nb_id"), F.col("label").alias("_nb_label")
+    )
+    votes = (
+        topk.join(F.broadcast(nb), topk.vec_id == nb._nb_id)
+        .groupBy("query_id", "_nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_nb_label")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_nb_label").alias("predicted"), "votes")
+    )
+    actual = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    return (
+        pred.join(F.broadcast(actual), on="query_id")
+        .select("query_id", "predicted", "actual", "votes")
+        .orderBy("query_id")
+    )
+
+
+SQL_EMB_KNN_CLASSIFY = f"""
+WITH c AS (
+  SELECT vec_id, label, {_SQL_QVEC} AS qv FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         list_dot_product(qq, qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rank <= {_TOPK} GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS predicted, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT p.query_id, p.predicted, e.label AS actual,
+       CAST(p.votes AS BIGINT) AS votes
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+WHERE p.rn = 1
+ORDER BY p.query_id
+"""
+
+
 def q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (8 deterministic hyperplanes) approximate top-10 — the scale
     path: candidates come from bucket equality, not a cross join."""
@@ -1215,6 +1292,7 @@ REGISTRY_LLM = {
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
+    "emb_knn_classify": (q_emb_knn_classify, SQL_EMB_KNN_CLASSIFY),
     "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
     "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
     "docs_gopher_repetition": (
