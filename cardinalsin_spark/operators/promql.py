@@ -43,7 +43,7 @@ from cardinalsin_spark.operators.timeseries import MetricsCols
 
 _AGG_RE = re.compile(
     r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk|quantile|count_values)"
-    r"\s*(?:by\s*\(([^)]+)\))?\s*\((.+)\)$",
+    r"\s*(?:(by|without)\s*\(([^)]+)\))?\s*\((.+)\)$",
     re.DOTALL,
 )
 _RANGE_FN_RE = re.compile(
@@ -101,6 +101,7 @@ class ParsedPromQL:
     label_matchers: list[LabelMatcher] = field(default_factory=list)
     aggregation: str | None = None
     group_by: list[str] = field(default_factory=list)
+    group_mode: str | None = None  # "by" | "without" | None
     range_seconds: float | None = None
     function: str | None = None
     k: int | None = None
@@ -125,9 +126,10 @@ def parse_promql(promql: str) -> ParsedPromQL:
     m = _AGG_RE.match(promql)
     if m:
         out.aggregation = m.group(1)
-        if m.group(2):
-            out.group_by = [s.strip() for s in m.group(2).split(",")]
-        inner = m.group(3)
+        if m.group(3):
+            out.group_mode = m.group(2)
+            out.group_by = [s.strip() for s in m.group(3).split(",")]
+        inner = m.group(4)
         if out.aggregation in ("topk", "bottomk"):
             km = _TOPK_K_RE.match(inner)
             if km:
@@ -211,6 +213,19 @@ def discover_label_columns(parsed: ParsedPromQL) -> list[str]:
         if lbl not in labels:
             labels.append(lbl)
     return labels
+
+
+def effective_group_by(parsed: ParsedPromQL, cols: MetricsCols) -> list[str]:
+    """Resolve the aggregation's grouping labels: ``by (...)`` lists them
+    directly; ``without (...)`` keeps every known series label (matcher
+    labels + the frame's bound label columns) EXCEPT those listed —
+    Prometheus's complement semantics."""
+    if parsed.group_mode == "without":
+        all_labels = list(
+            dict.fromkeys([*discover_label_columns(parsed), *cols.labels])
+        )
+        return [l for l in all_labels if l not in parsed.group_by]
+    return parsed.group_by
 
 
 def _selector_filter(parsed: ParsedPromQL, cols: MetricsCols) -> Column:
@@ -352,30 +367,32 @@ def promql_instant(
             .orderBy(cols.name, parsed.dst_label)
         )
 
+    gby = effective_group_by(parsed, cols)
+
     if parsed.aggregation == "quantile" and parsed.q is not None:
         return (
-            out.groupBy(cols.name, *parsed.group_by)
+            out.groupBy(cols.name, *gby)
             .agg(
                 F.max(cols.ts).alias("timestamp_"),
                 _agg_column("quantile", cols.value, parsed.q).alias("value"),
             )
-            .orderBy(F.desc("value"), cols.name, *parsed.group_by)
+            .orderBy(F.desc("value"), cols.name, *gby)
         )
 
     if parsed.aggregation in ("topk", "bottomk") and parsed.k is not None:
         agg_col = _agg_column("avg", cols.value)
-        grouped = out.groupBy(cols.name, *parsed.group_by).agg(
+        grouped = out.groupBy(cols.name, *gby).agg(
             F.max(cols.ts).alias("timestamp_"), agg_col.alias("value")
         )
         order = F.asc("value") if parsed.aggregation == "bottomk" else F.desc("value")
-        return grouped.orderBy(order, cols.name, *parsed.group_by).limit(parsed.k)
+        return grouped.orderBy(order, cols.name, *gby).limit(parsed.k)
 
     if parsed.aggregation:
         agg_col = _agg_column(parsed.aggregation, cols.value)
         return (
-            out.groupBy(cols.name, *parsed.group_by)
+            out.groupBy(cols.name, *gby)
             .agg(F.max(cols.ts).alias("timestamp_"), agg_col.alias("value"))
-            .orderBy(F.desc("value"), cols.name, *parsed.group_by)
+            .orderBy(F.desc("value"), cols.name, *gby)
         )
 
     order = [F.desc(cols.ts)] + [F.desc(t) for t in (tiebreak or [])]
@@ -551,7 +568,7 @@ def promql_range(
         keys = [
             time_bucket(cols.ts, step_s).alias("time_bucket"),
             F.col(cols.name),
-        ] + [F.col(c) for c in parsed.group_by]
+        ] + [F.col(c) for c in effective_group_by(parsed, cols)]
         value = _agg_column(parsed.aggregation, cols.value, parsed.q)
     else:
         value = F.avg(cols.value)
@@ -717,7 +734,7 @@ def _promql_range_faithful(
         vcol, "value"
     )
     if parsed.aggregation:
-        keys = ["time_bucket", cols.name, *parsed.group_by]
+        keys = ["time_bucket", cols.name, *effective_group_by(parsed, cols)]
         return (
             res.groupBy(*keys)
             .agg(_agg_column(parsed.aggregation, "value").alias("value"))

@@ -464,3 +464,36 @@ def test_scalar_wrappers(spark, sf_dir):
     }
     import math
     assert all(fl[u] == float(math.floor(v)) for u, v in base.items())
+
+
+def test_without_clause_complements_by(spark, sf_dir):
+    """`agg without (l)` groups on every series label except l — with the
+    events frame's single user_id label, `sum without (user_id)` must equal
+    the ungrouped `sum`, and `sum without ()`-style keeps unlisted labels."""
+    from cardinalsin_spark.operators.promql import parse_promql, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    p = parse_promql("sum without (user_id) (purchase)")
+    assert p.aggregation == "sum" and p.group_mode == "without"
+    assert p.group_by == ["user_id"]
+
+    ev = _events_promql(spark, sf_dir)
+    lo, hi = 1704067200.0, 1704671999.0
+    without = promql_range(
+        ev, "sum without (user_id) (purchase)", lo, hi, 86400, cols=EV_CENTS
+    ).collect()
+    plain = promql_range(
+        ev, "sum (purchase)", lo, hi, 86400, cols=EV_CENTS
+    ).collect()
+    assert {(r.time_bucket, r.value) for r in without} == {
+        (r.time_bucket, r.value) for r in plain
+    }
+    assert len(without) > 0
+
+    # faithful path: outer aggregation honors the complement too
+    fw = promql_range(
+        ev, "sum without (user_id) (rate(purchase[600s]))",
+        lo, hi, 600, cols=EV_CENTS, faithful=True,
+    )
+    assert "user_id" not in fw.columns
+    assert fw.count() > 0
