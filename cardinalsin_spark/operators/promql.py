@@ -83,6 +83,13 @@ _SCALAR_FN_RE = re.compile(
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
+# vector-vs-scalar comparison filter: `expr > 5`, `expr <= 0.2 `— drops
+# non-matching samples (PromQL filter semantics; `bool` modifier returns
+# 0/1 instead)
+_CMP_SCALAR_RE = re.compile(
+    r"^(.+?)\s*(>=|<=|==|!=|>|<)\s*(bool\s+)?(-?[0-9]+(?:\.[0-9]+)?)$",
+    re.DOTALL,
+)
 
 
 @dataclass
@@ -316,6 +323,13 @@ def promql_instant(
         inner_expr, args = _split_label_fn_args(sm.group(2))
         res = promql_instant(df, inner_expr, time_s, cols, tiebreak)
         return _apply_scalar_fn(res, fn, args)
+
+    cm = _CMP_SCALAR_RE.match(promql.strip())
+    if cm and _balanced(cm.group(1)):
+        inner = promql_instant(df, cm.group(1), time_s, cols, tiebreak)
+        return _apply_scalar_cmp(
+            inner, cm.group(2), float(cm.group(4)), bool(cm.group(3))
+        )
 
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols))
@@ -842,3 +856,41 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
     if fn in ("sort", "sort_desc"):
         return res.orderBy(F.asc("value") if fn == "sort" else F.desc("value"))
     raise ValueError(f"unsupported scalar function {fn!r}")
+
+
+def _balanced(s: str) -> bool:
+    """True iff parens/braces/brackets balance — guards the comparison
+    split from bisecting `clamp(m, 1, 2)`-style argument lists."""
+    depth = 0
+    for ch in s:
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+_CMP_OPS = {
+    ">": lambda v, s: v > s,
+    "<": lambda v, s: v < s,
+    ">=": lambda v, s: v >= s,
+    "<=": lambda v, s: v <= s,
+    "==": lambda v, s: v == s,
+    "!=": lambda v, s: v != s,
+}
+
+
+def _apply_scalar_cmp(
+    res: DataFrame, op: str, scalar: float, as_bool: bool
+) -> DataFrame:
+    """Vector-vs-scalar comparison (PromQL filter semantics): keep samples
+    whose value satisfies the predicate; with the ``bool`` modifier,
+    keep every sample and replace the value with 1.0/0.0."""
+    cond = _CMP_OPS[op](F.col("value"), F.lit(scalar))
+    if as_bool:
+        return res.withColumn(
+            "value", F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+    return res.filter(cond)

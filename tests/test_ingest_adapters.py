@@ -288,3 +288,37 @@ def test_line_protocol_roundtrip_property(spark):
                 assert stored == fval
             else:
                 assert r.value_f64 == fval
+
+
+def test_line_protocol_to_store_to_promql(spark, tmp_path):
+    """Full ingest path: line protocol → metrics store → PromQL instant
+    query over the re-registered table."""
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+    from cardinalsin_spark.sources.ingest import register_metrics, write_metrics
+    from cardinalsin_spark.sources.line_protocol import lines_to_metrics
+
+    base_ns = 1704067200 * 10**9
+    lines = spark.createDataFrame(
+        [(f"cpu,host=h{i % 2} usage={i}.5 {base_ns + i * 10**9}",)
+         for i in range(10)],
+        "line string",
+    )
+    m = lines_to_metrics(lines).withColumn(
+        "host", F.map_values("tags")[0]
+    ).drop("tags")
+    path = str(tmp_path / "lp_store")
+    write_metrics(m, path, mode="overwrite")
+
+    stored = register_metrics(spark, path, "lp_metrics")
+    got = promql_instant(
+        stored.withColumn("value", F.coalesce("value_f64", "value_i64")),
+        'sum by (host) (cpu_usage)',
+        time_s=1704067200.0 + 3600,
+        cols=MetricsCols(ts="timestamp", name="metric_name", value="value"),
+    ).collect()
+    by_host = {r.host: r.value for r in got}
+    assert by_host == {
+        "h0": sum(i + 0.5 for i in range(0, 10, 2)),
+        "h1": sum(i + 0.5 for i in range(1, 10, 2)),
+    }

@@ -497,3 +497,31 @@ def test_without_clause_complements_by(spark, sf_dir):
     )
     assert "user_id" not in fw.columns
     assert fw.count() > 0
+
+
+def test_scalar_comparison_filter_and_bool(spark, sf_dir):
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1706745600.0
+    base = promql_instant(
+        ev, "sum by (user_id) (purchase)", time_s=t, cols=EV_CENTS
+    ).collect()
+    thresh = sorted(r.value for r in base)[len(base) // 2]
+
+    filt = promql_instant(
+        ev, f"sum by (user_id) (purchase) > {thresh}", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert len(filt) == sum(1 for r in base if r.value > thresh)
+    assert all(r.value > thresh for r in filt)
+
+    boolv = promql_instant(
+        ev, f"sum by (user_id) (purchase) <= bool {thresh}",
+        time_s=t, cols=EV_CENTS,
+    ).collect()
+    assert len(boolv) == len(base)
+    assert {r.value for r in boolv} <= {0.0, 1.0}
+    assert sum(r.value for r in boolv) == sum(
+        1 for r in base if r.value <= thresh
+    )
