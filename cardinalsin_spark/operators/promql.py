@@ -451,11 +451,23 @@ def _split_top_level_binop(s: str):
     op = s[pos]
     left, right = s[:pos].strip(), s[pos + 1 :].strip()
     on_labels: list[str] | None = None
+    group_mode: str | None = None
+    carry: list[str] = []
     m = re.match(r"^on\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
     if m:
         on_labels = [x.strip() for x in m.group(1).split(",") if x.strip()]
         right = m.group(2)
-    return left, op, on_labels, right
+        gm = re.match(
+            r"^(group_left|group_right)\s*(?:\(([^)]*)\))?\s*(.+)$",
+            right,
+            re.DOTALL,
+        )
+        if gm:
+            group_mode = gm.group(1)
+            if gm.group(2):
+                carry = [x.strip() for x in gm.group(2).split(",") if x.strip()]
+            right = gm.group(3)
+    return left, op, on_labels, group_mode, carry, right
 
 
 def _vector_match(
@@ -464,24 +476,44 @@ def _vector_match(
     op: str,
     on_labels: list[str] | None,
     cols: MetricsCols,
+    group_mode: str | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """One-to-one vector matching: inner equi-join on (time_bucket, shared
-    labels) — PromQL drops unmatched samples and the metric name."""
+    """Vector matching: inner equi-join on (time_bucket, shared labels) —
+    PromQL drops unmatched samples and the metric name.
+
+    One-to-one by default; ``group_left``/``group_right`` enable
+    many-to-one: the "many" side keeps its full label set, the "one" side
+    contributes its value per match group (plus any ``carry`` labels listed
+    in the modifier) — e.g. per-series rate divided by a per-type total."""
     shared = sorted(
         (set(lf.columns) & set(rf.columns)) - {"time_bucket", cols.name, "value"}
     )
     keys = ["time_bucket"] + (on_labels if on_labels is not None else shared)
+    ops = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+    if group_mode in ("group_left", "group_right"):
+        many, one = (lf, rf) if group_mode == "group_left" else (rf, lf)
+        onep = one.select(
+            *keys, *(carry or []), F.col("value").alias("_ov")
+        )
+        manyp = many.withColumnRenamed("value", "_mv").drop(cols.name)
+        joined = manyp.join(onep, keys)
+        mv, ov = F.col("_mv"), F.col("_ov")
+        value = (
+            ops[op](mv, ov) if group_mode == "group_left" else ops[op](ov, mv)
+        )
+        out_cols = [c for c in manyp.columns if c != "_mv"] + list(carry or [])
+        return joined.select(*out_cols, value.alias("value")).orderBy(*out_cols)
     l = lf.select(*keys, F.col("value").alias("_lv"))
     r = rf.select(*keys, F.col("value").alias("_rv"))
-    ops = {
-        "+": F.col("_lv") + F.col("_rv"),
-        "-": F.col("_lv") - F.col("_rv"),
-        "*": F.col("_lv") * F.col("_rv"),
-        "/": F.col("_lv") / F.col("_rv"),
-    }
     return (
         l.join(r, keys)
-        .select(*keys, ops[op].alias("value"))
+        .select(*keys, ops[op](F.col("_lv"), F.col("_rv")).alias("value"))
         .orderBy(*keys)
     )
 
@@ -514,10 +546,10 @@ def promql_range(
     """
     binop = _split_top_level_binop(promql)
     if binop:
-        left, op, on_labels, right = binop
+        left, op, on_labels, group_mode, carry, right = binop
         lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
-        return _vector_match(lf, rf, op, on_labels, cols)
+        return _vector_match(lf, rf, op, on_labels, cols, group_mode, carry)
 
     lm = _LABEL_FN_RE.match(promql.strip())
     if lm:

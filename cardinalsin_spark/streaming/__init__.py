@@ -5,6 +5,7 @@ from cardinalsin_spark.streaming.live import (
     session_agg,
     stateful_counter_increase,
     stream_enrich,
+    stream_interval_join,
     streaming_dedup,
     windowed_agg,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "session_agg",
     "stateful_counter_increase",
     "stream_enrich",
+    "stream_interval_join",
     "streaming_dedup",
     "windowed_agg",
 ]

@@ -255,3 +255,44 @@ def stream_enrich(
     stream-stream joins with watermarks are the fact-to-fact path.
     """
     return sdf.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    lookback: str = "10 minutes",
+    watermark: str = "30 seconds",
+    ts_col: str = "timestamp",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    every right event for the same key whose timestamp falls in
+    ``[left.ts − lookback, left.ts]`` — the fact-to-fact live correlation
+    (click ↔ preceding views) the reference's streaming layer cannot
+    express at all (``query/streaming.rs`` is filter-only; SURVEY §2.9
+    superset).
+
+    Both sides carry event-time watermarks, so Spark bounds the join state
+    to [watermark + lookback] per key and drops it as time advances —
+    the state-retention contract that keeps an unbounded two-stream join
+    runnable forever. All right-side columns (key and time included) are
+    suffixed so downstream code can address both sides."""
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    for c in rw.columns:
+        rw = rw.withColumnRenamed(c, f"{c}{right_suffix}")
+    key_eq = [
+        F.col(k) == F.col(f"{k}{right_suffix}") for k in on
+    ]
+    rts = F.col(f"{ts_col}{right_suffix}")
+    lts = F.col(ts_col)
+    cond = key_eq[0]
+    for k in key_eq[1:]:
+        cond = cond & k
+    cond = (
+        cond
+        & (rts <= lts)
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -193,10 +193,11 @@ def test_faithful_deriv_runs(spark, sf_dir):
 def test_binop_split_precedence_and_nesting():
     from cardinalsin_spark.operators.promql import _split_top_level_binop
 
-    l, op, on, r = _split_top_level_binop("sum(a) / sum(b)")
+    l, op, on, gm, carry, r = _split_top_level_binop("sum(a) / sum(b)")
     assert (l, op, on, r) == ("sum(a)", "/", None, "sum(b)")
+    assert gm is None and carry == []
     # +- binds looser: rightmost top-level + wins over /
-    l, op, on, r = _split_top_level_binop("a / b + c")
+    l, op, on, gm, carry, r = _split_top_level_binop("a / b + c")
     assert (l, op, r) == ("a / b", "+", "c") and on is None
     # operators inside parens/brackets/braces are not split points
     assert _split_top_level_binop('rate(requests_total[5m])') is None
@@ -208,8 +209,15 @@ def test_binop_split_precedence_and_nesting():
 def test_binop_on_modifier():
     from cardinalsin_spark.operators.promql import _split_top_level_binop
 
-    l, op, on, r = _split_top_level_binop("sum(a) / on(user_id, host) sum(b)")
+    l, op, on, gm, carry, r = _split_top_level_binop("sum(a) / on(user_id, host) sum(b)")
     assert op == "/" and on == ["user_id", "host"] and r == "sum(b)"
+    assert gm is None
+
+    l, op, on, gm, carry, r = _split_top_level_binop(
+        "m / on(host) group_left(env) sum by (host) (n)"
+    )
+    assert gm == "group_left" and carry == ["env"]
+    assert r == "sum by (host) (n)"
 
 
 def test_binop_vector_match_on(spark, sf_dir):
@@ -525,3 +533,26 @@ def test_scalar_comparison_filter_and_bool(spark, sf_dir):
     assert sum(r.value for r in boolv) == sum(
         1 for r in base if r.value <= thresh
     )
+
+
+def test_group_left_many_to_one(spark, sf_dir):
+    """`rate per series / on(time...) group_left total per bucket`: the
+    many side keeps its labels; each series' share of the per-type total
+    sums to 1 per (bucket, type)."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    lo, hi = 1704067200.0, 1704671999.0
+    out = promql_range(
+        ev,
+        "sum by (user_id) (purchase) / on() group_left sum (purchase)",
+        lo, hi, 86400, cols=EV_CENTS,
+    )
+    rows = out.collect()
+    assert "user_id" in out.columns and len(rows) > 0
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.time_bucket, []).append(r.value)
+    for shares in by_bucket.values():
+        assert abs(sum(shares) - 1.0) < 1e-9

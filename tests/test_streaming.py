@@ -199,3 +199,44 @@ def test_stream_enrich_matches_batch_join(spark, metrics_df, chunk_dir, tmp_path
         .groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expected and sum(got.values()) == metrics_df.count()
+
+
+def test_stream_interval_join_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """Watermarked stream-stream interval join equals the batch interval
+    join: every purchase pairs with same-bucket clicks in the lookback."""
+    from cardinalsin_spark.streaming import stream_interval_join
+
+    purchases = read_metrics_stream(spark, chunk_dir).filter(
+        F.col("metric_name") == "purchase"
+    )
+    clicks = read_metrics_stream(spark, chunk_dir).filter(
+        F.col("metric_name") == "click"
+    )
+    # join key: shared hour-of-stream via the date column? use metric-free
+    # key: user label is absent in this fixture, so join on the hour bucket
+    lk = "30 minutes"
+    l2 = purchases.withColumn("hour_key", F.date_trunc("hour", "timestamp"))
+    r2 = clicks.withColumn("hour_key", F.date_trunc("hour", "timestamp"))
+    joined = stream_interval_join(l2, r2, on=["hour_key"], lookback=lk)
+    name = _run_stream(
+        joined.select("timestamp", "timestamp_r"), "append", tmp_path
+    )
+    got = spark.table(name).count()
+
+    lb = metrics_df.filter(F.col("metric_name") == "purchase").withColumn(
+        "hour_key", F.date_trunc("hour", "timestamp")
+    ).select("hour_key", "timestamp")
+    rb = (
+        metrics_df.filter(F.col("metric_name") == "click")
+        .withColumn("hour_key", F.date_trunc("hour", "timestamp"))
+        .select(
+            F.col("hour_key").alias("hk2"), F.col("timestamp").alias("ts2")
+        )
+    )
+    expected = lb.join(
+        rb,
+        (F.col("hour_key") == F.col("hk2"))
+        & (F.col("ts2") <= F.col("timestamp"))
+        & (F.col("ts2") >= F.col("timestamp") - F.expr(f"INTERVAL {lk}")),
+    ).count()
+    assert got == expected and expected > 0
