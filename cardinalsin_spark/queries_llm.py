@@ -1154,6 +1154,52 @@ FROM cum ORDER BY doc_id
 """
 
 
+def q_docs_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplication signal: per doc, the fraction of
+    its distinct word 8-grams that also occur in at least one OTHER doc —
+    the span-level filter that catches boilerplate exact dedup misses.
+    Explode → distinct → gram-document counts (map-side combinable) →
+    join back; exact integer counts, one division."""
+    grams = dd.exploded_word_ngrams(_docs(spark, sf_dir), n=8).distinct()
+    gcount = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        grams.join(gcount, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+            (
+                F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("crossdup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_CROSSDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 7, 1) + 1),
+           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' ')
+         )) AS g
+  FROM toks
+),
+gc AS (SELECT g, count(*) AS ndocs FROM grams GROUP BY 1)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) / count(*) AS crossdup_frac
+FROM grams JOIN gc USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 §A1.1): duplicate-word
     fraction + characters covered by the top word 2-gram, per document."""
@@ -1295,6 +1341,7 @@ REGISTRY_LLM = {
     "emb_knn_classify": (q_emb_knn_classify, SQL_EMB_KNN_CLASSIFY),
     "docs_rare_words": (q_docs_rare_words, SQL_DOCS_RARE_WORDS),
     "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
+    "docs_crossdup": (q_docs_crossdup, SQL_DOCS_CROSSDUP),
     "docs_gopher_repetition": (
         q_docs_gopher_repetition,
         SQL_DOCS_GOPHER_REPETITION,
