@@ -175,3 +175,33 @@ def test_gapfill_grid_is_executor_side(spark, sf_dir):
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "partial_" in plan
     assert "Python" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must hash/merge-join with ZERO
+    Exchange operators — the co-located layout that replaces a full
+    shuffle for recurring fact-to-fact joins at scale."""
+    from cardinalsin_spark.sources.ingest import write_bucketed
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            ev.select("user_id", "ts", "value"), "ev_a", ["user_id"], 8,
+            sort_cols=["user_id"],
+        )
+        write_bucketed(
+            ev.select(
+                F.col("user_id"), F.col("value").alias("v2")
+            ).groupBy("user_id").agg(F.sum("v2").alias("total")),
+            "ev_b", ["user_id"], 8, sort_cols=["user_id"],
+        )
+        joined = spark.table("ev_a").join(spark.table("ev_b"), "user_id")
+        plan = plan_string(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS ev_a")
+        spark.sql("DROP TABLE IF EXISTS ev_b")
