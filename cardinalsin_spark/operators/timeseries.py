@@ -932,3 +932,33 @@ def delta_faithful(
         .select("bucket", cols.name, *series, "delta")
         .orderBy("bucket", cols.name, *series)
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str],
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+    bottom: bool = False,
+) -> DataFrame:
+    """Top-k rows PER GROUP (PromQL's `topk by (...)` semantics — k series
+    within each group, not a global limit; the reference degrades topk to
+    a plain aggregation with no limit at all,
+    ``api/query/prometheus_api.rs:757``).
+
+    One window shuffle on the group key; Spark rewrites rank<=k into a
+    group-limit pushed below the final sort, so each partition retains at
+    most k rows before any global ordering. Deterministic under value ties
+    via the ``tiebreak`` columns."""
+    order = [
+        F.asc(value_col) if bottom else F.desc(value_col),
+        *[F.asc(t) for t in (tiebreak or [])],
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+        .orderBy(*group_cols, *order)
+    )

@@ -171,3 +171,20 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         n = sub.count()
         below = sub.filter(F.col("value") <= r.approx_pcts[0]).count()
         assert abs(below / n - 0.5) <= 1 / 10_000 + 2 / n
+
+
+def test_topk_per_group(spark):
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.timeseries import topk_per_group
+
+    df = spark.createDataFrame(
+        [Row(g=g, s=s, value=float(v))
+         for g, rows in {"a": [5, 3, 9, 1], "b": [2, 8]}.items()
+         for s, v in enumerate(rows)]
+    )
+    out = topk_per_group(df, 2, ["g"], tiebreak=["s"]).collect()
+    got = {(r.g, r.value) for r in out}
+    assert got == {("a", 9.0), ("a", 5.0), ("b", 8.0), ("b", 2.0)}
+    bot = topk_per_group(df, 1, ["g"], bottom=True).collect()
+    assert {(r.g, r.value) for r in bot} == {("a", 1.0), ("b", 2.0)}
