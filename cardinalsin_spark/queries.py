@@ -1314,6 +1314,73 @@ LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
 """
 
 
+def q_ts_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream-faithful extrapolated rate per (1h bucket, event_type):
+    Prometheus's extrapolatedRate boundary logic + counter zero-clamp,
+    bit-exact across engines (identical float chains on exact ints)."""
+    from cardinalsin_spark.operators.timeseries import rate_extrapolated
+
+    df = rate_extrapolated(_events_cents(spark, sf_dir), 3600, cols=EV_CENTS)
+    return df.select(
+        "bucket",
+        "event_type",
+        (F.col("rate") / F.lit(100.0)).alias("rate"),
+    )
+
+
+SQL_TS_RATE_EXTRAPOLATED = f"""
+WITH base AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type, epoch_ns(ts) AS tns,
+         {_sql_cents('value')} AS vc
+  FROM events
+),
+lagged AS (
+  SELECT bucket, event_type, tns, vc,
+         lag(vc) OVER (PARTITION BY bucket, event_type
+                       ORDER BY tns, vc) AS prev
+  FROM base
+),
+agg AS (
+  SELECT bucket, event_type, count(*) AS n,
+         sum(CASE WHEN prev IS NULL THEN NULL
+                  WHEN vc >= prev THEN vc - prev
+                  ELSE vc END) AS d,
+         min(tns) AS tf, max(tns) AS tl,
+         arg_min(vc, tns) AS vf,
+         epoch_us(min(bucket)) * 1000 AS bstart
+  FROM lagged GROUP BY 1, 2
+),
+ext AS (
+  SELECT bucket, event_type, d,
+         CAST(tl - tf AS DOUBLE) AS sampled,
+         CAST(tl - tf AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_dur,
+         CAST(tf - bstart AS DOUBLE) AS dur_start,
+         CAST(bstart + {3600 * 10**9} - tl AS DOUBLE) AS dur_end,
+         CASE WHEN d > 0
+              THEN CAST(tl - tf AS DOUBLE)
+                   * (CAST(vf AS DOUBLE) / CAST(d AS DOUBLE))
+              ELSE NULL END AS dur_to_zero
+  FROM agg WHERE n >= 2 AND tl > tf
+),
+fin AS (
+  SELECT bucket, event_type, d, sampled,
+         CASE WHEN dur_to_zero IS NOT NULL AND dur_to_zero <
+                (CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start
+                      ELSE avg_dur / 2.0 END)
+              THEN dur_to_zero
+              ELSE (CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start
+                         ELSE avg_dur / 2.0 END) END AS ext_start,
+         CASE WHEN dur_end < avg_dur * 1.1 THEN dur_end
+              ELSE avg_dur / 2.0 END AS ext_end
+  FROM ext
+)
+SELECT bucket, event_type,
+       CAST(d AS DOUBLE) * ((sampled + ext_start + ext_end) / sampled)
+         / 3600.0 / 100.0 AS rate
+FROM fin ORDER BY bucket, event_type
+"""
+
+
 def q_ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time × value 2-D histogram (the observability heatmap panel): sample
     counts per (1d bucket, event_type, $25 value band). Exact integer band
@@ -2057,6 +2124,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_sessionize": (q_ts_sessionize, SQL_TS_SESSIONIZE),
     "ts_outliers": (q_ts_outliers, SQL_TS_OUTLIERS),
     "ts_heatmap": (q_ts_heatmap, SQL_TS_HEATMAP),
+    "ts_rate_extrapolated": (q_ts_rate_extrapolated, SQL_TS_RATE_EXTRAPOLATED),
     "promql_resets": (q_promql_resets, SQL_PROMQL_RESETS),
     "promql_predict_linear": (
         q_promql_predict_linear,
