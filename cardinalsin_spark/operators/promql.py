@@ -584,7 +584,9 @@ def promql_range(
         "rate", "irate", "increase", "deriv", "idelta", "delta",
         "resets", "changes", "predict_linear",
     ):
-        return _promql_range_faithful(out, parsed, step_s, cols, label_cols, ts_ns_col)
+        return _promql_range_faithful(
+            out, parsed, step_s, cols, label_cols, ts_ns_col, faithful
+        )
 
     keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
         F.col(c) for c in label_cols
@@ -695,9 +697,12 @@ def _promql_range_faithful(
     cols: MetricsCols,
     label_cols: list[str],
     ts_ns_col: str,
+    faithful: bool | str = True,
 ) -> DataFrame:
     """Faithful range-function dispatch: inner per-series evaluation via the
-    counter-reset-aware operators, optional outer aggregation across series."""
+    counter-reset-aware operators, optional outer aggregation across series.
+    ``faithful="extrapolated"`` upgrades rate to the upstream
+    extrapolatedRate algorithm (boundary extrapolation + zero-clamp)."""
     from cardinalsin_spark.operators.timeseries import (
         deriv_bucketed,
         increase_faithful,
@@ -711,13 +716,22 @@ def _promql_range_faithful(
     needs_ns = (
         "irate", "deriv", "idelta", "delta",
         "resets", "changes", "predict_linear",
-    )
+    ) + (("rate",) if faithful == "extrapolated" else ())
     if parsed.function in needs_ns and ts_ns_col not in out.columns:
         out = out.withColumn(
             ts_ns_col,
             F.unix_micros(F.col(cols.ts).cast("timestamp")) * F.lit(1_000),
         )
-    if parsed.function == "rate":
+    if parsed.function == "rate" and faithful == "extrapolated":
+        from cardinalsin_spark.operators.timeseries import rate_extrapolated
+
+        res, vcol = (
+            rate_extrapolated(
+                out, step_s, series=series, cols=cols, ts_ns_col=ts_ns_col
+            ),
+            "rate",
+        )
+    elif parsed.function == "rate":
         res, vcol = rate_faithful(out, step_s, series=series, cols=cols), "rate"
     elif parsed.function == "increase":
         res, vcol = (

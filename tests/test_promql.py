@@ -556,3 +556,45 @@ def test_group_left_many_to_one(spark, sf_dir):
         by_bucket.setdefault(r.time_bucket, []).append(r.value)
     for shares in by_bucket.values():
         assert abs(sum(shares) - 1.0) < 1e-9
+
+
+def test_extrapolated_rate_through_transpiler(spark, sf_dir):
+    """faithful='extrapolated' upgrades rate to the upstream
+    extrapolatedRate algorithm through the same entry point; the direct
+    operator call must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import rate_extrapolated
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    # type-level series (no user label): sf0.001 per-user series are too
+    # sparse for >= 2 samples per bucket
+    cols = MetricsCols(ts="ts", name="event_type", value="value_cents")
+    ev = _events_promql(spark, sf_dir)
+    lo, hi = 1704067200.0, 1706745600.0
+    via_transpiler = promql_range(
+        ev, "rate(click[86400s])", lo, hi, 86400, cols=cols,
+        faithful="extrapolated",
+    )
+    direct = rate_extrapolated(
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(hi)))
+        ),
+        86400,
+        cols=cols,
+    )
+    a = {r.time_bucket: r.value for r in via_transpiler.collect()}
+    b = {r.bucket: r.rate for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+    # plain faithful=True still uses the simpler bucket-width division
+    simple = promql_range(
+        ev, "rate(click[86400s])", lo, hi, 86400, cols=cols, faithful=True
+    )
+    c = {r.time_bucket: r.value for r in simple.collect()}
+    assert c != a
