@@ -1083,6 +1083,44 @@ def _derived_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file backlog: chunks below the catalog-wide average size, with
+    the per-day count and byte deficit — the compaction-pressure report an
+    operator watches (reference compactor targets 250-500 MB files,
+    compactor/mod.rs:84-87). "Small" is the scale-invariant exact-integer
+    rule ``size * n_chunks < total_bytes`` (below average), so the report
+    stays meaningful at any corpus size."""
+    ch = _derived_chunks(spark, sf_dir)
+    tot = ch.agg(
+        F.sum("size_bytes").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    small = ch.crossJoin(F.broadcast(tot)).filter(
+        F.col("size_bytes") * F.col("_n") < F.col("_total")
+    )
+    return (
+        small.groupBy(
+            F.expr("min_timestamp div 86400000000000").alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum("size_bytes").alias("bytes_small"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+SQL_MAINT_SMALL_FILES = f"""
+{_SQL_CHUNKS_CTE},
+tot AS (SELECT sum(size_bytes) AS total, count(*) AS n FROM chunks)
+SELECT min_timestamp // 86400000000000 AS day_idx,
+       count(*) AS n_small,
+       sum(size_bytes) AS bytes_small
+FROM chunks CROSS JOIN tot
+WHERE size_bytes * n < total
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_maint_l0_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L0 size-tiered compaction candidates: ≥5 level-0 chunks in the same
     hour bucket of min_timestamp (reference metadata/s3.rs:1188-1217)."""
@@ -2104,6 +2142,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_rollup": (q_sql_rollup, SQL_SQL_ROLLUP),
     "sql_cube": (q_sql_cube, SQL_SQL_CUBE),
     "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),
+    "maint_small_files": (q_maint_small_files, SQL_MAINT_SMALL_FILES),
     "maint_leveled_plan": (q_maint_leveled_plan, SQL_MAINT_LEVELED_PLAN),
     "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
