@@ -651,3 +651,67 @@ def cross_split_contamination(
         .agg(F.countDistinct("fp").alias("n_shared_fps"))
         .orderBy(id_col)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidate generation by byte-band
+    bucketing (pigeonhole: any pair within ``bands−1`` bit flips shares at
+    least one identical band — exact recall for ``max_hamming < bands``),
+    then a bit_count(xor) verification. The pairing half of the SimHash
+    pipeline the signature operator alone leaves implicit.
+
+    Plan: the signature aggregation, a band explode (bands× the signature
+    rows — tiny: one row per doc), a bucketed self-join on (band, value)
+    — Σbucket² like the MinHash LSH join, never all-pairs — and a
+    distinct + exact Hamming filter. Everything stays in built-in integer
+    expressions.
+    """
+    width = bits // bands
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(simhash, {b * width})"
+                        f" & {(1 << width) - 1}"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("_sa").bitwiseXOR(F.col("_sb"))
+    ).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

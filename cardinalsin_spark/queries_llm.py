@@ -418,6 +418,50 @@ FROM votes GROUP BY 1
 """
 
 
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band bucketed candidates (pigeonhole-
+    exact for hamming <= 3 with 4 bands), bit_count(xor) verification."""
+    return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+SQL_DOCS_SIMHASH_PAIRS = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_sql_hash("0", "tok")} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, bit, sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS v
+  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> CAST(band_idx * 8 AS INT)) & 255 AS band_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx
+              AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------
@@ -1355,6 +1399,7 @@ REGISTRY_LLM = {
     "docs_near_dedup_cc": (q_docs_near_dedup_cc, SQL_DOCS_NEAR_DEDUP_CC),
     "docs_winnow": (q_docs_winnow, SQL_DOCS_WINNOW),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
+    "docs_simhash_pairs": (q_docs_simhash_pairs, SQL_DOCS_SIMHASH_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
