@@ -1857,6 +1857,90 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(view[3600s])` through the transpiler with
+    ``faithful="extrapolated"``: the upstream extrapolatedRate algorithm
+    per (1h bucket, event_type series) — reachable from the same entry
+    point users hit."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    cols = MetricsCols(ts="ts", name="event_type", value="value_cents")
+    df = promql_range(
+        _events_cents(spark, sf_dir),
+        "rate(view[3600s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=3600,
+        cols=cols,
+        faithful="extrapolated",
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_RATE_EXTRAPOLATED = f"""
+WITH filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+base AS (
+  SELECT {_sql_bucket(3600)} AS time_bucket, event_type, tns, vc
+  FROM filtered
+),
+lagged AS (
+  SELECT time_bucket, event_type, tns, vc,
+         lag(vc) OVER (PARTITION BY time_bucket, event_type
+                       ORDER BY tns, vc) AS prev
+  FROM base
+),
+agg AS (
+  SELECT time_bucket, event_type, count(*) AS n,
+         sum(CASE WHEN prev IS NULL THEN NULL
+                  WHEN vc >= prev THEN vc - prev
+                  ELSE vc END) AS d,
+         min(tns) AS tf, max(tns) AS tl,
+         arg_min(vc, tns) AS vf,
+         epoch_us(min(time_bucket)) * 1000 AS bstart
+  FROM lagged GROUP BY 1, 2
+),
+ext AS (
+  SELECT time_bucket, event_type, d,
+         CAST(tl - tf AS DOUBLE) AS sampled,
+         CAST(tl - tf AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_dur,
+         CAST(tf - bstart AS DOUBLE) AS dur_start,
+         CAST(bstart + {3600 * 10**9} - tl AS DOUBLE) AS dur_end,
+         CASE WHEN d > 0
+              THEN CAST(tl - tf AS DOUBLE)
+                   * (CAST(vf AS DOUBLE) / CAST(d AS DOUBLE))
+              ELSE NULL END AS dur_to_zero
+  FROM agg WHERE n >= 2 AND tl > tf
+),
+fin AS (
+  SELECT time_bucket, event_type, d, sampled,
+         CASE WHEN dur_to_zero IS NOT NULL AND dur_to_zero <
+                (CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start
+                      ELSE avg_dur / 2.0 END)
+              THEN dur_to_zero
+              ELSE (CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start
+                         ELSE avg_dur / 2.0 END) END AS ext_start,
+         CASE WHEN dur_end < avg_dur * 1.1 THEN dur_end
+              ELSE avg_dur / 2.0 END AS ext_end
+  FROM ext
+)
+SELECT time_bucket, event_type,
+       CAST(d AS DOUBLE) * ((sampled + ext_start + ext_end) / sampled)
+         / 3600.0 / 100.0 AS value
+FROM fin ORDER BY time_bucket, event_type
+"""
+
+
 def q_promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`clamp(sum by (user_id) (purchase), 50000, 150000)` — scalar wrapper
     over an instant vector (cents bounds = $500..$1500)."""
@@ -2171,6 +2255,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "promql_idelta": (q_promql_idelta, SQL_PROMQL_IDELTA),
     "promql_clamp": (q_promql_clamp, SQL_PROMQL_CLAMP),
+    "promql_rate_extrapolated": (
+        q_promql_rate_extrapolated,
+        SQL_PROMQL_RATE_EXTRAPOLATED,
+    ),
     "promql_delta_faithful": (
         q_promql_delta_faithful,
         SQL_PROMQL_DELTA_FAITHFUL,
