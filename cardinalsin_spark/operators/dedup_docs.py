@@ -563,7 +563,13 @@ def near_dedup_cc(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits = the full width of portable_hash's md5-derived value. Round 3
+# shipped 32-bit signatures with 8-bit bands (256 buckets/band); SimHash
+# bits are majority votes and correlate across documents, so one band put
+# 86% of the sf0.1 corpus into a single bucket — 15.5M candidate pairs
+# before the Hamming filter. 60-bit/15-bit banding (32,768 buckets/band)
+# plus the capped secondary split in simhash_near_pairs bounds Σbucket².
+SIMHASH_BITS = 60
 
 
 def simhash(
@@ -574,10 +580,20 @@ def simhash(
 ) -> DataFrame:
     """Per-document SimHash over distinct lowercase tokens.
 
-    Exploded formulation (token × bit → ±1 votes → majority per bit →
-    weighted sum): two hash aggregations, both map-side combinable —
-    distributed-friendly at any corpus size, and exactly expressible in
-    portable SQL for the oracle.
+    Packed-counter formulation: one row per (doc, distinct token), then a
+    SINGLE groupBy(doc) summing ``ceil(bits/3)`` packed longs — each long
+    carries three 21-bit-spaced set-bit counters, so 60 bits need 20
+    aggregate columns instead of 60 (measured 4× faster: Spark's
+    per-aggregate update cost dominates at this width). Counter fields
+    can't carry into each other while every document has < 2^20 (~1M)
+    distinct tokens — far beyond any real document; the packed sum itself
+    then stays < 2^62. Bit b of the signature is set iff set-bit count
+    ≥ half the token count (equivalently the ±1 vote sum is ≥ 0 — the
+    classic SimHash majority). One shuffle total, map-side combinable,
+    pure projection after — round 3's token × bit explode pushed 60× the
+    rows through two shuffles for the same answer. The DuckDB oracle
+    keeps the exploded per-bit ±1-vote formulation (identical result,
+    SQL-portable).
     """
     toks = df.select(
         F.col(id_col),
@@ -585,30 +601,35 @@ def simhash(
             F.array_distinct(tokens_expr(normalize_text(text_col)))
         ).alias("tok"),
     ).withColumn("h", portable_hash(0, F.col("tok")))
-    votes = (
-        toks.select(
-            id_col,
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn(
-            # column-arg shifts need the SQL form (PySpark wrappers take ints)
-            "vote",
-            F.expr("(shiftright(h, CAST(bit AS INT)) & 1) * 2 - 1"),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
+    n_packed = -(-bits // 3)
+    packed_aggs = [
+        F.sum(
+            F.expr(
+                " + ".join(
+                    f"shiftleft(shiftright(h, {3 * j + r}) & 1, {21 * r})"
+                    for r in range(3)
+                    if 3 * j + r < bits
+                )
+            )
+        ).alias(f"_p{j}")
+        for j in range(n_packed)
+    ]
+    sig_expr = None
+    for b in range(bits):
+        j, r = b // 3, b % 3
+        # 2*count_of_set_bits >= n_tokens  <=>  ±1 vote sum >= 0
+        term = F.when(
+            F.expr(
+                f"2 * (shiftright(_p{j}, {21 * r})"
+                f" & CAST({(1 << 21) - 1} AS BIGINT)) >= _n"
+            ),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
     return (
-        votes.withColumn(
-            "bit_val",
-            F.when(
-                F.col("v") >= 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").alias("simhash"))
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"), *packed_aggs)
+        .select(id_col, sig_expr.alias("simhash"))
     )
 
 
@@ -653,6 +674,14 @@ def cross_split_contamination(
     )
 
 
+# Candidate-explosion guard: a (band, value) bucket larger than this is
+# re-bucketed on a secondary banding of the signature's REMAINING bits
+# before pairing (see simhash_near_pairs). Σbucket² for an uncapped bucket
+# of size s is s²; after the exact secondary split it is Σsub² over 2^11+
+# sub-buckets.
+SIMHASH_BUCKET_CAP = 256
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -660,21 +689,58 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
     bands: int = 4,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: candidate generation by byte-band
+    """SimHash near-duplicate pairs: candidate generation by 15-bit-band
     bucketing (pigeonhole: any pair within ``bands−1`` bit flips shares at
     least one identical band — exact recall for ``max_hamming < bands``),
     then a bit_count(xor) verification. The pairing half of the SimHash
-    pipeline the signature operator alone leaves implicit.
+    pipeline the signature operator alone leaves implicit. See
+    :func:`simhash_pairs_from_signatures` for the pairing plan.
+    """
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return simhash_pairs_from_signatures(
+        sig,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        bits=bits,
+        bands=bands,
+        bucket_cap=bucket_cap,
+    )
 
-    Plan: the signature aggregation, a band explode (bands× the signature
-    rows — tiny: one row per doc), a bucketed self-join on (band, value)
-    — Σbucket² like the MinHash LSH join, never all-pairs — and a
-    distinct + exact Hamming filter. Everything stays in built-in integer
-    expressions.
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs from a precomputed signature frame
+    (``id_col, simhash``).
+
+    Plan: a band explode (bands× the signature rows — tiny: one row per
+    doc), a bucketed self-join on (band, value) — Σbucket² like the
+    MinHash LSH join, never all-pairs — the classic first-match-band rule
+    instead of a global distinct, and an exact Hamming filter. Everything
+    stays in built-in integer expressions.
+
+    Oversized-bucket split (exact): rows in a (band, value) bucket with
+    more than ``bucket_cap`` members are re-bucketed by a SECOND pigeonhole
+    over the signature's remaining ``bits − width`` bits (4 sub-bands): a
+    pair sharing the primary band with global hamming ≤ max_hamming has
+    remaining-bits hamming ≤ max_hamming < 4, so it shares ≥ 1 sub-band —
+    recall stays exact. This bounds the hash-bias / coincidental-collision
+    blow-up (dissimilar docs sharing one band scatter across 2^12
+    sub-buckets: Σsub² ≪ s²), which is what melted round 3's 8-bit bands.
+    When an oversized bucket is a TRUE near-dup cluster the split cannot
+    reduce it (members share every sub-band too — e.g. this fixture's
+    template clusters, 727k true pairs at sf0.1); there the cost is the
+    4× sub-band instance multiplicity and the OUTPUT itself is quadratic,
+    which no candidate strategy can avoid.
     """
     width = bits // bands
-    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     banded = sig.select(
         id_col,
         "simhash",
@@ -690,28 +756,90 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    bucket_w = Window.partitionBy("band_idx", "band_val")
+    # eager localCheckpoint (the shared self-join discipline, see
+    # minhash_signatures_df): banded feeds both sides of two self-joins
+    # plus the bucket-size window — without it each branch recomputes the
+    # signature aggregation from the raw corpus
+    banded = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(bucket_w)
+    ).localCheckpoint()
+
+    band_mask = (1 << width) - 1
+
+    def _self_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
+        # narrow projection through the join; Hamming computed and filtered
+        # PER CANDIDATE INSTANCE, and the classic LSH first-match-band
+        # rule (emit a pair only at the LOWEST band the two signatures
+        # share) replaces a full distinct shuffle for primary-band
+        # multiplicity — both paths apply it, so a pair reaches the output
+        # from exactly one band and exactly one path (a shared band's
+        # bucket has one size, hence one size class).
+        slim = rows.select(id_col, "simhash", *keys)
+        a, b = slim.alias("a"), slim.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+
+        def _band(side: str, k: int):
+            return F.expr(f"shiftright({side}.simhash, {k * width}) & {band_mask}")
+
+        first_match = None
+        for k in range(bands):
+            c = F.col("a.band_idx") == k
+            for k2 in range(k):
+                c = c & (_band("a", k2) != _band("b", k2))
+            first_match = c if first_match is None else first_match | c
+        return (
+            a.join(b, cond)
+            .filter(first_match)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-        )
-        .distinct()
+
+    small = banded.filter(F.col("_bn") <= bucket_cap)
+    pairs_small = _self_pairs(small, ["band_idx", "band_val"])
+
+    # Secondary pigeonhole for oversized buckets: drop the primary band's
+    # bits out of the signature, split what remains into 4 sub-bands.
+    rem_bits = bits - width
+    sub_w = -(-rem_bits // 4)  # ceil → sub-bands cover all remaining bits
+    # remaining bits = low bits below the band | high bits above it,
+    # compacted into one (bits − width)-wide value (all values < 2^60,
+    # so shifts/multiplies stay far inside int64)
+    rem = F.expr(
+        f"(simhash & (shiftleft(CAST(1 AS BIGINT), band_idx * {width}) - 1))"
+        f" + shiftright(simhash, (band_idx + 1) * {width})"
+        f" * shiftleft(CAST(1 AS BIGINT), band_idx * {width})"
     )
-    hamming = F.bit_count(
-        F.col("_sa").bitwiseXOR(F.col("_sb"))
-    ).cast("long")
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+    large = banded.filter(F.col("_bn") > bucket_cap).withColumn("_rem", rem)
+    sub_banded = large.select(
+        id_col,
+        "simhash",
+        "band_idx",
+        "band_val",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(_rem, {j * sub_w})"
+                        f" & {(1 << sub_w) - 1}"
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("sub_idx", "sub_val"),
     )
+    # sub-band multiplicity (a pair can share several sub-bands) still
+    # needs a distinct, but only over the large path's true pairs
+    pairs_large = _self_pairs(
+        sub_banded, ["band_idx", "band_val", "sub_idx", "sub_val"]
+    ).distinct()
+
+    return pairs_small.unionByName(pairs_large).orderBy("id_a", "id_b")

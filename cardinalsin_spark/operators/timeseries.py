@@ -313,10 +313,12 @@ def deriv_bucketed(
 
     Exact-integer formulation: x = ms offset inside the bucket (int), y =
     the raw value column (pass integer units); slope = (nΣxy − ΣxΣy) /
-    (nΣx² − (Σx)²) computed entirely in int64 sums, one float division at
-    the end, ×1000 to convert per-ms → per-second. Bit-deterministic across
-    engines. Bounds: safe while n·Σ|xy| < 2^63 — holds for ≤ ~10⁵ samples
-    per (bucket, series) at step ≤ 1h with |y| ≤ 10⁶.
+    (nΣx² − (Σx)²) with the sums and num/den on DECIMAL(38,0) — int64
+    would wrap silently once n·Σxy passes 2⁶³ (a few thousand samples per
+    series at |y| = 10⁶ cents) while the DuckDB oracle promotes to
+    HUGEINT; DECIMAL(38,0) is exact to ~10³⁸, far past any real bucket.
+    One float division at the end, ×1000 to convert per-ms → per-second.
+    Bit-deterministic across engines.
     """
     series = series or []
     step_ns = step_seconds * 10**9
@@ -332,15 +334,16 @@ def deriv_bucketed(
         x_ms.alias("_x"),
         F.col(cols.value).cast("long").alias("_y"),
     )
+    dec = "decimal(38,0)"
     agg = base.groupBy("bucket", cols.name, *series).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sx2"),
     )
-    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    den = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    num = F.col("_n").cast(dec) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n").cast(dec) * F.col("_sx2") - F.col("_sx") * F.col("_sx")
     return (
         agg.filter((F.col("_n") >= 2) & (den > 0))
         .withColumn(
@@ -637,9 +640,12 @@ def predict_linear_bucketed(
     ``predict_ahead_s`` past each bucket's end (the reference AVG-falls-back,
     ``api/query/prometheus_api.rs:998-1012``).
 
-    Same exact-int sums as ``deriv_bucketed``; the prediction
-    ``ŷ = (Σy·den + num·(n·x_eval − Σx)) / (n·den)`` is evaluated on a
-    DECIMAL(38) grid (the numerator reaches ~10²⁵, beyond int64) and floored
+    The whole chain — the Σx/Σy/Σxy/Σx² sums AND num/den — runs on
+    DECIMAL(38,0): with x up to 3.6·10⁶ ms and cent values, ``n·Σxy``
+    passes 2⁶³ at a few thousand samples per (bucket, series), where int64
+    wraps silently while the DuckDB oracle promotes to HUGEINT (the r3
+    ADVICE divergence; the old code only cast the later product). The
+    prediction ``ŷ = (Σy·den + num·(n·x_eval − Σx)) / (n·den)`` is floored
     to a 10⁻⁶ grid before ONE float division, so both engines produce the
     identical long — the same discipline as the faithful irate. Output
     column ``predicted`` is in the raw value units.
@@ -657,15 +663,18 @@ def predict_linear_bucketed(
         x_ms.alias("_x"),
         F.col(cols.value).cast("long").alias("_y"),
     )
+    dec = "decimal(38,0)"
     agg = base.groupBy("bucket", cols.name, *series).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        # per-row products fit int64 easily (x ≤ 3.6e6 ms, y = cents);
+        # the SUMS are what pass 2^63 — cast before summing
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sx2"),
     )
-    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    den = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    num = F.col("_n").cast(dec) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n").cast(dec) * F.col("_sx2") - F.col("_sx") * F.col("_sx")
     micro = F.expr(
         "(CAST(_sy AS DECIMAL(38,0)) * _den"
         f" + CAST(_num AS DECIMAL(38,0)) * (CAST(_n AS DECIMAL(38,0)) * {x_eval_ms} - _sx))"
@@ -865,8 +874,11 @@ def zscore_outliers(
     (IEEE-deterministic). Values must be integer units (cents).
 
     Plan: partition-wide window aggregates on (bucket, group) — ONE
-    shuffle, no join of the stats back; then a filter. Bounds: exact while
-    ``(v·n)² < 2^63`` — holds for ≤ ~10⁵ samples per group at |v| ≤ 10⁶.
+    shuffle, no join of the stats back; then a filter. The decision chain
+    (znum², z²·d) runs on DECIMAL(38,0): int64 would wrap silently once
+    |v·n| passes ~3·10⁹ (n ≈ 3000 at |v| = 10⁶) while the DuckDB oracle
+    promotes to HUGEINT — the r3 ADVICE divergence. DECIMAL(38,0) is
+    exact to |v|·n ≤ 10¹⁹ (znum² ≤ 10³⁸), far past any real group.
     """
     by = by or [cols.name]
     base = df.select(
@@ -875,14 +887,17 @@ def zscore_outliers(
         F.col(cols.ts).alias("_ts"),
         F.col(cols.value).cast("long").alias("_v"),
     )
+    dec = "decimal(38,0)"
     w = Window.partitionBy("bucket", *by)
     st = (
         base.withColumn("_n", F.count(F.lit(1)).over(w))
-        .withColumn("_sy", F.sum("_v").over(w))
-        .withColumn("_sy2", F.sum(F.col("_v") * F.col("_v")).over(w))
+        .withColumn("_sy", F.sum(F.col("_v").cast(dec)).over(w))
+        .withColumn(
+            "_sy2", F.sum((F.col("_v") * F.col("_v")).cast(dec)).over(w)
+        )
     )
-    znum = F.col("_v") * F.col("_n") - F.col("_sy")
-    d = F.col("_n") * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    znum = F.col("_v").cast(dec) * F.col("_n") - F.col("_sy")
+    d = F.col("_n").cast(dec) * F.col("_sy2") - F.col("_sy") * F.col("_sy")
     return (
         st.filter((F.col("_n") >= 2) & (d > 0) & (znum * znum > F.lit(z * z) * d))
         .select(
@@ -1022,9 +1037,13 @@ def rate_extrapolated(
     ext_start = F.when(dur_start < threshold, dur_start).otherwise(
         avg_dur / F.lit(2.0)
     )
-    # counter zero-clamp: never extrapolate past the implied zero crossing
+    # counter zero-clamp: never extrapolate past the implied zero crossing.
+    # Upstream gates on BOTH delta-sum > 0 AND first sample >= 0
+    # (promql/functions.go extrapolatedRate: samples[0].F >= 0) — a
+    # negative first sample would otherwise produce a negative
+    # durationToZero that shrinks or negates the extrapolation window.
     dur_to_zero = F.when(
-        F.col("_d") > 0,
+        (F.col("_d") > 0) & (F.col("_vf") >= 0),
         sampled * (F.col("_vf").cast("double") / F.col("_d").cast("double")),
     )
     ext_start = F.when(

@@ -395,7 +395,9 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document over distinct normalized tokens."""
+    """60-bit SimHash per document over distinct normalized tokens (full
+    width of the portable md5 hash; see operators.dedup_docs.SIMHASH_BITS
+    for why 32-bit banding exploded)."""
     return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -408,7 +410,7 @@ hashed AS (
 ),
 votes AS (
   SELECT doc_id, bit, sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS v
-  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  FROM hashed, (SELECT unnest(range(0, 60)) AS bit)
   GROUP BY 1, 2
 )
 SELECT doc_id,
@@ -419,8 +421,11 @@ FROM votes GROUP BY 1
 
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band bucketed candidates (pigeonhole-
-    exact for hamming <= 3 with 4 bands), bit_count(xor) verification."""
+    """SimHash near-dup pairs: 15-bit-band bucketed candidates (pigeonhole-
+    exact for hamming <= 3 with 4 bands; oversized buckets get an exact
+    secondary sub-band split), bit_count(xor) verification. The oracle
+    keeps the simple single-level banding — candidate generation strategy
+    doesn't change the exact output pair set."""
     return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
@@ -433,7 +438,7 @@ hashed AS (
 ),
 votes AS (
   SELECT doc_id, bit, sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS v
-  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  FROM hashed, (SELECT unnest(range(0, 60)) AS bit)
   GROUP BY 1, 2
 ),
 sig AS (
@@ -445,7 +450,7 @@ sig AS (
 ),
 banded AS (
   SELECT doc_id, simhash, band_idx,
-         (simhash >> CAST(band_idx * 8 AS INT)) & 255 AS band_val
+         (simhash >> CAST(band_idx * 15 AS INT)) & 32767 AS band_val
   FROM sig, (SELECT unnest(range(0, 4)) AS band_idx)
 ),
 cand AS (
@@ -1378,7 +1383,95 @@ ORDER BY d.doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub (operators.text.pii_scrub): per-kind match counts on the raw
+# text + md5 of the redacted text. Patterns live in the RE2 ∩ Java-regex
+# common dialect so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detect + redact; md5 fingerprints the scrubbed text so the
+    value-hash compare doesn't ship full documents."""
+    return (
+        tx.pii_scrub(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "n_ssn",
+            "n_email",
+            "n_phone",
+            F.md5("scrubbed").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    pats = tx.PII_PATTERNS
+    scrub = "text"
+    for kind in ["ssn", "email", "phone"]:
+        scrub = (
+            "regexp_replace(" + scrub + ", '" + pats[kind]
+            + "', '<" + kind.upper() + ">', 'g')"
+        )
+    counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(text, '" + pats[k] + "')) AS INT) AS n_" + k
+        for k in ["ssn", "email", "phone"]
+    )
+    return (
+        "SELECT doc_id,\n       " + counts + ",\n       md5(" + scrub
+        + ") AS scrubbed_md5\nFROM documents\nORDER BY doc_id"
+    )
+
+
+SQL_DOCS_PII_SCRUB = _sql_pii_scrub()
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour image resize to 8x8 via Arrow mapInPandas; output
+    blob fingerprinted with md5 (content is ASCII-byte tiling, so the
+    DuckDB oracle rebuilds the exact byte string)."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.resize_images(
+        mm.documents_as_media(_docs(spark, sf_dir)), target_w=8, target_h=8
+    ).select(
+        "media_id",
+        F.md5("content").alias("content_md5"),
+        "width",
+        "height",
+        "mime",
+    )
+
+
+# Output byte (j, i, c) = source byte 3*((j*h//8)*w + (i*w//8)) + c — the
+# numpy np.ix_ nearest-neighbour gather, row-major j,i with rgb triplets
+# kept contiguous (one 3-byte substring per output pixel).
+SQL_MEDIA_RESIZE = f"""
+WITH media AS ({_SQL_MEDIA}),
+img AS (
+  SELECT media_id, width, height,
+         substring(repeat(text, CAST((3*width*height + n - 1) // n AS INT)),
+                   1, 3*width*height) AS tiled
+  FROM media WHERE kind = 'image'
+),
+outpx AS (
+  SELECT media_id, j, i,
+         substring(tiled,
+                   3*((j*height // 8)*width + (i*width // 8)) + 1, 3) AS px
+  FROM img, range(0, 8) t1(j), range(0, 8) t2(i)
+)
+SELECT media_id,
+       md5(string_agg(px, '' ORDER BY j, i)) AS content_md5,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       'x-fake/image-raw' AS mime
+FROM outpx GROUP BY media_id
+"""
+
+
 REGISTRY_LLM = {
+    "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),

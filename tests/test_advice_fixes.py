@@ -168,3 +168,92 @@ def test_remote_write_malformed_payload_isolated(spark):
 
     with pytest.raises(ValueError):
         remote_write_flatten(payloads, on_error="explode")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 ADVICE fixes (round 4): int64 overflow in the exact decision
+# chains, and the extrapolatedRate negative-first-sample guard.
+# ---------------------------------------------------------------------------
+
+
+def _metric_rows(spark, values, t0_us=1_700_000_000_000_000, step_us=500_000):
+    rows = [
+        Row(m=t0_us + i * step_us, metric_name="m", value=float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows).select(
+        F.timestamp_micros("m").alias("timestamp"),
+        "metric_name",
+        "value",
+        (F.col("m") * 1000).alias("ts_ns"),
+    )
+
+
+def test_zscore_outliers_no_int64_wrap(spark):
+    """ADVICE r3: the decision rule computed znum² and z²·d in int64,
+    wrapping once |v·n| passes ~3e9 (n≈3000 at |v|=1e6). 4000 samples of
+    1e6 cents plus one 5e6 spike: znum² ≈ 2.6e20 ≫ 2^63. The flagged set
+    must be exactly the spike (DECIMAL(38,0) chain)."""
+    from cardinalsin_spark.operators.timeseries import zscore_outliers
+
+    values = [1_000_000] * 4000 + [5_000_000]
+    df = _metric_rows(spark, values)
+    out = zscore_outliers(df, step_seconds=3600, z=3).collect()
+    assert [r.value_int for r in out] == [5_000_000]
+    # float cross-check of the reported z-score
+    import statistics
+
+    mean = statistics.fmean(values)
+    sd = statistics.pstdev(values)
+    assert abs(out[0].zscore - (5_000_000 - mean) / sd) < 1e-6
+
+
+def test_predict_linear_no_int64_wrap(spark):
+    """ADVICE r3: num = n·Σxy − Σx·Σy was formed in int64 before the
+    DECIMAL cast; with ms offsets and 1e6-cent values it wraps at a few
+    thousand samples. 5000 samples on a linear ramp: the prediction must
+    extrapolate the ramp, not wrap."""
+    from cardinalsin_spark.operators.timeseries import predict_linear_bucketed
+
+    n = 5000
+    # y = 1_000_000 + 2 * (x_ms / 500) → slope 4e-3/ms over the hour bucket
+    values = [1_000_000 + 2 * i for i in range(n)]
+    df = _metric_rows(spark, values, step_us=500_000)
+    out = predict_linear_bucketed(
+        df, step_seconds=3600, predict_ahead_s=600
+    ).collect()
+    assert len(out) == 1
+    # exact line: x = ms offset in the bucket; t0 sits 800s into its hour
+    # (1.7e9 s mod 3600 = 800), so y = 996_800 + 0.004·x and the
+    # prediction evaluates at x_eval_ms = (3600 + 600)·1000
+    expected = 996_800 + 0.004 * 4_200_000
+    assert abs(out[0].predicted - expected) < 1.0
+
+
+def test_rate_extrapolated_negative_first_sample_skips_zero_clamp(spark):
+    """ADVICE r3: upstream extrapolatedRate applies the counter zero-clamp
+    only when samples[0].F >= 0; a negative first sample must NOT shrink
+    (or negate) the extrapolation window."""
+    from cardinalsin_spark.operators.timeseries import rate_extrapolated
+
+    # negative first sample, rising: deltas sum = 30, vf = -10 < 0
+    values = [-10.0, 0.0, 20.0]
+    t0 = 1_700_000_000_000_000  # µs; bucket-aligned? not necessarily — fine
+    df = _metric_rows(spark, values, t0_us=t0, step_us=600_000_000)
+    out = rate_extrapolated(df, step_seconds=3600).collect()
+    assert len(out) == 1
+    # replicate upstream chain WITHOUT the zero clamp
+    import math
+
+    ts = [(t0 + i * 600_000_000) * 1000 for i in range(3)]
+    bstart = (ts[0] // (3600 * 10**9)) * 3600 * 10**9
+    sampled = float(ts[2] - ts[0])
+    avg_dur = sampled / 2.0
+    dur_start = float(ts[0] - bstart)
+    dur_end = float(bstart + 3600 * 10**9 - ts[2])
+    thr = avg_dur * 1.1
+    ext_start = dur_start if dur_start < thr else avg_dur / 2.0
+    ext_end = dur_end if dur_end < thr else avg_dur / 2.0
+    factor = (sampled + ext_start + ext_end) / sampled
+    expected = 30.0 * factor / 3600.0
+    assert math.isclose(out[0].rate, expected, rel_tol=1e-12)

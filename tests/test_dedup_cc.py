@@ -93,3 +93,98 @@ def test_winnowing_shared_substring_guarantee(spark):
     # short doc still yields at least one fingerprint
     tiny = spark.createDataFrame([Row(doc_id=9, text="abcdefgh")])
     assert winnowed_fingerprints(tiny).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding (round-4 rebuild: 60-bit signature, 15-bit bands,
+# capped secondary split for oversized buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_secondary_split_is_exact(spark, sf_dir):
+    """Forcing bucket_cap=1 routes EVERY bucket through the secondary
+    sub-band split; the output pair set must equal the uncapped one
+    (pigeonhole on the remaining 45 bits is exact for hamming <= 3)."""
+    from cardinalsin_spark.operators.dedup_docs import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, bucket_cap=10**9).collect()
+    }
+    split = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, bucket_cap=1).collect()
+    }
+    assert split == base
+    assert base, "fixture should contain at least one near-dup pair"
+
+
+def test_simhash_secondary_split_scatters_dissimilar_colliders(spark):
+    """The failure mode that melted round 3: many DISSIMILAR documents
+    coinciding in one primary band bucket. Crafted signatures: 400 docs
+    all share band 0 (low 15 bits) but have spread-out high bits (pairwise
+    hamming ≫ 3), plus two planted near-dup pairs. The capped path must
+    (a) return exactly the planted pairs and (b) scatter the collider
+    bucket across sub-buckets so Σsub² ≪ s²."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.dedup_docs import (
+        simhash_pairs_from_signatures,
+    )
+
+    import hashlib
+
+    shared_band = 0x1234
+    rows = []
+    for i in range(400):
+        # high 45 bits: md5-derived, so pairwise hamming ~22 — far above
+        # the threshold (collision odds over 400 docs are negligible)
+        digest = hashlib.md5(f"collider:{i}".encode()).hexdigest()
+        high = int(digest[:12], 16) & ((1 << 45) - 1)
+        rows.append(Row(doc_id=i, simhash=(high << 15) | shared_band))
+    # planted near-dups: ids 1000/1001 differ in 1 bit; 1002/1003 in 3
+    base = (0b101 << 40 << 15) | shared_band
+    rows += [
+        Row(doc_id=1000, simhash=base),
+        Row(doc_id=1001, simhash=base | (1 << 20)),
+        Row(doc_id=1002, simhash=base | (1 << 57)),
+        Row(doc_id=1003, simhash=base | (1 << 57) | (1 << 21) | (1 << 22)),
+    ]
+    sig = spark.createDataFrame(rows)
+    out = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_from_signatures(
+            sig, max_hamming=3, bucket_cap=50
+        ).collect()
+    }
+    expected_subset = {(1000, 1001), (1002, 1003)}
+    assert expected_subset <= out
+    # any extra pairs must genuinely be near-dups of the crafted colliders
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_from_signatures(
+            sig, max_hamming=3, bucket_cap=10**9
+        ).collect()
+    }
+    assert out == uncapped  # exactness under forced split
+
+    # scatter check: the collider signatures spread over many sub-buckets
+    width = 15
+    rem = sig.withColumn("_rem", F.expr(f"shiftright(simhash, {width})"))
+    sub_w = 12
+    subs = rem.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(_rem, {j * sub_w}) & {(1 << sub_w) - 1}")
+                    for j in range(4)
+                ]
+            )
+        ).alias("sub_val")
+    )
+    worst = (
+        subs.groupBy("sub_val").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert worst < 100, f"sub-banding failed to scatter: max sub-bucket {worst}"

@@ -1,0 +1,52 @@
+"""The external driver's correctness gate checks only the FIRST 50 entries
+of ``queries()`` (verified against CORRECTNESS_r03: its keys were exactly
+registry[:50]). These tests pin the round-4 window composition so the
+highest-risk queries — the LLM-pipeline suite and the extrapolated-rate
+promql tier, none of which had a driver row in rounds 1-3 — are guaranteed
+a driver CORRECTNESS row this round.
+"""
+
+from __future__ import annotations
+
+from cardinalsin_spark import queries as q
+
+WINDOW = 50
+
+
+def _first_window() -> list[str]:
+    return list(q.queries().keys())[:WINDOW]
+
+
+def test_all_llm_queries_in_driver_window():
+    window = set(_first_window())
+    llm = {n for n in q.REGISTRY if n.startswith(("docs_", "emb_", "media_"))}
+    missing = llm - window
+    assert not missing, f"LLM queries outside driver window: {sorted(missing)}"
+
+
+def test_extrapolated_tier_in_driver_window():
+    window = set(_first_window())
+    tier = {
+        "ts_rate_extrapolated",
+        "promql_rate_extrapolated",
+        "promql_resets",
+        "promql_predict_linear",
+        "promql_idelta",
+        "promql_clamp",
+        "promql_delta_faithful",
+    }
+    missing = tier - window
+    assert not missing, f"tier queries outside driver window: {sorted(missing)}"
+
+
+def test_window_entries_all_have_oracles():
+    oracles = q.oracle_sql()
+    missing = [n for n in _first_window() if n not in oracles]
+    assert not missing, f"windowed queries without oracle SQL: {missing}"
+
+
+def test_registry_has_no_duplicates_and_all_callable():
+    names = list(q.REGISTRY.keys())
+    assert len(names) == len(set(names))
+    for name, (fn, _) in q.REGISTRY.items():
+        assert callable(fn), name
