@@ -1,4 +1,4 @@
-"""OTLP (OpenTelemetry Protocol) metrics ingestion — the OTLP/JSON flavor.
+"""OTLP (OpenTelemetry Protocol) metrics ingestion — wire protobuf + JSON.
 
 The reference ingests OTLP protobuf and flattens gauge/sum/histogram/
 exponential-histogram/summary data points to metrics rows, collapsing
@@ -6,21 +6,39 @@ histograms to their ``sum`` (or ``count`` when no sum is present)
 (reference ``api/ingest/otlp.rs:100-246``); resource+point attributes
 become label columns (``api/ingest/otlp.rs:249-295``).
 
-This adapter consumes OTLP/JSON (the protocol's public JSON mapping) with
-pure DataFrame ops: ``from_json`` → nested ``explode`` → attribute maps via
-``map_from_entries``. Everything stays JVM-side/whole-stage-codegen — no
-Python row handling — so ingest parallelizes over any payload volume.
+Two adapters share one flatten contract (``ts_ns, metric_name, value,
+labels``) and one pivot path:
+
+- **OTLP/JSON** (the protocol's public JSON mapping): pure DataFrame ops —
+  ``from_json`` → nested ``explode`` → attribute maps. Everything stays
+  JVM-side/whole-stage-codegen.
+- **OTLP protobuf** (``ExportMetricsServiceRequest`` wire bytes, the format
+  a real collector pipeline emits): hand-rolled varint/field walk in
+  ``mapInPandas`` — the same discipline as the Prometheus remote-write
+  adapter (``sources/remote_write.py``), whose ``_fields`` walker it
+  reuses. Field numbers follow the public opentelemetry-proto
+  (metrics/v1/metrics.proto, common/v1/common.proto).
+
 Attribute keys become label columns dynamically (schema-on-ingest), same as
 the reference's converters.
 """
 
 from __future__ import annotations
 
+import base64
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cardinalsin_spark.sources.ingest import route_value_types
+from cardinalsin_spark.sources.remote_write import _fields
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
 
 # OTLP/JSON schema, trimmed to the fields the flattening consumes. Numbers
 # arrive as JSON numbers or strings (timeUnixNano is a string in OTLP/JSON);
@@ -211,18 +229,12 @@ def otlp_json_flatten(payloads: DataFrame, json_col: str = "payload") -> DataFra
     )
 
 
-def otlp_to_metrics(
-    payloads: DataFrame,
-    label_keys: list[str] | None = None,
-    json_col: str = "payload",
-) -> DataFrame:
-    """Full OTLP ingest: flatten, then pivot attribute keys to label
-    columns (labels-as-columns model) and route value types.
-
-    ``label_keys=None`` discovers the key set with a distributed
+def _flat_to_metrics(flat: DataFrame, label_keys: list[str] | None) -> DataFrame:
+    """Shared pivot: flat (ts_ns, metric_name, value, labels) rows → wide
+    metrics frame with attribute keys as label columns and routed value
+    types. ``label_keys=None`` discovers the key set with a distributed
     ``map_keys``+distinct aggregation (schema-on-ingest, like the reference
     building its Arrow schema from whatever attributes arrive)."""
-    flat = otlp_json_flatten(payloads, json_col)
     if label_keys is None:
         label_keys = sorted(
             r[0]
@@ -237,5 +249,218 @@ def otlp_to_metrics(
         "value",
         *[F.col("labels").getItem(k).alias(k) for k in label_keys],
     )
-    out = route_value_types(out)
-    return out.drop("value")
+    return route_value_types(out).drop("value")
+
+
+def otlp_to_metrics(
+    payloads: DataFrame,
+    label_keys: list[str] | None = None,
+    json_col: str = "payload",
+) -> DataFrame:
+    """Full OTLP/JSON ingest: flatten, pivot labels, route value types."""
+    return _flat_to_metrics(otlp_json_flatten(payloads, json_col), label_keys)
+
+
+# ---------------------------------------------------------------------------
+# OTLP protobuf wire decode
+# ---------------------------------------------------------------------------
+#
+# Message/field map (public opentelemetry-proto):
+#   ExportMetricsServiceRequest { repeated ResourceMetrics resource_metrics=1 }
+#   ResourceMetrics  { Resource resource=1; repeated ScopeMetrics scope_metrics=2 }
+#   Resource         { repeated KeyValue attributes=1 }
+#   ScopeMetrics     { repeated Metric metrics=2 }
+#   Metric           { string name=1; oneof data: gauge=5 sum=7 histogram=9
+#                      exponential_histogram=10 summary=11 }
+#   Gauge/Sum        { repeated NumberDataPoint data_points=1 }
+#   NumberDataPoint  { fixed64 time_unix_nano=3; oneof: double as_double=4,
+#                      sfixed64 as_int=6; repeated KeyValue attributes=7 }
+#   HistogramDataPoint { fixed64 time_unix_nano=3; fixed64 count=4;
+#                      optional double sum=5; repeated KeyValue attributes=9 }
+#   ExponentialHistogramDataPoint { same 3/4/5; attributes=1 }
+#   SummaryDataPoint { fixed64 time_unix_nano=3; fixed64 count=4;
+#                      double sum=5 (non-optional, default 0); attributes=7 }
+#   KeyValue         { string key=1; AnyValue value=2 }
+#   AnyValue         { oneof: string=1 bool=2 int=3 double=4 array=5
+#                      kvlist=6 bytes=7 }
+
+
+def _any_value_to_string(buf: bytes) -> str:
+    """AnyValue → string, mirroring the reference's collapse
+    (``api/ingest/otlp.rs:any_value_to_string``): strings pass through,
+    bool → "true"/"false", ints/doubles stringified, bytes → base64.
+    Nested array/kvlist values render as base64 of their encoded bytes
+    (documented deviation: the reference uses Rust's Debug format, which
+    has no portable equivalent — both are stable, opaque renderings)."""
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            return val.decode("utf-8")
+        if fno == 2 and wt == 0:
+            return "true" if val else "false"
+        if fno == 3 and wt == 0:
+            iv = val - (1 << 64) if val >= 1 << 63 else val
+            return str(iv)
+        if fno == 4 and wt == 1:
+            d = struct.unpack("<d", val)[0]
+            return repr(d)
+        if fno in (5, 6) and wt == 2:
+            return base64.b64encode(val).decode("ascii")
+        if fno == 7 and wt == 2:
+            return base64.b64encode(val).decode("ascii")
+    return ""
+
+
+def _key_values(buf: bytes) -> tuple[str, str]:
+    key = ""
+    sval = ""
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            key = val.decode("utf-8")
+        elif fno == 2 and wt == 2:
+            sval = _any_value_to_string(val)
+    return key, sval
+
+
+def _fixed64_i64(raw: bytes) -> int:
+    """fixed64 → i64 (the reference casts time_unix_nano `as i64`)."""
+    u = struct.unpack("<Q", raw)[0]
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _decode_number_point(buf: bytes) -> tuple[int, float, dict]:
+    ts = 0
+    value = float("nan")  # no value field → NaN, like the reference
+    attrs: dict[str, str] = {}
+    for fno, wt, val in _fields(buf):
+        if fno == 3 and wt == 1:
+            ts = _fixed64_i64(val)
+        elif fno == 4 and wt == 1:
+            value = struct.unpack("<d", val)[0]
+        elif fno == 6 and wt == 1:
+            value = float(struct.unpack("<q", val)[0])
+        elif fno == 7 and wt == 2:
+            k, v = _key_values(val)
+            attrs[k] = v
+    return ts, value, attrs
+
+
+def _decode_histo_point(buf: bytes, attr_field: int, sum_optional: bool) -> tuple[int, float, dict]:
+    ts = 0
+    count = 0
+    s: float | None = None
+    attrs: dict[str, str] = {}
+    for fno, wt, val in _fields(buf):
+        if fno == 3 and wt == 1:
+            ts = _fixed64_i64(val)
+        elif fno == 4 and wt == 1:
+            count = struct.unpack("<Q", val)[0]
+        elif fno == 5 and wt == 1:
+            s = struct.unpack("<d", val)[0]
+        elif fno == attr_field and wt == 2:
+            k, v = _key_values(val)
+            attrs[k] = v
+    if sum_optional:
+        value = s if s is not None else float(count)  # histogram collapse
+    else:
+        value = s if s is not None else 0.0  # summary: proto3 scalar default
+    return ts, value, attrs
+
+
+# Metric.data oneof field → (decoder, decoder args)
+_POINT_KINDS: dict[int, tuple] = {
+    5: ("number", None),  # gauge
+    7: ("number", None),  # sum
+    9: ("histo", (9, True)),  # histogram: attributes=9, sum optional
+    10: ("histo", (1, True)),  # exponential histogram: attributes=1
+    11: ("histo", (7, False)),  # summary: attributes=7, sum defaults 0
+}
+
+
+def _decode_metric(buf: bytes, res_labels: dict) -> list[tuple[int, str, float, dict]]:
+    name = ""
+    point_bufs: list[tuple[int, bytes]] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            name = val.decode("utf-8")
+        elif fno in _POINT_KINDS and wt == 2:
+            for dfno, dwt, dval in _fields(val):
+                if dfno == 1 and dwt == 2:  # data_points
+                    point_bufs.append((fno, dval))
+    rows = []
+    for kind_field, pbuf in point_bufs:
+        kind, args = _POINT_KINDS[kind_field]
+        if kind == "number":
+            ts, value, attrs = _decode_number_point(pbuf)
+        else:
+            ts, value, attrs = _decode_histo_point(pbuf, *args)
+        rows.append((ts, name, value, {**res_labels, **attrs}))
+    return rows
+
+
+def decode_export_metrics_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
+    """One ExportMetricsServiceRequest → [(ts_ns, metric_name, value,
+    labels), ...] with point attributes overriding resource attributes
+    (reference ``api/ingest/otlp.rs:merge_labels``)."""
+    rows = []
+    for fno, wt, rm in _fields(payload):
+        if fno != 1 or wt != 2:  # ResourceMetrics
+            continue
+        res_labels: dict[str, str] = {}
+        scope_bufs: list[bytes] = []
+        for f2, w2, v2 in _fields(rm):
+            if f2 == 1 and w2 == 2:  # Resource
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1 and w3 == 2:
+                        k, v = _key_values(v3)
+                        res_labels[k] = v
+            elif f2 == 2 and w2 == 2:  # ScopeMetrics
+                scope_bufs.append(v2)
+        # two-pass so resource labels apply even if the serializer wrote
+        # scope_metrics before resource (field order is not guaranteed)
+        for sm in scope_bufs:
+            for f3, w3, mbuf in _fields(sm):
+                if f3 == 2 and w3 == 2:  # Metric
+                    rows.extend(_decode_metric(mbuf, res_labels))
+    return rows
+
+
+def otlp_proto_flatten(
+    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+) -> DataFrame:
+    """binary ExportMetricsServiceRequest payloads → flat point rows.
+
+    Same error-isolation contract as ``remote_write_flatten``: one
+    malformed payload must not fail the ingest job; skipped payloads count
+    in the ``otlp_decode_errors`` accumulator."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    acc = payloads.sparkSession.sparkContext.accumulator(0)
+    schema = "ts_ns long, metric_name string, value double, labels map<string,string>"
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for payload in pdf[bytes_col]:
+                try:
+                    rows.extend(decode_export_metrics_request(bytes(payload)))
+                except (ValueError, UnicodeDecodeError, struct.error):
+                    if on_error == "raise":
+                        raise
+                    acc.add(1)
+            yield pd.DataFrame(
+                rows, columns=["ts_ns", "metric_name", "value", "labels"]
+            )
+
+    return payloads.select(bytes_col).mapInPandas(fn, schema)
+
+
+def otlp_proto_to_metrics(
+    payloads: DataFrame,
+    label_keys: list[str] | None = None,
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Full OTLP protobuf ingest: wire decode, pivot labels, route value
+    types — the wire-true twin of :func:`otlp_to_metrics`."""
+    return _flat_to_metrics(otlp_proto_flatten(payloads, bytes_col), label_keys)

@@ -322,3 +322,155 @@ def test_line_protocol_to_store_to_promql(spark, tmp_path):
         "h0": sum(i + 0.5 for i in range(0, 10, 2)),
         "h1": sum(i + 0.5 for i in range(1, 10, 2)),
     }
+
+
+# --- OTLP protobuf wire decode ----------------------------------------------
+
+
+def _fixed64(field_no: int, v: int) -> bytes:
+    return _varint(field_no << 3 | 1) + struct.pack("<Q", v & (1 << 64) - 1)
+
+
+def _double(field_no: int, v: float) -> bytes:
+    return _varint(field_no << 3 | 1) + struct.pack("<d", v)
+
+
+def _any_string(s: str) -> bytes:
+    return _ld(1, s.encode())
+
+
+def _any_bool(b: bool) -> bytes:
+    return _varint(2 << 3 | 0) + _varint(1 if b else 0)
+
+
+def _any_int(i: int) -> bytes:
+    return _varint(3 << 3 | 0) + _varint(i & (1 << 64) - 1)
+
+
+def _kv(key: str, any_value: bytes) -> bytes:
+    return _ld(1, key.encode()) + _ld(2, any_value)
+
+
+def _number_point(ts_ns: int, *, as_double=None, as_int=None, attrs=()) -> bytes:
+    out = _fixed64(3, ts_ns)
+    if as_double is not None:
+        out += _double(4, as_double)
+    if as_int is not None:
+        out += _varint(6 << 3 | 1) + struct.pack("<q", as_int)
+    for k, av in attrs:
+        out += _ld(7, _kv(k, av))
+    return out
+
+
+def _histo_point(ts_ns: int, count: int, s=None, attr_field=9, attrs=()) -> bytes:
+    out = _fixed64(3, ts_ns) + _fixed64(4, count)
+    if s is not None:
+        out += _double(5, s)
+    for k, av in attrs:
+        out += _ld(attr_field, _kv(k, av))
+    return out
+
+
+def _metric(name: str, data_field: int, points: list[bytes]) -> bytes:
+    data = b"".join(_ld(1, p) for p in points)
+    return _ld(1, name.encode()) + _ld(data_field, data)
+
+
+def _export_request(resource_attrs, metrics: list[bytes]) -> bytes:
+    resource = b"".join(_ld(1, _kv(k, av)) for k, av in resource_attrs)
+    scope = b"".join(_ld(2, m) for m in metrics)
+    rm = _ld(1, resource) + _ld(2, scope)
+    return _ld(1, rm)
+
+
+def test_otlp_proto_decode_all_point_kinds():
+    """Gauge/sum (double + int values), histogram sum-collapse, histogram
+    count-fallback, exponential histogram, summary (sum defaults 0) — the
+    reference's flatten rules (api/ingest/otlp.rs:100-246)."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+
+    payload = _export_request(
+        [("env", _any_string("prod"))],
+        [
+            _metric("g", 5, [_number_point(1_000, as_double=1.5)]),
+            _metric("c", 7, [_number_point(2_000, as_int=-7)]),
+            _metric("h_sum", 9, [_histo_point(3_000, count=10, s=99.5)]),
+            _metric("h_nosum", 9, [_histo_point(4_000, count=10)]),
+            _metric("eh", 10, [_histo_point(5_000, count=3, s=42.0, attr_field=1)]),
+            _metric("smry", 11, [_histo_point(6_000, count=5, attr_field=7)]),
+        ],
+    )
+    rows = decode_export_metrics_request(payload)
+    by_name = {r[1]: r for r in rows}
+    assert by_name["g"][:3] == (1_000, "g", 1.5)
+    assert by_name["c"][:3] == (2_000, "c", -7.0)
+    assert by_name["h_sum"][2] == 99.5       # sum wins
+    assert by_name["h_nosum"][2] == 10.0     # count fallback
+    assert by_name["eh"][2] == 42.0
+    assert by_name["smry"][2] == 0.0         # proto3 scalar default
+    assert all(r[3]["env"] == "prod" for r in rows)
+
+
+def test_otlp_proto_label_merge_and_any_values():
+    """Point attributes override resource attributes; bool/int AnyValues
+    stringify like the reference."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+
+    payload = _export_request(
+        [("env", _any_string("prod")), ("flag", _any_bool(True))],
+        [
+            _metric(
+                "m",
+                5,
+                [
+                    _number_point(
+                        1,
+                        as_double=1.0,
+                        attrs=[("env", _any_string("point-wins")),
+                               ("n", _any_int(-3))],
+                    )
+                ],
+            )
+        ],
+    )
+    (row,) = decode_export_metrics_request(payload)
+    assert row[3] == {"env": "point-wins", "flag": "true", "n": "-3"}
+
+
+def test_otlp_proto_to_metrics_spark(spark):
+    """End-to-end through mapInPandas: wire bytes → wide metrics frame with
+    routed value types, matching the OTLP/JSON adapter's contract."""
+    from cardinalsin_spark.sources.otlp import otlp_proto_to_metrics
+
+    payload = _export_request(
+        [("env", _any_string("prod"))],
+        [
+            _metric("gauge_f", 5, [_number_point(1_500_000_000, as_double=2.25)]),
+            _metric("ctr", 7, [_number_point(2_500_000_000, as_int=41)]),
+        ],
+    )
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    out = otlp_proto_to_metrics(df).orderBy("metric_name").collect()
+    assert [r.metric_name for r in out] == ["ctr", "gauge_f"]
+    ctr, gauge = out[0], out[1]
+    assert gauge.value_f64 == 2.25 and gauge.env == "prod"
+    # 41.0 is integer-lossless → routed to the integer column
+    assert (ctr.value_i64 == 41 or ctr.value_u64 == 41)
+    assert gauge.ts_ns == 1_500_000_000
+
+
+def test_otlp_proto_malformed_isolated(spark):
+    """One junk payload must not fail the job (skip + accumulator), and
+    on_error='raise' must propagate."""
+    from cardinalsin_spark.sources.otlp import otlp_proto_flatten
+
+    good = _export_request(
+        [], [_metric("m", 5, [_number_point(1, as_double=1.0)])]
+    )
+    df = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(b"\xff\xff\xff"),)], "payload binary"
+    )
+    rows = otlp_proto_flatten(df).collect()
+    assert len(rows) == 1 and rows[0].metric_name == "m"
+    with pytest.raises(Exception):
+        otlp_proto_flatten(df, on_error="raise").collect()

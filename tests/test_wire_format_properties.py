@@ -69,3 +69,65 @@ def test_field_walker_never_reads_past_buffer(buf):
             assert fno >= 0
     except (IndexError, ValueError):
         pass  # malformed input is allowed to raise
+
+
+# --- OTLP ExportMetricsServiceRequest round-trip ----------------------------
+
+
+metric_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+    min_size=1,
+    max_size=12,
+)
+ts_nanos = st.integers(min_value=0, max_value=2**62)
+
+
+@given(
+    st.dictionaries(label_names, label_values, max_size=3),
+    st.lists(
+        st.tuples(metric_names, ts_nanos, finite_doubles),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_otlp_export_request_roundtrip(resource_attrs, gauges):
+    """Any encodable gauge request decodes back exactly: names, ns
+    timestamps, double bit patterns, resource-attr merge."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+    from tests.test_ingest_adapters import (
+        _any_string,
+        _export_request,
+        _metric,
+        _number_point,
+    )
+
+    payload = _export_request(
+        [(k, _any_string(v)) for k, v in resource_attrs.items()],
+        [
+            _metric(name, 5, [_number_point(ts, as_double=v)])
+            for name, ts, v in gauges
+        ],
+    )
+    rows = decode_export_metrics_request(payload)
+    assert len(rows) == len(gauges)
+    for (ts, name, v, labels), (ename, ets, ev) in zip(rows, gauges):
+        assert (ts, name) == (ets, ename)
+        assert struct.pack("<d", v) == struct.pack("<d", ev)
+        assert labels == dict(resource_attrs)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1), st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_otlp_histogram_collapse_property(count, has_sum):
+    """Histogram points collapse to sum when present, else count — for any
+    fixed64 count and any sum presence."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+    from tests.test_ingest_adapters import _export_request, _histo_point, _metric
+
+    s = 123.25 if has_sum else None
+    payload = _export_request(
+        [], [_metric("h", 9, [_histo_point(1, count=count, s=s)])]
+    )
+    (row,) = decode_export_metrics_request(payload)
+    assert row[2] == (123.25 if has_sum else float(count))
