@@ -42,6 +42,50 @@ from cardinalsin_spark.session import get_spark
 
 OUTPUT_BUDGET = 1900  # chars; driver stdout-tail buffer is ~2000
 
+# Fixed run order = the round-3 registry order (+ new queries appended), so
+# per-query timings stay comparable across rounds REGARDLESS of the
+# correctness-window rotation in queries.REGISTRY. Order matters for
+# attribution: the session-scoped dedup index (queries_llm._minhash_sims)
+# is built by the first consumer — in this order that's docs_contamination,
+# as in rounds 1-3 — and warm-up costs land on the same queries each round.
+BENCH_ORDER = [
+    "flagship_minute_p99", "ts_bucket_avg", "ts_instant_sum", "ts_rate",
+    "ts_increase", "ts_rate_faithful", "ts_irate_faithful", "ts_deriv",
+    "ts_latest_per_series", "ts_topk", "ts_distinct_values",
+    "ts_distinct_series", "ts_dedup_first", "ts_filter_range",
+    "promql_range_sum_by", "promql_rate_range", "promql_instant_sum",
+    "promql_instant_topk", "promql_rate_faithful", "promql_irate_faithful",
+    "promql_binary_ratio", "promql_over_time", "promql_quantile",
+    "promql_offset_delta", "promql_label_replace", "promql_count_values",
+    "promql_absent", "tpch_q1", "tpch_q3ish", "sql_rollup", "sql_cube",
+    "maint_l0_plan", "maint_small_files", "maint_leveled_plan",
+    "maint_retention", "maint_time_prune", "maint_downsample",
+    "ts_asof_join", "ts_gapfill_locf", "ts_resets_changes",
+    "ts_predict_linear", "ts_stddev", "promql_histogram_quantile",
+    "tpch_q6", "tpch_q5ish", "tpch_q10ish", "tpch_q14ish", "ts_sessionize",
+    "ts_outliers", "ts_heatmap", "ts_rate_extrapolated", "promql_resets",
+    "promql_predict_linear", "promql_idelta", "promql_clamp",
+    "promql_rate_extrapolated", "promql_delta_faithful",
+    "docs_contamination", "docs_clean_corpus", "emb_centroids",
+    "emb_knn_classify", "docs_rare_words", "docs_pack_shards",
+    "docs_crossdup", "docs_gopher_repetition", "docs_exact_dedup",
+    "docs_token_stats", "docs_quality", "docs_lang_id",
+    "docs_minhash_pairs", "docs_near_dedup", "docs_near_dedup_cc",
+    "docs_winnow", "docs_simhash", "docs_simhash_pairs", "emb_cosine_topk",
+    "emb_cosine_lsh", "emb_near_dup", "emb_near_dup_cc",
+    "docs_ngram_jaccard", "emb_ivf_topk", "media_image_features",
+    "media_audio_features", "media_frame_sample", "docs_split_assign",
+    "docs_stratified_sample", "docs_quality_filter",
+    # round-4 additions
+    "docs_pii_scrub", "media_resize",
+]
+
+
+def _bench_sequence(registry_queries: dict) -> list[str]:
+    ordered = [n for n in BENCH_ORDER if n in registry_queries]
+    ordered += [n for n in registry_queries if n not in BENCH_ORDER]
+    return ordered
+
 
 def _run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -90,7 +134,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     prev_group: str | None = None
-    for name, fn in q.queries().items():
+    registry = q.queries()
+    for name in _bench_sequence(registry):
+        fn = registry[name]
         group = _group_of(name)
         if prev_group is not None and group != prev_group:
             _between_groups(spark)
@@ -153,7 +199,12 @@ def _bench_write_path(spark, sf_dir: str) -> dict:
     """Write-path throughput (BASELINE.md's headline metric): events →
     metrics normalize → partitioned sorted ZSTD write. One untimed warm-up
     write precedes the measured one so codegen/committer setup cost doesn't
-    land in the throughput number."""
+    land in the throughput number. Uses granularity="auto": at sf0.1 the
+    100k events span 720 hour partitions (~140 rows each), and writing 720
+    directories measures the filesystem committer, not the engine — auto
+    drops to date granularity below 10k rows/hour, exactly as an ingest
+    job should (the reference targets 250-500 MB files). The granularity
+    used is reported in the result."""
     import shutil
     import tempfile
 
@@ -169,15 +220,20 @@ def _bench_write_path(spark, sf_dir: str) -> dict:
             label_cols={"user": "user_id"},
         )
         write_metrics(
-            m.limit(1000), os.path.join(out_dir, "warmup"), mode="overwrite"
+            m.limit(1000), os.path.join(out_dir, "warmup"), mode="overwrite",
+            granularity="auto",
         )
         start = time.perf_counter()
-        write_metrics(m, os.path.join(out_dir, "metrics"), mode="overwrite")
+        gran = write_metrics(
+            m, os.path.join(out_dir, "metrics"), mode="overwrite",
+            granularity="auto",
+        )
         elapsed = time.perf_counter() - start
         return {
             "rows": n,
             "sec": round(elapsed, 4),
             "rows_per_sec": round(n / elapsed, 1),
+            "granularity": gran,
         }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -430,13 +430,14 @@ def connected_components(
     min-label propagation to fixpoint: every vertex ends with the smallest
     id reachable from it.
 
-    Each round is one shuffle join (labels onto edges) plus one min-agg;
-    rounds needed = graph diameter (near-dup graphs are shallow — dup
-    clusters are cliques-ish, so this converges in 2-3 rounds in practice).
-    The labels frame is two longs per *paired* doc — tiny next to the
-    corpus at any scale. For adversarial long-chain graphs at 100 TB,
-    swap in the alternating large-star/small-star variant (O(log n)
-    rounds); the fixpoint loop and convergence check stay identical.
+    Distributed path: alternating large-star/small-star rounds (the
+    public MapReduce CC algorithm of Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — converges in O(log² n) rounds
+    REGARDLESS of graph diameter, where plain min-label propagation needs
+    diameter rounds and an adversarial long chain (a path graph) would
+    exhaust ``max_iters``. Each phase is one min-aggregation plus one
+    shuffle join re-keying edges toward component minima; at convergence
+    every component is a star centred on its minimum id.
 
     Below ``driver_threshold`` edges (the same kind of size gate as a
     broadcast-join threshold — ~16 MB of (long, long) rows at the default)
@@ -454,44 +455,80 @@ def connected_components(
     pairs = pairs.localCheckpoint()
     if pairs.count() <= driver_threshold:
         return _union_find_components(pairs, pairs.collect())
+    return _two_phase_components(pairs, max_iters)
+
+
+def _two_phase_components(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Large-star/small-star fixpoint over canonical (lo, hi) edges.
+
+    large-star(u): every neighbour v > u re-links to m = min(Γ(u) ∪ {u}).
+    small-star(u): among the smaller neighbours S = {v ∈ Γ(u): v < u},
+    u and every v ∈ S re-link to m = min(S) — u keeps exactly one edge.
+    Both phases preserve connectivity (paper, Lemmas 1-2); the terminal
+    state is a star per component, detected here as an unchanged edge set.
+
+    localCheckpoint per round truncates lineage — without it the nested
+    plan grows per iteration and Catalyst re-analysis dominates. On a
+    cluster, swap for reliable checkpoint() if executor loss matters.
+    Isolated vertices never appear in ``pairs``, so every id retains at
+    least one edge until convergence and labels cover all paired ids.
+    """
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .persist()
-    )
-    # localCheckpoint (not persist): each round's frame must TRUNCATE its
-    # lineage, or the nested logical plan grows per iteration and Catalyst
-    # re-analysis dominates (~minutes by round 7). On a cluster, swap for
-    # reliable checkpoint() if executor loss during the loop matters.
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        # min label among self and neighbours
-        prop = edges.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "comp")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        # --- large-star ---
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "nc")
-            .join(labels.withColumnRenamed("comp", "oc"), "id")
-            .filter(F.col("nc") != F.col("oc"))
-            .count()
+        # --- small-star (edges directed larger → smaller: u=hi, v=lo) ---
+        sadj = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        smin = sadj.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            sadj.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .union(smin.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
         )
-        labels = new_labels
-        if changed == 0:
+        new_edges = (
+            ss.filter(F.col("lo") != F.col("hi")).distinct().localCheckpoint()
+        )
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
             break
-    edges.unpersist()
-    return labels
+    # star state: every edge is (root, leaf); comp = min over self+neighbours
+    sym = edges.select(F.col("lo").alias("id"), F.col("hi").alias("v")).union(
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("v"))
+    )
+    return (
+        sym.groupBy("id")
+        .agg(F.min("v").alias("_mn"))
+        .select("id", F.least("_mn", F.col("id")).alias("comp"))
+    )
 
 
 def _union_find_components(pairs: DataFrame, rows) -> DataFrame:
@@ -614,18 +651,19 @@ def simhash(
         ).alias(f"_p{j}")
         for j in range(n_packed)
     ]
-    sig_expr = None
-    for b in range(bits):
-        j, r = b // 3, b % 3
-        # 2*count_of_set_bits >= n_tokens  <=>  ±1 vote sum >= 0
-        term = F.when(
-            F.expr(
-                f"2 * (shiftright(_p{j}, {21 * r})"
-                f" & CAST({(1 << 21) - 1} AS BIGINT)) >= _n"
-            ),
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else sig_expr + term
+    # signature composition as ONE aggregate() lambda over the bit range —
+    # a small constant-size expression tree. (The alternative, a chained
+    # sum of 60 CASE terms, compiles to a huge codegen method whose
+    # compile cost amplifies ~4x inside a long bench suite where the
+    # codegen cache is under pressure; the lambda is interpreted per
+    # element, trivial at one row per document.)
+    arr = "array(" + ", ".join(f"_p{j}" for j in range(n_packed)) + ")"
+    sig_expr = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, b) ->"
+        f" acc + IF(2 * (shiftright(element_at({arr}, CAST(b div 3 + 1 AS INT)),"
+        f" CAST(21 * (b % 3) AS INT)) & CAST({(1 << 21) - 1} AS BIGINT)) >= _n,"
+        f" shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)), CAST(0 AS BIGINT)))"
+    )
     return (
         toks.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n"), *packed_aggs)

@@ -887,17 +887,20 @@ def zscore_outliers(
         F.col(cols.ts).alias("_ts"),
         F.col(cols.value).cast("long").alias("_v"),
     )
+    # window sums stay int64 (the hot per-row path; exact while Σv² < 2^63
+    # — n ≤ 10⁶ samples per group at |v| ≤ 10⁶, documented bound); only the
+    # DECISION products are decimal — they're what overflowed in r3
     dec = "decimal(38,0)"
     w = Window.partitionBy("bucket", *by)
     st = (
         base.withColumn("_n", F.count(F.lit(1)).over(w))
-        .withColumn("_sy", F.sum(F.col("_v").cast(dec)).over(w))
-        .withColumn(
-            "_sy2", F.sum((F.col("_v") * F.col("_v")).cast(dec)).over(w)
-        )
+        .withColumn("_sy", F.sum("_v").over(w))
+        .withColumn("_sy2", F.sum(F.col("_v") * F.col("_v")).over(w))
     )
-    znum = F.col("_v").cast(dec) * F.col("_n") - F.col("_sy")
-    d = F.col("_n").cast(dec) * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    znum = F.col("_v").cast(dec) * F.col("_n") - F.col("_sy").cast(dec)
+    d = F.col("_n").cast(dec) * F.col("_sy2").cast(dec) - F.col(
+        "_sy"
+    ).cast(dec) * F.col("_sy").cast(dec)
     return (
         st.filter((F.col("_n") >= 2) & (d > 0) & (znum * znum > F.lit(z * z) * d))
         .select(

@@ -97,26 +97,52 @@ def write_metrics(
     mode: str = "append",
     target_partitions: int | None = None,
     max_records_per_file: int | None = None,
-) -> None:
-    """Write the metrics frame as ``date=/hour=`` partitioned parquet,
-    timestamp-sorted within each file.
+    granularity: str = "hour",
+    min_rows_per_hour: int = 10_000,
+) -> str:
+    """Write the metrics frame as time-partitioned parquet,
+    timestamp-sorted within each file. Returns the granularity used.
 
-    ``repartition(date, hour)`` puts each Hive partition's rows in one task
-    (one file per partition per write — no small-file explosion at scale; at
-    100 TB you'd raise ``target_partitions`` so tasks stay executor-sized).
-    ``max_records_per_file`` caps file size WITHOUT an extra shuffle — the
-    writer rolls to a new (still timestamp-sorted) file at the cap. This is
-    the knob that lands files near the reference's L0 250-500 MB target
-    (``compactor/mod.rs:84-87``): rows_per_file ≈ target_bytes /
-    avg_encoded_row_size.
+    ``granularity`` picks the Hive layout: ``"hour"`` (``date=/hour=``,
+    the reference's time-index-as-directories), ``"date"`` (``date=``
+    only), or ``"auto"``. Auto measures rows per hour partition with one
+    aggregation pass and drops to date granularity when hour partitions
+    would average under ``min_rows_per_hour`` rows — writing 720
+    directories of ~140-row files costs more in committer/filesystem
+    round-trips than the data itself (measured 7.3 s vs 0.6 s unpartitioned
+    for 100k rows over 30 days), and tiny files are exactly what the
+    reference's compactor exists to destroy (250-500 MB L0 target,
+    ``compactor/mod.rs:84-87``). At production density (millions of rows
+    per hour) auto always lands on hour granularity, so the scale
+    behavior is unchanged; hour pruning under a date= layout still happens
+    at the parquet row-group level (files are timestamp-sorted).
+
+    ``repartition(part_cols)`` puts each Hive partition's rows in one task
+    (one file per partition per write — no small-file explosion at scale;
+    at 100 TB you'd raise ``target_partitions`` so tasks stay
+    executor-sized). ``max_records_per_file`` caps file size WITHOUT an
+    extra shuffle — the writer rolls to a new (still timestamp-sorted)
+    file at the cap: rows_per_file ≈ target_bytes / avg_encoded_row_size.
     """
+    if granularity not in ("hour", "date", "auto"):
+        raise ValueError(f"granularity must be hour|date|auto, got {granularity!r}")
     out = df.withColumn("date", F.to_date("timestamp")).withColumn(
         "hour", F.hour("timestamp")
     )
+    if granularity == "auto":
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("date", "hour").alias("nph"),
+        ).collect()[0]
+        dense = stats.nph and stats.n / stats.nph >= min_rows_per_hour
+        granularity = "hour" if dense else "date"
+    part_cols = ["date", "hour"] if granularity == "hour" else ["date"]
+    if granularity == "date":
+        out = out.drop("hour")
     if target_partitions:
-        out = out.repartition(target_partitions, "date", "hour")
+        out = out.repartition(target_partitions, *part_cols)
     else:
-        out = out.repartition("date", "hour")
+        out = out.repartition(*part_cols)
     writer = (
         out.sortWithinPartitions("timestamp")
         .write.mode(mode)
@@ -124,7 +150,8 @@ def write_metrics(
     )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.partitionBy("date", "hour").parquet(path)
+    writer.partitionBy(*part_cols).parquet(path)
+    return granularity
 
 
 def split_by_time(

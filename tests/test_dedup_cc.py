@@ -188,3 +188,51 @@ def test_simhash_secondary_split_scatters_dissimilar_colliders(spark):
         subs.groupBy("sub_val").count().agg(F.max("count")).collect()[0][0]
     )
     assert worst < 100, f"sub-banding failed to scatter: max sub-bucket {worst}"
+
+
+def test_cc_two_phase_long_chain_beats_diameter(spark):
+    """Adversarial diameter: a 301-vertex path graph (diameter 300 ≫ 50
+    max_iters). Min-label propagation would need 300 rounds; the
+    large-star/small-star fixpoint must fully converge within the default
+    max_iters. driver_threshold=0 forces the distributed path."""
+    chain = [(i, i + 1) for i in range(300)]
+    labels = {
+        r.id: r.comp
+        for r in connected_components(
+            _pairs(spark, chain), max_iters=50, driver_threshold=0
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(301)}
+
+
+def test_cc_two_phase_matches_union_find(spark):
+    """Distributed two-phase output == driver union-find output on a mixed
+    graph (several components, a cycle, a clique, a chain)."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    # clique 0-4, cycle 10-14, chain 20-29, random extra edges in 30-59
+    for a in range(5):
+        for b in range(a + 1, 5):
+            edges.add((a, b))
+    edges |= {(10, 11), (11, 12), (12, 13), (13, 14), (14, 10)}
+    edges |= {(i, i + 1) for i in range(20, 29)}
+    for _ in range(40):
+        a, b = rng.randrange(30, 60), rng.randrange(30, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = _pairs(spark, sorted(edges))
+    dist = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs, driver_threshold=0
+        ).collect()
+    }
+    uf = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs, driver_threshold=10**9
+        ).collect()
+    }
+    assert dist == uf

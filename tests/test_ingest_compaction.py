@@ -292,3 +292,50 @@ def test_downsample_cascade_reaggregates_exactly(spark, sf_dir):
     for r in direct.collect():
         mn, mx, s, n = c[(r.bucket, r.event_type)]
         assert s / n == r.avg_value
+
+
+def test_write_metrics_auto_granularity(spark, sf_dir, tmp_path):
+    """auto drops to date= layout when hour partitions would be tiny
+    (sparse fixture), keeps date=/hour= for dense data, and the explicit
+    default stays hour for layout-contract stability."""
+    import os
+
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(ev, "ts_ns", "event_type", "value")
+
+    sparse = str(tmp_path / "sparse")
+    gran = write_metrics(m, sparse, mode="overwrite", granularity="auto")
+    assert gran == "date"
+    top = os.listdir(sparse)
+    assert any(d.startswith("date=") for d in top)
+    date_dir = next(d for d in top if d.startswith("date="))
+    assert not any(
+        h.startswith("hour=") for h in os.listdir(os.path.join(sparse, date_dir))
+    )
+
+    # dense: all rows forced into a couple of hours -> auto keeps hour
+    import pyspark.sql.functions as F
+
+    dense_m = m.withColumn(
+        "timestamp",
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + (F.col("ts_ns") % 7_200) * 1_000_000)
+        ),
+    )
+    dense = str(tmp_path / "dense")
+    gran2 = write_metrics(
+        dense_m, dense, mode="overwrite", granularity="auto",
+        min_rows_per_hour=100,
+    )
+    assert gran2 == "hour"
+    ddir = next(d for d in os.listdir(dense) if d.startswith("date="))
+    assert any(
+        h.startswith("hour=") for h in os.listdir(os.path.join(dense, ddir))
+    )
+
+    # explicit default unchanged
+    explicit = str(tmp_path / "explicit")
+    assert write_metrics(m, explicit, mode="overwrite") == "hour"
