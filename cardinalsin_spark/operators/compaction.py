@@ -118,17 +118,31 @@ def compact_partition(
     spark: SparkSession,
     root: str,
     date: str,
-    hour: int,
+    hour: int | None = None,
     target_files: int = 1,
 ) -> int:
-    """Merge one ``date=/hour=`` partition's small files: read → sort by
-    timestamp → rewrite as ``target_files`` files (reference chunk merge:
-    concat → sort → single parquet, ``compactor/merge.rs:23-74``).
+    """Merge one partition's small files: read → sort by timestamp →
+    rewrite as ``target_files`` files (reference chunk merge: concat →
+    sort → single parquet, ``compactor/merge.rs:23-74``).
+
+    ``hour=None`` compacts a whole ``date=`` partition — the unit for
+    tables written with date granularity (see ``write_metrics``'s auto
+    mode) and the natural L1+ unit once hour files have been merged.
 
     Returns the number of input files merged. Uses overwrite of the single
     partition directory only.
     """
-    part_path = os.path.join(root, f"date={date}", f"hour={hour}")
+    part_path = os.path.join(root, f"date={date}") if hour is None else (
+        os.path.join(root, f"date={date}", f"hour={hour}")
+    )
+    if hour is None and any(
+        e.startswith("hour=") for e in os.listdir(part_path)
+    ):
+        # flattening an hour-partitioned date dir would silently drop the
+        # hour= layout (and its pruning) — compact per hour instead
+        raise ValueError(
+            f"{part_path} is hour-partitioned; pass hour= to compact it"
+        )
     df = spark.read.parquet(part_path)
     n_input = df.select(F.input_file_name()).distinct().count()
     if n_input <= target_files:
@@ -140,7 +154,8 @@ def compact_partition(
     # run are cleared before writing.
     import shutil
 
-    tmp_path = os.path.join(root, "_compaction_tmp", f"date={date}.hour={hour}")
+    tmp_name = f"date={date}" if hour is None else f"date={date}.hour={hour}"
+    tmp_path = os.path.join(root, "_compaction_tmp", tmp_name)
     shutil.rmtree(tmp_path, ignore_errors=True)
     (
         df.coalesce(target_files)

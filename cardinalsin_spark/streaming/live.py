@@ -62,6 +62,43 @@ def live_filter(sdf: DataFrame, predicate: str) -> DataFrame:
     return sdf.filter(F.expr(predicate))
 
 
+def wire_ingest_stream(
+    spark: SparkSession,
+    path: str,
+    wire_format: str = "otlp_proto",
+    bytes_col: str = "payload",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming wire ingest: a file-source stream of raw payload files
+    (one binary column per row) decoded per micro-batch with the SAME
+    mapInPandas decoders batch ingest uses — OTLP protobuf
+    (``sources/otlp.py``) or Prometheus remote-write
+    (``sources/remote_write.py``). The Spark analogue of the reference's
+    ingest endpoints feeding the ingester tail (``api/ingest/*`` →
+    ``ingester/broadcast.rs``), with the file source's exactly-once
+    semantics instead of an in-process channel. Returns the flat
+    (ts, metric_name, value, labels) stream; pipe into ``windowed_agg`` /
+    ``live_filter`` / a parquet sink like any metrics stream."""
+    from pyspark.sql.types import BinaryType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    reader = spark.readStream.schema(_St([StructField(bytes_col, BinaryType())]))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    if wire_format == "otlp_proto":
+        from cardinalsin_spark.sources.otlp import otlp_proto_flatten
+
+        return otlp_proto_flatten(sdf, bytes_col)
+    if wire_format == "remote_write":
+        from cardinalsin_spark.sources.remote_write import remote_write_flatten
+
+        return remote_write_flatten(sdf, bytes_col)
+    raise ValueError(
+        f"wire_format must be otlp_proto|remote_write, got {wire_format!r}"
+    )
+
+
 def historical_live_merge(
     historical: DataFrame,
     live: DataFrame,

@@ -339,3 +339,41 @@ def test_write_metrics_auto_granularity(spark, sf_dir, tmp_path):
     # explicit default unchanged
     explicit = str(tmp_path / "explicit")
     assert write_metrics(m, explicit, mode="overwrite") == "hour"
+
+
+def test_compact_whole_date_partition(spark, sf_dir, tmp_path):
+    """Date-granularity tables (write_metrics auto mode) compact per
+    date= partition; hour-partitioned dates refuse the flattening."""
+    import os
+
+    import pytest as _pytest
+
+    from cardinalsin_spark.operators.compaction import compact_partition
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    m = normalize_to_metrics(ev, "ts_ns", "event_type", "value")
+    path = str(tmp_path / "datestore")
+    # two writes -> >1 file per date partition
+    assert write_metrics(m, path, mode="overwrite", granularity="auto") == "date"
+    write_metrics(m, path, mode="append", granularity="date")
+
+    date_dir = next(d for d in os.listdir(path) if d.startswith("date="))
+    date = date_dir.split("=", 1)[1]
+    before = spark.read.parquet(path).count()
+    merged = compact_partition(spark, path, date)
+    assert merged >= 2
+    assert spark.read.parquet(path).count() == before
+    files = [
+        f for f in os.listdir(os.path.join(path, date_dir))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+    # hour-layout refusal
+    hour_path = str(tmp_path / "hourstore")
+    write_metrics(m, hour_path, mode="overwrite", granularity="hour")
+    hdir = next(d for d in os.listdir(hour_path) if d.startswith("date="))
+    with _pytest.raises(ValueError, match="hour-partitioned"):
+        compact_partition(spark, hour_path, hdir.split("=", 1)[1])

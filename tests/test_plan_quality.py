@@ -205,3 +205,28 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS ev_a")
         spark.sql("DROP TABLE IF EXISTS ev_b")
+
+
+def test_pii_scrub_stays_jvm_side(spark, sf_dir):
+    """Regex PII scrub is pure regexp_extract_all/regexp_replace — no
+    Python evaluation may appear in its plan."""
+    plan = plan_string(_df(spark, sf_dir, "docs_pii_scrub"), "simple")
+    assert "Python" not in plan, plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    """The banded self-joins must plan as equi-joins on (band, value) keys
+    — a CartesianProduct or BroadcastNestedLoopJoin here is the all-pairs
+    explosion the banding exists to avoid."""
+    plan = plan_string(_df(spark, sf_dir, "docs_simhash_pairs"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_media_resize_prunes_blob_metadata(spark, sf_dir):
+    """The resize path reads only what it needs from the documents scan —
+    doc_id + text (the fake-decode source); the lang/source metadata
+    columns must be pruned."""
+    df = _df(spark, sf_dir, "media_resize")
+    cols = scan_read_schema(df)
+    assert "lang" not in cols and "source" not in cols, cols

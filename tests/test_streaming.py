@@ -240,3 +240,51 @@ def test_stream_interval_join_matches_batch(spark, metrics_df, chunk_dir, tmp_pa
         & (F.col("ts2") >= F.col("timestamp") - F.expr(f"INTERVAL {lk}")),
     ).count()
     assert got == expected and expected > 0
+
+
+def test_wire_ingest_stream_otlp_matches_batch(spark, tmp_path):
+    """Streaming OTLP-protobuf ingest (file-source payload stream decoded
+    per micro-batch) must produce exactly the batch decoder's rows."""
+    from cardinalsin_spark.sources.otlp import otlp_proto_flatten
+    from cardinalsin_spark.streaming.live import wire_ingest_stream
+    from tests.test_ingest_adapters import (
+        _any_string,
+        _export_request,
+        _metric,
+        _number_point,
+    )
+
+    p1 = _export_request(
+        [("env", _any_string("prod"))],
+        [_metric("m1", 5, [_number_point(1_000, as_double=1.5)])],
+    )
+    p2 = _export_request(
+        [],
+        [_metric("m2", 7, [_number_point(2_000, as_int=7)]),
+         _metric("m3", 9, [])],
+    )
+    src = str(tmp_path / "payloads")
+    batch_df = spark.createDataFrame(
+        [(bytearray(p1),), (bytearray(p2),)], "payload binary"
+    )
+    batch_df.write.parquet(src)
+
+    sdf = wire_ingest_stream(spark, src, wire_format="otlp_proto")
+    assert sdf.isStreaming
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName("wire_ingest_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60)
+    got = {
+        (r.ts_ns, r.metric_name, r.value)
+        for r in spark.sql("SELECT * FROM wire_ingest_t").collect()
+    }
+    expected = {
+        (r.ts_ns, r.metric_name, r.value)
+        for r in otlp_proto_flatten(batch_df).collect()
+    }
+    assert got == expected and len(got) == 2
