@@ -77,7 +77,7 @@ BENCH_ORDER = [
     "media_audio_features", "media_frame_sample", "docs_split_assign",
     "docs_stratified_sample", "docs_quality_filter",
     # round-4 additions
-    "docs_pii_scrub", "media_resize",
+    "docs_pii_scrub", "media_resize", "docs_span_dedup",
 ]
 
 

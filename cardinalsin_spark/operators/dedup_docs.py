@@ -712,6 +712,71 @@ def cross_split_contamination(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style exact span-level dedup across the corpus: split each
+    document into consecutive ``span_tokens``-token chunks, keep only the
+    corpus-FIRST occurrence of each chunk text (first by (doc, position)),
+    and rebuild documents from their surviving chunks. Span granularity —
+    not whole-document — is what catches boilerplate repeated inside
+    otherwise-distinct documents (C4 deduplicates three-sentence spans,
+    RefinedWeb lines; the public pattern this implements).
+
+    Plan: linear chunk explode, ONE groupBy on the chunk text with an
+    integer arg-min (map-side combinable — skew-safe for boilerplate
+    chunks repeated millions of times, where a per-key window would
+    hot-spot a single partition), a join back on the chunk key, and a
+    per-doc ordered reassembly. The composite winner key
+    ``doc_id·2²⁰ + chunk_no`` is exact while chunk_no < 2²⁰ (a ≥10M-token
+    document) and doc_id < 2⁴². Output: per-doc span counts + md5 of the
+    rebuilt text (order-exact reassembly).
+    """
+    span = int(span_tokens)
+    base = df.select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_tk")
+    )
+    chunks = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(CAST(ceil(size(_tk) / {span}.0)"
+                f" AS INT), 1) - 1),"
+                f" i -> array_join(slice(_tk, i * {span} + 1, {span}), ' '))"
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    ckey = (F.col(id_col) * F.lit(1 << 20) + F.col("chunk_no")).alias("_ck")
+    chunks = chunks.withColumn("_ck", ckey)
+    winners = chunks.groupBy("chunk").agg(F.min("_ck").alias("_wk"))
+    flagged = chunks.join(winners, on="chunk").withColumn(
+        "_kept", F.col("_ck") == F.col("_wk")
+    )
+    # collect_list skips the CASE's NULLs -> only surviving chunks are
+    # reassembled, in chunk_no order via array_sort on the struct
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "CASE WHEN _kept THEN struct(chunk_no, chunk) END)),"
+                        " x -> x.chunk)"
+                    ),
+                )
+            ).alias("rebuilt_md5"),
+        )
+        .orderBy(id_col)
+    )
+
+
 # Candidate-explosion guard: a (band, value) bucket larger than this is
 # re-bucketed on a secondary banding of the signature's REMAINING bits
 # before pairing (see simhash_near_pairs). Σbucket² for an uncapped bucket

@@ -2341,7 +2341,7 @@ _DRIVER_WINDOW = [
     "promql_binary_ratio",
     "tpch_q1",
     "ts_asof_join",
-    "ts_gapfill_locf",
+    "docs_span_dedup",
 ]
 
 

@@ -1469,9 +1469,48 @@ FROM outpx GROUP BY media_id
 """
 
 
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact span dedup: corpus-wide keep-first on consecutive
+    10-token chunks, documents rebuilt from surviving spans."""
+    return dd.span_dedup(_docs(spark, sf_dir), span_tokens=10)
+
+
+SQL_DOCS_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS_RAW} AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+         array_to_string(
+           list_slice(tk, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)),
+           ' ') AS chunk
+  FROM (SELECT doc_id, tk,
+               unnest(range(0, greatest(CAST(ceil(len(tk) / 10.0) AS BIGINT),
+                                        1))) AS i
+        FROM toks)
+),
+winners AS (
+  SELECT chunk, min(doc_id * 1048576 + chunk_no) AS wk FROM chunks GROUP BY 1
+),
+flagged AS (
+  SELECT c.doc_id, c.chunk_no, c.chunk,
+         (c.doc_id * 1048576 + c.chunk_no = w.wk) AS kept
+  FROM chunks c JOIN winners w ON w.chunk = c.chunk
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY chunk_no),
+         '')) AS rebuilt_md5
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY_LLM = {
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),

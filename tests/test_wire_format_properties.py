@@ -131,3 +131,20 @@ def test_otlp_histogram_collapse_property(count, has_sum):
     )
     (row,) = decode_export_metrics_request(payload)
     assert row[2] == (123.25 if has_sum else float(count))
+
+
+@given(st.binary(max_size=96))
+@settings(max_examples=300, deadline=None)
+def test_otlp_decoder_never_crashes_unexpectedly(buf):
+    """Arbitrary bytes either decode to rows or raise the documented
+    error types — never hang, index-error, or partially mutate state."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+
+    try:
+        rows = decode_export_metrics_request(buf)
+    except (ValueError, UnicodeDecodeError, struct.error):
+        return
+    for ts, name, value, labels in rows:
+        assert isinstance(ts, int)
+        assert isinstance(name, str)
+        assert isinstance(labels, dict)
