@@ -57,6 +57,14 @@ _RANGE_FN_RE = re.compile(
 _PREDICT_RE = re.compile(
     r"^predict_linear\s*\((.+)\[(\d+)([smhd])\]\s*,\s*(\d+)\s*\)$", re.DOTALL
 )
+# holt_winters / double_exponential_smoothing carries level + trend factors:
+# holt_winters(m[1h], 0.3, 0.3)
+_HW_RE = re.compile(
+    r"^(?:holt_winters|double_exponential_smoothing)"
+    r"\s*\((.+)\[(\d+)([smhd])\]\s*,"
+    r"\s*([0-9]*\.?[0-9]+)\s*,\s*([0-9]*\.?[0-9]+)\s*\)$",
+    re.DOTALL,
+)
 # histogram_quantile carries a leading quantile argument and evaluates over
 # a cumulative-bucket family carrying an `le` label:
 # histogram_quantile(0.9, m_bucket)
@@ -116,6 +124,8 @@ class ParsedPromQL:
     dst_label: str | None = None  # count_values output label
     offset_seconds: float = 0.0
     predict_ahead_s: int | None = None  # predict_linear horizon
+    hw_sf: float | None = None  # holt_winters level factor
+    hw_tf: float | None = None  # holt_winters trend factor
     q_str: str | None = None  # histogram_quantile φ as written (exact)
 
 
@@ -165,6 +175,18 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.function = "predict_linear"
         out.range_seconds = float(m.group(2)) * _UNIT_SECONDS[m.group(3)]
         out.predict_ahead_s = int(m.group(4))
+        inner_parsed = parse_promql(m.group(1))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        return out
+
+    m = _HW_RE.match(promql)
+    if m:
+        out.function = "holt_winters"
+        out.range_seconds = float(m.group(2)) * _UNIT_SECONDS[m.group(3)]
+        out.hw_sf = float(m.group(4))
+        out.hw_tf = float(m.group(5))
         inner_parsed = parse_promql(m.group(1))
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
@@ -582,7 +604,7 @@ def promql_range(
 
     if faithful and parsed.function in (
         "rate", "irate", "increase", "deriv", "idelta", "delta",
-        "resets", "changes", "predict_linear",
+        "resets", "changes", "predict_linear", "holt_winters",
     ):
         return _promql_range_faithful(
             out, parsed, step_s, cols, label_cols, ts_ns_col, faithful
@@ -715,7 +737,7 @@ def _promql_range_faithful(
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
     needs_ns = (
         "irate", "deriv", "idelta", "delta",
-        "resets", "changes", "predict_linear",
+        "resets", "changes", "predict_linear", "holt_winters",
     ) + (("rate",) if faithful == "extrapolated" else ())
     if parsed.function in needs_ns and ts_ns_col not in out.columns:
         out = out.withColumn(
@@ -772,6 +794,21 @@ def _promql_range_faithful(
                 ts_ns_col=ts_ns_col,
             ),
             parsed.function,
+        )
+    elif parsed.function == "holt_winters":
+        from cardinalsin_spark.operators.timeseries import holt_winters_bucketed
+
+        res, vcol = (
+            holt_winters_bucketed(
+                out,
+                step_s,
+                sf=parsed.hw_sf or 0.3,
+                tf=parsed.hw_tf or 0.3,
+                series=series,
+                cols=cols,
+                ts_ns_col=ts_ns_col,
+            ),
+            "hw",
         )
     elif parsed.function == "predict_linear":
         res, vcol = (

@@ -914,6 +914,75 @@ def zscore_outliers(
     )
 
 
+def holt_winters_bucketed(
+    df: DataFrame,
+    step_seconds: int,
+    sf: float = 0.3,
+    tf: float = 0.3,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """PromQL ``holt_winters`` / ``double_exponential_smoothing`` per
+    (bucket, series): the upstream algorithm (promql/functions.go
+    funcHoltWinters) — level/trend smoothing over the window's ordered
+    samples, returning the final smoothed value. ``sf`` = level factor,
+    ``tf`` = trend factor. The reference AVG-degrades every unknown
+    function (``api/query/prometheus_api.rs:998-1012``); this is the real
+    recursion.
+
+    The fold is inherently sequential PER SERIES but embarrassingly
+    parallel ACROSS series: one groupBy collects each bucket's samples
+    into an ordered array (bucket sample counts are bounded by
+    step/scrape-interval — a few thousand elements, not corpus-scale),
+    then a single ``aggregate()`` lambda folds (s0, s1, trend) exactly as
+    upstream: step i=1 keeps the initial trend b₀ = v₂ − v₁
+    (calcTrendValue(0)); later steps blend tf·(s1−s0) + (1−tf)·b. The
+    identical float-op chain is spelled in the DuckDB oracle (list_reduce
+    with the seed struct prepended, since its 2-arg form has no init), so
+    results hash-match bit-for-bit. Buckets with <2 samples emit nothing
+    (PromQL parity).
+    """
+    series = series or []
+    sfr, one_sf = repr(float(sf)), repr(1.0 - float(sf))
+    tfr, one_tf = repr(float(tf)), repr(1.0 - float(tf))
+    base = df.select(
+        time_bucket(cols.ts, step_seconds).alias("bucket"),
+        F.col(cols.name),
+        *[F.col(s) for s in series],
+        F.col(ts_ns_col).alias("_tns"),
+        F.col(cols.value).cast("double").alias("_v"),
+    )
+    grouped = base.groupBy("bucket", cols.name, *series).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_tns, _v))), x -> x._v)"
+        ).alias("_vals")
+    )
+    trend = (
+        f"IF(x.i = 1.0D, acc.tr,"
+        f" ({tfr} * (acc.s1 - acc.s0)) + ({one_tf} * acc.tr))"
+    )
+    hw = F.expr(
+        f"aggregate("
+        f" transform(sequence(2, size(_vals)),"
+        f"  i -> named_struct('v', element_at(_vals, i),"
+        f"                    'i', CAST(i - 1 AS DOUBLE))),"
+        f" named_struct('s0', CAST(0 AS DOUBLE),"
+        f"              's1', element_at(_vals, 1),"
+        f"              'tr', element_at(_vals, 2) - element_at(_vals, 1)),"
+        f" (acc, x) -> named_struct("
+        f"   's0', acc.s1,"
+        f"   's1', ({sfr} * x.v) + ({one_sf} * (acc.s1 + {trend})),"
+        f"   'tr', {trend}),"
+        f" acc -> acc.s1)"
+    )
+    return (
+        grouped.filter(F.size("_vals") >= 2)
+        .select("bucket", cols.name, *series, hw.alias("hw"))
+        .orderBy("bucket", cols.name, *series)
+    )
+
+
 def delta_faithful(
     df: DataFrame,
     step_seconds: int,

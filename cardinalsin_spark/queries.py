@@ -2188,6 +2188,107 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`holt_winters(view[3600s], 0.3, 0.3)` through the transpiler:
+    double exponential smoothing per (bucket, series), cents-exact inputs
+    so the float recursion chains identically across engines."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "holt_winters(view[3600s], 0.3, 0.3)",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=3600,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        (F.col("value") / F.lit(100.0)).alias("value"),
+    )
+
+
+SQL_PROMQL_HOLT_WINTERS = f"""
+WITH RECURSIVE filtered AS (
+  SELECT ts, epoch_ns(ts) AS tns, event_type,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CAST({_sql_cents('value')} AS DOUBLE) AS vc
+  FROM events
+  WHERE event_type = 'view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+vals AS (
+  SELECT {_sql_bucket(3600)} AS time_bucket, event_type, user_id,
+         list(vc ORDER BY tns, vc) AS vs, count(*) AS n
+  FROM filtered GROUP BY 1, 2, 3 HAVING count(*) >= 2
+),
+steps AS (
+  SELECT time_bucket, event_type, user_id, vs, n, 1 AS i,
+         CAST(0 AS DOUBLE) AS s0, vs[1] AS s1, vs[2] - vs[1] AS tr
+  FROM vals
+  UNION ALL
+  SELECT time_bucket, event_type, user_id, vs, n, i + 1,
+         s1,
+         (0.3 * vs[CAST(i + 1 AS INT)])
+           + (0.7 * (s1 + CASE WHEN i = 1 THEN tr
+                          ELSE (0.3 * (s1 - s0)) + (0.7 * tr) END)),
+         CASE WHEN i = 1 THEN tr ELSE (0.3 * (s1 - s0)) + (0.7 * tr) END
+  FROM steps WHERE i < n
+)
+SELECT time_bucket, event_type, user_id, s1 / 100.0 AS value
+FROM steps WHERE i = n
+ORDER BY time_bucket, event_type, user_id
+"""
+
+
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters (double exponential smoothing, upstream
+    promql/functions.go recursion; the reference AVG-degrades it) per
+    hour bucket per metric."""
+    from cardinalsin_spark.operators.timeseries import holt_winters_bucketed
+
+    return holt_winters_bucketed(
+        _events(spark, sf_dir), 3600, sf=0.3, tf=0.3, cols=EV
+    )
+
+
+# The DuckDB oracle replays the same sequential recursion as a RECURSIVE
+# CTE — one row per (group, step), step i+1 computed from step i's
+# (s0, s1, tr) with the identical float-op chain, CASE i=1 keeping the
+# seed trend (upstream calcTrendValue(0)). A list_reduce struct
+# accumulator would be the natural fold, but DuckDB 1.0 aliases
+# accumulator fields while evaluating the struct literal (acc.b read in
+# one field sees another field's just-computed value), silently breaking
+# any multi-component fold — verified against a Python replay.
+SQL_TS_HOLT_WINTERS = f"""
+WITH RECURSIVE vals AS (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type,
+         list(value ORDER BY epoch_ns(ts), value) AS vs,
+         count(*) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+),
+steps AS (
+  SELECT bucket, event_type, vs, n, 1 AS i,
+         CAST(0 AS DOUBLE) AS s0, vs[1] AS s1, vs[2] - vs[1] AS tr
+  FROM vals
+  UNION ALL
+  SELECT bucket, event_type, vs, n, i + 1,
+         s1,
+         (0.3 * vs[CAST(i + 1 AS INT)])
+           + (0.7 * (s1 + CASE WHEN i = 1 THEN tr
+                          ELSE (0.3 * (s1 - s0)) + (0.7 * tr) END)),
+         CASE WHEN i = 1 THEN tr ELSE (0.3 * (s1 - s0)) + (0.7 * tr) END
+  FROM steps WHERE i < n
+)
+SELECT bucket, event_type, s1 AS hw FROM steps WHERE i = n
+ORDER BY bucket, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2263,6 +2364,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_delta_faithful,
         SQL_PROMQL_DELTA_FAITHFUL,
     ),
+    "ts_holt_winters": (q_ts_holt_winters, SQL_TS_HOLT_WINTERS),
+    "promql_holt_winters": (q_promql_holt_winters, SQL_PROMQL_HOLT_WINTERS),
 }
 
 
@@ -2337,9 +2440,9 @@ _DRIVER_WINDOW = [
     "ts_predict_linear",
     "promql_histogram_quantile",
     "flagship_minute_p99",
-    "ts_rate_faithful",
+    "ts_holt_winters",
     "promql_binary_ratio",
-    "tpch_q1",
+    "promql_holt_winters",
     "ts_asof_join",
     "docs_span_dedup",
 ]

@@ -598,3 +598,17 @@ def test_extrapolated_rate_through_transpiler(spark, sf_dir):
     )
     c = {r.time_bucket: r.value for r in simple.collect()}
     assert c != a
+
+
+def test_transpile_holt_winters(spark):
+    """holt_winters(m[1h], 0.3, 0.3) parses factors + range and routes to
+    the faithful double-exponential-smoothing operator."""
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    p = parse_promql('holt_winters(http_requests{env="prod"}[1h], 0.3, 0.3)')
+    assert p.function == "holt_winters"
+    assert p.range_seconds == 3600.0
+    assert p.hw_sf == 0.3 and p.hw_tf == 0.3
+    assert p.metric_name == "http_requests"
+    p2 = parse_promql("double_exponential_smoothing(m[5m], 0.5, 0.1)")
+    assert p2.function == "holt_winters" and p2.range_seconds == 300.0
