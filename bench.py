@@ -78,7 +78,7 @@ BENCH_ORDER = [
     "docs_stratified_sample", "docs_quality_filter",
     # round-4 additions
     "docs_pii_scrub", "media_resize", "docs_span_dedup",
-    "ts_holt_winters", "promql_holt_winters",
+    "ts_holt_winters", "promql_holt_winters", "promql_quantile_over_time",
 ]
 
 

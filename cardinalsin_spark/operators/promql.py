@@ -57,6 +57,13 @@ _RANGE_FN_RE = re.compile(
 _PREDICT_RE = re.compile(
     r"^predict_linear\s*\((.+)\[(\d+)([smhd])\]\s*,\s*(\d+)\s*\)$", re.DOTALL
 )
+# quantile_over_time carries a leading quantile argument:
+# quantile_over_time(0.9, m[1h])
+_QOT_RE = re.compile(
+    r"^quantile_over_time\s*\(\s*([0-9]*\.?[0-9]+)\s*,"
+    r"\s*(.+)\[(\d+)([smhd])\]\s*\)$",
+    re.DOTALL,
+)
 # holt_winters / double_exponential_smoothing carries level + trend factors:
 # holt_winters(m[1h], 0.3, 0.3)
 _HW_RE = re.compile(
@@ -176,6 +183,17 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.range_seconds = float(m.group(2)) * _UNIT_SECONDS[m.group(3)]
         out.predict_ahead_s = int(m.group(4))
         inner_parsed = parse_promql(m.group(1))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        return out
+
+    m = _QOT_RE.match(promql)
+    if m:
+        out.function = "quantile_over_time"
+        out.q = float(m.group(1))
+        out.range_seconds = float(m.group(3)) * _UNIT_SECONDS[m.group(4)]
+        inner_parsed = parse_promql(m.group(2))
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
@@ -630,7 +648,7 @@ def promql_range(
             # by the value itself, like max_by's tuple comparison)
             value = F.expr(f"max_by({cols.value}, {cols.ts})")
         else:
-            value = _agg_column(agg, cols.value)
+            value = _agg_column(agg, cols.value, parsed.q)
     elif parsed.function is not None:
         value = F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
     elif parsed.aggregation:

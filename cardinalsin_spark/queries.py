@@ -2188,6 +2188,41 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile_over_time(0.9, purchase[1d])`: per-SERIES interpolated
+    quantile over each bucket's samples (the per-series twin of the
+    cross-series `quantile` aggregation; beyond the reference's grammar).
+    Exact integer cents in, one interpolation chain out."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        'quantile_over_time(0.9, purchase{user_id=~".+"}[86400s])',
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") / F.lit(100.0), 4).alias("value"),
+    )
+
+
+SQL_PROMQL_QUANTILE_OVER_TIME = f"""
+SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       round(quantile_cont({_sql_cents('value')}, 0.9) / 100.0, 4) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`holt_winters(view[3600s], 0.3, 0.3)` through the transpiler:
     double exponential smoothing per (bucket, series), cents-exact inputs
@@ -2366,6 +2401,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "ts_holt_winters": (q_ts_holt_winters, SQL_TS_HOLT_WINTERS),
     "promql_holt_winters": (q_promql_holt_winters, SQL_PROMQL_HOLT_WINTERS),
+    "promql_quantile_over_time": (
+        q_promql_quantile_over_time,
+        SQL_PROMQL_QUANTILE_OVER_TIME,
+    ),
 }
 
 

@@ -236,3 +236,46 @@ def test_cc_two_phase_matches_union_find(spark):
         ).collect()
     }
     assert dist == uf
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Exactness property: on random crafted signatures the banded+capped
+    candidate generation must find EXACTLY the brute-force hamming<=3
+    pairs — no false negatives (pigeonhole), no false positives
+    (bit_count verify)."""
+    import hashlib
+    import itertools
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.dedup_docs import (
+        simhash_pairs_from_signatures,
+    )
+
+    sigs = {}
+    for i in range(120):
+        h = int(hashlib.md5(f"bf:{i}".encode()).hexdigest()[:15], 16)
+        sigs[i] = h  # 60-bit
+    # plant near-dups at controlled distances 0..4
+    base = sigs[0]
+    sigs[200] = base                      # hamming 0
+    sigs[201] = base ^ (1 << 5)           # 1
+    sigs[202] = base ^ (1 << 5) ^ (1 << 30)  # 2
+    sigs[203] = base ^ (1 << 59) ^ (1 << 31) ^ (1 << 7)  # 3
+    sigs[204] = base ^ 0b11110            # 4 -> must NOT match
+    expected = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= 3:
+            expected.add((a, b, d))
+    df = spark.createDataFrame(
+        [Row(doc_id=k, simhash=v) for k, v in sigs.items()]
+    )
+    for cap in (10**9, 2):  # uncapped and forced-secondary-split
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs_from_signatures(
+                df, max_hamming=3, bucket_cap=cap
+            ).collect()
+        }
+        assert got == expected, f"cap={cap}"

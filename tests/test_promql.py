@@ -612,3 +612,12 @@ def test_transpile_holt_winters(spark):
     assert p.metric_name == "http_requests"
     p2 = parse_promql("double_exponential_smoothing(m[5m], 0.5, 0.1)")
     assert p2.function == "holt_winters" and p2.range_seconds == 300.0
+
+
+def test_transpile_quantile_over_time(spark):
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    p = parse_promql('quantile_over_time(0.95, latency{env="prod"}[5m])')
+    assert p.function == "quantile_over_time"
+    assert p.q == 0.95 and p.range_seconds == 300.0
+    assert p.metric_name == "latency"
