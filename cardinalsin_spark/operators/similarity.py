@@ -544,3 +544,210 @@ def centroid_by_label(
         )
         .orderBy(label_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the memory-scale path on top of IVF)
+# ---------------------------------------------------------------------------
+#
+# Classic IVFADC shape (Jégou et al. 2011, public): a coarse IVF quantizer
+# routes vectors to cells; inside, each vector is stored as m sub-space
+# CODES (one per dim/m-slice, each the id of the nearest sub-codebook
+# centroid) — m small ints instead of dim floats, the representation that
+# makes a 100 TB corpus fit an index. Scoring is ADC: the query stays
+# full-precision and the corpus side is looked up from the codebooks. This
+# variant encodes raw vectors (no residual subtraction — documented
+# simplification; residual PQ plugs into the same plumbing) and runs ADC on
+# the QUANTIZED integer grid so candidate scores are exact integers (same
+# cross-engine determinism discipline as every other similarity operator
+# here: one float division at the end).
+
+
+def pq_train_codebooks_local(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 1000,
+):
+    """Per-subspace k-means codebooks from a deterministic pinned sample
+    (first ``sample`` vectors by id) — index metadata, trained driver-side
+    like ``ivf_train_centroids_local``. Returns numpy (m, ks, dim/m)."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            kmeans_numpy(X[:, s * dsub : (s + 1) * dsub].copy(), ks, iters)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode_udf(codebooks):
+    """pandas_udf: embedding → array of m sub-space codes (argmin L2 per
+    subspace, one GEMM per subspace per Arrow batch — same float-distance
+    rule the oracle replays in SQL)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    m, ks, dsub = CB.shape
+    cn2 = (CB * CB).sum(axis=2)  # (m, ks)
+
+    @pandas_udf("array<int>")
+    def _encode(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.values).astype(np.float64)  # (n, dim)
+        codes = np.empty((X.shape[0], m), dtype="int32")
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d = cn2[s][None, :] - 2.0 * (Xs @ CB[s].T)
+            codes[:, s] = d.argmin(axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def _pq_quantized(codebooks, scale: int = QUANT_SCALE):
+    """Codebooks on the integer grid + per-code quantized norms²."""
+    import numpy as np
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    CBq = np.round(CB * scale).astype(np.int64)
+    CBn2 = (CBq.astype(object) ** 2).sum(axis=2).astype(np.int64)
+    return CBq, CBn2
+
+
+def _sql_array_literal_3d(A) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(v)}L" for v in code) + ")"
+                for code in sub
+            )
+            + ")"
+            for sub in A
+        )
+        + ")"
+    )
+
+
+def _sql_array_literal_2d(A) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in row) + ")" for row in A
+        )
+        + ")"
+    )
+
+
+def cosine_topk_ivfpq(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """IVF-PQ ANN search: corpus = (cell, m codes, quantized norm²) — the
+    compressed index representation; queries stay full-precision
+    (quantized ints), probe ``nprobe`` cells, and score by ADC lookup: an
+    exact-integer dot between the query slice and the coded sub-centroid,
+    summed over subspaces with an inlined codebook literal — pure JVM
+    expressions after the one encode pass, one float division at the end.
+    Join shuffles on cell id like plain IVF; per-pair work is O(dim) int
+    multiplies with no corpus-vector bytes moving through the shuffle."""
+    import numpy as np
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = CB.shape
+    CBq, CBn2 = _pq_quantized(CB, scale)
+    cbq_lit = _sql_array_literal_3d(CBq)
+    cbn_lit = _sql_array_literal_2d(CBn2)
+
+    corpus = (
+        df.select(id_col, vec_col)
+        .withColumn("cell", ivf_assign_udf(np.asarray(centroids))(F.col(vec_col)))
+        .withColumn("codes", pq_encode_udf(CB)(F.col(vec_col)))
+        .drop(vec_col)
+        .selectExpr(
+            id_col,
+            "cell",
+            "codes",
+            # vnorm²q from the codebook norms — part of the index record
+            f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
+            f" acc + element_at(element_at({cbn_lit}, s + 1),"
+            f" element_at(codes, s + 1) + 1)) AS vnorm2q",
+        )
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    n_probe = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _probe(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.values).astype(np.float64)
+        d = c_norm2[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    qs = F.broadcast(
+        queries.selectExpr(
+            query_id_col, vec_col, f"{sql_quantize(vec_col, scale)} AS qq"
+        )
+        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
+        .withColumn("cells", _probe(F.col(vec_col)))
+        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
+        f" acc + aggregate(sequence(1, {dsub}), CAST(0 AS BIGINT), (a, d) ->"
+        f" a + element_at(qq, s * {dsub} + d)"
+        f" * element_at(element_at(element_at({cbq_lit}, s + 1),"
+        f" element_at(codes, s + 1) + 1), d)))"
+    )
+    scored = (
+        corpus.join(qs, "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .selectExpr(
+            query_id_col,
+            id_col,
+            f"CAST({adc} AS DOUBLE)"
+            f" / (qnorm * sqrt(CAST(vnorm2q AS DOUBLE))) AS adc_cosine",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -2477,7 +2477,7 @@ _DRIVER_WINDOW = [
     "maint_small_files",
     "ts_outliers",
     "ts_predict_linear",
-    "promql_histogram_quantile",
+    "emb_ivfpq_topk",
     "flagship_minute_p99",
     "ts_holt_winters",
     "promql_binary_ratio",

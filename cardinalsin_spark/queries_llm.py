@@ -1384,6 +1384,152 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ ANN (operators.similarity.cosine_topk_ivfpq): coarse IVF cells +
+# per-subspace product-quantization codes, ADC scoring on the integer grid.
+# Oracle built lazily like the IVF one: coarse centroids AND sub-codebooks
+# retrained with the same numpy routines from the same pinned sample and
+# inlined as SQL literals; encode/probe/score replayed in plain SQL.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_KS = 16
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: 16-cell coarse quantizer + 8 subspaces x 16 codes trained
+    on the 1000-lowest-id sample; queries probe 2 cells, corpus scored by
+    exact-integer ADC lookup (one float division at the end)."""
+    emb = _emb(spark, sf_dir)
+    sample = emb.orderBy("vec_id").limit(1000)
+    centroids = sim.ivf_train_centroids_local(sample, k=16, iters=2)
+    codebooks = sim.pq_train_codebooks_local(
+        emb, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk_ivfpq(
+        emb, queries, centroids, codebooks, k=_TOPK, nprobe=2
+    )
+
+
+def _ivfpq_oracle_sql() -> str | None:
+    try:
+        import duckdb
+        import numpy as np
+
+        path = os.path.join(_IVF_SF_DIR, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 1000"
+        ).fetchall()
+        con.close()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = sim.kmeans_numpy(X, k=16, iters=2)
+        dsub = X.shape[1] // _PQ_M
+        codebooks = np.stack(
+            [
+                sim.kmeans_numpy(
+                    X[:, s * dsub : (s + 1) * dsub].copy(), _PQ_KS, 2
+                )
+                for s in range(_PQ_M)
+            ]
+        )
+        CBq, CBn2 = sim._pq_quantized(codebooks)
+    except Exception:  # pragma: no cover - fixture missing in exotic envs
+        return None
+    cent_rows = ", ".join(
+        f"({cell}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for cell, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(float(v)) for v in codebooks[s][c])}]::DOUBLE[],"
+        f" [{', '.join(str(int(v)) for v in CBq[s][c])}]::BIGINT[],"
+        f" {int(CBn2[s][c])})"
+        for s in range(_PQ_M)
+        for c in range(_PQ_KS)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+cb(s, code, cv, cq, cn2q) AS (VALUES {cb_rows}),
+c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cdist AS (
+  SELECT c.vec_id, c.qv, c.v, cent.cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_dot_product(cent.cv, cent.cv)
+                    - 2 * list_dot_product(c.v, cent.cv), cent.cell
+         ) AS rnk
+  FROM c CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, cell FROM cdist WHERE rnk = 1),
+subv AS (
+  SELECT c.vec_id, t.s,
+         list_slice(c.v, t.s * {64 // _PQ_M} + 1,
+                    t.s * {64 // _PQ_M} + {64 // _PQ_M}) AS vs,
+         list_slice(c.qv, t.s * {64 // _PQ_M} + 1,
+                    t.s * {64 // _PQ_M} + {64 // _PQ_M}) AS qvs
+  FROM c, (SELECT unnest(range(0, {_PQ_M})) AS s) t
+),
+enc AS (
+  SELECT subv.vec_id, subv.s, cb.code, cb.cq, cb.cn2q,
+         row_number() OVER (
+           PARTITION BY subv.vec_id, subv.s
+           ORDER BY list_dot_product(cb.cv, cb.cv)
+                    - 2 * list_dot_product(subv.vs, cb.cv), cb.code
+         ) AS rn
+  FROM subv JOIN cb ON cb.s = subv.s
+),
+codes AS (SELECT vec_id, s, code, cq, cn2q FROM enc WHERE rn = 1),
+vstat AS (SELECT vec_id, sum(cn2q) AS vnorm2q FROM codes GROUP BY 1),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, cell
+  FROM cdist WHERE vec_id < {_N_QUERIES} AND rnk <= 2
+),
+adcsub AS (
+  SELECT p.query_id, a.vec_id, p.qq,
+         list_dot_product(
+           list_slice(p.qq, cd.s * {64 // _PQ_M} + 1,
+                      cd.s * {64 // _PQ_M} + {64 // _PQ_M}),
+           cd.cq) AS d
+  FROM assigned a
+  JOIN probes p ON a.cell = p.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+adc AS (
+  SELECT query_id, vec_id, any_value(qq) AS qq, sum(d) AS adcq
+  FROM adcsub GROUP BY 1, 2
+),
+scored AS (
+  SELECT adc.query_id, adc.vec_id,
+         CAST(adcq AS DOUBLE)
+           / (sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
+              * sqrt(CAST(vnorm2q AS DOUBLE))) AS adc_cosine
+  FROM adc JOIN vstat ON vstat.vec_id = adc.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+SQL_EMB_IVFPQ_TOPK = _ivfpq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # PII scrub (operators.text.pii_scrub): per-kind match counts on the raw
 # text + md5 of the redacted text. Patterns live in the RE2 ∩ Java-regex
 # common dialect so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
@@ -1511,6 +1657,7 @@ REGISTRY_LLM = {
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),
+    "emb_ivfpq_topk": (q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),

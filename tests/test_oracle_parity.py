@@ -14,7 +14,10 @@ CASES = sorted(name for name, (_, sql) in q.REGISTRY.items() if sql is not None)
 # emb_ivf_topk's oracle inlines centroids trained on the sf0.01 sample (the
 # driver's correctness scale) — it is only meaningful there, so its parity
 # case runs at sf0.01 like the driver gate does.
-SF_PINNED = {"emb_ivf_topk": "/root/testdata/sf0.01"}
+SF_PINNED = {
+    "emb_ivf_topk": "/root/testdata/sf0.01",
+    "emb_ivfpq_topk": "/root/testdata/sf0.01",
+}
 
 
 @pytest.mark.parametrize("name", CASES)

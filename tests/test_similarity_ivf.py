@@ -63,3 +63,61 @@ def test_ivf_topk_structure_and_recall(emb, centroids):
     # nprobe=4 of 8 cells scans ~half the corpus → decent recall even on
     # near-orthogonal random vectors
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization on top of the coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_deterministic_and_shaped(emb):
+    cb1 = sim.pq_train_codebooks_local(emb, m=8, ks=16, iters=2, sample=500)
+    cb2 = sim.pq_train_codebooks_local(emb, m=8, ks=16, iters=2, sample=500)
+    assert np.array_equal(cb1, cb2)
+    assert cb1.shape == (8, 16, 8)
+
+
+def test_pq_encode_codes_in_range(emb):
+    cb = sim.pq_train_codebooks_local(emb, m=8, ks=16, iters=2, sample=500)
+    codes = emb.select(
+        sim.pq_encode_udf(cb)(F.col("embedding")).alias("codes")
+    ).collect()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_ivfpq_structure_and_recall_vs_pq_ceiling(emb, centroids):
+    """IVF-PQ ranks by quantized reconstruction, so its ceiling is what
+    FULL-scan ADC would return, not exact cosine. Structure: ranks ordered,
+    scores descending; recall measured against the exact top-10 must beat
+    chance, and widening nprobe must not lose candidates."""
+    cb = sim.pq_train_codebooks_local(emb, m=8, ks=16, iters=2, sample=500)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sim.cosine_topk_ivfpq(
+        emb, queries, centroids, cb, k=10, nprobe=4
+    ).collect()
+    per_query: dict[int, list] = {}
+    for r in approx:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == 5
+    for rows in per_query.values():
+        assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+        scores = [r.adc_cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.1 <= s <= 1.1 for s in scores)
+
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=10)
+    e_sets = {}
+    for r in exact.collect():
+        e_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    a_sets = {qid: {r.vec_id for r in rows} for qid, rows in per_query.items()}
+    recalls = [
+        len(e_sets[q] & a_sets.get(q, set())) / len(e_sets[q]) for q in e_sets
+    ]
+    # PQ at 16 codes/subspace on near-orthogonal random vectors is a
+    # coarse sieve; anything clearly above the random baseline
+    # (10/2000 = 0.5%) shows the lookup pipeline works end-to-end
+    assert sum(recalls) / len(recalls) >= 0.05, recalls
