@@ -57,6 +57,16 @@ _RANGE_FN_RE = re.compile(
 _PREDICT_RE = re.compile(
     r"^predict_linear\s*\((.+)\[(\d+)([smhd])\]\s*,\s*(\d+)\s*\)$", re.DOTALL
 )
+# subquery: fn_over_time(expr[W:R]) — evaluate expr at resolution R,
+# aggregate the inner points per outer W bucket (tumbling two-level
+# evaluation, consistent with this transpiler's bucket model; Prometheus
+# evaluates sliding windows per eval point — documented deviation shared
+# with every other range shape here)
+_SUBQ_RE = re.compile(
+    r"^(sum|avg|min|max|count|stddev|last)_over_time"
+    r"\s*\(\s*(.+)\[(\d+)([smhd]):(\d+)([smhd])\]\s*\)$",
+    re.DOTALL,
+)
 # quantile_over_time carries a leading quantile argument:
 # quantile_over_time(0.9, m[1h])
 _QOT_RE = re.compile(
@@ -596,6 +606,30 @@ def promql_range(
         inner, args = _split_label_fn_args(lm.group(2))
         res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _apply_label_fn(res, lm.group(1), args)
+
+    sq = _SUBQ_RE.match(promql.strip())
+    if sq:
+        outer_agg = sq.group(1)
+        window_s = int(float(sq.group(3)) * _UNIT_SECONDS[sq.group(4)])
+        resolution_s = int(float(sq.group(5)) * _UNIT_SECONDS[sq.group(6)])
+        inner = promql_range(
+            df, sq.group(2), start_s, end_s, resolution_s, cols, faithful,
+            ts_ns_col,
+        )
+        keys = [c for c in inner.columns if c not in ("time_bucket", "value")]
+        outer_bucket = F.timestamp_seconds(
+            (F.unix_seconds(F.col("time_bucket")) / window_s).cast("long")
+            * F.lit(window_s)
+        )
+        if outer_agg == "last":
+            agg_col = F.expr("max_by(value, time_bucket)")
+        else:
+            agg_col = _agg_column(outer_agg, "value")
+        return (
+            inner.groupBy(outer_bucket.alias("time_bucket"), *keys)
+            .agg(agg_col.alias("value"))
+            .orderBy("time_bucket", *keys)
+        )
 
     parsed = parse_promql(promql)
     off = parsed.offset_seconds

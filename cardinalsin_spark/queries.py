@@ -2188,6 +2188,58 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(rate(purchase[300s])[3600s:300s])`: PromQL subquery —
+    the inner faithful rate evaluated at 5-min resolution, the outer max
+    over each hour's inner points (tumbling two-level evaluation; beyond
+    the reference's grammar entirely). max is order-free over floats, so
+    the chain stays engine-deterministic."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "max_over_time(rate(purchase[300s])[3600s:300s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=3600,
+        cols=EV_CENTS,
+        faithful=True,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") / F.lit(100.0), 6).alias("value"),
+    )
+
+
+SQL_PROMQL_SUBQUERY_MAX_RATE = f"""
+WITH filtered AS (
+  SELECT ts, event_type, CAST(user_id AS VARCHAR) AS user_id,
+         {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+deltas AS (
+  SELECT ts, event_type, user_id, vc,
+         lag(vc) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev
+  FROM filtered
+),
+inner_rate AS (
+  SELECT {_sql_bucket(300)} AS tb, event_type, user_id,
+         sum(CASE WHEN prev IS NULL THEN NULL
+                  WHEN vc >= prev THEN vc - prev
+                  ELSE vc END) / 300.0 AS v
+  FROM deltas GROUP BY 1, 2, 3
+)
+SELECT {_sql_bucket(3600, 'tb')} AS time_bucket, event_type, user_id,
+       round(max(v) / 100.0, 6) AS value
+FROM inner_rate GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`quantile_over_time(0.9, purchase[1d])`: per-SERIES interpolated
     quantile over each bucket's samples (the per-series twin of the
@@ -2405,6 +2457,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_quantile_over_time,
         SQL_PROMQL_QUANTILE_OVER_TIME,
     ),
+    "promql_subquery_max_rate": (
+        q_promql_subquery_max_rate,
+        SQL_PROMQL_SUBQUERY_MAX_RATE,
+    ),
 }
 
 
@@ -2482,7 +2538,7 @@ _DRIVER_WINDOW = [
     "ts_holt_winters",
     "promql_binary_ratio",
     "promql_holt_winters",
-    "ts_asof_join",
+    "promql_subquery_max_rate",
     "docs_span_dedup",
 ]
 

@@ -621,3 +621,37 @@ def test_transpile_quantile_over_time(spark):
     assert p.function == "quantile_over_time"
     assert p.q == 0.95 and p.range_seconds == 300.0
     assert p.metric_name == "latency"
+
+
+def test_subquery_two_level_evaluation(spark, sf_dir):
+    """max_over_time(rate(m[300s])[3600s:300s]) == manual two-level
+    evaluation: inner faithful rate at 300s, outer max per hour."""
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    outer = promql_range(
+        ev, "max_over_time(rate(purchase[300s])[3600s:300s])",
+        start_s=1704067200.0, end_s=1706745600.0, step_s=3600,
+        cols=EV_CENTS, faithful=True,
+    )
+    inner = promql_range(
+        ev, "rate(purchase[300s])",
+        start_s=1704067200.0, end_s=1706745600.0, step_s=300,
+        cols=EV_CENTS, faithful=True,
+    )
+    manual = (
+        inner.groupBy(
+            F.timestamp_seconds(
+                (F.unix_seconds("time_bucket") / 3600).cast("long") * 3600
+            ).alias("time_bucket"),
+            "event_type",
+            "user_id",
+        )
+        .agg(F.max("value").alias("value"))
+    )
+    got = {tuple(r) for r in outer.collect()}
+    want = {tuple(r) for r in manual.collect()}
+    assert got == want and got
