@@ -79,7 +79,7 @@ BENCH_ORDER = [
     # round-4 additions
     "docs_pii_scrub", "media_resize", "docs_span_dedup",
     "ts_holt_winters", "promql_holt_winters", "promql_quantile_over_time",
-    "emb_ivfpq_topk", "promql_subquery_max_rate",
+    "emb_ivfpq_topk", "promql_subquery_max_rate", "maint_zorder_key",
 ]
 
 

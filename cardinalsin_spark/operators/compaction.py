@@ -201,3 +201,84 @@ def downsample(
         )
         .orderBy("bucket", *series_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (executes the adaptive recommender's "range" advice)
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (values must already sit on a 0..2^bits-1 grid — see
+    ``zorder_rank_keys`` for the rank normalization): bit i of ``a`` lands
+    at output bit 2i, bit i of ``b`` at 2i+1. Pure integer expressions —
+    JVM-side, exactly replicable in any SQL dialect for the oracle. Rows
+    sorted by this key cluster in BOTH dimensions, so parquet row-group
+    min/max stats prune on either column — the Z-ORDER rewrite the
+    reference's adaptive indexer recommends but never executes
+    (``adaptive_index/recommender.rs:133-139``; execution is the missing
+    half, same as its downsampling story)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    one = F.lit(1).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(ca, i).bitwiseAND(one), 2 * i)
+        out = out + F.shiftleft(F.shiftright(cb, i).bitwiseAND(one), 2 * i + 1)
+    return out
+
+
+def sql_zorder_key(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB/ANSI form of ``zorder_key`` (same bit chain). Every term is
+    fully parenthesized: ``+`` binds TIGHTER than ``<<`` in C-style
+    precedence, so ``x << 0 + y << 2`` would chain the shifts."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_rank_keys(
+    df: DataFrame, a: str, b: str, bits: int = 16
+) -> DataFrame:
+    """Normalize two numeric columns onto the 0..2^bits-1 grid by value
+    RANK (ntile-style equi-depth buckets — robust to skew and outliers,
+    unlike min/max scaling), then attach the interleaved ``zkey``. Two
+    window ranks = two shuffles over narrow columns; at 100 TB swap the
+    exact ranks for approx_percentile bucket boundaries (same key shape,
+    no global sort)."""
+    n = 1 << bits
+    out = df.withColumn("_ra", F.ntile(n).over(Window.orderBy(a)) - 1)
+    out = out.withColumn("_rb", F.ntile(n).over(Window.orderBy(b)) - 1)
+    return out.withColumn(
+        "zkey", zorder_key(F.col("_ra").cast("long"), F.col("_rb").cast("long"), bits)
+    ).drop("_ra", "_rb")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a: str,
+    b: str,
+    bits: int = 16,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Cluster-and-rewrite: rank-normalize (a, b), REPARTITION BY RANGE on
+    the interleaved key (each output file owns a contiguous Z-curve
+    segment — a 2-D tile), sort within files, write ZSTD parquet. Row-group
+    stats on a and b then prune point/range queries on EITHER column."""
+    clustered = zorder_rank_keys(df, a, b, bits)
+    if target_files:
+        clustered = clustered.repartitionByRange(target_files, "zkey")
+    else:
+        clustered = clustered.repartitionByRange("zkey")
+    (
+        clustered.sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(mode)
+        .option("compression", "zstd")
+        .parquet(path)
+    )

@@ -2188,6 +2188,44 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_maint_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave over (user_id, value_cents) on a 16-bit
+    grid — the clustering key ``write_zordered`` sorts by (executing the
+    adaptive recommender's 'range' advice; the reference recommends
+    Z-ORDER but never rewrites). Masked inputs keep this oracle-exact;
+    the production path rank-normalizes first."""
+    from cardinalsin_spark.operators.compaction import zorder_key
+
+    ev = _events_cents(spark, sf_dir)
+    mask = (1 << 16) - 1
+    return (
+        ev.select(
+            "event_id",
+            zorder_key(
+                F.col("user_id").bitwiseAND(F.lit(mask)).cast("long"),
+                F.col("value_cents").bitwiseAND(F.lit(mask)).cast("long"),
+            ).alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+        .limit(500)
+    )
+
+
+def _sql_maint_zorder() -> str:
+    from cardinalsin_spark.operators.compaction import sql_zorder_key
+
+    return f"""
+SELECT event_id, {sql_zorder_key('(user_id & 65535)',
+                                 f'({_sql_cents("value")} & 65535)')} AS zkey
+FROM events
+ORDER BY zkey, event_id
+LIMIT 500
+"""
+
+
+SQL_MAINT_ZORDER_KEY = _sql_maint_zorder()
+
+
 def q_promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`max_over_time(rate(purchase[300s])[3600s:300s])`: PromQL subquery —
     the inner faithful rate evaluated at 5-min resolution, the outer max
@@ -2461,6 +2499,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_subquery_max_rate,
         SQL_PROMQL_SUBQUERY_MAX_RATE,
     ),
+    "maint_zorder_key": (q_maint_zorder_key, SQL_MAINT_ZORDER_KEY),
 }
 
 
@@ -2536,7 +2575,7 @@ _DRIVER_WINDOW = [
     "emb_ivfpq_topk",
     "flagship_minute_p99",
     "ts_holt_winters",
-    "promql_binary_ratio",
+    "maint_zorder_key",
     "promql_holt_winters",
     "promql_subquery_max_rate",
     "docs_span_dedup",

@@ -377,3 +377,49 @@ def test_compact_whole_date_partition(spark, sf_dir, tmp_path):
     hdir = next(d for d in os.listdir(hour_path) if d.startswith("date="))
     with _pytest.raises(ValueError, match="hour-partitioned"):
         compact_partition(spark, hour_path, hdir.split("=", 1)[1])
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """A Z-ordered rewrite must tighten per-file bounding boxes on BOTH
+    clustering columns; a single-column sort leaves the other column's
+    per-file span at ~full range. This is the row-group-pruning win the
+    adaptive recommender's 'range' advice promises."""
+    import pyspark.sql.functions as F
+
+    from cardinalsin_spark.operators.compaction import write_zordered
+    from cardinalsin_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    n_files = 8
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(ev, zpath, "user_id", "value", target_files=n_files)
+
+    spath = str(tmp_path / "valuesorted")
+    (
+        ev.repartitionByRange(n_files, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    def spans(path, col):
+        df = spark.read.parquet(path).withColumn(
+            "_f", F.input_file_name()
+        )
+        rows = (
+            df.groupBy("_f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in rows) / len(rows)
+
+    full_uid = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    z_uid, s_uid = spans(zpath, "user_id"), spans(spath, "user_id")
+    z_val = spans(zpath, "value")
+    full_val = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+
+    # value-sorted files know nothing about user_id: ~full span
+    assert s_uid > 0.8 * full_uid
+    # z-ordered files are materially tighter on BOTH dimensions
+    assert z_uid < 0.8 * s_uid, (z_uid, s_uid, full_uid)
+    assert z_val < 0.8 * full_val, (z_val, full_val)
