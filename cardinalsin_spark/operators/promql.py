@@ -42,7 +42,8 @@ from cardinalsin_spark.functions.core import label_matcher, time_bucket
 from cardinalsin_spark.operators.timeseries import MetricsCols
 
 _AGG_RE = re.compile(
-    r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk|quantile|count_values)"
+    r"^(sum|avg|count|min|max|stddev|stdvar|topk|bottomk|quantile|count_values"
+    r"|group)"
     r"\s*(?:(by|without)\s*\(([^)]+)\))?\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -102,6 +103,11 @@ _OFFSET_RE = re.compile(r"\s+offset\s+(\d+)([smhd])\b")
 # label-manipulation wrappers (Prometheus functions the reference lacks)
 _LABEL_FN_RE = re.compile(r"^(label_replace|label_join)\s*\((.+)\)$", re.DOTALL)
 _ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
+# absent_over_time(selector[W]): 1 per query-grid bucket with NO matching
+# samples (evaluated on the tumbling bucket grid like every range shape)
+_ABSENT_OT_RE = re.compile(
+    r"^absent_over_time\s*\((.+)\[(\d+)([smhd])\]\s*\)$", re.DOTALL
+)
 # value-transforming scalar wrappers over an instant vector
 _SCALAR_FN_RE = re.compile(
     r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc)"
@@ -305,6 +311,9 @@ _INSTANT_AGGS = {
 def _agg_column(agg: str, value_col: str, q: float | None = None) -> Column:
     if agg == "count":
         return F.count(F.lit(1))
+    if agg == "group":
+        # PromQL `group`: constant 1 per output group (membership marker)
+        return F.min(F.lit(1.0))
     if agg == "quantile" and q is not None:
         # exact interpolated percentile (matches DuckDB quantile_cont /
         # ANSI percentile_cont on the same sorted values)
@@ -606,6 +615,28 @@ def promql_range(
         inner, args = _split_label_fn_args(lm.group(2))
         res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _apply_label_fn(res, lm.group(1), args)
+
+    ao = _ABSENT_OT_RE.match(promql.strip())
+    if ao:
+        parsed = parse_promql(ao.group(1))
+        samples = df.filter(_selector_filter(parsed, cols)).filter(
+            (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
+            & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+        )
+        present = samples.select(
+            time_bucket(cols.ts, step_s).alias("time_bucket")
+        ).distinct()
+        b0, b1 = int(start_s // step_s), int(end_s // step_s)
+        grid = df.sparkSession.range(b0, b1 + 1).select(
+            F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+                "time_bucket"
+            )
+        )
+        return (
+            grid.join(present, "time_bucket", "left_anti")
+            .select("time_bucket", F.lit(1.0).alias("value"))
+            .orderBy("time_bucket")
+        )
 
     sq = _SUBQ_RE.match(promql.strip())
     if sq:

@@ -2188,6 +2188,42 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`absent_over_time(purchase[3600s])` over a range extending two days
+    past the fixture's data end: emits 1 for every query-grid hour with no
+    matching samples (PromQL alerting's 'did the series stop reporting'
+    primitive; the reference has no function vocabulary at all)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "absent_over_time(purchase[3600s])",
+        start_s=1704067200.0,   # 2024-01-01
+        end_s=1706918400.0,     # 2024-02-03
+        step_s=3600,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_ABSENT_OVER_TIME = f"""
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-02-03 00:00:00',
+                                INTERVAL 1 HOUR)) AS time_bucket
+),
+present AS (
+  SELECT DISTINCT {_sql_bucket(3600)} AS tb FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-03 00:00:00'
+)
+SELECT g.time_bucket, CAST(1.0 AS DOUBLE) AS value
+FROM grid g LEFT JOIN present p ON p.tb = g.time_bucket
+WHERE p.tb IS NULL
+ORDER BY 1
+"""
+
+
 def q_maint_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order interleave over (user_id, value_cents) on a 16-bit
     grid — the clustering key ``write_zordered`` sorts by (executing the
@@ -2500,6 +2536,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PROMQL_SUBQUERY_MAX_RATE,
     ),
     "maint_zorder_key": (q_maint_zorder_key, SQL_MAINT_ZORDER_KEY),
+    "promql_absent_over_time": (
+        q_promql_absent_over_time,
+        SQL_PROMQL_ABSENT_OVER_TIME,
+    ),
 }
 
 

@@ -655,3 +655,52 @@ def test_subquery_two_level_evaluation(spark, sf_dir):
     got = {tuple(r) for r in outer.collect()}
     want = {tuple(r) for r in manual.collect()}
     assert got == want and got
+
+
+def test_group_aggregation_returns_ones(spark, sf_dir):
+    """PromQL `group by (l) (m)`: constant 1 per output group."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "group by (user_id) (purchase)",
+        start_s=1704067200.0, end_s=1706745600.0, step_s=86400,
+        cols=EV_CENTS,
+    )
+    rows = df.collect()
+    assert rows and all(r.value == 1.0 for r in rows)
+
+
+def test_absent_over_time_grid(spark, sf_dir):
+    """absent_over_time emits exactly the empty buckets of the query grid:
+    an impossible selector yields EVERY bucket; a matching one yields the
+    complement of the present set."""
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    start, end, step = 1704067200.0, 1704110400.0, 3600  # 12 hours
+    n_buckets = int(end // step) - int(start // step) + 1
+    nothing = promql_range(
+        ev, 'absent_over_time(no_such_metric[3600s])',
+        start_s=start, end_s=end, step_s=step, cols=EV_CENTS,
+    )
+    assert nothing.count() == n_buckets
+    some = promql_range(
+        ev, "absent_over_time(purchase[3600s])",
+        start_s=start, end_s=end, step_s=step, cols=EV_CENTS,
+    )
+    present = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(end)))
+        )
+        .select(F.expr(f"timestamp_seconds((unix_seconds(ts) div {step}) * {step})"))
+        .distinct()
+        .count()
+    )
+    assert some.count() == n_buckets - present
