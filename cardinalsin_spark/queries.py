@@ -2613,7 +2613,7 @@ _DRIVER_WINDOW = [
     "ts_outliers",
     "ts_predict_linear",
     "emb_ivfpq_topk",
-    "flagship_minute_p99",
+    "promql_absent_over_time",
     "ts_holt_winters",
     "maint_zorder_key",
     "promql_holt_winters",
