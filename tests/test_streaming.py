@@ -288,3 +288,43 @@ def test_wire_ingest_stream_otlp_matches_batch(spark, tmp_path):
         for r in otlp_proto_flatten(batch_df).collect()
     }
     assert got == expected and len(got) == 2
+
+
+def test_wire_ingest_stream_remote_write_matches_batch(spark, tmp_path):
+    """The remote-write variant of the streaming wire ingest: same
+    decode-per-micro-batch contract as the OTLP one."""
+    from cardinalsin_spark.sources.remote_write import remote_write_flatten
+    from cardinalsin_spark.streaming.live import wire_ingest_stream
+    from tests.test_ingest_adapters import _write_request
+
+    payload = _write_request(
+        [
+            ({"__name__": "cpu", "host": "a"}, [(0.5, 1_000), (0.7, 2_000)]),
+            ({"__name__": "mem", "host": "b"}, [(123.0, 3_000)]),
+        ]
+    )
+    src = str(tmp_path / "rw_payloads")
+    batch_df = spark.createDataFrame(
+        [(bytearray(payload),)], "payload binary"
+    )
+    batch_df.write.parquet(src)
+
+    sdf = wire_ingest_stream(spark, src, wire_format="remote_write")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("rw_ingest_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.ts_ms, r.metric_name, r.value)
+        for r in spark.sql("SELECT * FROM rw_ingest_t").collect()
+    }
+    want = {
+        (r.ts_ms, r.metric_name, r.value)
+        for r in remote_write_flatten(batch_df).collect()
+    }
+    assert got == want and len(got) == 3
