@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--older-than-days", type=int, default=30)
     d.add_argument("--resolution-s", type=int, default=300)
 
+    z = sub.add_parser(
+        "zorder", help="rewrite a table Z-order-clustered on two columns"
+    )
+    z.add_argument("--path", required=True)
+    z.add_argument("--out", required=True)
+    z.add_argument("--cols", required=True,
+                   help="two comma-separated columns, e.g. user_id,value")
+    z.add_argument("--bits", type=int, default=16)
+    z.add_argument("--target-files", type=int, default=None)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
@@ -105,6 +115,17 @@ def main(argv: list[str] | None = None) -> int:
         out = downsample(old, args.resolution_s, series_cols=series)
         out.write.mode("overwrite").option("compression", "zstd").parquet(args.out)
         print(f"downsampled to {args.resolution_s}s buckets -> {args.out}")
+
+    elif args.cmd == "zorder":
+        from cardinalsin_spark.operators.compaction import write_zordered
+
+        a, b = [c.strip() for c in args.cols.split(",")]
+        df = spark.read.parquet(args.path)
+        write_zordered(
+            df, args.out, a, b, bits=args.bits,
+            target_files=args.target_files,
+        )
+        print(f"z-ordered on ({a}, {b}) -> {args.out}")
 
     return 0
 
