@@ -110,7 +110,7 @@ _ABSENT_OT_RE = re.compile(
 )
 # value-transforming scalar wrappers over an instant vector
 _SCALAR_FN_RE = re.compile(
-    r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc)"
+    r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt)"
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -1019,6 +1019,10 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
         return res.withColumn("value", F.floor(v).cast("double"))
     if fn == "sgn":
         return res.withColumn("value", F.signum(v))
+    if fn == "sqrt":
+        # IEEE-754 sqrt is correctly rounded — deterministic across
+        # engines, unlike exp/ln (libm-dependent; deliberately omitted)
+        return res.withColumn("value", F.sqrt(v))
     if fn in ("sort", "sort_desc"):
         return res.orderBy(F.asc("value") if fn == "sort" else F.desc("value"))
     raise ValueError(f"unsupported scalar function {fn!r}")

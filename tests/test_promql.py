@@ -704,3 +704,22 @@ def test_absent_over_time_grid(spark, sf_dir):
         .count()
     )
     assert some.count() == n_buckets - present
+
+
+def test_scalar_sqrt_wrapper(spark, sf_dir):
+    import math
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    base = promql_instant(
+        _events_promql(spark, sf_dir), "sum(purchase)",
+        time_s=1706745600.0, cols=EV_CENTS,
+    ).collect()
+    wrapped = promql_instant(
+        _events_promql(spark, sf_dir), "sqrt(sum(purchase))",
+        time_s=1706745600.0, cols=EV_CENTS,
+    ).collect()
+    assert wrapped and all(
+        w.value == math.sqrt(b.value) for b, w in zip(base, wrapped)
+    )
