@@ -50,3 +50,16 @@ def test_registry_has_no_duplicates_and_all_callable():
     assert len(names) == len(set(names))
     for name, (fn, _) in q.REGISTRY.items():
         assert callable(fn), name
+
+
+def test_bench_order_covers_registry():
+    """Every registry query must run in bench (appended if not explicitly
+    ordered), and BENCH_ORDER must not carry stale names."""
+    import bench
+
+    names = set(q.queries())
+    seq = bench._bench_sequence(q.queries())
+    assert set(seq) == names
+    assert len(seq) == len(names)
+    stale = [n for n in bench.BENCH_ORDER if n not in names]
+    assert not stale, f"stale BENCH_ORDER entries: {stale}"
