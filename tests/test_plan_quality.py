@@ -66,6 +66,10 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         "ts_latest_per_series", "ts_dedup_first", "promql_range_sum_by",
         "tpch_q1", "maint_downsample", "docs_exact_dedup", "docs_lang_id",
         "docs_minhash_pairs", "docs_simhash",
+        # round-4 relational additions
+        "docs_span_dedup", "maint_zorder_key", "ts_holt_winters",
+        "promql_quantile_over_time", "promql_subquery_max_rate",
+        "promql_absent_over_time",
     ]
     for name in jvm_only:
         plan = plan_string(_df(spark, sf_dir, name), "simple")
