@@ -80,7 +80,7 @@ BENCH_ORDER = [
     "docs_pii_scrub", "media_resize", "docs_span_dedup",
     "ts_holt_winters", "promql_holt_winters", "promql_quantile_over_time",
     "emb_ivfpq_topk", "promql_subquery_max_rate", "maint_zorder_key",
-    "promql_absent_over_time",
+    "promql_absent_over_time", "emb_ivfpq_residual_topk",
 ]
 
 

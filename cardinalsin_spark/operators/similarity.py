@@ -751,3 +751,180 @@ def cosine_topk_ivfpq(
         .select(query_id_col, id_col, "adc_cosine", "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (classic IVFADC: PQ over coarse-quantization residuals)
+# ---------------------------------------------------------------------------
+
+
+def pq_train_residual_codebooks_local(
+    df: DataFrame,
+    centroids,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 1000,
+):
+    """Per-subspace codebooks trained on COARSE RESIDUALS (v − c_cell) —
+    the classic IVFADC recipe: residuals are much smaller than raw vectors,
+    so the same code budget quantizes far more precisely. Deterministic:
+    sample → numpy cell assignment → per-subspace kmeans, all with the
+    shared routines the oracle harness replays."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    cells = d.argmin(axis=1)
+    R = X - C[cells]
+    dim = X.shape[1]
+    dsub = dim // m
+    return np.stack(
+        [
+            kmeans_numpy(R[:, s * dsub : (s + 1) * dsub].copy(), ks, iters)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode_residual_udf(codebooks, centroids, scale: int = QUANT_SCALE):
+    """pandas_udf over (embedding, cell): residual r = v − c_cell, argmin
+    L2 per subspace over the residual codebooks, PLUS the exact quantized
+    norm² of the reconstruction (Cq[cell] + CBq[codes]) — returned as
+    array<long> [code_0..code_{m-1}, vnorm2q] (one index record)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    m, ks, dsub = CB.shape
+    cn2 = (CB * CB).sum(axis=2)
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    CBq = np.round(CB * scale).astype(np.int64)
+    Cq = np.round(C * scale).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _encode(v, cell):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.values).astype(np.float64)
+        cells = cell.values.astype("int64")
+        R = X - C[cells]
+        codes = np.empty((X.shape[0], m), dtype=np.int64)
+        recon_q = Cq[cells].copy()  # (n, dim) int64
+        for s in range(m):
+            Rs = R[:, s * dsub : (s + 1) * dsub]
+            d = cn2[s][None, :] - 2.0 * (Rs @ CB[s].T)
+            cs = d.argmin(axis=1)
+            codes[:, s] = cs
+            recon_q[:, s * dsub : (s + 1) * dsub] += CBq[s][cs]
+        vnorm2q = np.einsum("ij,ij->i", recon_q, recon_q)
+        out = np.concatenate([codes, vnorm2q[:, None]], axis=1)
+        return pd.Series(list(out))
+
+    return _encode
+
+
+def cosine_topk_ivfpq_residual(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Residual IVF-PQ search: corpus index = (cell, m residual codes,
+    quantized reconstruction norm²); ADC score = qq·Cq[cell] (the coarse
+    term) + Σ_s qq_s·CBq[s][code_s] (the residual lookups) — exact
+    integers with the centroid and codebook tables inlined as JVM literals,
+    one float division at the end. Same shuffle shape as raw-vector PQ."""
+    import numpy as np
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = CB.shape
+    C = np.asarray(centroids, dtype=np.float64)
+    CBq = np.round(CB * scale).astype(np.int64)
+    Cq = np.round(C * scale).astype(np.int64)
+    cbq_lit = _sql_array_literal_3d(CBq)
+    cq_lit = _sql_array_literal_2d(Cq)
+
+    corpus = (
+        df.select(id_col, vec_col)
+        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
+        .withColumn(
+            "rec", pq_encode_residual_udf(CB, C, scale)(F.col(vec_col), F.col("cell"))
+        )
+        .drop(vec_col)
+        .selectExpr(
+            id_col,
+            "cell",
+            f"slice(rec, 1, {m}) AS codes",
+            f"element_at(rec, {m + 1}) AS vnorm2q",
+        )
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    c_norm2 = (C * C).sum(axis=1)
+    n_probe = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _probe(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.values).astype(np.float64)
+        d = c_norm2[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    qs = F.broadcast(
+        queries.selectExpr(
+            query_id_col, vec_col, f"{sql_quantize(vec_col, scale)} AS qq"
+        )
+        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
+        .withColumn("cells", _probe(F.col(vec_col)))
+        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
+    )
+    coarse = (
+        f"aggregate(sequence(1, {C.shape[1]}), CAST(0 AS BIGINT), (a, d) ->"
+        f" a + element_at(qq, d)"
+        f" * element_at(element_at({cq_lit}, cell + 1), d))"
+    )
+    resid = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
+        f" acc + aggregate(sequence(1, {dsub}), CAST(0 AS BIGINT), (a, d) ->"
+        f" a + element_at(qq, s * {dsub} + d)"
+        f" * element_at(element_at(element_at({cbq_lit}, s + 1),"
+        f" CAST(element_at(codes, s + 1) AS INT) + 1), d)))"
+    )
+    scored = (
+        corpus.join(qs, "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .selectExpr(
+            query_id_col,
+            id_col,
+            f"CAST(({coarse}) + ({resid}) AS DOUBLE)"
+            f" / (qnorm * sqrt(CAST(vnorm2q AS DOUBLE))) AS adc_cosine",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )

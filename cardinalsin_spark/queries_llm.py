@@ -1529,6 +1529,163 @@ FROM ranked WHERE rank <= {_TOPK}
 SQL_EMB_IVFPQ_TOPK = _ivfpq_oracle_sql()
 
 
+def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (classic IVFADC): codebooks trained on coarse
+    residuals, ADC = coarse term + residual lookups, exact-integer grid."""
+    emb = _emb(spark, sf_dir)
+    sample = emb.orderBy("vec_id").limit(1000)
+    centroids = sim.ivf_train_centroids_local(sample, k=16, iters=2)
+    codebooks = sim.pq_train_residual_codebooks_local(
+        emb, centroids, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk_ivfpq_residual(
+        emb, queries, centroids, codebooks, k=_TOPK, nprobe=2
+    )
+
+
+def _ivfpq_residual_oracle_sql() -> str | None:
+    try:
+        import duckdb
+        import numpy as np
+
+        path = os.path.join(_IVF_SF_DIR, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 1000"
+        ).fetchall()
+        con.close()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = sim.kmeans_numpy(X, k=16, iters=2)
+        d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (
+            X @ centroids.T
+        )
+        cells = d.argmin(axis=1)
+        R = X - centroids[cells]
+        dsub = X.shape[1] // _PQ_M
+        codebooks = np.stack(
+            [
+                sim.kmeans_numpy(
+                    R[:, s * dsub : (s + 1) * dsub].copy(), _PQ_KS, 2
+                )
+                for s in range(_PQ_M)
+            ]
+        )
+        scale = sim.QUANT_SCALE
+        CBq = np.round(codebooks * scale).astype(np.int64)
+        Cq = np.round(centroids * scale).astype(np.int64)
+    except Exception:  # pragma: no cover - fixture missing in exotic envs
+        return None
+    cent_rows = ", ".join(
+        f"({cell}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[],"
+        f" [{', '.join(str(int(v)) for v in Cq[cell])}]::BIGINT[])"
+        for cell, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(float(v)) for v in codebooks[s][c])}]::DOUBLE[],"
+        f" [{', '.join(str(int(v)) for v in CBq[s][c])}]::BIGINT[])"
+        for s in range(_PQ_M)
+        for c in range(_PQ_KS)
+    )
+    ds = 64 // _PQ_M
+    return f"""
+WITH cent(cell, cv, cq) AS (VALUES {cent_rows}),
+cb(s, code, cv, cq) AS (VALUES {cb_rows}),
+c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cdist AS (
+  SELECT c.vec_id, c.qv, c.v, cent.cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_dot_product(cent.cv, cent.cv)
+                    - 2 * list_dot_product(c.v, cent.cv), cent.cell
+         ) AS rnk
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT cd.vec_id, cd.cell, cent.cv AS ccv, cent.cq AS ccq
+  FROM cdist cd JOIN cent ON cent.cell = cd.cell
+  WHERE cd.rnk = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell, a.ccq, t.s,
+         list_transform(range(1, {ds} + 1),
+           i -> c.v[CAST(t.s * {ds} + i AS INT)]
+                - a.ccv[CAST(t.s * {ds} + i AS INT)]) AS rs
+  FROM assigned a
+  JOIN c ON c.vec_id = a.vec_id,
+       (SELECT unnest(range(0, {_PQ_M})) AS s) t
+),
+enc AS (
+  SELECT resid.vec_id, resid.cell, resid.ccq, resid.s, cb.code, cb.cq,
+         row_number() OVER (
+           PARTITION BY resid.vec_id, resid.s
+           ORDER BY list_dot_product(cb.cv, cb.cv)
+                    - 2 * list_dot_product(resid.rs, cb.cv), cb.code
+         ) AS rn
+  FROM resid JOIN cb ON cb.s = resid.s
+),
+codes AS (SELECT vec_id, cell, ccq, s, code, cq FROM enc WHERE rn = 1),
+recon AS (
+  SELECT vec_id, s,
+         list_transform(range(1, {ds} + 1),
+           i -> ccq[CAST(s * {ds} + i AS INT)] + cq[CAST(i AS INT)]) AS rq,
+         cq
+  FROM codes
+),
+vstat AS (
+  SELECT vec_id, sum(list_dot_product(rq, rq)) AS vnorm2q
+  FROM recon GROUP BY 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, cell
+  FROM cdist WHERE vec_id < {_N_QUERIES} AND rnk <= 2
+),
+coarse AS (
+  SELECT p.query_id, a.vec_id, p.qq,
+         list_dot_product(p.qq, a.ccq) AS qc
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+residadc AS (
+  SELECT co.query_id, co.vec_id,
+         sum(list_dot_product(
+           list_slice(co.qq, cd.s * {ds} + 1, cd.s * {ds} + {ds}),
+           cd.cq)) AS rsum
+  FROM coarse co JOIN codes cd ON cd.vec_id = co.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT co.query_id, co.vec_id,
+         CAST(co.qc + ra.rsum AS DOUBLE)
+           / (sqrt(CAST(list_dot_product(co.qq, co.qq) AS DOUBLE))
+              * sqrt(CAST(v.vnorm2q AS DOUBLE))) AS adc_cosine
+  FROM coarse co
+  JOIN residadc ra ON ra.query_id = co.query_id AND ra.vec_id = co.vec_id
+  JOIN vstat v ON v.vec_id = co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+SQL_EMB_IVFPQ_RESIDUAL_TOPK = _ivfpq_residual_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # PII scrub (operators.text.pii_scrub): per-kind match counts on the raw
 # text + md5 of the redacted text. Patterns live in the RE2 ∩ Java-regex
@@ -1658,6 +1815,10 @@ REGISTRY_LLM = {
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),
     "emb_ivfpq_topk": (q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
+    "emb_ivfpq_residual_topk": (
+        q_emb_ivfpq_residual_topk,
+        SQL_EMB_IVFPQ_RESIDUAL_TOPK,
+    ),
     "docs_contamination": (q_docs_contamination, SQL_DOCS_CONTAMINATION),
     "docs_clean_corpus": (q_docs_clean_corpus, SQL_DOCS_CLEAN_CORPUS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),

@@ -17,6 +17,7 @@ CASES = sorted(name for name, (_, sql) in q.REGISTRY.items() if sql is not None)
 SF_PINNED = {
     "emb_ivf_topk": "/root/testdata/sf0.01",
     "emb_ivfpq_topk": "/root/testdata/sf0.01",
+    "emb_ivfpq_residual_topk": "/root/testdata/sf0.01",
 }
 
 

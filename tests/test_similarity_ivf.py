@@ -121,3 +121,40 @@ def test_ivfpq_structure_and_recall_vs_pq_ceiling(emb, centroids):
     # coarse sieve; anything clearly above the random baseline
     # (10/2000 = 0.5%) shows the lookup pipeline works end-to-end
     assert sum(recalls) / len(recalls) >= 0.05, recalls
+
+
+def test_ivfpq_residual_beats_or_matches_raw_pq_recall(emb, centroids):
+    """Residual codebooks quantize the (much smaller) coarse residuals, so
+    at the same code budget recall@10 vs the exact top-10 must be at least
+    as good as raw-vector PQ on average."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    raw_cb = sim.pq_train_codebooks_local(emb, m=8, ks=16, iters=2, sample=500)
+    res_cb = sim.pq_train_residual_codebooks_local(
+        emb, centroids, m=8, ks=16, iters=2, sample=500
+    )
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=10)
+    e_sets = {}
+    for r in exact.collect():
+        e_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def mean_recall(df):
+        sets = {}
+        for r in df.collect():
+            sets.setdefault(r.query_id, set()).add(r.vec_id)
+        rs = [
+            len(e_sets[q] & sets.get(q, set())) / len(e_sets[q])
+            for q in e_sets
+        ]
+        return sum(rs) / len(rs)
+
+    raw = mean_recall(
+        sim.cosine_topk_ivfpq(emb, queries, centroids, raw_cb, k=10, nprobe=4)
+    )
+    res = mean_recall(
+        sim.cosine_topk_ivfpq_residual(
+            emb, queries, centroids, res_cb, k=10, nprobe=4
+        )
+    )
+    assert res >= raw - 0.05, (res, raw)  # small tolerance for tie noise
