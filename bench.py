@@ -81,6 +81,7 @@ BENCH_ORDER = [
     "ts_holt_winters", "promql_holt_winters", "promql_quantile_over_time",
     "emb_ivfpq_topk", "promql_subquery_max_rate", "maint_zorder_key",
     "promql_absent_over_time", "emb_ivfpq_residual_topk",
+    "tpch_q4ish", "tpch_q16ish",
 ]
 
 

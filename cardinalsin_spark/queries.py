@@ -2188,6 +2188,72 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): SEMI join — orders from
+    1995Q1 having at least one lineitem shipped after the order date,
+    counted by priority. Exercises the left-semi join strategy (the one
+    §2.3 join flavor the suite didn't yet pin); the EXISTS never
+    duplicates orders no matter how many lineitems match."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _lineitem(spark, sf_dir)
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4ISH = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts without matching activity): ANTI join —
+    parts with NO 1995 shipment, counted by brand. Exercises the
+    left-anti strategy."""
+    p_ = _read(spark, sf_dir, "part")
+    li95 = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    unshipped = p_.join(
+        li95, F.col("l_partkey") == F.col("p_partkey"), "leftanti"
+    )
+    return (
+        unshipped.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, count(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l.l_shipdate <  TIMESTAMP '1996-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`absent_over_time(purchase[3600s])` over a range extending two days
     past the fixture's data end: emits 1 for every query-grid hour with no
@@ -2536,6 +2602,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PROMQL_SUBQUERY_MAX_RATE,
     ),
     "maint_zorder_key": (q_maint_zorder_key, SQL_MAINT_ZORDER_KEY),
+    "tpch_q4ish": (q_tpch_q4ish, SQL_TPCH_Q4ISH),
+    "tpch_q16ish": (q_tpch_q16ish, SQL_TPCH_Q16ISH),
     "promql_absent_over_time": (
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,

@@ -234,3 +234,12 @@ def test_media_resize_prunes_blob_metadata(spark, sf_dir):
     df = _df(spark, sf_dir, "media_resize")
     cols = scan_read_schema(df)
     assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    """The q4/q16 shapes must plan LeftSemi / LeftAnti joins — a rewrite
+    to inner-join+distinct would duplicate-then-dedup at scale."""
+    p4 = plan_string(_df(spark, sf_dir, "tpch_q4ish"), "simple")
+    assert "LeftSemi" in p4, p4
+    p16 = plan_string(_df(spark, sf_dir, "tpch_q16ish"), "simple")
+    assert "LeftAnti" in p16, p16
