@@ -49,7 +49,7 @@ _AGG_RE = re.compile(
 )
 _RANGE_FN_RE = re.compile(
     r"^(rate|increase|irate|delta|idelta|deriv|resets|changes"
-    r"|(?:sum|avg|min|max|count|stddev|stdvar|last)_over_time)"
+    r"|(?:sum|avg|min|max|count|stddev|stdvar|last|present)_over_time)"
     r"\s*\((.+)\[(\d+)([smhd])\]\)$",
     re.DOTALL,
 )
@@ -708,6 +708,9 @@ def promql_range(
         agg = parsed.function[: -len("_over_time")]
         if agg == "count":
             value = F.count(F.lit(1))
+        elif agg == "present":
+            # present_over_time: 1 for any bucket holding >=1 sample
+            value = F.min(F.lit(1.0))
         elif agg == "last":
             # most recent sample in the bucket (deterministic: ties broken
             # by the value itself, like max_by's tuple comparison)

@@ -723,3 +723,29 @@ def test_scalar_sqrt_wrapper(spark, sf_dir):
     assert wrapped and all(
         w.value == math.sqrt(b.value) for b, w in zip(base, wrapped)
     )
+
+
+def test_present_over_time(spark, sf_dir):
+    """present_over_time: 1 per bucket holding any sample — the positive
+    complement of absent_over_time on the same grid."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    start, end, step = 1704067200.0, 1704110400.0, 3600
+    n_buckets = int(end // step) - int(start // step) + 1
+    present = promql_range(
+        ev, "present_over_time(purchase[3600s])",
+        start_s=start, end_s=end, step_s=step, cols=EV_CENTS,
+    )
+    rows = present.collect()
+    assert rows and all(r.value == 1.0 for r in rows)
+    absent = promql_range(
+        ev, "absent_over_time(purchase[3600s])",
+        start_s=start, end_s=end, step_s=step, cols=EV_CENTS,
+    )
+    # present buckets x distinct series + absent buckets partition the grid
+    present_buckets = {r.time_bucket for r in rows}
+    absent_buckets = {r.time_bucket for r in absent.collect()}
+    assert not (present_buckets & absent_buckets)
+    assert len(present_buckets) + len(absent_buckets) == n_buckets
