@@ -2516,6 +2516,248 @@ ORDER BY bucket, event_type
 """
 
 
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume-shipping shape: lineitem joined to BOTH a supplier
+    nation and a customer nation (two independent broadcast branches of the
+    same dim), restricted to an unordered nation pair, revenue by
+    (supp_nation, cust_nation, year). Exercises the one §2.3 join topology
+    the suite lacked: the same dimension table joined twice under different
+    roles — Catalyst must keep both broadcast branches distinct. Reference
+    reaches this only via DataFusion SQL pass-through
+    (query/engine.rs:252-256)."""
+    t = {
+        n: _read(spark, sf_dir, n)
+        for n in ("supplier", "lineitem", "orders", "customer", "nation")
+    }
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(
+        cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((rev / F.lit(10_000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7ISH = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum({_sql_cents('l_extendedprice')}
+           * (100 - {_sql_cents('l_discount')})) / 10000.0 AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority shape: orders⋈lineitem with CASE-based
+    conditional aggregation — high-priority vs low-priority order counts per
+    returnflag (fixture has no l_shipmode; l_returnflag plays its role).
+    Exercises map-side CASE counting (partial agg before the shuffle)."""
+    o = _read(spark, sf_dir, "orders")
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12ISH = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume-customer shape: HAVING-filtered aggregate
+    (orderkeys whose summed quantity clears a threshold) joined back to
+    orders+customer. The inner aggregate runs on the exact-cents integer
+    grid so the threshold compare is bit-deterministic; the join back is a
+    semi-shaped inner join on the (small) surviving key set — at 100 TB the
+    survivors are rare, so AQE converts that join to broadcast at runtime."""
+    li = _lineitem(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 15_000)
+    )
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            (F.col("qty_cents") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q18ISH = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       qty_cents / 100.0 AS total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum({_sql_cents('l_quantity')}) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY 1 HAVING qty_cents > 15000
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate shape: part⋈lineitem where the
+    residual OR-of-ANDs mixes both sides' columns (brand × size-range ×
+    quantity-range). The equi-key still hash-joins; only the disjunction
+    stays residual — the planner must NOT fall back to a nested-loop
+    cross product. Plan-tested accordingly."""
+    p_ = _read(spark, sf_dir, "part")
+    li = _lineitem(spark, sf_dir)
+    qty = cents(F.col("l_quantity"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(100, 1_100)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(1_000, 2_000)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & qty.between(2_000, 3_000)
+        )
+    )
+    rev = F.sum(
+        cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))
+    )
+    return (
+        li.join(F.broadcast(p_), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg((rev / F.lit(10_000.0)).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q19ISH = f"""
+SELECT sum({_sql_cents('l_extendedprice')}
+           * (100 - {_sql_cents('l_discount')})) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND {_sql_cents('l_quantity')} BETWEEN 100 AND 1100)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND {_sql_cents('l_quantity')} BETWEEN 1000 AND 2000)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND {_sql_cents('l_quantity')} BETWEEN 2000 AND 3000)
+"""
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-relation shape: customers with above-average account
+    balance (uncorrelated scalar subquery — computed as a 1-row aggregate
+    cross-joined/broadcast into the filter, never collected to the driver)
+    who have placed NO orders (left-anti join). Combines the two remaining
+    §2.3/§2.7 shapes in one query. The threshold uses the exact-cents
+    integer average (sum·n compare, no float division) so the cut is
+    bit-identical across engines."""
+    c = _read(spark, sf_dir, "customer").withColumn(
+        "bal_cents", cents(F.col("c_acctbal"))
+    )
+    pos = c.filter(F.col("bal_cents") > 0)
+    avg_row = pos.agg(
+        F.sum("bal_cents").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    o = _read(spark, sf_dir, "orders")
+    rich = (
+        pos.crossJoin(F.broadcast(avg_row))
+        # bal > avg  ⇔  bal·n > sum   (exact integers, no division)
+        .filter(F.col("bal_cents") * F.col("_n") > F.col("_sum"))
+    )
+    return (
+        rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_TPCH_Q22ISH = f"""
+WITH pos AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_cents('c_acctbal')} AS bal_cents
+  FROM customer WHERE {_sql_cents('c_acctbal')} > 0
+),
+thr AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM pos)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+FROM pos, thr
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2608,6 +2850,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
+    "tpch_q12ish": (q_tpch_q12ish, SQL_TPCH_Q12ISH),
+    "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
+    "tpch_q19ish": (q_tpch_q19ish, SQL_TPCH_Q19ISH),
+    "tpch_q22ish": (q_tpch_q22ish, SQL_TPCH_Q22ISH),
 }
 
 
