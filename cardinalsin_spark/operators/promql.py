@@ -110,7 +110,9 @@ _ABSENT_OT_RE = re.compile(
 )
 # value-transforming scalar wrappers over an instant vector
 _SCALAR_FN_RE = re.compile(
-    r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt)"
+    r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt"
+    r"|timestamp|minute|hour|day_of_week|day_of_month|days_in_month"
+    r"|month|year)"
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -381,6 +383,15 @@ def promql_instant(
         fn = sm.group(1)
         inner_expr, args = _split_label_fn_args(sm.group(2))
         res = promql_instant(df, inner_expr, time_s, cols, tiebreak)
+        if fn == "timestamp":
+            # timestamp(v): each sample's value becomes its own sample time
+            # in epoch seconds (promql/functions.go funcTimestamp). The
+            # inner result keeps its time column — `timestamp_` for
+            # aggregated shapes, the raw ts column for selector shapes.
+            ts_col = "timestamp_" if "timestamp_" in res.columns else cols.ts
+            return res.withColumn(
+                "value", F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+            )
         return _apply_scalar_fn(res, fn, args)
 
     cm = _CMP_SCALAR_RE.match(promql.strip())
@@ -615,6 +626,31 @@ def promql_range(
         inner, args = _split_label_fn_args(lm.group(2))
         res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _apply_label_fn(res, lm.group(1), args)
+
+    sm = _SCALAR_FN_RE.match(promql.strip())
+    if sm and not _RANGE_FN_RE.match(promql.strip()):
+        fn = sm.group(1)
+        inner_expr, args = _split_label_fn_args(sm.group(2))
+        if fn == "timestamp":
+            # timestamp(selector) on the range grid: per bucket the instant
+            # vector's sample is the latest point, so the value is that
+            # sample's time in epoch seconds — one groupBy, no window.
+            parsed = parse_promql(inner_expr)
+            out = df.filter(_selector_filter(parsed, cols)).filter(
+                (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
+                & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+            )
+            out = _ns_prefilter(out, start_s, end_s)
+            keys = [
+                time_bucket(cols.ts, step_s).alias("time_bucket"),
+                F.col(cols.name),
+            ] + [F.col(c) for c in discover_label_columns(parsed)]
+            value = F.unix_micros(F.max(cols.ts)) / F.lit(1_000_000.0)
+            return df_group_sorted(out, keys, value.alias("value"))
+        res = promql_range(
+            df, inner_expr, start_s, end_s, step_s, cols, faithful, ts_ns_col
+        )
+        return _apply_scalar_fn(res, fn, args)
 
     ao = _ABSENT_OT_RE.match(promql.strip())
     if ao:
@@ -1028,6 +1064,35 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
         return res.withColumn("value", F.sqrt(v))
     if fn in ("sort", "sort_desc"):
         return res.orderBy(F.asc("value") if fn == "sort" else F.desc("value"))
+    # Prometheus time-component functions (promql/functions.go funcHour etc.):
+    # the input VALUE is interpreted as an epoch-seconds timestamp (the
+    # idiom is `hour(timestamp(m))` / `hour(vector(time()))`), components
+    # extracted in UTC. minute/hour/day_of_week are pure integer arithmetic
+    # on the epoch (no calendar needed); the calendar ones go through
+    # timestamp_seconds under the session's pinned UTC zone. All return
+    # doubles (PromQL sample values are floats).
+    if fn in ("minute", "hour", "day_of_week"):
+        div, mod, shift = {
+            "minute": (60, 60, 0),
+            "hour": (3600, 24, 0),
+            # epoch day 0 = Thursday; PromQL counts 0 = Sunday
+            "day_of_week": (86400, 7, 4),
+        }[fn]
+        return res.withColumn(
+            "value",
+            ((F.floor(v / F.lit(float(div))) + F.lit(shift)) % F.lit(mod)).cast(
+                "double"
+            ),
+        )
+    if fn in ("day_of_month", "month", "year", "days_in_month"):
+        t = F.timestamp_seconds(F.floor(v).cast("long"))
+        comp = {
+            "day_of_month": F.dayofmonth(t),
+            "month": F.month(t),
+            "year": F.year(t),
+            "days_in_month": F.dayofmonth(F.last_day(t)),
+        }[fn]
+        return res.withColumn("value", comp.cast("double"))
     raise ValueError(f"unsupported scalar function {fn!r}")
 
 

@@ -2516,6 +2516,71 @@ ORDER BY bucket, event_type
 """
 
 
+def q_promql_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hour(timestamp(purchase))` on an hourly grid: timestamp() turns each
+    bucket's latest sample into its epoch-seconds value, hour() extracts the
+    UTC hour-of-day from that value (promql/functions.go funcTimestamp /
+    funcHour — the reference's transpiler has no function vocabulary).
+    Single groupBy, pure integer arithmetic on the epoch — no calendar, no
+    window, no UDF."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "hour(timestamp(purchase))",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1704240000.0,    # 2024-01-03
+        step_s=3600,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_TIMESTAMP_HOUR = f"""
+SELECT bucket AS time_bucket, event_type,
+       CAST(CAST(floor((epoch_us(max_ts) / 1000000.0) / 3600) AS BIGINT) % 24
+            AS DOUBLE) AS value
+FROM (
+  SELECT {_sql_bucket(3600)} AS bucket, event_type, max(ts) AS max_ts
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY 1, 2
+)
+"""
+
+
+def q_promql_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`day_of_week(timestamp(purchase))` on a daily grid: 0 = Sunday, via
+    (epoch_day + 4) mod 7 — epoch day zero was a Thursday, so no calendar
+    lookup is needed (promql/functions.go funcDayOfWeek)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "day_of_week(timestamp(purchase))",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,    # 2024-02-01
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_DAY_OF_WEEK = f"""
+SELECT bucket AS time_bucket, event_type,
+       CAST((CAST(floor((epoch_us(max_ts) / 1000000.0) / 86400) AS BIGINT) + 4)
+            % 7 AS DOUBLE) AS value
+FROM (
+  SELECT {_sql_bucket(86400)} AS bucket, event_type, max(ts) AS max_ts
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2
+)
+"""
+
+
 def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume-shipping shape: lineitem joined to BOTH a supplier
     nation and a customer nation (two independent broadcast branches of the
@@ -2850,6 +2915,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
+    "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
     "tpch_q12ish": (q_tpch_q12ish, SQL_TPCH_Q12ISH),
     "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),

@@ -749,3 +749,41 @@ def test_present_over_time(spark, sf_dir):
     absent_buckets = {r.time_bucket for r in absent.collect()}
     assert not (present_buckets & absent_buckets)
     assert len(present_buckets) + len(absent_buckets) == n_buckets
+
+
+def test_time_component_functions(spark, sf_dir):
+    """minute/hour/day_of_week/day_of_month/month/year/days_in_month over
+    timestamp(m): the value is reinterpreted as an epoch-seconds time and
+    the UTC component extracted (promql/functions.go funcHour family).
+    Verified against Python's datetime on every sample."""
+    import datetime as dt
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t_eval = 1706745600.0
+    base = promql_instant(
+        ev, "timestamp(purchase)", time_s=t_eval, cols=EV_CENTS
+    ).collect()
+    assert len(base) == 1
+    epoch = base[0].value
+    d = dt.datetime.fromtimestamp(int(epoch), dt.timezone.utc)
+    # 0 = Sunday in PromQL's day_of_week
+    expected = {
+        "minute": float(d.minute),
+        "hour": float(d.hour),
+        "day_of_week": float((d.weekday() + 1) % 7),
+        "day_of_month": float(d.day),
+        "month": float(d.month),
+        "year": float(d.year),
+        "days_in_month": float(
+            ((d.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+             - dt.timedelta(days=1)).day
+        ),
+    }
+    for fn, want in expected.items():
+        got = promql_instant(
+            ev, f"{fn}(timestamp(purchase))", time_s=t_eval, cols=EV_CENTS
+        ).collect()
+        assert len(got) == 1 and got[0].value == want, (fn, got[0].value, want)
