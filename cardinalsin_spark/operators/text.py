@@ -269,3 +269,124 @@ def corpus_frequency_score(
         )
         .orderBy(doc_id)
     )
+
+
+# ---------------------------------------------------------------------------
+# Term weighting: TF-IDF top terms and BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by a linear-idf TF-IDF
+    weight: ``weight = tf · (N·scale // df)`` on exact int64 arithmetic.
+
+    Determinism contract: classic tf·ln(N/df) needs ln, which is not
+    correctly rounded by IEEE-754 (libm-dependent — the same reason this
+    repo exposes sqrt but not exp/ln); the linear idf keeps the whole
+    weight exact-integer so ranking and driver value-hashes are
+    bit-identical across engines. This is the idf ordering (monotone in
+    1/df), with linear rather than logarithmic damping.
+
+    Scale: one explode pass, tf = hash agg on (doc, term), df = hash agg on
+    term (vocab-sized), N broadcast as a 1-row aggregate (never collected);
+    the tf⋈df join shuffles on term; top-k is a row_number window on doc.
+    Overflow bound: tf·N·scale < 2⁶³ holds to N ≈ 9·10⁹ docs at tf ≤ 10³;
+    beyond that, drop ``scale`` (ranking is scale-invariant).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one row per (doc, term) → count(*) per term IS the document frequency
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            # exact int64 `div` — a double `/` would round 5·10¹⁰/df before
+            # the truncation and drift off DuckDB's exact `//` by one
+            "weight",
+            F.col("tf") * F.expr(f"(n_docs * {scale}) div df_t"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "weight", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term query,
+    k1 = 6/5 and b = 3/4 exactly (the standard 1.2 / 0.75).
+
+    Bit-determinism: the tf-saturation ratio is cleared of fractions by
+    multiplying through by 20·L (L = corpus token count), giving exact
+    int64 numerator ``44·tf·L`` and denominator ``20·tf·L + 6·L + 18·dl·N``
+    (dl = doc length); the idf is the log-free surrogate
+    ``(N − df + 1)·scale // (df + 1)`` (same ordering as the
+    Robertson–Sparck-Jones idf, linear damping — ln is libm-dependent,
+    see tfidf_top_terms). Each term's contribution is floored onto an
+    integer grid after ONE double multiply-divide chain, so the per-doc
+    score is an exact int64 sum — accumulation-order-proof — with a single
+    final division.
+
+    Scale: tf filtered to the query's terms before any join (predicate
+    pushdown straight onto the exploded stream), so state is
+    O(N·|query|); corpus constants (N, L) ride a broadcast 1-row
+    aggregate.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("corpus_len")
+    )
+    # exact int64 `div` (not `/` — see tfidf_top_terms)
+    idf_q = F.expr(f"((n_docs - df_t + 1) * {scale}) div (df_t + 1)")
+    num = F.lit(44) * F.col("tf") * F.col("corpus_len")
+    den = (
+        F.lit(20) * F.col("tf") * F.col("corpus_len")
+        + F.lit(6) * F.col("corpus_len")
+        + F.lit(18) * F.col("dl") * F.col("n_docs")
+    )
+    contrib = F.floor(
+        idf_q.cast("double") * num.cast("double") / den.cast("double")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+        .withColumn("contrib", contrib)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            (F.sum("contrib").cast("double") / F.lit(float(scale))).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+    )

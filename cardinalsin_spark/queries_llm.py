@@ -1810,7 +1810,85 @@ FROM flagged GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Term weighting: TF-IDF / BM25 (operators.text)
+# ---------------------------------------------------------------------------
+
+
+def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by the exact-integer
+    linear-idf TF-IDF weight (see operators.text.tfidf_top_terms for the
+    determinism contract: ln is libm-dependent, so the idf damping is
+    linear and the whole weight stays int64)."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+SQL_DOCS_TFIDF_TOPTERMS = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS t FROM documents)
+  WHERE t != ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df_t, weight, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_t,
+         tf.tf * ((n_docs * 1000000) // df_t) AS weight,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((n_docs * 1000000) // df_t) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN dfq USING (term), n
+) WHERE rank <= 5
+"""
+
+
+_BM25_QUERY = ["hash", "join", "spark"]
+
+
+def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the fixed query
+    {hash, join, spark}: rational tf-saturation cleared to exact int64
+    (k1 = 6/5, b = 3/4), log-free idf surrogate, per-term contributions
+    floored to an integer grid so the per-doc sum is
+    accumulation-order-proof (operators.text.bm25_scores)."""
+    return tx.bm25_scores(_docs(spark, sf_dir), _BM25_QUERY)
+
+
+SQL_DOCS_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS t FROM documents)
+  WHERE t != ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS corpus_len FROM dl)
+SELECT doc_id,
+       CAST(sum(contrib) AS BIGINT) / 1000000.0 AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM (
+  SELECT tf.doc_id,
+         CAST(floor(
+           CAST(((n_docs - df_t + 1) * 1000000) // (df_t + 1) AS DOUBLE)
+           * CAST(44 * tf * corpus_len AS DOUBLE)
+           / CAST(20 * tf * corpus_len + 6 * corpus_len
+                  + 18 * dl * n_docs AS DOUBLE)
+         ) AS BIGINT) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), consts
+)
+GROUP BY 1
+"""
+
+
 REGISTRY_LLM = {
+    "docs_tfidf_topterms": (q_docs_tfidf_topterms, SQL_DOCS_TFIDF_TOPTERMS),
+    "docs_bm25": (q_docs_bm25, SQL_DOCS_BM25),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),

@@ -24,6 +24,10 @@ def _first_window() -> list[str]:
 WINDOW_EXCEPTIONS = {
     # shares encode/probe/ADC plumbing with windowed emb_ivfpq_topk
     "emb_ivfpq_residual_topk": "emb_ivfpq_topk",
+    # explode → per-term corpus-stat join → per-doc aggregate: the same
+    # machinery the windowed docs_rare_words pins
+    "docs_tfidf_topterms": "docs_rare_words",
+    "docs_bm25": "docs_rare_words",
 }
 
 
