@@ -928,3 +928,64 @@ def cosine_topk_ivfpq_residual(
         .select(query_id_col, id_col, "adc_cosine", "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering — assign every vector to its nearest
+    k-means centroid, then inside each cluster flag any vector whose
+    cosine to a LOWER-id cluster-mate clears the threshold
+    (keep-lowest-id, the deterministic stand-in for the paper's
+    keep-farthest-from-centroid tie-break).
+
+    Output: one row per vector — (id, cell, is_dup 0/1). Survivors are
+    the is_dup = 0 rows; the flag form keeps the operator composable
+    (filter vs audit) without re-scoring.
+
+    Scale: the paper's whole point is that clustering bounds the
+    quadratic term — the self-join shuffles on the cell id so cost is
+    Σ cell² ≈ N²/k, and k grows with the corpus (√N keeps per-cell work
+    flat). Assignment is one GEMM pandas_udf pass; cosines run on the
+    exact integer-quantized grid (one deterministic float division at
+    the end) like every similarity operator here."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c = (
+        df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
+        .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
+        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
+        .drop(vec_col)
+        .localCheckpoint()
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
+            / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        c.join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )

@@ -999,6 +999,82 @@ FROM ranked WHERE rank <= {_TOPK}
 SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 
 
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings with
+    the same deterministic quantizer as emb_ivf_topk (16 cells, 2 Lloyd
+    rounds over the 1000-lowest-id sample), then flag intra-cluster
+    cosine duplicates keep-lowest-id. One row per vector:
+    (vec_id, cell, is_dup)."""
+    emb = _emb(spark, sf_dir)
+    centroids = sim.ivf_train_centroids_local(
+        emb.orderBy("vec_id").limit(1000), k=16, iters=2
+    )
+    return sim.semdedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
+
+
+def _semdedup_oracle_sql() -> str | None:
+    """Mirror of _ivf_oracle_sql: retrain the sf0.01 centroids with the
+    shared numpy routine, inline them as SQL literals, replicate the
+    nearest-cell assignment and the intra-cluster keep-lowest-id scan."""
+    try:
+        import duckdb
+        import numpy as np
+
+        path = os.path.join(_IVF_SF_DIR, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 1000"
+        ).fetchall()
+        con.close()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        centroids = sim.kmeans_numpy(X, k=16, iters=2)
+    except Exception:  # pragma: no cover - fixture missing in exotic envs
+        return None
+    cent_rows = ", ".join(
+        f"({cell}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for cell, c in enumerate(centroids)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {cent_rows}),
+c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cdist AS (
+  SELECT c.vec_id, c.qv, cent.cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_dot_product(cent.cv, cent.cv)
+                    - 2 * list_dot_product(c.v, cent.cv), cent.cell
+         ) AS rnk
+  FROM c CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, qv, cell FROM cdist WHERE rnk = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.qv, b.qv)
+          / (sqrt(list_dot_product(a.qv, a.qv))
+             * sqrt(list_dot_product(b.qv, b.qv)))
+        >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+"""
+
+
+SQL_EMB_SEMDEDUP = _semdedup_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / split / quality gate (operators.sampling)
 # ---------------------------------------------------------------------------
@@ -1889,6 +1965,7 @@ GROUP BY 1
 REGISTRY_LLM = {
     "docs_tfidf_topterms": (q_docs_tfidf_topterms, SQL_DOCS_TFIDF_TOPTERMS),
     "docs_bm25": (q_docs_bm25, SQL_DOCS_BM25),
+    "emb_semdedup": (q_emb_semdedup, SQL_EMB_SEMDEDUP),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),

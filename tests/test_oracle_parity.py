@@ -18,6 +18,7 @@ SF_PINNED = {
     "emb_ivf_topk": "/root/testdata/sf0.01",
     "emb_ivfpq_topk": "/root/testdata/sf0.01",
     "emb_ivfpq_residual_topk": "/root/testdata/sf0.01",
+    "emb_semdedup": "/root/testdata/sf0.01",
 }
 
 

@@ -28,6 +28,9 @@ WINDOW_EXCEPTIONS = {
     # machinery the windowed docs_rare_words pins
     "docs_tfidf_topterms": "docs_rare_words",
     "docs_bm25": "docs_rare_words",
+    # same quantizer/assignment plumbing as windowed emb_ivf_topk, same
+    # bucketed pair-scan as windowed emb_near_dup
+    "emb_semdedup": "emb_ivf_topk",
 }
 
 
