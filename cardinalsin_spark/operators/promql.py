@@ -617,6 +617,30 @@ def promql_range(
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop
+        arith = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+        }[op]
+        # vector-scalar arithmetic (`rate(m[300s]) * 60`, `1 - m`): the
+        # scalar side folds into the value column — no join, no shuffle
+        num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
+        num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        if num_r and not num_l:
+            lf = promql_range(
+                df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            )
+            return lf.withColumn(
+                "value", arith(F.col("value"), F.lit(float(right)))
+            )
+        if num_l and not num_r:
+            rf = promql_range(
+                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            )
+            return rf.withColumn(
+                "value", arith(F.lit(float(left)), F.col("value"))
+            )
         lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _vector_match(lf, rf, op, on_labels, cols, group_mode, carry)

@@ -1,0 +1,246 @@
+"""Deterministic cardinality / frequency sketches (HyperLogLog, Count-Min).
+
+Engine-native approximate aggregates (Spark's HLL++ `approx_count_distinct`,
+DuckDB's `approx_count_distinct`) use different register layouts and hash
+functions, so their estimates can never hash-match across engines. These
+implementations build the sketches from the repo's portable md5→int64 hash
+as plain DataFrame aggregations — bit-identical in Spark and the DuckDB
+oracle, and the natural 100 TB shape:
+
+- HLL registers are a groupBy over at most ``m = 2^p`` buckets (map-side
+  partial max, merge cost O(m) per partition — the same mergeability
+  argument as the original Flajolet et al. 2007 paper).
+- The CMS counter table is ``d·w`` cells — broadcastable corpus metadata —
+  built with one hash aggregation per (row, bucket).
+
+Both keep EVERYTHING integer until one final float division (HLL's
+harmonic mean is summed as exact powers of two scaled by 2^(W+1), so no
+accumulation-order noise), matching the repo-wide determinism discipline.
+
+Provenance: the reference has no sketch operators at all (its DISTINCT
+paths are exact scans, ``api/query/prometheus_api.rs:360-535``); these
+follow the published algorithms (Flajolet et al. 2007; Cormode &
+Muthukrishnan 2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5-derived hash — the same portable construction as
+# operators.dedup_docs (DuckDB mirror: CAST('0x' || substr(md5(...),1,15)
+# AS BIGINT)), so oracle SQL reproduces every bucket decision exactly.
+
+
+def hash60(seed: str, s) -> "F.Column":
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_hash60(seed: str, s_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}:' || {s_expr}), 1, 15) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# alpha_m bias constants (Flajolet et al. 2007, fig. 3)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 5,
+    seed: str = "hll",
+) -> DataFrame:
+    """Deterministic HLL distinct-count estimate of ``value_col``.
+
+    h = 60-bit md5 hash; bucket = top ``p`` bits; rho = leading-zero count
+    of the remaining ``W = 60 − p`` bits + 1 (computed exactly as
+    ``W − msb(w) + 1`` via the binary-string length — no log2, which is
+    libm-dependent). The harmonic sum Σ2^{−r_j} is scaled by 2^{W+1} so it
+    accumulates as exact int64; the raw estimate α·m²·2^{W+1}/S is ONE
+    double division against a precomputed literal numerator.
+
+    Output: 1 row — (n_distinct_est, n_registers_hit, n_distinct_exact).
+    The exact count rides along for calibration; at 100 TB you'd drop it
+    (that's the point of the sketch). No small-range linear-counting
+    correction: it needs ln (libm-dependent); callers in the corrected
+    regime should raise ``p`` instead.
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    mask = (1 << w_bits) - 1
+    numerator = _alpha(m) * m * m * float(1 << (w_bits + 1))
+    empty_reg = 1 << (w_bits + 1)  # 2^(W+1−0): an untouched register's term
+
+    hashed = df.select(hash60(seed, value_col).alias("_h"), F.col(value_col))
+    rho = F.when(
+        F.col("_w") == 0, F.lit(w_bits + 1)
+    ).otherwise(F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1)
+    regs = (
+        hashed.withColumn("_b", F.shiftright(F.col("_h"), w_bits))
+        .withColumn("_w", F.col("_h").bitwiseAND(F.lit(mask)))
+        .withColumn("_rho", rho)
+        .groupBy("_b")
+        .agg(F.max("_rho").alias("r"))
+    )
+    stats = regs.agg(
+        # shiftleft with a per-row shift amount needs the SQL form — the
+        # PySpark wrapper only accepts a literal bit count
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - r))"
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("n_registers_hit"),
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(value_col)).alias("n_distinct_exact")
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        (
+            F.lit(numerator)
+            / (
+                F.col("_s")
+                + (F.lit(m) - F.col("n_registers_hit")) * F.lit(empty_reg)
+            ).cast("double")
+        ).alias("n_distinct_est"),
+        "n_registers_hit",
+        "n_distinct_exact",
+    )
+
+
+def sql_hll_distinct(
+    table_expr: str, value_expr: str, p: int = 5, seed: str = "hll"
+) -> str:
+    """DuckDB mirror of ``hll_distinct`` (same hash, same integer chain)."""
+    m = 1 << p
+    w_bits = 60 - p
+    mask = (1 << w_bits) - 1
+    numerator = _alpha(m) * m * m * float(1 << (w_bits + 1))
+    empty_reg = 1 << (w_bits + 1)
+    return f"""
+WITH h AS (
+  SELECT {sql_hash60(seed, value_expr)} AS _h, {value_expr} AS _v
+  FROM {table_expr}
+),
+b AS (
+  SELECT _h >> {w_bits} AS _b, _h & {mask} AS _w, _v FROM h
+),
+r AS (
+  SELECT _b,
+         max(CASE WHEN _w = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(_w)) + 1 END) AS r
+  FROM b GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - r)) AS BIGINT) AS _s,
+         CAST(count(*) AS BIGINT) AS n_registers_hit
+  FROM r
+),
+x AS (SELECT CAST(count(DISTINCT _v) AS BIGINT) AS n_distinct_exact FROM h)
+SELECT {numerator!r} / CAST(_s + ({m} - n_registers_hit) * {empty_reg}
+                            AS DOUBLE) AS n_distinct_est,
+       n_registers_hit, n_distinct_exact
+FROM s, x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_estimates(
+    df: DataFrame,
+    term_col: str = "term",
+    depth: int = 3,
+    width: int = 64,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-Min frequency estimates: ``d`` hash rows of ``w`` counters;
+    a term's estimate is the MIN of its ``d`` counters (Cormode &
+    Muthukrishnan 2005 — always ≥ the true count, over-estimates only
+    from collisions).
+
+    Input is one row per term OCCURRENCE; output is one row per DISTINCT
+    term — (term, cms_est, exact_count). The counter table is ``d·w``
+    cells built by one hash aggregation and broadcast back onto the
+    distinct-term probe join, so estimating every term costs one
+    vocab-sized join against constant-size state — the 100 TB shape
+    (exact per-term counts need a full shuffle of the corpus; the CMS
+    table is mergeable map-side partial state).
+    """
+    rows = list(range(depth))
+    bucketed = df.select(
+        F.col(term_col).alias("term"),
+        *[
+            (hash60(f"{seed}{i}", term_col) % width).alias(f"_b{i}")
+            for i in rows
+        ],
+    )
+    counters = [
+        bucketed.groupBy(F.col(f"_b{i}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(f"cnt{i}"))
+        for i in rows
+    ]
+    probe = (
+        bucketed.groupBy("term", *[f"_b{i}" for i in rows])
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    for i in rows:
+        probe = probe.join(
+            F.broadcast(counters[i].withColumnRenamed("bucket", f"_b{i}")),
+            f"_b{i}",
+        )
+    return probe.select(
+        "term",
+        F.least(*[F.col(f"cnt{i}") for i in rows]).alias("cms_est"),
+        "exact_count",
+    )
+
+
+def sql_cms_estimates(
+    toks_cte: str,
+    depth: int = 3,
+    width: int = 64,
+    seed: str = "cms",
+) -> str:
+    """DuckDB mirror of ``cms_estimates``; ``toks_cte`` must yield one row
+    per occurrence with a ``term`` column."""
+    rows = list(range(depth))
+    bucket_cols = ", ".join(
+        f"{sql_hash60(f'{seed}{i}', 'term')} % {width} AS _b{i}" for i in rows
+    )
+    joins = "\n".join(
+        f"JOIN c{i} ON probe._b{i} = c{i}.bucket" for i in rows
+    )
+    counter_ctes = ",\n".join(
+        f"c{i} AS (SELECT _b{i} AS bucket, CAST(count(*) AS BIGINT) AS cnt{i}"
+        f" FROM b GROUP BY 1)"
+        for i in rows
+    )
+    least = ", ".join(f"cnt{i}" for i in rows)
+    return f"""
+WITH toks AS ({toks_cte}),
+b AS (SELECT term, {bucket_cols} FROM toks),
+{counter_ctes},
+probe AS (
+  SELECT term, {', '.join(f'_b{i}' for i in rows)},
+         CAST(count(*) AS BIGINT) AS exact_count
+  FROM b GROUP BY {', '.join(str(i + 2) for i in rows)}, 1
+)
+SELECT term, least({least}) AS cms_est, exact_count
+FROM probe
+{joins}
+"""

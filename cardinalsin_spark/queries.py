@@ -2516,6 +2516,35 @@ ORDER BY bucket, event_type
 """
 
 
+def q_promql_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (purchase) / 100` — vector-scalar arithmetic
+    (promql binary op with a literal operand): the scalar folds into the
+    value column with no join and no extra shuffle. The inner sum runs on
+    the exact cents grid, so the single float division is deterministic."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) / 100",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,    # 2024-02-01
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_SCALAR_ARITH = f"""
+SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       CAST(sum({_sql_cents('value')}) AS BIGINT) / 100.0 AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`hour(timestamp(purchase))` on an hourly grid: timestamp() turns each
     bucket's latest sample into its epoch-seconds value, hour() extracts the
@@ -2915,6 +2944,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "promql_scalar_arith": (q_promql_scalar_arith, SQL_PROMQL_SCALAR_ARITH),
     "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
     "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),

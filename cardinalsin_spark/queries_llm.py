@@ -394,11 +394,28 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_CACHE: dict = {}
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped SimHash signature index, the same build-once contract
+    as ``_minhash_sims``: the (doc_id, simhash) frame is one long per
+    document — index-sized — and both the signature listing and the pair
+    query consume it, so the 3M-row token explode + packed-counter
+    aggregation runs once per (application, dataset)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sig = _SIMHASH_CACHE.get(key)
+    if sig is None:
+        sig = dd.simhash(_docs(spark, sf_dir)).localCheckpoint()
+        _SIMHASH_CACHE[key] = sig
+    return sig
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document over distinct normalized tokens (full
     width of the portable md5 hash; see operators.dedup_docs.SIMHASH_BITS
     for why 32-bit banding exploded)."""
-    return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 SQL_DOCS_SIMHASH = f"""
@@ -425,8 +442,11 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact for hamming <= 3 with 4 bands; oversized buckets get an exact
     secondary sub-band split), bit_count(xor) verification. The oracle
     keeps the simple single-level banding — candidate generation strategy
-    doesn't change the exact output pair set."""
-    return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    doesn't change the exact output pair set. Consumes the session-scoped
+    signature index (``_simhash_sigs``) rather than rebuilding it."""
+    return dd.simhash_pairs_from_signatures(
+        _simhash_sigs(spark, sf_dir), max_hamming=3
+    )
 
 
 SQL_DOCS_SIMHASH_PAIRS = f"""
@@ -1962,7 +1982,91 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sketches (operators.sketches): HLL distinct, Count-Min
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS_CTE = f"""
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS t FROM documents)
+  WHERE t != ''
+"""
+
+
+def _spark_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cardinalsin_spark.operators.text import normalize_text
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(normalize_text("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size by deterministic HyperLogLog (p=5, md5-derived
+    60-bit hash; operators.sketches.hll_distinct): register build is a
+    32-bucket map-side-combinable aggregation — the 100 TB cardinality
+    path — with the exact distinct count alongside for calibration."""
+    from cardinalsin_spark.operators import sketches as sk
+
+    return sk.hll_distinct(_spark_toks(spark, sf_dir), "term", p=5)
+
+
+def _sql_hll() -> str:
+    from cardinalsin_spark.operators import sketches as sk
+
+    return sk.sql_hll_distinct(f"({_SQL_TOKS_CTE})", "term", p=5)
+
+
+SQL_DOCS_HLL_DISTINCT = _sql_hll()
+
+
+def q_docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by Count-Min-Sketch estimate (d=3 rows × w=64
+    counters, md5 hashing; operators.sketches.cms_estimates): the counter
+    table is 192 cells of broadcastable state, estimates over-count only
+    (min-of-rows ≥ truth), exact counts alongside to exhibit the
+    collision error."""
+    from pyspark.sql import Window
+
+    from cardinalsin_spark.operators import sketches as sk
+
+    est = sk.cms_estimates(_spark_toks(spark, sf_dir), "term")
+    # distributed TakeOrdered first (vocab never single-partitions through
+    # a global window); the rank window then sees exactly 20 rows
+    top = est.orderBy(F.desc("cms_est"), F.asc("term")).limit(20)
+    w = Window.orderBy(F.desc("cms_est"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "cms_est", "exact_count", "rank"
+    )
+
+
+def _sql_cms() -> str:
+    from cardinalsin_spark.operators import sketches as sk
+
+    inner = sk.sql_cms_estimates(_SQL_TOKS_CTE)
+    return f"""
+SELECT term, cms_est, exact_count, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT term, cms_est, exact_count,
+         row_number() OVER (ORDER BY cms_est DESC, term) AS rank
+  FROM ({inner})
+) WHERE rank <= 20
+"""
+
+
+SQL_DOCS_CMS_HEAVY_HITTERS = _sql_cms()
+
+
 REGISTRY_LLM = {
+    "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
+    "docs_cms_heavy_hitters": (
+        q_docs_cms_heavy_hitters,
+        SQL_DOCS_CMS_HEAVY_HITTERS,
+    ),
     "docs_tfidf_topterms": (q_docs_tfidf_topterms, SQL_DOCS_TFIDF_TOPTERMS),
     "docs_bm25": (q_docs_bm25, SQL_DOCS_BM25),
     "emb_semdedup": (q_emb_semdedup, SQL_EMB_SEMDEDUP),

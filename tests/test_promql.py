@@ -787,3 +787,27 @@ def test_time_component_functions(spark, sf_dir):
             ev, f"{fn}(timestamp(purchase))", time_s=t_eval, cols=EV_CENTS
         ).collect()
         assert len(got) == 1 and got[0].value == want, (fn, got[0].value, want)
+
+
+def test_vector_scalar_arithmetic(spark, sf_dir):
+    """`expr * 2` and `1 - expr`-style literal operands fold into the value
+    column (no join): verified against the unwrapped query."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    kw = dict(start_s=1704067200.0, end_s=1704153600.0, step_s=3600,
+              cols=EV_CENTS)
+    base = {
+        tuple(r)[:-1]: r.value
+        for r in promql_range(ev, "sum by (user_id) (purchase)", **kw).collect()
+    }
+    assert base
+    doubled = promql_range(
+        ev, "sum by (user_id) (purchase) * 2", **kw
+    ).collect()
+    assert all(r.value == base[tuple(r)[:-1]] * 2 for r in doubled)
+    flipped = promql_range(
+        ev, "0 - sum by (user_id) (purchase)", **kw
+    ).collect()
+    assert all(r.value == -base[tuple(r)[:-1]] for r in flipped)

@@ -31,6 +31,10 @@ WINDOW_EXCEPTIONS = {
     # same quantizer/assignment plumbing as windowed emb_ivf_topk, same
     # bucketed pair-scan as windowed emb_near_dup
     "emb_semdedup": "emb_ivf_topk",
+    # explode → hash-bucket aggregation over constant-size sketch state;
+    # the windowed docs_rare_words pins the explode+corpus-stat machinery
+    "docs_hll_distinct": "docs_rare_words",
+    "docs_cms_heavy_hitters": "docs_rare_words",
 }
 
 
