@@ -243,3 +243,64 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftSemi" in p4, p4
     p16 = plan_string(_df(spark, sf_dir, "tpch_q16ish"), "simple")
     assert "LeftAnti" in p16, p16
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """q19's OR-of-ANDs is a residual on an equi-join — the planner must
+    NOT degrade to a nested-loop/cartesian product, and the join must
+    broadcast the part side."""
+    df = _df(spark, sf_dir, "tpch_q19ish")
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert is_broadcast_join(df), plan
+
+
+def test_q7_both_nation_branches_broadcast(spark, sf_dir):
+    """The same dimension joined twice (supplier-nation and customer-
+    nation) must produce TWO independent broadcast branches."""
+    plan = plan_string(_df(spark, sf_dir, "tpch_q7ish"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q22_scalar_subquery_broadcasts_not_collects(spark, sf_dir):
+    """The global-average threshold must enter the plan as a broadcast
+    1-row aggregate (a join), never via a driver collect — and the
+    no-orders probe must stay LeftAnti."""
+    df = _df(spark, sf_dir, "tpch_q22ish")
+    plan = plan_string(df, "simple")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sketches_and_term_weights_stay_jvm_side(spark, sf_dir):
+    """HLL register build, CMS counters, TF-IDF and BM25 are pure
+    column-expression pipelines — no Python evaluation node may appear."""
+    for name in (
+        "docs_hll_distinct",
+        "docs_cms_heavy_hitters",
+        "docs_tfidf_topterms",
+        "docs_bm25",
+    ):
+        plan = plan_string(_df(spark, sf_dir, name), "simple")
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, (
+            name,
+            plan,
+        )
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_cms_counter_joins_broadcast(spark, sf_dir):
+    """The d=3 counter tables (64 cells each) must broadcast onto the
+    vocab probe — a shuffle join against constant-size sketch state would
+    be backwards at 100 TB."""
+    df = _df(spark, sf_dir, "docs_cms_heavy_hitters")
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_scalar_arith_adds_no_join(spark, sf_dir):
+    """`sum by (...) (m) / 100` folds the literal into the projection —
+    the plan must contain NO join at all."""
+    plan = plan_string(_df(spark, sf_dir, "promql_scalar_arith"), "simple")
+    assert "Join" not in plan, plan
