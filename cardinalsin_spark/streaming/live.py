@@ -333,3 +333,86 @@ def stream_interval_join(
         & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+_HLL_OUTPUT = (
+    "metric_name string, n_distinct_est double, n_registers_hit long,"
+    " batch_rows long"
+)
+_HLL_STATE = "regs array<long>"
+_HLL_P = 5
+_HLL_SEED = "hll"
+
+
+def _hll_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Per-key HLL register state: ``regs`` is the full m-register vector
+    (m = 2^p longs — constant state width). Each micro-batch folds its
+    values' (bucket, rho) pairs into the register maxima and emits the
+    RUNNING estimate — identical arithmetic to
+    ``operators.sketches.hll_distinct`` (same md5-derived hash, so the
+    stream's final estimate equals the batch operator's on the same
+    data)."""
+    import hashlib
+
+    import pandas as pd
+
+    from cardinalsin_spark.operators.sketches import _alpha
+
+    m = 1 << _HLL_P
+    w_bits = 60 - _HLL_P
+    mask = (1 << w_bits) - 1
+    regs = list(state.get[0]) if state.exists else [0] * m
+
+    n = 0
+    for pdf in pdf_iter:
+        for v in pdf["_v"]:
+            if v is None:
+                continue
+            n += 1
+            h = int(
+                hashlib.md5(f"{_HLL_SEED}:{v}".encode()).hexdigest()[:15], 16
+            )
+            b = h >> w_bits
+            w = h & mask
+            rho = (w_bits + 1) if w == 0 else w_bits - w.bit_length() + 1
+            if rho > regs[b]:
+                regs[b] = rho
+
+    state.update((regs,))
+    if n == 0:
+        return
+    s = sum(1 << (w_bits + 1 - r) for r in regs)
+    est = (_alpha(m) * m * m * float(1 << (w_bits + 1))) / float(s)
+    yield pd.DataFrame(
+        {
+            "metric_name": [key[0]],
+            "n_distinct_est": [est],
+            "n_registers_hit": [sum(1 for r in regs if r > 0)],
+            "batch_rows": [n],
+        }
+    )
+
+
+def streaming_hll_distinct(sdf: DataFrame, value_col: str) -> DataFrame:
+    """Streaming distinct-count per metric via HLL registers in the state
+    store (``applyInPandasWithState``): state is 2^p longs per key —
+    constant width however many distinct values flow — and each
+    micro-batch appends the running estimate. The batch twin is
+    ``operators.sketches.hll_distinct``; both use the md5-derived 60-bit
+    hash, so the stream's last emitted estimate is bit-equal to the batch
+    estimate over the same rows (the mergeability property HLL exists
+    for). The reference's streaming layer has no aggregation surface at
+    all (``query/streaming.rs`` forwards raw rows; SURVEY §2.9
+    superset)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = sdf.select(
+        "metric_name", F.col(value_col).cast("string").alias("_v")
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=_HLL_OUTPUT,
+        stateStructType=_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

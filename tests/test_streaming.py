@@ -328,3 +328,31 @@ def test_wire_ingest_stream_remote_write_matches_batch(spark, tmp_path):
         for r in remote_write_flatten(batch_df).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_streaming_hll_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """HLL mergeability end-to-end: the stream's LAST emitted estimate per
+    metric (registers accumulated across micro-batches in the state store)
+    must be bit-equal to the batch sketch over the same rows."""
+    from cardinalsin_spark.operators.sketches import hll_distinct
+    from cardinalsin_spark.streaming import streaming_hll_distinct
+
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    est = streaming_hll_distinct(sdf.withColumn("value", value_expr()), "value")
+    name = _run_stream(est, "append", tmp_path)
+    rows = spark.table(name).collect()
+    assert rows
+    # last emission per metric = the full-data estimate
+    last = {}
+    for i, r in enumerate(rows):
+        last[r.metric_name] = r
+    for metric, r in last.items():
+        batch = hll_distinct(
+            metrics_df.filter(F.col("metric_name") == metric)
+            .withColumn("value", value_expr())
+            .select(F.col("value").cast("string").alias("v")),
+            "v",
+            p=5,
+        ).collect()[0]
+        assert r.n_distinct_est == batch.n_distinct_est, metric
+        assert r.n_registers_hit == batch.n_registers_hit, metric
