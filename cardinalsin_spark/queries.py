@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cardinalsin_spark.functions.core import label_matcher, time_bucket
@@ -2516,6 +2516,156 @@ ORDER BY bucket, event_type
 """
 
 
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the events table: signup → view →
+    click → purchase, each step's timestamp = the user's FIRST qualifying
+    event at-or-after the previous step (the classic product-analytics
+    funnel; the reference's single-table SQL surface can express this only
+    by hand). Four stacked min-CASE windows share ONE user_id partitioning
+    — a single Exchange feeds all of them (plan-tested) — then one
+    hash-aggregate counts users per completed depth. Exact: timestamps
+    compared as-is, counts integral."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+
+    def _step(prev_col: str | None, et: str, out: str):
+        cond = F.col("event_type") == et
+        if prev_col is not None:
+            cond = cond & F.col("ts").isNotNull() & (
+                F.col("ts") >= F.col(prev_col)
+            )
+        return F.min(F.when(cond, F.col("ts"))).over(w).alias(out)
+
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .select("*", _step(None, "signup", "t1"))
+        .select("*", _step("t1", "view", "t2"))
+        .select("*", _step("t2", "click", "t3"))
+        .select("*", _step("t3", "purchase", "t4"))
+        .select("user_id", "t1", "t2", "t3", "t4")
+        # t1..t4 are per-user window constants: dedup on user_id alone
+        # reuses the windows' existing user_id partitioning (no second
+        # wide shuffle, unlike distinct() which hashes all five columns)
+        .dropDuplicates(["user_id"])
+    )
+    depth = (
+        F.when(F.col("t4").isNotNull(), 4)
+        .when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_depth")
+    )
+
+
+SQL_TS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3 FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t3 THEN ts END)
+              OVER (PARTITION BY user_id) AS t4 FROM s3
+),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3, t4 FROM s4)
+SELECT CAST(CASE WHEN t4 IS NOT NULL THEN 4
+            WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS funnel_depth,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (epoch-week integer), distinct active users per (cohort, week-offset).
+    Two hash aggregations + one join on user_id — the cohort dimension
+    table is per-user (small next to events) so AQE broadcasts it; all
+    arithmetic is integer epoch-week math."""
+    ev = _events(spark, sf_dir)
+    week = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long") / F.lit(
+        604_800
+    )
+    ev_w = ev.select("user_id", week.cast("long").alias("week"))
+    cohort = ev_w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev_w.distinct()
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_TS_RETENTION_COHORTS = """
+WITH ev_w AS (
+  SELECT user_id,
+         CAST(CAST(epoch_us(ts) // 1000000 AS BIGINT) // 604800 AS BIGINT)
+           AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev_w GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, week FROM ev_w)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_ts_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation: pull ``k`` out of the
+    ``props`` JSON column (get_json_object — JVM-side, no UDF), decile-
+    bucket it, aggregate count + exact-cents value sum. The reference's
+    data model has no JSON anywhere (SURVEY §2.8); Spark's JSON path
+    expressions make this a plain column pipeline."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(
+            (k / F.lit(10)).cast("long").alias("k_decile"),
+            cents(F.col("value")).alias("value_cents"),
+        )
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("value_cents_sum"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+SQL_TS_JSON_PROPS = f"""
+SELECT CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_sql_cents('value')}) AS BIGINT) AS value_cents_sum
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_promql_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sum by (user_id) (purchase) / 100` — vector-scalar arithmetic
     (promql binary op with a literal operand): the scalar folds into the
@@ -2944,6 +3094,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "ts_funnel": (q_ts_funnel, SQL_TS_FUNNEL),
+    "ts_retention_cohorts": (q_ts_retention_cohorts, SQL_TS_RETENTION_COHORTS),
+    "ts_json_props": (q_ts_json_props, SQL_TS_JSON_PROPS),
     "promql_scalar_arith": (q_promql_scalar_arith, SQL_PROMQL_SCALAR_ARITH),
     "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
     "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),

@@ -304,3 +304,13 @@ def test_scalar_arith_adds_no_join(spark, sf_dir):
     the plan must contain NO join at all."""
     plan = plan_string(_df(spark, sf_dir, "promql_scalar_arith"), "simple")
     assert "Join" not in plan, plan
+
+
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """The four stacked funnel step-windows partition on the same user_id
+    key — they must share ONE exchange; with the per-user dedup and the
+    depth aggregate the whole plan stays within 3 exchanges."""
+    df = _df(spark, sf_dir, "ts_funnel")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 4, plan
+    assert plan.count("Exchange") <= 3, plan
