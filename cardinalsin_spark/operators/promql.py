@@ -112,7 +112,7 @@ _ABSENT_OT_RE = re.compile(
 _SCALAR_FN_RE = re.compile(
     r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt"
     r"|timestamp|minute|hour|day_of_week|day_of_month|days_in_month"
-    r"|month|year)"
+    r"|month|year|round)"
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -1086,6 +1086,16 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
         # IEEE-754 sqrt is correctly rounded — deterministic across
         # engines, unlike exp/ln (libm-dependent; deliberately omitted)
         return res.withColumn("value", F.sqrt(v))
+    if fn == "round":
+        # promql round(v, to_nearest=1) — upstream's exact formulation
+        # (promql/functions.go funcRound): precompute inv = 1/to_nearest,
+        # then floor(v·inv + 0.5)/inv. Multiply-add-floor-divide, all
+        # IEEE-correctly-rounded ops on the same literals → deterministic.
+        inv = 1.0 / (float(args[0]) if args else 1.0)
+        return res.withColumn(
+            "value",
+            F.floor(v * F.lit(inv) + F.lit(0.5)).cast("double") / F.lit(inv),
+        )
     if fn in ("sort", "sort_desc"):
         return res.orderBy(F.asc("value") if fn == "sort" else F.desc("value"))
     # Prometheus time-component functions (promql/functions.go funcHour etc.):

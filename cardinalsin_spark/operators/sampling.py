@@ -198,3 +198,62 @@ def pack_stream_offsets(
         )
         .drop("_part")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking (the RAG / pretraining preprocessing
+    step that turns documents into fixed-size overlapping training
+    windows): chunk i covers tokens [i·s, i·s + C) with stride
+    s = C − overlap; windows start while i·s < n_tokens, the last one
+    truncating at the document end.
+
+    Pure narrow pipeline — tokenize once, ``sequence()`` the start
+    offsets executor-side, explode, slice — no shuffle at all (chunking
+    is embarrassingly parallel; any ordering/packing is a downstream
+    concern). Chunk text is emitted as an md5 fingerprint plus token
+    count: at 100 TB the chunk STREAM is what feeds the next stage, and
+    carrying the full text through benchmarks/oracles would just
+    re-materialize the corpus.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from cardinalsin_spark.operators.text import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    return (
+        toks.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("_n") - 1, F.lit(stride)
+                )
+            ).alias("start_tok"),
+        )
+        .select(
+            id_col,
+            (F.col("start_tok") / F.lit(stride)).cast("long").alias("chunk_idx"),
+            "start_tok",
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("start_tok")
+            ).alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("_toks"), F.col("start_tok") + 1, chunk_tokens),
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -2516,6 +2516,135 @@ ORDER BY bucket, event_type
 """
 
 
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top-supplier shape: per-supplier revenue over a quarter,
+    keep the supplier(s) achieving the GLOBAL max (uncorrelated scalar
+    subquery over an aggregate — a 1-row max broadcast against the
+    revenue frame, never collected). Revenue on the exact-cents grid so
+    the max-equality join is integer-exact."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(100) - cents(F.col("l_discount")))
+            ).alias("rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("_mx"))
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("_mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15ISH = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({_sql_cents('l_extendedprice')}
+                  * (100 - {_sql_cents('l_discount')})) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_cents / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order shape: revenue from lineitems whose
+    quantity is below 20% of that PART's average quantity — a correlated
+    aggregate subquery expressed as a per-part aggregate joined back to
+    the fact (the scalable decorrelation). The 20%-of-average compare is
+    exact integers: qty·5·n < Σqty (no float threshold)."""
+    li = _lineitem(spark, sf_dir)
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    p_ = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(p_), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        # qty < 0.2·avg  ⇔  qty·5·n < Σqty  (exact int64)
+        .filter(
+            cents(F.col("l_quantity")) * F.lit(5) * F.col("_n") < F.col("_sq")
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice"))) / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17ISH = f"""
+WITH per_part AS (
+  SELECT l_partkey AS _pk,
+         CAST(sum({_sql_cents('l_quantity')}) AS BIGINT) AS _sq,
+         CAST(count(*) AS BIGINT) AS _n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum({_sql_cents('l_extendedprice')}) AS BIGINT) / 700.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON l_partkey = _pk
+WHERE p_brand = 'Brand#23'
+  AND {_sql_cents('l_quantity')} * 5 * _n < _sq
+"""
+
+
+def q_ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per event type at every event — a
+    RANGE window frame over the µs-integer time axis (the one §2.5 frame
+    kind the suite didn't pin; bucketed ops use tumbling groupBys).
+    Frame sums are exact cents ints; ONE division per row at the end.
+    Single shuffle on event_type."""
+    ev = _events_cents(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (
+            F.sum("value_cents").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(100.0)
+        ).alias("moving_avg"),
+    )
+
+
+SQL_TS_MOVING_AVG = f"""
+SELECT event_id, event_type, ts,
+       CAST(sum({_sql_cents('value')}) OVER w AS DOUBLE)
+         / (count(*) OVER w) / 100.0 AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis over the events table: signup → view →
     click → purchase, each step's timestamp = the user's FIRST qualifying
@@ -3094,6 +3223,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
+    "tpch_q17ish": (q_tpch_q17ish, SQL_TPCH_Q17ISH),
+    "ts_moving_avg": (q_ts_moving_avg, SQL_TS_MOVING_AVG),
     "ts_funnel": (q_ts_funnel, SQL_TS_FUNNEL),
     "ts_retention_cohorts": (q_ts_retention_cohorts, SQL_TS_RETENTION_COHORTS),
     "ts_json_props": (q_ts_json_props, SQL_TS_JSON_PROPS),

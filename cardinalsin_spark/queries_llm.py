@@ -2071,7 +2071,43 @@ SELECT term, cms_est, exact_count, CAST(rank AS BIGINT) AS rank FROM (
 SQL_DOCS_CMS_HEAVY_HITTERS = _sql_cms()
 
 
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (C=64, overlap=16): the RAG /
+    pretraining window stream, emitted as (doc, chunk_idx, start, length,
+    chunk md5). Shuffle-free narrow pipeline
+    (operators.sampling.chunk_windows)."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    return smp.chunk_windows(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    )
+
+
+SQL_DOCS_CHUNK_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS _toks,
+         len(string_split({_SQL_NORM}, ' ')) AS _n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, _toks, _n,
+         unnest(generate_series(0, CAST(_n - 1 AS BIGINT), 48)) AS start_tok
+  FROM toks WHERE _n > 0
+)
+SELECT doc_id,
+       CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(64, _n - start_tok) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(_toks, CAST(start_tok + 1 AS BIGINT),
+                    CAST(least(start_tok + 64, _n) AS BIGINT)), ' '))
+         AS chunk_md5
+FROM starts
+"""
+
+
 REGISTRY_LLM = {
+    "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
     "docs_cms_heavy_hitters": (
         q_docs_cms_heavy_hitters,

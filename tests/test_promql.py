@@ -811,3 +811,27 @@ def test_vector_scalar_arithmetic(spark, sf_dir):
         ev, "0 - sum by (user_id) (purchase)", **kw
     ).collect()
     assert all(r.value == -base[tuple(r)[:-1]] for r in flipped)
+
+
+def test_round_wrapper(spark, sf_dir):
+    """round(v, to_nearest) follows upstream's floor(v·inv + 0.5)/inv
+    formulation — verified against the Python replay on every sample."""
+    import math
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t_eval = 1706745600.0
+    base = promql_instant(
+        ev, "avg by (user_id) (purchase)", time_s=t_eval, cols=EV_CENTS
+    ).collect()
+    assert base
+    for spec, n in (("round(avg by (user_id) (purchase))", 1.0),
+                    ('round(avg by (user_id) (purchase), "50")', 50.0)):
+        got = promql_instant(ev, spec, time_s=t_eval, cols=EV_CENTS).collect()
+        key = lambda r: r.user_id
+        gb = {key(r): r.value for r in got}
+        for b in base:
+            inv = 1.0 / n
+            assert gb[key(b)] == math.floor(b.value * inv + 0.5) / inv

@@ -35,6 +35,9 @@ WINDOW_EXCEPTIONS = {
     # the windowed docs_rare_words pins the explode+corpus-stat machinery
     "docs_hll_distinct": "docs_rare_words",
     "docs_cms_heavy_hitters": "docs_rare_words",
+    # shuffle-free tokenize→sequence→explode→slice; the windowed
+    # docs_pack_shards pins the offsets/packing machinery it feeds
+    "docs_chunk_windows": "docs_pack_shards",
 }
 
 
