@@ -257,3 +257,49 @@ def chunk_windows(
             ).alias("chunk_md5"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 13,
+    buckets: int = 10_000,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic data-mixture resampling: each source gets a target
+    rate — below 1 downsamples (keep iff hash bucket < rate·buckets, the
+    split_expr discipline), above 1 upsamples by integer replication plus
+    a hash-gated fractional copy (rate 2.3 → every doc twice, and a 30%
+    deterministic subset a third time). The per-source reweighting every
+    pretraining mix ships (source-balanced corpora à la The Pile /
+    Dolma), with reproducibility under corpus append — no randomSplit,
+    no state.
+
+    Output = input rows replicated with an ``epoch`` column (0-based copy
+    index) so downstream packing can interleave copies. Pure narrow map
+    (explode of a per-row literal sequence) — no shuffle.
+    """
+    bucket = portable_hash(seed, F.col(id_col).cast("string")) % F.lit(buckets)
+    n_copies: Column | None = None
+    for src, rate in rates.items():
+        whole = int(rate)
+        frac_bound = int(round((rate - whole) * buckets))
+        copies = F.lit(whole) + (bucket < F.lit(frac_bound)).cast("int")
+        cond = F.col(source_col) == src
+        n_copies = (
+            F.when(cond, copies)
+            if n_copies is None
+            else n_copies.when(cond, copies)
+        )
+    d_whole = int(default_rate)
+    d_frac = int(round((default_rate - d_whole) * buckets))
+    default_copies = F.lit(d_whole) + (bucket < F.lit(d_frac)).cast("int")
+    n_copies = (
+        default_copies if n_copies is None else n_copies.otherwise(default_copies)
+    )
+    out = df.withColumn("_copies", n_copies).filter(F.col("_copies") > 0)
+    return out.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias("epoch")
+    ).drop("_copies")

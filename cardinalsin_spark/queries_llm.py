@@ -2106,7 +2106,44 @@ FROM starts
 """
 
 
+_MIX_RATES = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+
+
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling (The Pile / Dolma-style
+    source reweighting): src0 upsampled 2.5×, src1 downsampled to 40%,
+    src2 dropped, everything else kept at 1× — integer replication plus
+    hash-gated fractional copies, reproducible under corpus append
+    (operators.sampling.mixture_sample)."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    out = smp.mixture_sample(_docs(spark, sf_dir), _MIX_RATES)
+    return out.select("doc_id", "source", "epoch")
+
+
+SQL_DOCS_MIXTURE_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         {_sql_hash("13", "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, source,
+         CASE source
+           WHEN 'src0' THEN 2 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+           WHEN 'src1' THEN 0 + CASE WHEN b < 4000 THEN 1 ELSE 0 END
+           WHEN 'src2' THEN 0
+           ELSE 1 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source, CAST(unnest(generate_series(0, n_copies - 1)) AS INT)
+         AS epoch
+FROM copies WHERE n_copies > 0
+"""
+
+
 REGISTRY_LLM = {
+    "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
     "docs_cms_heavy_hitters": (

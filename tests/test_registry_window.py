@@ -38,6 +38,9 @@ WINDOW_EXCEPTIONS = {
     # shuffle-free tokenize→sequence→explode→slice; the windowed
     # docs_pack_shards pins the offsets/packing machinery it feeds
     "docs_chunk_windows": "docs_pack_shards",
+    # hash-bucket gating shared with the windowed docs_split_assign /
+    # docs_stratified_sample samplers
+    "docs_mixture_sample": "docs_split_assign",
 }
 
 
