@@ -2516,6 +2516,42 @@ ORDER BY bucket, event_type
 """
 
 
+def q_ts_topk_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (PromQL `topk(3, ...) by (event_type)` semantics):
+    the 3 highest-spending users within EACH event type — k per group,
+    not a global limit (the reference degrades topk to an unlimited
+    aggregation, api/query/prometheus_api.rs:757). One aggregation +
+    one group-keyed window; Spark pushes rank<=3 down as a group-limit."""
+    from cardinalsin_spark.operators.timeseries import topk_per_group
+
+    ev = _events_cents(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return topk_per_group(
+        totals,
+        k=3,
+        group_cols=["event_type"],
+        value_col="total_cents",
+        tiebreak=["user_id"],
+    )
+
+
+SQL_TS_TOPK_BY = f"""
+SELECT event_type, user_id, total_cents FROM (
+  SELECT event_type, user_id, total_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_cents DESC, user_id) AS rn
+  FROM (
+    SELECT event_type, user_id,
+           CAST(sum({_sql_cents('value')}) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rn <= 3
+ORDER BY event_type, total_cents DESC, user_id
+"""
+
+
 def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top-supplier shape: per-supplier revenue over a quarter,
     keep the supplier(s) achieving the GLOBAL max (uncorrelated scalar
@@ -3223,6 +3259,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
     "tpch_q17ish": (q_tpch_q17ish, SQL_TPCH_Q17ISH),
     "ts_moving_avg": (q_ts_moving_avg, SQL_TS_MOVING_AVG),

@@ -2142,7 +2142,38 @@ FROM copies WHERE n_copies > 0
 """
 
 
+def q_docs_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search served from the inverted posting table
+    (operators.index): docs containing ALL of {hash, join, spark}, top-20
+    by summed tf. The execution-altering index use the reference's
+    adaptive recommender imagines but never ships (SURVEY §2.13)."""
+    from cardinalsin_spark.operators import index as ix
+
+    postings = ix.build_inverted_index(_docs(spark, sf_dir))
+    return ix.search_all_terms(postings, ["hash", "join", "spark"], k=20)
+
+
+SQL_DOCS_SEARCH_AND = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS t FROM documents)
+  WHERE t != ''
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms_hit,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM postings WHERE term IN ('hash', 'join', 'spark')
+GROUP BY 1 HAVING n_terms_hit = 3
+ORDER BY total_tf DESC, doc_id LIMIT 20
+"""
+
+
 REGISTRY_LLM = {
+    "docs_search_and": (q_docs_search_and, SQL_DOCS_SEARCH_AND),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),

@@ -41,6 +41,9 @@ WINDOW_EXCEPTIONS = {
     # hash-bucket gating shared with the windowed docs_split_assign /
     # docs_stratified_sample samplers
     "docs_mixture_sample": "docs_split_assign",
+    # explode → posting aggregation → filtered agg: machinery pinned by
+    # the windowed docs_rare_words corpus-stat path
+    "docs_search_and": "docs_rare_words",
 }
 
 
