@@ -1134,3 +1134,49 @@ def rate_extrapolated(
         )
         .orderBy("bucket", cols.name, *series)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Binned range join on interval OVERLAP (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``).
+
+    Spark plans a pure inequality join as BroadcastNestedLoopJoin —
+    quadratic, the one join shape that cannot survive 100 TB. The classic
+    fix: explode each interval over the time bins it touches, EQUI-join on
+    the bin (hash join, shuffle bounded by bins touched), then apply the
+    exact overlap predicate as a residual. A pair sharing k bins would
+    surface k times; instead of a distinct shuffle, the pair is emitted
+    only at its FIRST shared bin — ``bin == max(l_bin_lo, r_bin_lo)``, the
+    same first-match rule as the SimHash band join. Bin width trades
+    explode factor against bucket collision width; intervals are expected
+    ≪ bin count apart (sessions, incidents, maintenance windows).
+    """
+    factor = bin_seconds * 1_000_000
+
+    def _binned(df: DataFrame, s: str, e: str, lo: str) -> DataFrame:
+        # integer `div`, never float `/`: a double quotient landing an ulp
+        # under the exact bin index would truncate into the previous bin
+        lo_bin = F.expr(f"unix_micros({s}) div {factor}")
+        hi_bin = F.expr(f"unix_micros({e}) div {factor}")
+        return df.withColumn(lo, lo_bin).withColumn(
+            "_bin", F.explode(F.sequence(lo_bin, hi_bin))
+        )
+
+    lb = _binned(left, l_start, l_end, "_l_lo")
+    rb = _binned(right, r_start, r_end, "_r_lo")
+    return (
+        lb.join(rb, "_bin")
+        .filter(F.col("_bin") == F.greatest(F.col("_l_lo"), F.col("_r_lo")))
+        .filter(
+            (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("_bin", "_l_lo", "_r_lo")
+    )

@@ -2516,6 +2516,92 @@ ORDER BY bucket, event_type
 """
 
 
+def q_ts_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join on interval overlap: user sessions (2h-gap sessionize)
+    × error-spike incident windows (hours with ≥3 error events), counting
+    incidents each session overlaps. Executed as the BINNED range join
+    (operators.timeseries.interval_overlap_join) — explode to hour bins,
+    equi-join, first-shared-bin dedup, exact residual — because Spark
+    plans a raw inequality join as a nested-loop product (plan-tested
+    here); the DuckDB oracle uses the plain overlap predicate, proving
+    the binned plan is semantics-preserving."""
+    from cardinalsin_spark.operators.timeseries import (
+        interval_overlap_join,
+        sessionize,
+    )
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(
+        ev, 7200, key_cols=["user_id"], cols=EV, order_tiebreak=["event_id"]
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(time_bucket(F.col("ts"), 3600).alias("inc_start"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select(
+            "inc_start",
+            F.timestamp_micros(
+                F.unix_micros(F.col("inc_start")) + F.lit(3_599_999_999)
+            ).alias("inc_end"),
+        )
+    )
+    overlaps = interval_overlap_join(
+        sessions,
+        incidents,
+        "session_start",
+        "session_end",
+        "inc_start",
+        "inc_end",
+        bin_seconds=3600,
+    )
+    return (
+        overlaps.groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_incidents"))
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_TS_SESSION_INCIDENTS = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 7200000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_idx
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY 1, 2
+),
+incidents AS (
+  SELECT bucket AS inc_start,
+         bucket + INTERVAL 3600 SECOND - INTERVAL 1 MICROSECOND AS inc_end
+  FROM (
+    SELECT {_sql_bucket(3600)} AS bucket, count(*) AS n
+    FROM events WHERE event_type = 'error' GROUP BY 1
+  ) WHERE n >= 3
+)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_incidents
+FROM sessions s JOIN incidents i
+  ON s.session_start <= i.inc_end AND i.inc_start <= s.session_end
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ts_topk_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (PromQL `topk(3, ...) by (event_type)` semantics):
     the 3 highest-spending users within EACH event type — k per group,
@@ -3259,6 +3345,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
     "tpch_q17ish": (q_tpch_q17ish, SQL_TPCH_Q17ISH),

@@ -314,3 +314,12 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 4, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_interval_overlap_join_is_binned_hash_join(spark, sf_dir):
+    """The session×incident range join must execute as the binned
+    EQUI-join — no nested-loop/cartesian node (what a raw inequality
+    join would plan as)."""
+    plan = plan_string(_df(spark, sf_dir, "ts_session_incidents"), "simple")
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
