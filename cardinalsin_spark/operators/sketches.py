@@ -244,3 +244,78 @@ SELECT term, least({least}) AS cms_est, exact_count
 FROM probe
 {joins}
 """
+
+
+def hll_overlap_estimate(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    a_label: str,
+    b_label: str,
+    p: int = 5,
+    seed: str = "hll",
+) -> DataFrame:
+    """Set-operation cardinality estimates from ONE pass of HLL registers:
+    |A|, |B| from each split's registers, |A∪B| from the max-merged
+    registers (HLL's defining mergeability), |A∩B| by inclusion-exclusion
+    (a + b − union; can undershoot to negative at small overlaps — emitted
+    raw, the standard caveat). The sketch answer to "how much does train
+    leak into test" WITHOUT joining the two sides — register state is
+    2·2^p longs however large the corpus.
+
+    Output: 1 row — (n_est_a, n_est_b, n_est_union, n_est_intersection).
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    mask = (1 << w_bits) - 1
+    numerator = _alpha(m) * m * m * float(1 << (w_bits + 1))
+    empty_reg = 1 << (w_bits + 1)
+
+    hashed = df.select(
+        F.col(split_col).alias("_split"),
+        hash60(seed, value_col).alias("_h"),
+    ).filter(F.col("_split").isin(a_label, b_label))
+    rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1
+    )
+    regs = (
+        hashed.withColumn("_b", F.shiftright(F.col("_h"), w_bits))
+        .withColumn("_w", F.col("_h").bitwiseAND(F.lit(mask)))
+        .withColumn("_rho", rho)
+        .groupBy("_split", "_b")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+    def _est() -> "F.Column":
+        return F.lit(numerator) / (
+            F.col("_s") + (F.lit(m) - F.col("_hits")) * F.lit(empty_reg)
+        ).cast("double")
+
+    sum_expr = F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - r))")
+    per_split = (
+        regs.groupBy("_split")
+        .agg(sum_expr.alias("_s"), F.count(F.lit(1)).alias("_hits"))
+        .select("_split", _est().alias("_est"))
+    )
+    union_est = (
+        regs.groupBy("_b")
+        .agg(F.max("r").alias("r"))
+        .agg(sum_expr.alias("_s"), F.count(F.lit(1)).alias("_hits"))
+        .select(_est().alias("n_est_union"))
+    )
+    pivoted = per_split.agg(
+        F.max(F.when(F.col("_split") == a_label, F.col("_est"))).alias(
+            "n_est_a"
+        ),
+        F.max(F.when(F.col("_split") == b_label, F.col("_est"))).alias(
+            "n_est_b"
+        ),
+    )
+    return pivoted.crossJoin(F.broadcast(union_est)).select(
+        "n_est_a",
+        "n_est_b",
+        "n_est_union",
+        (
+            (F.col("n_est_a") + F.col("n_est_b")) - F.col("n_est_union")
+        ).alias("n_est_intersection"),
+    )

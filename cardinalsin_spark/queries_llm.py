@@ -2035,6 +2035,79 @@ def _sql_hll() -> str:
 SQL_DOCS_HLL_DISTINCT = _sql_hll()
 
 
+def q_docs_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test fingerprint-overlap estimate from merged HLL registers
+    (|A|, |B| per split; |A∪B| from register max-merge; |A∩B| by
+    inclusion-exclusion) — the sketch answer to "how much does train leak
+    into test" with 2·2^p longs of state and NO cross-split join
+    (operators.sketches.hll_overlap_estimate). Split assignment is the
+    deterministic hash splitter the corpus actually uses."""
+    from cardinalsin_spark.operators import sampling as smp
+    from cardinalsin_spark.operators import sketches as sk
+    from cardinalsin_spark.operators.text import fingerprint
+
+    fps = _docs(spark, sf_dir).select(
+        fingerprint("text").alias("fp"),
+        smp.split_expr(weights={"a": 0.5, "b": 0.5}).alias("split"),
+    )
+    return sk.hll_overlap_estimate(fps, "fp", "split", "a", "b", p=5)
+
+
+def _sql_hll_overlap() -> str:
+    from cardinalsin_spark.operators import sketches as sk
+
+    p, seed = 5, "hll"
+    m = 1 << p
+    w_bits = 60 - p
+    mask = (1 << w_bits) - 1
+    numerator = sk._alpha(m) * m * m * float(1 << (w_bits + 1))
+    empty = 1 << (w_bits + 1)
+    est = (
+        f"{numerator!r} / CAST(_s + ({m} - _hits) * {empty} AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+  SELECT CASE WHEN {_sql_hash("'42'", "CAST(doc_id AS VARCHAR)")} % 10000
+              < 5000 THEN 'a' ELSE 'b' END AS _split,
+         {sk.sql_hash60(seed, f"md5({_SQL_NORM})")} AS _h
+  FROM documents
+),
+b AS (
+  SELECT _split, _h >> {w_bits} AS _b, _h & {mask} AS _w FROM h
+),
+r AS (
+  SELECT _split, _b,
+         max(CASE WHEN _w = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(_w)) + 1 END) AS r
+  FROM b GROUP BY 1, 2
+),
+per_split AS (
+  SELECT _split,
+         CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - r)) AS BIGINT) AS _s,
+         CAST(count(*) AS BIGINT) AS _hits
+  FROM r GROUP BY 1
+),
+est AS (SELECT _split, {est} AS _est FROM per_split),
+u AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - r)) AS BIGINT) AS _s,
+         CAST(count(*) AS BIGINT) AS _hits
+  FROM (SELECT _b, max(r) AS r FROM r GROUP BY 1)
+),
+uest AS (SELECT {est} AS n_est_union FROM u),
+piv AS (
+  SELECT max(CASE WHEN _split = 'a' THEN _est END) AS n_est_a,
+         max(CASE WHEN _split = 'b' THEN _est END) AS n_est_b
+  FROM est
+)
+SELECT n_est_a, n_est_b, n_est_union,
+       (n_est_a + n_est_b) - n_est_union AS n_est_intersection
+FROM piv, uest
+"""
+
+
+SQL_DOCS_HLL_OVERLAP = _sql_hll_overlap()
+
+
 def q_docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus terms by Count-Min-Sketch estimate (d=3 rows × w=64
     counters, md5 hashing; operators.sketches.cms_estimates): the counter
@@ -2177,6 +2250,7 @@ REGISTRY_LLM = {
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
+    "docs_hll_overlap": (q_docs_hll_overlap, SQL_DOCS_HLL_OVERLAP),
     "docs_cms_heavy_hitters": (
         q_docs_cms_heavy_hitters,
         SQL_DOCS_CMS_HEAVY_HITTERS,

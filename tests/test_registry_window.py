@@ -34,6 +34,7 @@ WINDOW_EXCEPTIONS = {
     # explode → hash-bucket aggregation over constant-size sketch state;
     # the windowed docs_rare_words pins the explode+corpus-stat machinery
     "docs_hll_distinct": "docs_rare_words",
+    "docs_hll_overlap": "docs_rare_words",
     "docs_cms_heavy_hitters": "docs_rare_words",
     # shuffle-free tokenize→sequence→explode→slice; the windowed
     # docs_pack_shards pins the offsets/packing machinery it feeds
