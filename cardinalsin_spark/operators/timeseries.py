@@ -1180,3 +1180,57 @@ def interval_overlap_join(
         )
         .drop("_bin", "_l_lo", "_r_lo")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Time-weighted average per (bucket, series) over irregular samples —
+    LOCF integral semantics (TimescaleDB ``time_weight('LOCF')``): each
+    sample's value holds until the next sample in the bucket, the last
+    one until the bucket end; the average is the integral divided by the
+    covered span (first sample → bucket end). Plain AVG over-weights
+    burst samples; this is the correct resampling for irregular series.
+
+    Exact arithmetic: weights are µs int64 deltas, the integral is
+    Σ value_cents·Δµs (≲ 10⁵·3.6·10⁹ per hour bucket — far inside int64),
+    ONE float division at the end. One lead-window + one aggregation on a
+    shared (series, bucket) shuffle.
+    """
+    key = series if series is not None else [cols.name]
+    us = F.unix_micros(F.col(cols.ts))
+    bucket_us = bucket_seconds * 1_000_000
+    b = F.expr(f"unix_micros({cols.ts}) div {bucket_us}")
+    w = Window.partitionBy(*key, "_b").orderBy(cols.ts, cols.value)
+    staged = (
+        df.withColumn("_b", b)
+        .withColumn("_us", us)
+        .withColumn(
+            "_next_us",
+            F.coalesce(
+                F.lead("_us").over(w), (F.col("_b") + 1) * F.lit(bucket_us)
+            ),
+        )
+    )
+    vc = F.col(cols.value)
+    return (
+        staged.groupBy(*key, "_b")
+        .agg(
+            F.sum(vc * (F.col("_next_us") - F.col("_us"))).alias("_integral"),
+            F.min("_us").alias("_first_us"),
+        )
+        .select(
+            *key,
+            F.timestamp_micros(F.col("_b") * F.lit(bucket_us)).alias(
+                "time_bucket"
+            ),
+            (
+                F.col("_integral").cast("double")
+                / ((F.col("_b") + 1) * F.lit(bucket_us) - F.col("_first_us"))
+            ).alias("twa"),
+        )
+        .orderBy("time_bucket", *key)
+    )

@@ -2516,6 +2516,41 @@ ORDER BY bucket, event_type
 """
 
 
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per (event_type, day) — TimescaleDB's
+    ``time_weight('LOCF')`` resampling for irregular series (plain AVG
+    over-weights bursts). Integral in exact cents·µs int64, one float
+    division per row (operators.timeseries.time_weighted_avg)."""
+    from cardinalsin_spark.operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        _events_cents(spark, sf_dir), 86_400, cols=EV_CENTS
+    )
+
+
+SQL_TS_TIME_WEIGHTED_AVG = f"""
+WITH staged AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS _b,
+         epoch_us(ts) AS _us,
+         {_sql_cents('value')} AS vc,
+         coalesce(
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY event_type, epoch_us(ts) // 86400000000
+             ORDER BY ts, {_sql_cents('value')}),
+           (epoch_us(ts) // 86400000000 + 1) * 86400000000) AS _next_us
+  FROM events
+)
+SELECT event_type,
+       TIMESTAMP '1970-01-01'
+         + INTERVAL (CAST(_b * 86400 AS BIGINT)) SECOND AS time_bucket,
+       CAST(CAST(sum(vc * (_next_us - _us)) AS BIGINT) AS DOUBLE)
+         / ((_b + 1) * 86400000000 - min(_us)) AS twa
+FROM staged GROUP BY event_type, _b
+ORDER BY time_bucket, event_type
+"""
+
+
 def q_ts_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join on interval overlap: user sessions (2h-gap sessionize)
     × error-spike incident windows (hours with ≥3 error events), counting
@@ -3345,6 +3380,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_absent_over_time,
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
+    "ts_time_weighted_avg": (q_ts_time_weighted_avg, SQL_TS_TIME_WEIGHTED_AVG),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
