@@ -1234,3 +1234,99 @@ def time_weighted_avg(
         )
         .orderBy("time_bucket", *key)
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket_seconds: int,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+) -> DataFrame:
+    """Largest-Triangle downsampling, parallel-anchor variant: one
+    representative point per (series, bucket) — the sample maximizing the
+    triangle area against the NEIGHBOR BUCKET AVERAGES as anchors.
+
+    Classic LTTB (Steinarsson 2013) anchors on the previous bucket's
+    *selected* point, a sequential dependency that cannot fan out; the
+    standard parallel variant anchors both sides on bucket averages —
+    each bucket then selects independently (the same trade visualization
+    servers make). Area = |Δx₁·Δy₂ − Δx₂·Δy₁| on integer µs × cents with
+    the anchor means cleared of division (multiply through by the
+    neighbor counts), so the argmax is exact int64 arithmetic — no float
+    tie ambiguity; ties break on (ts, value) via max_by's struct compare.
+    Two window passes + one aggregation on a single (series, bucket)
+    shuffle plan.
+    """
+    key = series if series is not None else [cols.name]
+    bucket_us = bucket_seconds * 1_000_000
+    # x coordinates are BUCKET-RELATIVE µs (< bucket width): summing raw
+    # epoch µs would pass 2^63 at ~5000 samples/bucket. Neighbor-bucket
+    # sums are re-based onto the center bucket's origin with an exact
+    # (Δbucket · width · count) shift when consumed.
+    staged = (
+        df.withColumn("_b", F.expr(f"unix_micros({cols.ts}) div {bucket_us}"))
+        .withColumn(
+            "_us",
+            F.unix_micros(F.col(cols.ts)) - F.col("_b") * F.lit(bucket_us),
+        )
+        .withColumn("_vc", F.col(cols.value))
+    )
+    per_bucket = staged.groupBy(*key, "_b").agg(
+        F.sum("_us").alias("_sx"),
+        F.sum("_vc").alias("_sy"),
+        F.count(F.lit(1)).alias("_n"),
+        F.collect_list(F.struct("_us", "_vc")).alias("_pts"),
+    )
+    w = Window.partitionBy(*key).orderBy("_b")
+    shift_p = (F.lag("_b").over(w) - F.col("_b")) * F.lit(bucket_us)
+    shift_n = (F.lead("_b").over(w) - F.col("_b")) * F.lit(bucket_us)
+    anch = (
+        per_bucket.withColumn(
+            "_psx", F.lag("_sx").over(w) + shift_p * F.lag("_n").over(w)
+        )
+        .withColumn("_psy", F.lag("_sy").over(w))
+        .withColumn("_pn", F.lag("_n").over(w))
+        .withColumn(
+            "_nsx", F.lead("_sx").over(w) + shift_n * F.lead("_n").over(w)
+        )
+        .withColumn("_nsy", F.lead("_sy").over(w))
+        .withColumn("_nn", F.lead("_n").over(w))
+    )
+    # boundary buckets anchor on themselves (degenerate → first/last kept
+    # by the tiebreak)
+    anch = (
+        anch.withColumn("_pn", F.coalesce("_pn", "_n"))
+        .withColumn("_psx", F.coalesce("_psx", "_sx"))
+        .withColumn("_psy", F.coalesce("_psy", "_sy"))
+        .withColumn("_nn", F.coalesce("_nn", "_n"))
+        .withColumn("_nsx", F.coalesce("_nsx", "_sx"))
+        .withColumn("_nsy", F.coalesce("_nsy", "_sy"))
+    )
+    # For point (x, y): area ∝ |(x·pn − psx)·(nsy·pn − psy·nn)
+    #                          − (nsx·pn − psx·nn)·(y·pn − psy)| / (pn·nn)
+    # — DECIMAL(38,0) for the cross products (µs·cents·counts exceeds
+    # int64 once buckets hold thousands of samples).
+    pick = F.expr(
+        "max_by(struct(_us, _vc), struct("
+        "  abs((CAST(x._us AS DECIMAL(38,0)) * _pn - _psx)"
+        "        * (CAST(_nsy AS DECIMAL(38,0)) * _pn - CAST(_psy AS DECIMAL(38,0)) * _nn)"
+        "      - (CAST(_nsx AS DECIMAL(38,0)) * _pn - CAST(_psx AS DECIMAL(38,0)) * _nn)"
+        "        * (CAST(x._vc AS DECIMAL(38,0)) * _pn - _psy)),"
+        "  x._us, x._vc))"
+    )
+    exploded = anch.select(
+        *key, "_b", "_pn", "_psx", "_psy", "_nn", "_nsx", "_nsy",
+        F.explode("_pts").alias("x"),
+    ).selectExpr("*", "x._us AS _us", "x._vc AS _vc")
+    return (
+        exploded.groupBy(*key, "_b")
+        .agg(pick.alias("_sel"))
+        .select(
+            *key,
+            F.timestamp_micros(
+                F.col("_b") * F.lit(bucket_us) + F.col("_sel._us")
+            ).alias(cols.ts),
+            F.col("_sel._vc").alias(cols.value),
+        )
+        .orderBy(cols.ts, *key)
+    )

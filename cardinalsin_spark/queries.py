@@ -2551,6 +2551,67 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling (parallel-anchor variant of
+    Steinarsson's LTTB): one chart-representative point per
+    (event_type, hour), areas on exact integer µs×cents cross products
+    (operators.timeseries.lttb_downsample)."""
+    from cardinalsin_spark.operators.timeseries import lttb_downsample
+
+    return lttb_downsample(_events_cents(spark, sf_dir), 3_600, cols=EV_CENTS)
+
+
+SQL_TS_LTTB = f"""
+WITH staged AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS _b,
+         epoch_us(ts) % 3600000000 AS _us,
+         {_sql_cents('value')} AS _vc
+  FROM events
+),
+pb AS (
+  SELECT event_type, _b,
+         CAST(sum(_us) AS BIGINT) AS _sx,
+         CAST(sum(_vc) AS BIGINT) AS _sy,
+         CAST(count(*) AS BIGINT) AS _n
+  FROM staged GROUP BY 1, 2
+),
+anch AS (
+  SELECT event_type, _b, _sx, _sy, _n,
+    coalesce(lag(_sx) OVER w
+             + (lag(_b) OVER w - _b) * 3600000000 * lag(_n) OVER w,
+             _sx) AS _psx,
+    coalesce(lag(_sy) OVER w, _sy) AS _psy,
+    coalesce(lag(_n) OVER w, _n) AS _pn,
+    coalesce(lead(_sx) OVER w
+             + (lead(_b) OVER w - _b) * 3600000000 * lead(_n) OVER w,
+             _sx) AS _nsx,
+    coalesce(lead(_sy) OVER w, _sy) AS _nsy,
+    coalesce(lead(_n) OVER w, _n) AS _nn
+  FROM pb WINDOW w AS (PARTITION BY event_type ORDER BY _b)
+),
+scored AS (
+  SELECT s.event_type, s._b, s._us, s._vc,
+         abs( (CAST(s._us AS HUGEINT) * a._pn - a._psx)
+              * (CAST(a._nsy AS HUGEINT) * a._pn
+                 - CAST(a._psy AS HUGEINT) * a._nn)
+            - (CAST(a._nsx AS HUGEINT) * a._pn
+               - CAST(a._psx AS HUGEINT) * a._nn)
+              * (CAST(s._vc AS HUGEINT) * a._pn - a._psy) ) AS area
+  FROM staged s JOIN anch a ON s.event_type = a.event_type AND s._b = a._b
+)
+SELECT event_type, make_timestamp(_b * 3600000000 + _us) AS ts,
+       _vc AS value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, _b
+    ORDER BY area DESC, _us DESC, _vc DESC) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY ts, event_type
+"""
+
+
 def q_ts_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join on interval overlap: user sessions (2h-gap sessionize)
     × error-spike incident windows (hours with ≥3 error events), counting
@@ -3381,6 +3442,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PROMQL_ABSENT_OVER_TIME,
     ),
     "ts_time_weighted_avg": (q_ts_time_weighted_avg, SQL_TS_TIME_WEIGHTED_AVG),
+    "ts_lttb": (q_ts_lttb, SQL_TS_LTTB),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
