@@ -2551,6 +2551,57 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per (event_type, day): the robust outlier
+    scale measure (`mad_over_time` in recent PromQL; z-score's breakdown-
+    resistant sibling). Two-level exact percentile on the cents grid —
+    median per group, broadcast-joined back (group count is small; at
+    high cardinality the join shuffles on the same key as the reagg so
+    AQE co-locates), then median of |v − med|. Interpolation on even
+    counts is a single (a+b)/2 float op — deterministic, matching
+    DuckDB's percentile_cont exactly (same contract promql_quantile
+    pins)."""
+    ev = _events_cents(spark, sf_dir)
+    day = time_bucket(F.col("ts"), 86_400)
+    base = ev.select(
+        day.alias("day"), "event_type", F.col("value_cents").alias("vc")
+    )
+    med = base.groupBy("day", "event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med")
+    )
+    return (
+        base.join(med, ["day", "event_type"])
+        .groupBy("day", "event_type")
+        .agg(
+            (F.expr("percentile(abs(vc - med), 0.5)") / F.lit(100.0)).alias(
+                "mad"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_TS_MAD = f"""
+WITH base AS (
+  SELECT {_sql_bucket(86400)} AS day, event_type,
+         {_sql_cents('value')} AS vc
+  FROM events
+),
+med AS (
+  SELECT day, event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY vc)
+           AS med
+  FROM base GROUP BY 1, 2
+)
+SELECT b.day, b.event_type,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(b.vc - m.med)) / 100.0
+         AS mad,
+       CAST(count(*) AS BIGINT) AS n
+FROM base b JOIN med m ON b.day = m.day AND b.event_type = m.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle downsampling (parallel-anchor variant of
     Steinarsson's LTTB): one chart-representative point per
@@ -3443,6 +3494,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "ts_time_weighted_avg": (q_ts_time_weighted_avg, SQL_TS_TIME_WEIGHTED_AVG),
     "ts_lttb": (q_ts_lttb, SQL_TS_LTTB),
+    "ts_mad": (q_ts_mad, SQL_TS_MAD),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
