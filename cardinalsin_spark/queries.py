@@ -2551,6 +2551,65 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multi-window burn rate (the Google SRE workbook alert shape):
+    per hour, the error fraction over the FULL hour and over the hour's
+    LAST 5 MINUTES — both from ONE conditional aggregation pass (no self-
+    join of two rate queries; the short window is a CASE on the µs offset
+    within the hour). Integer counts, two final divisions; hours with an
+    empty short window emit NULL short_ratio (no fabricated zero)."""
+    ev = _events(spark, sf_dir)
+    off_us = F.unix_micros(F.col("ts")) % F.lit(3_600_000_000)
+    in_short = off_us >= F.lit(3_300_000_000)
+    is_err = F.col("event_type") == "error"
+    agg = (
+        ev.select(
+            time_bucket(F.col("ts"), 3600).alias("hour"),
+            is_err.cast("long").alias("err"),
+            in_short.cast("long").alias("short"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.sum("err").alias("err_n"),
+            F.count(F.lit(1)).alias("tot_n"),
+            F.sum(F.col("err") * F.col("short")).alias("err_s"),
+            F.sum("short").alias("tot_s"),
+        )
+    )
+    return agg.select(
+        "hour",
+        (F.col("err_n").cast("double") / F.col("tot_n")).alias("long_ratio"),
+        F.when(
+            F.col("tot_s") > 0,
+            F.col("err_s").cast("double") / F.col("tot_s"),
+        ).alias("short_ratio"),
+        "err_n",
+        "tot_n",
+        "tot_s",
+    ).orderBy("hour")
+
+
+SQL_TS_BURN_RATE = f"""
+SELECT hour,
+       CAST(err_n AS DOUBLE) / tot_n AS long_ratio,
+       CASE WHEN tot_s > 0 THEN CAST(err_s AS DOUBLE) / tot_s END
+         AS short_ratio,
+       err_n, tot_n, tot_s
+FROM (
+  SELECT {_sql_bucket(3600)} AS hour,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err_n,
+         CAST(count(*) AS BIGINT) AS tot_n,
+         CAST(sum(CASE WHEN event_type = 'error'
+                   AND epoch_us(ts) % 3600000000 >= 3300000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS err_s,
+         CAST(sum(CASE WHEN epoch_us(ts) % 3600000000 >= 3300000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tot_s
+  FROM events GROUP BY 1
+) ORDER BY hour
+"""
+
+
 def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per (event_type, day): the robust outlier
     scale measure (`mad_over_time` in recent PromQL; z-score's breakdown-
@@ -3495,6 +3554,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_time_weighted_avg": (q_ts_time_weighted_avg, SQL_TS_TIME_WEIGHTED_AVG),
     "ts_lttb": (q_ts_lttb, SQL_TS_LTTB),
     "ts_mad": (q_ts_mad, SQL_TS_MAD),
+    "ts_burn_rate": (q_ts_burn_rate, SQL_TS_BURN_RATE),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
