@@ -800,6 +800,60 @@ ginter AS (
 )
 """
 
+def q_docs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification tier over the MinHash-LSH candidate pairs:
+    exact edit distance (JVM built-in integer DP — identical in DuckDB)
+    plus the normalized similarity 1 − d/max(len). O(len²) per pair is
+    affordable precisely BECAUSE the candidate set is LSH-bounded — the
+    all-pairs form would be the textbook scale-killer."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tx.normalize_text("text").alias("_nt")
+    )
+    cands = _minhash_sims(spark, sf_dir).select("id_a", "id_b")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("_nt").alias("_ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("_nt").alias("_tb")
+    )
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            d.cast("long").alias("dist"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+            (
+                F.lit(1.0)
+                - d.cast("double")
+                / F.greatest(F.length("_ta"), F.length("_tb"))
+            ).alias("sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_DOCS_EDIT_DISTANCE = (
+    _sql_minhash_cte()
+    + f"""
+, nt AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(na.t, nb.t) AS BIGINT) AS dist,
+       CAST(length(na.t) AS BIGINT) AS len_a,
+       CAST(length(nb.t) AS BIGINT) AS len_b,
+       1.0 - CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+               / greatest(length(na.t), length(nb.t)) AS sim
+FROM cand c
+JOIN nt na ON na.doc_id = c.id_a
+JOIN nt nb ON nb.doc_id = c.id_b
+ORDER BY 1, 2
+"""
+)
+
+
 SQL_DOCS_NGRAM_JACCARD = (
     _sql_minhash_cte()
     + _SQL_GRAMS
@@ -2247,6 +2301,7 @@ ORDER BY total_tf DESC, doc_id LIMIT 20
 
 REGISTRY_LLM = {
     "docs_search_and": (q_docs_search_and, SQL_DOCS_SEARCH_AND),
+    "docs_edit_distance": (q_docs_edit_distance, SQL_DOCS_EDIT_DISTANCE),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),

@@ -45,6 +45,9 @@ WINDOW_EXCEPTIONS = {
     # explode → posting aggregation → filtered agg: machinery pinned by
     # the windowed docs_rare_words corpus-stat path
     "docs_search_and": "docs_rare_words",
+    # candidate-bounded pair verification over the shared dedup index —
+    # the windowed docs_minhash_pairs/docs_ngram_jaccard machinery
+    "docs_edit_distance": "docs_minhash_pairs",
 }
 
 
