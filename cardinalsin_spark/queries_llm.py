@@ -389,6 +389,63 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
 )
 
 
+def q_docs_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup AUDIT view every corpus
+    release ships (how many size-2 clusters, how many giant templates):
+    connected components over the ≥0.6-Jaccard graph, sizes, histogram,
+    singletons appended as (total − graph nodes) via 1-row broadcast
+    aggregates (never collected)."""
+    sims = _minhash_sims(spark, sf_dir)
+    edges = sims.filter(F.col("jaccard") >= 0.6).select("id_a", "id_b")
+    comp = dd.connected_components(edges)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_total = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("_t"))
+    n_graph = comp.agg(F.count(F.lit(1)).alias("_g"))
+    singletons = n_total.crossJoin(F.broadcast(n_graph)).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("_t") - F.col("_g")).alias("n_clusters"),
+    )
+    return hist.unionByName(singletons).orderBy("cluster_size")
+
+
+SQL_DOCS_DUP_CLUSTER_STATS = (
+    _sql_minhash_cte().replace("WITH shingled", "WITH RECURSIVE shingled", 1)
+    + """
+, sims AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b, id_a FROM sims WHERE jaccard >= 0.6
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM bi
+  UNION
+  SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+csz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY comp),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM csz GROUP BY 1),
+sng AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters)
+SELECT * FROM hist UNION ALL SELECT * FROM sng ORDER BY cluster_size
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -2302,6 +2359,10 @@ ORDER BY total_tf DESC, doc_id LIMIT 20
 REGISTRY_LLM = {
     "docs_search_and": (q_docs_search_and, SQL_DOCS_SEARCH_AND),
     "docs_edit_distance": (q_docs_edit_distance, SQL_DOCS_EDIT_DISTANCE),
+    "docs_dup_cluster_stats": (
+        q_docs_dup_cluster_stats,
+        SQL_DOCS_DUP_CLUSTER_STATS,
+    ),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),

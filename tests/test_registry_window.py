@@ -48,6 +48,9 @@ WINDOW_EXCEPTIONS = {
     # candidate-bounded pair verification over the shared dedup index —
     # the windowed docs_minhash_pairs/docs_ngram_jaccard machinery
     "docs_edit_distance": "docs_minhash_pairs",
+    # CC + aggregate over the shared index; windowed docs_near_dedup_cc
+    # pins the component machinery
+    "docs_dup_cluster_stats": "docs_near_dedup_cc",
 }
 
 
