@@ -2551,6 +2551,33 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`present_over_time(purchase[3600s])`: 1 per grid bucket holding any
+    matching sample — absent_over_time's positive complement, evaluated
+    per series (one groupBy, min(1) literal)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "present_over_time(purchase[3600s])",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1704240000.0,    # 2024-01-03
+        step_s=3600,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_PRESENT_OVER_TIME = f"""
+SELECT {_sql_bucket(3600)} AS time_bucket, event_type,
+       CAST(1 AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def q_ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRE multi-window burn rate (the Google SRE workbook alert shape):
     per hour, the error fraction over the FULL hour and over the hour's
@@ -3555,6 +3582,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_lttb": (q_ts_lttb, SQL_TS_LTTB),
     "ts_mad": (q_ts_mad, SQL_TS_MAD),
     "ts_burn_rate": (q_ts_burn_rate, SQL_TS_BURN_RATE),
+    "promql_present_over_time": (
+        q_promql_present_over_time,
+        SQL_PROMQL_PRESENT_OVER_TIME,
+    ),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
