@@ -67,3 +67,67 @@ def test_hll_merge_property(spark, sf_dir):
     reshuffled = sk.hll_distinct(fps.repartition(7, "fp"), "fp", p=5).collect()[0]
     assert whole.n_distinct_est == reshuffled.n_distinct_est
     assert whole.n_registers_hit == reshuffled.n_registers_hit
+
+
+def test_hll_matches_python_model(spark):
+    """Spark HLL vs an independent pure-Python replay (hashlib md5, integer
+    rho) on a seeded random corpus — three implementations (Spark SQL,
+    DuckDB oracle, Python) must agree bit-for-bit."""
+    import hashlib
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(0)
+    vals = [f"v{rng.randrange(10_000)}" for _ in range(500)]
+    p, seed = 5, "hll"
+    m, w_bits = 1 << p, 60 - p
+    mask = (1 << w_bits) - 1
+    regs = [0] * m
+    for v in vals:
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+        b, w = h >> w_bits, h & mask
+        rho = (w_bits + 1) if w == 0 else w_bits - w.bit_length() + 1
+        regs[b] = max(regs[b], rho)
+    s = sum(1 << (w_bits + 1 - r) for r in regs)
+    expected = (sk._alpha(m) * m * m * float(1 << (w_bits + 1))) / float(s)
+
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    row = sk.hll_distinct(df, "v", p=p).collect()[0]
+    assert row.n_distinct_est == expected
+    assert row.n_registers_hit == sum(1 for r in regs if r > 0)
+    assert row.n_distinct_exact == len(set(vals))
+
+
+def test_cms_matches_python_model(spark):
+    """Spark CMS vs a pure-Python counter replay on the same corpus."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    rng = random.Random(1)
+    vals = [f"t{rng.randrange(40)}" for _ in range(800)]
+    depth, width, seed = 3, 64, "cms"
+    counters = [[0] * width for _ in range(depth)]
+    buckets = {}
+    for v in vals:
+        bs = []
+        for i in range(depth):
+            h = int(
+                hashlib.md5(f"{seed}{i}:{v}".encode()).hexdigest()[:15], 16
+            )
+            bs.append(h % width)
+            counters[i][bs[-1]] += 1
+        buckets[v] = bs
+    exact = Counter(vals)
+    df = spark.createDataFrame([Row(term=v) for v in vals])
+    got = {
+        r.term: (r.cms_est, r.exact_count)
+        for r in sk.cms_estimates(df, "term").collect()
+    }
+    assert set(got) == set(exact)
+    for v, (est, ex) in got.items():
+        want = min(counters[i][buckets[v][i]] for i in range(depth))
+        assert (est, ex) == (want, exact[v]), v
