@@ -1330,3 +1330,49 @@ def lttb_downsample(
         )
         .orderBy(cols.ts, *key)
     )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    k_units: int,
+    h_units: int,
+    bucket_seconds: int = 86_400,
+    series: list[str] | None = None,
+    cols: MetricsCols = MetricsCols(),
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic per series, reported per
+    bucket: ``S_i = max(0, S_{i-1} + (v_i − k))``, alarm when S_i > h
+    (Page 1954 — the classic drift detector).
+
+    The recursion is eliminated with the reflection identity
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` where P is the running prefix
+    sum of (v − k): two stacked window functions on ONE series-keyed
+    shuffle — no sequential fold, no O(n²) array accumulator, linear at
+    any series length. All arithmetic is exact integer units; the
+    output is per (series, bucket): max CUSUM, alarm sample count, and
+    the bucket-final value.
+    """
+    key = series if series is not None else [cols.name]
+    order = [F.col(cols.ts)] + [F.col(t) for t in (tiebreak or [])]
+    w = Window.partitionBy(*key).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col(cols.value) - F.lit(k_units)
+    staged = (
+        df.withColumn("_p", F.sum(d).over(run))
+        .withColumn("_rmin", F.least(F.lit(0).cast("long"), F.min("_p").over(run)))
+        .withColumn("_s", F.col("_p") - F.col("_rmin"))
+    )
+    return (
+        staged.groupBy(
+            *key, time_bucket(cols.ts, bucket_seconds).alias("time_bucket")
+        )
+        .agg(
+            F.max("_s").alias("max_cusum"),
+            F.sum((F.col("_s") > F.lit(h_units)).cast("long")).alias("n_alarm"),
+            F.expr(f"max_by(_s, struct({cols.ts}"
+                   + ("".join(f", {t}" for t in (tiebreak or [])))
+                   + "))").alias("final_cusum"),
+        )
+        .orderBy("time_bucket", *key)
+    )

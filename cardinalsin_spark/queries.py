@@ -2551,6 +2551,47 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type (Page 1954), daily report:
+    target k = 55.00, alarm threshold h = 5000.00 (cents grid). The
+    sequential recursion is closed-formed into two stacked windows via
+    the reflection identity — see operators.timeseries.cusum_alarm."""
+    from cardinalsin_spark.operators.timeseries import cusum_alarm
+
+    return cusum_alarm(
+        _events_cents(spark, sf_dir),
+        k_units=5_500,
+        h_units=500_000,
+        bucket_seconds=86_400,
+        cols=EV_CENTS,
+        tiebreak=["event_id"],
+    )
+
+
+SQL_TS_CUSUM = f"""
+WITH staged AS (
+  SELECT event_type, ts, event_id,
+         sum({_sql_cents('value')} - 5500) OVER w AS _p
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, ts, event_id,
+         _p - least(CAST(0 AS BIGINT), min(_p) OVER w) AS _s
+  FROM staged
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, {_sql_bucket(86400)} AS time_bucket,
+       CAST(max(_s) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN _s > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm,
+       CAST(last(_s ORDER BY ts, event_id) AS BIGINT) AS final_cusum
+FROM s GROUP BY 1, 2 ORDER BY time_bucket, event_type
+"""
+
+
 def q_promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`present_over_time(purchase[3600s])`: 1 per grid bucket holding any
     matching sample — absent_over_time's positive complement, evaluated
@@ -3586,6 +3627,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_present_over_time,
         SQL_PROMQL_PRESENT_OVER_TIME,
     ),
+    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),

@@ -117,3 +117,40 @@ def test_interval_overlap_equals_bruteforce(spark):
         .collect()
     )
     assert got == brute and brute  # non-empty sanity
+
+
+def test_cusum_reflection_identity_matches_recursion(spark):
+    """The windowed closed form S_i = P_i − min(0, min P_j) must equal the
+    literal recursion S_i = max(0, S_{i-1} + d_i) replayed in Python."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.timeseries import MetricsCols, cusum_alarm
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3, -5, 10, 2, -20, 7, 7, 7, -1, 0, 40, -100, 5]
+    rows = [
+        Row(ts=t0 + dt.timedelta(hours=i), metric_name="m", value=v, eid=i)
+        for i, v in enumerate(vals)
+    ]
+    k, h = 2, 10
+    out = cusum_alarm(
+        spark.createDataFrame(rows),
+        k_units=k,
+        h_units=h,
+        bucket_seconds=86_400 * 365,
+        cols=MetricsCols(ts="ts", name="metric_name", value="value"),
+        tiebreak=["eid"],
+    ).collect()
+    s, mx, alarms = 0, 0, 0
+    for v in vals:
+        s = max(0, s + (v - k))
+        mx = max(mx, s)
+        alarms += int(s > h)
+    assert len(out) == 1
+    assert (out[0].max_cusum, out[0].n_alarm, out[0].final_cusum) == (
+        mx,
+        alarms,
+        s,
+    )
