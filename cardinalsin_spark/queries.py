@@ -2551,6 +2551,54 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market-share shape: a chosen nation's share of total
+    revenue per order-year — the share is a conditional-sum / sum ratio
+    inside ONE aggregation (no self-join of two revenue queries), on the
+    exact-cents grid with a single final division."""
+    t = {
+        n: _read(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "nation")
+    }
+    rev = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - cents(F.col("l_discount"))
+    )
+    is_target = F.col("n_name") == "NATION_3"
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(is_target, rev).otherwise(F.lit(0))).alias("_nat"),
+            F.sum(rev).alias("_tot"),
+        )
+        .select(
+            "o_year",
+            (F.col("_nat").cast("double") / F.col("_tot")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8ISH = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CASE WHEN n_name = 'NATION_3'
+                     THEN {_sql_cents('l_extendedprice')}
+                          * (100 - {_sql_cents('l_discount')})
+                     ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(sum({_sql_cents('l_extendedprice')}
+                    * (100 - {_sql_cents('l_discount')})) AS BIGINT)
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection per event type (Page 1954), daily report:
     target k = 55.00, alarm threshold h = 5000.00 (cents grid). The
@@ -3628,6 +3676,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_PROMQL_PRESENT_OVER_TIME,
     ),
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
+    "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),

@@ -1310,6 +1310,53 @@ WHERE {_SQL_QUALITY_GATE}
 """
 
 
+def q_docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: doc count, quality-gate keep rate and
+    token mass per source — the release dashboard a data team reads
+    before adjusting mixture rates. One aggregation over the (shuffle-
+    free) quality signals."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    gated = smp.quality_filter(
+        _docs(spark, sf_dir),
+        min_tokens=20,
+        max_tokens=50_000,
+        min_avg_token_len=2.5,
+        max_avg_token_len=10.0,
+        max_punct_density=0.1,
+        min_stopword_ratio=0.01,
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            (
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_rate"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOCS_SOURCE_QUALITY = f"""
+WITH {_SQL_QUALITY_BODY},
+labeled AS (
+  SELECT d.source, q.n_tokens,
+         CASE WHEN {_SQL_QUALITY_GATE} THEN 1 ELSE 0 END AS keep
+  FROM qsig q JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(CAST(sum(keep) AS BIGINT) AS DOUBLE) / count(*) AS keep_rate,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: test-split docs sharing a winnowing
     fingerprint (>= 11-char substring) with any train-split doc, with the
@@ -2363,6 +2410,7 @@ REGISTRY_LLM = {
         q_docs_dup_cluster_stats,
         SQL_DOCS_DUP_CLUSTER_STATS,
     ),
+    "docs_source_quality": (q_docs_source_quality, SQL_DOCS_SOURCE_QUALITY),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),

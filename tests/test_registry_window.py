@@ -51,6 +51,8 @@ WINDOW_EXCEPTIONS = {
     # CC + aggregate over the shared index; windowed docs_near_dedup_cc
     # pins the component machinery
     "docs_dup_cluster_stats": "docs_near_dedup_cc",
+    # per-source rollup of the windowed docs_quality_filter gate
+    "docs_source_quality": "docs_quality_filter",
 }
 
 
