@@ -7,6 +7,7 @@ from cardinalsin_spark.streaming.live import (
     stream_enrich,
     stream_interval_join,
     streaming_dedup,
+    streaming_heavy_hitters,
     streaming_hll_distinct,
     windowed_agg,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stream_enrich",
     "stream_interval_join",
     "streaming_dedup",
+    "streaming_heavy_hitters",
     "streaming_hll_distinct",
     "windowed_agg",
 ]

@@ -416,3 +416,103 @@ def streaming_hll_distinct(sdf: DataFrame, value_col: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_OUTPUT = "metric_name string, term string, cms_est long, rank int"
+_HH_STATE = "counters array<long>, terms array<string>, ests array<long>"
+_HH_DEPTH = 3
+_HH_WIDTH = 64
+_HH_SEED = "cms"
+
+
+def _hh_fn_factory(k: int, candidates: int):
+    import hashlib
+
+    import pandas as pd
+
+    def _buckets(term: str) -> list[int]:
+        return [
+            int(
+                hashlib.md5(f"{_HH_SEED}{i}:{term}".encode()).hexdigest()[:15],
+                16,
+            )
+            % _HH_WIDTH
+            for i in range(_HH_DEPTH)
+        ]
+
+    def _fn(key, pdf_iter, state):
+        if state.exists:
+            counters, terms, ests = state.get
+            counters = list(counters)
+            cand = dict(zip(terms, ests))
+        else:
+            counters = [0] * (_HH_DEPTH * _HH_WIDTH)
+            cand = {}
+
+        seen: set[str] = set()
+        for pdf in pdf_iter:
+            for t in pdf["_t"]:
+                if t is None:
+                    continue
+                for i, b in enumerate(_buckets(t)):
+                    counters[i * _HH_WIDTH + b] += 1
+                seen.add(t)
+        if not seen and not cand:
+            state.update((counters, [], []))
+            return
+        # refresh estimates for seen terms + existing candidates (counters
+        # only grow, so every candidate's estimate is current after this)
+        for t in seen | set(cand):
+            cand[t] = min(
+                counters[i * _HH_WIDTH + b]
+                for i, b in enumerate(_buckets(t))
+            )
+        trimmed = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :candidates
+        ]
+        state.update(
+            (counters, [t for t, _ in trimmed], [e for _, e in trimmed])
+        )
+        top = trimmed[:k]
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]] * len(top),
+                "term": [t for t, _ in top],
+                "cms_est": [e for _, e in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return _fn
+
+
+def streaming_heavy_hitters(
+    sdf: DataFrame,
+    term_col: str,
+    k: int = 10,
+    candidates: int = 256,
+) -> DataFrame:
+    """Streaming top-k heavy hitters per metric: Count-Min counters plus a
+    bounded candidate set in the state store (the classic CMS+heap
+    construction; Cormode & Muthukrishnan 2005 §4). State is
+    ``d·w + 2·candidates`` cells per key — constant however many distinct
+    terms flow. Each micro-batch emits the refreshed running top-k. The
+    hash/counter arithmetic is byte-identical to the batch
+    ``operators.sketches.cms_estimates`` (counters are additive across
+    batches), so with ``candidates`` ≥ the live vocabulary the final
+    emission EQUALS the batch top-k — the approximation begins only where
+    the candidate cap trims (documented trade: capped memory vs possible
+    re-entry misses, exactly the batch CMS's over-count-only guarantee
+    minus candidate recall)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = sdf.select(
+        "metric_name", F.col(term_col).cast("string").alias("_t")
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        _hh_fn_factory(k, candidates),
+        outputStructType=_HH_OUTPUT,
+        stateStructType=_HH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

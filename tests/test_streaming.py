@@ -356,3 +356,37 @@ def test_streaming_hll_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
         ).collect()[0]
         assert r.n_distinct_est == batch.n_distinct_est, metric
         assert r.n_registers_hit == batch.n_registers_hit, metric
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """With the candidate cap above the live vocabulary, the stream's final
+    top-k per metric equals the batch CMS top-k (counters are additive
+    across micro-batches)."""
+    from cardinalsin_spark.operators.sketches import cms_estimates
+    from cardinalsin_spark.streaming import streaming_heavy_hitters
+
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    vals = sdf.withColumn("value", value_expr())
+    hh = streaming_heavy_hitters(vals, "value", k=5, candidates=10_000)
+    name = _run_stream(hh, "append", tmp_path)
+    rows = spark.table(name).collect()
+    assert rows
+    # keep each metric's LAST emitted top-k (emissions are appended in
+    # batch order; later rows overwrite earlier ranks per metric)
+    last: dict = {}
+    for r in rows:
+        last.setdefault(r.metric_name, {})[r.rank] = (r.term, r.cms_est)
+    for metric, by_rank in last.items():
+        batch = (
+            cms_estimates(
+                metrics_df.filter(F.col("metric_name") == metric)
+                .withColumn("value", value_expr())
+                .select(F.col("value").cast("string").alias("term")),
+                "term",
+            )
+            .orderBy(F.desc("cms_est"), F.asc("term"))
+            .limit(5)
+            .collect()
+        )
+        want = {i + 1: (r.term, r.cms_est) for i, r in enumerate(batch)}
+        assert by_rank == want, metric
