@@ -1133,6 +1133,36 @@ SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 _SEMDEDUP_THRESHOLD = 0.4
 
 
+_JL_OUT_DIM = 16
+_JL_IN_DIM = 64
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64→16 dims: exact int64 dot
+    products against the deterministic ±1 matrix (Achlioptas-style), the
+    dim-reduction front end for ANN indexing. Narrow map, zero shuffle."""
+    return sim.random_projection(
+        _emb(spark, sf_dir), in_dim=_JL_IN_DIM, out_dim=_JL_OUT_DIM
+    )
+
+
+def _sql_random_projection() -> str:
+    R = sim.jl_sign_matrix(_JL_OUT_DIM, _JL_IN_DIM)
+    # list_dot_product returns DOUBLE; the products are exact ints → BIGINT
+    cols = ", ".join(
+        f"CAST(list_dot_product(qv, [{', '.join(str(s) for s in row)}])"
+        " AS BIGINT)"
+        for row in R
+    )
+    return f"""
+SELECT vec_id, [{cols}] AS proj
+FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+"""
+
+
+SQL_EMB_RANDOM_PROJECTION = _sql_random_projection()
+
+
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings with
     the same deterministic quantizer as emb_ivf_topk (16 cells, 2 Lloyd
@@ -2422,6 +2452,10 @@ REGISTRY_LLM = {
     "docs_tfidf_topterms": (q_docs_tfidf_topterms, SQL_DOCS_TFIDF_TOPTERMS),
     "docs_bm25": (q_docs_bm25, SQL_DOCS_BM25),
     "emb_semdedup": (q_emb_semdedup, SQL_EMB_SEMDEDUP),
+    "emb_random_projection": (
+        q_emb_random_projection,
+        SQL_EMB_RANDOM_PROJECTION,
+    ),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),

@@ -53,6 +53,9 @@ WINDOW_EXCEPTIONS = {
     "docs_dup_cluster_stats": "docs_near_dedup_cc",
     # per-source rollup of the windowed docs_quality_filter gate
     "docs_source_quality": "docs_quality_filter",
+    # quantized exact-int dot products — the machinery the windowed
+    # emb_cosine_topk pins
+    "emb_random_projection": "emb_cosine_topk",
 }
 
 

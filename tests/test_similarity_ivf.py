@@ -158,3 +158,37 @@ def test_ivfpq_residual_beats_or_matches_raw_pq_recall(emb, centroids):
         )
     )
     assert res >= raw - 0.05, (res, raw)  # small tolerance for tie noise
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL lemma sanity: squared-distance ratios after the 64→16 ±1
+    projection concentrate around the expected scale (E[|Rx|²] = d·|x|²).
+    Checked on 30 deterministic pairs with a generous 3x band — this
+    guards the projection wiring, not the lemma."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.similarity import (
+        quantize,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col("vec_id") < 31
+    )
+    proj = random_projection(emb, in_dim=64, out_dim=16)
+    qv = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    rows_q = {r.vec_id: r.qv for r in qv.collect()}
+    rows_p = {r.vec_id: r.proj for r in proj.collect()}
+    ratios = []
+    for a in range(0, 30):
+        b = a + 1
+        d_orig = sum((x - y) ** 2 for x, y in zip(rows_q[a], rows_q[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(rows_p[a], rows_p[b]))
+        # E[d_proj] = out_dim/1 · d_orig for ±1 entries... normalized:
+        ratios.append(d_proj / (16 * d_orig))
+    mean = sum(ratios) / len(ratios)
+    assert 1 / 3 < mean < 3, mean
