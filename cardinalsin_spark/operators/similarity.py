@@ -1034,3 +1034,61 @@ def random_projection(
         ]
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def pca_train_components_local(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+):
+    """Driver-side PCA on a deterministic sample (pass ``df`` already
+    limited): mean-center, eigendecompose the covariance, keep the top-k
+    components with a fixed sign convention (largest-|entry| coordinate
+    made positive — eigenvectors are sign-ambiguous). Like the k-means
+    quantizer, training cost is bounded by the sample; the model is index
+    metadata. Returns (q_mean, q_components) QUANTIZED to the integer
+    grid so projection is exact int64 arithmetic everywhere."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = np.cov((X - mean).T)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order].T  # (k, dim)
+    for j in range(W.shape[0]):
+        i = int(np.abs(W[j]).argmax())
+        if W[j, i] < 0:
+            W[j] = -W[j]
+    q_mean = [int(round(v * scale)) for v in mean]
+    q_comp = [[int(round(v * scale)) for v in row] for row in W]
+    return q_mean, q_comp
+
+
+def pca_project(
+    df: DataFrame,
+    q_mean,
+    q_components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto the trained components: per output dim an
+    EXACT int64 dot product of the mean-centered quantized vector with
+    the quantized component row (|q| ≤ 10⁶ each, 64 terms → ≪ 2^63).
+    Narrow map, zero shuffle, model inlined as plan literals."""
+    q = quantize(F.col(vec_col))
+    centered = F.zip_with(
+        q,
+        F.array(*[F.lit(m).cast("long") for m in q_mean]),
+        lambda x, m: x - m,
+    )
+    proj = F.array(
+        *[
+            dot_q(centered, F.array(*[F.lit(c).cast("long") for c in row]))
+            for row in q_components
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

@@ -1133,6 +1133,71 @@ SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 _SEMDEDUP_THRESHOLD = 0.4
 
 
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64→8: components trained driver-side on the 1000-lowest-id
+    sample (index-build contract, like the IVF quantizer), projection as
+    exact int64 dot products of mean-centered quantized vectors. The
+    learned counterpart to the JL random projection."""
+    emb = _emb(spark, sf_dir)
+    q_mean, q_comp = sim.pca_train_components_local(
+        emb.orderBy("vec_id").limit(1000), k=8
+    )
+    return sim.pca_project(emb, q_mean, q_comp)
+
+
+def _sql_pca_project() -> str:
+    """Oracle: retrain the same components from the sf0.01 sample (shared
+    numpy routine) and replay the integer projection in SQL."""
+    try:
+        import duckdb
+        import numpy as np  # noqa: F401
+
+        path = os.path.join(_IVF_SF_DIR, "embeddings.parquet")
+        if not os.path.exists(path):
+            return None
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 1000"
+        ).fetchall()
+        con.close()
+
+        class _Fake:
+            def __init__(self, rows):
+                self._rows = rows
+
+            def orderBy(self, *_):
+                return self
+
+            def select(self, *_):
+                return self
+
+            def collect(self):
+                return self._rows
+
+        q_mean, q_comp = sim.pca_train_components_local(_Fake(rows), k=8)
+    except Exception:  # pragma: no cover
+        return None
+    mean_lit = f"[{', '.join(str(m) for m in q_mean)}]"
+    cols = ", ".join(
+        "CAST(list_dot_product(cd,"
+        f" [{', '.join(str(c) for c in row)}]) AS BIGINT)"
+        for row in q_comp
+    )
+    return f"""
+SELECT vec_id, [{cols}] AS proj
+FROM (
+  SELECT vec_id,
+         list_transform(list_zip(qv, {mean_lit}),
+                        p -> CAST(p[1] - p[2] AS DOUBLE)) AS cd
+  FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+)
+"""
+
+
+SQL_EMB_PCA_PROJECT = _sql_pca_project()
+
+
 _JL_OUT_DIM = 16
 _JL_IN_DIM = 64
 
@@ -2456,6 +2521,7 @@ REGISTRY_LLM = {
         q_emb_random_projection,
         SQL_EMB_RANDOM_PROJECTION,
     ),
+    "emb_pca_project": (q_emb_pca_project, SQL_EMB_PCA_PROJECT),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),

@@ -19,6 +19,7 @@ SF_PINNED = {
     "emb_ivfpq_topk": "/root/testdata/sf0.01",
     "emb_ivfpq_residual_topk": "/root/testdata/sf0.01",
     "emb_semdedup": "/root/testdata/sf0.01",
+    "emb_pca_project": "/root/testdata/sf0.01",
 }
 
 

@@ -56,6 +56,9 @@ WINDOW_EXCEPTIONS = {
     # quantized exact-int dot products — the machinery the windowed
     # emb_cosine_topk pins
     "emb_random_projection": "emb_cosine_topk",
+    # sample-trained model inlined as literals — the windowed emb_ivf_topk
+    # quantizer contract
+    "emb_pca_project": "emb_ivf_topk",
 }
 
 
