@@ -70,6 +70,18 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         "docs_span_dedup", "maint_zorder_key", "ts_holt_winters",
         "promql_quantile_over_time", "promql_subquery_max_rate",
         "promql_absent_over_time",
+        # late round-4: analytics / sketches / term stats / TPC-H widening
+        "ts_funnel", "ts_retention_cohorts", "ts_json_props",
+        "ts_moving_avg", "ts_time_weighted_avg", "ts_lttb", "ts_mad",
+        "ts_burn_rate", "ts_cusum", "ts_session_incidents", "ts_topk_by",
+        "tpch_q7ish", "tpch_q8ish", "tpch_q12ish", "tpch_q15ish",
+        "tpch_q17ish", "tpch_q18ish", "tpch_q19ish", "tpch_q22ish",
+        "promql_timestamp_hour", "promql_day_of_week",
+        "promql_scalar_arith", "promql_present_over_time",
+        "docs_chunk_windows", "docs_mixture_sample", "docs_search_and",
+        "docs_edit_distance", "docs_source_quality", "docs_tfidf_topterms",
+        "docs_bm25", "docs_hll_distinct", "docs_hll_overlap",
+        "docs_cms_heavy_hitters", "emb_random_projection",
     ]
     for name in jvm_only:
         plan = plan_string(_df(spark, sf_dir, name), "simple")
