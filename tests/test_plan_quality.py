@@ -81,7 +81,9 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         "docs_chunk_windows", "docs_mixture_sample", "docs_search_and",
         "docs_edit_distance", "docs_source_quality", "docs_tfidf_topterms",
         "docs_bm25", "docs_hll_distinct", "docs_hll_overlap",
-        "docs_cms_heavy_hitters", "emb_random_projection",
+        "docs_cms_heavy_hitters",
+        # emb_random_projection / emb_pca_project are deliberately Arrow
+        # GEMM paths (vector scoring — the sanctioned Python category)
     ]
     for name in jvm_only:
         plan = plan_string(_df(spark, sf_dir, name), "simple")
