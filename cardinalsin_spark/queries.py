@@ -2551,6 +2551,87 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per event type, rolled up to quartile
+    boundaries (min/max/count per quartile) — the ranking-window frame
+    family (`ntile`) the suite hadn't pinned. ntile's uneven-bucket rule
+    (earlier buckets get the remainder) is identical in Spark and DuckDB;
+    ties are made deterministic by the (value, event_id) ordering."""
+    ev = _events_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value_cents"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.min("value_cents").alias("lo_cents"),
+            F.max("value_cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+SQL_TS_VALUE_QUARTILES = f"""
+SELECT event_type, quartile,
+       CAST(min(vc) AS BIGINT) AS lo_cents,
+       CAST(max(vc) AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type, {_sql_cents('value')} AS vc,
+         CAST(ntile(4) OVER (PARTITION BY event_type
+                             ORDER BY {_sql_cents('value')}, event_id)
+              AS INT) AS quartile
+  FROM events
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly residual: each (event_type, hour) bucket's
+    summed value minus the SAME bucket 24h earlier (the simplest seasonal
+    baseline; what dashboards paint as day-over-day deltas). One
+    aggregation + one self-equi-join on the shifted bucket key — the
+    shift is exact integer seconds, so the join stays a plain hash join
+    (broadcast at these sizes, co-partitioned at scale)."""
+    ev = _events_cents(spark, sf_dir)
+    hourly = ev.groupBy(
+        time_bucket(F.col("ts"), 3600).alias("hour"), "event_type"
+    ).agg(F.sum("value_cents").alias("vc"))
+    prev = hourly.select(
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour"),
+        F.col("event_type"),
+        F.col("vc").alias("vc_prev"),
+    )
+    return (
+        hourly.join(prev, ["hour", "event_type"])
+        .select(
+            "hour",
+            "event_type",
+            ((F.col("vc") - F.col("vc_prev")) / F.lit(100.0)).alias(
+                "residual"
+            ),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_TS_SEASONAL_RESIDUAL = f"""
+WITH hourly AS (
+  SELECT {_sql_bucket(3600)} AS hour, event_type,
+         CAST(sum({_sql_cents('value')}) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+)
+SELECT c.hour, c.event_type, (c.vc - p.vc) / 100.0 AS residual
+FROM hourly c
+JOIN hourly p ON p.hour = c.hour - INTERVAL 24 HOUR
+             AND p.event_type = c.event_type
+ORDER BY 1, 2
+"""
+
+
 def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 market-share shape: a chosen nation's share of total
     revenue per order-year — the share is a conditional-sum / sum ratio
@@ -3677,6 +3758,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
+    "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
+    "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
     "tpch_q15ish": (q_tpch_q15ish, SQL_TPCH_Q15ISH),
