@@ -390,3 +390,62 @@ def bm25_scores(
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_support: int = 5,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k collocations by co-occurrence LIFT:
+    ``lift = P(ab)/(P(a)·P(b)) = n_ab·N / (n_a·n_b)`` — PMI's core without
+    the log (ln is libm-dependent; lift preserves PMI's ranking exactly
+    since log is monotone). Emitted as the exact integer
+    ``n_ab·N·scale div (n_a·n_b)``.
+
+    Shape: bigrams come from zipping the token array against its own
+    tail — NO per-document window, no shuffle until the (a,b) count;
+    unigram counts are vocab-sized broadcasts; N rides a 1-row aggregate.
+    Overflow bound: n_ab·N·scale < 2⁶³ holds to N ≈ 3·10⁹ tokens at
+    n_ab ≤ 10³; drop ``scale`` beyond (ranking is scale-invariant).
+    """
+    toks = df.select(F.split(normalize_text(text_col), " ").alias("_t"))
+    # name the slices first: arrays_zip of anonymous expressions yields
+    # positional struct fields ("0"/"1") that column refs can't reach
+    sliced = toks.select(
+        F.expr("slice(_t, 1, size(_t) - 1)").alias("_heads"),
+        F.expr("slice(_t, 2, size(_t) - 1)").alias("_tails"),
+        "_t",
+    )
+    pairs = sliced.select(
+        F.explode(F.arrays_zip("_heads", "_tails")).alias("_p")
+    ).select(F.col("_p._heads").alias("a"), F.col("_p._tails").alias("b"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_total = uni.agg(F.sum("n_w").alias("n_tokens"))
+    bg = (
+        pairs.filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    ua = F.broadcast(uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")))
+    return (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "lift_micro",
+            F.expr(f"(n_ab * n_tokens * {scale}) div (n_a * n_b)"),
+        )
+        .orderBy(F.desc("lift_micro"), "a", "b")
+        .limit(k)
+        .select("a", "b", "n_ab", "n_a", "n_b", "lift_micro")
+    )

@@ -1405,6 +1405,41 @@ WHERE {_SQL_QUALITY_GATE}
 """
 
 
+def q_docs_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by co-occurrence lift n_ab·N/(n_a·n_b) — PMI's
+    ranking without the libm-dependent log (operators.text.bigram_lift).
+    Bigrams come from zipping each token array against its own tail, so
+    there is no per-document window shuffle."""
+    return tx.bigram_lift(_docs(spark, sf_dir), min_support=5, k=20)
+
+
+SQL_DOCS_BIGRAM_LIFT = f"""
+WITH t AS (SELECT string_split({_SQL_NORM}, ' ') AS _t FROM documents),
+pairs AS (
+  SELECT p[1] AS a, p[2] AS b FROM (
+    SELECT unnest(list_zip(list_slice(_t, 1, len(_t) - 1),
+                           list_slice(_t, 2, len(_t)))) AS p
+    FROM t)
+  WHERE p[1] != '' AND p[2] != ''
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+    SELECT unnest(_t) AS w FROM t) WHERE w != '' GROUP BY 1
+),
+n AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni),
+bg AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT a, b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       (n_ab * n_tokens * 1000000) // (ua.n_w * ub.n_w) AS lift_micro
+FROM bg
+JOIN uni ua ON ua.w = bg.a
+JOIN uni ub ON ub.w = bg.b, n
+ORDER BY lift_micro DESC, a, b LIMIT 20
+"""
+
+
 def q_docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus audit: doc count, quality-gate keep rate and
     token mass per source — the release dashboard a data team reads
@@ -2506,6 +2541,7 @@ REGISTRY_LLM = {
         SQL_DOCS_DUP_CLUSTER_STATS,
     ),
     "docs_source_quality": (q_docs_source_quality, SQL_DOCS_SOURCE_QUALITY),
+    "docs_bigram_lift": (q_docs_bigram_lift, SQL_DOCS_BIGRAM_LIFT),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),

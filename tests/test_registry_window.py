@@ -59,6 +59,8 @@ WINDOW_EXCEPTIONS = {
     # sample-trained model inlined as literals — the windowed emb_ivf_topk
     # quantizer contract
     "emb_pca_project": "emb_ivf_topk",
+    # token explode + broadcast corpus-stat joins — docs_rare_words family
+    "docs_bigram_lift": "docs_rare_words",
 }
 
 
