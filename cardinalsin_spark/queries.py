@@ -2551,6 +2551,79 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per (event_type, day): Pearson r over
+    consecutive sample pairs — the persistence diagnostic behind
+    seasonal/trend modeling. Sums are exact int64 on the cents grid;
+    the only float steps are the final int64→double conversions, two
+    IEEE-correctly-rounded sqrts (the libm-safe function, unlike exp/ln)
+    and one division — deterministic across engines. One lag window +
+    one aggregation on a shared (type, day) shuffle; groups without
+    variance are filtered (r undefined)."""
+    ev = _events_cents(spark, sf_dir)
+    day = time_bucket(F.col("ts"), 86_400)
+    w = Window.partitionBy("event_type", "_day").orderBy("ts", "event_id")
+    staged = (
+        ev.withColumn("_day", day)
+        .withColumn("_x", F.col("value_cents"))
+        .withColumn("_y", F.lag("value_cents").over(w))
+        .filter(F.col("_y").isNotNull())
+    )
+    agg = staged.groupBy("event_type", "_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        agg.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("_day").alias("day"),
+            F.col("n").cast("long").alias("n_pairs"),
+            (
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).alias("r1"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_TS_AUTOCORR_LAG1 = f"""
+WITH staged AS (
+  SELECT event_type, {_sql_bucket(86400)} AS day,
+         {_sql_cents('value')} AS _x,
+         lag({_sql_cents('value')}) OVER (
+           PARTITION BY event_type, {_sql_bucket(86400)}
+           ORDER BY ts, event_id) AS _y
+  FROM events
+),
+agg AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(_x) AS BIGINT) AS sx, CAST(sum(_y) AS BIGINT) AS sy,
+         CAST(sum(_x * _x) AS BIGINT) AS sxx,
+         CAST(sum(_y * _y) AS BIGINT) AS syy,
+         CAST(sum(_x * _y) AS BIGINT) AS sxy
+  FROM staged WHERE _y IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, day, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r1
+FROM agg
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY day, event_type
+"""
+
+
 def q_ts_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartile assignment per event type, rolled up to quartile
     boundaries (min/max/count per quartile) — the ranking-window frame
@@ -3759,6 +3832,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
+    "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
