@@ -2624,6 +2624,97 @@ ORDER BY day, event_type
 """
 
 
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation click→purchase at hourly lags 0-3: Pearson r
+    between the hourly click count and the purchase count ``lag`` hours
+    later — the lead-indicator scan behind attribution dashboards. The
+    lag dimension is an exploded literal array (one plan, four lags, no
+    per-lag re-scan); counts and moment sums are exact int64; the float
+    path is the same sqrt-only chain as ts_autocorr_lag1."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            time_bucket(F.col("ts"), 3600).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    clicks = hourly.filter(F.col("event_type") == "click").select(
+        "hour", F.col("n").alias("_x")
+    )
+    purchases = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("hour").alias("_ph"), F.col("n").alias("_y")
+    )
+    lagged = clicks.select(
+        "*", F.explode(F.array(*[F.lit(l) for l in range(4)])).alias("lag_h")
+    ).withColumn(
+        "_target_hour",
+        F.col("hour") + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+    )
+    joined = lagged.join(
+        purchases, F.col("_target_hour") == F.col("_ph")
+    )
+    agg = joined.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        agg.filter((vx > 0) & (vy > 0))
+        .select(
+            F.col("lag_h").cast("long").alias("lag_h"),
+            F.col("n").cast("long").alias("n_pairs"),
+            (
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).alias("r"),
+        )
+        .orderBy("lag_h")
+    )
+
+
+SQL_TS_CROSSCORR = f"""
+WITH hourly AS (
+  SELECT {_sql_bucket(3600)} AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+clicks AS (SELECT hour, n AS _x FROM hourly WHERE event_type = 'click'),
+purchases AS (SELECT hour AS _ph, n AS _y FROM hourly
+              WHERE event_type = 'purchase'),
+lagged AS (
+  SELECT c.hour, c._x, l.lag_h,
+         c.hour + to_hours(l.lag_h) AS _target_hour
+  FROM clicks c CROSS JOIN (
+    SELECT unnest([0, 1, 2, 3]) AS lag_h) l
+),
+agg AS (
+  SELECT lag_h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(_x) AS BIGINT) AS sx, CAST(sum(_y) AS BIGINT) AS sy,
+         CAST(sum(_x * _x) AS BIGINT) AS sxx,
+         CAST(sum(_y * _y) AS BIGINT) AS syy,
+         CAST(sum(_x * _y) AS BIGINT) AS sxy
+  FROM lagged JOIN purchases ON _target_hour = _ph
+  GROUP BY 1
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY lag_h
+"""
+
+
 def q_ts_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartile assignment per event type, rolled up to quartile
     boundaries (min/max/count per quartile) — the ranking-window frame
@@ -3833,6 +3924,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
     "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
+    "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
