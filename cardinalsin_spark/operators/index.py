@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cardinalsin_spark.operators.text import normalize_text
+from cardinalsin_spark.operators.text import exploded_terms
 
 
 def build_inverted_index(
@@ -31,10 +31,7 @@ def build_inverted_index(
 ) -> DataFrame:
     """(term, doc_id, tf) posting rows: tokenize → explode → one hash
     aggregation. Map-side combinable; no other shuffle."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
-    ).filter(F.col("term") != "")
+    toks = exploded_terms(df, text_col, id_col)
     return toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
 
 

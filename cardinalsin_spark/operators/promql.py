@@ -659,14 +659,22 @@ def promql_range(
             # timestamp(selector) on the range grid: per bucket the instant
             # vector's sample is the latest point, so the value is that
             # sample's time in epoch seconds — one groupBy, no window.
+            # An offset modifier shifts the evaluation window and the
+            # bucket alignment (the plain-selector convention below); the
+            # VALUE stays the sample's own, unshifted timestamp
+            # (promql/functions.go funcTimestamp).
             parsed = parse_promql(inner_expr)
+            off = parsed.offset_seconds
             out = df.filter(_selector_filter(parsed, cols)).filter(
-                (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
-                & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+                (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))
+                & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s - off)))
             )
-            out = _ns_prefilter(out, start_s, end_s)
+            out = _ns_prefilter(out, start_s - off, end_s - off)
+            grid_ts = F.timestamp_micros(
+                F.unix_micros(F.col(cols.ts)) + F.lit(int(round(off * 1e6)))
+            )
             keys = [
-                time_bucket(cols.ts, step_s).alias("time_bucket"),
+                time_bucket(grid_ts, step_s).alias("time_bucket"),
                 F.col(cols.name),
             ] + [F.col(c) for c in discover_label_columns(parsed)]
             value = F.unix_micros(F.max(cols.ts)) / F.lit(1_000_000.0)

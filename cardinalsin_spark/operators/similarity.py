@@ -388,20 +388,19 @@ def ivf_assign_udf(centroids):
     return _assign
 
 
-def cosine_topk_ivf(
-    df: DataFrame,
+def _probed_queries(
     queries: DataFrame,
     centroids,
-    k: int = 10,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    nprobe: int,
     query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF search: corpus vectors live in their nearest-centroid cell;
-    each query probes its ``nprobe`` nearest cells and scores only those
-    vectors. Join shuffles on the cell id — cost ≈ corpus·(nprobe/k) —
-    the 100 TB path when LSH bucket skew bites."""
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+):
+    """Shared query-side prep for every IVF-family search: quantize,
+    precompute the norm, probe the ``nprobe`` nearest cells with one GEMM
+    pandas_udf (stable argsort tie-break), explode to (query, cell) rows,
+    broadcast. Extracted so probe/quantization semantics cannot drift
+    between the raw, PQ, and residual-PQ variants."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -421,20 +420,40 @@ def cosine_topk_ivf(
         idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(idx.astype("int32")))
 
+    return F.broadcast(
+        queries.selectExpr(
+            query_id_col, vec_col, f"{sql_quantize(vec_col, scale)} AS qq"
+        )
+        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
+        .withColumn("cells", _probe(F.col(vec_col)))
+        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and scores only those
+    vectors. Join shuffles on the cell id — cost ≈ corpus·(nprobe/k) —
+    the 100 TB path when LSH bucket skew bites."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
     corpus = (
         df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
         .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
         .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
         .drop(vec_col)
     )
-    qs = F.broadcast(
-        queries.selectExpr(
-            query_id_col, vec_col, f"{sql_quantize(vec_col)} AS qq"
-        )
-        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
-        .withColumn("cells", _probe(F.col(vec_col)))
-        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
-    )
+    qs = _probed_queries(queries, C, nprobe, query_id_col, vec_col)
     scored = (
         corpus.join(qs, "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -700,30 +719,8 @@ def cosine_topk_ivfpq(
         )
     )
 
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.asarray(centroids, dtype=np.float64)
-    c_norm2 = (C * C).sum(axis=1)
-    n_probe = min(nprobe, len(C))
-
-    @pandas_udf("array<int>")
-    def _probe(v):
-        import pandas as pd
-
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        X = np.stack(v.values).astype(np.float64)
-        d = c_norm2[None, :] - 2.0 * (X @ C.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(idx.astype("int32")))
-
-    qs = F.broadcast(
-        queries.selectExpr(
-            query_id_col, vec_col, f"{sql_quantize(vec_col, scale)} AS qq"
-        )
-        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
-        .withColumn("cells", _probe(F.col(vec_col)))
-        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
+    qs = _probed_queries(
+        queries, centroids, nprobe, query_id_col, vec_col, scale
     )
     adc = (
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
@@ -777,6 +774,10 @@ def pq_train_residual_codebooks_local(
 
     rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    if X.shape[1] % m:
+        # same contract as pq_train_codebooks_local: silent truncation of
+        # trailing dims would desync the coarse term from the codes
+        raise ValueError(f"dim {X.shape[1]} not divisible by m={m}")
     C = np.asarray(centroids, dtype=np.float64)
     d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
     cells = d.argmin(axis=1)
@@ -873,30 +874,7 @@ def cosine_topk_ivfpq_residual(
         )
     )
 
-    from pyspark.sql.functions import pandas_udf
-
-    c_norm2 = (C * C).sum(axis=1)
-    n_probe = min(nprobe, len(C))
-
-    @pandas_udf("array<int>")
-    def _probe(v):
-        import pandas as pd
-
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        X = np.stack(v.values).astype(np.float64)
-        d = c_norm2[None, :] - 2.0 * (X @ C.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(idx.astype("int32")))
-
-    qs = F.broadcast(
-        queries.selectExpr(
-            query_id_col, vec_col, f"{sql_quantize(vec_col, scale)} AS qq"
-        )
-        .selectExpr("*", f"{sql_norm_q('qq')} AS qnorm")
-        .withColumn("cells", _probe(F.col(vec_col)))
-        .select(query_id_col, "qq", "qnorm", F.explode("cells").alias("cell"))
-    )
+    qs = _probed_queries(queries, C, nprobe, query_id_col, vec_col, scale)
     coarse = (
         f"aggregate(sequence(1, {C.shape[1]}), CAST(0 AS BIGINT), (a, d) ->"
         f" a + element_at(qq, d)"

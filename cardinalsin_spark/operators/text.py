@@ -107,6 +107,19 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def exploded_terms(
+    df: DataFrame, text_col: str = "text", id_col: str | None = "doc_id"
+) -> DataFrame:
+    """One row per normalized token occurrence — THE token stream contract
+    shared by the index, term-weighting, and sketch paths (a change to
+    normalization or the empty-token rule lands everywhere at once).
+    Columns: [id_col,] term."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ]
+    return df.select(*cols).filter(F.col("term") != "")
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse
     whitespace runs, trim."""
@@ -299,9 +312,7 @@ def tfidf_top_terms(
     Overflow bound: tf·N·scale < 2⁶³ holds to N ≈ 9·10⁹ docs at tf ≤ 10³;
     beyond that, drop ``scale`` (ranking is scale-invariant).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    toks = exploded_terms(df, text_col, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # one row per (doc, term) → count(*) per term IS the document frequency
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
@@ -352,9 +363,7 @@ def bm25_scores(
     O(N·|query|); corpus constants (N, L) ride a broadcast 1-row
     aggregate.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    toks = exploded_terms(df, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         toks.filter(F.col("term").isin(*query_terms))

@@ -2577,9 +2577,13 @@ def q_ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_y") * F.col("_y")).alias("syy"),
         F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # moment products on DECIMAL(38,0): n·Σx² passes 2^63 at a few
+    # thousand samples per group at |v| ~ 1e6 cents — int64 would wrap
+    # silently (the deriv/zscore overflow class fixed earlier this round)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vx = dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    vy = dec(F.col("n")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy"))
+    num = dec(F.col("n")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
     return (
         agg.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
         .select(
@@ -2615,11 +2619,14 @@ agg AS (
   GROUP BY 1, 2
 )
 SELECT event_type, day, n AS n_pairs,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r1
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS r1
 FROM agg
-WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
 ORDER BY day, event_type
 """
 
@@ -2662,9 +2669,10 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_y") * F.col("_y")).alias("syy"),
         F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731  (see autocorr)
+    vx = dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    vy = dec(F.col("n")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy"))
+    num = dec(F.col("n")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
     return (
         agg.filter((vx > 0) & (vy > 0))
         .select(
@@ -2706,11 +2714,14 @@ agg AS (
   GROUP BY 1
 )
 SELECT CAST(lag_h AS BIGINT) AS lag_h, n AS n_pairs,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS r
 FROM agg
-WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
 ORDER BY lag_h
 """
 

@@ -2282,16 +2282,9 @@ _SQL_TOKS_CTE = f"""
 
 
 def _spark_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cardinalsin_spark.operators.text import normalize_text
+    from cardinalsin_spark.operators.text import exploded_terms
 
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.explode(F.split(normalize_text("text"), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
+    return exploded_terms(_docs(spark, sf_dir))
 
 
 def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,8 +24,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SMALL = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-LARGE = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+if len(sys.argv) not in (1, 3):
+    # a single directory is ambiguous (small or large?) — refuse rather
+    # than silently probing the defaults the caller didn't ask for
+    raise SystemExit("usage: scaling_probe.py [small_sf_dir large_sf_dir]")
+SMALL = sys.argv[1] if len(sys.argv) == 3 else "/root/testdata/sf0.01"
+LARGE = sys.argv[2] if len(sys.argv) == 3 else "/root/testdata/sf0.1"
 DATA_RATIO = 10.0
 FLAG_RATIO = 2.0 * DATA_RATIO  # 2x superlinear headroom
 MIN_LARGE_SEC = 1.0  # below this, fixed overhead dominates the ratio

@@ -835,3 +835,33 @@ def test_round_wrapper(spark, sf_dir):
         for b in base:
             inv = 1.0 / n
             assert gb[key(b)] == math.floor(b.value * inv + 0.5) / inv
+
+
+def test_timestamp_respects_offset(spark, sf_dir):
+    """timestamp(m offset 3600s): the evaluation window shifts back one
+    hour and buckets re-align onto the query grid, while the emitted value
+    stays the sample's own (unshifted) epoch time — so each bucket's value
+    equals the no-offset query's value from one bucket earlier."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    kw = dict(start_s=1704070800.0, end_s=1704153600.0, step_s=3600,
+              cols=EV_CENTS)
+    plain = {
+        r.time_bucket: r.value
+        for r in promql_range(ev, "timestamp(purchase)", **kw).collect()
+    }
+    shifted = promql_range(
+        ev, "timestamp(purchase offset 3600s)", **kw
+    ).collect()
+    assert shifted
+    import datetime as dt
+
+    hits = 0
+    for r in shifted:
+        prev_bucket = r.time_bucket - dt.timedelta(seconds=3600)
+        if prev_bucket in plain:
+            assert r.value == plain[prev_bucket], r
+            hits += 1
+    assert hits > 0
