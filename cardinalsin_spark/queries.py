@@ -2551,6 +2551,62 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type — the scrape/ingest
+    health view a TSDB operator reads (mean/median/max gap, stall count):
+    one lag window for the µs deltas, one aggregation. Exact integer
+    gaps; the mean is sum·n with a single division; the median is the
+    exact interpolated percentile both engines share."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn(
+            "_gap_us",
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+        )
+        .filter(F.col("_gap_us").isNotNull())
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("_gap_us").cast("double") / F.count(F.lit(1)) / 1e6).alias(
+                "mean_gap_s"
+            ),
+            (F.expr("percentile(_gap_us, 0.5)") / F.lit(1e6)).alias(
+                "median_gap_s"
+            ),
+            (F.max("_gap_us").cast("double") / F.lit(1e6)).alias("max_gap_s"),
+            F.sum((F.col("_gap_us") > 3_600_000_000).cast("long")).alias(
+                "n_stalls_1h"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TS_GAP_STATS = """
+WITH staged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS _gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(_gap_us) AS BIGINT) / CAST(count(*) AS DOUBLE) / 1000000.0
+         AS mean_gap_s,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY _gap_us) / 1000000.0
+         AS median_gap_s,
+       CAST(max(_gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s,
+       CAST(sum(CASE WHEN _gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stalls_1h
+FROM staged WHERE _gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation per (event_type, day): Pearson r over
     consecutive sample pairs — the persistence diagnostic behind
@@ -3936,6 +3992,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
     "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
     "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
+    "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),

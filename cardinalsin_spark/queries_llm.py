@@ -389,6 +389,57 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
 )
 
 
+def q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup signal over the LSH candidate pairs:
+    is one document's normalized text wholly contained in the other's
+    (subset documents — quote pages, excerpt mirrors — that Jaccard
+    alone under-scores)? Exact `instr` check (JVM strpos), O(len²)
+    worst-case per pair but candidate-bounded like the edit-distance
+    tier; emits the direction so the pipeline can keep the superset."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tx.normalize_text("text").alias("_nt")
+    )
+    cands = _minhash_sims(spark, sf_dir).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("_nt").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("_nt").alias("_tb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.instr(F.col("_tb"), F.col("_ta")) > 0)
+            .cast("long")
+            .alias("a_in_b"),
+            (F.instr(F.col("_ta"), F.col("_tb")) > 0)
+            .cast("long")
+            .alias("b_in_a"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_DOCS_CONTAINMENT = (
+    _sql_minhash_cte()
+    + f"""
+, nt AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
+SELECT c.id_a, c.id_b,
+       CAST(CASE WHEN strpos(nb.t, na.t) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS a_in_b,
+       CAST(CASE WHEN strpos(na.t, nb.t) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS b_in_a,
+       CAST(length(na.t) AS BIGINT) AS len_a,
+       CAST(length(nb.t) AS BIGINT) AS len_b
+FROM cand c
+JOIN nt na ON na.doc_id = c.id_a
+JOIN nt nb ON nb.doc_id = c.id_b
+ORDER BY 1, 2
+"""
+)
+
+
 def q_docs_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram — the dedup AUDIT view every corpus
     release ships (how many size-2 clusters, how many giant templates):
@@ -2529,6 +2580,7 @@ ORDER BY total_tf DESC, doc_id LIMIT 20
 REGISTRY_LLM = {
     "docs_search_and": (q_docs_search_and, SQL_DOCS_SEARCH_AND),
     "docs_edit_distance": (q_docs_edit_distance, SQL_DOCS_EDIT_DISTANCE),
+    "docs_containment": (q_docs_containment, SQL_DOCS_CONTAINMENT),
     "docs_dup_cluster_stats": (
         q_docs_dup_cluster_stats,
         SQL_DOCS_DUP_CLUSTER_STATS,

@@ -61,6 +61,8 @@ WINDOW_EXCEPTIONS = {
     "emb_pca_project": "emb_ivf_topk",
     # token explode + broadcast corpus-stat joins — docs_rare_words family
     "docs_bigram_lift": "docs_rare_words",
+    # candidate-bounded pair verification (docs_minhash_pairs machinery)
+    "docs_containment": "docs_minhash_pairs",
 }
 
 
