@@ -1253,6 +1253,48 @@ _JL_OUT_DIM = 16
 _JL_IN_DIM = 64
 
 
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm health per label: count, zero/degenerate vectors,
+    min/median/max L2 norm — the sanity gate before any ANN index build
+    (a zero vector breaks cosine; wild norms signal encoder drift).
+    Norms on the exact quantized grid (sqrt per row is the only float),
+    medians via the shared interpolated-percentile contract."""
+    emb = _emb(spark, sf_dir)
+    q = emb.selectExpr(
+        "label", f"{sim.sql_norm_q(sim.sql_quantize('embedding'))} AS _norm"
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_norm") == 0).cast("long")).alias("n_zero"),
+            (F.min("_norm") / F.lit(1e6)).alias("min_norm"),
+            (F.expr("percentile(_norm, 0.5)") / F.lit(1e6)).alias(
+                "median_norm"
+            ),
+            (F.max("_norm") / F.lit(1e6)).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_NORM_STATS = f"""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN _norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       min(_norm) / 1000000.0 AS min_norm,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY _norm) / 1000000.0
+         AS median_norm,
+       max(_norm) / 1000000.0 AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_dot_product({_SQL_QVEC}, {_SQL_QVEC})) AS _norm
+  FROM embeddings
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection 64→16 dims: exact int64 dot
     products against the deterministic ±1 matrix (Achlioptas-style), the
@@ -2603,6 +2645,7 @@ REGISTRY_LLM = {
         SQL_EMB_RANDOM_PROJECTION,
     ),
     "emb_pca_project": (q_emb_pca_project, SQL_EMB_PCA_PROJECT),
+    "emb_norm_stats": (q_emb_norm_stats, SQL_EMB_NORM_STATS),
     "docs_pii_scrub": (q_docs_pii_scrub, SQL_DOCS_PII_SCRUB),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "docs_span_dedup": (q_docs_span_dedup, SQL_DOCS_SPAN_DEDUP),

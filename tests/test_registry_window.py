@@ -63,6 +63,8 @@ WINDOW_EXCEPTIONS = {
     "docs_bigram_lift": "docs_rare_words",
     # candidate-bounded pair verification (docs_minhash_pairs machinery)
     "docs_containment": "docs_minhash_pairs",
+    # quantized-norm machinery the windowed emb_cosine_topk pins
+    "emb_norm_stats": "emb_cosine_topk",
 }
 
 
