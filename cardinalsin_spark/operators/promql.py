@@ -106,7 +106,9 @@ _ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
 # absent_over_time(selector[W]): 1 per query-grid bucket with NO matching
 # samples (evaluated on the tumbling bucket grid like every range shape)
 _ABSENT_OT_RE = re.compile(
-    r"^absent_over_time\s*\((.+)\[(\d+)([smhd])\]\s*\)$", re.DOTALL
+    r"^absent_over_time\s*\((.+)\[(\d+)([smhd])\]"
+    r"(?:\s+offset\s+(\d+)([smhd]))?\s*\)$",
+    re.DOTALL,
 )
 # value-transforming scalar wrappers over an instant vector
 _SCALAR_FN_RE = re.compile(
@@ -123,6 +125,16 @@ _CMP_SCALAR_RE = re.compile(
     r"^(.+?)\s*(>=|<=|==|!=|>|<)\s*(bool\s+)?(-?[0-9]+(?:\.[0-9]+)?)$",
     re.DOTALL,
 )
+
+
+# binary arithmetic shared by vector-vector matching and the
+# vector-scalar fold (one table: adding an operator lands in both paths)
+_ARITH_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+}
 
 
 @dataclass
@@ -154,16 +166,34 @@ class ParsedPromQL:
     q_str: str | None = None  # histogram_quantile φ as written (exact)
 
 
+def _in_quotes(s: str, pos: int) -> bool:
+    """True iff position ``pos`` lies inside a single- or double-quoted
+    span of ``s`` (simple scanner; PromQL string literals don't nest)."""
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if i >= pos:
+            break
+        if quote is None:
+            if ch in "\"'":
+                quote = ch
+        elif ch == quote:
+            quote = None
+    return quote is not None
+
+
 def parse_promql(promql: str) -> ParsedPromQL:
     promql = promql.strip()
     out = ParsedPromQL()
 
     # offset modifier: textually stripped first (one offset per vector
-    # expression in this grammar — it attaches to the single selector)
-    om = _OFFSET_RE.search(promql)
-    if om:
-        out.offset_seconds = float(om.group(1)) * _UNIT_SECONDS[om.group(2)]
-        promql = (promql[: om.start()] + promql[om.end() :]).strip()
+    # expression in this grammar — it attaches to the single selector).
+    # Matches inside quoted label values must NOT count: the literal text
+    # 'offset 5m' in a matcher value is data, not a modifier.
+    for om in _OFFSET_RE.finditer(promql):
+        if not _in_quotes(promql, om.start()):
+            out.offset_seconds = float(om.group(1)) * _UNIT_SECONDS[om.group(2)]
+            promql = (promql[: om.start()] + promql[om.end() :]).strip()
+            break
 
     m = _AGG_RE.match(promql)
     if m:
@@ -383,6 +413,10 @@ def promql_instant(
         fn = sm.group(1)
         inner_expr, args = _split_label_fn_args(sm.group(2))
         res = promql_instant(df, inner_expr, time_s, cols, tiebreak)
+        if "value" not in res.columns and cols.value in res.columns:
+            # selector-form inner results keep the source value column;
+            # the wrappers operate on the canonical "value" name
+            res = res.withColumnRenamed(cols.value, "value")
         if fn == "timestamp":
             # timestamp(v): each sample's value becomes its own sample time
             # in epoch seconds (promql/functions.go funcTimestamp). The
@@ -509,9 +543,13 @@ def _split_top_level_binop(s: str):
         elif ch in ")}]":
             depth -= 1
         elif depth == 0 and ch in "+-*/" and 0 < i < len(s) - 1:
-            # '-' inside a metric name (fallback parse) has no spaces around;
-            # require whitespace context so names like weird-name still parse
-            if s[i - 1].isspace() or s[i + 1].isspace():
+            # only '-' can legitimately appear inside a metric name
+            # (weird-name); it needs whitespace context to count as an
+            # operator. +, * and / are always operators — requiring spaces
+            # around them would silently drop the split for `a/b` and let
+            # the range-fn regex swallow the whole string as a garbage
+            # selector (empty result, no error).
+            if ch != "-" or s[i - 1].isspace() or s[i + 1].isspace():
                 candidates[ch] = i
     pos = max((candidates.get(o, -1) for o in "+-"), default=-1)
     if pos < 0:
@@ -560,12 +598,7 @@ def _vector_match(
         (set(lf.columns) & set(rf.columns)) - {"time_bucket", cols.name, "value"}
     )
     keys = ["time_bucket"] + (on_labels if on_labels is not None else shared)
-    ops = {
-        "+": lambda a, b: a + b,
-        "-": lambda a, b: a - b,
-        "*": lambda a, b: a * b,
-        "/": lambda a, b: a / b,
-    }
+    ops = _ARITH_OPS
     if group_mode in ("group_left", "group_right"):
         many, one = (lf, rf) if group_mode == "group_left" else (rf, lf)
         onep = one.select(
@@ -617,12 +650,7 @@ def promql_range(
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop
-        arith = {
-            "+": lambda a, b: a + b,
-            "-": lambda a, b: a - b,
-            "*": lambda a, b: a * b,
-            "/": lambda a, b: a / b,
-        }[op]
+        arith = _ARITH_OPS[op]
         # vector-scalar arithmetic (`rate(m[300s]) * 60`, `1 - m`): the
         # scalar side folds into the value column — no join, no shuffle
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
@@ -687,12 +715,23 @@ def promql_range(
     ao = _ABSENT_OT_RE.match(promql.strip())
     if ao:
         parsed = parse_promql(ao.group(1))
+        # trailing `offset` inside the parens (the selector form strips it
+        # via parse_promql; here it sits after the range bracket, so the
+        # regex captures it): shift the sample window back and re-align
+        # presence onto the query grid — absent-with-offset otherwise
+        # falls through to the selector fallback and reports "never absent"
+        ao_off = (
+            int(ao.group(4)) * _UNIT_SECONDS[ao.group(5)] if ao.group(4) else 0
+        )
         samples = df.filter(_selector_filter(parsed, cols)).filter(
-            (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
-            & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+            (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - ao_off)))
+            & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s - ao_off)))
+        )
+        grid_aligned = F.timestamp_micros(
+            F.unix_micros(F.col(cols.ts)) + F.lit(int(ao_off * 1_000_000))
         )
         present = samples.select(
-            time_bucket(cols.ts, step_s).alias("time_bucket")
+            time_bucket(grid_aligned, step_s).alias("time_bucket")
         ).distinct()
         b0, b1 = int(start_s // step_s), int(end_s // step_s)
         grid = df.sparkSession.range(b0, b1 + 1).select(
@@ -761,6 +800,13 @@ def promql_range(
             out, parsed, step_s, cols, label_cols, ts_ns_col, faithful
         )
 
+    # NOTE (reference fidelity): when BOTH an aggregation and a range
+    # function parse (`sum(rate(m[300s]))`), the function branch wins and
+    # output stays per-(bucket, discovered labels) — exactly the
+    # reference's precedence (api/query/prometheus_api.rs:969-1012 runs
+    # before the aggregation arm). The real two-level PromQL evaluation
+    # (aggregate ACROSS series after the per-series rate) is the
+    # faithful=True path (_promql_range_faithful).
     keys = [time_bucket(cols.ts, step_s).alias("time_bucket"), F.col(cols.name)] + [
         F.col(c) for c in label_cols
     ]
@@ -1038,7 +1084,11 @@ def histogram_quantile_cumulative(
         buckets.withColumn("_total", F.max(cum).over(g))
         .withColumn("_prev_cum", F.coalesce(F.lag(cum).over(w), F.lit(0)))
         .withColumn("_prev_le", F.lag(le).over(w))
-        .withColumn("_rank_ok", (F.lit(q_den) * cum) >= (F.lit(q_num) * F.col("_total")))
+        .withColumn(
+            "_rank_ok",
+            (F.lit(q_den) * cum.cast("decimal(38,0)"))
+            >= (F.lit(q_num) * F.col("_total").cast("decimal(38,0)")),
+        )
     )
     hit = (
         annotated.filter(F.col("_rank_ok") & (F.col("_total") > 0))
@@ -1048,10 +1098,17 @@ def histogram_quantile_cumulative(
         .filter(F.col("_rn") == 1)
     )
     cnt = cum - F.col("_prev_cum")
+    # DECIMAL(38,0) through the numerator: le·q_den·count·10⁶ passes 2^63
+    # once cumulative counts reach ~1e9 (the 100 TB regime) — int64 would
+    # wrap silently while DuckDB HUGEINT-promotes, splitting the engines
     interp_micro = F.expr(
-        f"(coalesce(_prev_le, 0) * {q_den} * ({cum_col} - _prev_cum)"
-        f" + ({le_col} - coalesce(_prev_le, 0)) * ({q_num} * _total - {q_den} * _prev_cum))"
-        f" * 1000000 div ({q_den} * ({cum_col} - _prev_cum))"
+        f"(CAST(coalesce(_prev_le, 0) AS DECIMAL(38,0)) * {q_den}"
+        f" * ({cum_col} - _prev_cum)"
+        f" + CAST({le_col} - coalesce(_prev_le, 0) AS DECIMAL(38,0))"
+        f" * (CAST({q_num} AS DECIMAL(38,0)) * _total"
+        f"    - CAST({q_den} AS DECIMAL(38,0)) * _prev_cum))"
+        f" * 1000000 div (CAST({q_den} AS DECIMAL(38,0))"
+        f" * ({cum_col} - _prev_cum))"
     )
     micro = (
         F.when(le >= F.lit(LE_INF), F.col("_prev_le") * F.lit(1_000_000))
@@ -1120,11 +1177,13 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
             # epoch day 0 = Thursday; PromQL counts 0 = Sunday
             "day_of_week": (86400, 7, 4),
         }[fn]
+        # pmod, not %: Spark's % keeps the dividend's sign, so pre-1970
+        # epochs would yield hour(-3600) = -1 instead of 23
         return res.withColumn(
             "value",
-            ((F.floor(v / F.lit(float(div))) + F.lit(shift)) % F.lit(mod)).cast(
-                "double"
-            ),
+            F.pmod(
+                F.floor(v / F.lit(float(div))) + F.lit(shift), F.lit(mod)
+            ).cast("double"),
         )
     if fn in ("day_of_month", "month", "year", "days_in_month"):
         t = F.timestamp_seconds(F.floor(v).cast("long"))

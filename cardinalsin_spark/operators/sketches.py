@@ -85,7 +85,12 @@ def hll_distinct(
     numerator = _alpha(m) * m * m * float(1 << (w_bits + 1))
     empty_reg = 1 << (w_bits + 1)  # 2^(W+1−0): an untouched register's term
 
-    hashed = df.select(hash60(seed, value_col).alias("_h"), F.col(value_col))
+    # NULLs must be dropped, not hashed: md5(NULL) yields a NULL register
+    # row that sum() skips but count() includes, under-compensating the
+    # empty-register term (and NULL is "no value", not a distinct value)
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        hash60(seed, value_col).alias("_h"), F.col(value_col)
+    )
     rho = F.when(
         F.col("_w") == 0, F.lit(w_bits + 1)
     ).otherwise(F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1)
@@ -132,7 +137,7 @@ def sql_hll_distinct(
     return f"""
 WITH h AS (
   SELECT {sql_hash60(seed, value_expr)} AS _h, {value_expr} AS _v
-  FROM {table_expr}
+  FROM {table_expr} WHERE {value_expr} IS NOT NULL
 ),
 b AS (
   SELECT _h >> {w_bits} AS _b, _h & {mask} AS _w, _v FROM h
@@ -271,10 +276,14 @@ def hll_overlap_estimate(
     numerator = _alpha(m) * m * m * float(1 << (w_bits + 1))
     empty_reg = 1 << (w_bits + 1)
 
-    hashed = df.select(
-        F.col(split_col).alias("_split"),
-        hash60(seed, value_col).alias("_h"),
-    ).filter(F.col("_split").isin(a_label, b_label))
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())  # see hll_distinct
+        .select(
+            F.col(split_col).alias("_split"),
+            hash60(seed, value_col).alias("_h"),
+        )
+        .filter(F.col("_split").isin(a_label, b_label))
+    )
     rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + 1
     )

@@ -2444,7 +2444,7 @@ WITH h AS (
   SELECT CASE WHEN {_sql_hash("'42'", "CAST(doc_id AS VARCHAR)")} % 10000
               < 5000 THEN 'a' ELSE 'b' END AS _split,
          {sk.sql_hash60(seed, f"md5({_SQL_NORM})")} AS _h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 b AS (
   SELECT _split, _h >> {w_bits} AS _b, _h & {mask} AS _w FROM h

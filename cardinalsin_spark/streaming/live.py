@@ -211,7 +211,15 @@ _INCREASE_STATE = "last_ts_ns long, last_value double"
 def _increase_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
     """Per-series state: (last_ts_ns, last_value). For each micro-batch,
     accumulate PromQL-style increase: on a counter reset (v < prev) the
-    whole new value counts; otherwise the delta does."""
+    whole new value counts; otherwise the delta does.
+
+    The whole micro-batch is concatenated BEFORE sorting:
+    applyInPandasWithState feeds large groups as multiple Arrow chunks
+    with no global time order, so sorting each chunk independently would
+    read later-timestamp chunks first and count their back-step as a
+    counter reset — silently inflating the increase on any series bigger
+    than one Arrow batch. Batch-sized memory per (series, micro-batch) is
+    the operator's documented state envelope either way."""
     import pandas as pd
 
     if state.exists:
@@ -222,9 +230,12 @@ def _increase_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
     total = 0.0
     n = 0
     metric_name = None
-    for pdf in pdf_iter:
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
         # value as tiebreak: deterministic when samples share a timestamp
-        pdf = pdf.sort_values(["ts_ns", "value"])
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_ns", "value"]
+        )
         for ts_ns, v, m in zip(pdf["ts_ns"], pdf["value"], pdf["metric_name"]):
             metric_name = m
             if v is None:

@@ -865,3 +865,81 @@ def test_timestamp_respects_offset(spark, sf_dir):
             assert r.value == plain[prev_bucket], r
             hits += 1
     assert hits > 0
+
+
+def test_binop_without_spaces(spark, sf_dir):
+    """`a / b` and `a/b` must parse identically (whitespace is only
+    significant for '-', which can appear inside metric names)."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    kw = dict(start_s=1704067200.0, end_s=1704153600.0, step_s=3600,
+              cols=EV_CENTS)
+    kw["step_s"] = 86400
+    kw["end_s"] = 1706745600.0
+    spaced = promql_range(
+        ev, "sum by (user_id) (purchase) / sum by (user_id) (view)", **kw
+    ).collect()
+    tight = promql_range(
+        ev, "sum by (user_id) (purchase)/sum by (user_id) (view)", **kw
+    ).collect()
+    assert spaced and [tuple(r) for r in tight] == [tuple(r) for r in spaced]
+
+
+def test_offset_inside_quoted_value_is_data(spark):
+    """The literal text 'offset 5m' inside a matcher value must not be
+    treated as an offset modifier."""
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    p = parse_promql('m{note="retry offset 5m"}')
+    assert p.offset_seconds == 0.0
+    assert p.label_matchers[0].value == "retry offset 5m"
+    # a real offset after the selector still parses
+    p2 = parse_promql('m{note="retry offset 5m"} offset 3m')
+    assert p2.offset_seconds == 180.0
+    assert p2.label_matchers[0].value == "retry offset 5m"
+
+
+def test_absent_over_time_with_offset(spark, sf_dir):
+    """absent_over_time(m[1h] offset 24h) shifts the probe window back a
+    day: each grid bucket reports the previous day's absence."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    kw = dict(step_s=3600, cols=EV_CENTS)
+    plain = {
+        r.time_bucket
+        for r in promql_range(
+            ev, "absent_over_time(purchase[3600s])",
+            start_s=1704067200.0, end_s=1704153600.0, **kw
+        ).collect()
+    }
+    import datetime as dt
+
+    shifted = {
+        r.time_bucket - dt.timedelta(seconds=86400)
+        for r in promql_range(
+            ev, "absent_over_time(purchase[3600s] offset 86400s)",
+            start_s=1704067200.0 + 86400, end_s=1704153600.0 + 86400, **kw
+        ).collect()
+    }
+    assert shifted == plain
+
+
+def test_time_components_negative_epoch(spark, sf_dir):
+    """Pre-1970 epochs wrap correctly (pmod, not sign-of-dividend %)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    rows = [Row(ts=dt.datetime(2024, 1, 1), event_type="m",
+                value_cents=-3600.0, user_id="1")]
+    df = spark.createDataFrame(rows)
+    from cardinalsin_spark.queries import EV_CENTS
+
+    got = promql_instant(df, "hour(m)", cols=EV_CENTS).collect()
+    assert got[0].value == 23.0
