@@ -2551,6 +2551,56 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per hour treating `value` as a latency: satisfied
+    (≤ T), tolerating (≤ 4T), frustrated; score = (sat + tol/2)/total —
+    the canonical SRE user-satisfaction index. Integer counts in one
+    conditional aggregation; the half-weight stays exact by scoring in
+    doubled units (2·sat + tol over 2·total)."""
+    ev = _events_cents(spark, sf_dir)
+    t_cents = 50_00  # T = 50.00
+    sat = (F.col("value_cents") <= t_cents).cast("long")
+    tol = (
+        (F.col("value_cents") > t_cents)
+        & (F.col("value_cents") <= 4 * t_cents)
+    ).cast("long")
+    return (
+        ev.groupBy(time_bucket(F.col("ts"), 3600).alias("hour"))
+        .agg(
+            F.sum(sat).alias("n_sat"),
+            F.sum(tol).alias("n_tol"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "hour",
+            "n_sat",
+            "n_tol",
+            "n_total",
+            (
+                (F.lit(2) * F.col("n_sat") + F.col("n_tol")).cast("double")
+                / (F.lit(2) * F.col("n_total"))
+            ).alias("apdex"),
+        )
+        .orderBy("hour")
+    )
+
+
+SQL_TS_APDEX = f"""
+SELECT hour, n_sat, n_tol, n_total,
+       CAST(2 * n_sat + n_tol AS DOUBLE) / (2 * n_total) AS apdex
+FROM (
+  SELECT {_sql_bucket(3600)} AS hour,
+         CAST(sum(CASE WHEN {_sql_cents('value')} <= 5000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+         CAST(sum(CASE WHEN {_sql_cents('value')} > 5000
+                   AND {_sql_cents('value')} <= 20000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+) ORDER BY hour
+"""
+
+
 def q_ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap statistics per event type — the scrape/ingest
     health view a TSDB operator reads (mean/median/max gap, stall count):
@@ -3993,6 +4043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
     "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
     "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
+    "ts_apdex": (q_ts_apdex, SQL_TS_APDEX),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
