@@ -2551,6 +2551,60 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-down per day (target 99% non-error events):
+    running error/total counts via cumulative windows, budget consumed =
+    cum_err/(0.01·cum_total) as the exact ratio 100·cum_err/cum_total —
+    the month-to-date view next to ts_burn_rate's instantaneous one.
+    Integer running sums on ONE global-ordered window pair (day grain —
+    ~30 rows; the window is over the daily aggregate, not raw events)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(time_bucket(F.col("ts"), 86_400).alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "error").cast("long")).alias("err"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cum_err", F.sum("err").over(w))
+        .withColumn("cum_total", F.sum("total").over(w))
+        .select(
+            "day",
+            "err",
+            "total",
+            "cum_err",
+            "cum_total",
+            (
+                F.lit(100) * F.col("cum_err").cast("double")
+                / F.col("cum_total")
+            ).alias("budget_consumed_frac"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_TS_ERROR_BUDGET = f"""
+WITH daily AS (
+  SELECT {_sql_bucket(86400)} AS day,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err,
+         CAST(count(*) AS BIGINT) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, err, total,
+       CAST(sum(err) OVER w AS BIGINT) AS cum_err,
+       CAST(sum(total) OVER w AS BIGINT) AS cum_total,
+       100 * CAST(sum(err) OVER w AS BIGINT)
+         / CAST(CAST(sum(total) OVER w AS BIGINT) AS DOUBLE)
+         AS budget_consumed_frac
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
 def q_ts_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apdex score per hour treating `value` as a latency: satisfied
     (≤ T), tolerating (≤ 4T), frustrated; score = (sat + tol/2)/total —
@@ -4044,6 +4098,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
     "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
     "ts_apdex": (q_ts_apdex, SQL_TS_APDEX),
+    "ts_error_budget": (q_ts_error_budget, SQL_TS_ERROR_BUDGET),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
