@@ -396,6 +396,41 @@ def promql_instant(
     Aggregated form: one row per (metric, *by) with MAX(ts) as the sample
     timestamp, ordered by value desc. Selector form: latest single sample.
     """
+    binop = _split_top_level_binop(promql)
+    if binop:
+        # instant binary ops: vector-scalar folds into the value column;
+        # vector-vector joins on on(...)/shared labels with the metric
+        # name dropped (PromQL binop semantics). Without this branch
+        # `sum(a) / sum(b)` used to mis-parse as one garbage aggregation
+        # and silently return empty.
+        left, op, on_labels, group_mode, carry, right = binop
+        arith = _ARITH_OPS[op]
+        num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
+        num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        if num_r and not num_l:
+            lf = promql_instant(df, left, time_s, cols, tiebreak)
+            return lf.withColumn(
+                "value", arith(F.col("value"), F.lit(float(right)))
+            )
+        if num_l and not num_r:
+            rf = promql_instant(df, right, time_s, cols, tiebreak)
+            return rf.withColumn(
+                "value", arith(F.lit(float(left)), F.col("value"))
+            )
+        lf = promql_instant(df, left, time_s, cols, tiebreak)
+        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        drop = {cols.name, "value", "timestamp_", cols.ts}
+        shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
+        keys = on_labels if on_labels is not None else shared
+        l = lf.select(*keys, F.col("value").alias("_lv"))
+        r = rf.select(*keys, F.col("value").alias("_rv"))
+        joined = l.join(r, keys) if keys else l.crossJoin(r)
+        return joined.select(
+            *keys, arith(F.col("_lv"), F.col("_rv")).alias("value")
+        ).orderBy(*keys) if keys else joined.select(
+            arith(F.col("_lv"), F.col("_rv")).alias("value")
+        )
+
     am = _ABSENT_RE.match(promql.strip())
     if am:
         # absent(selector): 1-sample vector {value: 1} iff the selector
@@ -549,6 +584,12 @@ def _split_top_level_binop(s: str):
             # around them would silently drop the split for `a/b` and let
             # the range-fn regex swallow the whole string as a garbage
             # selector (empty result, no error).
+            if ch == "-":
+                # a '-' directly after a comparison operator is a SIGN
+                # (`m > -5` belongs to the scalar-comparison grammar)
+                prev = s[:i].rstrip()
+                if prev and prev[-1] in "<>=!":
+                    continue
             if ch != "-" or s[i - 1].isspace() or s[i + 1].isspace():
                 candidates[ch] = i
     pos = max((candidates.get(o, -1) for o in "+-"), default=-1)

@@ -943,3 +943,37 @@ def test_time_components_negative_epoch(spark, sf_dir):
 
     got = promql_instant(df, "hour(m)", cols=EV_CENTS).collect()
     assert got[0].value == 23.0
+
+
+def test_instant_binary_ops(spark, sf_dir):
+    """Instant vector-vector and vector-scalar binary ops: `sum(a)/sum(b)`
+    joins on shared labels (metric name dropped), scalars fold — formerly
+    this mis-parsed as one garbage aggregation and returned empty."""
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1706745600.0
+    s_p = promql_instant(ev, "sum(purchase)", time_s=t, cols=EV_CENTS).collect()
+    s_v = promql_instant(ev, "sum(view)", time_s=t, cols=EV_CENTS).collect()
+    ratio = promql_instant(
+        ev, "sum(purchase) / sum(view)", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert len(ratio) == 1
+    assert ratio[0].value == s_p[0].value / s_v[0].value
+    by = promql_instant(
+        ev,
+        "sum by (user_id) (purchase) / sum by (user_id) (view)",
+        time_s=t,
+        cols=EV_CENTS,
+    ).collect()
+    assert by and all(r.value > 0 for r in by)
+    halved = promql_instant(
+        ev, "sum(purchase) / 2", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert halved[0].value == s_p[0].value / 2
+    # negative comparison scalar still parses as a comparison, not a binop
+    neg = promql_instant(
+        ev, "sum(purchase) > -5", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert len(neg) == 1 and neg[0].value == s_p[0].value
