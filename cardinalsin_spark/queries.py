@@ -2551,6 +2551,39 @@ ORDER BY time_bucket, event_type
 """
 
 
+def q_ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: count and exact-cents mean value per
+    (day-of-week, event_type) — the baseline shape behind the seasonal
+    residual query. Day-of-week by pure epoch arithmetic (epoch day 0 =
+    Thursday → +4 mod 7, 0 = Sunday), one aggregation."""
+    ev = _events_cents(spark, sf_dir)
+    dow = F.pmod(
+        F.expr("unix_micros(ts) div 86400000000") + F.lit(4), F.lit(7)
+    )
+    return (
+        ev.groupBy(dow.cast("long").alias("day_of_week"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("value_cents").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0)
+            ).alias("mean_value"),
+        )
+        .orderBy("day_of_week", "event_type")
+    )
+
+
+SQL_TS_WEEKDAY_PROFILE = f"""
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_sql_cents('value')}) AS BIGINT)
+         / CAST(count(*) AS DOUBLE) / 100.0 AS mean_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ts_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO error-budget burn-down per day (target 99% non-error events):
     running error/total counts via cumulative windows, budget consumed =
@@ -4099,6 +4132,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
     "ts_apdex": (q_ts_apdex, SQL_TS_APDEX),
     "ts_error_budget": (q_ts_error_budget, SQL_TS_ERROR_BUDGET),
+    "ts_weekday_profile": (q_ts_weekday_profile, SQL_TS_WEEKDAY_PROFILE),
     "ts_seasonal_residual": (q_ts_seasonal_residual, SQL_TS_SEASONAL_RESIDUAL),
     "ts_session_incidents": (q_ts_session_incidents, SQL_TS_SESSION_INCIDENTS),
     "ts_topk_by": (q_ts_topk_by, SQL_TS_TOPK_BY),
