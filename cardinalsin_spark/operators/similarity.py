@@ -526,6 +526,7 @@ def centroid_by_label(
     label_col: str = "label",
     vec_col: str = "embedding",
     scale: int = QUANT_SCALE,
+    flat: bool = False,
 ) -> DataFrame:
     """Per-label mean embedding (class centroids — the building block for
     nearest-centroid classification, cluster summaries, and IVF cell
@@ -538,6 +539,11 @@ def centroid_by_label(
     sorts (dim, value) structs, so the output array order is exact. Two
     map-side-combinable shuffles on (label, dim) then (label); at 1B
     vectors the (label, dim) partial aggregate is the only wide stage.
+
+    ``flat=True`` skips reassembly and returns one row per
+    ``(label, pos, value, n_vectors)`` — a list-free schema downstream
+    tooling (and the driver's pandas canonicalizer) can sort/hash, and one
+    fewer shuffle.
     """
     q = df.select(
         F.col(label_col),
@@ -550,6 +556,13 @@ def centroid_by_label(
         "_v",
         F.col("_s").cast("double") / (F.col("_n") * F.lit(float(scale))),
     )
+    if flat:
+        return per_dim.select(
+            F.col(label_col),
+            F.col("_pos").cast("long").alias("pos"),
+            F.col("_v").alias("value"),
+            F.col("_n").alias("n_vectors"),
+        ).orderBy(label_col, "pos")
     return (
         per_dim.groupBy(label_col)
         .agg(

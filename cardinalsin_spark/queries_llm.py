@@ -1188,12 +1188,15 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA 64→8: components trained driver-side on the 1000-lowest-id
     sample (index-build contract, like the IVF quantizer), projection as
     exact int64 dot products of mean-centered quantized vectors. The
-    learned counterpart to the JL random projection."""
+    learned counterpart to the JL random projection. Flat
+    (vec_id, dim, value) rows — list-free schema for canonicalization."""
     emb = _emb(spark, sf_dir)
     q_mean, q_comp = sim.pca_train_components_local(
         emb.orderBy("vec_id").limit(1000), k=8
     )
-    return sim.pca_project(emb, q_mean, q_comp)
+    return sim.pca_project(emb, q_mean, q_comp).select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("long"))
 
 
 def _sql_pca_project() -> str:
@@ -1236,12 +1239,17 @@ def _sql_pca_project() -> str:
         for row in q_comp
     )
     return f"""
-SELECT vec_id, [{cols}] AS proj
+SELECT vec_id,
+       CAST(generate_subscripts(proj, 1) - 1 AS BIGINT) AS dim,
+       CAST(unnest(proj) AS BIGINT) AS value
 FROM (
-  SELECT vec_id,
-         list_transform(list_zip(qv, {mean_lit}),
-                        p -> CAST(p[1] - p[2] AS DOUBLE)) AS cd
-  FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+  SELECT vec_id, [{cols}] AS proj
+  FROM (
+    SELECT vec_id,
+           list_transform(list_zip(qv, {mean_lit}),
+                          p -> CAST(p[1] - p[2] AS DOUBLE)) AS cd
+    FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+  )
 )
 """
 
@@ -1298,9 +1306,13 @@ GROUP BY 1 ORDER BY 1
 def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection 64→16 dims: exact int64 dot
     products against the deterministic ±1 matrix (Achlioptas-style), the
-    dim-reduction front end for ANN indexing. Narrow map, zero shuffle."""
+    dim-reduction front end for ANN indexing. Narrow map, zero shuffle.
+    Flat (vec_id, dim, value) rows — list-free schema for
+    canonicalization."""
     return sim.random_projection(
         _emb(spark, sf_dir), in_dim=_JL_IN_DIM, out_dim=_JL_OUT_DIM
+    ).select("vec_id", F.posexplode("proj").alias("dim", "value")).withColumn(
+        "dim", F.col("dim").cast("long")
     )
 
 
@@ -1313,8 +1325,13 @@ def _sql_random_projection() -> str:
         for row in R
     )
     return f"""
-SELECT vec_id, [{cols}] AS proj
-FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+SELECT vec_id,
+       CAST(generate_subscripts(proj, 1) - 1 AS BIGINT) AS dim,
+       CAST(unnest(proj) AS BIGINT) AS value
+FROM (
+  SELECT vec_id, [{cols}] AS proj
+  FROM (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)
+)
 """
 
 
@@ -1774,8 +1791,10 @@ ORDER BY st.doc_id
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding on the quantized-exact grid (class
-    centroids for nearest-centroid classification / cluster summaries)."""
-    return sim.centroid_by_label(_emb(spark, sf_dir))
+    centroids for nearest-centroid classification / cluster summaries).
+    Flat (label, pos, value, n_vectors) rows — list-free schema so the
+    result canonicalizes in pandas/duckdb tooling."""
+    return sim.centroid_by_label(_emb(spark, sf_dir), flat=True)
 
 
 SQL_EMB_CENTROIDS = f"""
@@ -1788,10 +1807,10 @@ agg AS (
   FROM q GROUP BY 1, 2
 )
 SELECT label,
-       array_agg(CAST(s AS DOUBLE) / (n * {float(sim.QUANT_SCALE)})
-                 ORDER BY pos) AS centroid,
-       max(n) AS n_vectors
-FROM agg GROUP BY label ORDER BY label
+       CAST(pos - 1 AS BIGINT) AS pos,
+       CAST(s AS DOUBLE) / (n * {float(sim.QUANT_SCALE)}) AS value,
+       CAST(n AS BIGINT) AS n_vectors
+FROM agg ORDER BY label, pos
 """
 
 
