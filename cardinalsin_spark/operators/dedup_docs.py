@@ -680,6 +680,7 @@ def cross_split_contamination(
     text_col: str = "text",
     shingle_k: int = DEFAULT_SHINGLE_K,
     window: int = 4,
+    salt_n: int | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination check: test-split documents sharing at
     least one winnowing fingerprint (≥ k+window−1 char substring) with any
@@ -687,6 +688,13 @@ def cross_split_contamination(
     n-gram-overlap contamination audit a training-data pipeline runs before
     an eval release (GPT-3 appendix C / PaLM §7 style, built from public
     winnowing).
+
+    ``salt_n`` opts into a salted fingerprint join (``functions/skew.py``)
+    for corpora where one boilerplate fingerprint dominates the test side —
+    the hot fp's rows spread over ``salt_n`` shuffle partitions instead of
+    one reducer. Identical results either way (pytest-pinned); the default
+    semi-join relies on AQE's runtime skew split, which covers everything
+    but the pathological single-key case.
 
     Shape: fingerprints once over the whole corpus (shingle explode + one
     window shuffle), then split labels RECOMPUTED per row from the id via
@@ -703,10 +711,18 @@ def cross_split_contamination(
     train_fps = (
         labeled.filter(F.col("_split") == train_label).select("fp").distinct()
     )
+    test_fps = labeled.filter(F.col("_split") == test_label)
+    if salt_n:
+        from cardinalsin_spark.functions.skew import salted_join
+
+        # inner ≡ leftsemi here: train_fps is distinct on fp, so each
+        # matching test row joins exactly once (countDistinct is a
+        # second belt anyway)
+        matched = salted_join(test_fps, train_fps, on=["fp"], n_salts=salt_n)
+    else:
+        matched = test_fps.join(train_fps, on="fp", how="leftsemi")
     return (
-        labeled.filter(F.col("_split") == test_label)
-        .join(train_fps, on="fp", how="leftsemi")
-        .groupBy(id_col)
+        matched.groupBy(id_col)
         .agg(F.countDistinct("fp").alias("n_shared_fps"))
         .orderBy(id_col)
     )

@@ -5,11 +5,14 @@ BASELINE.json north star; the reference models no media at all).
 
 The Spark-side plumbing is real and tested: schemas, iterator-of-batches UDF
 signatures, row-expanding frame sampling, and partitioning that keeps one
-media blob per task row. The codec layer is NOT real: this container ships
-no image/audio libraries, so ``decode`` goes through ``_decode_bytes``, a
-clearly-marked deterministic fake (bytes → tiled uint8 array). Swap
-``_decode_bytes`` for PIL/ffmpeg calls in production; every operator
-signature stays identical.
+media blob per task row. The codec layer is PLUGGABLE, keyed on container
+magic bytes: blobs that are real PNG or RIFF/WAVE files go through a real
+decoder (PIL / soundfile when installed, else pure-stdlib fallbacks — a
+zlib+unfilter PNG decoder and the ``wave`` module), and anything else goes
+through ``_decode_bytes``, a clearly-marked deterministic fake (bytes →
+tiled uint8 array) that the oracle-checked fixture path uses. Video demux
+remains fake (no ffmpeg in any tier). Operator signatures are identical
+either way.
 
 Scale posture: media blobs dominate row size, so operators run via
 ``mapInPandas`` (streamed Arrow batches — bounded memory per task,
@@ -81,10 +84,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_bytes(content: bytes, n_values: int):
-    """DETERMINISTIC FAKE DECODE — stand-in for PIL.Image.open /
-    soundfile.read / video demux (libs not in this container). Tiles the
-    blob's bytes to exactly ``n_values`` uint8 samples. Replace this one
-    function with a real codec to productionize; callers only see arrays."""
+    """DETERMINISTIC FAKE DECODE — the default for blobs that are not a
+    recognized real container (the doc-derived fixtures). Tiles the blob's
+    bytes to exactly ``n_values`` uint8 samples; callers only see arrays."""
     import numpy as np
 
     raw = np.frombuffer(content or b"\x00", dtype=np.uint8)
@@ -94,16 +96,170 @@ def _decode_bytes(content: bytes, n_values: int):
     return np.tile(raw, reps)[:n_values]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _is_png(content: bytes) -> bool:
+    return bool(content) and content[:8] == _PNG_MAGIC
+
+
+def _is_wav(content: bytes) -> bool:
+    return (
+        bool(content)
+        and len(content) > 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    )
+
+
+def _png_decode_stdlib(content: bytes):
+    """Real PNG decode with only the stdlib: parse chunks, zlib-inflate
+    IDAT, undo per-scanline filters 0-4 (None/Sub/Up/Average/Paeth), and
+    normalize to (h, w, 3) uint8. Supports the non-interlaced 8-bit-depth
+    color types (gray / RGB / gray+alpha / RGBA); alpha is dropped. This is
+    the PIL-free fallback so the real-decode path works in minimal
+    containers."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if hdr is None:
+        raise ValueError("PNG: missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"PNG: unsupported depth={depth}/interlace={interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG: unsupported color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: truncated image data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + int(prev[i])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1][i - bpp]) if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray+alpha → replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
+def _wav_decode_int(content: bytes):
+    """Real WAV decode: PCM samples as exact integers plus the grid
+    denominator — (int16 array, 32768) or (uint8−128, 128). First channel
+    of multi-channel clips. soundfile is preferred when installed; the
+    stdlib ``wave`` module is the always-available fallback."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:  # optional real-codec tier (flac/ogg too, if ever present)
+        import soundfile  # type: ignore
+
+        data, _sr = soundfile.read(io.BytesIO(content), dtype="int16")
+        arr = np.asarray(data, dtype=np.int64)
+        if arr.ndim == 2:
+            arr = arr[:, 0]
+        return arr, 32768
+    except ImportError:
+        pass
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        n_ch, sampwidth = wf.getnchannels(), wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sampwidth == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        denom = 32768
+    elif sampwidth == 1:
+        arr = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+        denom = 128
+    else:
+        raise ValueError(f"WAV: unsupported sample width {sampwidth}")
+    return arr[::n_ch], denom
+
+
 def decode_image(content: bytes, width: int, height: int):
-    """blob → (height, width, 3) uint8 array (fake decode, see above)."""
+    """blob → (h, w, 3) uint8 array. Real containers decode for real (PIL
+    if installed, else the stdlib PNG path) with dimensions from the FILE;
+    other blobs take the fake tiled decode at the metadata dimensions."""
+    if _is_png(content):
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+
+            import numpy as np
+
+            img = Image.open(io.BytesIO(content)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+        except ImportError:
+            return _png_decode_stdlib(content)
     return _decode_bytes(content, width * height * 3).reshape(height, width, 3)
 
 
-def decode_audio(content: bytes, n_samples: int):
-    """blob → float32 PCM in [-1, 1) of length n_samples (fake decode)."""
+def decode_audio_int(content: bytes, n_samples: int):
+    """blob → (exact-integer PCM of length ``n_samples``, grid denominator).
+    Real WAVs decode for real (zero-padded / truncated to ``n_samples``);
+    other blobs take the fake (byte−128, 128) grid. Integer samples keep the
+    downstream statistics exact — one sqrt/division at the end."""
     import numpy as np
 
-    return (_decode_bytes(content, n_samples).astype(np.float32) - 128.0) / 128.0
+    if _is_wav(content):
+        arr, denom = _wav_decode_int(content)
+        if arr.size >= n_samples:
+            return arr[:n_samples], denom
+        return np.pad(arr, (0, n_samples - arr.size)), denom
+    return _decode_bytes(content, n_samples).astype(np.int64) - 128, 128
+
+
+def decode_audio(content: bytes, n_samples: int):
+    """blob → float32 PCM in [-1, 1) of length n_samples."""
+    import numpy as np
+
+    arr, denom = decode_audio_int(content, n_samples)
+    return arr.astype(np.float32) / float(denom)
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -126,7 +282,10 @@ def image_features(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = decode_image(r.content, r.width, r.height).astype("int64")
-                n = int(r.width) * int(r.height)
+                # dims come from the DECODED array: identical to metadata on
+                # the fake path, authoritative (from the file) on real PNGs
+                h, w = img.shape[0], img.shape[1]
+                n = w * h
                 s_r = int(img[:, :, 0].sum())
                 s_g = int(img[:, :, 1].sum())
                 s_b = int(img[:, :, 2].sum())
@@ -136,8 +295,8 @@ def image_features(media: DataFrame) -> DataFrame:
                 rows.append(
                     (
                         r.media_id,
-                        r.width,
-                        r.height,
+                        w,
+                        h,
                         len(r.content or b""),
                         s_r / n,
                         s_g / n,
@@ -162,11 +321,12 @@ def image_features(media: DataFrame) -> DataFrame:
 def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
     """Per-clip PCM statistics: RMS, peak, zero crossings.
 
-    Numerics: PCM is the exact grid (b−128)/128, so Σ(b−128)² is an exact
-    integer and rms = sqrt(S/(16384·n)) involves one exact division (power
-    of two when n is) and one correctly-rounded sqrt — bit-deterministic
-    across engines. A zero crossing is a sign flip between adjacent
-    samples; b=128 maps to +0.0 (non-negative), matching IEEE signbit."""
+    Numerics: PCM sits on an exact integer grid — (b−128)/128 on the fake
+    path, s/32768 for real 16-bit WAVs — so Σs² is an exact integer and
+    rms = sqrt(S/(denom²·n)) involves one exact division (power of two
+    when n is) and one correctly-rounded sqrt — bit-deterministic across
+    engines. A zero crossing is a sign flip between adjacent samples; the
+    grid's 0 maps to +0.0 (non-negative), matching IEEE signbit."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -177,7 +337,7 @@ def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                b = _decode_bytes(r.content, n_samples).astype("int64") - 128
+                b, denom = decode_audio_int(r.content, n_samples)
                 s = int((b * b).sum())
                 neg = b < 0
                 zc = int(np.sum(neg[1:] != neg[:-1]))
@@ -186,8 +346,8 @@ def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
                         r.media_id,
                         r.sample_rate,
                         n_samples,
-                        math.sqrt(s / (16384.0 * n_samples)),
-                        int(np.abs(b).max()) / 128.0,
+                        math.sqrt(s / (float(denom) * denom * n_samples)),
+                        int(np.abs(b).max()) / float(denom),
                         zc,
                     )
                 )

@@ -114,7 +114,7 @@ _ABSENT_OT_RE = re.compile(
 _SCALAR_FN_RE = re.compile(
     r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt"
     r"|timestamp|minute|hour|day_of_week|day_of_month|days_in_month"
-    r"|month|year|round)"
+    r"|month|year|round|exp|ln|log2|log10)"
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -1190,8 +1190,31 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
         return res.withColumn("value", F.signum(v))
     if fn == "sqrt":
         # IEEE-754 sqrt is correctly rounded — deterministic across
-        # engines, unlike exp/ln (libm-dependent; deliberately omitted)
+        # engines, unlike the transcendental tier below
         return res.withColumn("value", F.sqrt(v))
+    if fn in ("exp", "ln", "log2", "log10"):
+        # CONVENIENCE TIER — libm-dependent (not correctly rounded by
+        # IEEE-754), so these stay out of every oracle-checked registry
+        # path per the determinism doctrine (SCALE.md); semantics follow
+        # upstream promql/functions.go (simpleFunc over math.Exp/Log/...).
+        # Spark's ln/log2/log10 return NULL off-domain where PromQL
+        # returns -Inf/NaN; the nvl2 shim restores upstream's values.
+        expr = {
+            "exp": F.exp(v),
+            "ln": F.log(v),
+            "log2": F.log2(v),
+            "log10": F.log10(v),
+        }[fn]
+        if fn == "exp":
+            return res.withColumn("value", expr)
+        neg_inf, nan = F.lit(float("-inf")), F.lit(float("nan"))
+        fixed = (
+            F.when(v == 0.0, neg_inf)
+            .when(v < 0.0, nan)
+            .when(F.isnan(v), nan)
+            .otherwise(expr)
+        )
+        return res.withColumn("value", fixed)
     if fn == "round":
         # promql round(v, to_nearest=1) — upstream's exact formulation
         # (promql/functions.go funcRound): precompute inv = 1/to_nearest,

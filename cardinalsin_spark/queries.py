@@ -4024,6 +4024,161 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type-profit shape, adapted to the fixture schema
+    (no partsupp table, so profit = discounted revenue without the
+    supplycost term): revenue per (supplier nation, order year) over the
+    'red' parts. The 5-way star: lineitem ⋈ orders (year) ⋈ supplier ⋈
+    nation (broadcast dims) ⋈ filtered part (broadcast). Exact-cents
+    revenue, one final division."""
+    t = {
+        n: _read(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "nation")
+    }
+    red_parts = _read(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    amount = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - cents(F.col("l_discount"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(amount) / F.lit(10_000.0)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9ISH = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_sql_cents('l_extendedprice')}
+                * (100 - {_sql_cents('l_discount')})) AS BIGINT) / 10000.0
+         AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-distribution shape: LEFT OUTER join customers to
+    their non-urgent orders, count orders per customer (zero preserved!),
+    then the distribution of those counts. Exercises the outer-join +
+    double-aggregation pattern; both groupBys are map-side combinable and
+    the second input is one row per customer — shrinking, not growing,
+    with corpus size."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1 ORDER BY 2 DESC, 1 DESC
+"""
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 waiting-supplier shape, adapted to the fixture schema (no
+    commit/receipt dates — 'late' := shipped ≥ 90 days after the order
+    date): for finished ('F') orders, count per supplier the late
+    lineitems where ANOTHER supplier participated in the order (EXISTS →
+    left-semi) but NO OTHER supplier was also late (NOT EXISTS →
+    left-anti). The classic double-correlated-subquery plan, decorrelated
+    into two self-joins of the late set; top 10 by waiting count."""
+    o_f = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _lineitem(spark, sf_dir)
+    base = li.join(
+        o_f.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    late = base.filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey", "l_linenumber")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("_ok") == F.col("l_orderkey"))
+            & (F.col("_sk") != F.col("l_suppkey")),
+            "leftsemi",
+        ).join(
+            late_others,
+            (F.col("_ok") == F.col("l_orderkey"))
+            & (F.col("_sk") != F.col("l_suppkey")),
+            "leftanti",
+        )
+    )
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q21ISH = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey, l_linenumber
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4150,6 +4305,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
     "tpch_q19ish": (q_tpch_q19ish, SQL_TPCH_Q19ISH),
     "tpch_q22ish": (q_tpch_q22ish, SQL_TPCH_Q22ISH),
+    "tpch_q9ish": (q_tpch_q9ish, SQL_TPCH_Q9ISH),
+    "tpch_q13ish": (q_tpch_q13ish, SQL_TPCH_Q13ISH),
+    "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
 }
 
 

@@ -1701,21 +1701,36 @@ def q_docs_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document duplication signal: per doc, the fraction of
     its distinct word 8-grams that also occur in at least one OTHER doc —
     the span-level filter that catches boilerplate exact dedup misses.
-    Explode → distinct → gram-document counts (map-side combinable) →
-    join back; exact integer counts, one division."""
+
+    Skew-proof shape (no gram-keyed join at all): n_shared = n_grams −
+    n_unique, where a gram is unique iff its per-gram count is 1 — in
+    which case min(doc_id) IS its owner, so uniques aggregate straight
+    back to docs. Every stage is a map-side-combinable aggregation; a
+    boilerplate gram appearing in millions of docs partially aggregates on
+    the mappers instead of landing on one reducer (the hot-key hazard the
+    r4 verdict flagged in the old join-back plan). Exact integer counts,
+    one division."""
     grams = dd.exploded_word_ngrams(_docs(spark, sf_dir), n=8).distinct()
-    gcount = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("_ndocs"))
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    gstats = grams.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("_ndocs"), F.min("doc_id").alias("_owner")
+    )
+    uniq = (
+        gstats.filter(F.col("_ndocs") == 1)
+        .groupBy(F.col("_owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("_n_unique"))
+    )
     return (
-        grams.join(gcount, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0)).alias(
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("n_grams") - F.coalesce("_n_unique", F.lit(0))).alias(
                 "n_shared"
             ),
             (
-                F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
-                / F.count(F.lit(1))
+                (F.col("n_grams") - F.coalesce("_n_unique", F.lit(0)))
+                / F.col("n_grams")
             ).alias("crossdup_frac"),
         )
         .orderBy("doc_id")

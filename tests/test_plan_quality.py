@@ -337,3 +337,71 @@ def test_interval_overlap_join_is_binned_hash_join(spark, sf_dir):
     plan = plan_string(_df(spark, sf_dir, "ts_session_incidents"), "simple")
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_crossdup_has_no_gram_keyed_join(spark, sf_dir):
+    """docs_crossdup must keep its skew-proof shape: the only join is the
+    per-doc (n_grams ⟕ n_unique) merge on doc_id — no join keyed on the
+    gram hash `sh`, where a boilerplate 8-gram would pile every matching
+    row on one reducer. The gram-side work must be pure partial-aggregable
+    groupBys (hot keys combine map-side)."""
+    df = _df(spark, sf_dir, "docs_crossdup")
+    plan = plan_string(df, "formatted")
+    for line in plan.splitlines():
+        if "Join" in line and "doc_id" not in line:
+            assert "sh#" not in line, line
+    # both gram aggregations partial-aggregate before their shuffle
+    assert plan.count("partial_count") >= 2, plan
+
+
+def test_contamination_salted_path_equivalent_and_salted(spark, sf_dir):
+    """The opt-in salted fingerprint join must (a) actually salt — the join
+    keys include the salt column, spreading a hot fp over n partitions —
+    and (b) return exactly the unsalted results."""
+    import os
+
+    from cardinalsin_spark.functions.skew import SALT_COL
+    from cardinalsin_spark.operators import sampling as smp
+    from cardinalsin_spark.operators.dedup_docs import cross_split_contamination
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    label = smp.split_expr("doc_id")
+    base = cross_split_contamination(docs, label).collect()
+    salted_df = cross_split_contamination(docs, label, salt_n=8)
+    assert SALT_COL in plan_string(salted_df, "formatted")
+    assert salted_df.collect() == base
+
+
+def test_q9ish_dims_broadcast_fact_never_shuffled_by_key(spark, sf_dir):
+    """q9ish is a 5-way star: part/supplier/nation must broadcast so the
+    lineitem fact reaches the year×nation aggregate without a single
+    join-key shuffle (orders is the one allowed non-broadcast side)."""
+    df = _df(spark, sf_dir, "tpch_q9ish")
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "partial_" in plan_string(df, "formatted")
+
+
+def test_q21ish_semi_and_anti_strategies(spark, sf_dir):
+    """q21ish's decorrelated EXISTS/NOT EXISTS must plan as real LeftSemi
+    and LeftAnti joins — not as aggregate-then-join rewrites that would
+    materialize the full self-join."""
+    df = _df(spark, sf_dir, "tpch_q21ish")
+    plan = plan_string(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q13ish_left_outer_conserves_customers(spark, sf_dir):
+    """The outer-join count must keep customers with no qualifying orders:
+    the plan must retain a LeftOuter join (an inner rewrite would silently
+    drop them — at sf0.001 every customer happens to have orders, so only
+    the plan shape discriminates) and Σcustdist must equal the customer
+    count exactly."""
+    import os
+
+    df = _df(spark, sf_dir, "tpch_q13ish")
+    assert "LeftOuter" in plan_string(df, "simple")
+    total = df.agg(F.sum("custdist")).first()[0]
+    n_cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    assert total == n_cust

@@ -977,3 +977,75 @@ def test_instant_binary_ops(spark, sf_dir):
         ev, "sum(purchase) > -5", time_s=t, cols=EV_CENTS
     ).collect()
     assert len(neg) == 1 and neg[0].value == s_p[0].value
+
+
+def test_transcendental_convenience_tier(spark, sf_dir):
+    """exp/ln/log2/log10 — the libm-dependent convenience tier, kept out of
+    every oracle-checked registry path (determinism doctrine) but available
+    to users like upstream PromQL. Values must agree with Python's libm to
+    ~1 ulp (JVM Math vs glibc genuinely differ in the last bit on this
+    host — the measured reason this tier is fenced off from value-hash
+    oracles), and the off-domain shims must return PromQL's -Inf/NaN where
+    Spark's log functions would return NULL."""
+    import math
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1706745600.0
+    base = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "sum by (user_id) (purchase)", time_s=t, cols=EV_CENTS
+        ).collect()
+    }
+    for fn, pyfn in [
+        ("ln", math.log),
+        ("log2", math.log2),
+        ("log10", math.log10),
+    ]:
+        got = {
+            r.user_id: r.value
+            for r in promql_instant(
+                ev, f"{fn}(sum by (user_id) (purchase))", time_s=t,
+                cols=EV_CENTS,
+            ).collect()
+        }
+        for u, v in base.items():
+            assert math.isclose(got[u], pyfn(v), rel_tol=1e-15), (fn, u)
+    got = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "exp(sgn(sum by (user_id) (purchase)))", time_s=t,
+            cols=EV_CENTS,
+        ).collect()
+    }
+    for u in base:
+        assert math.isclose(got[u], math.e, rel_tol=1e-15), u
+
+    # off-domain: ln(0) = -Inf, ln(-x) = NaN (upstream funcLog semantics)
+    import datetime as dt
+
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = [
+        Row(timestamp=dt.datetime(2024, 1, 1), metric_name="mz", value=0.0),
+        Row(timestamp=dt.datetime(2024, 1, 1), metric_name="mn", value=-4.0),
+        Row(timestamp=dt.datetime(2024, 1, 1), metric_name="mp", value=4.0),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def val(expr):
+        (r,) = promql_instant(
+            df, expr, time_s=1704067200.0, cols=MetricsCols()
+        ).collect()
+        return r.value
+
+    assert val("log2(mp)") == 2.0
+    assert val("log2(mz)") == float("-inf")
+    assert math.isnan(val("log2(mn)"))
+    assert val("ln(mz)") == float("-inf")
+    assert math.isnan(val("log10(mn)"))

@@ -54,6 +54,16 @@ WINDOW_EXCEPTIONS = {
     # same epoch-arithmetic time-component path as windowed
     # promql_timestamp_hour (added in the same change)
     "promql_day_of_week": "promql_timestamp_hour",
+    # -- new in round 5 (window already full; rotate into r6's window) --
+    # same broadcast-dim star-join + year-grouped cents aggregate as the
+    # windowed tpch_q8ish
+    "tpch_q9ish": "tpch_q8ish",
+    # left-outer preserve-zero + double aggregation; the outer-join-count
+    # machinery is pinned by windowed tpch_q22ish's anti-join count
+    "tpch_q13ish": "tpch_q22ish",
+    # decorrelated EXISTS/NOT-EXISTS (left-semi + left-anti) — the join
+    # strategies pinned by windowed tpch_q4ish/tpch_q16ish
+    "tpch_q21ish": "tpch_q4ish",
 }
 
 

@@ -192,3 +192,63 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
         ratios.append(d_proj / (16 * d_orig))
     mean = sum(ratios) / len(ratios)
     assert 1 / 3 < mean < 3, mean
+
+
+def test_kmeans_third_party_crosscheck():
+    """Close the shared-trainer oracle blind spot: the IVF/SemDeDup oracles
+    retrain via the same ``kmeans_numpy`` the engine uses, so the trainer
+    itself was never independently checked. Replay the sf0.01 training run
+    with a from-scratch pure-Python Lloyd loop that differs in every way
+    that could hide a bug — direct Σ(x−c)² distances instead of the
+    ‖c‖²−2x·c expansion, exactly-rounded math.fsum reductions instead of
+    numpy pairwise sums — and require bit-equal centroids and identical
+    assignments each round (verified to hold on the fixed fixture: the
+    embedding values' sums are exact in float64)."""
+    import math
+    import os
+
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from cardinalsin_spark.operators.similarity import kmeans_numpy
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 fixture missing")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        "ORDER BY vec_id LIMIT 1000"
+    ).fetchall()
+    con.close()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    k, iters = 16, 2
+    ref = kmeans_numpy(X, k=k, iters=iters)
+
+    # reference-free reimplementation (no numpy, no shared helpers)
+    pts = [list(map(float, row)) for row in X.tolist()]
+    cent = [row[:] for row in pts[:k]]
+    for rnd in range(iters):
+        cells = []
+        for x in pts:
+            best, best_d = 0, None
+            for ci, c in enumerate(cent):
+                d = math.fsum((xi - cj) ** 2 for xi, cj in zip(x, c))
+                if best_d is None or d < best_d:
+                    best_d, best = d, ci
+            cells.append(best)
+        # the engine's argmin over ‖c‖²−2x·c must pick the same cells
+        d_np = (np.array(cent) ** 2).sum(axis=1)[None, :] - 2.0 * (
+            X @ np.array(cent).T
+        )
+        assert (d_np.argmin(axis=1) == np.array(cells)).all(), f"round {rnd}"
+        for ci in range(k):
+            members = [x for x, cell in zip(pts, cells) if cell == ci]
+            if members:
+                n = len(members)
+                cent[ci] = [math.fsum(col) / n for col in zip(*members)]
+
+    assert np.array_equal(ref, np.array(cent)), (
+        "trainer centroids diverge from independent replay"
+    )
