@@ -49,7 +49,7 @@ _AGG_RE = re.compile(
 )
 _RANGE_FN_RE = re.compile(
     r"^(rate|increase|irate|delta|idelta|deriv|resets|changes"
-    r"|(?:sum|avg|min|max|count|stddev|stdvar|last|present)_over_time)"
+    r"|(?:sum|avg|min|max|count|stddev|stdvar|last|present|mad)_over_time)"
     r"\s*\((.+)\[(\d+)([smhd])\]\)$",
     re.DOTALL,
 )
@@ -870,6 +870,16 @@ def promql_range(
             # most recent sample in the bucket (deterministic: ties broken
             # by the value itself, like max_by's tuple comparison)
             value = F.expr(f"max_by({cols.value}, {cols.ts})")
+        elif agg == "mad":
+            # mad_over_time (PromQL experimental fn): median(|v − median|)
+            # per bucket. Two-pass over one collected array — the
+            # 1-element-array transform trick binds the sorted array to a
+            # lambda var so it's computed once; medians use the
+            # percentile_cont 0.5 interpolation ((a+b)/2 — exact on the
+            # integer-cents grid, bit-matching DuckDB, the ts_mad
+            # contract). State is the bucket's sample list: bounded by
+            # samples-per-series-per-window like quantile_over_time.
+            value = F.expr(_mad_expr(cols.value))
         else:
             value = _agg_column(agg, cols.value, parsed.q)
     elif parsed.function is not None:
@@ -1160,6 +1170,31 @@ def histogram_quantile_cumulative(
         hit.withColumn(value_alias, micro.cast("double") / F.lit(out_scale))
         .select(*group_cols, value_alias)
         .orderBy(*group_cols)
+    )
+
+
+def _median_of(arr: str) -> str:
+    """SQL fragment: percentile_cont(0.5) over an already-sorted array —
+    (a[(n−1) div 2] + a[n div 2]) / 2, 1-based element_at. Exact on
+    integer grids (sum of two ≤2^52 ints halved is representable)."""
+    return (
+        f"(element_at({arr}, CAST((size({arr}) - 1) / 2 AS INT) + 1)"
+        f" + element_at({arr}, CAST(size({arr}) / 2 AS INT) + 1)) / 2"
+    )
+
+
+def _mad_expr(value_col: str) -> str:
+    """Single-aggregate MAD: sort the collected values once (bound to a
+    lambda var via the 1-element-array transform idiom — Spark SQL has no
+    let), take the median, re-sort absolute deviations, median again."""
+    inner = _median_of("a")
+    outer = _median_of("d")
+    # NB: [0] subscripts are Spark's 0-based GetArrayItem (element_at is
+    # the 1-based accessor used inside _median_of)
+    return (
+        f"transform(array(array_sort(collect_list({value_col}))), a -> "
+        f"transform(array(array_sort(transform(a, x -> abs(x - {inner})))),"
+        f" d -> {outer})[0])[0]"
     )
 
 

@@ -3226,6 +3226,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mad_over_time(view[3600s])` — the experimental upstream robust
+    spread function, through the transpiler's range path: per-bucket
+    median(|v − median|) on the exact cents grid (single collected-array
+    aggregate, see operators/promql._mad_expr), ONE division back to
+    currency units at the end."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    out = promql_range(
+        _events_promql(spark, sf_dir),
+        "mad_over_time(view[3600s])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=3600,
+        cols=EV_CENTS,
+    )
+    return out.withColumn("value", F.col("value") / F.lit(100.0))
+
+
+SQL_PROMQL_MAD_OVER_TIME = f"""
+WITH base AS (
+  SELECT {_sql_bucket(3600)} AS time_bucket, event_type,
+         {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+med AS (
+  SELECT time_bucket, event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY vc) AS med
+  FROM base GROUP BY 1, 2
+)
+SELECT b.time_bucket, b.event_type,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(b.vc - m.med)) / 100.0
+         AS value
+FROM base b
+JOIN med m ON b.time_bucket = m.time_bucket AND b.event_type = m.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle downsampling (parallel-anchor variant of
     Steinarsson's LTTB): one chart-representative point per
@@ -4308,6 +4350,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q9ish": (q_tpch_q9ish, SQL_TPCH_Q9ISH),
     "tpch_q13ish": (q_tpch_q13ish, SQL_TPCH_Q13ISH),
     "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
+    "promql_mad_over_time": (q_promql_mad_over_time, SQL_PROMQL_MAD_OVER_TIME),
 }
 
 

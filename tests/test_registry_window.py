@@ -64,6 +64,9 @@ WINDOW_EXCEPTIONS = {
     # decorrelated EXISTS/NOT-EXISTS (left-semi + left-anti) — the join
     # strategies pinned by windowed tpch_q4ish/tpch_q16ish
     "tpch_q21ish": "tpch_q4ish",
+    # same two-pass exact-percentile MAD contract as windowed ts_mad,
+    # same bucket-grid path as windowed promql_quantile_over_time
+    "promql_mad_over_time": "ts_mad",
 }
 
 
