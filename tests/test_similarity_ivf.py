@@ -252,3 +252,104 @@ def test_kmeans_third_party_crosscheck():
     assert np.array_equal(ref, np.array(cent)), (
         "trainer centroids diverge from independent replay"
     )
+
+
+def test_pca_third_party_crosscheck():
+    """Independent replay of the PCA trainer (the other shared-trainer
+    oracle blind spot beside kmeans): fsum-reduced mean and covariance and
+    a from-scratch cyclic-Jacobi eigensolver — sharing no reduction order,
+    no algorithm, and no linear-algebra library with numpy's eigh — must
+    reproduce the trainer's QUANTIZED components exactly (quantization to
+    the 1e-6 grid absorbs the solvers' sub-1e-9 disagreement; verified
+    stable on the fixed fixture, whose top-9 eigenvalue gaps are well
+    clear of degeneracy)."""
+    import math
+    import os
+
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from cardinalsin_spark.operators.similarity import (
+        QUANT_SCALE,
+        pca_train_components_local,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 fixture missing")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        "ORDER BY vec_id LIMIT 1000"
+    ).fetchall()
+    con.close()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+
+    class _Fake:
+        def __init__(self, r):
+            self._r = r
+
+        def orderBy(self, *_):
+            return self
+
+        def select(self, *_):
+            return self
+
+        def collect(self):
+            return self._r
+
+    q_mean, q_comp = pca_train_components_local(_Fake(rows), k=8)
+
+    n, d = X.shape
+    mean = [math.fsum(X[:, j]) / n for j in range(d)]
+    Xc = X - np.array(mean)
+    C = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            v = math.fsum(Xc[:, i] * Xc[:, j]) / (n - 1)  # np.cov ddof=1
+            C[i][j] = C[j][i] = v
+
+    A = [row[:] for row in C]
+    V = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+    for _sweep in range(100):
+        off = math.sqrt(
+            sum(A[i][j] ** 2 for i in range(d) for j in range(d) if i != j)
+        )
+        if off < 1e-14:
+            break
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                if abs(A[p][q]) < 1e-18:
+                    continue
+                theta = (A[q][q] - A[p][p]) / (2 * A[p][q])
+                t = (1 if theta >= 0 else -1) / (
+                    abs(theta) + math.sqrt(theta * theta + 1)
+                )
+                c = 1 / math.sqrt(t * t + 1)
+                s = t * c
+                for k in range(d):
+                    akp, akq = A[k][p], A[k][q]
+                    A[k][p] = c * akp - s * akq
+                    A[k][q] = s * akp + c * akq
+                for k in range(d):
+                    apk, aqk = A[p][k], A[q][k]
+                    A[p][k] = c * apk - s * aqk
+                    A[q][k] = s * apk + c * aqk
+                for k in range(d):
+                    vkp, vkq = V[k][p], V[k][q]
+                    V[k][p] = c * vkp - s * vkq
+                    V[k][q] = s * vkp + c * vkq
+    eigvals = [A[i][i] for i in range(d)]
+    order = sorted(range(d), key=lambda i: -eigvals[i])[:8]
+    W = [[V[k][i] for k in range(d)] for i in order]
+    for row in W:  # the trainer's sign convention: largest-|entry| positive
+        m = max(range(d), key=lambda j: abs(row[j]))
+        if row[m] < 0:
+            for j in range(d):
+                row[j] = -row[j]
+
+    assert q_mean == [int(round(v * QUANT_SCALE)) for v in mean]
+    assert q_comp == [
+        [int(round(v * QUANT_SCALE)) for v in row] for row in W
+    ], "trainer components diverge from independent Jacobi replay"
