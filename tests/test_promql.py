@@ -1049,3 +1049,45 @@ def test_transcendental_convenience_tier(spark, sf_dir):
     assert math.isnan(val("log2(mn)"))
     assert val("ln(mz)") == float("-inf")
     assert math.isnan(val("log10(mn)"))
+
+
+def test_mad_expr_property(spark):
+    """Property check of the collected-array MAD aggregate against an
+    independent numpy computation (percentile_cont 0.5 interpolation on
+    both sides), over assorted integer-grid shapes incl. n=1, ties, and
+    negatives."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import _mad_expr
+
+    rng = np.random.default_rng(11)
+    cases = [
+        [5],
+        [3, 9],
+        [1, 1, 1, 1],
+        [-7, 0, 7],
+        list(rng.integers(-1000, 1000, size=17)),
+        list(rng.integers(-5, 5, size=100)),
+    ]
+    rows = [
+        Row(g=i, v=int(x)) for i, vals in enumerate(cases) for x in vals
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.g: r.mad
+        for r in df.groupBy("g").agg(
+            F.expr(_mad_expr("v")).alias("mad")
+        ).collect()
+    }
+
+    def pcont_median(a):
+        a = np.sort(np.asarray(a, dtype=np.float64))
+        n = len(a)
+        return (a[(n - 1) // 2] + a[n // 2]) / 2.0
+
+    for i, vals in enumerate(cases):
+        med = pcont_median(vals)
+        expect = pcont_median([abs(v - med) for v in vals])
+        assert got[i] == expect, (i, got[i], expect)
