@@ -21,14 +21,31 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cardinalsin_spark.adaptive import QueryStatsCollector
+from cardinalsin_spark.adaptive import (
+    IndexLifecycleManager,
+    QueryStatsCollector,
+)
 from cardinalsin_spark.operators.promql import promql_instant, promql_range
+from cardinalsin_spark.rate_limit import Denial, RateLimiter, TenantQuota
 from cardinalsin_spark.schema import label_columns
 from cardinalsin_spark.sources.ingest import (
     normalize_to_metrics,
     register_metrics,
     write_metrics,
 )
+
+
+class QuotaExceeded(Exception):
+    """A tenant request was denied by the rate limiter; carries the
+    Denial with its retry-after hint (the reference returns this as an
+    HTTP 429, ``rate_limit.rs:142-160``)."""
+
+    def __init__(self, denial: Denial):
+        super().__init__(
+            f"quota exceeded: {denial.reason}"
+            f" (limit={denial.limit}, retry_after_ms={denial.retry_after_ms})"
+        )
+        self.denial = denial
 
 
 class CardinalSin:
@@ -54,6 +71,43 @@ class CardinalSin:
         self.collector = QueryStatsCollector(
             ["metric_name", *label_columns(self.metrics.schema)]
         )
+        # opt-in subsystems (enable_* below)
+        self.rate_limiter: RateLimiter | None = None
+        self.lifecycle: IndexLifecycleManager | None = None
+
+    # -- opt-in subsystems ----------------------------------------------------
+
+    def enable_rate_limiting(
+        self, default_quota: TenantQuota | None = None
+    ) -> RateLimiter:
+        """Per-tenant admission control on sql/promql/ingest calls that
+        pass a ``tenant_id`` (ref ``rate_limit.rs``). Note: DataFrames are
+        lazy, so the concurrency slot is held only while the plan is built;
+        a service running blocking executions should hold
+        ``rate_limiter.query_slot(tenant)`` around its collect instead."""
+        self.rate_limiter = RateLimiter(default_quota)
+        return self.rate_limiter
+
+    def enable_index_lifecycle(self, **kwargs) -> IndexLifecycleManager:
+        """Trial-index accounting (Invisible→Visible→Deprecated) fed by
+        every query this facade runs: each recorded query's filter columns
+        bump would-have-helped/usage counters (ref
+        ``adaptive_index/lifecycle.rs``)."""
+        self.lifecycle = IndexLifecycleManager(**kwargs)
+        return self.lifecycle
+
+    def _admit_query(self, tenant_id: str | None) -> None:
+        if tenant_id is not None and self.rate_limiter is not None:
+            denial = self.rate_limiter.check_query(tenant_id)
+            if denial is not None:
+                raise QuotaExceeded(denial)
+            # lazy plans: planning is the admitted unit (see docstring)
+            self.rate_limiter.query_completed(tenant_id)
+
+    def _record(self, df: DataFrame) -> None:
+        self.collector.record(df)
+        if self.lifecycle is not None:
+            self.lifecycle.record_query(df, self.collector.columns)
 
     # -- write path ----------------------------------------------------------
 
@@ -64,11 +118,20 @@ class CardinalSin:
         name_col: str,
         value_col: str,
         label_cols: dict[str, str] | None = None,
+        tenant_id: str | None = None,
+        n_bytes: int = 0,
     ) -> None:
         """Normalize → partitioned sorted write → re-register (the
-        reference's flush+catalog-register, ``ingester/mod.rs:633-714``)."""
+        reference's flush+catalog-register, ``ingester/mod.rs:633-714``).
+        With rate limiting enabled and a ``tenant_id``, the write is gated
+        on the tenant's RPS and (when ``n_bytes`` is passed — the caller
+        knows its payload size) bytes/s buckets."""
         if not self.metrics_path:
             raise ValueError("engine opened without a metrics_path")
+        if tenant_id is not None and self.rate_limiter is not None:
+            denial = self.rate_limiter.check_write(tenant_id, n_bytes)
+            if denial is not None:
+                raise QuotaExceeded(denial)
         m = normalize_to_metrics(df, ts_col, name_col, value_col, label_cols)
         write_metrics(m, self.metrics_path)
         self.metrics = register_metrics(
@@ -79,13 +142,14 @@ class CardinalSin:
 
     # -- entry point A: SQL pass-through -------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, tenant_id: str | None = None) -> DataFrame:
         """Full SQL surface over the registered ``metrics`` view — the
         everything-passes-through property of ``query/engine.rs:252-256``.
         Dedup on (timestamp, metric_name) applies when a shard-split-style
         dual write is active (``query/dedup.rs:22-113``)."""
+        self._admit_query(tenant_id)
         out = self.spark.sql(query)
-        self.collector.record(out)
+        self._record(out)
         if self.dedup:
             out = out.dropDuplicates(
                 [c for c in ("timestamp", "metric_name") if c in out.columns]
@@ -101,11 +165,17 @@ class CardinalSin:
 
         return self.metrics.withColumn("value", value_expr())
 
-    def promql_instant(self, promql: str, time_s: float | None = None) -> DataFrame:
+    def promql_instant(
+        self,
+        promql: str,
+        time_s: float | None = None,
+        tenant_id: str | None = None,
+    ) -> DataFrame:
         """`/api/v1/query` — epoch-seconds evaluation time, like the
         Prometheus HTTP API."""
+        self._admit_query(tenant_id)
         out = promql_instant(self._promql_frame(), promql, time_s)
-        self.collector.record(out)
+        self._record(out)
         return out
 
     def promql_range(
@@ -115,6 +185,7 @@ class CardinalSin:
         end_s: float,
         step_s: int,
         faithful: bool = True,
+        tenant_id: str | None = None,
     ) -> DataFrame:
         """`/api/v1/query_range` — epoch-seconds range + step.
 
@@ -124,11 +195,12 @@ class CardinalSin:
         reference degrades all of these to (MAX−MIN)/range or AVG
         (``api/query/prometheus_api.rs:969-1012``); pass ``False`` for its
         reference-compatible degradation."""
+        self._admit_query(tenant_id)
         out = promql_range(
             self._promql_frame(), promql, start_s, end_s, step_s,
             faithful=faithful,
         )
-        self.collector.record(out)
+        self._record(out)
         return out
 
     # -- Prometheus metadata endpoints (labels / label values / series) ------

@@ -167,3 +167,56 @@ def test_prometheus_matrix_shape(spark, engine):
         assert times == sorted(times)
         assert all(lo <= t <= hi for t in times)
         assert all(isinstance(v, str) for _, v in entry["values"])
+
+
+def test_tenant_rate_limiting_on_queries(engine):
+    """sql/promql with a tenant_id are gated once rate limiting is on;
+    denials surface as QuotaExceeded carrying the retry hint."""
+    import pytest
+
+    from cardinalsin_spark.engine import QuotaExceeded
+    from cardinalsin_spark.rate_limit import TenantQuota
+
+    class _Clock:
+        t = 0.0
+
+        def __call__(self):
+            return self.t
+
+    from cardinalsin_spark.rate_limit import RateLimiter
+
+    engine.enable_rate_limiting(TenantQuota(max_query_rps=2))
+    engine.rate_limiter = RateLimiter(
+        TenantQuota(max_query_rps=2), clock=_Clock()
+    )  # frozen clock: no refill between calls
+    try:
+        engine.sql("SELECT count(*) FROM metrics", tenant_id="t1")
+        engine.promql_instant("purchase", tenant_id="t1")
+        with pytest.raises(QuotaExceeded) as ei:
+            engine.sql("SELECT 1", tenant_id="t1")
+        assert ei.value.denial.reason == "query_rps"
+        # other tenants and tenant-less calls are unaffected
+        engine.sql("SELECT count(*) FROM metrics", tenant_id="t2")
+        engine.sql("SELECT count(*) FROM metrics")
+    finally:
+        engine.rate_limiter = None
+
+
+def test_lifecycle_fed_by_engine_queries(engine):
+    """enable_index_lifecycle: filter columns of every engine query bump
+    the trial indexes' would-have-helped counters."""
+    m = engine.enable_index_lifecycle(promote_threshold=3)
+    try:
+        # metric_name is always a stats candidate, whatever schema earlier
+        # tests re-registered the shared engine with
+        idx = m.create_invisible_index("metric_name", "inverted")
+        for _ in range(3):
+            engine.sql(
+                "SELECT count(*) FROM metrics WHERE metric_name = 'purchase'"
+            )
+        assert m.check_visibility() == [idx]
+        specs = m.writer_job_specs()
+        assert specs and specs[0]["action"] == "write_partitioned"
+        assert specs[0]["partition_by"] == ["metric_name"]
+    finally:
+        engine.lifecycle = None
