@@ -100,6 +100,11 @@ _QUANTILE_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*,\s*(.+)$", re.DOTALL)
 _COUNT_VALUES_RE = re.compile(r'^\s*"([^"]+)"\s*,\s*(.+)$', re.DOTALL)
 # offset modifier on a selector: metric{...}[5m] offset 1h
 _OFFSET_RE = re.compile(r"\s+offset\s+(\d+)([smhd])\b")
+# @ modifier: pin evaluation to a fixed epoch time — `m @ 1704067200`
+# (promql/parser: the timestamp is unix seconds, fractional allowed).
+# start()/end() sugar is not supported (the tumbling-bucket range model
+# has no per-step eval point to distinguish them).
+_AT_RE = re.compile(r"\s+@\s+(\d+(?:\.\d+)?)(?=\s|\)|$)")
 # label-manipulation wrappers (Prometheus functions the reference lacks)
 _LABEL_FN_RE = re.compile(r"^(label_replace|label_join)\s*\((.+)\)$", re.DOTALL)
 _ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
@@ -160,6 +165,7 @@ class ParsedPromQL:
     q: float | None = None  # quantile φ
     dst_label: str | None = None  # count_values output label
     offset_seconds: float = 0.0
+    at_seconds: float | None = None
     predict_ahead_s: int | None = None  # predict_linear horizon
     hw_sf: float | None = None  # holt_winters level factor
     hw_tf: float | None = None  # holt_winters trend factor
@@ -195,6 +201,14 @@ def parse_promql(promql: str) -> ParsedPromQL:
             promql = (promql[: om.start()] + promql[om.end() :]).strip()
             break
 
+    # @ modifier: same textual-strip treatment (one eval-time pin per
+    # vector expression; quoted occurrences are data)
+    for am in _AT_RE.finditer(promql):
+        if not _in_quotes(promql, am.start()):
+            out.at_seconds = float(am.group(1))
+            promql = (promql[: am.start()] + promql[am.end() :]).strip()
+            break
+
     m = _AGG_RE.match(promql)
     if m:
         out.aggregation = m.group(1)
@@ -223,6 +237,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.range_seconds = inner_parsed.range_seconds
         out.function = inner_parsed.function
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _PREDICT_RE.match(promql)
@@ -234,6 +250,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _QOT_RE.match(promql)
@@ -245,6 +263,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _HW_RE.match(promql)
@@ -257,6 +277,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _HISTQ_RE.match(promql)
@@ -268,6 +290,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _RANGE_FN_RE.match(promql)
@@ -278,6 +302,8 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
         return out
 
     m = _SELECTOR_RE.match(promql)
@@ -472,6 +498,8 @@ def promql_instant(
 
     parsed = parse_promql(promql)
     out = df.filter(_selector_filter(parsed, cols))
+    if parsed.at_seconds is not None:
+        time_s = parsed.at_seconds  # @ pins the evaluation time
     if time_s is not None:
         t_eval = time_s - parsed.offset_seconds
         out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(t_eval)))

@@ -1091,3 +1091,45 @@ def test_mad_expr_property(spark):
         med = pcont_median(vals)
         expect = pcont_median([abs(v - med) for v in vals])
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_at_modifier_pins_evaluation_time(spark):
+    """`m @ t` evaluates at fixed epoch t regardless of the query's own
+    evaluation time; composes with offset and aggregation; quoted '@' in
+    a matcher value stays data."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import parse_promql, promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(timestamp=t1, metric_name="m", value=10.0),
+            Row(timestamp=t2, metric_name="m", value=20.0),
+        ]
+    )
+    cols = MetricsCols()
+    e1 = 1704067200.0  # t1 epoch
+    e2 = e1 + 86400.0
+
+    def val(expr, time_s=None):
+        (r,) = promql_instant(df, expr, time_s=time_s, cols=cols).collect()
+        return r.value
+
+    # without @: latest sample at the query's eval time
+    assert val("m", time_s=e2) == 20.0
+    # @ pins to t1 even when the query evaluates at t2
+    assert val(f"m @ {int(e1)}", time_s=e2) == 10.0
+    # @ alone supplies the eval time
+    assert val(f"m @ {int(e1)}") == 10.0
+    # composes with offset: eval at t2 minus 1d → t1's sample
+    assert val(f"m @ {int(e2)} offset 1d") == 10.0
+    # nested inside an aggregation
+    assert val(f"sum(m @ {int(e1)})", time_s=e2) == 10.0
+    # quoted '@ 123' in a matcher value is data, not a modifier
+    p = parse_promql('m{note=" @ 123"}')
+    assert p.at_seconds is None
