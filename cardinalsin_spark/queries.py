@@ -513,6 +513,30 @@ GROUP BY 1, 2
 """
 
 
+def q_promql_at_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `@` modifier under oracle check: the same instant aggregation
+    as promql_instant_sum, but the selector pins evaluation to
+    2024-01-15 via `@` while the query's own eval time is two weeks
+    later — identical results prove `@` overrides the eval time."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (signup{user_id=~"1.*"} @ 1705276800)',
+        time_s=1706745600.0,  # 2024-01-29 — must NOT be the bound used
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_AT_PINNED = SQL_PROMQL_INSTANT_SUM
+
+
 def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
     topk; deliberate correctness upgrade, SURVEY §2.6)."""
@@ -4351,6 +4375,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q13ish": (q_tpch_q13ish, SQL_TPCH_Q13ISH),
     "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
     "promql_mad_over_time": (q_promql_mad_over_time, SQL_PROMQL_MAD_OVER_TIME),
+    "promql_at_pinned": (q_promql_at_pinned, SQL_PROMQL_AT_PINNED),
 }
 
 

@@ -67,6 +67,9 @@ WINDOW_EXCEPTIONS = {
     # same two-pass exact-percentile MAD contract as windowed ts_mad,
     # same bucket-grid path as windowed promql_quantile_over_time
     "promql_mad_over_time": "ts_mad",
+    # @-pinned variant of r1-green promql_instant_sum (identical oracle;
+    # only the eval-time plumbing differs)
+    "promql_at_pinned": "promql_instant_sum",
 }
 
 
