@@ -291,15 +291,26 @@ class CardinalSin:
 
     # -- entry point D: streaming --------------------------------------------
 
-    def stream(self, chunk_dir: str | None = None, predicate: str | None = None):
+    def stream(
+        self,
+        chunk_dir: str | None = None,
+        predicate: str | None = None,
+        topic_filter=None,
+        name_col: str = "metric_name",
+    ):
         """Live tail over newly-flushed chunk files, optionally row-filtered
         (``query/streaming.rs:228-468``); union with ``self.metrics`` via
-        ``streaming.historical_live_merge`` for the full merge semantics."""
+        ``streaming.historical_live_merge`` for the full merge semantics.
+        ``topic_filter`` (a ``streaming.topics.TopicFilter``) compiles to a
+        pushed stream predicate — the subscription-filter analogue of the
+        reference's topic broadcast (``ingester/topic_broadcast.rs``)."""
         from cardinalsin_spark.streaming import live_filter, read_metrics_stream
 
         sdf = read_metrics_stream(
             self.spark, chunk_dir or self.metrics_path, self.metrics.schema
         )
+        if topic_filter is not None:
+            sdf = sdf.filter(topic_filter.to_column(name_col=name_col))
         return live_filter(sdf, predicate) if predicate else sdf
 
     # -- output formats (api/query/sql_http.rs:76-206) ------------------------

@@ -119,7 +119,8 @@ _ABSENT_OT_RE = re.compile(
 _SCALAR_FN_RE = re.compile(
     r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt"
     r"|timestamp|minute|hour|day_of_week|day_of_month|days_in_month"
-    r"|month|year|round|exp|ln|log2|log10)"
+    r"|month|year|round|exp|ln|log2|log10"
+    r"|sin|cos|tan|asin|acos|atan|sinh|cosh|tanh|deg|rad)"
     r"\s*\((.+)\)$",
     re.DOTALL,
 )
@@ -1278,6 +1279,29 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
             .otherwise(expr)
         )
         return res.withColumn("value", fixed)
+    if fn in (
+        "sin", "cos", "tan", "asin", "acos", "atan",
+        "sinh", "cosh", "tanh", "deg", "rad",
+    ):
+        # Trigonometry tier (upstream promql/functions.go funcSin…funcRad)
+        # — same convenience-tier status as exp/ln: libm-dependent, never
+        # oracle-checked. Spark returns NaN off-domain for asin/acos like
+        # Go's math package, so no shim is needed; deg/rad are exact
+        # multiplies by the same 180/π double both runtimes fold.
+        expr = {
+            "sin": F.sin(v),
+            "cos": F.cos(v),
+            "tan": F.tan(v),
+            "asin": F.asin(v),
+            "acos": F.acos(v),
+            "atan": F.atan(v),
+            "sinh": F.sinh(v),
+            "cosh": F.cosh(v),
+            "tanh": F.tanh(v),
+            "deg": F.degrees(v),
+            "rad": F.radians(v),
+        }[fn]
+        return res.withColumn("value", expr)
     if fn == "round":
         # promql round(v, to_nearest=1) — upstream's exact formulation
         # (promql/functions.go funcRound): precompute inv = 1/to_nearest,

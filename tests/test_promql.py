@@ -1133,3 +1133,39 @@ def test_at_modifier_pins_evaluation_time(spark):
     # quoted '@ 123' in a matcher value is data, not a modifier
     p = parse_promql('m{note=" @ 123"}')
     assert p.at_seconds is None
+
+
+def test_trig_convenience_tier(spark):
+    """sin/cos/tan/arcs/hyperbolics/deg/rad — convenience tier like
+    exp/ln: ~1 ulp vs Python libm, NaN off-domain for asin/acos."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    df = spark.createDataFrame(
+        [
+            Row(timestamp=dt.datetime(2024, 1, 1), metric_name="half", value=0.5),
+            Row(timestamp=dt.datetime(2024, 1, 1), metric_name="two", value=2.0),
+        ]
+    )
+    cols = MetricsCols()
+
+    def val(expr):
+        (r,) = promql_instant(
+            df, expr, time_s=1704067200.0, cols=cols
+        ).collect()
+        return r.value
+
+    for fn, pyfn in [
+        ("sin", math.sin), ("cos", math.cos), ("tan", math.tan),
+        ("asin", math.asin), ("acos", math.acos), ("atan", math.atan),
+        ("sinh", math.sinh), ("cosh", math.cosh), ("tanh", math.tanh),
+        ("deg", math.degrees), ("rad", math.radians),
+    ]:
+        assert math.isclose(val(f"{fn}(half)"), pyfn(0.5), rel_tol=1e-15), fn
+    assert math.isnan(val("asin(two)"))  # off-domain → NaN, like Go
+    assert math.isclose(val("deg(rad(two))"), 2.0, rel_tol=1e-15)
