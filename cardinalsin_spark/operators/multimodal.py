@@ -186,6 +186,39 @@ def _png_decode_stdlib(content: bytes):
     return px[:, :, :3]  # RGB / RGBA (alpha dropped)
 
 
+def _is_bmp(content: bytes) -> bool:
+    return bool(content) and len(content) > 54 and content[:2] == b"BM"
+
+
+def _bmp_decode_stdlib(content: bytes):
+    """Real BMP decode, stdlib-only: BITMAPINFOHEADER, uncompressed
+    24/32-bit. BMP stores BGR(A) rows bottom-up (top-down when height is
+    negative) padded to 4 bytes; normalize to (h, w, 3) RGB uint8."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BMP: unsupported core header")
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or planes != 1:
+        raise ValueError(f"BMP: unsupported bpp={bpp}/compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(
+        content, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
+
+
 def _wav_decode_int(content: bytes):
     """Real WAV decode: PCM samples as exact integers plus the grid
     denominator — (int16 array, 32768) or (uint8−128, 128). First channel
@@ -224,7 +257,7 @@ def decode_image(content: bytes, width: int, height: int):
     """blob → (h, w, 3) uint8 array. Real containers decode for real (PIL
     if installed, else the stdlib PNG path) with dimensions from the FILE;
     other blobs take the fake tiled decode at the metadata dimensions."""
-    if _is_png(content):
+    if _is_png(content) or _is_bmp(content):
         try:
             import io
 
@@ -235,6 +268,8 @@ def decode_image(content: bytes, width: int, height: int):
             img = Image.open(io.BytesIO(content)).convert("RGB")
             return np.asarray(img, dtype=np.uint8)
         except ImportError:
+            if _is_bmp(content):
+                return _bmp_decode_stdlib(content)
             return _png_decode_stdlib(content)
     return _decode_bytes(content, width * height * 3).reshape(height, width, 3)
 

@@ -234,3 +234,45 @@ def test_fake_path_unchanged_by_real_decoders(spark, media):
     arr, denom = decode_audio_int(bytes(row.content), 64)
     assert denom == 128
     assert np.array_equal(arr, _decode_bytes(bytes(row.content), 64).astype("int64") - 128)
+
+
+def _make_bmp(pixels, bpp=24, top_down=False):
+    """Minimal BMP encoder for tests: BITMAPINFOHEADER, uncompressed,
+    BGR(A) rows padded to 4 bytes, bottom-up unless top_down."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in pixels[y, x])
+            row += bytes([b, g, r] + ([255] if ch == 4 else []))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
+def test_real_bmp_decode_both_orientations():
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    for bpp in (24, 32):
+        for top_down in (False, True):
+            out = decode_image(_make_bmp(px, bpp, top_down), 0, 0)
+            assert out.shape == (3, 5, 3), (bpp, top_down)
+            assert np.array_equal(out, px), (bpp, top_down)
