@@ -190,6 +190,109 @@ def _is_bmp(content: bytes) -> bool:
     return bool(content) and len(content) > 54 and content[:2] == b"BM"
 
 
+def _is_gif(content: bytes) -> bool:
+    return bool(content) and content[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _gif_decode_stdlib(content: bytes):
+    """Real GIF decode, stdlib-only: global/local color tables, the LZW
+    decompressor with variable code width and clear/EOI codes, interlace
+    row reordering; first image frame only (frame sampling over animated
+    media goes through ``sample_frames``). Returns (h, w, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF: no color table")
+        min_code_size = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # LZW: variable-width codes, LSB-first bit packing
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        width = min_code_size + 1
+        dict_base = [(i,) for i in range(clear)] + [None, None]
+        table_lzw = list(dict_base)
+        out: list[int] = []
+        prev = None
+        acc = bits = 0
+        for byte in data:
+            acc |= byte << bits
+            bits += 8
+            while bits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                bits -= width
+                if code == clear:
+                    table_lzw = list(dict_base)
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    bits = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = table_lzw[code]
+                else:
+                    if code < len(table_lzw) and table_lzw[code] is not None:
+                        entry = table_lzw[code]
+                        table_lzw.append(prev + (entry[0],))
+                    else:  # the KwKwK case
+                        entry = prev + (prev[0],)
+                        table_lzw.append(entry)
+                    if len(table_lzw) == (1 << width) and width < 12:
+                        width += 1
+                out.extend(entry)
+                prev = entry
+        idx = np.array(out[: w * h], dtype=np.int32).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        return table[idx]
+    raise ValueError("GIF: no image descriptor found")
+
+
 def _bmp_decode_stdlib(content: bytes):
     """Real BMP decode, stdlib-only: BITMAPINFOHEADER, uncompressed
     24/32-bit. BMP stores BGR(A) rows bottom-up (top-down when height is
@@ -257,7 +360,7 @@ def decode_image(content: bytes, width: int, height: int):
     """blob → (h, w, 3) uint8 array. Real containers decode for real (PIL
     if installed, else the stdlib PNG path) with dimensions from the FILE;
     other blobs take the fake tiled decode at the metadata dimensions."""
-    if _is_png(content) or _is_bmp(content):
+    if _is_png(content) or _is_bmp(content) or _is_gif(content):
         try:
             import io
 
@@ -270,6 +373,8 @@ def decode_image(content: bytes, width: int, height: int):
         except ImportError:
             if _is_bmp(content):
                 return _bmp_decode_stdlib(content)
+            if _is_gif(content):
+                return _gif_decode_stdlib(content)
             return _png_decode_stdlib(content)
     return _decode_bytes(content, width * height * 3).reshape(height, width, 3)
 

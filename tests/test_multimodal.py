@@ -276,3 +276,81 @@ def test_real_bmp_decode_both_orientations():
             out = decode_image(_make_bmp(px, bpp, top_down), 0, 0)
             assert out.shape == (3, 5, 3), (bpp, top_down)
             assert np.array_equal(out, px), (bpp, top_down)
+
+
+def _make_gif(pixels, interlace=False):
+    """Minimal GIF89a encoder for tests: 256-entry global color table built
+    from the image's distinct colors, 'uncompressed' LZW (literal 9-bit
+    codes with a CLEAR before the width would grow), optional interlace."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    colors, inv = np.unique(pixels.reshape(-1, 3), axis=0, return_inverse=True)
+    assert len(colors) <= 256
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    idx = inv.reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+
+    min_code_size = 8
+    clear, eoi = 256, 257
+    codes = []
+    count = 0
+    codes.append(clear)
+    for v in idx.reshape(-1):
+        if count == 253:  # table at 511; next append would need width 10
+            codes.append(clear)
+            count = 0
+        codes.append(int(v))
+        count += 1
+    codes.append(eoi)
+    acc = bits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 9
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # gct, 256 entries
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code_size)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_real_gif_decode_plain_and_interlaced():
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for interlace in (False, True):
+        out = decode_image(_make_gif(px, interlace), 0, 0)
+        assert out.shape == (11, 7, 3), interlace
+        assert np.array_equal(out, px), f"interlace={interlace}"
+    # a large image exercises the periodic-CLEAR path (>253 pixels/run)
+    big = rng.integers(0, 4, size=(40, 30, 3), dtype=np.uint8) * 80
+    out = decode_image(_make_gif(big), 0, 0)
+    assert np.array_equal(out, big)
