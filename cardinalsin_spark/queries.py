@@ -4090,6 +4090,64 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_EWMA_K = 8
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event type (α = 1/2,
+    truncated at the last 8 samples) — the standard monitoring smoother,
+    on the exact grid: dyadic weights 2^(K-1-j) make the weighted sum an
+    exact int64 (cents × powers of two), the present-lag mask makes the
+    truncated normalizer exact too, ONE float division at the end. A
+    stack of K lags over a single (event_type)-ordered window — one
+    shuffle, no per-row state, so it scales like any other lag query."""
+    ev = _events_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = F.col("value_cents")
+    num = None
+    den = None
+    for j in range(_EWMA_K):
+        lag_j = v if j == 0 else F.lag(v, j).over(w)
+        wt = F.lit(1 << (_EWMA_K - 1 - j))
+        n_j = F.coalesce(lag_j, F.lit(0)) * wt
+        d_j = F.when(lag_j.isNotNull(), wt).otherwise(F.lit(0))
+        num = n_j if num is None else num + n_j
+        den = d_j if den is None else den + d_j
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (num.cast("double") / den / F.lit(100.0)).alias("ewma"),
+    ).orderBy("event_type", "ts", "event_id")
+
+
+def _sql_ewma() -> str:
+    num = " + ".join(
+        f"coalesce(lag(vc, {j}) OVER w, 0) * {1 << (_EWMA_K - 1 - j)}"
+        if j
+        else f"vc * {1 << (_EWMA_K - 1)}"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(vc, {j}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_K - 1 - j)} ELSE 0 END)"
+        if j
+        else f"{1 << (_EWMA_K - 1)}"
+        for j in range(_EWMA_K)
+    )
+    return f"""
+SELECT event_id, event_type, ts,
+       CAST(({num}) AS DOUBLE) / ({den}) / 100.0 AS ewma
+FROM (SELECT event_id, event_type, ts, {_sql_cents('value')} AS vc
+      FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+ORDER BY event_type, ts, event_id
+"""
+
+
+SQL_TS_EWMA = _sql_ewma()
+
+
 def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type-profit shape, adapted to the fixture schema
     (no partsupp table, so profit = discounted revenue without the
@@ -4376,6 +4434,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
     "promql_mad_over_time": (q_promql_mad_over_time, SQL_PROMQL_MAD_OVER_TIME),
     "promql_at_pinned": (q_promql_at_pinned, SQL_PROMQL_AT_PINNED),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
 
 

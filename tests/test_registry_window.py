@@ -70,6 +70,9 @@ WINDOW_EXCEPTIONS = {
     # @-pinned variant of r1-green promql_instant_sum (identical oracle;
     # only the eval-time plumbing differs)
     "promql_at_pinned": "promql_instant_sum",
+    # lag-stack over one ordered window — the machinery windowed
+    # ts_value_quartiles / ts_lttb pin
+    "ts_ewma": "ts_value_quartiles",
 }
 
 
