@@ -4,6 +4,7 @@ from cardinalsin_spark.streaming.live import (
     read_metrics_stream,
     session_agg,
     stateful_counter_increase,
+    stateful_ewma,
     stream_enrich,
     stream_interval_join,
     streaming_dedup,
@@ -18,6 +19,7 @@ __all__ = [
     "read_metrics_stream",
     "session_agg",
     "stateful_counter_increase",
+    "stateful_ewma",
     "stream_enrich",
     "stream_interval_join",
     "streaming_dedup",

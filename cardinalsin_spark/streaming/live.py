@@ -286,6 +286,89 @@ def stateful_counter_increase(
     )
 
 
+_EWMA_OUTPUT = (
+    "series_id long, metric_name string, ewma double, "
+    "n_samples long, last_ts_ns long"
+)
+_EWMA_STATE = "vals array<long>, last_ts_ns long"
+_EWMA_K = 8
+
+
+def _ewma_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Per-series state: the last ≤K value_cents samples (constant state
+    width). Each micro-batch appends its time-sorted samples and emits the
+    truncated α=1/2 EWMA on the exact dyadic grid — num = Σ v·2^(K-1-j)
+    and den = Σ 2^(K-1-j) over the retained window are exact int64, ONE
+    float division at the end, so the stream's final answer is
+    bit-identical to the batch q_ts_ewma formula over the same samples.
+    Same concat-before-sort discipline as ``_increase_fn`` (Arrow chunk
+    order is not time order)."""
+    import pandas as pd
+
+    vals, last_ts = (list(state.get[0]), state.get[1]) if state.exists else ([], None)
+
+    n = 0
+    metric_name = None
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_ns", "value_cents"]
+        )
+        for ts_ns, vc, m in zip(
+            pdf["ts_ns"], pdf["value_cents"], pdf["metric_name"]
+        ):
+            metric_name = m
+            if vc is None:
+                continue
+            n += 1
+            vals.append(int(vc))
+            last_ts = int(ts_ns)
+    vals = vals[-_EWMA_K:]
+
+    state.update((vals, last_ts))
+    if n == 0:
+        return
+    num = den = 0
+    for j, v in enumerate(reversed(vals)):  # j=0 → most recent
+        w = 1 << (_EWMA_K - 1 - j)
+        num += v * w
+        den += w
+    yield pd.DataFrame(
+        {
+            "series_id": [key[0]],
+            "metric_name": [metric_name],
+            "ewma": [num / den / 100.0],
+            "n_samples": [n],
+            "last_ts_ns": [last_ts],
+        }
+    )
+
+
+def stateful_ewma(sdf: DataFrame, label_cols: list[str] | None = None) -> DataFrame:
+    """Streaming EWMA per series (α = 1/2 truncated at the last 8 samples)
+    via ``applyInPandasWithState`` — the live counterpart of the batch
+    ``ts_ewma`` query, with a constant-width state store entry (≤K longs
+    per series) and bit-equality to the batch formula (pytest-pinned)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cardinalsin_spark.schema import series_id_expr
+
+    labels = label_cols or []
+    keyed = sdf.select(
+        series_id_expr(labels),
+        "metric_name",
+        "ts_ns",
+        F.round(value_expr() * 100).cast("long").alias("value_cents"),
+    )
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_enrich(
     sdf: DataFrame,
     dim: DataFrame,

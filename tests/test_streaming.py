@@ -390,3 +390,40 @@ def test_streaming_heavy_hitters_matches_batch(spark, metrics_df, chunk_dir, tmp
         )
         want = {i + 1: (r.term, r.cms_est) for i, r in enumerate(batch)}
         assert by_rank == want, metric
+
+
+def test_stateful_ewma_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """State carries the last ≤8 samples across micro-batches: the final
+    emitted EWMA per series must be BIT-equal to the batch dyadic formula
+    over that series' last 8 samples (same exact-int num/den, same single
+    division)."""
+    from cardinalsin_spark.streaming import stateful_ewma
+
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    out = stateful_ewma(sdf)
+    name = _run_stream(out, "append", tmp_path)
+    got = {
+        r.metric_name: r.ewma
+        for r in spark.table(name)
+        .groupBy("metric_name")
+        .agg(F.expr("max_by(ewma, last_ts_ns)").alias("ewma"))
+        .collect()
+    }
+    assert len(got) > 0
+
+    K = 8
+    pdf = (
+        metrics_df.withColumn("value", value_expr())
+        .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+        .select("metric_name", "ts_ns", "vc")
+        .toPandas()
+        .sort_values(["ts_ns", "vc"])
+    )
+    for m, grp in pdf.groupby("metric_name"):
+        vals = [int(v) for v in grp["vc"].dropna()][-K:]
+        num = den = 0
+        for j, v in enumerate(reversed(vals)):
+            w = 1 << (K - 1 - j)
+            num += v * w
+            den += w
+        assert got[m] == num / den / 100.0, m
