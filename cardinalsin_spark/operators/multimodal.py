@@ -249,7 +249,11 @@ def _gif_decode_stdlib(content: bytes):
         out: list[int] = []
         prev = None
         acc = bits = 0
+        done = False  # EOI must stop the WHOLE stream — trailing
+        # sub-block padding after it is legal and must not decode as pixels
         for byte in data:
+            if done:
+                break
             acc |= byte << bits
             bits += 8
             while bits >= width:
@@ -264,6 +268,7 @@ def _gif_decode_stdlib(content: bytes):
                 if code == eoi:
                     bits = 0
                     acc = 0
+                    done = True
                     break
                 if prev is None:
                     entry = table_lzw[code]
@@ -517,8 +522,12 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = decode_image(r.content, r.width, r.height)
-                ys = (np.arange(target_h) * r.height // target_h).astype(int)
-                xs = (np.arange(target_w) * r.width // target_w).astype(int)
+                # index with the DECODED dims — real-container decodes take
+                # their dimensions from the file, and stale metadata must
+                # not drive out-of-bounds indexing (or a silent crop)
+                src_h, src_w = img.shape[0], img.shape[1]
+                ys = (np.arange(target_h) * src_h // target_h).astype(int)
+                xs = (np.arange(target_w) * src_w // target_w).astype(int)
                 out = img[np.ix_(ys, xs)]
                 rows.append(
                     (r.media_id, out.tobytes(), target_w, target_h,

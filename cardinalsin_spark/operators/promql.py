@@ -762,6 +762,10 @@ def promql_range(
             # VALUE stays the sample's own, unshifted timestamp
             # (promql/functions.go funcTimestamp).
             parsed = parse_promql(inner_expr)
+            if parsed.at_seconds is not None:
+                raise ValueError(
+                    "@ modifier is only supported in instant queries"
+                )
             off = parsed.offset_seconds
             out = df.filter(_selector_filter(parsed, cols)).filter(
                 (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))
@@ -785,6 +789,8 @@ def promql_range(
     ao = _ABSENT_OT_RE.match(promql.strip())
     if ao:
         parsed = parse_promql(ao.group(1))
+        if parsed.at_seconds is not None:
+            raise ValueError("@ modifier is only supported in instant queries")
         # trailing `offset` inside the parens (the selector form strips it
         # via parse_promql; here it sits after the range bracket, so the
         # regex captures it): shift the sample window back and re-align
@@ -840,6 +846,14 @@ def promql_range(
         )
 
     parsed = parse_promql(promql)
+    if parsed.at_seconds is not None:
+        # silently evaluating the grid as if @ were absent would be a
+        # wrong answer — range support (constant series pinned to the @
+        # instant at every step) is not implemented; fail loudly
+        raise ValueError(
+            "@ modifier is only supported in instant queries "
+            "(promql_instant); range queries evaluate the [start, end] grid"
+        )
     off = parsed.offset_seconds
     out = df.filter(_selector_filter(parsed, cols)).filter(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))

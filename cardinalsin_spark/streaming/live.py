@@ -238,7 +238,9 @@ def _increase_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
         )
         for ts_ns, v, m in zip(pdf["ts_ns"], pdf["value"], pdf["metric_name"]):
             metric_name = m
-            if v is None:
+            # Arrow nulls surface as NaN in the float64 pandas column, not
+            # None — pd.isna catches both
+            if pd.isna(v):
                 continue
             n += 1
             if last_val is not None:
@@ -318,7 +320,8 @@ def _ewma_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
             pdf["ts_ns"], pdf["value_cents"], pdf["metric_name"]
         ):
             metric_name = m
-            if vc is None:
+            # a null cents column arrives as NaN (float64), not None
+            if pd.isna(vc):
                 continue
             n += 1
             vals.append(int(vc))

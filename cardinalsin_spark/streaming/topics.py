@@ -157,14 +157,26 @@ class TopicRouter:
         self._subs: dict[str, _Subscription] = {}
         self._metric_stats: dict[str, int] = {}
 
-    def subscribe(self, subscriber_id: str, filt: TopicFilter) -> None:
-        self._subs[subscriber_id] = _Subscription(filt)
+    def _count_metrics(self, filt: TopicFilter, delta: int) -> None:
         if filt.kind == "metrics":  # ref tracks per-metric subscription counts
             for m in filt.value:
-                self._metric_stats[m] = self._metric_stats.get(m, 0) + 1
+                n = self._metric_stats.get(m, 0) + delta
+                if n > 0:
+                    self._metric_stats[m] = n
+                else:
+                    self._metric_stats.pop(m, None)
+
+    def subscribe(self, subscriber_id: str, filt: TopicFilter) -> None:
+        old = self._subs.get(subscriber_id)
+        if old is not None:  # re-subscribe replaces — release the old counts
+            self._count_metrics(old.filter, -1)
+        self._subs[subscriber_id] = _Subscription(filt)
+        self._count_metrics(filt, +1)
 
     def unsubscribe(self, subscriber_id: str) -> None:
-        self._subs.pop(subscriber_id, None)
+        sub = self._subs.pop(subscriber_id, None)
+        if sub is not None:
+            self._count_metrics(sub.filter, -1)
 
     def receiver_count(self) -> int:
         return len(self._subs)

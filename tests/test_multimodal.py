@@ -354,3 +354,46 @@ def test_real_gif_decode_plain_and_interlaced():
     big = rng.integers(0, 4, size=(40, 30, 3), dtype=np.uint8) * 80
     out = decode_image(_make_gif(big), 0, 0)
     assert np.array_equal(out, big)
+
+
+def test_resize_uses_decoded_dims_for_real_containers(spark):
+    """Stale metadata must not drive indexing on the real-decode path
+    (review finding, r5): a real 4x4 PNG with metadata claiming 8x8 must
+    resize from the decoded 4x4 without IndexError."""
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :, 0] = 200  # top half red
+    png = _make_png(px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), 8, 8, 0, 0, "image/png")], MEDIA_SCHEMA
+    )
+    (row,) = resize_images(media, target_w=2, target_h=2).collect()
+    out = np.frombuffer(bytes(row.content), dtype=np.uint8).reshape(2, 2, 3)
+    assert out[0, 0, 0] == 200 and out[1, 0, 0] == 0
+
+
+def test_gif_trailing_padding_after_eoi_ignored():
+    """Bytes after the EOI code in the data sub-blocks are spec-legal
+    padding and must not decode as pixels (review finding, r5)."""
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    gif = bytearray(_make_gif(px))
+    # splice 3 padding bytes into the final data sub-block, after EOI:
+    # find the image descriptor's sub-block chain and extend the last block
+    assert gif[-1] == 0x3B and gif[-2] == 0x00  # trailer, block terminator
+    pad = b"\x55\xaa\x55"
+    # last sub-block length byte precedes its data; easiest legal splice is
+    # a NEW sub-block of padding before the terminator
+    gif[-2:-2] = bytes([len(pad)]) + pad
+    out = decode_image(bytes(gif), 0, 0)
+    assert np.array_equal(out, px)

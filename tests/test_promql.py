@@ -1169,3 +1169,22 @@ def test_trig_convenience_tier(spark):
         assert math.isclose(val(f"{fn}(half)"), pyfn(0.5), rel_tol=1e-15), fn
     assert math.isnan(val("asin(two)"))  # off-domain → NaN, like Go
     assert math.isclose(val("deg(rad(two))"), 2.0, rel_tol=1e-15)
+
+
+def test_at_modifier_rejected_in_range_queries(spark, sf_dir):
+    """Silently evaluating the grid as if @ were absent would be a wrong
+    answer — range paths must fail loudly (review finding, r5)."""
+    import pytest
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    for expr in (
+        "sum_over_time(view[600s] @ 1704067200)",
+        "sum by (user_id) (purchase @ 1704067200)",
+    ):
+        with pytest.raises(ValueError, match="instant queries"):
+            promql_range(
+                ev, expr, 1704067200.0, 1706745600.0, 600, cols=EV_CENTS
+            )

@@ -129,3 +129,16 @@ def test_streaming_filter_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.value for r in spark.read.parquet(out).collect()}
     assert got == {r.value for r in df.filter(f.to_column()).collect()} == {1.0}
+
+
+def test_subscription_stats_release_on_unsubscribe_and_resubscribe():
+    """Per-metric counts must come back down (review finding, r5): an
+    unsubscribe releases them and a same-id re-subscribe replaces rather
+    than double-counts."""
+    r = TopicRouter()
+    r.subscribe("s", TopicFilter.metrics(["m", "n"]))
+    assert r.subscription_stats() == {"m": 1, "n": 1}
+    r.subscribe("s", TopicFilter.metrics(["m"]))  # replace, same id
+    assert r.subscription_stats() == {"m": 1}
+    r.unsubscribe("s")
+    assert r.subscription_stats() == {}
