@@ -405,3 +405,13 @@ def test_q13ish_left_outer_conserves_customers(spark, sf_dir):
     total = df.agg(F.sum("custdist")).first()[0]
     n_cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
     assert total == n_cust
+
+
+def test_ewma_single_window_shuffle(spark, sf_dir):
+    """The K-lag EWMA stack must share ONE (event_type)-ordered window —
+    a single Exchange, not one per lag."""
+    df = _df(spark, sf_dir, "ts_ewma")
+    plan = plan_string(df, "formatted")
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, plan
+    assert plan.count("Window") <= 2, plan  # one window op (+header line)

@@ -427,3 +427,35 @@ def test_stateful_ewma_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
             num += v * w
             den += w
         assert got[m] == num / den / 100.0, m
+
+
+def test_stateful_ewma_skips_null_samples():
+    """A null value sample (NaN after Arrow→pandas) must be skipped, not
+    crash the state function (review finding, r5)."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinalsin_spark.streaming.live import _ewma_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "series_id": [1, 1, 1],
+            "metric_name": ["m", "m", "m"],
+            "ts_ns": [10, 20, 30],
+            "value_cents": pd.array([100.0, np.nan, 300.0], dtype="float64"),
+        }
+    )
+    rows = list(_ewma_fn((1,), iter([pdf]), st))
+    assert len(rows) == 1
+    out = rows[0]
+    assert out["n_samples"][0] == 2  # the NaN sample skipped
+    assert st.saved[0] == [100, 300]
+    # ewma of [100(old), 300(new)] with weights 64,128 → exact
+    assert out["ewma"][0] == (300 * 128 + 100 * 64) / (128 + 64) / 100.0
