@@ -82,6 +82,10 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         "docs_edit_distance", "docs_source_quality", "docs_tfidf_topterms",
         "docs_bm25", "docs_hll_distinct", "docs_hll_overlap",
         "docs_cms_heavy_hitters",
+        # round-5 additions (mad's collect_list/transform chain is JVM
+        # higher-order functions, not Python)
+        "ts_ewma", "tpch_q9ish", "tpch_q13ish", "tpch_q21ish",
+        "promql_mad_over_time", "promql_at_pinned",
         # emb_random_projection / emb_pca_project are deliberately Arrow
         # GEMM paths (vector scoring — the sanctioned Python category)
     ]
