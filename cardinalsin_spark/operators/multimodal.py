@@ -11,7 +11,8 @@ decoder (PIL / soundfile when installed, else pure-stdlib fallbacks — a
 zlib+unfilter PNG decoder and the ``wave`` module), and anything else goes
 through ``_decode_bytes``, a clearly-marked deterministic fake (bytes →
 tiled uint8 array) that the oracle-checked fixture path uses. Video demux
-remains fake (no ffmpeg in any tier). Operator signatures are identical
+is real for uncompressed RIFF/AVI (``demux_avi_frames``); compressed
+codecs raise pending an ffmpeg tier. Operator signatures are identical
 either way.
 
 Scale posture: media blobs dominate row size, so operators run via
@@ -543,9 +544,67 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return cols.mapInPandas(fn, RESIZE_SCHEMA)
 
 
+def _is_avi(content: bytes) -> bool:
+    return (
+        bool(content)
+        and len(content) > 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"AVI "
+    )
+
+
+def demux_avi_frames(content: bytes):
+    """Real AVI demux, stdlib-only: walk the RIFF chunk tree to the
+    ``movi`` LIST and yield each uncompressed video frame ('??db'/'??dc'
+    stream chunks, BI_RGB 24-bit bottom-up DIB rows — the standard
+    raw-AVI layout) as an (h, w, 3) RGB uint8 array. Compressed codecs
+    need ffmpeg and raise. Frame dimensions come from the ``avih`` main
+    header."""
+    import struct
+
+    import numpy as np
+
+    pos, end = 12, len(content)
+    w = h = None
+    frames = []
+
+    def walk(pos, end):
+        nonlocal w, h
+        while pos + 8 <= end:
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip list type fourcc
+            elif fourcc == b"avih":
+                w, h = struct.unpack_from("<ii", content, body + 32)
+            elif fourcc[2:4] in (b"db", b"dc") and size > 0:
+                if w is None:
+                    raise ValueError("AVI: frame before avih header")
+                expect = ((w * 3 + 3) & ~3) * abs(h)
+                if size != expect:
+                    raise ValueError(
+                        "AVI: compressed stream — a real codec (ffmpeg) "
+                        "is required"
+                    )
+                stride = (w * 3 + 3) & ~3
+                px = np.frombuffer(
+                    content, np.uint8, abs(h) * stride, body
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                if h > 0:  # positive height = bottom-up, like BMP
+                    px = px[::-1]
+                frames.append(px[:, :, ::-1].copy())  # BGR → RGB
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    walk(pos, end)
+    return frames
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video frame sampling — row-EXPANDING mapInPandas: one output row per
-    sampled frame (frame i = the i-th w×h×3 slice of the fake decode)."""
+    """Video frame sampling — row-EXPANDING mapInPandas: one output row
+    per sampled frame. Real RIFF/AVI blobs demux for real (uncompressed
+    DIB frames, dimensions and frame count from the container); other
+    blobs take the fake decode (frame i = the i-th w×h×3 byte slice)."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -553,8 +612,18 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                content = bytes(r.content or b"")
+                if _is_avi(content):
+                    for i, frame in enumerate(demux_avi_frames(content)):
+                        if i % every_n:
+                            continue
+                        fh, fw = frame.shape[0], frame.shape[1]
+                        rows.append(
+                            (r.media_id, i, frame.tobytes(), fw, fh)
+                        )
+                    continue
                 frame_px = r.width * r.height * 3
-                all_px = _decode_bytes(r.content, frame_px * r.n_frames)
+                all_px = _decode_bytes(content, frame_px * r.n_frames)
                 for i in range(0, r.n_frames, every_n):
                     frame = all_px[i * frame_px : (i + 1) * frame_px]
                     rows.append(

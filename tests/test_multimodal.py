@@ -397,3 +397,91 @@ def test_gif_trailing_padding_after_eoi_ignored():
     gif[-2:-2] = bytes([len(pad)]) + pad
     out = decode_image(bytes(gif), 0, 0)
     assert np.array_equal(out, px)
+
+
+def _make_avi(frames):
+    """Minimal uncompressed AVI encoder for tests: avih main header inside
+    hdrl LIST, movi LIST of 00db DIB frames (BGR bottom-up, 4-byte row
+    padding)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIiiII", 33_333, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi"
+    for fr in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = (int(v) for v in fr[y, x])
+                row += bytes([b, g, r])
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        movi_body += chunk(b"00db", b"".join(rows))
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_real_avi_demux_through_sample_frames(spark):
+    """A real uncompressed AVI demuxes frame-for-frame through the SAME
+    row-expanding operator as the fake fixtures; dimensions come from the
+    container, every_n sampling applies to real frames."""
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        demux_avi_frames,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    avi = _make_avi(frames)
+    got = demux_avi_frames(avi)
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(avi), 0, 0, 0, 0, "video/avi")], MEDIA_SCHEMA
+    )
+    rows = sample_frames(media, every_n=2).collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert (r.width, r.height) == (6, 4)
+        arr = np.frombuffer(bytes(r.frame_bytes), dtype=np.uint8).reshape(4, 6, 3)
+        assert np.array_equal(arr, frames[r.frame_idx])
+
+
+def test_avi_compressed_raises():
+    """A frame chunk whose size doesn't match an uncompressed DIB must
+    fail loudly — decoding compressed codecs needs a real codec tier."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cardinalsin_spark.operators.multimodal import demux_avi_frames
+
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)]
+    avi = bytearray(_make_avi(frames))
+    # shrink the frame chunk's declared size to fake a compressed payload
+    i = avi.find(b"00db")
+    (orig,) = struct.unpack_from("<I", avi, i + 4)
+    struct.pack_into("<I", avi, i + 4, orig - 2)
+    with pytest.raises(ValueError, match="compressed"):
+        demux_avi_frames(bytes(avi))
