@@ -485,3 +485,45 @@ def test_avi_compressed_raises():
     struct.pack_into("<I", avi, i + 4, orig - 2)
     with pytest.raises(ValueError, match="compressed"):
         demux_avi_frames(bytes(avi))
+
+
+def test_wav_8bit_and_stereo_paths():
+    """decode_audio_int's less-traveled branches: 8-bit PCM maps to the
+    (byte−128, 128) grid; stereo decodes the FIRST channel only."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from cardinalsin_spark.operators.multimodal import decode_audio_int
+
+    # 8-bit mono: unsigned bytes around the 128 midpoint
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([128, 255, 0, 200]))
+    arr, denom = decode_audio_int(buf.getvalue(), 4)
+    assert denom == 128
+    assert list(arr) == [0, 127, -128, 72]
+
+    # 16-bit stereo: first channel extracted
+    left = [100, -200, 300]
+    right = [-1, -2, -3]
+    inter = [v for pair in zip(left, right) for v in pair]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+    arr, denom = decode_audio_int(buf.getvalue(), 3)
+    assert denom == 32768
+    assert list(arr) == left
+
+    # shorter than requested: zero-padded to n_samples
+    arr, _ = decode_audio_int(buf.getvalue(), 5)
+    assert list(arr) == left + [0, 0]
+    assert arr.dtype == np.int64
