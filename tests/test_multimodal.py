@@ -527,3 +527,53 @@ def test_wav_8bit_and_stereo_paths():
     arr, _ = decode_audio_int(buf.getvalue(), 5)
     assert list(arr) == left + [0, 0]
     assert arr.dtype == np.int64
+
+
+def test_decoder_error_paths():
+    """Unsupported container variants must fail loudly, not decode
+    garbage: 16-bit PNG, truncated PNG, paletted BMP, 24-bit WAV."""
+    import io
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from cardinalsin_spark.operators.multimodal import (
+        _bmp_decode_stdlib,
+        _png_decode_stdlib,
+        _wav_decode_int,
+    )
+
+    def png_chunk(typ, data):
+        out = struct.pack(">I", len(data)) + typ + data
+        return out + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="depth"):
+        _png_decode_stdlib(magic + png_chunk(b"IHDR", ihdr16))
+    # truncated IDAT
+    ihdr8 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00\x01")
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode_stdlib(
+            magic + png_chunk(b"IHDR", ihdr8) + png_chunk(b"IDAT", short)
+        )
+    # 8-bit paletted BMP
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 8, 0, 0, 54)
+    with pytest.raises(ValueError, match="bpp"):
+        _bmp_decode_stdlib(hdr + info + b"\x00" * 20)
+    # 24-bit WAV
+    buf = io.BytesIO()
+    import wave
+
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x00" * 4)
+    with pytest.raises(ValueError, match="sample width"):
+        _wav_decode_int(buf.getvalue())

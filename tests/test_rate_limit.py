@@ -105,3 +105,16 @@ def test_tenants_isolated_and_quota_replace():
 def test_usage_none_for_unknown_tenant():
     rl = RateLimiter(clock=FakeClock())
     assert rl.get_usage("nope") is None
+
+
+def test_token_bucket_fractional_accrual():
+    """Sub-second refills accumulate fractionally instead of truncating to
+    zero (documented deliberate deviation from the reference's integer
+    truncation; whole-second behavior identical)."""
+    clock = FakeClock()
+    b = TokenBucket(capacity=10, refill_rate=2, clock=clock)
+    assert b.try_acquire(10)
+    clock.advance(0.25)  # +0.5 tokens
+    assert not b.try_acquire(1)
+    clock.advance(0.25)  # +0.5 → 1.0 total
+    assert b.try_acquire(1)

@@ -142,3 +142,11 @@ def test_subscription_stats_release_on_unsubscribe_and_resubscribe():
     assert r.subscription_stats() == {"m": 1}
     r.unsubscribe("s")
     assert r.subscription_stats() == {}
+
+
+def test_unknown_filter_kind_raises():
+    import pytest
+
+    bad = TopicFilter("nonsense")
+    with pytest.raises(ValueError, match="unknown filter kind"):
+        bad.matches(BatchMetadata())
