@@ -4458,71 +4458,73 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-5 window: the round-4 operator crop — 49 of the 52 registry
-    # queries that have never had a driver CORRECTNESS row (r1-r4 jsons) —
-    # plus emb_centroids, which stays in until its r4 harness-schema crash
-    # (array column → pandas canonicalizer TypeError; now flattened to
-    # scalar rows) is confirmed green. Deferred to round 6 for space:
-    # ts_moving_avg (window-frame family pinned by ts_value_quartiles /
-    # ts_lttb), ts_topk_by (grouped variant of r1-green ts_topk),
-    # promql_day_of_week (same epoch-arithmetic path as the windowed
-    # promql_timestamp_hour).
-    # -- the r4 red row, now flattened — must turn green this round
-    "emb_centroids",
-    # -- TPC-H shapes added in round 4 (parity-only until now)
-    "tpch_q4ish",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q12ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q22ish",
-    # -- text/sketch/dedup tier
-    "docs_tfidf_topterms",
-    "docs_bm25",
-    "docs_hll_distinct",
-    "docs_hll_overlap",
-    "docs_cms_heavy_hitters",
-    "docs_search_and",
-    "docs_edit_distance",
-    "docs_containment",
-    "docs_bigram_lift",
-    "docs_chunk_windows",
-    "docs_mixture_sample",
-    "docs_dup_cluster_stats",
-    "docs_source_quality",
-    # -- embedding tier (pca/random_projection flattened this round)
-    "emb_semdedup",
-    "emb_random_projection",
-    "emb_pca_project",
-    "emb_norm_stats",
-    "emb_ivfpq_residual_topk",
-    # -- timeseries analytics tier
-    "ts_funnel",
-    "ts_retention_cohorts",
-    "ts_json_props",
-    "ts_time_weighted_avg",
-    "ts_lttb",
-    "ts_mad",
-    "ts_burn_rate",
-    "ts_cusum",
-    "ts_session_incidents",
-    "ts_apdex",
-    "ts_error_budget",
-    "ts_weekday_profile",
-    "ts_autocorr_lag1",
-    "ts_crosscorr",
-    "ts_gap_stats",
-    "ts_seasonal_residual",
-    "ts_value_quartiles",
-    # -- promql scalar/time-component tier
-    "promql_timestamp_hour",
-    "promql_scalar_arith",
-    "promql_present_over_time",
-    "promql_quantile_over_time",
+    # Round-6 window (VERDICT r5 items 1-2).  Composition:
+    #   (a) the 9 registry queries that have never had a driver CORRECTNESS
+    #       row (round-5 additions + the three r5 WINDOW_EXCEPTIONS);
+    #   (b) changed-since-green re-verification, riskiest first: the four
+    #       media_* oracles (decode layer rewritten to real codecs in r5),
+    #       the skew-proof crossdup/contamination rewrites, the CC /
+    #       session-index-touched dedup rows, the faithful-rate family
+    #       touched by the r5 NaN-guard fixes, and promql rows whose
+    #       evaluation paths gained @/trig branches in r5;
+    #   (c) stale-green fillers whose last driver row is round 3 —
+    #       three code rounds ago — prioritising files that changed since
+    #       (promql.py, timeseries.py, compaction.py, the TPC-H suite).
+    # Every non-windowed registry query remains covered by the builder-side
+    # parity sweep (tests/test_oracle_parity.py).
+    # -- (a) never driver-checked
+    "tpch_q9ish",
+    "tpch_q13ish",
+    "tpch_q21ish",
+    "promql_mad_over_time",
+    "promql_at_pinned",
+    "promql_day_of_week",
+    "ts_ewma",
+    "ts_moving_avg",
+    "ts_topk_by",
+    # -- (b) changed-since-green, riskiest first
+    "media_resize",
+    "media_image_features",
+    "media_audio_features",
+    "media_frame_sample",
+    "docs_crossdup",
+    "docs_contamination",
+    "docs_near_dedup_cc",
+    "docs_clean_corpus",
+    "ts_rate_faithful",
+    "ts_irate_faithful",
+    "ts_rate_extrapolated",
+    "promql_rate_faithful",
+    "promql_irate_faithful",
+    "promql_rate_extrapolated",
+    "promql_idelta",
+    "promql_instant_sum",
+    "promql_clamp",
+    "promql_subquery_max_rate",
+    # -- (c) last green in round 3 (oldest coverage), changed files first
+    "flagship_minute_p99",
+    "promql_histogram_quantile",
+    "promql_binary_ratio",
+    "promql_absent",
+    "promql_count_values",
+    "promql_label_replace",
+    "promql_offset_delta",
+    "promql_over_time",
+    "promql_quantile",
+    "promql_range_sum_by",
+    "promql_rate_range",
+    "promql_instant_topk",
+    "maint_retention",
+    "maint_downsample",
+    "ts_asof_join",
+    "ts_gapfill_locf",
+    "ts_heatmap",
+    "tpch_q1",
+    "tpch_q3ish",
+    "tpch_q5ish",
+    "tpch_q6",
+    "tpch_q10ish",
+    "tpch_q14ish",
 ]
 
 
