@@ -102,9 +102,11 @@ _COUNT_VALUES_RE = re.compile(r'^\s*"([^"]+)"\s*,\s*(.+)$', re.DOTALL)
 _OFFSET_RE = re.compile(r"\s+offset\s+(\d+)([smhd])\b")
 # @ modifier: pin evaluation to a fixed epoch time — `m @ 1704067200`
 # (promql/parser: the timestamp is unix seconds, fractional allowed).
-# start()/end() sugar is not supported (the tumbling-bucket range model
-# has no per-step eval point to distinguish them).
+# `@ start()` / `@ end()` sugar resolves to the query range bounds before
+# parsing (`_resolve_at_bounds`); for instant queries both bounds are the
+# evaluation time (PromQL spec: start()==end()==the instant query time).
 _AT_RE = re.compile(r"\s+@\s+(\d+(?:\.\d+)?)(?=\s|\)|$)")
+_AT_BOUND_RE = re.compile(r"(\s+@\s+)(start|end)\(\)(?=\s|\)|$)")
 # label-manipulation wrappers (Prometheus functions the reference lacks)
 _LABEL_FN_RE = re.compile(r"^(label_replace|label_join)\s*\((.+)\)$", re.DOTALL)
 _ABSENT_RE = re.compile(r"^absent\s*\((.+)\)$", re.DOTALL)
@@ -186,6 +188,31 @@ def _in_quotes(s: str, pos: int) -> bool:
         elif ch == quote:
             quote = None
     return quote is not None
+
+
+def _resolve_at_bounds(
+    promql: str, start_s: float | None, end_s: float | None
+) -> str:
+    """Resolve the `@ start()` / `@ end()` preprocessor sugar to a numeric
+    `@` pin (PromQL spec: the functions evaluate to the query range bounds;
+    for instant queries both bounds equal the evaluation time). With no
+    bound available (instant query with no eval time = whole-history
+    evaluation) the pin is dropped — `@ now` is the default anyway. Quoted
+    occurrences are data and left alone. One substitution per scan so
+    `_in_quotes` always sees current positions."""
+    while True:
+        for m in _AT_BOUND_RE.finditer(promql):
+            if _in_quotes(promql, m.start()):
+                continue
+            v = start_s if m.group(2) == "start" else end_s
+            if v is None:
+                promql = (promql[: m.start()] + promql[m.end() :]).strip()
+            else:
+                num = str(int(v)) if float(v) == int(v) else repr(float(v))
+                promql = promql[: m.start()] + m.group(1) + num + promql[m.end() :]
+            break
+        else:
+            return promql
 
 
 def parse_promql(promql: str) -> ParsedPromQL:
@@ -423,6 +450,7 @@ def promql_instant(
     Aggregated form: one row per (metric, *by) with MAX(ts) as the sample
     timestamp, ordered by value desc. Selector form: latest single sample.
     """
+    promql = _resolve_at_bounds(promql, time_s, time_s)
     binop = _split_top_level_binop(promql)
     if binop:
         # instant binary ops: vector-scalar folds into the value column;
@@ -717,6 +745,7 @@ def promql_range(
     need a raw-ns column (``ts_ns_col``); if absent it is derived exactly
     from the timestamp via ``unix_micros``.
     """
+    promql = _resolve_at_bounds(promql, float(start_s), float(end_s))
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop
@@ -847,13 +876,36 @@ def promql_range(
 
     parsed = parse_promql(promql)
     if parsed.at_seconds is not None:
-        # silently evaluating the grid as if @ were absent would be a
-        # wrong answer — range support (constant series pinned to the @
-        # instant at every step) is not implemented; fail loudly
-        raise ValueError(
-            "@ modifier is only supported in instant queries "
-            "(promql_instant); range queries evaluate the [start, end] grid"
+        if parsed.function is not None:
+            # rate(m[5m] @ t) needs a pinned range-vector evaluation the
+            # tumbling-bucket model doesn't express; silently evaluating
+            # the grid as if @ were absent would be a wrong answer
+            raise ValueError(
+                "@ modifier on range-function expressions is not supported; "
+                "selector and aggregation shapes are"
+            )
+        # @ pins evaluation: Prometheus evaluates every grid step at the
+        # fixed timestamp, so the result is the instant vector at the pin
+        # replicated across the [start, end] bucket grid. The grid is tiny
+        # (bounded step count) — broadcast it; the instant vector stays
+        # distributed.
+        inst = promql_instant(df, promql, None, cols)
+        if "value" not in inst.columns and cols.value in inst.columns:
+            # selector-form instant results keep the source value column
+            inst = inst.withColumnRenamed(cols.value, "value")
+        inst = inst.drop(
+            *[c for c in ("timestamp_", cols.ts, ts_ns_col) if c in inst.columns]
         )
+        keys = [c for c in inst.columns if c != "value"]
+        b0, b1 = int(start_s // step_s), int(end_s // step_s)
+        grid = df.sparkSession.range(b0, b1 + 1).select(
+            F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+                "time_bucket"
+            )
+        )
+        return inst.crossJoin(F.broadcast(grid)).select(
+            "time_bucket", *keys, "value"
+        ).orderBy("time_bucket", *keys)
     off = parsed.offset_seconds
     out = df.filter(_selector_filter(parsed, cols)).filter(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))

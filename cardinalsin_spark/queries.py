@@ -537,6 +537,74 @@ def q_promql_at_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROMQL_AT_PINNED = SQL_PROMQL_INSTANT_SUM
 
 
+def q_promql_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`@ start()` sugar under oracle check: for an instant query the
+    range bounds collapse to the evaluation time (PromQL spec), so
+    `sum by (user_id) (signup{...} @ start())` at t must equal the plain
+    instant sum at t — the same oracle as promql_instant_sum."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (signup{user_id=~"1.*"} @ start())',
+        time_s=1705276800.0,  # 2024-01-15
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_AT_START = SQL_PROMQL_INSTANT_SUM
+
+
+def q_promql_range_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query with an `@ end()` pin: every grid step evaluates at the
+    range end, so the result is the instant vector at end_s replicated
+    across the 7-bucket grid (PromQL @-modifier semantics on range
+    queries). The grid is broadcast; the instant vector stays
+    distributed."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (signup{user_id=~"1.*"} @ end())',
+        start_s=1704067200.0,  # 2024-01-01 00:00
+        end_s=1704070800.0,  # 2024-01-01 01:00
+        step_s=600,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_RANGE_AT_END = f"""
+SELECT g.time_bucket, s.event_type, s.user_id, s.value
+FROM (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-01 01:00:00',
+                                INTERVAL 10 MINUTE)) AS time_bucket
+) g
+CROSS JOIN (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'signup'
+    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+    AND ts <= TIMESTAMP '2024-01-01 01:00:00'
+  GROUP BY 1, 2
+) s
+ORDER BY 1, 2, 3
+"""
+
+
 def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
     topk; deliberate correctness upgrade, SURVEY §2.6)."""
@@ -4434,6 +4502,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q21ish": (q_tpch_q21ish, SQL_TPCH_Q21ISH),
     "promql_mad_over_time": (q_promql_mad_over_time, SQL_PROMQL_MAD_OVER_TIME),
     "promql_at_pinned": (q_promql_at_pinned, SQL_PROMQL_AT_PINNED),
+    "promql_at_start": (q_promql_at_start, SQL_PROMQL_AT_START),
+    "promql_range_at_end": (q_promql_range_at_end, SQL_PROMQL_RANGE_AT_END),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
 
@@ -4478,6 +4548,8 @@ _DRIVER_WINDOW = [
     "tpch_q21ish",
     "promql_mad_over_time",
     "promql_at_pinned",
+    "promql_at_start",
+    "promql_range_at_end",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4522,9 +4594,7 @@ _DRIVER_WINDOW = [
     "tpch_q1",
     "tpch_q3ish",
     "tpch_q5ish",
-    "tpch_q6",
     "tpch_q10ish",
-    "tpch_q14ish",
 ]
 
 

@@ -1171,20 +1171,100 @@ def test_trig_convenience_tier(spark):
     assert math.isclose(val("deg(rad(two))"), 2.0, rel_tol=1e-15)
 
 
-def test_at_modifier_rejected_in_range_queries(spark, sf_dir):
-    """Silently evaluating the grid as if @ were absent would be a wrong
-    answer — range paths must fail loudly (review finding, r5)."""
+def test_at_modifier_range_function_still_rejected(spark, sf_dir):
+    """Range-FUNCTION expressions with @ (`rate(m[5m] @ t)`) need a pinned
+    range-vector evaluation the tumbling-bucket model doesn't express —
+    they must fail loudly, not silently evaluate the grid (review finding,
+    r5). Selector/aggregation shapes are supported since r6."""
     import pytest
 
     from cardinalsin_spark.operators.promql import promql_range
     from cardinalsin_spark.queries import EV_CENTS, _events_promql
 
     ev = _events_promql(spark, sf_dir)
-    for expr in (
-        "sum_over_time(view[600s] @ 1704067200)",
-        "sum by (user_id) (purchase @ 1704067200)",
-    ):
-        with pytest.raises(ValueError, match="instant queries"):
-            promql_range(
-                ev, expr, 1704067200.0, 1706745600.0, 600, cols=EV_CENTS
-            )
+    with pytest.raises(ValueError, match="range-function"):
+        promql_range(
+            ev,
+            "sum_over_time(view[600s] @ 1704067200)",
+            1704067200.0,
+            1706745600.0,
+            600,
+            cols=EV_CENTS,
+        )
+
+
+def test_at_pinned_range_replicates_instant_vector(spark, sf_dir):
+    """`sum by (l) (m @ t)` as a RANGE query: every grid step evaluates at
+    the pin, so each series is constant across the grid and equals the
+    instant result at t (PromQL @-on-range semantics)."""
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    start_s, end_s, step = 1704067200.0, 1704070800.0, 600
+    rng = promql_range(
+        ev,
+        "sum by (user_id) (purchase @ 1704499200)",
+        start_s,
+        end_s,
+        step,
+        cols=EV_CENTS,
+    ).collect()
+    inst = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "sum by (user_id) (purchase @ 1704499200)", cols=EV_CENTS
+        ).collect()
+    }
+    n_buckets = int(end_s // step) - int(start_s // step) + 1
+    assert len(rng) == n_buckets * len(inst)
+    for r in rng:
+        assert r.value == inst[r.user_id]
+    assert len({r.time_bucket for r in rng}) == n_buckets
+
+
+def test_at_start_end_sugar(spark, sf_dir):
+    """`@ start()` / `@ end()` resolve to the query range bounds; for
+    instant queries both are the evaluation time; quoted occurrences are
+    data; with no eval time the pin drops (default @ now)."""
+    from cardinalsin_spark.operators.promql import (
+        _resolve_at_bounds,
+        promql_instant,
+        promql_range,
+    )
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    # textual resolution
+    assert _resolve_at_bounds("m @ start()", 10.0, 20.0) == "m @ 10"
+    assert _resolve_at_bounds("m @ end()", 10.0, 20.5) == "m @ 20.5"
+    assert _resolve_at_bounds("m @ start()", None, None) == "m"
+    assert (
+        _resolve_at_bounds('m{note=" @ start()"}', 10.0, 20.0)
+        == 'm{note=" @ start()"}'
+    )
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+    base = promql_instant(
+        ev, 'sum by (user_id) (signup{user_id=~"1.*"})', time_s=t, cols=EV_CENTS
+    ).collect()
+    for sugar in ("start()", "end()"):
+        got = promql_instant(
+            ev,
+            f'sum by (user_id) (signup{{user_id=~"1.*"}} @ {sugar})',
+            time_s=t,
+            cols=EV_CENTS,
+        ).collect()
+        assert got == base, sugar
+
+    # range: `m @ end()` equals the explicit numeric pin at end_s
+    start_s, end_s, step = 1704067200.0, 1704070800.0, 600
+    a = promql_range(
+        ev, "sum by (user_id) (purchase @ end())", start_s, end_s, step,
+        cols=EV_CENTS,
+    ).collect()
+    b = promql_range(
+        ev, f"sum by (user_id) (purchase @ {int(end_s)})", start_s, end_s,
+        step, cols=EV_CENTS,
+    ).collect()
+    assert a == b and len(a) > 0

@@ -112,9 +112,7 @@ RECHECK: dict[str, str] = {
     "tpch_q1": "stale-r3",
     "tpch_q3ish": "stale-r3",
     "tpch_q5ish": "stale-r3",
-    "tpch_q6": "stale-r3",
     "tpch_q10ish": "stale-r3",
-    "tpch_q14ish": "stale-r3",
 }
 
 
