@@ -174,7 +174,42 @@ _ROWS = _NUM_HASHES // _BANDS
 _SHINGLE_K = dd.DEFAULT_SHINGLE_K
 
 
-_SIMS_CACHE: dict = {}
+class _IndexCache:
+    """Session-scoped index cache with an LRU bound (VERDICT r5 watch
+    item): entries are checkpointed index frames keyed by (applicationId,
+    dataset path). Evicting an entry drops the last Python/py4j reference
+    to the frame, letting the JVM GC collect its RDD and the
+    ContextCleaner reclaim the checkpoint blocks — the localCheckpoint
+    reclamation doctrine pinned by tests/test_cache_hygiene.py. A
+    long-lived session touching many datasets therefore holds at most
+    ``maxsize`` index frames' worth of blocks per cache."""
+
+    def __init__(self, maxsize: int = 8):
+        from collections import OrderedDict
+
+        self.maxsize = maxsize
+        self._entries: "OrderedDict" = OrderedDict()
+
+    def get(self, key):
+        v = self._entries.get(key)
+        if v is not None:
+            self._entries.move_to_end(key)
+        return v
+
+    def put(self, key, value) -> None:
+        self._entries[key] = value
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.maxsize:
+            self._entries.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __contains__(self, key) -> bool:
+        return key in self._entries
+
+
+_SIMS_CACHE = _IndexCache()
 
 
 def _minhash_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +235,7 @@ def _minhash_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = dd.jaccard_for_pairs(
             docs, cands, shingle_k=_SHINGLE_K
         ).localCheckpoint()
-        _SIMS_CACHE[key] = sims
+        _SIMS_CACHE.put(key, sims)
     return sims
 
 
@@ -502,7 +537,7 @@ SELECT * FROM hist UNION ALL SELECT * FROM sng ORDER BY cluster_size
 # ---------------------------------------------------------------------------
 
 
-_SIMHASH_CACHE: dict = {}
+_SIMHASH_CACHE = _IndexCache()
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +550,7 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _SIMHASH_CACHE.get(key)
     if sig is None:
         sig = dd.simhash(_docs(spark, sf_dir)).localCheckpoint()
-        _SIMHASH_CACHE[key] = sig
+        _SIMHASH_CACHE.put(key, sig)
     return sig
 
 
