@@ -287,6 +287,76 @@ def cosine_topk_lsh(
 
 
 # ---------------------------------------------------------------------------
+# Binary-sketch (packed-bit Hamming) ANN — the memory-bandwidth scale path
+# ---------------------------------------------------------------------------
+
+HAMMING_BITS = 60  # 2^p must stay in signed-64 range in BOTH engines
+# (Spark long + DuckDB BIGINT) — the SIMHASH_BITS discipline.
+
+
+def hamming_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = HAMMING_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Binary-sketch ANN: each vector compresses to ``n_bits`` hyperplane
+    sign bits packed into ONE long (reusing :func:`hyperplane_signature`'s
+    packed-sum form), candidates rank by Hamming distance
+    ``bit_count(sig_q ^ sig_c)`` — exact integer math — and only the k
+    winners per query get the exact quantized-cosine re-rank.
+
+    Scale posture: the sketch is 8 bytes/vector versus 256 for float32×64 —
+    the per-query scan touches ~32× less data than brute-force cosine, the
+    distance is one xor+popcount in whole-stage codegen (no arrays, no
+    Python), and the sketch column is precomputable/storable so repeated
+    query batches never touch the raw vectors until the final re-rank of
+    k rows. Query set broadcasts (same small-probe contract as
+    :func:`cosine_topk_bruteforce`).
+
+    Output: (query_id, vec_id, hamming, cosine, rank) — rank by Hamming
+    asc with vec_id tie-break; cosine is reported for the winners so
+    recall against the exact baseline is directly measurable.
+    """
+    sig = sql_hyperplane_signature("qv", dim, n_bits)
+    corpus = df.selectExpr(
+        id_col, f"{sql_quantize(vec_col)} AS qv"
+    ).selectExpr(id_col, "qv", f"{sig} AS sig")
+    qs = F.broadcast(
+        queries.selectExpr(
+            query_id_col, f"{sql_quantize(vec_col)} AS qq"
+        ).selectExpr(
+            query_id_col,
+            "qq",
+            f"{sql_hyperplane_signature('qq', dim, n_bits)} AS qsig",
+        )
+    )
+    cand = (
+        corpus.crossJoin(qs)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("hamming", F.expr("bit_count(sig ^ qsig)"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("hamming", F.asc(id_col))
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    # exact re-rank metric for the k winners only: quantized integer dot /
+    # norms, all JVM-side (k×|queries| rows — no Arrow batch needed)
+    return topk.selectExpr(
+        query_id_col,
+        id_col,
+        "CAST(hamming AS BIGINT) AS hamming",
+        f"{sql_dot_q('qq', 'qv')} / ({sql_norm_q('qq')} * {sql_norm_q('qv')})"
+        " AS cosine",
+        "CAST(rank AS BIGINT) AS rank",
+    ).orderBy(query_id_col, "rank")
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + probed cell search
 # ---------------------------------------------------------------------------
 

@@ -4550,6 +4550,7 @@ _DRIVER_WINDOW = [
     "promql_at_pinned",
     "promql_at_start",
     "promql_range_at_end",
+    "emb_hamming_topk",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4594,7 +4595,6 @@ _DRIVER_WINDOW = [
     "tpch_q1",
     "tpch_q3ish",
     "tpch_q5ish",
-    "tpch_q10ish",
 ]
 
 

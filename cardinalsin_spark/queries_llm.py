@@ -811,6 +811,52 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: 60 hyperplane sign bits packed into one long per
+    vector, Hamming ranking via xor+popcount in whole-stage codegen, exact
+    cosine re-rank of the 10 winners only. The 8-byte sketch column is the
+    memory-bandwidth scale path: a query batch scans sketches, not
+    vectors."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.hamming_topk(emb, queries, dim=64, k=_TOPK)
+
+
+_SQL_HAMSIG = _sql_bucket(sim.HAMMING_BITS)
+
+SQL_EMB_HAMMING_TOPK = f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, qv, CAST({_SQL_HAMSIG} AS BIGINT) AS sig FROM c
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq, sig AS qsig FROM sigs
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id,
+         CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming,
+         list_dot_product(qq, s.qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(s.qv, s.qv)))
+           AS cosine
+  FROM sigs s CROSS JOIN q
+  WHERE s.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (16 cells, 2 Lloyd
     rounds over the 1000-lowest-id sample), queries probe their 2 nearest
@@ -2746,6 +2792,7 @@ REGISTRY_LLM = {
     "docs_simhash_pairs": (q_docs_simhash_pairs, SQL_DOCS_SIMHASH_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
+    "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),

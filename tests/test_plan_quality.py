@@ -86,6 +86,9 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         # higher-order functions, not Python)
         "ts_ewma", "tpch_q9ish", "tpch_q13ish", "tpch_q21ish",
         "promql_mad_over_time", "promql_at_pinned",
+        # round-6 additions: packed-bit hamming is xor+popcount in codegen;
+        # @-pinned range is instant + broadcast grid
+        "emb_hamming_topk", "promql_at_start", "promql_range_at_end",
         # emb_random_projection / emb_pca_project are deliberately Arrow
         # GEMM paths (vector scoring — the sanctioned Python category)
     ]

@@ -112,7 +112,6 @@ RECHECK: dict[str, str] = {
     "tpch_q1": "stale-r3",
     "tpch_q3ish": "stale-r3",
     "tpch_q5ish": "stale-r3",
-    "tpch_q10ish": "stale-r3",
 }
 
 
