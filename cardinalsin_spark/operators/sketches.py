@@ -328,3 +328,67 @@ def hll_overlap_estimate(
             (F.col("n_est_a") + F.col("n_est_b")) - F.col("n_est_union")
         ).alias("n_est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — uniform sample + distinct estimator
+# ---------------------------------------------------------------------------
+
+KMV_SEED = "kmv"
+_KMV_SPACE = float(1 << 60)  # hash60 range; exact as a double (2^60)
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 8,
+    seed: str = KMV_SEED,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per key: the ``k`` smallest 60-bit hashes of
+    the DISTINCT values (Bar-Yossef et al. 2002). Deterministic and
+    mergeable — the bottom-k of a union is the bottom-k of concatenated
+    sketches, which is what the streaming twin
+    (``streaming.streaming_kmv_distinct``) exploits — and it doubles as
+
+    * a uniform without-replacement sample of distinct values (hash order
+      is value-independent), and
+    * a distinct-count estimator: ``est = (k-1) * 2^60 / h_(k)`` when the
+      domain exceeds k, exact count otherwise.
+
+    Distributed shape: distinct (partial-aggregated map-side) → hash →
+    one per-key window rank; the shuffle carries distinct values only.
+    Output: (keys..., rank, value, h, n_distinct_est) — the estimate is
+    replicated per sketch row so the result stays a flat scalar table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("h", "value")
+    wk = Window.partitionBy(*key_cols)
+    sketch = (
+        df.select(*key_cols, F.col(value_col).cast("string").alias("value"))
+        .distinct()
+        .withColumn("h", hash60(seed, "value"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    est = F.when(
+        F.col("_n") < F.lit(k), F.col("_n").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_hmax").cast("double"),
+            2,
+        )
+    )
+    return (
+        sketch.withColumn("_hmax", F.max("h").over(wk))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .select(
+            *key_cols,
+            F.col("rank").cast("long").alias("rank"),
+            "value",
+            "h",
+            est.alias("n_distinct_est"),
+        )
+        .orderBy(*key_cols, "rank")
+    )

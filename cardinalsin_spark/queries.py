@@ -4551,6 +4551,7 @@ _DRIVER_WINDOW = [
     "promql_at_start",
     "promql_range_at_end",
     "emb_hamming_topk",
+    "docs_kmv_sample",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4591,7 +4592,6 @@ _DRIVER_WINDOW = [
     "maint_downsample",
     "ts_asof_join",
     "ts_gapfill_locf",
-    "ts_heatmap",
     "tpch_q1",
     "tpch_q3ish",
     "tpch_q5ish",

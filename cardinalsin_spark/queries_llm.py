@@ -2524,6 +2524,55 @@ def _sql_hll() -> str:
 SQL_DOCS_HLL_DISTINCT = _sql_hll()
 
 
+_KMV_K = 8
+
+
+def q_docs_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch per source: a deterministic uniform sample of
+    k distinct doc_ids plus the KMV distinct-count estimate
+    ((k-1)·2^60/h_k; Bar-Yossef et al. 2002) — the sketch that keeps its
+    sample VALUES, complementing the HLL tier. One distinct + one window
+    rank; mergeable, so the streaming twin
+    (streaming.streaming_kmv_distinct) reaches the same numbers."""
+    from cardinalsin_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    return sk.kmv_bottomk(docs, ["source"], "doc_id", k=_KMV_K)
+
+
+def _sql_kmv() -> str:
+    from cardinalsin_spark.operators import sketches as sk
+
+    h = sk.sql_hash60(sk.KMV_SEED, "value")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS value FROM documents
+),
+hashed AS (
+  SELECT source, value, {h} AS h FROM d
+),
+ranked AS (
+  SELECT source, value, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, value) AS rank
+  FROM hashed
+),
+sketch AS (
+  SELECT * FROM ranked WHERE rank <= {_KMV_K}
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, value, h,
+       CASE WHEN count(*) OVER (PARTITION BY source) < {_KMV_K}
+            THEN CAST(count(*) OVER (PARTITION BY source) AS DOUBLE)
+            ELSE round({float(_KMV_K - 1)} * {float(1 << 60)}
+                       / CAST(max(h) OVER (PARTITION BY source) AS DOUBLE), 2)
+       END AS n_distinct_est
+FROM sketch
+ORDER BY source, rank
+"""
+
+
+SQL_DOCS_KMV_SAMPLE = _sql_kmv()
+
+
 def q_docs_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test fingerprint-overlap estimate from merged HLL registers
     (|A|, |B| per split; |A∪B| from register max-merge; |A∩B| by
@@ -2747,6 +2796,7 @@ REGISTRY_LLM = {
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
+    "docs_kmv_sample": (q_docs_kmv_sample, SQL_DOCS_KMV_SAMPLE),
     "docs_hll_overlap": (q_docs_hll_overlap, SQL_DOCS_HLL_OVERLAP),
     "docs_cms_heavy_hitters": (
         q_docs_cms_heavy_hitters,

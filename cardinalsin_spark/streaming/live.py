@@ -613,3 +613,93 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_OUTPUT = (
+    "metric_name string, n_distinct_est double, kth_hash long, "
+    "sketch_size int, batch_rows long"
+)
+_KMV_STATE = "hashes array<long>, vals array<string>"
+
+
+def _kmv_fn_factory(k: int):
+    from cardinalsin_spark.operators.sketches import KMV_SEED, _KMV_SPACE
+
+    def _fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+        """Per-key bottom-k state: the k smallest (hash, value) pairs over
+        all distinct values seen. Merging a micro-batch is a dict union +
+        re-truncate — the KMV mergeability property — so the final emitted
+        estimate is bit-equal to the batch sketch
+        (``operators.sketches.kmv_bottomk``) over the same rows."""
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            hs, vs = state.get
+            sketch = dict(zip(list(vs), list(hs)))
+        else:
+            sketch = {}
+
+        n = 0
+        for pdf in pdf_iter:
+            for v in pdf["_v"]:
+                if v is None:
+                    continue
+                n += 1
+                if v not in sketch:
+                    sketch[v] = int(
+                        hashlib.md5(f"{KMV_SEED}:{v}".encode()).hexdigest()[:15],
+                        16,
+                    )
+        top = sorted(sketch.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        state.update(([h for _, h in top], [v for v, _ in top]))
+        if n == 0:
+            return
+        kth = top[-1][1]
+        if len(top) < k:
+            est = float(len(top))
+        else:
+            est = round((k - 1) * _KMV_SPACE / float(kth), 2)
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]],
+                "n_distinct_est": [est],
+                "kth_hash": [kth],
+                "sketch_size": [len(top)],
+                "batch_rows": [n],
+            }
+        )
+
+    return _fn
+
+
+def streaming_kmv_distinct(
+    sdf: DataFrame, value_col: str, k: int = 8
+) -> DataFrame:
+    """Streaming distinct-count + uniform distinct-sample per metric via a
+    bottom-k (KMV) sketch in the state store: state is at most k
+    (hash, value) pairs per key regardless of cardinality, and each
+    micro-batch appends the running estimate. The batch twin is
+    ``operators.sketches.kmv_bottomk`` — same md5-derived 60-bit hash, so
+    the stream's last emission is bit-equal to the batch estimate over the
+    same rows. Complements ``streaming_hll_distinct``: KMV keeps the
+    sampled VALUES (HLL keeps only registers), at the cost of k strings of
+    state. The reference's streaming layer forwards raw rows only
+    (``query/streaming.rs``; SURVEY §2.9 superset)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = sdf.select(
+        "metric_name", F.col(value_col).cast("string").alias("_v")
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        _kmv_fn_factory(k),
+        outputStructType=_KMV_OUTPUT,
+        stateStructType=_KMV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

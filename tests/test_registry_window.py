@@ -108,7 +108,6 @@ RECHECK: dict[str, str] = {
     "maint_downsample": "stale-r3",
     "ts_asof_join": "stale-r3",
     "ts_gapfill_locf": "stale-r3",
-    "ts_heatmap": "stale-r3",
     "tpch_q1": "stale-r3",
     "tpch_q3ish": "stale-r3",
     "tpch_q5ish": "stale-r3",

@@ -459,3 +459,38 @@ def test_stateful_ewma_skips_null_samples():
     assert st.saved[0] == [100, 300]
     # ewma of [100(old), 300(new)] with weights 64,128 → exact
     assert out["ewma"][0] == (300 * 128 + 100 * 64) / (128 + 64) / 100.0
+
+
+def test_streaming_kmv_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """KMV mergeability end-to-end: the stream's LAST emitted estimate and
+    kth hash per metric (bottom-k state merged across micro-batches) must
+    be bit-equal to the batch sketch over the same rows."""
+    from cardinalsin_spark.operators.sketches import kmv_bottomk
+    from cardinalsin_spark.streaming import streaming_kmv_distinct
+
+    k = 8
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    est = streaming_kmv_distinct(
+        sdf.withColumn("value", value_expr()), "value", k=k
+    )
+    name = _run_stream(est, "append", tmp_path)
+    rows = spark.table(name).collect()
+    assert rows
+    last = {}
+    for r in rows:
+        last[r.metric_name] = r
+    batch = kmv_bottomk(
+        metrics_df.withColumn("value", value_expr()),
+        ["metric_name"],
+        "value",
+        k=k,
+    ).collect()
+    by_metric: dict = {}
+    for b in batch:
+        by_metric.setdefault(b.metric_name, []).append(b)
+    assert set(last) == set(by_metric)
+    for metric, r in last.items():
+        bb = sorted(by_metric[metric], key=lambda x: x.rank)
+        assert r.sketch_size == len(bb), metric
+        assert r.kth_hash == bb[-1].h, metric
+        assert r.n_distinct_est == bb[-1].n_distinct_est, metric
