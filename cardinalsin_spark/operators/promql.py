@@ -451,6 +451,16 @@ def promql_instant(
     timestamp, ordered by value desc. Selector form: latest single sample.
     """
     promql = _resolve_at_bounds(promql, time_s, time_s)
+    setop = _split_top_level_setop(promql)
+    if setop:
+        left, op, on_labels, right = setop
+        lf = promql_instant(df, left, time_s, cols, tiebreak)
+        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        if "value" not in lf.columns and cols.value in lf.columns:
+            lf = lf.withColumnRenamed(cols.value, "value")
+        if "value" not in rf.columns and cols.value in rf.columns:
+            rf = rf.withColumnRenamed(cols.value, "value")
+        return _vector_setop(lf, rf, op, on_labels, cols)
     binop = _split_top_level_binop(promql)
     if binop:
         # instant binary ops: vector-scalar folds into the value column;
@@ -676,6 +686,94 @@ def _split_top_level_binop(s: str):
     return left, op, on_labels, group_mode, carry, right
 
 
+def _split_top_level_setop(s: str):
+    """Find the rightmost top-level PromQL SET operator (``or`` lowest
+    precedence, then ``and``/``unless``), outside parens/braces/quotes,
+    with an optional ``on(...)`` matching modifier on the right side.
+    Returns (left, op, on_labels, right) or None. The reference implements
+    no binary ops at all (``api/query/prometheus_api.rs:744-826``); this
+    is the set-algebra half of SURVEY §2.3/§2.7's superset, mapping to
+    left-semi / left-anti / union-anti joins."""
+    s = s.strip()
+    depth = 0
+    in_str: str | None = None
+    found: dict[str, int] = {}
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "\"'":
+            in_str = ch
+        elif ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif depth == 0 and ch == " ":
+            for word in ("or", "and", "unless"):
+                wl = len(word)
+                if (
+                    s[i + 1 : i + 1 + wl] == word
+                    and s[i + 1 + wl : i + 2 + wl] == " "
+                ):
+                    found[word] = i + 1
+    pos, op = -1, None
+    if "or" in found:
+        pos, op = found["or"], "or"
+    else:
+        for word in ("and", "unless"):
+            if found.get(word, -1) > pos:
+                pos, op = found[word], word
+    if op is None:
+        return None
+    left = s[:pos].strip()
+    right = s[pos + len(op) :].strip()
+    on_labels: list[str] | None = None
+    m = re.match(r"^on\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
+    if m:
+        on_labels = [x.strip() for x in m.group(1).split(",") if x.strip()]
+        right = m.group(2)
+    if not left or not right:
+        return None
+    return left, op, on_labels, right
+
+
+def _vector_setop(
+    lf: DataFrame,
+    rf: DataFrame,
+    op: str,
+    on_labels: list[str] | None,
+    cols: MetricsCols,
+) -> DataFrame:
+    """PromQL set algebra between instant/range vectors:
+
+    * ``and``    — lhs samples whose match-group exists in rhs (left-semi)
+    * ``unless`` — lhs samples whose match-group does NOT (left-anti)
+    * ``or``     — all lhs samples plus rhs samples with no lhs match
+                   (union + left-anti; missing columns null-filled)
+
+    The match group is on(...) if given, else all shared label columns
+    (plus time_bucket for range shapes) — metric name, value and sample
+    timestamps excluded, per PromQL's label-set matching."""
+    drop = {cols.name, "value", cols.value, "timestamp_", cols.ts}
+    shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
+    keys = list(on_labels) if on_labels is not None else shared
+    if "time_bucket" in lf.columns and "time_bucket" in rf.columns:
+        if "time_bucket" not in keys:
+            keys = ["time_bucket"] + keys
+    if not keys:
+        raise ValueError(f"no matching labels for vector {op!r}")
+    if op == "and":
+        out = lf.join(rf.select(*keys).distinct(), keys, "leftsemi")
+    elif op == "unless":
+        out = lf.join(rf.select(*keys).distinct(), keys, "leftanti")
+    else:  # or
+        extra = rf.join(lf.select(*keys).distinct(), keys, "leftanti")
+        out = lf.unionByName(extra, allowMissingColumns=True)
+    order = [c for c in out.columns if c not in ("value", cols.value)]
+    return out.orderBy(*order)
+
+
 def _vector_match(
     lf: DataFrame,
     rf: DataFrame,
@@ -746,6 +844,12 @@ def promql_range(
     from the timestamp via ``unix_micros``.
     """
     promql = _resolve_at_bounds(promql, float(start_s), float(end_s))
+    setop = _split_top_level_setop(promql)
+    if setop:
+        left, op, on_labels, right = setop
+        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        return _vector_setop(lf, rf, op, on_labels, cols)
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop

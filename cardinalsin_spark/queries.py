@@ -561,6 +561,89 @@ def q_promql_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROMQL_AT_START = SQL_PROMQL_INSTANT_SUM
 
 
+def q_promql_set_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL set algebra `a unless b`: per-user purchase totals for users
+    WITHOUT a matching 1-prefixed signup series — a left-anti join on the
+    shared label set (the reference has no binary ops at all; SURVEY
+    §2.3/§2.7 superset, api/query/prometheus_api.rs:744-826)."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        'sum by (user_id) (purchase) unless sum by (user_id) '
+        '(signup{user_id=~"1.*"})',
+        time_s=1705276800.0,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_SET_UNLESS = f"""
+WITH p AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         max(ts) AS sample_time,
+         round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id FROM events
+  WHERE event_type = 'signup'
+    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+    AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT p.* FROM p WHERE p.user_id NOT IN (SELECT user_id FROM s)
+"""
+
+
+def q_promql_set_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `a or b`: every purchase series plus error series for users
+    with no purchase series — union + left-anti on the shared label set."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) or sum by (user_id) (error)",
+        time_s=1705276800.0,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_SET_OR = f"""
+WITH p AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         max(ts) AS sample_time,
+         round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         max(ts) AS sample_time,
+         round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'error' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT * FROM p
+UNION ALL
+SELECT e.* FROM e WHERE e.user_id NOT IN (SELECT user_id FROM p)
+"""
+
+
 def q_promql_range_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range query with an `@ end()` pin: every grid step evaluates at the
     range end, so the result is the instant vector at end_s replicated
@@ -4504,6 +4587,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_at_pinned": (q_promql_at_pinned, SQL_PROMQL_AT_PINNED),
     "promql_at_start": (q_promql_at_start, SQL_PROMQL_AT_START),
     "promql_range_at_end": (q_promql_range_at_end, SQL_PROMQL_RANGE_AT_END),
+    "promql_set_unless": (q_promql_set_unless, SQL_PROMQL_SET_UNLESS),
+    "promql_set_or": (q_promql_set_or, SQL_PROMQL_SET_OR),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
 
@@ -4552,6 +4637,8 @@ _DRIVER_WINDOW = [
     "promql_range_at_end",
     "emb_hamming_topk",
     "docs_kmv_sample",
+    "promql_set_unless",
+    "promql_set_or",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4593,8 +4680,6 @@ _DRIVER_WINDOW = [
     "ts_asof_join",
     "ts_gapfill_locf",
     "tpch_q1",
-    "tpch_q3ish",
-    "tpch_q5ish",
 ]
 
 

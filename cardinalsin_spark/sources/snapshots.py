@@ -144,6 +144,24 @@ class SnapshotCatalog:
         base = self.files(head) if head is not None else []
         return self.commit(base + list(new_files), head)
 
+    def commit_new_files(self) -> int:
+        """Post-ingest catalog registration (the reference's upload →
+        catalog-register sequence, ``metadata/s3.rs:86-127``): diff the
+        table directory against the head manifest and append any data
+        files not yet referenced. Files a head manifest dropped (e.g. a
+        compacted-away generation) are still on disk for pinned readers —
+        they are NOT resurrected; only genuinely new paths are added."""
+        listed = set(self._list_parquet(self.root))
+        head = self.current_version()
+        known: set[str] = set()
+        for v in self.versions():
+            known.update(self.files(v))
+        new = sorted(listed - known)
+        if not new:
+            return head if head is not None else self.commit([], None)
+        current = self.files(head) if head is not None else []
+        return self.commit(current + new, head)
+
     def compact(
         self, spark: SparkSession, target_files: int = 1, ts_col: str = "timestamp"
     ) -> int:

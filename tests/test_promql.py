@@ -1268,3 +1268,64 @@ def test_at_start_end_sugar(spark, sf_dir):
         step, cols=EV_CENTS,
     ).collect()
     assert a == b and len(a) > 0
+
+
+def test_set_operators_partition_and_semantics(spark, sf_dir):
+    """`and`/`unless` partition the lhs exactly; `or` adds only rhs groups
+    absent from lhs; on(...) overrides the shared-label match; quoted
+    ` and ` inside a matcher value is data, not an operator."""
+    from cardinalsin_spark.operators.promql import (
+        _split_top_level_setop,
+        promql_instant,
+        promql_range,
+    )
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    def rows(expr):
+        return promql_instant(ev, expr, time_s=t, cols=EV_CENTS).collect()
+
+    lhs = rows("sum by (user_id) (purchase)")
+    kept = rows(
+        'sum by (user_id) (purchase) and sum by (user_id) (signup{user_id=~"1.*"})'
+    )
+    dropped = rows(
+        'sum by (user_id) (purchase) unless sum by (user_id) (signup{user_id=~"1.*"})'
+    )
+    assert len(kept) + len(dropped) == len(lhs)
+    assert {r.user_id for r in kept} | {r.user_id for r in dropped} == {
+        r.user_id for r in lhs
+    }
+    # and/unless keep lhs values untouched
+    by_uid = {r.user_id: r.value for r in lhs}
+    assert all(by_uid[r.user_id] == r.value for r in kept + dropped)
+
+    both = rows("sum by (user_id) (purchase) or sum by (user_id) (error)")
+    err = rows("sum by (user_id) (error)")
+    lhs_uids = {r.user_id for r in lhs}
+    expect_extra = {r.user_id for r in err} - lhs_uids
+    assert len(both) == len(lhs) + len(expect_extra)
+    assert all(
+        r.event_type == "purchase" for r in both if r.user_id in lhs_uids
+    )
+
+    # explicit on(...) matching
+    on_kept = rows(
+        "sum by (user_id) (purchase) and on(user_id) sum by (user_id) (error)"
+    )
+    assert {r.user_id for r in on_kept} == lhs_uids & {r.user_id for r in err}
+
+    # quoted operator text is data
+    assert _split_top_level_setop('m{note=" x and y "}') is None
+    # range shape carries time_bucket into the match key
+    rng = promql_range(
+        ev,
+        "sum by (user_id) (purchase) unless sum by (user_id) (purchase)",
+        1704067200.0,
+        1706745600.0,
+        86400,
+        cols=EV_CENTS,
+    )
+    assert rng.count() == 0  # self-unless is empty per (bucket, labels)

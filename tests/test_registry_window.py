@@ -109,8 +109,6 @@ RECHECK: dict[str, str] = {
     "ts_asof_join": "stale-r3",
     "ts_gapfill_locf": "stale-r3",
     "tpch_q1": "stale-r3",
-    "tpch_q3ish": "stale-r3",
-    "tpch_q5ish": "stale-r3",
 }
 
 

@@ -113,3 +113,34 @@ def test_snapshot_chunk_stats_planner_input(spark, table):
     assert len(stats) == 8
     assert sum(r.row_count for r in stats) == 1000
     assert all(r.min_timestamp <= r.max_timestamp for r in stats)
+
+
+def test_ingest_write_then_commit_new_files(spark, tmp_path):
+    """write_metrics → commit_new_files is the upload→register sequence:
+    each write's files land in the next manifest; a reader pinned before
+    the second write keeps the first write's rows only."""
+    from cardinalsin_spark.sources.ingest import write_metrics
+
+    root = str(tmp_path / "metrics_tbl")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias(
+                "timestamp"
+            ),
+            F.lit("m").alias("metric_name"),
+            F.col("id").cast("double").alias("value"),
+        )
+
+    write_metrics(batch(0, 500), root, granularity="date")
+    cat = SnapshotCatalog(root)
+    v0 = cat.commit_new_files()
+    assert cat.read(spark, v0).count() == 500
+
+    write_metrics(batch(500, 800), root, mode="append", granularity="date")
+    v1 = cat.commit_new_files()
+    assert v1 == v0 + 1
+    assert cat.read(spark, v1).count() == 800
+    assert cat.read(spark, v0).count() == 500  # pinned pre-append view
+    # idempotent when nothing new landed
+    assert cat.commit_new_files() == v1
