@@ -486,7 +486,7 @@ def promql_instant(
         rf = promql_instant(df, right, time_s, cols, tiebreak)
         drop = {cols.name, "value", "timestamp_", cols.ts}
         shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
-        keys = on_labels if on_labels is not None else shared
+        keys = _match_keys(shared, on_labels)
         l = lf.select(*keys, F.col("value").alias("_lv"))
         r = rf.select(*keys, F.col("value").alias("_rv"))
         joined = l.join(r, keys) if keys else l.crossJoin(r)
@@ -669,10 +669,11 @@ def _split_top_level_binop(s: str):
     on_labels: list[str] | None = None
     group_mode: str | None = None
     carry: list[str] = []
-    m = re.match(r"^on\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
+    m = re.match(r"^(on|ignoring)\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
     if m:
-        on_labels = [x.strip() for x in m.group(1).split(",") if x.strip()]
-        right = m.group(2)
+        labels = [x.strip() for x in m.group(2).split(",") if x.strip()]
+        on_labels = Ignoring(labels) if m.group(1) == "ignoring" else labels
+        right = m.group(3)
         gm = re.match(
             r"^(group_left|group_right)\s*(?:\(([^)]*)\))?\s*(.+)$",
             right,
@@ -684,6 +685,29 @@ def _split_top_level_binop(s: str):
                 carry = [x.strip() for x in gm.group(2).split(",") if x.strip()]
             right = gm.group(3)
     return left, op, on_labels, group_mode, carry, right
+
+
+class Ignoring(list):
+    """Matching-modifier marker: match on all SHARED labels EXCEPT these
+    (PromQL ``ignoring(l1, l2)``). Passed through the splitters in the
+    ``on_labels`` slot so call signatures stay stable; the join-key
+    builders special-case it."""
+
+
+def _match_keys(
+    shared: list[str], on_labels, extra: list[str] | None = None
+) -> list[str]:
+    """Resolve the vector-matching join keys from the shared label columns
+    and the modifier: on(...) replaces, ignoring(...) subtracts, absence
+    means all shared labels. ``extra`` (e.g. time_bucket) is prepended."""
+    if on_labels is None:
+        keys = list(shared)
+    elif isinstance(on_labels, Ignoring):
+        drop = set(on_labels)
+        keys = [c for c in shared if c not in drop]
+    else:
+        keys = list(on_labels)
+    return (extra or []) + keys
 
 
 def _split_top_level_setop(s: str):
@@ -729,10 +753,11 @@ def _split_top_level_setop(s: str):
     left = s[:pos].strip()
     right = s[pos + len(op) :].strip()
     on_labels: list[str] | None = None
-    m = re.match(r"^on\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
+    m = re.match(r"^(on|ignoring)\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
     if m:
-        on_labels = [x.strip() for x in m.group(1).split(",") if x.strip()]
-        right = m.group(2)
+        labels = [x.strip() for x in m.group(2).split(",") if x.strip()]
+        on_labels = Ignoring(labels) if m.group(1) == "ignoring" else labels
+        right = m.group(3)
     if not left or not right:
         return None
     return left, op, on_labels, right
@@ -757,7 +782,7 @@ def _vector_setop(
     timestamps excluded, per PromQL's label-set matching."""
     drop = {cols.name, "value", cols.value, "timestamp_", cols.ts}
     shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
-    keys = list(on_labels) if on_labels is not None else shared
+    keys = _match_keys(shared, on_labels)
     if "time_bucket" in lf.columns and "time_bucket" in rf.columns:
         if "time_bucket" not in keys:
             keys = ["time_bucket"] + keys
@@ -793,7 +818,7 @@ def _vector_match(
     shared = sorted(
         (set(lf.columns) & set(rf.columns)) - {"time_bucket", cols.name, "value"}
     )
-    keys = ["time_bucket"] + (on_labels if on_labels is not None else shared)
+    keys = _match_keys(shared, on_labels, extra=["time_bucket"])
     ops = _ARITH_OPS
     if group_mode in ("group_left", "group_right"):
         many, one = (lf, rf) if group_mode == "group_left" else (rf, lf)

@@ -1329,3 +1329,56 @@ def test_set_operators_partition_and_semantics(spark, sf_dir):
         cols=EV_CENTS,
     )
     assert rng.count() == 0  # self-unless is empty per (bucket, labels)
+
+
+def test_ignoring_matching_modifier(spark):
+    """`ignoring(env)` must equal the complementary `on(host)` for both
+    arithmetic and set operators; ignoring an unshared label is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import (
+        Ignoring,
+        _split_top_level_binop,
+        promql_instant,
+    )
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for host in ("a", "b"):
+        for env in ("prod", "dev"):
+            rows.append(Row(timestamp=t, metric_name="used", host=host,
+                            env=env, value=10.0 if host == "a" else 30.0))
+        rows.append(Row(timestamp=t, metric_name="total", host=host,
+                        env="prod", value=40.0))
+    df = spark.createDataFrame(rows)
+    cols = MetricsCols()
+    ts = 1704067200.0
+
+    # parse: ignoring() lands in the on_labels slot as an Ignoring marker
+    _, _, on, _, _, _ = _split_top_level_binop(
+        "sum by (host, env) (used) / ignoring(env) sum by (host) (total)"
+    )
+    assert isinstance(on, Ignoring) and list(on) == ["env"]
+
+    def run(expr):
+        return sorted(
+            (tuple(sorted((k, v) for k, v in r.asDict().items()
+                          if k != "value")), r.value)
+            for r in promql_instant(df, expr, time_s=ts, cols=cols).collect()
+        )
+
+    via_on = run("sum by (host, env) (used) / on(host) sum by (host) (total)")
+    via_ign = run(
+        "sum by (host, env) (used) / ignoring(env) sum by (host) (total)"
+    )
+    assert via_on == via_ign and len(via_on) == 4
+    vals = {dict(k)["host"]: v for k, v in via_ign}
+    assert vals == {"a": 0.25, "b": 0.75}
+
+    # set op: ignoring an unshared label equals the unmodified match
+    plain = run("sum by (host) (used) and sum by (host) (total)")
+    ign = run("sum by (host) (used) and ignoring(nosuch) sum by (host) (total)")
+    assert plain == ign and len(plain) == 2
