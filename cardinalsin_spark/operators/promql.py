@@ -461,6 +461,18 @@ def promql_instant(
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_setop(lf, rf, op, on_labels, cols)
+    cmpv = _split_top_level_cmp(promql)
+    if cmpv and not re.fullmatch(r"-?\d+(?:\.\d+)?", cmpv[4]):
+        # vector-vector comparison (precedence between arithmetic and the
+        # set ops); a numeric rhs falls through to the _CMP_SCALAR_RE path
+        left, op, want_bool, on_labels, right = cmpv
+        lf = promql_instant(df, left, time_s, cols, tiebreak)
+        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        if "value" not in lf.columns and cols.value in lf.columns:
+            lf = lf.withColumnRenamed(cols.value, "value")
+        if "value" not in rf.columns and cols.value in rf.columns:
+            rf = rf.withColumnRenamed(cols.value, "value")
+        return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
     binop = _split_top_level_binop(promql)
     if binop:
         # instant binary ops: vector-scalar folds into the value column;
@@ -710,6 +722,93 @@ def _match_keys(
     return (extra or []) + keys
 
 
+def _split_top_level_cmp(s: str):
+    """Find the rightmost top-level comparison operator (precedence between
+    arithmetic and the set operators), outside parens/braces/quotes, with
+    the optional ``bool`` modifier and on()/ignoring() matching. Returns
+    (left, op, want_bool, on_labels, right) or None. Matcher-internal
+    ``!=``/``=~`` live inside ``{}`` (depth > 0) and never split."""
+    s = s.strip()
+    depth = 0
+    in_str: str | None = None
+    pos, op = -1, None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "\"'":
+            in_str = ch
+        elif ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif depth == 0 and ch in "><=!":
+            two = s[i : i + 2]
+            if two in (">=", "<=", "==", "!="):
+                pos, op = i, two
+                i += 2
+                continue
+            if ch in "><":
+                pos, op = i, ch
+        i += 1
+    if op is None:
+        return None
+    left = s[:pos].strip()
+    right = s[pos + len(op) :].strip()
+    want_bool = False
+    m = re.match(r"^bool\s+(.+)$", right, re.DOTALL)
+    if m:
+        want_bool = True
+        right = m.group(1)
+    on_labels: list[str] | None = None
+    m = re.match(r"^(on|ignoring)\s*\(([^)]*)\)\s*(.+)$", right, re.DOTALL)
+    if m:
+        labels = [x.strip() for x in m.group(2).split(",") if x.strip()]
+        on_labels = Ignoring(labels) if m.group(1) == "ignoring" else labels
+        right = m.group(3)
+    if not left or not right:
+        return None
+    return left, op, want_bool, on_labels, right
+
+
+def _vector_cmp(
+    lf: DataFrame,
+    rf: DataFrame,
+    op: str,
+    want_bool: bool,
+    on_labels: list[str] | None,
+    cols: MetricsCols,
+) -> DataFrame:
+    """Vector-vector comparison (PromQL filter semantics): join lhs to rhs
+    on the match group and keep lhs samples where ``lhs op rhs`` holds —
+    labels, metric name and value stay the lhs's. With ``bool``, every
+    matched pair yields 0/1 instead and the metric name drops (promql
+    spec). Same superset charter as the arithmetic binops."""
+    drop = {cols.name, "value", cols.value, "timestamp_", cols.ts}
+    shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
+    keys = _match_keys(shared, on_labels)
+    if "time_bucket" in lf.columns and "time_bucket" in rf.columns:
+        if "time_bucket" not in keys:
+            keys = ["time_bucket"] + keys
+    if not keys:
+        raise ValueError(f"no matching labels for vector comparison {op!r}")
+    r = rf.select(*keys, F.col("value").alias("_rv"))
+    joined = lf.join(r, keys)
+    pred = _CMP_OPS[op](F.col("value"), F.col("_rv"))
+    if want_bool:
+        out_cols = [c for c in lf.columns if c not in (cols.name, "value")]
+        out = joined.select(
+            *out_cols,
+            F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+        )
+    else:
+        out = joined.filter(pred).select(*lf.columns)
+    order = [c for c in out.columns if c != "value"]
+    return out.orderBy(*order)
+
+
 def _split_top_level_setop(s: str):
     """Find the rightmost top-level PromQL SET operator (``or`` lowest
     precedence, then ``and``/``unless``), outside parens/braces/quotes,
@@ -875,6 +974,21 @@ def promql_range(
         lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
         return _vector_setop(lf, rf, op, on_labels, cols)
+    cmpv = _split_top_level_cmp(promql)
+    if cmpv:
+        left, op, want_bool, on_labels, right = cmpv
+        lf = promql_range(
+            df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
+        )
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", right):
+            # vector-scalar comparison on the range grid (instant grew this
+            # via _CMP_SCALAR_RE; the range grid uses the same filter/bool
+            # fold — no join, no shuffle)
+            return _apply_scalar_cmp(lf, op, float(right), want_bool)
+        rf = promql_range(
+            df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+        )
+        return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop

@@ -644,6 +644,50 @@ SELECT e.* FROM e WHERE e.user_id NOT IN (SELECT user_id FROM p)
 """
 
 
+def q_promql_cmp_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-vector comparison `a > b` (PromQL filter semantics): per-user
+    purchase totals kept only where they exceed the matched view total —
+    an inner join on the label match group + predicate filter, lhs values
+    and labels preserved."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) > sum by (user_id) (view)",
+        time_s=1705276800.0,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_CMP_VECTOR = f"""
+WITH p AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         max(ts) AS sample_time,
+         sum({_sql_cents('value')}) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         sum({_sql_cents('value')}) AS cents
+  FROM events
+  WHERE event_type = 'view' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1
+)
+SELECT p.event_type, p.user_id, p.sample_time,
+       round(CAST(p.cents AS DOUBLE) / 100.0, 2) AS value
+FROM p JOIN v ON p.user_id = v.user_id
+WHERE p.cents > v.cents
+"""
+
+
 def q_promql_range_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range query with an `@ end()` pin: every grid step evaluates at the
     range end, so the result is the instant vector at end_s replicated
@@ -4589,6 +4633,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_range_at_end": (q_promql_range_at_end, SQL_PROMQL_RANGE_AT_END),
     "promql_set_unless": (q_promql_set_unless, SQL_PROMQL_SET_UNLESS),
     "promql_set_or": (q_promql_set_or, SQL_PROMQL_SET_OR),
+    "promql_cmp_vector": (q_promql_cmp_vector, SQL_PROMQL_CMP_VECTOR),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
 
@@ -4639,6 +4684,7 @@ _DRIVER_WINDOW = [
     "docs_kmv_sample",
     "promql_set_unless",
     "promql_set_or",
+    "promql_cmp_vector",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4670,7 +4716,6 @@ _DRIVER_WINDOW = [
     "promql_count_values",
     "promql_label_replace",
     "promql_offset_delta",
-    "promql_over_time",
     "promql_quantile",
     "promql_range_sum_by",
     "promql_rate_range",

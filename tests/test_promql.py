@@ -1382,3 +1382,58 @@ def test_ignoring_matching_modifier(spark):
     plain = run("sum by (host) (used) and sum by (host) (total)")
     ign = run("sum by (host) (used) and ignoring(nosuch) sum by (host) (total)")
     assert plain == ign and len(plain) == 2
+
+
+def test_vector_comparison_binops(spark, sf_dir):
+    """Vector-vector comparisons: filter semantics partition the matched
+    set, `bool` yields 0/1 for every matched pair with the metric name
+    dropped, scalar rhs on the RANGE grid filters without a join, and the
+    splitter respects quotes/braces."""
+    from cardinalsin_spark.operators.promql import (
+        _split_top_level_cmp,
+        promql_instant,
+        promql_range,
+    )
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    def rows(expr):
+        return promql_instant(ev, expr, time_s=t, cols=EV_CENTS).collect()
+
+    gt = rows("sum by (user_id) (purchase) > sum by (user_id) (view)")
+    le = rows("sum by (user_id) (purchase) <= sum by (user_id) (view)")
+    p = rows("sum by (user_id) (purchase)")
+    v_uids = {r.user_id for r in rows("sum by (user_id) (view)")}
+    matched = [r for r in p if r.user_id in v_uids]
+    assert len(gt) + len(le) == len(matched)
+    by_uid = {r.user_id: r.value for r in p}
+    assert all(r.value == by_uid[r.user_id] for r in gt)  # lhs values kept
+
+    bo = rows("sum by (user_id) (purchase) > bool sum by (user_id) (view)")
+    assert len(bo) == len(matched)
+    assert sum(1 for r in bo if r.value == 1.0) == len(gt)
+    assert all(r.value in (0.0, 1.0) for r in bo)
+    assert "event_type" not in bo[0].asDict()  # bool drops the metric name
+
+    # matcher-internal != never splits; quoted operator text is data
+    assert _split_top_level_cmp('m{env!="dev"}') is None
+    assert _split_top_level_cmp('m{note=" a > b "}') is None
+
+    # range: scalar rhs filters the grid; self->= keeps everything
+    r0 = promql_range(
+        ev, "sum by (user_id) (purchase)", 1704067200.0, 1706745600.0,
+        604800, cols=EV_CENTS,
+    )
+    r_ge = promql_range(
+        ev,
+        "sum by (user_id) (purchase) >= sum by (user_id) (purchase)",
+        1704067200.0, 1706745600.0, 604800, cols=EV_CENTS,
+    )
+    assert r_ge.count() == r0.count() > 0
+    r_cut = promql_range(
+        ev, "sum by (user_id) (purchase) > 13000", 1704067200.0, 1706745600.0,
+        604800, cols=EV_CENTS,
+    )
+    assert 0 < r_cut.count() < r0.count()

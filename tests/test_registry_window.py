@@ -99,7 +99,6 @@ RECHECK: dict[str, str] = {
     "promql_count_values": "stale-r3",
     "promql_label_replace": "stale-r3",
     "promql_offset_delta": "stale-r3",
-    "promql_over_time": "stale-r3",
     "promql_quantile": "stale-r3",
     "promql_range_sum_by": "stale-r3",
     "promql_rate_range": "stale-r3",
