@@ -437,6 +437,31 @@ def _ns_prefilter(
     return df
 
 
+_SCALAR_WRAP_RE = re.compile(r"^scalar\s*\((.+)\)$", re.DOTALL)
+
+
+def _scalar_of(
+    df: DataFrame,
+    expr: str,
+    time_s: float | None,
+    cols: MetricsCols,
+    tiebreak: list[str] | None,
+) -> DataFrame:
+    """Evaluate ``scalar(expr)``: a 1-row frame with column ``_sc`` holding
+    the inner instant vector's single sample value, or NaN when the vector
+    has != 1 samples (promql/functions.go funcScalar). The frame is tiny
+    by construction — callers broadcast it into a crossJoin fold."""
+    inner = promql_instant(df, expr, time_s, cols, tiebreak)
+    vcol = "value" if "value" in inner.columns else cols.value
+    return inner.agg(
+        F.when(
+            F.count(F.lit(1)) == 1, F.max(vcol).cast("double")
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("_sc")
+    )
+
+
 def promql_instant(
     df: DataFrame,
     promql: str,
@@ -473,6 +498,13 @@ def promql_instant(
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
+    sw = _SCALAR_WRAP_RE.match(promql.strip())
+    if sw and _balanced(sw.group(1)):
+        # standalone scalar(v): one sample with no labels — the vector's
+        # single value, or NaN when it has != 1 samples (promql spec)
+        return _scalar_of(df, sw.group(1), time_s, cols, tiebreak).select(
+            F.col("_sc").alias("value")
+        )
     binop = _split_top_level_binop(promql)
     if binop:
         # instant binary ops: vector-scalar folds into the value column;
@@ -484,6 +516,37 @@ def promql_instant(
         arith = _ARITH_OPS[op]
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
         num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        sc_l = _SCALAR_WRAP_RE.match(left)
+        if sc_l and not _balanced(sc_l.group(1)):
+            sc_l = None
+        sc_r = _SCALAR_WRAP_RE.match(right)
+        if sc_r and not _balanced(sc_r.group(1)):
+            sc_r = None
+        if (sc_l or sc_r) and not (num_l or num_r):
+            # scalar(v) folds like a numeric literal, but the number comes
+            # from a 1-row subquery: broadcast crossJoin, no key shuffle.
+            # Per the spec the fold value is the vector's single sample, or
+            # NaN when it has != 1 samples.
+            if sc_r and not sc_l:
+                vec, sc_inner, vec_first = left, sc_r.group(1), True
+            elif sc_l and not sc_r:
+                vec, sc_inner, vec_first = right, sc_l.group(1), False
+            else:  # scalar(a) / scalar(b): fold rhs into lhs's single row
+                vec, sc_inner, vec_first = left, sc_r.group(1), True
+            lf = promql_instant(df, vec, time_s, cols, tiebreak)
+            if "value" not in lf.columns and cols.value in lf.columns:
+                lf = lf.withColumnRenamed(cols.value, "value")
+            sdf = _scalar_of(df, sc_inner, time_s, cols, tiebreak)
+            a, b = (
+                (F.col("value"), F.col("_sc"))
+                if vec_first
+                else (F.col("_sc"), F.col("value"))
+            )
+            return (
+                lf.crossJoin(F.broadcast(sdf))
+                .withColumn("value", arith(a, b))
+                .drop("_sc")
+            )
         if num_r and not num_l:
             lf = promql_instant(df, left, time_s, cols, tiebreak)
             return lf.withColumn(
@@ -989,6 +1052,16 @@ def promql_range(
             df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
         )
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
+    _sw_range = _SCALAR_WRAP_RE.match(promql.strip())
+    if _sw_range and _balanced(_sw_range.group(1)):
+        # per-step scalar() needs the pinned-grid machinery; evaluating the
+        # instant scalar once and smearing it over the grid would be a
+        # wrong answer for moving totals — fail loudly (use
+        # `/ on() sum(...)` style matching for per-step ratios instead)
+        raise ValueError(
+            "scalar() is only supported in instant queries; for per-step "
+            "range ratios use vector matching (e.g. `a / on() sum(b)`)"
+        )
     binop = _split_top_level_binop(promql)
     if binop:
         left, op, on_labels, group_mode, carry, right = binop

@@ -688,6 +688,46 @@ WHERE p.cents > v.cents
 """
 
 
+def q_promql_scalar_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scalar(v)` under oracle check: each user's purchase share of the
+    grand total — the scalar side is a 1-row subquery broadcast into a
+    crossJoin fold (no key shuffle), per promql/functions.go funcScalar."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) / scalar(sum(purchase))",
+        time_s=1705276800.0,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type",
+        "user_id",
+        F.col("timestamp_").alias("sample_time"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+SQL_PROMQL_SCALAR_FOLD = f"""
+WITH p AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         max(ts) AS sample_time,
+         sum({_sql_cents('value')}) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum({_sql_cents('value')}) AS DOUBLE) AS t
+  FROM events
+  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT p.event_type, p.user_id, p.sample_time,
+       round(CAST(p.cents AS DOUBLE) / tot.t, 6) AS value
+FROM p CROSS JOIN tot
+"""
+
+
 def q_promql_range_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range query with an `@ end()` pin: every grid step evaluates at the
     range end, so the result is the instant vector at end_s replicated
@@ -4634,6 +4674,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_set_unless": (q_promql_set_unless, SQL_PROMQL_SET_UNLESS),
     "promql_set_or": (q_promql_set_or, SQL_PROMQL_SET_OR),
     "promql_cmp_vector": (q_promql_cmp_vector, SQL_PROMQL_CMP_VECTOR),
+    "promql_scalar_fold": (q_promql_scalar_fold, SQL_PROMQL_SCALAR_FOLD),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
 
@@ -4685,6 +4726,7 @@ _DRIVER_WINDOW = [
     "promql_set_unless",
     "promql_set_or",
     "promql_cmp_vector",
+    "promql_scalar_fold",
     "promql_day_of_week",
     "ts_ewma",
     "ts_moving_avg",
@@ -4721,7 +4763,6 @@ _DRIVER_WINDOW = [
     "promql_rate_range",
     "promql_instant_topk",
     "maint_retention",
-    "maint_downsample",
     "ts_asof_join",
     "ts_gapfill_locf",
     "tpch_q1",

@@ -1437,3 +1437,62 @@ def test_vector_comparison_binops(spark, sf_dir):
         604800, cols=EV_CENTS,
     )
     assert 0 < r_cut.count() < r0.count()
+
+
+def test_scalar_function(spark, sf_dir):
+    """scalar(v): folds a 1-sample vector like a literal; NaN when the
+    vector has != 1 samples; standalone form yields one unlabeled sample;
+    range queries reject it loudly."""
+    import math
+
+    import pytest
+
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    total = promql_instant(ev, "sum(purchase)", time_s=t, cols=EV_CENTS)
+    (tr,) = total.collect()
+    (sr,) = promql_instant(
+        ev, "scalar(sum(purchase))", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert sr.value == float(tr.value) and list(sr.asDict()) == ["value"]
+
+    per_user = {
+        r.user_id: r.value
+        for r in promql_instant(
+            ev, "sum by (user_id) (purchase)", time_s=t, cols=EV_CENTS
+        ).collect()
+    }
+    folded = promql_instant(
+        ev,
+        "sum by (user_id) (purchase) / scalar(sum(purchase))",
+        time_s=t,
+        cols=EV_CENTS,
+    ).collect()
+    assert len(folded) == len(per_user)
+    for r in folded:
+        assert r.value == per_user[r.user_id] / float(tr.value)
+    # scalar on the left folds too
+    left = promql_instant(
+        ev,
+        "scalar(sum(purchase)) - sum by (user_id) (purchase)",
+        time_s=t,
+        cols=EV_CENTS,
+    ).collect()
+    for r in left:
+        assert r.value == float(tr.value) - per_user[r.user_id]
+
+    # multi-sample inner vector → NaN
+    (nan_r,) = promql_instant(
+        ev, "scalar(sum by (user_id) (purchase))", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert math.isnan(nan_r.value)
+
+    with pytest.raises(ValueError, match="instant"):
+        promql_range(
+            ev, "sum(purchase) / scalar(sum(view))",
+            1704067200.0, 1706745600.0, 86400, cols=EV_CENTS,
+        )

@@ -104,7 +104,6 @@ RECHECK: dict[str, str] = {
     "promql_rate_range": "stale-r3",
     "promql_instant_topk": "stale-r3",
     "maint_retention": "stale-r3",
-    "maint_downsample": "stale-r3",
     "ts_asof_join": "stale-r3",
     "ts_gapfill_locf": "stale-r3",
     "tpch_q1": "stale-r3",
