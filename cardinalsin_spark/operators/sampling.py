@@ -303,3 +303,69 @@ def mixture_sample(
     return out.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias("epoch")
     ).drop("_copies")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 13,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the ``alpha`` knob of
+    multilingual/multi-source pretraining mixes (mC4 / XLM-R style):
+    target source shares ∝ n_s^alpha with the TOTAL corpus size
+    preserved, so rate_s = N·n_s^alpha / (Σ_t n_t^alpha · n_s) — rare
+    sources upsample (rate > 1), dominant ones downsample. Rates are
+    DERIVED from the data (one tiny per-source count aggregate, broadcast
+    back), then applied with the same deterministic hash-bucket
+    replication discipline as :func:`mixture_sample`: whole copies +
+    a fractional hash-gated copy, with the fractional gate compared as
+    ``bucket < frac·buckets`` directly — no rounding step to disagree
+    across engines.
+
+    Determinism notes: alpha=0.5 uses ``sqrt`` (correctly-rounded IEEE —
+    oracle-exact); other alphas go through ``pow`` (libm — keep them out
+    of value-hash oracles per the SCALE.md doctrine). The cross-source
+    weight sum is an ``array_sort`` + left-fold, so the float addition
+    order is pinned regardless of partitioning (DuckDB mirror:
+    ``list_reduce(list_sort(...))``).
+
+    Output = input rows + ``epoch`` copy index; pure narrow map after one
+    count aggregate over the sources (catalog-sized) — no data shuffle.
+    """
+    from cardinalsin_spark.operators.dedup_docs import portable_hash
+
+    c = F.col("_n").cast("double")
+    w = F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(float(alpha)))
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn("_w", w)
+    tot = counts.agg(
+        F.sum("_n").cast("double").alias("_total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(_w)), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("_wsum"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        (
+            F.col("_total") * F.col("_w")
+            / (F.col("_wsum") * F.col("_n").cast("double"))
+        ).alias("_rate"),
+    )
+    bucket = portable_hash(seed, F.col(id_col).cast("string")) % F.lit(buckets)
+    whole = F.floor("_rate").cast("int")
+    frac = (F.col("_rate") - F.floor("_rate")) * F.lit(float(buckets))
+    out = (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn(
+            "_copies", whole + (bucket.cast("double") < frac).cast("int")
+        )
+        .filter(F.col("_copies") > 0)
+    )
+    return out.select(
+        *df.columns,
+        F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias("epoch"),
+    )

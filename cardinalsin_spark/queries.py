@@ -4723,6 +4723,7 @@ _DRIVER_WINDOW = [
     "promql_range_at_end",
     "emb_hamming_topk",
     "docs_kmv_sample",
+    "docs_temperature_mixture",
     "promql_set_unless",
     "promql_set_or",
     "promql_cmp_vector",
@@ -4764,7 +4765,6 @@ _DRIVER_WINDOW = [
     "promql_instant_topk",
     "maint_retention",
     "ts_asof_join",
-    "ts_gapfill_locf",
     "tpch_q1",
 ]
 

@@ -2753,6 +2753,50 @@ FROM copies WHERE n_copies > 0
 """
 
 
+def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture (alpha=0.5, total size preserved):
+    per-source rates derived from the corpus itself — rare sources
+    upsample, dominant ones downsample — applied via deterministic
+    hash-bucket replication (operators.sampling.temperature_mixture)."""
+    from cardinalsin_spark.operators import sampling as smp
+
+    out = smp.temperature_mixture(_docs(spark, sf_dir), alpha=0.5)
+    return out.select("doc_id", "source", "epoch")
+
+
+SQL_DOCS_TEMPERATURE_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total,
+         list_reduce(list_sort(list(sqrt(CAST(n AS DOUBLE)))),
+                     (a, b) -> a + b) AS wsum
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         total * sqrt(CAST(n AS DOUBLE)) / (wsum * CAST(n AS DOUBLE)) AS rate
+  FROM counts CROSS JOIN tot
+),
+base AS (
+  SELECT d.doc_id, d.source, r.rate,
+         {_sql_hash("13", "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents d JOIN rates r USING (source)
+),
+copies AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN CAST(b AS DOUBLE) < (rate - floor(rate)) * 10000.0
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source, CAST(unnest(generate_series(0, n_copies - 1)) AS INT)
+         AS epoch
+FROM copies WHERE n_copies > 0
+"""
+
+
 def q_docs_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive term search served from the inverted posting table
     (operators.index): docs containing ALL of {hash, join, spark}, top-20
@@ -2794,6 +2838,7 @@ REGISTRY_LLM = {
     "docs_source_quality": (q_docs_source_quality, SQL_DOCS_SOURCE_QUALITY),
     "docs_bigram_lift": (q_docs_bigram_lift, SQL_DOCS_BIGRAM_LIFT),
     "docs_mixture_sample": (q_docs_mixture_sample, SQL_DOCS_MIXTURE_SAMPLE),
+    "docs_temperature_mixture": (q_docs_temperature_mixture, SQL_DOCS_TEMPERATURE_MIXTURE),
     "docs_chunk_windows": (q_docs_chunk_windows, SQL_DOCS_CHUNK_WINDOWS),
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
     "docs_kmv_sample": (q_docs_kmv_sample, SQL_DOCS_KMV_SAMPLE),

@@ -90,6 +90,7 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         # @-pinned range is instant + broadcast grid
         "emb_hamming_topk", "promql_at_start", "promql_range_at_end",
         "promql_set_unless", "promql_set_or", "docs_kmv_sample", "promql_cmp_vector",
+        "docs_temperature_mixture", "promql_scalar_fold",
         # emb_random_projection / emb_pca_project are deliberately Arrow
         # GEMM paths (vector scoring — the sanctioned Python category)
     ]

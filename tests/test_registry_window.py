@@ -105,7 +105,6 @@ RECHECK: dict[str, str] = {
     "promql_instant_topk": "stale-r3",
     "maint_retention": "stale-r3",
     "ts_asof_join": "stale-r3",
-    "ts_gapfill_locf": "stale-r3",
     "tpch_q1": "stale-r3",
 }
 

@@ -121,3 +121,42 @@ def test_pack_stream_offsets_partition_invariant(spark):
     for i in range(200):
         assert outs[0][i] == (acc, acc // 256)
         acc += toks[i]
+
+
+def test_temperature_mixture_rebalances(spark, sf_dir):
+    """alpha=0.5 pulls source shares toward uniform while preserving the
+    total corpus size in expectation; rates derive from the data; output
+    is deterministic across runs."""
+    from cardinalsin_spark.operators.sampling import temperature_mixture
+
+    # the parquet fixture's sources are near-uniform (rates would all be
+    # ~1); build a deliberately skewed corpus so the rebalance is visible
+    docs = spark.range(0, 920).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "src_big")
+        .when(F.col("id") < 900, "src_mid")
+        .otherwise("src_small")
+        .alias("source"),
+    )
+    before = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = temperature_mixture(docs, alpha=0.5)
+    after = {r.source: r.n for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_before = sum(before.values())
+    n_after = sum(after.values())
+    # total preserved in expectation (hash-gated fractional copies)
+    assert abs(n_after - n_before) / n_before < 0.1
+    # shares move toward uniform: the dominant source's share shrinks,
+    # the rarest source's share grows
+    big = max(before, key=before.get)
+    small = min(before, key=before.get)
+    assert after[big] / n_after < before[big] / n_before
+    assert after[small] / n_after > before[small] / n_before
+    # deterministic
+    again = {r.source: r.n for r in
+             temperature_mixture(docs, alpha=0.5)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == after
+    # epoch column counts copies: max epoch+1 == ceil(rate) for upsampled
+    assert out.filter(F.col("epoch") < 0).count() == 0
