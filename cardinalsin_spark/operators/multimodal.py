@@ -631,8 +631,10 @@ def ffmpeg_decode_frames(content: bytes, ffmpeg: str):
     (h, w, 3) RGB uint8 arrays. Dimensions come from ffprobe (same
     directory as ffmpeg, else PATH) with a fallback to parsing ffmpeg's
     stream-info stderr — ffprobe is not always installed alongside.
-    One bounded subprocess per blob inside a mapInPandas task; the blob
-    never transits the JVM twice."""
+    One bounded subprocess per blob inside a mapInPandas task (probe calls
+    time out at 60 s, the decode at 600 s — a hung codec fails the task
+    loudly instead of wedging the executor); the blob never transits the
+    JVM twice."""
     import os
     import re
     import shutil
@@ -654,7 +656,7 @@ def ffmpeg_decode_frames(content: bytes, ffmpeg: str):
                 [probe, "-v", "error", "-select_streams", "v:0",
                  "-show_entries", "stream=width,height", "-of", "csv=p=0",
                  path],
-                capture_output=True, text=True,
+                capture_output=True, text=True, timeout=60,
             )
             m = re.match(r"(\d+),(\d+)", out.stdout.strip())
             if m:
@@ -662,7 +664,7 @@ def ffmpeg_decode_frames(content: bytes, ffmpeg: str):
         if w is None:
             info = subprocess.run(
                 [ffmpeg, "-hide_banner", "-i", path],
-                capture_output=True, text=True,
+                capture_output=True, text=True, timeout=60,
             )
             m = re.search(r"Video:.*?\s(\d{1,5})x(\d{1,5})", info.stderr)
             if not m:
@@ -671,7 +673,7 @@ def ffmpeg_decode_frames(content: bytes, ffmpeg: str):
         raw = subprocess.run(
             [ffmpeg, "-v", "error", "-i", path, "-map", "0:v:0",
              "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"],
-            capture_output=True,
+            capture_output=True, timeout=600,
         )
         if raw.returncode != 0:
             err = raw.stderr[-300:].decode(errors="replace")

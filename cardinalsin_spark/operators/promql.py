@@ -487,14 +487,17 @@ def promql_instant(
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_setop(lf, rf, op, on_labels, cols)
     cmpv = _split_top_level_cmp(promql)
-    if cmpv and not re.fullmatch(r"-?\d+(?:\.\d+)?", cmpv[4]):
-        # vector-vector comparison (precedence between arithmetic and the
-        # set ops); a numeric rhs falls through to the _CMP_SCALAR_RE path
+    if cmpv:
+        # comparison precedence sits between arithmetic and the set ops,
+        # so splitting here makes `a / b > 5` evaluate (a/b) first — the
+        # PromQL grammar — instead of the arithmetic splitter grabbing `/`
         left, op, want_bool, on_labels, right = cmpv
         lf = promql_instant(df, left, time_s, cols, tiebreak)
-        rf = promql_instant(df, right, time_s, cols, tiebreak)
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", right):
+            return _apply_scalar_cmp(lf, op, float(right), want_bool)
+        rf = promql_instant(df, right, time_s, cols, tiebreak)
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
