@@ -120,6 +120,7 @@ class CardinalSin:
         label_cols: dict[str, str] | None = None,
         tenant_id: str | None = None,
         n_bytes: int = 0,
+        snapshot: bool = False,
     ) -> None:
         """Normalize → partitioned sorted write → re-register (the
         reference's flush+catalog-register, ``ingester/mod.rs:633-714``).
@@ -134,11 +135,33 @@ class CardinalSin:
                 raise QuotaExceeded(denial)
         m = normalize_to_metrics(df, ts_col, name_col, value_col, label_cols)
         write_metrics(m, self.metrics_path)
+        if snapshot:
+            # the reference's flush → CAS-catalog-register second step
+            # (ingester/mod.rs:633-714 → metadata/s3.rs:181-260): new data
+            # files enter the versioned manifest so pinned readers stay
+            # consistent across this write
+            self.snapshot_catalog().commit_new_files()
         self.metrics = register_metrics(
             self.spark, self.metrics_path, self.view_name
         )
         # schema-on-ingest: newly arrived labels become stats candidates
         self.collector.columns = ["metric_name", *label_columns(self.metrics.schema)]
+
+    def snapshot_catalog(self):
+        """The metrics table's snapshot manifest log (SURVEY §1.4's
+        ETag-CAS catalog, Spark-side): versioned file lists with link-CAS
+        commits, pinned reads, vacuum GC grace. See sources/snapshots.py."""
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        if not self.metrics_path:
+            raise ValueError("engine opened without a metrics_path")
+        return SnapshotCatalog(self.metrics_path)
+
+    def read_snapshot(self, version: int | None = None) -> DataFrame:
+        """Read the metrics table pinned to a manifest version (None =
+        head) — repeatable results while compaction/ingest commit newer
+        versions."""
+        return self.snapshot_catalog().read(self.spark, version)
 
     # -- entry point A: SQL pass-through -------------------------------------
 

@@ -220,3 +220,36 @@ def test_lifecycle_fed_by_engine_queries(engine):
         assert specs[0]["partition_by"] == ["metric_name"]
     finally:
         engine.lifecycle = None
+
+
+def test_engine_snapshot_ingest_and_pinned_read(spark, tmp_path):
+    """ingest(snapshot=True) commits each write's files to the manifest
+    log; read_snapshot(v) pins a pre-append view while the head moves."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.engine import CardinalSin
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [
+                Row(
+                    t=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    name="m",
+                    v=float(i),
+                )
+                for i in range(lo, hi)
+            ]
+        )
+
+    path = str(tmp_path / "snap_metrics")
+    cs = CardinalSin(spark, path)
+    cs.ingest(batch(0, 60), "t", "name", "v", snapshot=True)
+    cat = cs.snapshot_catalog()
+    v0 = cat.current_version()
+    assert cs.read_snapshot(v0).count() == 60
+    cs.ingest(batch(60, 90), "t", "name", "v", snapshot=True)
+    assert cat.current_version() == v0 + 1
+    assert cs.read_snapshot().count() == 90  # head
+    assert cs.read_snapshot(v0).count() == 60  # pinned pre-append
