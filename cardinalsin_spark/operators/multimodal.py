@@ -365,11 +365,20 @@ def _wav_decode_int(content: bytes):
     return arr[::n_ch], denom
 
 
-def decode_image(content: bytes, width: int, height: int):
+def _is_jpeg(content: bytes) -> bool:
+    return bool(content) and content[:3] == b"\xff\xd8\xff"
+
+
+def decode_image(content: bytes, width: int, height: int, ffmpeg: str | None = None):
     """blob → (h, w, 3) uint8 array. Real containers decode for real (PIL
-    if installed, else the stdlib PNG path) with dimensions from the FILE;
-    other blobs take the fake tiled decode at the metadata dimensions."""
-    if _is_png(content) or _is_bmp(content) or _is_gif(content):
+    if installed, else the stdlib PNG/BMP/GIF paths) with dimensions from
+    the FILE; JPEG blobs go through PIL or the ffmpeg tier (one-frame
+    rawvideo decode) and fail loudly when neither is available — the fake
+    byte-slicer would silently produce garbage pixels; other blobs take
+    the fake tiled decode at the metadata dimensions."""
+    if _is_png(content) or _is_bmp(content) or _is_gif(content) or _is_jpeg(
+        content
+    ):
         try:
             import io
 
@@ -384,6 +393,13 @@ def decode_image(content: bytes, width: int, height: int):
                 return _bmp_decode_stdlib(content)
             if _is_gif(content):
                 return _gif_decode_stdlib(content)
+            if _is_jpeg(content):
+                if ffmpeg:
+                    return ffmpeg_decode_frames(content, ffmpeg)[0]
+                raise ValueError(
+                    "JPEG image — PIL or ffmpeg is required (install one "
+                    "on the executors or set CARDINALSIN_FFMPEG)"
+                ) from None
             return _png_decode_stdlib(content)
     return _decode_bytes(content, width * height * 3).reshape(height, width, 3)
 
@@ -422,6 +438,8 @@ def image_features(media: DataFrame) -> DataFrame:
     per-pixel channel sum (r+g+b); std(gray/3) = sqrt(n·Σg² − (Σg)²)/(3n),
     numpy-std (ddof=0) semantics."""
 
+    ffmpeg = resolve_ffmpeg()
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
 
@@ -430,7 +448,9 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_image(r.content, r.width, r.height).astype("int64")
+                img = decode_image(
+                    r.content, r.width, r.height, ffmpeg
+                ).astype("int64")
                 # dims come from the DECODED array: identical to metadata on
                 # the fake path, authoritative (from the file) on real PNGs
                 h, w = img.shape[0], img.shape[1]
@@ -518,6 +538,8 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Nearest-neighbour resize (real numpy indexing over the fake-decoded
     array); contract is a blob rewrite, so output re-emits content."""
 
+    ffmpeg = resolve_ffmpeg()
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
@@ -525,7 +547,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_image(r.content, r.width, r.height)
+                img = decode_image(r.content, r.width, r.height, ffmpeg)
                 # index with the DECODED dims — real-container decodes take
                 # their dimensions from the file, and stale metadata must
                 # not drive out-of-bounds indexing (or a silent crop)

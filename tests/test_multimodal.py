@@ -707,3 +707,40 @@ def test_mp4_without_ffmpeg_raises():
 
     with pytest.raises(ValueError, match="ffmpeg is required"):
         decode_video_frames(_mp4_blob(), None)
+
+
+def test_jpeg_routes_to_ffmpeg_without_pil(spark, tmp_path, monkeypatch):
+    """JPEG blobs decode through the ffmpeg tier when PIL is absent (this
+    container has no PIL): image_features end-to-end with a fake ffmpeg
+    decoding a JPEG-magic blob; without PIL and ffmpeg, the decode fails
+    loudly rather than slicing garbage pixels."""
+    import numpy as np
+    import pytest
+
+    from cardinalsin_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        image_features,
+    )
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"JFIF-ish-payload" * 3
+    # no ffmpeg anywhere → loud failure (PIL is not installed here)
+    with pytest.raises(ValueError, match="PIL or ffmpeg"):
+        decode_image(jpeg, 0, 0, None)
+
+    ffmpeg = _fake_ffmpeg_dir(tmp_path, w=4, h=2, n_frames=1)
+    monkeypatch.setenv("CARDINALSIN_FFMPEG", ffmpeg)
+    img = decode_image(jpeg, 0, 0, ffmpeg)
+    assert img.shape == (2, 4, 3)
+    expect = np.frombuffer(_tiled(jpeg, 4 * 2 * 3), np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(img, expect)
+
+    media = spark.createDataFrame(
+        [(3, "image", bytearray(jpeg), 0, 0, 0, 0, "image/jpeg")],
+        MEDIA_SCHEMA,
+    )
+    (row,) = image_features(media).collect()
+    flat = expect.reshape(-1, 3).astype("int64")
+    assert (row.width, row.height) == (4, 2)
+    assert row.mean_r == flat[:, 0].sum() / 8
+    assert row.mean_g == flat[:, 1].sum() / 8
