@@ -16,6 +16,7 @@ row accounting.
       {"stage": "split_assign", "weights": {"train": 0.9, "val": 0.05,
                                             "test": 0.05}},
       {"stage": "mixture_sample", "rates": {"src0": 2.0}},
+      {"stage": "temperature_mixture", "alpha": 0.5},
       {"stage": "chunk_windows", "chunk_tokens": 64, "overlap": 16}
     ]
 
@@ -97,6 +98,14 @@ def _stage_mixture_sample(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _stage_temperature_mixture(df: DataFrame, p: dict) -> DataFrame:
+    from cardinalsin_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        df, alpha=p.get("alpha", 0.5), seed=p.get("seed", 13)
+    )
+
+
 def _stage_chunk_windows(df: DataFrame, p: dict) -> DataFrame:
     from cardinalsin_spark.operators.sampling import chunk_windows
 
@@ -115,6 +124,7 @@ STAGES = {
     "pii_scrub": _stage_pii_scrub,
     "split_assign": _stage_split_assign,
     "mixture_sample": _stage_mixture_sample,
+    "temperature_mixture": _stage_temperature_mixture,
     "chunk_windows": _stage_chunk_windows,
 }
 
