@@ -1496,3 +1496,66 @@ def test_scalar_function(spark, sf_dir):
             ev, "sum(purchase) / scalar(sum(view))",
             1704067200.0, 1706745600.0, 86400, cols=EV_CENTS,
         )
+
+
+def test_splitter_fuzz_never_crashes_and_reassembles():
+    """Property test over the three top-level splitters: on randomly
+    composed expressions (quotes, braces, nested parens, operator words
+    inside strings) they must never throw, never split inside
+    parens/quotes, and any split must reassemble to the original text
+    modulo the operator token and surrounding whitespace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cardinalsin_spark.operators.promql import (
+        _split_top_level_binop,
+        _split_top_level_cmp,
+        _split_top_level_setop,
+    )
+
+    atom = st.sampled_from([
+        "m", "rate(m[5m])", 'm{a="x and y", b!="p > q"}',
+        "sum by (h) (m)", 'm{note=" or "}', "scalar(sum(m))",
+        "histogram_quantile(0.9, m_bucket)", "m offset 5m", "m @ 123",
+    ])
+    op = st.sampled_from([
+        " + ", " - ", " * ", " / ", " and ", " or ", " unless ",
+        " > ", " <= ", " == ", " > bool ", " and on(h) ",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(atom, min_size=1, max_size=4), st.lists(op, max_size=3))
+    def check(atoms, ops):
+        expr = atoms[0]
+        for i, o in enumerate(ops):
+            expr = expr + o + atoms[(i + 1) % len(atoms)]
+        for splitter in (
+            _split_top_level_setop,
+            _split_top_level_cmp,
+            _split_top_level_binop,
+        ):
+            res = splitter(expr)  # must not throw
+            if res is None:
+                continue
+            left, right = res[0], res[-1]
+            assert left and right
+            # split pieces are genuine substrings (no mangling)
+            assert expr.strip().startswith(left)
+            assert expr.strip().endswith(right)
+            # never split inside a paren/brace/bracket group
+            for piece in (left, right):
+                depth = 0
+                in_str = None
+                for ch in piece:
+                    if in_str:
+                        if ch == in_str:
+                            in_str = None
+                    elif ch in "\"'":
+                        in_str = ch
+                    elif ch in "({[":
+                        depth += 1
+                    elif ch in ")}]":
+                        depth -= 1
+                assert depth == 0 and in_str is None, (piece, expr)
+
+    check()
