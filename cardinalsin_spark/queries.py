@@ -4711,6 +4711,12 @@ _DRIVER_WINDOW = [
     #   (c) stale-green fillers whose last driver row is round 3 —
     #       three code rounds ago — prioritising files that changed since
     #       (promql.py, timeseries.py, compaction.py, the TPC-H suite).
+    #   (d) the nine queries ADDED in round 6 (at_start/range_at_end,
+    #       set_unless/set_or, cmp_vector, scalar_fold, hamming_topk,
+    #       kmv_sample, temperature_mixture) — never driver-checked, so
+    #       they displaced the lowest-risk (c) fillers (tpch_q3/5/6/10/
+    #       14ish, ts_heatmap/gapfill_locf, maint_downsample,
+    #       promql_over_time — all still parity-swept).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) never driver-checked
