@@ -4699,79 +4699,78 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-6 window (VERDICT r5 items 1-2).  Composition:
-    #   (a) the 9 registry queries that have never had a driver CORRECTNESS
-    #       row (round-5 additions + the three r5 WINDOW_EXCEPTIONS);
-    #   (b) changed-since-green re-verification, riskiest first: the four
-    #       media_* oracles (decode layer rewritten to real codecs in r5),
-    #       the skew-proof crossdup/contamination rewrites, the CC /
-    #       session-index-touched dedup rows, the faithful-rate family
-    #       touched by the r5 NaN-guard fixes, and promql rows whose
-    #       evaluation paths gained @/trig branches in r5;
-    #   (c) stale-green fillers whose last driver row is round 3 —
-    #       three code rounds ago — prioritising files that changed since
-    #       (promql.py, timeseries.py, compaction.py, the TPC-H suite).
-    #   (d) the nine queries ADDED in round 6 (at_start/range_at_end,
-    #       set_unless/set_or, cmp_vector, scalar_fold, hamming_topk,
-    #       kmv_sample, temperature_mixture) — never driver-checked, so
-    #       they displaced the lowest-risk (c) fillers (tpch_q3/5/6/10/
-    #       14ish, ts_heatmap/gapfill_locf, maint_downsample,
-    #       promql_over_time — all still parity-swept).
+    # Round-7 window (VERDICT r6 item 1).  After round 6 every registry
+    # query has a green driver row, so this window is pure stale-green
+    # re-verification, oldest coverage first:
+    #   (a) queries ADDED in round 7 — never driver-checked, windowed
+    #       first by the coverage invariant
+    #       (tests/test_registry_window.py);
+    #   (b) all 27 queries whose last green driver row is CORRECTNESS_r03
+    #       — four code rounds stale; promql.py, timeseries.py,
+    #       compaction.py and the TPC-H suite all changed since;
+    #   (c) r4-stale fillers prioritised by r5/r6 code churn: the docs_*
+    #       dedup tier (dedup_docs.py / queries_llm.py changed both
+    #       rounds), the emb_* ANN tier (similarity.py gained hamming +
+    #       LRU session caches), maint_small_files / maint_zorder_key
+    #       (compaction + snapshot-aware merge), sql_rollup, and the
+    #       promql faithful-family leftovers (timeseries.py NaN guards).
     # Every non-windowed registry query remains covered by the builder-side
-    # parity sweep (tests/test_oracle_parity.py).
-    # -- (a) never driver-checked
-    "tpch_q9ish",
-    "tpch_q13ish",
-    "tpch_q21ish",
-    "promql_mad_over_time",
-    "promql_at_pinned",
-    "promql_at_start",
-    "promql_range_at_end",
-    "emb_hamming_topk",
-    "docs_kmv_sample",
-    "docs_temperature_mixture",
-    "promql_set_unless",
-    "promql_set_or",
-    "promql_cmp_vector",
-    "promql_scalar_fold",
-    "promql_day_of_week",
-    "ts_ewma",
-    "ts_moving_avg",
-    "ts_topk_by",
-    # -- (b) changed-since-green, riskiest first
-    "media_resize",
-    "media_image_features",
-    "media_audio_features",
-    "media_frame_sample",
-    "docs_crossdup",
-    "docs_contamination",
-    "docs_near_dedup_cc",
-    "docs_clean_corpus",
-    "ts_rate_faithful",
-    "ts_irate_faithful",
-    "ts_rate_extrapolated",
-    "promql_rate_faithful",
-    "promql_irate_faithful",
-    "promql_rate_extrapolated",
-    "promql_idelta",
-    "promql_instant_sum",
-    "promql_clamp",
-    "promql_subquery_max_rate",
-    # -- (c) last green in round 3 (oldest coverage), changed files first
-    "flagship_minute_p99",
-    "promql_histogram_quantile",
-    "promql_binary_ratio",
-    "promql_absent",
-    "promql_count_values",
-    "promql_label_replace",
-    "promql_offset_delta",
-    "promql_quantile",
-    "promql_range_sum_by",
-    "promql_rate_range",
-    "promql_instant_topk",
-    "maint_retention",
-    "ts_asof_join",
-    "tpch_q1",
+    # parity sweep (tests/test_oracle_parity.py); r4-stale queries not
+    # picked here rotate into the r8 window.
+    # -- (a) added in round 7, never driver-checked
+    # (populated as round-7 operators land)
+    # -- (b) last green in round 3 (oldest coverage)
+    "ts_bucket_avg",
+    "ts_filter_range",
+    "ts_instant_sum",
+    "ts_latest_per_series",
+    "ts_rate",
+    "ts_increase",
+    "ts_deriv",
+    "ts_stddev",
+    "ts_topk",
+    "ts_dedup_first",
+    "ts_distinct_values",
+    "ts_distinct_series",
+    "ts_resets_changes",
+    "ts_sessionize",
+    "ts_gapfill_locf",
+    "ts_heatmap",
+    "promql_over_time",
+    "sql_cube",
+    "tpch_q3ish",
+    "tpch_q5ish",
+    "tpch_q6",
+    "tpch_q10ish",
+    "tpch_q14ish",
+    "maint_l0_plan",
+    "maint_leveled_plan",
+    "maint_time_prune",
+    "maint_downsample",
+    # -- (c) r4-stale, highest churn first
+    "docs_exact_dedup",
+    "docs_minhash_pairs",
+    "docs_near_dedup",
+    "docs_ngram_jaccard",
+    "docs_simhash",
+    "docs_simhash_pairs",
+    "docs_span_dedup",
+    "docs_winnow",
+    "emb_cosine_topk",
+    "emb_cosine_lsh",
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    "emb_knn_classify",
+    "emb_near_dup",
+    "emb_near_dup_cc",
+    "maint_small_files",
+    "maint_zorder_key",
+    "sql_rollup",
+    "promql_delta_faithful",
+    "promql_resets",
+    "promql_absent_over_time",
+    "promql_holt_winters",
+    "promql_predict_linear",
 ]
 
 

@@ -1,9 +1,15 @@
 """Quick parity check for a subset of registry queries at a given SF.
 
 Usage: python scripts/check_parity.py [sf_dir] name1 name2 ...
+       python scripts/check_parity.py --ages
 Runs each named registry query through Spark and its DuckDB oracle via
 tests/oracle_harness.compare, printing one PASS/FAIL line per query.
 Development aid only — the committed gate is tests/test_oracle_parity.py.
+
+``--ages`` prints, for every registry query, the last round whose driver
+CORRECTNESS file recorded it fully green (rows+schema+hash), grouped
+oldest-first — the input for planning the next window rotation
+(tests/test_registry_window.py), so rotation reads a report, not memory.
 """
 
 from __future__ import annotations
@@ -22,8 +28,40 @@ from cardinalsin_spark import queries as q  # noqa: E402
 from cardinalsin_spark.session import get_spark  # noqa: E402
 
 
+def ages() -> int:
+    """Print (last-green-round, count, names) per registry query, oldest
+    first; 'never' for queries with no green driver row yet."""
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for fname in sorted(os.listdir(repo)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(os.path.join(repo, fname)) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    by_round: dict[int, list[str]] = {}
+    for name in q.REGISTRY:
+        by_round.setdefault(last.get(name, 0), []).append(name)
+    for rnd in sorted(by_round):
+        names = sorted(by_round[rnd])
+        tag = "never" if rnd == 0 else f"r{rnd}"
+        print(f"{tag}: {len(names)}")
+        for name in names:
+            print(f"  {name}")
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if args and args[0] == "--ages":
+        return ages()
     sf_dir = "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]

@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
-of ``queries()`` (verified against CORRECTNESS_r03/r04/r05: their keys were
-exactly registry[:50]).  These tests pin the round-6 window composition:
+of ``queries()`` (verified against CORRECTNESS_r03..r06: their keys were
+exactly registry[:50]).  These tests pin the round-7 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -9,20 +9,31 @@ exactly registry[:50]).  These tests pin the round-6 window composition:
   a changed-since-green or stale-green rationale — so slots are spent
   deliberately, not by drift.
 
-Unlike the round-5 version, these tests do not self-arm against future
-CORRECTNESS files: when the r6 file lands all-green the suite stays green.
-Window rotation for r7 is a planning task (see memory/round6-state), not a
-failing test.
+Structural de-fuse (VERDICT r6 item 1): ``_past_driver_green()`` reads ONLY
+CORRECTNESS files from rounds strictly before ``WINDOW_ROUND``.  The r5 and
+r6 versions of this file globbed *all* CORRECTNESS files, so the moment the
+driver dropped the current round's (all-green) artifact into the repo, the
+already-green set grew and the RECHECK assert armed itself — two rounds in a
+row.  With the pinned cutoff, the suite's verdict is frozen at
+window-planning time: CORRECTNESS_r07.json landing green changes nothing.
+Window rotation for r8 is a planning task (bump WINDOW_ROUND, rewrite
+_DRIVER_WINDOW and RECHECK together; see scripts/check_parity.py --ages).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 from cardinalsin_spark import queries as q
 
 WINDOW = 50
+
+# The round whose driver gate this window is aimed at.  _past_driver_green
+# only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
+# landing this round's artifact cannot re-arm these tests.
+WINDOW_ROUND = 7
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -32,10 +43,12 @@ def _first_window() -> list[str]:
 
 
 def _past_driver_green() -> set[str]:
-    """Names with a fully-green driver CORRECTNESS row in any past round."""
+    """Names with a fully-green driver CORRECTNESS row in any round BEFORE
+    the one this window targets (pinned — see module docstring)."""
     green: set[str] = set()
     for fname in sorted(os.listdir(_REPO)):
-        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) >= WINDOW_ROUND:
             continue
         with open(os.path.join(_REPO, fname)) as f:
             rows = json.load(f)
@@ -52,60 +65,77 @@ def _past_driver_green() -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty at the start of round 6: all nine
-# round-5 exceptions were rotated into the r6 window.
+# builder-side parity sweep.  Empty at the start of round 7: after round 6
+# every registry query has a green driver row.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 # Justification for every windowed slot that already has a green driver row
-# (VERDICT r5 item 2: changed-since-green re-verification, then stale-green).
+# (VERDICT r6 item 1: this window is pure stale-green re-verification).
 # Keyed by query name → reason tag.  Reasons:
-#   codec-rewrite   — r5 replaced the fake decode layer with real codecs;
-#                     the oracle fixture path must be proven bit-identical
-#                     under the driver again.
-#   skew-rewrite    — docs_crossdup / cross_split_contamination were
-#                     rewritten skew-proof in r5 (zero gram-keyed joins).
-#   cc-index        — connected-components / session-index changes in r5.
-#   nan-guard       — the r5 stateful NaN-guard fixes touched the faithful
-#                     rate family's shared helpers.
-#   at-trig         — the evaluation path gained `@` / transcendental
-#                     branches in r5 (promql.py _apply_scalar_fn / _AT_RE).
-#   stale-r3        — last green row is CORRECTNESS_r03; promql.py,
-#                     timeseries.py, compaction.py and the TPC-H suite all
-#                     changed in rounds 4-5.
+#   stale-r3     — last green row is CORRECTNESS_r03, four code rounds ago;
+#                  promql.py, timeseries.py, compaction.py and the TPC-H
+#                  suite all changed in rounds 4-6.
+#   dedup-churn  — last green r4; dedup_docs.py / queries_llm.py changed in
+#                  r5 (skew rewrites, session index) and r6 (LRU caches).
+#   ann-churn    — last green r4; similarity.py changed in r5 (IVF-PQ
+#                  residual, semdedup) and r6 (hamming tier, LRU caches).
+#   stale-r4     — last green r4; owning module changed less, but three
+#                  rounds of adjacent churn (compaction snapshot-awareness,
+#                  timeseries NaN guards) warrant re-verification.
 RECHECK: dict[str, str] = {
-    "media_resize": "codec-rewrite",
-    "media_image_features": "codec-rewrite",
-    "media_audio_features": "codec-rewrite",
-    "media_frame_sample": "codec-rewrite",
-    "docs_crossdup": "skew-rewrite",
-    "docs_contamination": "skew-rewrite",
-    "docs_near_dedup_cc": "cc-index",
-    "docs_clean_corpus": "cc-index",
-    "ts_rate_faithful": "nan-guard",
-    "ts_irate_faithful": "nan-guard",
-    "ts_rate_extrapolated": "nan-guard",
-    "promql_rate_faithful": "nan-guard",
-    "promql_irate_faithful": "nan-guard",
-    "promql_rate_extrapolated": "nan-guard",
-    "promql_idelta": "nan-guard",
-    "promql_instant_sum": "at-trig",
-    "promql_clamp": "at-trig",
-    "promql_subquery_max_rate": "at-trig",
-    "flagship_minute_p99": "stale-r3",
-    "promql_histogram_quantile": "stale-r3",
-    "promql_binary_ratio": "stale-r3",
-    "promql_absent": "stale-r3",
-    "promql_count_values": "stale-r3",
-    "promql_label_replace": "stale-r3",
-    "promql_offset_delta": "stale-r3",
-    "promql_quantile": "stale-r3",
-    "promql_range_sum_by": "stale-r3",
-    "promql_rate_range": "stale-r3",
-    "promql_instant_topk": "stale-r3",
-    "maint_retention": "stale-r3",
-    "ts_asof_join": "stale-r3",
-    "tpch_q1": "stale-r3",
+    # -- stale-r3 (all 27)
+    "ts_bucket_avg": "stale-r3",
+    "ts_filter_range": "stale-r3",
+    "ts_instant_sum": "stale-r3",
+    "ts_latest_per_series": "stale-r3",
+    "ts_rate": "stale-r3",
+    "ts_increase": "stale-r3",
+    "ts_deriv": "stale-r3",
+    "ts_stddev": "stale-r3",
+    "ts_topk": "stale-r3",
+    "ts_dedup_first": "stale-r3",
+    "ts_distinct_values": "stale-r3",
+    "ts_distinct_series": "stale-r3",
+    "ts_resets_changes": "stale-r3",
+    "ts_sessionize": "stale-r3",
+    "ts_gapfill_locf": "stale-r3",
+    "ts_heatmap": "stale-r3",
+    "promql_over_time": "stale-r3",
+    "sql_cube": "stale-r3",
+    "tpch_q3ish": "stale-r3",
+    "tpch_q5ish": "stale-r3",
+    "tpch_q6": "stale-r3",
+    "tpch_q10ish": "stale-r3",
+    "tpch_q14ish": "stale-r3",
+    "maint_l0_plan": "stale-r3",
+    "maint_leveled_plan": "stale-r3",
+    "maint_time_prune": "stale-r3",
+    "maint_downsample": "stale-r3",
+    # -- r4-stale, churn-prioritised
+    "docs_exact_dedup": "dedup-churn",
+    "docs_minhash_pairs": "dedup-churn",
+    "docs_near_dedup": "dedup-churn",
+    "docs_ngram_jaccard": "dedup-churn",
+    "docs_simhash": "dedup-churn",
+    "docs_simhash_pairs": "dedup-churn",
+    "docs_span_dedup": "dedup-churn",
+    "docs_winnow": "dedup-churn",
+    "emb_cosine_topk": "ann-churn",
+    "emb_cosine_lsh": "ann-churn",
+    "emb_ivf_topk": "ann-churn",
+    "emb_ivfpq_topk": "ann-churn",
+    "emb_knn_classify": "ann-churn",
+    "emb_near_dup": "ann-churn",
+    "emb_near_dup_cc": "ann-churn",
+    "maint_small_files": "stale-r4",
+    "maint_zorder_key": "stale-r4",
+    "sql_rollup": "stale-r4",
+    "promql_delta_faithful": "stale-r4",
+    "promql_resets": "stale-r4",
+    "promql_absent_over_time": "stale-r4",
+    "promql_holt_winters": "stale-r4",
+    "promql_predict_linear": "stale-r4",
 }
 
 
@@ -132,6 +162,31 @@ def test_windowed_green_slots_are_justified():
     assert not unjustified, f"green window slots without rationale: {unjustified}"
     not_windowed = [n for n in RECHECK if n not in window]
     assert not_windowed == [], f"RECHECK entries not in window: {not_windowed}"
+
+
+def test_past_green_ignores_current_round_artifact():
+    """Regression guard for the r5/r6 self-arming failure: a CORRECTNESS
+    file for WINDOW_ROUND (or later) must NOT influence the green set."""
+    fname = f"CORRECTNESS_r{WINDOW_ROUND:02d}.json"
+    assert int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname).group(1)) >= WINDOW_ROUND
+    # Simulate the driver landing an all-green artifact for this round:
+    # _past_driver_green must return the same set with or without it.
+    before = _past_driver_green()
+    path = os.path.join(_REPO, fname)
+    existed = os.path.exists(path)
+    if not existed:
+        fake = {
+            name: {"rows_match": True, "schema_match": True, "hash_match": True}
+            for name in _first_window()
+        }
+        with open(path, "w") as f:
+            json.dump(fake, f)
+    try:
+        after = _past_driver_green()
+    finally:
+        if not existed:
+            os.unlink(path)
+    assert after == before
 
 
 def test_window_entries_all_have_oracles():
