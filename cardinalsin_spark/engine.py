@@ -135,11 +135,16 @@ class CardinalSin:
                 raise QuotaExceeded(denial)
         m = normalize_to_metrics(df, ts_col, name_col, value_col, label_cols)
         write_metrics(m, self.metrics_path)
-        if snapshot:
+        import os
+
+        if snapshot or os.path.isdir(os.path.join(self.metrics_path, "_snapshots")):
             # the reference's flush → CAS-catalog-register second step
             # (ingester/mod.rs:633-714 → metadata/s3.rs:181-260): new data
             # files enter the versioned manifest so pinned readers stay
-            # consistent across this write
+            # consistent across this write. Once the table carries a
+            # manifest log, EVERY ingest registers — register_metrics
+            # routes reads through the head manifest from then on, so an
+            # uncommitted write would be invisible to the engine's view.
             self.snapshot_catalog().commit_new_files()
         self.metrics = register_metrics(
             self.spark, self.metrics_path, self.view_name

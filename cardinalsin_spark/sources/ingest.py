@@ -199,7 +199,26 @@ def register_metrics(
     registration (``query/engine.rs:171-177``) and flushes on schema
     change (``ingester/mod.rs:588-630``). Cost: one footer read per file
     at registration; at catalog scale you'd persist the merged schema in
-    a metastore and pass it explicitly instead."""
+    a metastore and pass it explicitly instead.
+
+    Snapshot routing: once the table carries a manifest log
+    (``<path>/_snapshots`` — i.e. the engine ingested with
+    ``snapshot=True`` or a ``SnapshotCatalog`` was bootstrapped), the view
+    registers from the HEAD MANIFEST instead of a directory listing. This
+    is the reference's rule that every read goes through the CAS catalog
+    (``metadata/s3.rs``): after a compaction the manifest references only
+    the rewritten ``_data-v*`` files, and after a ``vacuum`` the original
+    files may be gone entirely — a root listing would miss the former and
+    read a shrunken table after the latter."""
+    import os as _os
+
+    snap_dir = _os.path.join(path, "_snapshots") if path else ""
+    if snap_dir and _os.path.isdir(snap_dir):
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        df = SnapshotCatalog(path).read(spark)
+        df.createOrReplaceTempView(view_name)
+        return df
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:

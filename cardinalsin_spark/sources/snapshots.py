@@ -9,16 +9,20 @@ The Spark-idiomatic equivalent is a Delta-style versioned manifest log:
 
 * ``<root>/_snapshots/v{N:06d}.json`` — one immutable manifest per version,
   listing the data files that make up the table at that version.
-* Commit is CAS by construction: the manifest is written to a temp file and
-  ``os.link``-ed to its version name — creating version N+1 fails with
-  ``SnapshotConflict`` if another writer got there first (the local-fs
-  analog of the ETag-mismatch retry loop; on object storage this maps to a
-  conditional PUT).
-* Writers NEVER mutate data files in place: compaction writes new files,
-  commits a manifest that references them, and leaves the old files on disk
-  until ``vacuum`` drops versions outside the retention window. A reader
-  pinned to version N therefore keeps a consistent view while any number of
-  compactions commit N+1, N+2, …
+* Commit is CAS by construction, behind a ``CasBackend`` seam mirroring the
+  reference's storage split: ``LocalFsCas`` creates version N+1 with
+  ``os.link`` (EEXIST = lost race), the object-store shape is a conditional
+  PUT (``If-None-Match: *``) — ``MemoryCas`` implements that protocol
+  in-process so the race semantics are testable without S3.
+* Writers NEVER mutate data files in place: compaction writes new files
+  under an UNDERSCORE-prefixed ``_data-v{N}`` directory (Spark's directory
+  listing skips ``_*`` paths, so manifest-unaware root reads — e.g. a plain
+  ``spark.read.parquet(root)`` over a Hive-partitioned table — neither
+  double-count compacted rows nor trip CONFLICTING_DIRECTORY_STRUCTURES on
+  the flat layout), commits a manifest that references them, and leaves the
+  old files on disk until ``vacuum`` drops versions outside the retention
+  window. A reader pinned to version N therefore keeps a consistent view
+  while any number of compactions commit N+1, N+2, …
 
 Scale posture: manifests are metadata (one JSON entry per data file), all
 manifest I/O is driver-side and catalog-sized; the data itself moves only
@@ -31,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,20 +46,111 @@ class SnapshotConflict(Exception):
     mismatch of ``metadata/s3.rs:215-241``). Re-read and retry."""
 
 
-class SnapshotCatalog:
-    """Versioned manifest log under ``<root>/_snapshots/``."""
+class CasBackend:
+    """Storage seam for the manifest log: list / get / conditional-create /
+    delete of small immutable manifest objects. The reference's protocol is
+    S3 conditional PUT keyed on ETag (``metadata/s3.rs:181-260``); the two
+    implementations here are the local-fs link-CAS and an in-memory
+    conditional PUT with identical conflict semantics."""
 
-    def __init__(self, root: str):
+    def list_keys(self) -> list[str]:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        """Create ``key`` holding ``data`` iff it does not exist; raise
+        ``SnapshotConflict`` if it does. Must be atomic w.r.t. concurrent
+        callers — this is the whole mutual-exclusion story."""
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+
+class LocalFsCas(CasBackend):
+    """Link-CAS on a local/NFS directory: ``os.link(tmp, final)`` fails with
+    EEXIST when another writer created the version first — the local-fs
+    analog of the conditional PUT."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+
+    def list_keys(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(os.listdir(self.dir))
+
+    def get(self, key: str) -> bytes:
+        with open(os.path.join(self.dir, key), "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        final = os.path.join(self.dir, key)
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, final)  # atomic; EEXIST = lost race
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"{key} was committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, key: str) -> None:
+        os.unlink(os.path.join(self.dir, key))
+
+
+class MemoryCas(CasBackend):
+    """In-memory conditional PUT — the object-store protocol fake. A lock
+    makes create-if-absent atomic, exactly the guarantee S3 conditional PUT
+    (``If-None-Match: *``) provides; two racing writers see one success and
+    one ``SnapshotConflict``."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def list_keys(self) -> list[str]:
+        with self._lock:
+            return sorted(self._objects)
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            return self._objects[key]
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        with self._lock:
+            if key in self._objects:
+                raise SnapshotConflict(
+                    f"{key} was committed by another writer"
+                )
+            self._objects[key] = data
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+
+
+class SnapshotCatalog:
+    """Versioned manifest log under ``<root>/_snapshots/`` (or any
+    ``CasBackend``; data files always live under ``root`` on the shared
+    filesystem — only the manifest log goes through the backend)."""
+
+    def __init__(self, root: str, backend: CasBackend | None = None):
         self.root = root
         self.dir = os.path.join(root, "_snapshots")
+        self.backend = backend if backend is not None else LocalFsCas(self.dir)
 
     # -- manifest log -----------------------------------------------------
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.dir):
-            return []
         out = []
-        for name in os.listdir(self.dir):
+        for name in self.backend.list_keys():
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append(int(name[1:-5]))
@@ -66,16 +162,15 @@ class SnapshotCatalog:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _path(self, version: int) -> str:
-        return os.path.join(self.dir, f"v{version:06d}.json")
+    def _key(self, version: int) -> str:
+        return f"v{version:06d}.json"
 
     def manifest(self, version: int | None = None) -> dict:
         if version is None:
             version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no snapshots under {self.dir}")
-        with open(self._path(version)) as f:
-            return json.load(f)
+        return json.loads(self.backend.get(self._key(version)))
 
     def files(self, version: int | None = None) -> list[str]:
         """Absolute data-file paths of a snapshot."""
@@ -88,8 +183,8 @@ class SnapshotCatalog:
         built on (None for the bootstrap commit); the commit fails with
         ``SnapshotConflict`` if that is no longer the head — either because
         the head moved or because the next version name already exists
-        (two writers racing from the same base: the link is the lock)."""
-        os.makedirs(self.dir, exist_ok=True)
+        (two writers racing from the same base: the conditional create is
+        the lock)."""
         head = self.current_version()
         if head != base_version:
             raise SnapshotConflict(
@@ -101,17 +196,9 @@ class SnapshotCatalog:
             if p.startswith(".."):
                 raise ValueError(f"data file {p!r} is outside the table root")
         body = {"version": next_v, "parent": base_version, "files": rel}
-        tmp = self._path(next_v) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(body, f, indent=1)
-        try:
-            os.link(tmp, self._path(next_v))  # atomic; EEXIST = lost race
-        except FileExistsError:
-            raise SnapshotConflict(
-                f"version {next_v} was committed by another writer"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        self.backend.put_if_absent(
+            self._key(next_v), json.dumps(body, indent=1).encode()
+        )
         return next_v
 
     # -- table operations -------------------------------------------------
@@ -119,8 +206,11 @@ class SnapshotCatalog:
     def _list_parquet(self, path: str) -> list[str]:
         out = []
         for dirpath, dirnames, filenames in os.walk(path):
-            # skip the manifest dir and underscore-staged temp dirs,
-            # mirroring Spark's own `_` path filtering
+            # skip the manifest dir, `_staged-` temps AND committed
+            # `_data-v*` compaction output, mirroring Spark's own `_` path
+            # filtering: a crash-orphaned compaction dir must never be
+            # registered as "new" data (it would duplicate every compacted
+            # row next to the originals still in the head manifest)
             dirnames[:] = [d for d in dirnames if not d.startswith("_")]
             for name in filenames:
                 if name.endswith(".parquet") and not name.startswith((".", "_")):
@@ -132,11 +222,50 @@ class SnapshotCatalog:
         (the migration path for a table that predates the manifest log)."""
         return self.commit(self._list_parquet(self.root), None)
 
+    def _partition_keys(self, path: str) -> tuple[str, ...]:
+        """Hive partition-column names encoded in a file's directory path
+        (``date=2024-01-01/hour=3/f.parquet`` → ``("date", "hour")``)."""
+        rel = os.path.relpath(path, self.root)
+        keys = []
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg and not seg.startswith((".", "_")):
+                keys.append(seg.split("=", 1)[0])
+        return tuple(keys)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read a snapshot: exactly the manifest's file list, nothing else.
         Pinning ``version`` gives repeatable reads across concurrent
-        compactions/appends; None follows the head."""
-        return spark.read.parquet(*self.files(version))
+        compactions/appends; None follows the head.
+
+        Files are grouped by their Hive partition layout: each group reads
+        with ``basePath=root`` so partition columns (``date=``/``hour=``
+        directories) survive a pinned read with the same schema as a root
+        directory read — a bare ``spark.read.parquet(*files)`` silently
+        drops them. Compacted files (flat, under ``_data-v*``, partition
+        values materialized as ordinary columns at compaction time) form
+        their own group; groups are aligned with ``unionByName`` (Spark
+        refuses mixed layouts in one read: CONFLICTING_DIRECTORY_STRUCTURES).
+        ``mergeSchema`` keeps label-evolution semantics identical to the
+        engine's root-read registration (``ingest.register_metrics``)."""
+        paths = self.files(version)
+        if not paths:
+            raise ValueError(
+                f"snapshot {version if version is not None else self.current_version()}"
+                " references no data files"
+            )
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for p in paths:
+            groups.setdefault(self._partition_keys(p), []).append(p)
+        frames = []
+        for key in sorted(groups):
+            reader = spark.read.option("mergeSchema", "true")
+            if key:
+                reader = reader.option("basePath", self.root)
+            frames.append(reader.parquet(*sorted(groups[key])))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def append(self, new_files: list[str]) -> int:
         """Commit head + ``new_files`` (ingest). Retriable on conflict."""
@@ -150,7 +279,10 @@ class SnapshotCatalog:
         table directory against the head manifest and append any data
         files not yet referenced. Files a head manifest dropped (e.g. a
         compacted-away generation) are still on disk for pinned readers —
-        they are NOT resurrected; only genuinely new paths are added."""
+        they are NOT resurrected; only genuinely new paths are added.
+        Compaction output lives under ``_data-v*`` which the directory walk
+        skips, so an orphaned compaction (crash before commit) can never be
+        mistaken for new data."""
         listed = set(self._list_parquet(self.root))
         head = self.current_version()
         known: set[str] = set()
@@ -166,11 +298,16 @@ class SnapshotCatalog:
         self, spark: SparkSession, target_files: int = 1, ts_col: str = "timestamp"
     ) -> int:
         """Snapshot-aware chunk merge: read the head snapshot, rewrite it
-        sorted into ``target_files`` files under a version-named data dir,
-        and CAS-commit a manifest referencing ONLY the new files. Old files
-        stay on disk for pinned readers until ``vacuum``; a conflict (or a
-        crash before commit) leaves the table untouched — the new data dir
-        is unreferenced garbage that the next compact attempt clears."""
+        sorted into ``target_files`` files under an underscore-prefixed,
+        version-named data dir (invisible to manifest-unaware root reads —
+        Spark's listing skips ``_*``), and CAS-commit a manifest referencing
+        ONLY the new files. Hive partition columns of the source layout are
+        materialized as ordinary columns in the compacted files, so a
+        grouped ``read`` unions the layouts losslessly. Old files stay on
+        disk for pinned readers until ``vacuum``; a conflict (or a crash
+        before commit) leaves the table untouched — the new data dir is
+        unreferenced, underscore-hidden garbage that the next compact
+        attempt clears."""
         import shutil
 
         head = self.current_version()
@@ -187,11 +324,16 @@ class SnapshotCatalog:
             .option("compression", "zstd")
             .parquet(out_dir)
         )
-        final_dir = os.path.join(self.root, f"data-v{next_v:06d}")
+        final_dir = os.path.join(self.root, f"_data-v{next_v:06d}")
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(out_dir, final_dir)
+        new_files = sorted(
+            os.path.join(final_dir, f)
+            for f in os.listdir(final_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
         try:
-            return self.commit(self._list_parquet(final_dir), head)
+            return self.commit(new_files, head)
         except SnapshotConflict:
             shutil.rmtree(final_dir, ignore_errors=True)
             raise
@@ -217,7 +359,7 @@ class SnapshotCatalog:
                 os.unlink(path)
                 deleted.append(path)
         for v in drop:
-            os.unlink(self._path(v))
+            self.backend.delete(self._key(v))
         return deleted
 
 
