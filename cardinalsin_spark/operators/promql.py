@@ -476,6 +476,7 @@ def promql_instant(
     timestamp, ordered by value desc. Selector form: latest single sample.
     """
     promql = _resolve_at_bounds(promql, time_s, time_s)
+    promql = _strip_outer_parens(promql)
     setop = _split_top_level_setop(promql)
     if setop:
         left, op, on_labels, right = setop
@@ -492,10 +493,26 @@ def promql_instant(
         # so splitting here makes `a / b > 5` evaluate (a/b) first — the
         # PromQL grammar — instead of the arithmetic splitter grabbing `/`
         left, op, want_bool, on_labels, right = cmpv
+        num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
+        num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        if num_l and num_r:
+            raise ValueError(
+                f"scalar-scalar comparison {promql!r} is not a vector "
+                "expression (wrap one side in vector())"
+            )
+        if num_l:
+            # numeric literal on the LEFT (`5 < m`): evaluate the vector
+            # side and flip the operator — previously this recursed the
+            # literal into a selector parse of a metric named "5" and
+            # silently returned empty (ADVICE r7 #3)
+            rf = promql_instant(df, right, time_s, cols, tiebreak)
+            if "value" not in rf.columns and cols.value in rf.columns:
+                rf = rf.withColumnRenamed(cols.value, "value")
+            return _apply_scalar_cmp(rf, _CMP_FLIP[op], float(left), want_bool)
         lf = promql_instant(df, left, time_s, cols, tiebreak)
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
-        if re.fullmatch(r"-?\d+(?:\.\d+)?", right):
+        if num_r:
             return _apply_scalar_cmp(lf, op, float(right), want_bool)
         rf = promql_instant(df, right, time_s, cols, tiebreak)
         if "value" not in rf.columns and cols.value in rf.columns:
@@ -788,6 +805,37 @@ def _match_keys(
     return (extra or []) + keys
 
 
+def _strip_outer_parens(s: str) -> str:
+    """Remove redundant outer parentheses: ``(expr)`` → ``expr`` when the
+    opening paren's match is the final character (string-aware). Without
+    this, parenthesized operands — ``a and (b > 3)``, a bare ``(sum(m))``
+    — fell through to a selector parse of the raw text and silently
+    matched nothing (ADVICE r7 family: fail-loudly doctrine)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        in_str: str | None = None
+        closes_at_end = False
+        for i, ch in enumerate(s):
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+                continue
+            if ch in "\"'":
+                in_str = ch
+            elif ch in "({[":
+                depth += 1
+            elif ch in ")}]":
+                depth -= 1
+                if depth == 0:
+                    closes_at_end = i == len(s) - 1
+                    break
+        if not closes_at_end:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 def _split_top_level_cmp(s: str):
     """Find the rightmost top-level comparison operator (precedence between
     arithmetic and the set operators), outside parens/braces/quotes, with
@@ -824,7 +872,9 @@ def _split_top_level_cmp(s: str):
     left = s[:pos].strip()
     right = s[pos + len(op) :].strip()
     want_bool = False
-    m = re.match(r"^bool\s+(.+)$", right, re.DOTALL)
+    # `bool` ends at any non-identifier char (`> bool(n)` is valid PromQL;
+    # a metric actually named `boolx` must NOT lose its prefix)
+    m = re.match(r"^bool(?![A-Za-z0-9_:])\s*(.+)$", right, re.DOTALL)
     if m:
         want_bool = True
         right = m.group(1)
@@ -901,9 +951,14 @@ def _split_top_level_setop(s: str):
         elif depth == 0 and ch == " ":
             for word in ("or", "and", "unless"):
                 wl = len(word)
-                if (
-                    s[i + 1 : i + 1 + wl] == word
-                    and s[i + 1 + wl : i + 2 + wl] == " "
+                nxt = s[i + 1 + wl : i + 2 + wl]
+                # the keyword ends at any non-identifier char: a space,
+                # an opening paren (`a or(b)` is valid PromQL — ADVICE r7
+                # #4's silent misparse), or end-of-string. Only an
+                # identifier continuation (`orders`, `android`) keeps it
+                # a selector name.
+                if s[i + 1 : i + 1 + wl] == word and not re.match(
+                    r"[A-Za-z0-9_:]", nxt or "\x00"
                 ):
                     found[word] = i + 1
     pos, op = -1, None
@@ -1034,6 +1089,7 @@ def promql_range(
     from the timestamp via ``unix_micros``.
     """
     promql = _resolve_at_bounds(promql, float(start_s), float(end_s))
+    promql = _strip_outer_parens(promql)
     setop = _split_top_level_setop(promql)
     if setop:
         left, op, on_labels, right = setop
@@ -1043,10 +1099,24 @@ def promql_range(
     cmpv = _split_top_level_cmp(promql)
     if cmpv:
         left, op, want_bool, on_labels, right = cmpv
+        num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
+        num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        if num_l and num_r:
+            raise ValueError(
+                f"scalar-scalar comparison {promql!r} is not a vector "
+                "expression (wrap one side in vector())"
+            )
+        if num_l:
+            # numeric literal on the LEFT: flip onto the vector side
+            # (same fix as the instant path — ADVICE r7 #3)
+            rf = promql_range(
+                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            )
+            return _apply_scalar_cmp(rf, _CMP_FLIP[op], float(left), want_bool)
         lf = promql_range(
             df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
         )
-        if re.fullmatch(r"-?\d+(?:\.\d+)?", right):
+        if num_r:
             # vector-scalar comparison on the range grid (instant grew this
             # via _CMP_SCALAR_RE; the range grid uses the same filter/bool
             # fold — no join, no shuffle)
@@ -1746,6 +1816,10 @@ def _balanced(s: str) -> bool:
                 return False
     return depth == 0
 
+
+# scalar-on-the-LEFT comparisons (`5 < m`) evaluate the vector side and
+# flip the operator (`m > 5`) — result samples always come from the vector
+_CMP_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "==": "==", "!=": "!="}
 
 _CMP_OPS = {
     ">": lambda v, s: v > s,

@@ -1498,6 +1498,79 @@ def test_scalar_function(spark, sf_dir):
         )
 
 
+def test_cmp_numeric_left_and_setop_paren_edges(spark, sf_dir):
+    """ADVICE r7 #3/#4 regressions: a numeric literal on the LEFT of a
+    comparison flips onto the vector side (`5 < m` == `m > 5`) instead of
+    silently parsing a metric named "5"; set-op keywords end at any
+    non-identifier char (`a or(b)` == `a or (b)`); parenthesized operands
+    evaluate as their inner expression; scalar-scalar comparison raises."""
+    import pytest as _pytest
+
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    def rows(expr):
+        return sorted(
+            (r.user_id, r.value)
+            for r in promql_instant(ev, expr, time_s=t, cols=EV_CENTS).collect()
+        )
+
+    base = rows("sum by (user_id) (purchase)")
+    assert base  # fixture sanity
+    thresh = sorted(v for _, v in base)[len(base) // 2]
+
+    # numeric-left comparison == flipped numeric-right comparison (instant)
+    assert rows(f"{int(thresh)} < sum by (user_id) (purchase)") == rows(
+        f"sum by (user_id) (purchase) > {int(thresh)}"
+    )
+    assert rows(f"{int(thresh)} >= sum by (user_id) (purchase)") == rows(
+        f"sum by (user_id) (purchase) <= {int(thresh)}"
+    )
+    # ... and on the range grid
+    lo, hi, step = 1704067200.0, 1706745600.0, 86400
+    a = promql_range(
+        ev, f"{int(thresh)} < sum by (user_id) (purchase)", lo, hi, step,
+        cols=EV_CENTS,
+    ).collect()
+    b = promql_range(
+        ev, f"sum by (user_id) (purchase) > {int(thresh)}", lo, hi, step,
+        cols=EV_CENTS,
+    ).collect()
+    assert a == b and len(a) > 0
+
+    # scalar-scalar comparison: loud, not empty
+    with _pytest.raises(ValueError, match="scalar-scalar"):
+        promql_instant(ev, "5 < 3", time_s=t, cols=EV_CENTS)
+
+    # keyword-paren set ops parse identically to the spaced form
+    spaced = rows(
+        "sum by (user_id) (purchase) and (sum by (user_id) (view))"
+    )
+    tight = rows("sum by (user_id) (purchase) and(sum by (user_id) (view))")
+    assert spaced == tight and len(spaced) > 0
+    assert rows(
+        "sum by (user_id) (purchase) unless(sum by (user_id) (view))"
+    ) == rows("sum by (user_id) (purchase) unless (sum by (user_id) (view))")
+    assert rows("sum by (user_id) (purchase) or(sum by (user_id) (view))") == rows(
+        "sum by (user_id) (purchase) or (sum by (user_id) (view))"
+    )
+
+    # parenthesized operands/expressions evaluate as their inner expression
+    assert rows("(sum by (user_id) (purchase))") == base
+    assert rows(
+        f"sum by (user_id) (purchase) and (sum by (user_id) (purchase) > {int(thresh)})"
+    ) == rows(f"sum by (user_id) (purchase) > {int(thresh)}")
+
+    # a metric whose name merely STARTS with a keyword is not split
+    from cardinalsin_spark.operators.promql import _split_top_level_setop
+
+    assert _split_top_level_setop("m andromeda") is None
+    assert _split_top_level_setop("orders or android") is not None  # real op
+
+
 def test_splitter_fuzz_never_crashes_and_reassembles():
     """Property test over the three top-level splitters: on randomly
     composed expressions (quotes, braces, nested parens, operator words
@@ -1517,6 +1590,7 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
         "m", "rate(m[5m])", 'm{a="x and y", b!="p > q"}',
         "sum by (h) (m)", 'm{note=" or "}', "scalar(sum(m))",
         "histogram_quantile(0.9, m_bucket)", "m offset 5m", "m @ 123",
+        "(m > 3)", "(sum by (h) (m))", "5",
     ])
     op = st.sampled_from([
         " + ", " - ", " * ", " / ", " and ", " or ", " unless ",
