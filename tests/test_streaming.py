@@ -464,14 +464,20 @@ def test_stateful_ewma_skips_null_samples():
 def test_streaming_kmv_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
     """KMV mergeability end-to-end: the stream's LAST emitted estimate and
     kth hash per metric (bottom-k state merged across micro-batches) must
-    be bit-equal to the batch sketch over the same rows."""
+    be bit-equal to the batch sketch over the same rows — INCLUDING on
+    null-bearing input (ADVICE r7 #5: the batch sketch used to let a null
+    consume a slot while the twin skipped None)."""
     from cardinalsin_spark.operators.sketches import kmv_bottomk
     from cardinalsin_spark.streaming import streaming_kmv_distinct
 
     k = 8
+    # identical nullable value on both sides: every 7th distinct value nulls
+    nullable = F.when(
+        F.floor(value_expr()) % 7 != 0, value_expr()
+    )  # otherwise → NULL
     sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
     est = streaming_kmv_distinct(
-        sdf.withColumn("value", value_expr()), "value", k=k
+        sdf.withColumn("value", nullable), "value", k=k
     )
     name = _run_stream(est, "append", tmp_path)
     rows = spark.table(name).collect()
@@ -479,8 +485,10 @@ def test_streaming_kmv_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
     last = {}
     for r in rows:
         last[r.metric_name] = r
+    nulled = metrics_df.withColumn("value", nullable)
+    assert nulled.filter(F.col("value").isNull()).count() > 0  # fixture bites
     batch = kmv_bottomk(
-        metrics_df.withColumn("value", value_expr()),
+        nulled,
         ["metric_name"],
         "value",
         k=k,
