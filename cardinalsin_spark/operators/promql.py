@@ -462,6 +462,42 @@ def _scalar_of(
     )
 
 
+def _scalar_per_step(
+    df: DataFrame,
+    inner_expr: str,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols,
+    faithful: bool,
+    ts_ns_col: str,
+) -> DataFrame:
+    """Per-step ``scalar(v)`` on the range grid: for each time_bucket the
+    inner range vector's single sample value, or NaN when that step holds
+    != 1 samples — including steps where the vector is empty, which the
+    full [start, end] grid materializes (promql/functions.go funcScalar,
+    evaluated per step). Output: (time_bucket, _sc), one row per grid
+    step — bounded by the step count, so callers broadcast it."""
+    inner = promql_range(
+        df, inner_expr, start_s, end_s, step_s, cols, faithful, ts_ns_col
+    )
+    per = inner.groupBy("time_bucket").agg(
+        F.when(F.count(F.lit(1)) == 1, F.max("value").cast("double"))
+        .otherwise(F.lit(float("nan")))
+        .alias("_sc")
+    )
+    b0, b1 = int(start_s // step_s), int(end_s // step_s)
+    grid = df.sparkSession.range(b0, b1 + 1).select(
+        F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+            "time_bucket"
+        )
+    )
+    return grid.join(per, "time_bucket", "left").select(
+        "time_bucket",
+        F.coalesce(F.col("_sc"), F.lit(float("nan"))).alias("_sc"),
+    )
+
+
 def promql_instant(
     df: DataFrame,
     promql: str,
@@ -1127,13 +1163,16 @@ def promql_range(
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
     _sw_range = _SCALAR_WRAP_RE.match(promql.strip())
     if _sw_range and _balanced(_sw_range.group(1)):
-        # per-step scalar() needs the pinned-grid machinery; evaluating the
-        # instant scalar once and smearing it over the grid would be a
-        # wrong answer for moving totals — fail loudly (use
-        # `/ on() sum(...)` style matching for per-step ratios instead)
-        raise ValueError(
-            "scalar() is only supported in instant queries; for per-step "
-            "range ratios use vector matching (e.g. `a / on() sum(b)`)"
+        # standalone per-step scalar(v): one sample per grid step with no
+        # labels — the step's single vector value, or NaN when that step
+        # holds != 1 samples (promql spec, evaluated per step)
+        return (
+            _scalar_per_step(
+                df, _sw_range.group(1), start_s, end_s, step_s, cols,
+                faithful, ts_ns_col,
+            )
+            .select("time_bucket", F.col("_sc").alias("value"))
+            .orderBy("time_bucket")
         )
     binop = _split_top_level_binop(promql)
     if binop:
@@ -1143,6 +1182,43 @@ def promql_range(
         # scalar side folds into the value column — no join, no shuffle
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
         num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
+        sc_l = _SCALAR_WRAP_RE.match(left)
+        if sc_l and not _balanced(sc_l.group(1)):
+            sc_l = None
+        sc_r = _SCALAR_WRAP_RE.match(right)
+        if sc_r and not _balanced(sc_r.group(1)):
+            sc_r = None
+        if (sc_l or sc_r) and not (num_l or num_r):
+            # scalar(v) folds per STEP on the range grid: the scalar side
+            # is one row per time_bucket (NaN where != 1 samples), joined
+            # to the vector side on time_bucket — broadcast, bounded by
+            # the step count (VERDICT r6 item 3 / r7 item 5; evaluating
+            # the instant scalar once and smearing it over the grid would
+            # be a wrong answer for moving totals)
+            if sc_r and not sc_l:
+                vec, sc_inner, vec_first = left, sc_r.group(1), True
+            elif sc_l and not sc_r:
+                vec, sc_inner, vec_first = right, sc_l.group(1), False
+            else:  # scalar(a) / scalar(b): fold rhs into lhs's step rows
+                vec, sc_inner, vec_first = left, sc_r.group(1), True
+            lf = promql_range(
+                df, vec, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            )
+            sdf = _scalar_per_step(
+                df, sc_inner, start_s, end_s, step_s, cols, faithful,
+                ts_ns_col,
+            )
+            a, b = (
+                (F.col("value"), F.col("_sc"))
+                if vec_first
+                else (F.col("_sc"), F.col("value"))
+            )
+            out = (
+                lf.join(F.broadcast(sdf), "time_bucket")
+                .withColumn("value", arith(a, b))
+                .drop("_sc")
+            )
+            return out.orderBy(*[c for c in out.columns if c != "value"])
         if num_r and not num_l:
             lf = promql_range(
                 df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
@@ -1266,18 +1342,41 @@ def promql_range(
     parsed = parse_promql(promql)
     if parsed.at_seconds is not None:
         if parsed.function is not None:
-            # rate(m[5m] @ t) needs a pinned range-vector evaluation the
-            # tumbling-bucket model doesn't express; silently evaluating
-            # the grid as if @ were absent would be a wrong answer
-            raise ValueError(
-                "@ modifier on range-function expressions is not supported; "
-                "selector and aggregation shapes are"
+            # rate(m[5m] @ t): the range vector is pinned, so the function
+            # evaluates ONCE over the window [pin − range, pin] (closed
+            # bounds — the same convention as the bucket grid's filters)
+            # and the resulting instant vector replicates across the grid,
+            # exactly like a pinned selector. The faithful family would
+            # need the counter-reset machinery re-run at the pin — loud
+            # reject rather than a silently-different answer.
+            if faithful:
+                raise ValueError(
+                    "@ on range functions is not supported with "
+                    "faithful=True; use faithful=False or an unpinned query"
+                )
+            rng = parsed.range_seconds
+            if rng is None:
+                raise ValueError(
+                    f"@-pinned function {parsed.function!r} needs a [range]"
+                )
+            pin = parsed.at_seconds
+            win = df.filter(_selector_filter(parsed, cols)).filter(
+                (F.col(cols.ts) >= F.timestamp_seconds(F.lit(pin - rng)))
+                & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(pin)))
+            )
+            win = _ns_prefilter(win, pin - rng, pin)
+            keys = [F.col(cols.name)] + [
+                F.col(c) for c in discover_label_columns(parsed)
+            ]
+            inst = win.groupBy(*keys).agg(
+                _range_fn_value(parsed, cols, float(rng)).alias("value")
+            )
+            return _replicate_over_grid(
+                inst, df.sparkSession, start_s, end_s, step_s
             )
         # @ pins evaluation: Prometheus evaluates every grid step at the
         # fixed timestamp, so the result is the instant vector at the pin
-        # replicated across the [start, end] bucket grid. The grid is tiny
-        # (bounded step count) — broadcast it; the instant vector stays
-        # distributed.
+        # replicated across the [start, end] bucket grid.
         inst = promql_instant(df, promql, None, cols)
         if "value" not in inst.columns and cols.value in inst.columns:
             # selector-form instant results keep the source value column
@@ -1285,16 +1384,9 @@ def promql_range(
         inst = inst.drop(
             *[c for c in ("timestamp_", cols.ts, ts_ns_col) if c in inst.columns]
         )
-        keys = [c for c in inst.columns if c != "value"]
-        b0, b1 = int(start_s // step_s), int(end_s // step_s)
-        grid = df.sparkSession.range(b0, b1 + 1).select(
-            F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
-                "time_bucket"
-            )
+        return _replicate_over_grid(
+            inst, df.sparkSession, start_s, end_s, step_s
         )
-        return inst.crossJoin(F.broadcast(grid)).select(
-            "time_bucket", *keys, "value"
-        ).orderBy("time_bucket", *keys)
     off = parsed.offset_seconds
     out = df.filter(_selector_filter(parsed, cols)).filter(
         (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - off)))
@@ -1336,38 +1428,10 @@ def promql_range(
         F.col(c) for c in label_cols
     ]
 
-    if parsed.function in ("rate", "irate"):
-        rng = parsed.range_seconds or float(step_s)
-        value = (F.max(cols.value) - F.min(cols.value)) / F.lit(rng)
-    elif parsed.function in ("increase", "delta"):
-        value = F.max(cols.value) - F.min(cols.value)
-    elif parsed.function is not None and parsed.function.endswith("_over_time"):
-        # the *_over_time family (beyond the reference's grammar): plain
-        # per-bucket aggregation of the sampled values
-        agg = parsed.function[: -len("_over_time")]
-        if agg == "count":
-            value = F.count(F.lit(1))
-        elif agg == "present":
-            # present_over_time: 1 for any bucket holding >=1 sample
-            value = F.min(F.lit(1.0))
-        elif agg == "last":
-            # most recent sample in the bucket (deterministic: ties broken
-            # by the value itself, like max_by's tuple comparison)
-            value = F.expr(f"max_by({cols.value}, {cols.ts})")
-        elif agg == "mad":
-            # mad_over_time (PromQL experimental fn): median(|v − median|)
-            # per bucket. Two-pass over one collected array — the
-            # 1-element-array transform trick binds the sorted array to a
-            # lambda var so it's computed once; medians use the
-            # percentile_cont 0.5 interpolation ((a+b)/2 — exact on the
-            # integer-cents grid, bit-matching DuckDB, the ts_mad
-            # contract). State is the bucket's sample list: bounded by
-            # samples-per-series-per-window like quantile_over_time.
-            value = F.expr(_mad_expr(cols.value))
-        else:
-            value = _agg_column(agg, cols.value, parsed.q)
-    elif parsed.function is not None:
-        value = F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
+    if parsed.function is not None:
+        value = _range_fn_value(
+            parsed, cols, parsed.range_seconds or float(step_s)
+        )
     elif parsed.aggregation:
         # range aggregation groups by time_bucket + metric + group_by only
         keys = [
@@ -1381,6 +1445,63 @@ def promql_range(
     return (
         df_group_sorted(out, keys, value.alias("value"))
     )
+
+
+def _range_fn_value(parsed: ParsedPromQL, cols: MetricsCols, rng: float) -> Column:
+    """The per-window aggregate for a range FUNCTION (the reference's
+    function table, ``api/query/prometheus_api.rs:969-1012``): rate/irate →
+    (max−min)/range_seconds, increase/delta → max−min, the *_over_time
+    family → its aggregation, anything else → AVG. Shared by the tumbling
+    bucket grid (window == bucket) and the pinned ``@`` evaluation (window
+    == (pin−range, pin])."""
+    if parsed.function in ("rate", "irate"):
+        return (F.max(cols.value) - F.min(cols.value)) / F.lit(rng)
+    if parsed.function in ("increase", "delta"):
+        return F.max(cols.value) - F.min(cols.value)
+    if parsed.function is not None and parsed.function.endswith("_over_time"):
+        # the *_over_time family (beyond the reference's grammar): plain
+        # per-window aggregation of the sampled values
+        agg = parsed.function[: -len("_over_time")]
+        if agg == "count":
+            return F.count(F.lit(1))
+        if agg == "present":
+            # present_over_time: 1 for any window holding >=1 sample
+            return F.min(F.lit(1.0))
+        if agg == "last":
+            # most recent sample in the window (deterministic: ties broken
+            # by the value itself, like max_by's tuple comparison)
+            return F.expr(f"max_by({cols.value}, {cols.ts})")
+        if agg == "mad":
+            # mad_over_time (PromQL experimental fn): median(|v − median|)
+            # per window. Two-pass over one collected array — the
+            # 1-element-array transform trick binds the sorted array to a
+            # lambda var so it's computed once; medians use the
+            # percentile_cont 0.5 interpolation ((a+b)/2 — exact on the
+            # integer-cents grid, bit-matching DuckDB, the ts_mad
+            # contract). State is the window's sample list: bounded by
+            # samples-per-series-per-window like quantile_over_time.
+            return F.expr(_mad_expr(cols.value))
+        return _agg_column(agg, cols.value, parsed.q)
+    return F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
+
+
+def _replicate_over_grid(
+    inst: DataFrame, spark: SparkSession, start_s: float, end_s: float, step_s: int
+) -> DataFrame:
+    """Replicate a pinned instant vector across the [start, end] bucket
+    grid (`@`-modifier range semantics: every grid step evaluates at the
+    same fixed time). The grid is tiny (bounded step count) — broadcast
+    it; the instant vector stays distributed."""
+    keys = [c for c in inst.columns if c != "value"]
+    b0, b1 = int(start_s // step_s), int(end_s // step_s)
+    grid = spark.range(b0, b1 + 1).select(
+        F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+            "time_bucket"
+        )
+    )
+    return inst.crossJoin(F.broadcast(grid)).select(
+        "time_bucket", *keys, "value"
+    ).orderBy("time_bucket", *keys)
 
 
 def _split_label_fn_args(argstr: str) -> tuple[str, list[str]]:

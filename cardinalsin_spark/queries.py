@@ -772,6 +772,99 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_promql_range_fn_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`@` on a range-FUNCTION expression (VERDICT r7 item 4):
+    `increase(purchase{user_id=~"1.*"}[86400s] @ pin)` in a range query
+    evaluates the function ONCE over the pinned window [pin-1d, pin]
+    (closed bounds, the bucket grid's convention) and replicates the
+    per-user instant vector across the 7-step grid. The reference's
+    transpiler has no `@` at all (api/query/prometheus_api.rs:744-826)."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        'increase(purchase{user_id=~"1.*"}[86400s] @ 1705276800)',
+        start_s=1704067200.0,  # 2024-01-01 00:00
+        end_s=1704070800.0,  # 2024-01-01 01:00
+        step_s=600,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_RANGE_FN_AT = f"""
+SELECT g.time_bucket, s.event_type, s.user_id, s.value
+FROM (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-01 01:00:00',
+                                INTERVAL 10 MINUTE)) AS time_bucket
+) g
+CROSS JOIN (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         round(CAST(max({_sql_cents('value')}) - min({_sql_cents('value')})
+               AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$')
+    AND ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 86400 SECOND
+    AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+) s
+ORDER BY 1, 2, 3
+"""
+
+
+def q_promql_range_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step `scalar()` in a RANGE query (VERDICT r7 item 5): each
+    user's purchase share of that step's total —
+    `sum by (user_id) (purchase) / scalar(sum(purchase))`. The scalar side
+    is one row per grid step (broadcast, bounded by the step count) joined
+    on time_bucket; smearing the instant scalar over the grid would be a
+    wrong answer for moving totals."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) / scalar(sum(purchase))",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1704672000.0,  # 2024-01-08
+        step_s=21600,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        "user_id",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+SQL_PROMQL_RANGE_SCALAR = f"""
+WITH p AS (
+  SELECT {_sql_bucket(21600)} AS time_bucket, event_type,
+         CAST(user_id AS VARCHAR) AS user_id,
+         sum({_sql_cents('value')}) AS c
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT time_bucket, CAST(sum(c) AS DOUBLE) AS tot FROM p GROUP BY 1
+)
+SELECT p.time_bucket, p.event_type, p.user_id,
+       round(CAST(p.c AS DOUBLE) / t.tot, 6) AS value
+FROM p JOIN t USING (time_bucket)
+ORDER BY 1, 2, 3
+"""
+
+
 def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
     topk; deliberate correctness upgrade, SURVEY §2.6)."""
@@ -4676,6 +4769,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_cmp_vector": (q_promql_cmp_vector, SQL_PROMQL_CMP_VECTOR),
     "promql_scalar_fold": (q_promql_scalar_fold, SQL_PROMQL_SCALAR_FOLD),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "promql_range_fn_at": (q_promql_range_fn_at, SQL_PROMQL_RANGE_FN_AT),
+    "promql_range_scalar": (q_promql_range_scalar, SQL_PROMQL_RANGE_SCALAR),
 }
 
 
@@ -4699,78 +4794,76 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-7 window (VERDICT r6 item 1).  After round 6 every registry
-    # query has a green driver row, so this window is pure stale-green
-    # re-verification, oldest coverage first:
-    #   (a) queries ADDED in round 7 — never driver-checked, windowed
-    #       first by the coverage invariant
-    #       (tests/test_registry_window.py);
-    #   (b) all 27 queries whose last green driver row is CORRECTNESS_r03
-    #       — four code rounds stale; promql.py, timeseries.py,
-    #       compaction.py and the TPC-H suite all changed since;
-    #   (c) r4-stale fillers prioritised by r5/r6 code churn: the docs_*
-    #       dedup tier (dedup_docs.py / queries_llm.py changed both
-    #       rounds), the emb_* ANN tier (similarity.py gained hamming +
-    #       LRU session caches), maint_small_files / maint_zorder_key
-    #       (compaction + snapshot-aware merge), sql_rollup, and the
-    #       promql faithful-family leftovers (timeseries.py NaN guards).
+    # Round-8 window (VERDICT r7 item 8), planned from
+    # `scripts/check_parity.py --ages --before 8`:
+    #   (a) queries ADDED in round 8 — never driver-checked, windowed
+    #       first by the coverage invariant (tests/test_registry_window.py);
+    #   (b) all 13 queries whose last green driver row is CORRECTNESS_r04
+    #       (four code rounds stale);
+    #   (c) r5-stale picks prioritised by ROUND-8 code churn: the promql
+    #       tier (promql.py gained the parser-edge fixes, per-step
+    #       scalar() and the pinned range-function path this round) and
+    #       the sketch tier (sketches.py KMV null-filter), then the
+    #       remaining r5-stale docs_/emb_/tpch rows oldest-coverage-first.
+    # Left out (still r5-stale, rotate into r9): 15 ts_* analytics rows —
+    # timeseries.py is untouched since their r5 green and 20 sibling ts_
+    # rows on the same machinery re-verified green in r7.
     # Every non-windowed registry query remains covered by the builder-side
-    # parity sweep (tests/test_oracle_parity.py); r4-stale queries not
-    # picked here rotate into the r8 window.
-    # -- (a) added in round 7, never driver-checked
-    # (populated as round-7 operators land)
-    # -- (b) last green in round 3 (oldest coverage)
-    "ts_bucket_avg",
-    "ts_filter_range",
-    "ts_instant_sum",
-    "ts_latest_per_series",
-    "ts_rate",
-    "ts_increase",
-    "ts_deriv",
-    "ts_stddev",
-    "ts_topk",
-    "ts_dedup_first",
-    "ts_distinct_values",
-    "ts_distinct_series",
-    "ts_resets_changes",
-    "ts_sessionize",
-    "ts_gapfill_locf",
-    "ts_heatmap",
-    "promql_over_time",
-    "sql_cube",
-    "tpch_q3ish",
-    "tpch_q5ish",
-    "tpch_q6",
-    "tpch_q10ish",
-    "tpch_q14ish",
-    "maint_l0_plan",
-    "maint_leveled_plan",
-    "maint_time_prune",
-    "maint_downsample",
-    # -- (c) r4-stale, highest churn first
-    "docs_exact_dedup",
-    "docs_minhash_pairs",
-    "docs_near_dedup",
-    "docs_ngram_jaccard",
-    "docs_simhash",
-    "docs_simhash_pairs",
-    "docs_span_dedup",
-    "docs_winnow",
-    "emb_cosine_topk",
-    "emb_cosine_lsh",
-    "emb_ivf_topk",
-    "emb_ivfpq_topk",
-    "emb_knn_classify",
-    "emb_near_dup",
-    "emb_near_dup_cc",
-    "maint_small_files",
-    "maint_zorder_key",
-    "sql_rollup",
-    "promql_delta_faithful",
-    "promql_resets",
-    "promql_absent_over_time",
-    "promql_holt_winters",
-    "promql_predict_linear",
+    # parity sweep (tests/test_oracle_parity.py).
+    # -- (a) added in round 8, never driver-checked
+    "promql_range_fn_at",
+    "promql_range_scalar",
+    # -- (b) last green in round 4 (oldest coverage)
+    "docs_gopher_repetition",
+    "docs_lang_id",
+    "docs_pack_shards",
+    "docs_pii_scrub",
+    "docs_quality",
+    "docs_quality_filter",
+    "docs_rare_words",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "ts_holt_winters",
+    "ts_outliers",
+    "ts_predict_linear",
+    # -- (c) r5-stale: round-8 churn first (promql + sketch tiers)
+    "promql_present_over_time",
+    "promql_quantile_over_time",
+    "promql_scalar_arith",
+    "promql_timestamp_hour",
+    "docs_cms_heavy_hitters",
+    "docs_hll_distinct",
+    "docs_hll_overlap",
+    # -- (c) r5-stale fillers: docs/emb/tpch tiers
+    "docs_bigram_lift",
+    "docs_bm25",
+    "docs_chunk_windows",
+    "docs_containment",
+    "docs_dup_cluster_stats",
+    "docs_edit_distance",
+    "docs_mixture_sample",
+    "docs_search_and",
+    "docs_source_quality",
+    "docs_tfidf_topterms",
+    "emb_centroids",
+    "emb_ivfpq_residual_topk",
+    "emb_norm_stats",
+    "emb_pca_project",
+    "emb_random_projection",
+    "emb_semdedup",
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q12ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q22ish",
+    "ts_lttb",
+    "ts_mad",
 ]
 
 

@@ -1171,25 +1171,43 @@ def test_trig_convenience_tier(spark):
     assert math.isclose(val("deg(rad(two))"), 2.0, rel_tol=1e-15)
 
 
-def test_at_modifier_range_function_still_rejected(spark, sf_dir):
-    """Range-FUNCTION expressions with @ (`rate(m[5m] @ t)`) need a pinned
-    range-vector evaluation the tumbling-bucket model doesn't express —
-    they must fail loudly, not silently evaluate the grid (review finding,
-    r5). Selector/aggregation shapes are supported since r6."""
+def test_at_modifier_range_function_pinned_semantics(spark, sf_dir):
+    """Range-FUNCTION expressions with @ (supported since r8, VERDICT r7
+    item 4): the function evaluates once over [pin − range, pin] and the
+    result replicates across the grid — every step identical, equal to
+    the same function evaluated on a 1-bucket grid ending at the pin.
+    A pin without a [range], and faithful mode, still fail loudly."""
     import pytest
 
     from cardinalsin_spark.operators.promql import promql_range
     from cardinalsin_spark.queries import EV_CENTS, _events_promql
 
     ev = _events_promql(spark, sf_dir)
-    with pytest.raises(ValueError, match="range-function"):
+    pin = 1704153600  # 2024-01-02
+    out = promql_range(
+        ev,
+        f"sum_over_time(view[86400s] @ {pin})",
+        1704067200.0,
+        1704070800.0,
+        600,
+        cols=EV_CENTS,
+    ).collect()
+    assert len(out) == 7  # 7 grid steps, one series
+    assert len({r.value for r in out}) == 1
+    # equal to the sum over the closed pinned window, computed directly
+    from pyspark.sql import functions as F
+
+    ref = ev.filter(
+        (F.col("event_type") == "view")
+        & (F.col("ts") >= F.timestamp_seconds(F.lit(pin - 86400)))
+        & (F.col("ts") <= F.timestamp_seconds(F.lit(pin)))
+    ).agg(F.sum("value_cents").alias("s")).first()
+    assert out[0].value == float(ref.s)
+
+    with pytest.raises(ValueError, match="faithful"):
         promql_range(
-            ev,
-            "sum_over_time(view[600s] @ 1704067200)",
-            1704067200.0,
-            1706745600.0,
-            600,
-            cols=EV_CENTS,
+            ev, f"rate(view[600s] @ {pin})", 1704067200.0, 1704070800.0,
+            600, cols=EV_CENTS, faithful=True,
         )
 
 
@@ -1491,11 +1509,130 @@ def test_scalar_function(spark, sf_dir):
     ).collect()
     assert math.isnan(nan_r.value)
 
-    with pytest.raises(ValueError, match="instant"):
+    # range-grid scalar() is per-step since r8 (VERDICT r7 item 5): the
+    # fold ratio at each step equals the two direct per-step aggregates
+    lo, hi, stp = 1704067200.0, 1706745600.0, 86400
+    ratio = promql_range(
+        ev, "sum(purchase) / scalar(sum(view))", lo, hi, stp, cols=EV_CENTS
+    ).collect()
+    p = {
+        r.time_bucket: float(r.value)
+        for r in promql_range(
+            ev, "sum(purchase)", lo, hi, stp, cols=EV_CENTS
+        ).collect()
+    }
+    v = {
+        r.time_bucket: float(r.value)
+        for r in promql_range(
+            ev, "sum(view)", lo, hi, stp, cols=EV_CENTS
+        ).collect()
+    }
+    assert ratio and len(ratio) == len(p)
+    for r in ratio:
+        assert r.value == p[r.time_bucket] / v[r.time_bucket]
+
+
+def test_range_fn_at_pin_and_per_step_scalar(spark, sf_dir):
+    """VERDICT r7 items 4+5: `rate(m[w] @ t)` in a range query evaluates
+    the function once over [t-w, t] and replicates it across the grid;
+    `scalar(v)` in a range query is per-STEP (one value per time_bucket,
+    NaN where the step's vector has != 1 samples), both standalone and as
+    a binop fold on either side."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    lo, hi, step = 1704067200.0, 1704070800.0, 600
+    pin = 1705276800
+
+    # pinned range function: constant across the grid, equal to the
+    # manual (max-min) over the pinned window
+    out = promql_range(
+        ev, f"increase(purchase[86400s] @ {pin})", lo, hi, step, cols=EV_CENTS
+    ).collect()
+    n_steps = int(hi // step) - int(lo // step) + 1
+    assert len(out) == n_steps
+    assert len({r.value for r in out}) == 1  # constant per step
+    window = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.timestamp_seconds(F.lit(pin - 86400)))
+        & (F.col("ts") <= F.timestamp_seconds(F.lit(pin)))
+    ).agg((F.max("value_cents") - F.min("value_cents")).alias("d")).first()
+    assert out[0].value == float(window.d)
+
+    # faithful mode + pinned function: loud, not silently-different
+    with pytest.raises(ValueError, match="faithful"):
         promql_range(
-            ev, "sum(purchase) / scalar(sum(view))",
-            1704067200.0, 1706745600.0, 86400, cols=EV_CENTS,
+            ev, f"rate(purchase[300s] @ {pin})", lo, hi, step,
+            cols=EV_CENTS, faithful=True,
         )
+
+    # standalone per-step scalar: sum(purchase) per bucket where the inner
+    # vector has exactly one sample; multi-series inner → NaN per step
+    sc = promql_range(ev, "scalar(sum(purchase))", lo, hi, step, cols=EV_CENTS)
+    rows = sc.collect()
+    assert [str(r.time_bucket) for r in rows] == sorted(
+        str(r.time_bucket) for r in rows
+    )
+    direct = {
+        r.time_bucket: float(r.value)
+        for r in promql_range(
+            ev, "sum(purchase)", lo, hi, step, cols=EV_CENTS
+        ).collect()
+    }
+    for r in rows:
+        if r.time_bucket in direct:
+            assert r.value == direct[r.time_bucket]
+        else:
+            assert math.isnan(r.value)  # empty step → NaN, not missing
+    # multi-series inner: NaN exactly where the step holds != 1 samples
+    multi = promql_range(
+        ev, "scalar(sum by (user_id) (purchase))", lo, hi, step, cols=EV_CENTS
+    ).collect()
+    inner = promql_range(
+        ev, "sum by (user_id) (purchase)", lo, hi, step, cols=EV_CENTS
+    ).collect()
+    by_bucket: dict = {}
+    for r in inner:
+        by_bucket.setdefault(r.time_bucket, []).append(float(r.value))
+    assert multi
+    for r in multi:
+        samples = by_bucket.get(r.time_bucket, [])
+        if len(samples) == 1:
+            assert r.value == samples[0], r
+        else:
+            assert math.isnan(r.value), r
+
+    # binop fold on both sides, per step
+    share = promql_range(
+        ev, "sum by (user_id) (purchase) / scalar(sum(purchase))",
+        lo, hi, step, cols=EV_CENTS,
+    ).collect()
+    assert share
+    from collections import defaultdict
+
+    per_bucket = defaultdict(float)
+    for r in share:
+        per_bucket[r.time_bucket] += r.value
+    assert all(abs(v - 1.0) < 1e-9 for v in per_bucket.values())
+    flipped = promql_range(
+        ev, "scalar(sum(purchase)) * sum by (user_id) (purchase)",
+        lo, hi, step, cols=EV_CENTS,
+    ).collect()
+    direct_by = {
+        (r.time_bucket, r.user_id): r.value
+        for r in promql_range(
+            ev, "sum by (user_id) (purchase)", lo, hi, step, cols=EV_CENTS
+        ).collect()
+    }
+    for r in flipped:
+        key = (r.time_bucket, r.user_id)
+        assert r.value == direct[r.time_bucket] * direct_by[key]
 
 
 def test_cmp_numeric_left_and_setop_paren_edges(spark, sf_dir):

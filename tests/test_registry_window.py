@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
-of ``queries()`` (verified against CORRECTNESS_r03..r06: their keys were
-exactly registry[:50]).  These tests pin the round-7 window composition:
+of ``queries()`` (verified against CORRECTNESS_r03..r07: their keys were
+exactly registry[:50]).  These tests pin the round-8 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -10,14 +10,14 @@ exactly registry[:50]).  These tests pin the round-7 window composition:
   deliberately, not by drift.
 
 Structural de-fuse (VERDICT r6 item 1): ``_past_driver_green()`` reads ONLY
-CORRECTNESS files from rounds strictly before ``WINDOW_ROUND``.  The r5 and
-r6 versions of this file globbed *all* CORRECTNESS files, so the moment the
-driver dropped the current round's (all-green) artifact into the repo, the
-already-green set grew and the RECHECK assert armed itself — two rounds in a
-row.  With the pinned cutoff, the suite's verdict is frozen at
-window-planning time: CORRECTNESS_r07.json landing green changes nothing.
-Window rotation for r8 is a planning task (bump WINDOW_ROUND, rewrite
-_DRIVER_WINDOW and RECHECK together; see scripts/check_parity.py --ages).
+CORRECTNESS files from rounds strictly before ``WINDOW_ROUND``, so the
+driver landing this round's (all-green) artifact cannot re-arm these tests
+— the r5/r6 self-arming failure.  The simulation regression below runs
+against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
+fake artifact into the live repo root risked leaving a forged driver file
+behind on a hard kill).  Window rotation for r9 is a planning task (bump
+WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
+``scripts/check_parity.py --ages --before 9``).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 7
+WINDOW_ROUND = 8
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -42,15 +42,15 @@ def _first_window() -> list[str]:
     return list(q.queries().keys())[:WINDOW]
 
 
-def _past_driver_green() -> set[str]:
+def _past_driver_green(repo: str = _REPO) -> set[str]:
     """Names with a fully-green driver CORRECTNESS row in any round BEFORE
     the one this window targets (pinned — see module docstring)."""
     green: set[str] = set()
-    for fname in sorted(os.listdir(_REPO)):
+    for fname in sorted(os.listdir(repo)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
         if not m or int(m.group(1)) >= WINDOW_ROUND:
             continue
-        with open(os.path.join(_REPO, fname)) as f:
+        with open(os.path.join(repo, fname)) as f:
             rows = json.load(f)
         for name, row in rows.items():
             if (
@@ -65,77 +65,73 @@ def _past_driver_green() -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty at the start of round 7: after round 6
-# every registry query has a green driver row.
+# builder-side parity sweep.  Empty entering round 8: both round-8 queries
+# are windowed.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
-# Justification for every windowed slot that already has a green driver row
-# (VERDICT r6 item 1: this window is pure stale-green re-verification).
+# Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r3     — last green row is CORRECTNESS_r03, four code rounds ago;
-#                  promql.py, timeseries.py, compaction.py and the TPC-H
-#                  suite all changed in rounds 4-6.
-#   dedup-churn  — last green r4; dedup_docs.py / queries_llm.py changed in
-#                  r5 (skew rewrites, session index) and r6 (LRU caches).
-#   ann-churn    — last green r4; similarity.py changed in r5 (IVF-PQ
-#                  residual, semdedup) and r6 (hamming tier, LRU caches).
-#   stale-r4     — last green r4; owning module changed less, but three
-#                  rounds of adjacent churn (compaction snapshot-awareness,
-#                  timeseries NaN guards) warrant re-verification.
+#   stale-r4      — last green row is CORRECTNESS_r04, four code rounds ago.
+#   promql-churn  — last green r5; promql.py changed substantially in r8
+#                   (parser-edge fixes, per-step scalar(), pinned
+#                   range-function path, outer-paren unwrapping).
+#   sketch-churn  — last green r5; sketches.py changed in r8 (KMV null
+#                   filter + WindowGroupLimit plan pin).
+#   stale-r5      — last green r5; owning module changed less, but three
+#                   rounds of adjacent churn warrant re-verification.
 RECHECK: dict[str, str] = {
-    # -- stale-r3 (all 27)
-    "ts_bucket_avg": "stale-r3",
-    "ts_filter_range": "stale-r3",
-    "ts_instant_sum": "stale-r3",
-    "ts_latest_per_series": "stale-r3",
-    "ts_rate": "stale-r3",
-    "ts_increase": "stale-r3",
-    "ts_deriv": "stale-r3",
-    "ts_stddev": "stale-r3",
-    "ts_topk": "stale-r3",
-    "ts_dedup_first": "stale-r3",
-    "ts_distinct_values": "stale-r3",
-    "ts_distinct_series": "stale-r3",
-    "ts_resets_changes": "stale-r3",
-    "ts_sessionize": "stale-r3",
-    "ts_gapfill_locf": "stale-r3",
-    "ts_heatmap": "stale-r3",
-    "promql_over_time": "stale-r3",
-    "sql_cube": "stale-r3",
-    "tpch_q3ish": "stale-r3",
-    "tpch_q5ish": "stale-r3",
-    "tpch_q6": "stale-r3",
-    "tpch_q10ish": "stale-r3",
-    "tpch_q14ish": "stale-r3",
-    "maint_l0_plan": "stale-r3",
-    "maint_leveled_plan": "stale-r3",
-    "maint_time_prune": "stale-r3",
-    "maint_downsample": "stale-r3",
-    # -- r4-stale, churn-prioritised
-    "docs_exact_dedup": "dedup-churn",
-    "docs_minhash_pairs": "dedup-churn",
-    "docs_near_dedup": "dedup-churn",
-    "docs_ngram_jaccard": "dedup-churn",
-    "docs_simhash": "dedup-churn",
-    "docs_simhash_pairs": "dedup-churn",
-    "docs_span_dedup": "dedup-churn",
-    "docs_winnow": "dedup-churn",
-    "emb_cosine_topk": "ann-churn",
-    "emb_cosine_lsh": "ann-churn",
-    "emb_ivf_topk": "ann-churn",
-    "emb_ivfpq_topk": "ann-churn",
-    "emb_knn_classify": "ann-churn",
-    "emb_near_dup": "ann-churn",
-    "emb_near_dup_cc": "ann-churn",
-    "maint_small_files": "stale-r4",
-    "maint_zorder_key": "stale-r4",
-    "sql_rollup": "stale-r4",
-    "promql_delta_faithful": "stale-r4",
-    "promql_resets": "stale-r4",
-    "promql_absent_over_time": "stale-r4",
-    "promql_holt_winters": "stale-r4",
-    "promql_predict_linear": "stale-r4",
+    # -- stale-r4 (all 13)
+    "docs_gopher_repetition": "stale-r4",
+    "docs_lang_id": "stale-r4",
+    "docs_pack_shards": "stale-r4",
+    "docs_pii_scrub": "stale-r4",
+    "docs_quality": "stale-r4",
+    "docs_quality_filter": "stale-r4",
+    "docs_rare_words": "stale-r4",
+    "docs_split_assign": "stale-r4",
+    "docs_stratified_sample": "stale-r4",
+    "docs_token_stats": "stale-r4",
+    "ts_holt_winters": "stale-r4",
+    "ts_outliers": "stale-r4",
+    "ts_predict_linear": "stale-r4",
+    # -- round-8 churn
+    "promql_present_over_time": "promql-churn",
+    "promql_quantile_over_time": "promql-churn",
+    "promql_scalar_arith": "promql-churn",
+    "promql_timestamp_hour": "promql-churn",
+    "docs_cms_heavy_hitters": "sketch-churn",
+    "docs_hll_distinct": "sketch-churn",
+    "docs_hll_overlap": "sketch-churn",
+    # -- stale-r5 fillers
+    "docs_bigram_lift": "stale-r5",
+    "docs_bm25": "stale-r5",
+    "docs_chunk_windows": "stale-r5",
+    "docs_containment": "stale-r5",
+    "docs_dup_cluster_stats": "stale-r5",
+    "docs_edit_distance": "stale-r5",
+    "docs_mixture_sample": "stale-r5",
+    "docs_search_and": "stale-r5",
+    "docs_source_quality": "stale-r5",
+    "docs_tfidf_topterms": "stale-r5",
+    "emb_centroids": "stale-r5",
+    "emb_ivfpq_residual_topk": "stale-r5",
+    "emb_norm_stats": "stale-r5",
+    "emb_pca_project": "stale-r5",
+    "emb_random_projection": "stale-r5",
+    "emb_semdedup": "stale-r5",
+    "tpch_q4ish": "stale-r5",
+    "tpch_q7ish": "stale-r5",
+    "tpch_q8ish": "stale-r5",
+    "tpch_q12ish": "stale-r5",
+    "tpch_q15ish": "stale-r5",
+    "tpch_q16ish": "stale-r5",
+    "tpch_q17ish": "stale-r5",
+    "tpch_q18ish": "stale-r5",
+    "tpch_q19ish": "stale-r5",
+    "tpch_q22ish": "stale-r5",
+    "ts_lttb": "stale-r5",
+    "ts_mad": "stale-r5",
 }
 
 
@@ -164,29 +160,29 @@ def test_windowed_green_slots_are_justified():
     assert not_windowed == [], f"RECHECK entries not in window: {not_windowed}"
 
 
-def test_past_green_ignores_current_round_artifact():
+def test_past_green_ignores_current_round_artifact(tmp_path):
     """Regression guard for the r5/r6 self-arming failure: a CORRECTNESS
-    file for WINDOW_ROUND (or later) must NOT influence the green set."""
-    fname = f"CORRECTNESS_r{WINDOW_ROUND:02d}.json"
-    assert int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname).group(1)) >= WINDOW_ROUND
-    # Simulate the driver landing an all-green artifact for this round:
-    # _past_driver_green must return the same set with or without it.
-    before = _past_driver_green()
-    path = os.path.join(_REPO, fname)
-    existed = os.path.exists(path)
-    if not existed:
+    file for WINDOW_ROUND (or later) must NOT influence the green set.
+    The simulation runs against a tmp COPY of the repo's artifacts — never
+    the live working tree (ADVICE r7: a hard kill mid-test must not leave
+    a forged driver artifact behind)."""
+    import shutil
+
+    for fname in os.listdir(_REPO):
+        if re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname):
+            shutil.copy(os.path.join(_REPO, fname), tmp_path / fname)
+    before = _past_driver_green(str(tmp_path))
+    assert before == _past_driver_green()  # the copy is faithful
+    # Simulate the driver landing an all-green artifact for this round
+    # (and a future one): the green set must not change.
+    for rnd in (WINDOW_ROUND, WINDOW_ROUND + 1):
         fake = {
             name: {"rows_match": True, "schema_match": True, "hash_match": True}
-            for name in _first_window()
+            for name in q.REGISTRY
         }
-        with open(path, "w") as f:
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
             json.dump(fake, f)
-    try:
-        after = _past_driver_green()
-    finally:
-        if not existed:
-            os.unlink(path)
-    assert after == before
+    assert _past_driver_green(str(tmp_path)) == before
 
 
 def test_window_entries_all_have_oracles():
