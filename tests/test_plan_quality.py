@@ -440,3 +440,25 @@ def test_kmv_partial_group_limit_before_exchange(spark, sf_dir):
     # physical plans print top-down: the Partial limit appears BELOW
     # (after) its exchange in the text, i.e. executes before it
     assert partial > exchange, plan
+
+
+def test_range_fn_at_broadcasts_grid_not_vector(spark, sf_dir):
+    """The @-pinned range function replicates its instant vector over the
+    bucket grid via a BROADCAST of the (bounded, step-count-sized) grid —
+    the distributed side must stay the vector; and the pinned time bounds
+    must reach the scan as pushed filters."""
+    df = _df(spark, sf_dir, "promql_range_fn_at")
+    plan = plan_string(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    pf = pushed_filters(df)
+    assert any("GreaterThanOrEqual" in f for f in pf), pf
+    assert any("LessThanOrEqual" in f or "LessThan" in f for f in pf), pf
+
+
+def test_range_scalar_broadcasts_per_step_frame(spark, sf_dir):
+    """Per-step scalar() joins the (one-row-per-step) scalar frame into
+    the vector side on time_bucket as a BROADCAST hash join — the fold
+    must never shuffle the vector side by time_bucket."""
+    df = _df(spark, sf_dir, "promql_range_scalar")
+    plan = plan_string(df, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
