@@ -356,6 +356,44 @@ def hamming_topk(
     ).orderBy(query_id_col, "rank")
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact baseline:
+    per query, the fraction of the exact top-k the approximate index
+    retrieved — the quality yardstick every approximate tier (LSH, IVF,
+    IVF-PQ, Hamming) is tuned against. Takes the two top-k result frames
+    (any of this module's ``*_topk`` outputs), joins on (query, id) and
+    counts hits; queries the approximate side missed entirely still
+    appear with recall 0.
+
+    Scale posture: both inputs are top-k results — k·|queries| rows — so
+    the join is broadcast-sized regardless of corpus size; measuring
+    recall never re-touches the vectors.
+
+    Output: (query_id, hits, recall) ordered by query id.
+    """
+    a = approx.select(
+        F.col(query_id_col), F.col(id_col), F.lit(1).alias("_hit")
+    )
+    e = exact.select(query_id_col, id_col)
+    return (
+        e.join(F.broadcast(a), [query_id_col, id_col], "left")
+        .groupBy(query_id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"))
+        .select(
+            query_id_col,
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.lit(float(k)), 4).alias("recall"),
+        )
+        .orderBy(query_id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + probed cell search
 # ---------------------------------------------------------------------------

@@ -4805,7 +4805,7 @@ _DRIVER_WINDOW = [
     #       scalar() and the pinned range-function path this round) and
     #       the sketch tier (sketches.py KMV null-filter), then the
     #       remaining r5-stale docs_/emb_/tpch rows oldest-coverage-first.
-    # Left out (still r5-stale, rotate into r9): 15 ts_* analytics rows —
+    # Left out (still r5-stale, rotate into r9): 16 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
     # rows on the same machinery re-verified green in r7.
     # Every non-windowed registry query remains covered by the builder-side
@@ -4813,6 +4813,7 @@ _DRIVER_WINDOW = [
     # -- (a) added in round 8, never driver-checked
     "promql_range_fn_at",
     "promql_range_scalar",
+    "emb_hamming_recall",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -4863,7 +4864,6 @@ _DRIVER_WINDOW = [
     "tpch_q19ish",
     "tpch_q22ish",
     "ts_lttb",
-    "ts_mad",
 ]
 
 

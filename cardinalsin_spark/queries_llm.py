@@ -1262,6 +1262,35 @@ FROM ranked WHERE rank <= {_TOPK}
 SQL_EMB_IVF_TOPK = _ivf_oracle_sql()
 
 
+def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the Hamming binary-sketch tier against the exact
+    brute-force baseline — the quality yardstick an approximate index is
+    tuned with. Both inputs are the oracle-checked top-k queries; the
+    recall join only ever touches k·|queries| rows (never the vectors),
+    so measuring recall costs nothing extra at corpus scale."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sim.hamming_topk(emb, queries, dim=64, k=_TOPK)
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+    return sim.ann_recall(approx, exact, k=_TOPK)
+
+
+SQL_EMB_HAMMING_RECALL = f"""
+WITH exact_tk AS ({SQL_EMB_COSINE_TOPK}),
+approx_tk AS ({SQL_EMB_HAMMING_TOPK})
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / {float(_TOPK)}, 4) AS recall
+FROM exact_tk e
+LEFT JOIN approx_tk a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 _SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -2888,6 +2917,7 @@ REGISTRY_LLM = {
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
+    "emb_hamming_recall": (q_emb_hamming_recall, SQL_EMB_HAMMING_RECALL),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
