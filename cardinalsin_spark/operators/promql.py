@@ -439,6 +439,10 @@ def _ns_prefilter(
 
 _SCALAR_WRAP_RE = re.compile(r"^scalar\s*\((.+)\)$", re.DOTALL)
 
+# vector(<literal>): a one-sample vector with no labels (promql
+# functions.go funcVector) — the `or vector(0)` empty-fallback idiom
+_VECTOR_RE = re.compile(r"^vector\s*\(\s*(-?\d+(?:\.\d+)?)\s*\)$")
+
 
 def _scalar_of(
     df: DataFrame,
@@ -554,6 +558,12 @@ def promql_instant(
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
+    vm = _VECTOR_RE.match(promql.strip())
+    if vm:
+        # vector(s): one label-free sample carrying the literal
+        return df.sparkSession.range(1).select(
+            F.lit(float(vm.group(1))).alias("value")
+        )
     sw = _SCALAR_WRAP_RE.match(promql.strip())
     if sw and _balanced(sw.group(1)):
         # standalone scalar(v): one sample with no labels — the vector's
@@ -1043,7 +1053,25 @@ def _vector_setop(
         if "time_bucket" not in keys:
             keys = ["time_bucket"] + keys
     if not keys:
-        raise ValueError(f"no matching labels for vector {op!r}")
+        # No shared label columns: match on the EMPTY label set (the
+        # `on()` semantics; enables the `sum(m) or vector(0)`
+        # empty-fallback idiom). The existence probes are 1-row broadcast
+        # aggregates — no collect, no shuffle of either operand.
+        # NOTE: for a LABELED lhs against a label-free rhs, strict
+        # Prometheus would never match (full-label-set matching); this
+        # module matches on shared columns throughout, and keys=[] is
+        # that same approximation at its limit.
+        rn = F.broadcast(rf.agg(F.count(F.lit(1)).alias("_rn")))
+        ln = F.broadcast(lf.agg(F.count(F.lit(1)).alias("_ln")))
+        if op == "and":
+            out = lf.crossJoin(rn).filter(F.col("_rn") > 0).drop("_rn")
+        elif op == "unless":
+            out = lf.crossJoin(rn).filter(F.col("_rn") == 0).drop("_rn")
+        else:  # or: lhs, plus rhs only when lhs is empty
+            extra = rf.crossJoin(ln).filter(F.col("_ln") == 0).drop("_ln")
+            out = lf.unionByName(extra, allowMissingColumns=True)
+        order = [c for c in out.columns if c not in ("value", cols.value)]
+        return out.orderBy(*order)
     if op == "and":
         out = lf.join(rf.select(*keys).distinct(), keys, "leftsemi")
     elif op == "unless":
@@ -1161,6 +1189,18 @@ def promql_range(
             df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
         )
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
+    _vm_range = _VECTOR_RE.match(promql.strip())
+    if _vm_range:
+        # vector(s) on the range grid: the literal at every step — so
+        # `agg or vector(0)` gap-fills exactly the empty steps (the
+        # time_bucket join key carries the per-step matching)
+        b0, b1 = int(start_s // step_s), int(end_s // step_s)
+        return df.sparkSession.range(b0, b1 + 1).select(
+            F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+                "time_bucket"
+            ),
+            F.lit(float(_vm_range.group(1))).alias("value"),
+        ).orderBy("time_bucket")
     _sw_range = _SCALAR_WRAP_RE.match(promql.strip())
     if _sw_range and _balanced(_sw_range.group(1)):
         # standalone per-step scalar(v): one sample per grid step with no

@@ -865,6 +865,51 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_promql_vector_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum(purchase) or vector(0)` on the range grid — the canonical
+    PromQL empty-fallback idiom: steps with data keep their aggregate,
+    empty grid steps gap-fill with the literal 0 via the per-bucket
+    set-op match (vector(s) is a label-free sample; the `or` anti-join
+    carries time_bucket). Existence probes are 1-row broadcast
+    aggregates — no collect."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "sum(purchase) or vector(0)",
+        start_s=1704067200.0,  # 2024-01-01 00:00
+        end_s=1704081600.0,  # 2024-01-01 04:00
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    )
+
+
+SQL_PROMQL_VECTOR_FALLBACK = f"""
+WITH g AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-01 04:00:00',
+                                INTERVAL 30 MINUTE)) AS time_bucket
+),
+p AS (
+  SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+         round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-01 04:00:00'
+  GROUP BY 1, 2
+)
+SELECT g.time_bucket, p.event_type, COALESCE(p.value, 0.0) AS value
+FROM g LEFT JOIN p USING (time_bucket)
+ORDER BY 1
+"""
+
+
 def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
     topk; deliberate correctness upgrade, SURVEY §2.6)."""
@@ -4771,6 +4816,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
     "promql_range_fn_at": (q_promql_range_fn_at, SQL_PROMQL_RANGE_FN_AT),
     "promql_range_scalar": (q_promql_range_scalar, SQL_PROMQL_RANGE_SCALAR),
+    "promql_vector_fallback": (q_promql_vector_fallback, SQL_PROMQL_VECTOR_FALLBACK),
 }
 
 
@@ -4805,7 +4851,7 @@ _DRIVER_WINDOW = [
     #       scalar() and the pinned range-function path this round) and
     #       the sketch tier (sketches.py KMV null-filter), then the
     #       remaining r5-stale docs_/emb_/tpch rows oldest-coverage-first.
-    # Left out (still r5-stale, rotate into r9): 16 ts_* analytics rows —
+    # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
     # rows on the same machinery re-verified green in r7.
     # Every non-windowed registry query remains covered by the builder-side
@@ -4814,6 +4860,7 @@ _DRIVER_WINDOW = [
     "promql_range_fn_at",
     "promql_range_scalar",
     "emb_hamming_recall",
+    "promql_vector_fallback",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -4863,7 +4910,6 @@ _DRIVER_WINDOW = [
     "tpch_q18ish",
     "tpch_q19ish",
     "tpch_q22ish",
-    "ts_lttb",
 ]
 
 

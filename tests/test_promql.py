@@ -1635,6 +1635,63 @@ def test_range_fn_at_pin_and_per_step_scalar(spark, sf_dir):
         assert r.value == direct[r.time_bucket] * direct_by[key]
 
 
+def test_vector_literal_and_empty_key_setops(spark, sf_dir):
+    """`vector(s)` is a one-sample label-free vector (per-step constant on
+    the range grid), and set ops with NO shared label columns match on the
+    empty label set: `sum(m) or vector(0)` is the aggregate when data
+    exists and the literal otherwise; on the range grid empty steps
+    gap-fill per bucket."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    (v,) = promql_instant(ev, "vector(2.5)", time_s=t, cols=EV_CENTS).collect()
+    assert v.value == 2.5 and list(v.asDict()) == ["value"]
+
+    (real,) = promql_instant(ev, "sum(purchase)", time_s=t, cols=EV_CENTS).collect()
+    (kept,) = promql_instant(
+        ev, "sum(purchase) or vector(0)", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert kept.value == real.value  # lhs nonempty: literal never fires
+    (filled,) = promql_instant(
+        ev, 'sum(purchase{user_id="no_such_user"}) or vector(0)',
+        time_s=t, cols=EV_CENTS,
+    ).collect()
+    assert filled.value == 0.0
+    # and / unless against the (always nonempty) literal
+    (a,) = promql_instant(
+        ev, "sum(purchase) and vector(1)", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert a.value == real.value
+    assert (
+        promql_instant(
+            ev, "sum(purchase) unless vector(1)", time_s=t, cols=EV_CENTS
+        ).count()
+        == 0
+    )
+
+    # range grid: empty steps gap-fill with the literal, per bucket
+    lo, hi, step = 1704067200.0, 1704081600.0, 1800
+    filled_rng = promql_range(
+        ev, "sum(purchase) or vector(0)", lo, hi, step, cols=EV_CENTS
+    ).collect()
+    direct = {
+        r.time_bucket: float(r.value)
+        for r in promql_range(
+            ev, "sum(purchase)", lo, hi, step, cols=EV_CENTS
+        ).collect()
+    }
+    n_steps = int(hi // step) - int(lo // step) + 1
+    assert len(filled_rng) == n_steps
+    for r in filled_rng:
+        assert float(r.value) == direct.get(r.time_bucket, 0.0)
+
+
 def test_cmp_numeric_left_and_setop_paren_edges(spark, sf_dir):
     """ADVICE r7 #3/#4 regressions: a numeric literal on the LEFT of a
     comparison flips onto the vector side (`5 < m` == `m > 5`) instead of
