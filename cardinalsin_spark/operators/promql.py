@@ -443,6 +443,10 @@ _SCALAR_WRAP_RE = re.compile(r"^scalar\s*\((.+)\)$", re.DOTALL)
 # functions.go funcVector) — the `or vector(0)` empty-fallback idiom
 _VECTOR_RE = re.compile(r"^vector\s*\(\s*(-?\d+(?:\.\d+)?)\s*\)$")
 
+# time(): the evaluation time as a scalar (promql funcTime) — instant
+# queries fold it as the eval timestamp, range queries per grid step
+_TIME_RE = re.compile(r"^time\s*\(\s*\)$")
+
 
 def _scalar_of(
     df: DataFrame,
@@ -533,6 +537,13 @@ def promql_instant(
         # so splitting here makes `a / b > 5` evaluate (a/b) first — the
         # PromQL grammar — instead of the arithmetic splitter grabbing `/`
         left, op, want_bool, on_labels, right = cmpv
+        if time_s is not None:
+            # time() in a pinned instant expression is just the eval
+            # timestamp — substitute the literal so the scalar paths fold
+            if _TIME_RE.match(left):
+                left = f"{float(time_s):f}"
+            if _TIME_RE.match(right):
+                right = f"{float(time_s):f}"
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
         num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
         if num_l and num_r:
@@ -564,6 +575,18 @@ def promql_instant(
         return df.sparkSession.range(1).select(
             F.lit(float(vm.group(1))).alias("value")
         )
+    if _TIME_RE.match(promql.strip()):
+        # time(): the evaluation timestamp as a scalar — meaningless
+        # without one, so an unpinned instant query fails loudly instead
+        # of inventing a clock (determinism doctrine: no Date.now in
+        # query results)
+        if time_s is None:
+            raise ValueError(
+                "time() needs an explicit evaluation time (pass time_s)"
+            )
+        return df.sparkSession.range(1).select(
+            F.lit(float(time_s)).alias("value")
+        )
     sw = _SCALAR_WRAP_RE.match(promql.strip())
     if sw and _balanced(sw.group(1)):
         # standalone scalar(v): one sample with no labels — the vector's
@@ -580,6 +603,12 @@ def promql_instant(
         # and silently return empty.
         left, op, on_labels, group_mode, carry, right = binop
         arith = _ARITH_OPS[op]
+        if time_s is not None:
+            # time() folds as the (pinned) evaluation timestamp
+            if _TIME_RE.match(left):
+                left = f"{float(time_s):f}"
+            if _TIME_RE.match(right):
+                right = f"{float(time_s):f}"
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
         num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
         sc_l = _SCALAR_WRAP_RE.match(left)
@@ -1163,6 +1192,12 @@ def promql_range(
     cmpv = _split_top_level_cmp(promql)
     if cmpv:
         left, op, want_bool, on_labels, right = cmpv
+        if _TIME_RE.match(left) or _TIME_RE.match(right):
+            # per-step time() comparison needs the fold machinery the
+            # arithmetic branch has; loud until someone needs it
+            raise ValueError(
+                "time() comparisons are not supported in range queries"
+            )
         num_l = re.fullmatch(r"-?\d+(?:\.\d+)?", left)
         num_r = re.fullmatch(r"-?\d+(?:\.\d+)?", right)
         if num_l and num_r:
@@ -1189,6 +1224,15 @@ def promql_range(
             df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
         )
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
+    if _TIME_RE.match(promql.strip()):
+        # time() on the range grid: each step's own epoch seconds
+        b0, b1 = int(start_s // step_s), int(end_s // step_s)
+        return df.sparkSession.range(b0, b1 + 1).select(
+            F.timestamp_seconds((F.col("id") * step_s).cast("long")).alias(
+                "time_bucket"
+            ),
+            (F.col("id") * step_s).cast("double").alias("value"),
+        ).orderBy("time_bucket")
     _vm_range = _VECTOR_RE.match(promql.strip())
     if _vm_range:
         # vector(s) on the range grid: the literal at every step — so
@@ -1228,26 +1272,42 @@ def promql_range(
         sc_r = _SCALAR_WRAP_RE.match(right)
         if sc_r and not _balanced(sc_r.group(1)):
             sc_r = None
-        if (sc_l or sc_r) and not (num_l or num_r):
-            # scalar(v) folds per STEP on the range grid: the scalar side
-            # is one row per time_bucket (NaN where != 1 samples), joined
-            # to the vector side on time_bucket — broadcast, bounded by
-            # the step count (VERDICT r6 item 3 / r7 item 5; evaluating
-            # the instant scalar once and smearing it over the grid would
-            # be a wrong answer for moving totals)
-            if sc_r and not sc_l:
-                vec, sc_inner, vec_first = left, sc_r.group(1), True
-            elif sc_l and not sc_r:
-                vec, sc_inner, vec_first = right, sc_l.group(1), False
-            else:  # scalar(a) / scalar(b): fold rhs into lhs's step rows
-                vec, sc_inner, vec_first = left, sc_r.group(1), True
+        t_l = _TIME_RE.match(left)
+        t_r = _TIME_RE.match(right)
+        if (sc_l or sc_r or t_l or t_r) and not (num_l or num_r):
+            # scalar(v) / time() fold per STEP on the range grid: the
+            # scalar side is one row per time_bucket (scalar(): NaN where
+            # != 1 samples; time(): the step's epoch), joined to the
+            # vector side on time_bucket — broadcast, bounded by the step
+            # count (VERDICT r6 item 3 / r7 item 5; evaluating the
+            # instant scalar once and smearing it over the grid would be
+            # a wrong answer for moving totals)
+            if (sc_r or t_r) and not (sc_l or t_l):
+                vec, vec_first = left, True
+                sc_side_t, sc_inner = t_r, sc_r.group(1) if sc_r else None
+            elif (sc_l or t_l) and not (sc_r or t_r):
+                vec, vec_first = right, False
+                sc_side_t, sc_inner = t_l, sc_l.group(1) if sc_l else None
+            else:  # scalar/time on both sides: fold rhs into lhs's rows
+                vec, vec_first = left, True
+                sc_side_t, sc_inner = t_r, sc_r.group(1) if sc_r else None
             lf = promql_range(
                 df, vec, start_s, end_s, step_s, cols, faithful, ts_ns_col
             )
-            sdf = _scalar_per_step(
-                df, sc_inner, start_s, end_s, step_s, cols, faithful,
-                ts_ns_col,
-            )
+            if sc_side_t:
+                # time(): the per-step frame is just the grid's own epochs
+                b0, b1 = int(start_s // step_s), int(end_s // step_s)
+                sdf = df.sparkSession.range(b0, b1 + 1).select(
+                    F.timestamp_seconds(
+                        (F.col("id") * step_s).cast("long")
+                    ).alias("time_bucket"),
+                    (F.col("id") * step_s).cast("double").alias("_sc"),
+                )
+            else:
+                sdf = _scalar_per_step(
+                    df, sc_inner, start_s, end_s, step_s, cols, faithful,
+                    ts_ns_col,
+                )
             a, b = (
                 (F.col("value"), F.col("_sc"))
                 if vec_first

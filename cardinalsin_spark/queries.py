@@ -910,6 +910,43 @@ ORDER BY 1
 """
 
 
+def q_promql_time_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`time() - timestamp(purchase)` on the range grid: per step, how far
+    the latest purchase sample sits from the step's own epoch — the
+    PromQL staleness idiom (`time() - process_start_time_seconds`-style).
+    time() folds per step as the bucket epoch (broadcast grid frame,
+    bounded by the step count); values land in [-step, 0] for steps with
+    samples under the bucket-start labeling convention."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "time() - timestamp(purchase)",
+        start_s=1704067200.0,  # 2024-01-01 00:00
+        end_s=1704081600.0,  # 2024-01-01 04:00
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+SQL_PROMQL_TIME_STALENESS = f"""
+SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+       round(CAST(epoch({_sql_bucket(1800)}) AS DOUBLE)
+             - epoch_us(max(ts)) / 1000000.0, 6) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-01 04:00:00'
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`topk by (user_id) (3, view)` — real LIMIT k (reference degrades
     topk; deliberate correctness upgrade, SURVEY §2.6)."""
@@ -4817,6 +4854,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_range_fn_at": (q_promql_range_fn_at, SQL_PROMQL_RANGE_FN_AT),
     "promql_range_scalar": (q_promql_range_scalar, SQL_PROMQL_RANGE_SCALAR),
     "promql_vector_fallback": (q_promql_vector_fallback, SQL_PROMQL_VECTOR_FALLBACK),
+    "promql_time_staleness": (q_promql_time_staleness, SQL_PROMQL_TIME_STALENESS),
 }
 
 
@@ -4861,6 +4899,7 @@ _DRIVER_WINDOW = [
     "promql_range_scalar",
     "emb_hamming_recall",
     "promql_vector_fallback",
+    "promql_time_staleness",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -4909,7 +4948,6 @@ _DRIVER_WINDOW = [
     "tpch_q17ish",
     "tpch_q18ish",
     "tpch_q19ish",
-    "tpch_q22ish",
 ]
 
 

@@ -1692,6 +1692,57 @@ def test_vector_literal_and_empty_key_setops(spark, sf_dir):
         assert float(r.value) == direct.get(r.time_bucket, 0.0)
 
 
+def test_time_function_instant_and_per_step(spark, sf_dir):
+    """`time()`: the evaluation timestamp as a scalar — instant queries
+    fold it as the pinned time_s (loud without one), range queries per
+    grid step (each bucket's own epoch); `time() - timestamp(v)` is the
+    staleness idiom."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    (one,) = promql_instant(ev, "time()", time_s=t, cols=EV_CENTS).collect()
+    assert one.value == t
+    with pytest.raises(ValueError, match="evaluation time"):
+        promql_instant(ev, "time()", cols=EV_CENTS)
+
+    (real,) = promql_instant(ev, "sum(purchase)", time_s=t, cols=EV_CENTS).collect()
+    (diff,) = promql_instant(
+        ev, "time() - sum(purchase)", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert diff.value == t - real.value
+
+    lo, hi, step = 1704067200.0, 1704081600.0, 1800
+    grid = promql_range(ev, "time()", lo, hi, step, cols=EV_CENTS).collect()
+    assert [r.value for r in grid] == [
+        float(b * step) for b in range(int(lo // step), int(hi // step) + 1)
+    ]
+    stale = promql_range(
+        ev, "time() - timestamp(purchase)", lo, hi, step, cols=EV_CENTS
+    ).collect()
+    latest = {
+        r.time_bucket: float(r.value)
+        for r in promql_range(
+            ev, "timestamp(purchase)", lo, hi, step, cols=EV_CENTS
+        ).collect()
+    }
+    import datetime as dt
+
+    assert stale
+    for r in stale:
+        epoch = r.time_bucket.replace(tzinfo=dt.timezone.utc).timestamp()
+        assert r.value == epoch - latest[r.time_bucket]
+        assert -step <= r.value <= 0  # bucket-start labeling convention
+
+    with pytest.raises(ValueError, match="time\\(\\) comparisons"):
+        promql_range(ev, "purchase > time()", lo, hi, step, cols=EV_CENTS)
+
+
 def test_cmp_numeric_left_and_setop_paren_edges(spark, sf_dir):
     """ADVICE r7 #3/#4 regressions: a numeric literal on the LEFT of a
     comparison flips onto the vector side (`5 < m` == `m > 5`) instead of
