@@ -1878,6 +1878,96 @@ def histogram_quantile_cumulative(
     )
 
 
+def histogram_fraction_cumulative(
+    buckets: DataFrame,
+    lo: int,
+    hi: int,
+    group_cols: list[str],
+    le_col: str = "le",
+    cum_col: str = "cum",
+    value_alias: str = "value",
+    out_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """PromQL ``histogram_fraction(lo, hi, m_bucket)`` over the same
+    cumulative-bucket frame as :func:`histogram_quantile_cumulative`: the
+    estimated fraction of observations in (lo, hi], by linear
+    interpolation of the cumulative count at each threshold
+    (promql/histogram.go upstream; the reference parses no histogram
+    functions at all). ``lo``/``hi`` are integers on the bucket-bound
+    grid's unit (the same unit as ``le``), ``0 <= lo < hi``.
+
+    Per group and threshold x: the first bucket with ``le >= x`` gives
+    ``F(x) = cum_prev + (x − le_prev)·count/width`` as an exact rational
+    (numerator/denominator in int64); x landing in the +Inf bucket yields
+    ``F = total``. The fraction ``(F(hi) − F(lo))/total`` combines the two
+    rationals in DECIMAL(38,0), clamps to [0, 1], and floors onto a 10⁻⁶
+    grid before ONE float division — hash-matching across engines, same
+    discipline as the quantile.
+
+    Plan: one window pass annotates prev/total, two per-group
+    first-bucket filters join back on the group key — no UDFs.
+    """
+    if not (0 <= lo < hi):
+        raise ValueError(f"need 0 <= lo < hi, got ({lo}, {hi})")
+    g = Window.partitionBy(*group_cols)
+    w = g.orderBy(le_col)
+    le = F.col(le_col)
+    cum = F.col(cum_col)
+    annotated = (
+        buckets.withColumn("_total", F.max(cum).over(g))
+        .withColumn("_prev_cum", F.coalesce(F.lag(cum).over(w), F.lit(0)))
+        .withColumn("_prev_le", F.coalesce(F.lag(le).over(w), F.lit(0)))
+    )
+
+    def threshold_frame(x: int, tag: str) -> DataFrame:
+        hit = (
+            annotated.filter((le >= F.lit(x)) & (F.col("_total") > 0))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        width = le - F.col("_prev_le")
+        num = F.when(
+            le >= F.lit(LE_INF), F.col("_total").cast("decimal(38,0)")
+        ).otherwise(
+            F.col("_prev_cum").cast("decimal(38,0)") * width
+            + (F.lit(x) - F.col("_prev_le")).cast("decimal(38,0)")
+            * (cum - F.col("_prev_cum"))
+        )
+        den = F.when(le >= F.lit(LE_INF), F.lit(1).cast("decimal(38,0)")).otherwise(
+            width.cast("decimal(38,0)")
+        )
+        return hit.select(
+            *group_cols,
+            num.alias(f"_n_{tag}"),
+            den.alias(f"_d_{tag}"),
+            F.col("_total").alias(f"_t_{tag}"),
+        )
+
+    flo = threshold_frame(lo, "lo")
+    fhi = threshold_frame(hi, "hi")
+    joined = fhi.join(flo, group_cols)
+    numer = (
+        F.col("_n_hi") * F.col("_d_lo") - F.col("_n_lo") * F.col("_d_hi")
+    )
+    denom = F.col("_d_hi") * F.col("_d_lo") * F.col("_t_hi").cast(
+        "decimal(38,0)"
+    )
+    clamped = F.greatest(
+        F.lit(0).cast("decimal(38,0)"), F.least(numer, denom)
+    )
+    micro = F.expr(
+        "CAST((CAST(_numer AS DECIMAL(38,0)) * 1000000)"
+        " div CAST(_denom AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return (
+        joined.withColumn("_numer", clamped)
+        .withColumn("_denom", denom)
+        .withColumn(value_alias, micro.cast("double") / F.lit(out_scale))
+        .select(*group_cols, value_alias)
+        .orderBy(*group_cols)
+    )
+
+
 def _median_of(arr: str) -> str:
     """SQL fragment: percentile_cont(0.5) over an already-sorted array —
     (a[(n−1) div 2] + a[n div 2]) / 2, 1-based element_at. Exact on

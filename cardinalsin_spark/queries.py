@@ -2143,6 +2143,92 @@ ORDER BY day, event_type
 """
 
 
+_HF_LO, _HF_HI = 1500, 30000  # cents, deliberately OFF the bucket bounds
+
+
+def q_promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction(15.00, 300.00, m_bucket) per day per type over
+    the same synthesized cumulative le-buckets as the quantile row: the
+    estimated fraction of observations in (lo, hi], both thresholds
+    interpolating INSIDE a bucket (not on a bound) so the rational
+    interpolation path is what the oracle checks."""
+    from cardinalsin_spark.operators.promql import (
+        LE_INF,
+        histogram_fraction_cumulative,
+    )
+
+    ev = _events_cents(spark, sf_dir)
+    le_df = spark.createDataFrame(
+        [(v,) for v in _HQ_LES + [LE_INF]], "le LONG"
+    )
+    b = ev.select(
+        time_bucket("ts", 86400).alias("day"), "event_type", "value_cents"
+    )
+    cum = (
+        b.crossJoin(F.broadcast(le_df))
+        .groupBy("day", "event_type", "le")
+        .agg(
+            F.sum(
+                F.when(F.col("value_cents") <= F.col("le"), 1).otherwise(0)
+            ).alias("cum")
+        )
+    )
+    return histogram_fraction_cumulative(
+        cum, _HF_LO, _HF_HI, ["day", "event_type"]
+    )
+
+
+SQL_PROMQL_HISTOGRAM_FRACTION = f"""
+WITH les(le) AS (VALUES (1000), (2500), (5000), (10000), (20000), (50000),
+                        ({2**62})),
+src AS (
+  SELECT {_sql_bucket(86400)} AS day, event_type, {_sql_cents('value')} AS vc
+  FROM events
+),
+b AS (
+  SELECT day, event_type, le,
+         sum(CASE WHEN vc <= le THEN 1 ELSE 0 END) AS cum
+  FROM src CROSS JOIN les GROUP BY 1, 2, 3
+),
+ann AS (
+  SELECT day, event_type, le, cum,
+         max(cum) OVER (PARTITION BY day, event_type) AS total,
+         coalesce(lag(cum) OVER w, 0) AS prev_cum,
+         coalesce(lag(le) OVER w, 0) AS prev_le
+  FROM b WINDOW w AS (PARTITION BY day, event_type ORDER BY le)
+),
+flo AS (
+  SELECT day, event_type,
+         CASE WHEN le >= {2**62} THEN total
+              ELSE prev_cum * (le - prev_le)
+                   + ({_HF_LO} - prev_le) * (cum - prev_cum) END AS n_lo,
+         CASE WHEN le >= {2**62} THEN 1 ELSE le - prev_le END AS d_lo
+  FROM (SELECT *, row_number() OVER (PARTITION BY day, event_type
+                                     ORDER BY le) AS rn
+        FROM ann WHERE le >= {_HF_LO} AND total > 0)
+  WHERE rn = 1
+),
+fhi AS (
+  SELECT day, event_type,
+         CASE WHEN le >= {2**62} THEN total
+              ELSE prev_cum * (le - prev_le)
+                   + ({_HF_HI} - prev_le) * (cum - prev_cum) END AS n_hi,
+         CASE WHEN le >= {2**62} THEN 1 ELSE le - prev_le END AS d_hi,
+         total
+  FROM (SELECT *, row_number() OVER (PARTITION BY day, event_type
+                                     ORDER BY le) AS rn
+        FROM ann WHERE le >= {_HF_HI} AND total > 0)
+  WHERE rn = 1
+)
+SELECT day, event_type,
+       CAST(GREATEST(0, LEAST(n_hi * d_lo - n_lo * d_hi,
+                              d_hi * d_lo * total)) * 1000000
+            // (d_hi * d_lo * total) AS BIGINT) / 1000000.0 AS value
+FROM fhi JOIN flo USING (day, event_type)
+ORDER BY day, event_type
+"""
+
+
 def q_promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sum(resets(click[21600s]))` through the transpiler with
     ``faithful=True``: per-series (event_type, user_id) counter-reset
@@ -4855,6 +4941,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_range_scalar": (q_promql_range_scalar, SQL_PROMQL_RANGE_SCALAR),
     "promql_vector_fallback": (q_promql_vector_fallback, SQL_PROMQL_VECTOR_FALLBACK),
     "promql_time_staleness": (q_promql_time_staleness, SQL_PROMQL_TIME_STALENESS),
+    "promql_histogram_fraction": (q_promql_histogram_fraction, SQL_PROMQL_HISTOGRAM_FRACTION),
 }
 
 
@@ -4900,6 +4987,7 @@ _DRIVER_WINDOW = [
     "emb_hamming_recall",
     "promql_vector_fallback",
     "promql_time_staleness",
+    "promql_histogram_fraction",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -4947,7 +5035,6 @@ _DRIVER_WINDOW = [
     "tpch_q16ish",
     "tpch_q17ish",
     "tpch_q18ish",
-    "tpch_q19ish",
 ]
 
 

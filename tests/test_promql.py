@@ -1878,3 +1878,31 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
                 assert depth == 0 and in_str is None, (piece, expr)
 
     check()
+
+
+def test_histogram_fraction_interpolation():
+    """histogram_fraction over a hand-built cumulative-bucket frame:
+    interpolated thresholds, boundary-aligned thresholds, an hi landing
+    in the +Inf bucket, the full range, and the lo>=hi guard."""
+    import pytest
+
+    from cardinalsin_spark.operators.promql import (
+        LE_INF,
+        histogram_fraction_cumulative,
+    )
+    from cardinalsin_spark.session import get_spark
+
+    spark = get_spark()
+    rows = [("g", 10, 2), ("g", 20, 5), ("g", 40, 9), ("g", LE_INF, 10)]
+    b = spark.createDataFrame(rows, "grp string, le long, cum long")
+
+    def frac(lo, hi):
+        (r,) = histogram_fraction_cumulative(b, lo, hi, ["grp"]).collect()
+        return r.value
+
+    assert frac(15, 30) == 0.35  # F(30)=7, F(15)=3.5, total 10
+    assert frac(10, 20) == 0.3  # boundary-aligned: exact cum difference
+    assert frac(20, 100) == 0.5  # hi beyond max finite le -> F=total
+    assert frac(0, 100) == 1.0
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_fraction_cumulative(b, 30, 15, ["grp"])

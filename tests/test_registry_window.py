@@ -65,7 +65,7 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 8: all five round-8 queries
+# builder-side parity sweep.  Empty entering round 8: all six round-8 queries
 # are windowed.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
@@ -128,7 +128,6 @@ RECHECK: dict[str, str] = {
     "tpch_q16ish": "stale-r5",
     "tpch_q17ish": "stale-r5",
     "tpch_q18ish": "stale-r5",
-    "tpch_q19ish": "stale-r5",
 }
 
 
