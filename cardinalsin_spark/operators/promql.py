@@ -959,6 +959,28 @@ def _split_top_level_cmp(s: str):
         labels = [x.strip() for x in m.group(2).split(",") if x.strip()]
         on_labels = Ignoring(labels) if m.group(1) == "ignoring" else labels
         right = m.group(3)
+    # many-to-one comparison filters: group_left keeps the (many) lhs
+    # samples passing the per-group comparison — exactly _vector_cmp's
+    # join shape, so just consume the modifier. The unsupported variants
+    # fail loudly (previously ANY group modifier fell through to a
+    # selector parse of "group_left ..." and silently returned empty).
+    m = re.match(
+        r"^(group_left|group_right)\s*(?:\(([^)]*)\))?\s*(.+)$",
+        right,
+        re.DOTALL,
+    )
+    if m:
+        if m.group(1) == "group_right":
+            raise ValueError(
+                "group_right on comparison filters is not supported — "
+                "swap the operands and use group_left"
+            )
+        if m.group(2) and m.group(2).strip():
+            raise ValueError(
+                "label-carry group_left(...) on comparisons is not "
+                "supported (filter results keep the lhs labels unchanged)"
+            )
+        right = m.group(3)
     if not left or not right:
         return None
     return left, op, want_bool, on_labels, right

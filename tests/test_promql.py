@@ -1906,3 +1906,44 @@ def test_histogram_fraction_interpolation():
     assert frac(0, 100) == 1.0
     with pytest.raises(ValueError, match="lo < hi"):
         histogram_fraction_cumulative(b, 30, 15, ["grp"])
+
+
+def test_cmp_group_left_modifier(spark, sf_dir):
+    """group_left on a comparison filter keeps the (many) lhs samples
+    passing the per-group comparison — and the unsupported variants
+    (group_right, label-carry) fail loudly instead of silently parsing
+    'group_left ...' as a selector (the pre-r8 behavior)."""
+    import pytest
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1705276800.0
+
+    plain = promql_instant(
+        ev, "sum by (user_id) (purchase) > on(user_id) sum by (user_id) (view)",
+        time_s=t, cols=EV_CENTS,
+    ).collect()
+    modified = promql_instant(
+        ev,
+        "sum by (user_id) (purchase) > on(user_id) group_left "
+        "sum by (user_id) (view)",
+        time_s=t, cols=EV_CENTS,
+    ).collect()
+    assert plain == modified and len(plain) > 0
+
+    with pytest.raises(ValueError, match="group_right"):
+        promql_instant(
+            ev,
+            "sum by (user_id) (purchase) > on(user_id) group_right "
+            "sum by (user_id) (view)",
+            time_s=t, cols=EV_CENTS,
+        )
+    with pytest.raises(ValueError, match="label-carry"):
+        promql_instant(
+            ev,
+            "sum by (user_id) (purchase) > on(user_id) group_left(event_type) "
+            "sum by (user_id) (view)",
+            time_s=t, cols=EV_CENTS,
+        )
