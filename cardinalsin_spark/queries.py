@@ -2083,25 +2083,16 @@ def q_promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic instrumentation shape is built from the raw samples: one
     conditional-sum pass per le bound, broadcast tiny le dimension)."""
     from cardinalsin_spark.operators.promql import (
-        LE_INF,
+        cumulative_le_buckets,
         histogram_quantile_cumulative,
     )
 
     ev = _events_cents(spark, sf_dir)
-    le_df = spark.createDataFrame(
-        [(v,) for v in _HQ_LES + [LE_INF]], "le LONG"
-    )
     b = ev.select(
         time_bucket("ts", 86400).alias("day"), "event_type", "value_cents"
     )
-    cum = (
-        b.crossJoin(F.broadcast(le_df))
-        .groupBy("day", "event_type", "le")
-        .agg(
-            F.sum(
-                F.when(F.col("value_cents") <= F.col("le"), 1).otherwise(0)
-            ).alias("cum")
-        )
+    cum = cumulative_le_buckets(
+        b, ["day", "event_type"], "value_cents", _HQ_LES
     )
     return histogram_quantile_cumulative(
         cum, 9, 10, ["day", "event_type"], out_scale=100_000_000.0
@@ -2153,25 +2144,16 @@ def q_promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolating INSIDE a bucket (not on a bound) so the rational
     interpolation path is what the oracle checks."""
     from cardinalsin_spark.operators.promql import (
-        LE_INF,
+        cumulative_le_buckets,
         histogram_fraction_cumulative,
     )
 
     ev = _events_cents(spark, sf_dir)
-    le_df = spark.createDataFrame(
-        [(v,) for v in _HQ_LES + [LE_INF]], "le LONG"
-    )
     b = ev.select(
         time_bucket("ts", 86400).alias("day"), "event_type", "value_cents"
     )
-    cum = (
-        b.crossJoin(F.broadcast(le_df))
-        .groupBy("day", "event_type", "le")
-        .agg(
-            F.sum(
-                F.when(F.col("value_cents") <= F.col("le"), 1).otherwise(0)
-            ).alias("cum")
-        )
+    cum = cumulative_le_buckets(
+        b, ["day", "event_type"], "value_cents", _HQ_LES
     )
     return histogram_fraction_cumulative(
         cum, _HF_LO, _HF_HI, ["day", "event_type"]
