@@ -65,7 +65,7 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 8: all six round-8 queries
+# builder-side parity sweep.  Empty entering round 8: all nine round-8 queries
 # are windowed.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
@@ -116,9 +116,6 @@ RECHECK: dict[str, str] = {
     "docs_tfidf_topterms": "stale-r5",
     "emb_centroids": "stale-r5",
     "emb_ivfpq_residual_topk": "stale-r5",
-    "emb_norm_stats": "stale-r5",
-    "emb_pca_project": "stale-r5",
-    "emb_random_projection": "stale-r5",
     "emb_semdedup": "stale-r5",
     "tpch_q4ish": "stale-r5",
     "tpch_q7ish": "stale-r5",
