@@ -462,3 +462,17 @@ def test_range_scalar_broadcasts_per_step_frame(spark, sf_dir):
     df = _df(spark, sf_dir, "promql_range_scalar")
     plan = plan_string(df, "formatted")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_derived_partsupp_tpch_plans(spark, sf_dir):
+    """The derived-partsupp TPC-H shapes must keep their dims broadcast:
+    q11/q20 fully broadcast-joined (the only hash exchanges are
+    aggregations), q2's one sort-merge join is the per-part min re-join —
+    per-part aggregates outgrow broadcast at scale, so SMJ is the
+    correct shape there, but supplier/nation/region/part must never
+    shuffle-join."""
+    for name, max_smj in (("tpch_q2ish", 1), ("tpch_q11ish", 0), ("tpch_q20ish", 0)):
+        df = _df(spark, sf_dir, name)
+        plan = plan_string(df, "simple")
+        assert plan.count("BroadcastHashJoin") >= 3, (name, plan)
+        assert plan.count("SortMergeJoin") <= max_smj, (name, plan)
