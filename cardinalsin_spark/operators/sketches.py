@@ -180,11 +180,20 @@ def cms_estimates(
 
     Input is one row per term OCCURRENCE; output is one row per DISTINCT
     term — (term, cms_est, exact_count). The counter table is ``d·w``
-    cells built by one hash aggregation and broadcast back onto the
-    distinct-term probe join, so estimating every term costs one
-    vocab-sized join against constant-size state — the 100 TB shape
-    (exact per-term counts need a full shuffle of the corpus; the CMS
-    table is mergeable map-side partial state).
+    cells built and broadcast back onto the distinct-term probe join, so
+    estimating every term costs one vocab-sized join against
+    constant-size state — the 100 TB shape (exact per-term counts need a
+    full shuffle of the corpus; the CMS table is mergeable map-side
+    partial state).
+
+    The corpus (term occurrences, usually an expensive tokenize+explode)
+    is aggregated exactly ONCE: the counters derive from the vocab-sized
+    probe aggregate (sum of per-term exact counts per bucket — identical
+    numbers by construction), so each counter branch re-runs only the
+    vocab-sized aggregate, never the corpus scan. The previous shape
+    re-ran tokenize+explode per counter row (depth+1 corpus passes;
+    ~15% wall-clock at sf0.1 where the vocab shuffle dominates — the gap
+    is the corpus:vocab ratio, so it widens with corpus size).
     """
     rows = list(range(depth))
     bucketed = df.select(
@@ -194,15 +203,15 @@ def cms_estimates(
             for i in rows
         ],
     )
-    counters = [
-        bucketed.groupBy(F.col(f"_b{i}").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias(f"cnt{i}"))
-        for i in rows
-    ]
     probe = (
         bucketed.groupBy("term", *[f"_b{i}" for i in rows])
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
+    counters = [
+        probe.groupBy(F.col(f"_b{i}").alias("bucket"))
+        .agg(F.sum("exact_count").alias(f"cnt{i}"))
+        for i in rows
+    ]
     for i in rows:
         probe = probe.join(
             F.broadcast(counters[i].withColumnRenamed("bucket", f"_b{i}")),
