@@ -142,6 +142,15 @@ _ARITH_OPS = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
+    # % is Go math.Mod (sign of the dividend) == Java/Spark double `%`;
+    # fmod is an EXACT IEEE-754 operation (no rounding), so it is safe in
+    # oracle-checked paths, unlike the transcendental tier.
+    "%": lambda a, b: a % b,
+    # ^ (right-associative) and atan2 are libm-dependent (math.Pow /
+    # math.Atan2 are not correctly rounded) — convenience tier per the
+    # determinism doctrine (SCALE.md): pytest-covered, never oracle-checked.
+    "^": F.pow,
+    "atan2": F.atan2,
 }
 
 
@@ -792,7 +801,8 @@ def promql_instant(
 def _split_top_level_binop(s: str):
     """Find the rightmost top-level binary arithmetic operator (outside all
     parens/braces/quotes), honouring PromQL precedence (+- bind looser than
-    */). Returns (left, op, on_labels, right) or None.
+    * / % atan2, which bind looser than right-associative ^).
+    Returns (left, op, on_labels, right) or None.
 
     Supports the optional one-to-one matching modifier:
     ``a / on(l1, l2) b`` — the reference implements NO binary ops at all
@@ -814,10 +824,22 @@ def _split_top_level_binop(s: str):
             depth += 1
         elif ch in ")}]":
             depth -= 1
-        elif depth == 0 and ch in "+-*/" and 0 < i < len(s) - 1:
+        elif depth == 0 and ch == "a" and s.startswith("atan2", i):
+            # keyword binop (same precedence tier as * / %): identifier
+            # boundaries on BOTH sides, else it's part of a metric name
+            before = s[i - 1] if i > 0 else ""
+            after = s[i + 5] if i + 5 < len(s) else ""
+            if (
+                0 < i
+                and i + 5 < len(s)
+                and not (before.isalnum() or before in "_:")
+                and not (after.isalnum() or after in "_:")
+            ):
+                candidates["atan2"] = i
+        elif depth == 0 and ch in "+-*/%^" and 0 < i < len(s) - 1:
             # only '-' can legitimately appear inside a metric name
             # (weird-name); it needs whitespace context to count as an
-            # operator. +, * and / are always operators — requiring spaces
+            # operator. +, * / % ^ are always operators — requiring spaces
             # around them would silently drop the split for `a/b` and let
             # the range-fn regex swallow the whole string as a garbage
             # selector (empty result, no error).
@@ -827,15 +849,25 @@ def _split_top_level_binop(s: str):
                 prev = s[:i].rstrip()
                 if prev and prev[-1] in "<>=!":
                     continue
-            if ch != "-" or s[i - 1].isspace() or s[i + 1].isspace():
+            if ch == "^":
+                # ^ is RIGHT-associative (promql spec): split at the
+                # LEFTMOST top-level caret so a^b^c == a^(b^c)
+                candidates.setdefault(ch, i)
+            elif ch != "-" or s[i - 1].isspace() or s[i + 1].isspace():
                 candidates[ch] = i
+    op: str | None = None
     pos = max((candidates.get(o, -1) for o in "+-"), default=-1)
-    if pos < 0:
-        pos = max((candidates.get(o, -1) for o in "*/"), default=-1)
-    if pos < 0:
+    if pos >= 0:
+        op = s[pos]
+    else:
+        tier = [(candidates[o], o) for o in ("*", "/", "%", "atan2") if o in candidates]
+        if tier:
+            pos, op = max(tier)
+        elif "^" in candidates:
+            pos, op = candidates["^"], "^"
+    if op is None:
         return None
-    op = s[pos]
-    left, right = s[:pos].strip(), s[pos + 1 :].strip()
+    left, right = s[:pos].strip(), s[pos + len(op) :].strip()
     on_labels: list[str] | None = None
     group_mode: str | None = None
     carry: list[str] = []

@@ -190,6 +190,55 @@ def cosine_topk_bruteforce(
     )
 
 
+def mips_topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact max-inner-product top-k per query vector (MIPS — the retrieval
+    objective of recommender / dual-encoder models, where magnitude matters
+    and cosine's normalization is wrong).
+
+    Scoring is the exact integer dot product on the quantized grid — with
+    dim 64 and |q| ≤ QUANT_SCALE the dot stays far below 2^53, so the
+    double that carries it is exact and the ranking is deterministic
+    (dot desc, id asc). One float step at the end rescales to the original
+    units (correctly-rounded division, engine-independent).
+
+    Same CONTRACT as :func:`cosine_topk_bruteforce` — small broadcastable
+    query set; cost is corpus × |queries|. For the 100 TB approximate path,
+    the standard reduction (append sqrt(M² − ‖x‖²) to corpus vectors and 0
+    to queries, M = max corpus norm) turns MIPS into cosine search, making
+    :func:`cosine_topk_lsh` / :func:`cosine_topk_ivf` directly reusable.
+    """
+    corpus = df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv")
+    qs = F.broadcast(
+        queries.selectExpr(query_id_col, f"{sql_quantize(vec_col)} AS qq")
+    )
+    scored = (
+        corpus.crossJoin(qs)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("_dotq", dot_q_vectorized()(F.col("qq"), F.col("qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_dotq"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("_dotq") / F.lit(float(QUANT_SCALE) ** 2)).alias("dot"),
+            "rank",
+        )
+        .orderBy(query_id_col, "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplane) approximate variant — the 100 TB path
 # ---------------------------------------------------------------------------

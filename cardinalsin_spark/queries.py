@@ -1739,6 +1739,50 @@ ASOF JOIN
 """
 
 
+def q_ts_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: all events of "high-value" users
+    (lifetime purchase cents > 100 000), aggregated per (user, type).
+
+    The classic 100 TB fact-table pre-filter — the key set is derived, so
+    it can't be a static partition predicate: build a Bloom bitmap over
+    the qualifying user_ids (operators.bloom — bit_or'd 64-bit words,
+    broadcastable by construction), probe the fact table's distinct keys
+    against it map-side, exact-verify the candidates, broadcast the
+    verified keys back. Output is exactly the semi-join (oracle: plain
+    IN-subquery); the fact table never shuffles on the key."""
+    from cardinalsin_spark.operators.bloom import bloom_semi_join
+
+    ev = _events(spark, sf_dir)
+    hv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).alias("_s"))
+        .filter(F.col("_s") > 100_000)
+        .select("user_id")
+    )
+    filtered = bloom_semi_join(ev, hv, "user_id", m_bits=1 << 16, k_hashes=5)
+    return (
+        filtered.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_TS_BLOOM_JOIN = f"""
+WITH hv AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING sum({_sql_cents('value')}) > 100000
+)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_sql_cents('value')}) AS BIGINT) AS value_cents
+FROM events WHERE user_id IN (SELECT user_id FROM hv)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill + locf: dense hourly grid over 3 days for a
     sparse slice (3 users), missing buckets carried forward."""
@@ -4482,6 +4526,38 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_promql_mod_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (user_id) (purchase) % 9973` — the `%` binary operator
+    (round 8 completes the PromQL arithmetic set: + - * / % ^ atan2).
+    `%` is Go math.Mod == Spark double `%` == DuckDB BIGINT `%` on the
+    exact cents grid — fmod is an exact IEEE-754 operation, so unlike
+    ^/atan2 (libm convenience tier) it is oracle-safe. The scalar folds
+    into the value column: no join, no extra shuffle."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "sum by (user_id) (purchase) % 9973",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,    # 2024-02-01
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_MOD_ARITH = f"""
+SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       CAST(CAST(sum({_sql_cents('value')}) AS BIGINT) % 9973 AS DOUBLE)
+         AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`hour(timestamp(purchase))` on an hourly grid: timestamp() turns each
     bucket's latest sample into its epoch-seconds value, hour() extracts the
@@ -5046,6 +5122,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
     "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
+    "ts_bloom_join": (q_ts_bloom_join, SQL_TS_BLOOM_JOIN),
     "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
     "ts_resets_changes": (q_ts_resets_changes, SQL_TS_RESETS_CHANGES),
     "ts_predict_linear": (q_ts_predict_linear, SQL_TS_PREDICT_LINEAR),
@@ -5121,6 +5198,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_retention_cohorts": (q_ts_retention_cohorts, SQL_TS_RETENTION_COHORTS),
     "ts_json_props": (q_ts_json_props, SQL_TS_JSON_PROPS),
     "promql_scalar_arith": (q_promql_scalar_arith, SQL_PROMQL_SCALAR_ARITH),
+    "promql_mod_arith": (q_promql_mod_arith, SQL_PROMQL_MOD_ARITH),
     "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
     "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
@@ -5184,10 +5262,16 @@ _DRIVER_WINDOW = [
     #       remaining r5-stale docs_/emb_/tpch rows oldest-coverage-first.
     # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
-    # rows on the same machinery re-verified green in r7.
+    # rows on the same machinery re-verified green in r7 — plus
+    # tpch_q16/17/18ish (r5-green), displaced late-r8 by the three
+    # never-checked additions promql_mod_arith / emb_mips_topk /
+    # ts_bloom_join.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
+    "promql_mod_arith",
+    "emb_mips_topk",
+    "ts_bloom_join",
     "promql_range_fn_at",
     "promql_range_scalar",
     "emb_hamming_recall",
@@ -5238,9 +5322,6 @@ _DRIVER_WINDOW = [
     "tpch_q8ish",
     "tpch_q12ish",
     "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
 ]
 
 

@@ -679,6 +679,44 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact max-inner-product top-10 for query vectors vec_id < 5 —
+    the MIPS retrieval objective (unnormalized dot; recommender /
+    dual-encoder scoring). Integer-exact quantized dot, deterministic
+    rank (dot desc, id asc); see operators.similarity.mips_topk_bruteforce
+    for the cosine-reduction scale path."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.mips_topk_bruteforce(emb, queries, k=_TOPK)
+
+
+SQL_EMB_MIPS_TOPK = f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_dot_product(qq, qv) AS dq
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(dq AS DOUBLE) / {float(sim.QUANT_SCALE) ** 2} AS dot,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification: predict each query vector's label by majority
     vote of its 10 exact-cosine neighbours (self excluded), ties to the
@@ -2915,6 +2953,7 @@ REGISTRY_LLM = {
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "docs_simhash_pairs": (q_docs_simhash_pairs, SQL_DOCS_SIMHASH_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+    "emb_mips_topk": (q_emb_mips_topk, SQL_EMB_MIPS_TOPK),
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
     "emb_hamming_recall": (q_emb_hamming_recall, SQL_EMB_HAMMING_RECALL),

@@ -1171,6 +1171,61 @@ def test_trig_convenience_tier(spark):
     assert math.isclose(val("deg(rad(two))"), 2.0, rel_tol=1e-15)
 
 
+def test_mod_pow_atan2_binops(spark):
+    """The full PromQL arithmetic operator set: % (exact fmod — oracle
+    tier), ^ (right-associative) and atan2 (keyword binop, * tier) —
+    the latter two convenience tier like exp/ln. Precedence: + - looser
+    than * / % atan2, looser than ^."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(timestamp=t, metric_name="m", host="a", value=10.0),
+            Row(timestamp=t, metric_name="m", host="b", value=-7.0),
+            Row(timestamp=t, metric_name="n", host="a", value=3.0),
+            Row(timestamp=t, metric_name="n", host="b", value=2.0),
+        ]
+    )
+    cols = MetricsCols()
+
+    def vals(expr):
+        out = promql_instant(df, expr, time_s=1704067200.0, cols=cols)
+        return {r.host: r.value for r in out.select("host", "value").collect()}
+
+    m = "sum by (host) (m)"
+    n = "sum by (host) (n)"
+    # vector % scalar: fmod, sign of the dividend (Go math.Mod semantics)
+    assert vals(f"{m} % 3") == {"a": math.fmod(10.0, 3.0), "b": math.fmod(-7.0, 3.0)}
+    assert vals(f"{m} % 3")["b"] == -1.0
+    # vector-vector % matches on shared labels
+    assert vals(f"{m} % {n}") == {"a": 1.0, "b": -1.0}
+    # scalar-left
+    assert vals(f"20 % {n}") == {"a": 2.0, "b": 0.0}
+    # ^ is right-associative: 2^n^2 with n=3 → 2^(3^2) = 512 on host a
+    assert vals(f"2 ^ {n} ^ 2")["a"] == 512.0
+    # precedence: % binds tighter than +, looser than ^
+    assert vals(f"{m} + {n} % 2") == {"a": 11.0, "b": -7.0}
+    assert vals(f"{n} ^ 2 % 5") == {"a": 4.0, "b": 4.0}
+    # atan2 as a keyword binop on matched series (convenience tier)
+    got = vals(f"{m} atan2 {n}")
+    assert math.isclose(got["a"], math.atan2(10.0, 3.0), rel_tol=1e-15)
+    assert math.isclose(got["b"], math.atan2(-7.0, 2.0), rel_tol=1e-15)
+    # a metric name CONTAINING atan2 is not split
+    assert vals("sum by (host) (m) + 0") == {"a": 10.0, "b": -7.0}
+
+    from cardinalsin_spark.operators.promql import _split_top_level_binop
+
+    assert _split_top_level_binop("my_atan2_metric") is None
+    assert _split_top_level_binop("atan2_total") is None
+
+
 def test_at_modifier_range_function_pinned_semantics(spark, sf_dir):
     """Range-FUNCTION expressions with @ (supported since r8, VERDICT r7
     item 4): the function evaluates once over [pin − range, pin] and the
@@ -1838,7 +1893,8 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
         "(m > 3)", "(sum by (h) (m))", "5",
     ])
     op = st.sampled_from([
-        " + ", " - ", " * ", " / ", " and ", " or ", " unless ",
+        " + ", " - ", " * ", " / ", " % ", " ^ ", " atan2 ",
+        " and ", " or ", " unless ",
         " > ", " <= ", " == ", " > bool ", " and on(h) ",
     ])
 

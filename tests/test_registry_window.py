@@ -122,9 +122,6 @@ RECHECK: dict[str, str] = {
     "tpch_q8ish": "stale-r5",
     "tpch_q12ish": "stale-r5",
     "tpch_q15ish": "stale-r5",
-    "tpch_q16ish": "stale-r5",
-    "tpch_q17ish": "stale-r5",
-    "tpch_q18ish": "stale-r5",
 }
 
 
