@@ -1445,6 +1445,35 @@ GROUP BY CUBE (event_type, user_id)
 """
 
 
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third of the multi-level aggregation
+    trio (cube/rollup/sets): per-type totals, per-user totals, and the
+    grand total in ONE pass over the fact table (Spark expands the sets
+    map-side; no union of three scans)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupingSets(
+            [["event_type"], ["user_id"], []], "event_type", "user_id"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("gid", "event_type", "user_id")
+    )
+
+
+SQL_SQL_GROUPING_SETS = f"""
+SELECT event_type, user_id,
+       CAST(GROUPING(event_type, user_id) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum({_sql_cents('value')}) AS BIGINT) AS value_cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference README's showcase query (README.md:214-221): per-minute
     avg + p99 + count per service over a time window — here per event_type."""
@@ -4526,6 +4555,35 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group by (user_id) (purchase)` — the PromQL `group` aggregator
+    (constant 1 per output group; the membership-marker idiom for series
+    existence, upstream promql/parser aggregators). Plans as a plain
+    hash aggregate emitting a literal — no window, no join."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "group by (user_id) (purchase)",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,    # 2024-02-01
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_GROUP_AGG = f"""
+SELECT {_sql_bucket(1800)} AS time_bucket, event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       CAST(1.0 AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_mod_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sum by (user_id) (purchase) % 9973` — the `%` binary operator
     (round 8 completes the PromQL arithmetic set: + - * / % ^ atan2).
@@ -5115,6 +5173,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "sql_rollup": (q_sql_rollup, SQL_SQL_ROLLUP),
     "sql_cube": (q_sql_cube, SQL_SQL_CUBE),
+    "sql_grouping_sets": (q_sql_grouping_sets, SQL_SQL_GROUPING_SETS),
     "maint_l0_plan": (q_maint_l0_plan, SQL_MAINT_L0_PLAN),
     "maint_small_files": (q_maint_small_files, SQL_MAINT_SMALL_FILES),
     "maint_leveled_plan": (q_maint_leveled_plan, SQL_MAINT_LEVELED_PLAN),
@@ -5199,6 +5258,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_json_props": (q_ts_json_props, SQL_TS_JSON_PROPS),
     "promql_scalar_arith": (q_promql_scalar_arith, SQL_PROMQL_SCALAR_ARITH),
     "promql_mod_arith": (q_promql_mod_arith, SQL_PROMQL_MOD_ARITH),
+    "promql_group_agg": (q_promql_group_agg, SQL_PROMQL_GROUP_AGG),
     "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
     "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
@@ -5263,13 +5323,15 @@ _DRIVER_WINDOW = [
     # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
     # rows on the same machinery re-verified green in r7 — plus
-    # tpch_q16/17/18ish (r5-green), displaced late-r8 by the three
-    # never-checked additions promql_mod_arith / emb_mips_topk /
-    # ts_bloom_join.
+    # tpch_q12/15/16/17/18ish (r5-green), displaced late-r8 by the five
+    # never-checked additions promql_mod_arith / promql_group_agg /
+    # sql_grouping_sets / emb_mips_topk / ts_bloom_join.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
     "promql_mod_arith",
+    "promql_group_agg",
+    "sql_grouping_sets",
     "emb_mips_topk",
     "ts_bloom_join",
     "promql_range_fn_at",
@@ -5320,8 +5382,6 @@ _DRIVER_WINDOW = [
     "tpch_q4ish",
     "tpch_q7ish",
     "tpch_q8ish",
-    "tpch_q12ish",
-    "tpch_q15ish",
 ]
 
 

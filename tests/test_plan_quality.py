@@ -476,3 +476,18 @@ def test_derived_partsupp_tpch_plans(spark, sf_dir):
         plan = plan_string(df, "simple")
         assert plan.count("BroadcastHashJoin") >= 3, (name, plan)
         assert plan.count("SortMergeJoin") <= max_smj, (name, plan)
+
+
+def test_bloom_semi_join_broadcasts_never_shuffles_fact_by_key(spark, sf_dir):
+    """ts_bloom_join's contract: the fact table reaches its aggregate
+    without ever shuffling on user_id for the JOIN — the bitmap probe and
+    the verified key set both arrive as broadcasts. The only exchanges on
+    the fact side are the aggregation's own."""
+    p = plan_string(_df(spark, sf_dir, "ts_bloom_join"), "simple")
+    assert "BroadcastHashJoin" in p, p
+    # the final probe join is a broadcast LEFT-SEMI, not a shuffled one
+    assert "LeftSemi, BuildRight" in p, p
+    assert "SortMergeJoin" not in p, p
+    # nothing in this plan may fall back to a nested-loop product
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p

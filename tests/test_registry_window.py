@@ -120,8 +120,6 @@ RECHECK: dict[str, str] = {
     "tpch_q4ish": "stale-r5",
     "tpch_q7ish": "stale-r5",
     "tpch_q8ish": "stale-r5",
-    "tpch_q12ish": "stale-r5",
-    "tpch_q15ish": "stale-r5",
 }
 
 
