@@ -703,3 +703,93 @@ def streaming_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization across micro-batches
+# ---------------------------------------------------------------------------
+
+_SESS_OUTPUT = (
+    "metric_name string, session_idx long, start_us long, end_us long, "
+    "n_events long, closed boolean"
+)
+_SESS_STATE = "start_us long, last_us long, n long, closed_cnt long"
+
+
+def _sessionize_fn_factory(gap_us: int):
+    def _fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+        """Per-key state: the one OPEN session (start_us, last_us, n) plus
+        the count of sessions already closed (which numbers the next
+        session — identical to the batch running-sum numbering). A session
+        closes when an event arrives more than gap_us after the open
+        session's last event; closed sessions emit with closed=true, and
+        every batch re-emits the open session's running snapshot with
+        closed=false, so the LAST emission per (key, session_idx) is the
+        session's final row. Assumes micro-batches arrive in event-time
+        order (chunk files are time-ordered; same in-order contract as the
+        increase/EWMA twins). Within a batch, rows are sorted — Arrow may
+        deliver a group as several chunks."""
+        import pandas as pd
+
+        if state.exists:
+            start_us, last_us, n, closed_cnt = state.get
+        else:
+            start_us, last_us, n, closed_cnt = None, None, 0, 0
+
+        chunks = list(pdf_iter)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ts = pdf["_us"].dropna().sort_values()
+        if len(ts) == 0:
+            return
+        out: list[tuple[int, int, int, int, bool]] = []
+        for t in ts:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out.append((closed_cnt, start_us, last_us, n, True))
+                closed_cnt += 1
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        state.update((start_us, last_us, n, closed_cnt))
+        out.append((closed_cnt, start_us, last_us, n, False))
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]] * len(out),
+                "session_idx": [r[0] for r in out],
+                "start_us": [r[1] for r in out],
+                "end_us": [r[2] for r in out],
+                "n_events": [r[3] for r in out],
+                "closed": [r[4] for r in out],
+            }
+        )
+
+    return _fn
+
+
+def streaming_sessionize(
+    sdf: DataFrame, gap_seconds: int, ts_col: str = "timestamp"
+) -> DataFrame:
+    """Gap-based sessionization across micro-batches — the stateful twin of
+    the batch ``operators.timeseries.sessionize``: the last emission per
+    (metric, session_idx) is bit-equal to the batch operator's row (same
+    exact integer-µs gap rule, same running-count numbering). Differs from
+    ``session_agg`` (Spark's native ``session_window``): this twin carries
+    the batch twin's session NUMBERING and exposes open-session snapshots
+    per micro-batch, which the native window cannot do. State per key is
+    four longs — constant regardless of session length or stream lifetime.
+    The reference's streaming layer forwards raw rows only
+    (``query/streaming.rs``; SURVEY §2.9 superset)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = sdf.select(
+        "metric_name", F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        _sessionize_fn_factory(gap_seconds * 1_000_000),
+        outputStructType=_SESS_OUTPUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -502,3 +502,44 @@ def test_streaming_kmv_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
         assert r.sketch_size == len(bb), metric
         assert r.kth_hash == bb[-1].h, metric
         assert r.n_distinct_est == bb[-1].n_distinct_est, metric
+
+
+def test_streaming_sessionize_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """Sessionize twin: the last emission per (metric, session_idx) —
+    closed sessions as they close, the open session's snapshot every
+    batch — must be bit-equal to the batch operator over the same rows,
+    including sessions that SPAN the micro-batch boundary."""
+    from cardinalsin_spark.operators.timeseries import MetricsCols, sessionize
+    from cardinalsin_spark.streaming import streaming_sessionize
+
+    gap_s = 14400  # 4h: several sessions per metric at sf0.001 density
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    name = _run_stream(
+        streaming_sessionize(sdf, gap_seconds=gap_s), "append", tmp_path
+    )
+    rows = spark.table(name).collect()
+    assert rows
+    last = {}
+    for r in rows:  # memory sink preserves emission order; keep the last
+        last[(r.metric_name, r.session_idx)] = r
+
+    batch = sessionize(
+        metrics_df, gap_s, key_cols=["metric_name"], cols=MetricsCols()
+    ).withColumn("start_us", F.unix_micros("session_start")).withColumn(
+        "end_us", F.unix_micros("session_end")
+    ).collect()
+    assert len(batch) > len({b.metric_name for b in batch})  # >1 session/key
+    assert set(last) == {(b.metric_name, b.session_idx) for b in batch}
+    max_idx = {}
+    for b in batch:
+        max_idx[b.metric_name] = max(max_idx.get(b.metric_name, -1), b.session_idx)
+    for b in batch:
+        r = last[(b.metric_name, b.session_idx)]
+        assert (r.start_us, r.end_us, r.n_events) == (
+            b.start_us, b.end_us, b.n_events
+        ), (b.metric_name, b.session_idx)
+        # every session except the final open one closed on-stream
+        assert r.closed == (b.session_idx != max_idx[b.metric_name])
+    # sessions genuinely span the two chunk files: at least one closed
+    # session must have been emitted in the SECOND batch (idx > 0 exists)
+    assert any(idx > 0 for (_, idx) in last)
