@@ -65,7 +65,7 @@ _PREDICT_RE = re.compile(
 # with every other range shape here)
 _SUBQ_RE = re.compile(
     r"^(sum|avg|min|max|count|stddev|last)_over_time"
-    r"\s*\(\s*(.+)\[(\d+)([smhd]):(\d+)([smhd])\]\s*\)$",
+    r"\s*\(\s*(.+)\[(\d+)([smhd]):(?:(\d+)([smhd]))?\]\s*\)$",
     re.DOTALL,
 )
 # quantile_over_time carries a leading quantile argument:
@@ -237,6 +237,18 @@ def parse_promql(promql: str) -> ParsedPromQL:
             out.offset_seconds = float(om.group(1)) * _UNIT_SECONDS[om.group(2)]
             promql = (promql[: om.start()] + promql[om.end() :]).strip()
             break
+
+    # any offset modifier the strip did NOT consume — negative duration
+    # (feature-flagged in Prometheus), bad unit, missing duration — would
+    # silently become part of a metric name and match nothing; fail loudly
+    # instead (same doctrine as the r7 parser-edge fixes)
+    for leftover in re.finditer(r"\s+offset\s+", promql):
+        if not _in_quotes(promql, leftover.start()):
+            raise ValueError(
+                f"unsupported offset modifier in {promql!r} (negative "
+                "offsets are feature-gated upstream and not supported "
+                "here; durations must be <N><s|m|h|d>)"
+            )
 
     # @ modifier: same textual-strip treatment (one eval-time pin per
     # vector expression; quoted occurrences are data)
@@ -1473,7 +1485,14 @@ def promql_range(
     if sq:
         outer_agg = sq.group(1)
         window_s = int(float(sq.group(3)) * _UNIT_SECONDS[sq.group(4)])
-        resolution_s = int(float(sq.group(5)) * _UNIT_SECONDS[sq.group(6)])
+        # `[W:]` — resolution omitted: Prometheus falls back to the global
+        # evaluation interval; the transpiler's analogue is the range
+        # query's own step (the grid the caller is already evaluating on)
+        resolution_s = (
+            int(float(sq.group(5)) * _UNIT_SECONDS[sq.group(6)])
+            if sq.group(5)
+            else int(step_s)
+        )
         inner = promql_range(
             df, sq.group(2), start_s, end_s, resolution_s, cols, faithful,
             ts_ns_col,

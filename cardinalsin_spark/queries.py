@@ -4555,6 +4555,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_promql_subquery_default_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`avg_over_time(sum by (user_id) (purchase)[7200s:])` — subquery
+    with the RESOLUTION OMITTED: Prometheus falls back to the global
+    evaluation interval; the transpiler's analogue is the range query's
+    own step (1800 s here). Inner sums are exact cents; the outer avg
+    divides a double-exact integer sum by a ≤4 count — one deterministic
+    float step."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    return promql_range(
+        _events_promql(spark, sf_dir),
+        "avg_over_time(sum by (user_id) (purchase)[7200s:])",
+        start_s=1704067200.0,  # 2024-01-01
+        end_s=1706745600.0,    # 2024-02-01
+        step_s=1800,
+        cols=EV_CENTS,
+    )
+
+
+SQL_PROMQL_SUBQUERY_DEFAULT_RES = f"""
+WITH inner_agg AS (
+  SELECT {_sql_bucket(1800)} AS tb, event_type,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CAST(sum({_sql_cents('value')}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT {_sql_bucket(7200, 'tb')} AS time_bucket, event_type, user_id,
+       CAST(avg(v) AS DOUBLE) AS value
+FROM inner_agg
+GROUP BY 1, 2, 3
+"""
+
+
 def q_promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`group by (user_id) (purchase)` — the PromQL `group` aggregator
     (constant 1 per output group; the membership-marker idiom for series
@@ -5259,6 +5296,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "promql_scalar_arith": (q_promql_scalar_arith, SQL_PROMQL_SCALAR_ARITH),
     "promql_mod_arith": (q_promql_mod_arith, SQL_PROMQL_MOD_ARITH),
     "promql_group_agg": (q_promql_group_agg, SQL_PROMQL_GROUP_AGG),
+    "promql_subquery_default_res": (
+        q_promql_subquery_default_res,
+        SQL_PROMQL_SUBQUERY_DEFAULT_RES,
+    ),
     "promql_timestamp_hour": (q_promql_timestamp_hour, SQL_PROMQL_TIMESTAMP_HOUR),
     "promql_day_of_week": (q_promql_day_of_week, SQL_PROMQL_DAY_OF_WEEK),
     "tpch_q7ish": (q_tpch_q7ish, SQL_TPCH_Q7ISH),
@@ -5323,14 +5364,16 @@ _DRIVER_WINDOW = [
     # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
     # rows on the same machinery re-verified green in r7 — plus
-    # tpch_q12/15/16/17/18ish (r5-green), displaced late-r8 by the five
+    # tpch_q8/12/15/16/17/18ish (r5-green), displaced late-r8 by the six
     # never-checked additions promql_mod_arith / promql_group_agg /
-    # sql_grouping_sets / emb_mips_topk / ts_bloom_join.
+    # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
+    # ts_bloom_join.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
     "promql_mod_arith",
     "promql_group_agg",
+    "promql_subquery_default_res",
     "sql_grouping_sets",
     "emb_mips_topk",
     "ts_bloom_join",
@@ -5381,7 +5424,6 @@ _DRIVER_WINDOW = [
     "emb_semdedup",
     "tpch_q4ish",
     "tpch_q7ish",
-    "tpch_q8ish",
 ]
 
 

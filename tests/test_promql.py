@@ -1226,6 +1226,45 @@ def test_mod_pow_atan2_binops(spark):
     assert _split_top_level_binop("atan2_total") is None
 
 
+def test_negative_offset_loud_reject():
+    """`offset -5m` (feature-gated upstream) and malformed offsets used to
+    silently merge into the metric name and match nothing; they must raise.
+    Quoted occurrences stay data."""
+    import pytest
+
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    for expr in (
+        "purchase offset -5m",
+        "rate(m[5m] offset -1h)",
+        "sum(m offset -30s)",
+    ):
+        with pytest.raises(ValueError, match="offset"):
+            parse_promql(expr)
+    assert parse_promql("purchase offset 5m").offset_seconds == 300.0
+    assert parse_promql('m{note=" offset -5m"}').offset_seconds == 0.0
+
+
+def test_subquery_default_resolution(spark, sf_dir):
+    """`fn_over_time(expr[W:])` — resolution omitted: falls back to the
+    range query's own step (the transpiler's analogue of Prometheus's
+    global evaluation interval), so `[7200s:]` at step 1800 must equal
+    the explicit `[7200s:1800s]`."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+
+    def run(expr):
+        return promql_range(
+            ev, expr, 1704067200.0, 1704240000.0, 1800, cols=EV_CENTS
+        ).collect()
+
+    implicit = run("avg_over_time(sum by (user_id) (purchase)[7200s:])")
+    explicit = run("avg_over_time(sum by (user_id) (purchase)[7200s:1800s])")
+    assert implicit == explicit and len(implicit) > 0
+
+
 def test_at_modifier_range_function_pinned_semantics(spark, sf_dir):
     """Range-FUNCTION expressions with @ (supported since r8, VERDICT r7
     item 4): the function evaluates once over [pin − range, pin] and the

@@ -119,7 +119,6 @@ RECHECK: dict[str, str] = {
     "emb_semdedup": "stale-r5",
     "tpch_q4ish": "stale-r5",
     "tpch_q7ish": "stale-r5",
-    "tpch_q8ish": "stale-r5",
 }
 
 
