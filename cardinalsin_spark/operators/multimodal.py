@@ -60,6 +60,11 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_idx int, frame_bytes binary, width int, height int"
 )
 
+AUDIO_RESAMPLE_SCHEMA = (
+    "media_id long, sample_rate int, new_rate int, n_out long, "
+    "rms double, peak double, dc double"
+)
+
 RESIZE_SCHEMA = "media_id long, content binary, width int, height int, mime string"
 
 
@@ -532,6 +537,60 @@ def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
         "media_id", "content", "sample_rate"
     )
     return cols.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+def resample_audio(
+    media: DataFrame, factor: int = 4, n_samples: int = 4096
+) -> DataFrame:
+    """Integer-factor decimation (block mean over ``factor`` samples) with
+    per-clip statistics of the RESAMPLED signal — the cheap anti-aliased
+    downsample of a training-audio pipeline (16 kHz → 4 kHz at the default
+    factor).
+
+    Numerics: each output sample is an exact integer block SUM on the
+    (denom × factor) grid, so Σy², max|y| and Σy are exact integers;
+    rms/peak/dc each take ONE correctly-rounded float division (+ sqrt for
+    rms) at the end — bit-deterministic across engines, same discipline as
+    :func:`audio_features`. Arrow-batched ``mapInPandas``; blobs never
+    leave the executor."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b, denom = decode_audio_int(r.content, n_samples)
+                blocks = b.reshape(-1, factor).sum(axis=1, dtype=np.int64)
+                q = factor * denom
+                n_out = int(blocks.size)
+                s2 = int((blocks * blocks).sum())
+                rows.append(
+                    (
+                        r.media_id,
+                        r.sample_rate,
+                        r.sample_rate // factor,
+                        n_out,
+                        math.sqrt(s2 / (float(q) * q * n_out)),
+                        int(np.abs(blocks).max()) / float(q),
+                        int(blocks.sum()) / (float(q) * n_out),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "new_rate", "n_out",
+                    "rms", "peak", "dc",
+                ],
+            )
+
+    cols = media.filter(F.col("kind") == "audio").select(
+        "media_id", "content", "sample_rate"
+    )
+    return cols.mapInPandas(fn, AUDIO_RESAMPLE_SCHEMA)
 
 
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -1189,6 +1189,44 @@ FROM samp GROUP BY media_id
 """
 
 
+def q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-factor audio decimation (16 kHz → 4 kHz block mean) with
+    stats of the resampled signal — exact integer block sums, one float
+    division per stat (operators.multimodal.resample_audio)."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.resample_audio(mm.documents_as_media(_docs(spark, sf_dir)))
+
+
+# constants mirrored from resample_audio's defaults: factor 4 over the
+# 4096-sample fake grid (denom 128) → q = 512, n_out = 1024, and the same
+# exactly-representable denominators Spark folds (512²·1024, 512·1024)
+SQL_MEDIA_AUDIO_RESAMPLE = f"""
+WITH media AS ({_SQL_MEDIA}),
+aud AS (
+  SELECT media_id,
+         substring(repeat(text, CAST((4096 + n - 1) // n AS INT)),
+                   1, 4096) AS tiled
+  FROM media WHERE kind = 'audio'
+),
+samp AS (
+  SELECT media_id, CAST(p // 4 AS BIGINT) AS blk,
+         ascii(substring(tiled, p + 1, 1)) - 128 AS d
+  FROM (SELECT media_id, tiled, unnest(range(0, 4096)) AS p FROM aud)
+),
+blocks AS (
+  SELECT media_id, blk, sum(d) AS bs FROM samp GROUP BY 1, 2
+)
+SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+       CAST(4000 AS INT) AS new_rate,
+       CAST(1024 AS BIGINT) AS n_out,
+       sqrt(CAST(sum(bs * bs) AS DOUBLE) / {float(512) * 512 * 1024}) AS rms,
+       CAST(max(abs(bs)) AS DOUBLE) / {float(512)} AS peak,
+       CAST(sum(bs) AS DOUBLE) / {float(512) * 1024} AS dc
+FROM blocks GROUP BY media_id
+"""
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding frame sampling: every 2nd frame of each video blob.
     The registry projection fingerprints each frame (md5) instead of
@@ -2963,6 +3001,7 @@ REGISTRY_LLM = {
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
+    "media_audio_resample": (q_media_audio_resample, SQL_MEDIA_AUDIO_RESAMPLE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "docs_split_assign": (q_docs_split_assign, SQL_DOCS_SPLIT_ASSIGN),
     "docs_stratified_sample": (

@@ -118,7 +118,6 @@ RECHECK: dict[str, str] = {
     "emb_ivfpq_residual_topk": "stale-r5",
     "emb_semdedup": "stale-r5",
     "tpch_q4ish": "stale-r5",
-    "tpch_q7ish": "stale-r5",
 }
 
 
