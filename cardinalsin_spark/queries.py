@@ -5364,10 +5364,10 @@ _DRIVER_WINDOW = [
     # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
     # timeseries.py is untouched since their r5 green and 20 sibling ts_
     # rows on the same machinery re-verified green in r7 — plus
-    # tpch_q7/8/12/15/16/17/18ish (r5-green), displaced late-r8 by the
-    # seven never-checked additions promql_mod_arith / promql_group_agg /
+    # tpch_q4/7/8/12/15/16/17/18ish (r5-green), displaced late-r8 by the
+    # eight never-checked additions promql_mod_arith / promql_group_agg /
     # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
-    # ts_bloom_join / media_audio_resample.
+    # ts_bloom_join / media_audio_resample / docs_sentence_stats.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5378,6 +5378,7 @@ _DRIVER_WINDOW = [
     "emb_mips_topk",
     "ts_bloom_join",
     "media_audio_resample",
+    "docs_sentence_stats",
     "promql_range_fn_at",
     "promql_range_scalar",
     "emb_hamming_recall",
@@ -5423,7 +5424,6 @@ _DRIVER_WINDOW = [
     "emb_centroids",
     "emb_ivfpq_residual_topk",
     "emb_semdedup",
-    "tpch_q4ish",
 ]
 
 

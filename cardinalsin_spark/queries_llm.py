@@ -103,6 +103,36 @@ FROM documents
 """
 
 
+def q_docs_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats — the chunking precursor a training
+    pipeline runs before windowing: terminator-run sentence count
+    (``[.!?]+`` — identical under Java regex and RE2), token count, and
+    tokens-per-sentence (exact ints, one division). All JVM-side."""
+    df = _docs(spark, sf_dir)
+    n_sent = F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    toks = tx.whitespace_token_count("text")
+    return df.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        toks.cast("long").alias("n_tokens"),
+        F.round(
+            toks.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double"),
+            4,
+        ).alias("tokens_per_sentence"),
+    )
+
+
+SQL_DOCS_SENTENCE_STATS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens,
+       round(CAST(len({_SQL_TOKS_RAW}) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1), 4)
+         AS tokens_per_sentence
+FROM documents
+"""
+
+
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: length/stopword/punctuation signals (integer counts
     with single final divisions → bit-deterministic)."""
@@ -2982,6 +3012,7 @@ REGISTRY_LLM = {
     ),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
+    "docs_sentence_stats": (q_docs_sentence_stats, SQL_DOCS_SENTENCE_STATS),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
     "docs_lang_id": (q_docs_lang_id, SQL_DOCS_LANG_ID),
     "docs_minhash_pairs": (q_docs_minhash_pairs, SQL_DOCS_MINHASH_PAIRS),

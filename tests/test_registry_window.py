@@ -117,7 +117,6 @@ RECHECK: dict[str, str] = {
     "emb_centroids": "stale-r5",
     "emb_ivfpq_residual_topk": "stale-r5",
     "emb_semdedup": "stale-r5",
-    "tpch_q4ish": "stale-r5",
 }
 
 
