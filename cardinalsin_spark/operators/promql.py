@@ -11,7 +11,10 @@ SQL string. Supported grammar (exactly the reference's):
 - range functions: ``fn(selector[Nu])`` for rate/increase/irate/delta/
   idelta/deriv, units s/m/h/d — plus (beyond the reference) the
   ``*_over_time`` family (sum/avg/min/max/count/stddev/stdvar/last) and
-  binary arithmetic between vector expressions with ``on(...)`` matching
+  the full binary-operator set between vector expressions with
+  ``on()/ignoring()/group_left`` matching: arithmetic ``+ - * / %``
+  (oracle tier) and ``^``/``atan2`` (libm convenience tier), comparisons
+  with ``bool``, set ops ``and/or/unless``
 - selector: ``metric_name{label op "value", ...}`` with ops = != =~ !~,
   with an optional ``offset Nu`` modifier (beyond the reference)
 - wrappers (beyond the reference): ``label_replace(v, dst, repl, src, re)``,
