@@ -401,6 +401,97 @@ def bm25_scores(
     )
 
 
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def char_diversity(df: DataFrame, text_col: str = "text", scale: int = 1_000_000) -> DataFrame:
+    """Letter-histogram character diversity per document — the log-free
+    sibling of character entropy (ln/log2 are libm-dependent, see
+    tfidf_top_terms): Simpson/Gini impurity ``1 − Σ(cᵢ/n)²`` and the
+    inverse-Simpson "effective alphabet size" ``n²/Σcᵢ²``, both emitted as
+    exact int64 micros. Low diversity flags the mojibake / repeated-char /
+    single-token junk a corpus quality gate drops.
+
+    Shape: 26 constant-width length-diff counters per row (no explode, no
+    shuffle, whole-stage codegen); the Σ folds run in pinned a→z order but
+    are exact integers anyway. Overflow: n ≤ doc length, n²·scale < 2⁶³
+    holds to ~3·10⁶ letters per doc.
+    """
+    lt = F.lower(F.col(text_col))
+    cnts = F.array(
+        *[
+            (F.length(lt) - F.length(F.replace(lt, F.lit(c), F.lit("")))).cast(
+                "long"
+            )
+            for c in _LETTERS
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    n = F.aggregate(cnts, zero, lambda a, x: a + x)
+    sumsq = F.aggregate(cnts, zero, lambda a, x: a + x * x)
+    n_distinct = F.size(F.filter(cnts, lambda c: c > 0))
+    base = df.select(
+        "doc_id",
+        n.alias("_n"),
+        sumsq.alias("_ss"),
+        n_distinct.cast("int").alias("n_distinct_letters"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("_n").alias("n_letters"),
+        "n_distinct_letters",
+        F.when(
+            F.col("_n") > 0,
+            F.expr(f"((_n * _n - _ss) * {scale}) div (_n * _n)"),
+        )
+        .otherwise(zero)
+        .alias("simpson_micro"),
+        F.when(F.col("_ss") > 0, F.expr(f"(_n * _n * {scale}) div _ss"))
+        .otherwise(zero)
+        .alias("inv_simpson_micro"),
+    )
+
+
+def zipf_ranks(
+    df: DataFrame, text_col: str = "text", k: int = 100, scale: int = 1_000_000
+) -> DataFrame:
+    """Zipf head-coverage diagnostic: the top-k corpus terms by frequency
+    with their rank, the rank·freq product (Zipf's law predicts it is
+    ~constant), and the cumulative share of all token occurrences covered
+    through that rank, in exact int64 micros. The standard corpus-health
+    readout (is the head too heavy? how much mass do the top 100 terms
+    carry?) without the libm-dependent log-log regression.
+
+    Shape: one explode pass → vocab-sized hash agg → global top-k (k rows,
+    WindowGroupLimit gives a map-side partial top-k); the cumulative sum
+    windows over k rows on a single partition — bounded by k, not vocab.
+    """
+    freq = (
+        exploded_terms(df, text_col, id_col=None)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("n_tokens"))
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("term"))
+    top = (
+        freq.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("cum_freq", F.sum("freq").over(w_cum))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_freq"),
+            F.expr(f"(cum_freq * {scale}) div n_tokens").alias("cum_share_micro"),
+        )
+        .orderBy("rank")
+    )
+
+
 def bigram_lift(
     df: DataFrame,
     text_col: str = "text",

@@ -5367,7 +5367,9 @@ _DRIVER_WINDOW = [
     # tpch_q4/7/8/12/15/16/17/18ish (r5-green), displaced late-r8 by the
     # eight never-checked additions promql_mod_arith / promql_group_agg /
     # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
-    # ts_bloom_join / media_audio_resample / docs_sentence_stats.
+    # ts_bloom_join / media_audio_resample / docs_sentence_stats, and
+    # emb_ivfpq_residual_topk / emb_semdedup displaced by the
+    # docs_char_diversity / docs_zipf_ranks additions.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5388,6 +5390,8 @@ _DRIVER_WINDOW = [
     "tpch_q2ish",
     "tpch_q11ish",
     "tpch_q20ish",
+    "docs_char_diversity",
+    "docs_zipf_ranks",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5422,8 +5426,6 @@ _DRIVER_WINDOW = [
     "docs_source_quality",
     "docs_tfidf_topterms",
     "emb_centroids",
-    "emb_ivfpq_residual_topk",
-    "emb_semdedup",
 ]
 
 

@@ -2962,7 +2962,71 @@ ORDER BY total_tf DESC, doc_id LIMIT 20
 """
 
 
+def q_docs_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-histogram Simpson/Gini character diversity in exact int64
+    micros — the log-free entropy sibling (repo determinism doctrine: no
+    libm ln/log2 in oracle-checked values). Flags repeated-char junk."""
+    return tx.char_diversity(_docs(spark, sf_dir))
+
+
+_SQL_LETTER_LIST = ", ".join(f"'{c}'" for c in tx._LETTERS)
+
+SQL_DOCS_CHAR_DIVERSITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         [CAST(length(lt) - length(replace(lt, ch, '')) AS BIGINT)
+          FOR ch IN [{_SQL_LETTER_LIST}]] AS cnts
+  FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(list_sum(cnts) AS BIGINT) AS n,
+         CAST(list_sum([c * c FOR c IN cnts]) AS BIGINT) AS ss,
+         CAST(len(list_filter(cnts, c -> c > 0)) AS INT) AS n_distinct_letters
+  FROM base
+)
+SELECT doc_id,
+       n AS n_letters,
+       n_distinct_letters,
+       CASE WHEN n > 0 THEN ((n * n - ss) * 1000000) // (n * n)
+            ELSE CAST(0 AS BIGINT) END AS simpson_micro,
+       CASE WHEN ss > 0 THEN (n * n * 1000000) // ss
+            ELSE CAST(0 AS BIGINT) END AS inv_simpson_micro
+FROM agg
+"""
+
+
+def q_docs_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage: top-100 corpus terms with rank·freq product and
+    cumulative token share in exact micros (log-free Zipf diagnostic)."""
+    return tx.zipf_ranks(_docs(spark, sf_dir), k=100)
+
+
+SQL_DOCS_ZIPF_RANKS = f"""
+WITH toks AS (
+  SELECT t AS term FROM (
+    SELECT unnest(string_split({_SQL_NORM}, ' ')) AS t FROM documents)
+  WHERE t != ''
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens FROM freq),
+ranked AS (
+  SELECT term, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+  FROM freq QUALIFY rank <= 100
+)
+SELECT rank, term, freq,
+       CAST(rank AS BIGINT) * freq AS rank_freq,
+       CAST((sum(freq) OVER (ORDER BY rank) * 1000000) // n_tokens AS BIGINT)
+         AS cum_share_micro
+FROM ranked, tot
+ORDER BY rank
+"""
+
+
 REGISTRY_LLM = {
+    "docs_char_diversity": (q_docs_char_diversity, SQL_DOCS_CHAR_DIVERSITY),
+    "docs_zipf_ranks": (q_docs_zipf_ranks, SQL_DOCS_ZIPF_RANKS),
     "docs_search_and": (q_docs_search_and, SQL_DOCS_SEARCH_AND),
     "docs_edit_distance": (q_docs_edit_distance, SQL_DOCS_EDIT_DISTANCE),
     "docs_containment": (q_docs_containment, SQL_DOCS_CONTAINMENT),

@@ -115,8 +115,6 @@ RECHECK: dict[str, str] = {
     "docs_source_quality": "stale-r5",
     "docs_tfidf_topterms": "stale-r5",
     "emb_centroids": "stale-r5",
-    "emb_ivfpq_residual_topk": "stale-r5",
-    "emb_semdedup": "stale-r5",
 }
 
 
