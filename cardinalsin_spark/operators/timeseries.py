@@ -1376,3 +1376,64 @@ def cusum_alarm(
         )
         .orderBy("time_bucket", *key)
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    group_col: str = "event_type",
+    value_col: str = "value_cents",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rank-based winsorization per group: clamp values to the order
+    statistics at ranks ``ceil(pct/100 · n)`` (percentile_disc semantics —
+    exact existing values, no interpolation, so the bounds are
+    engine-portable integers) and report the clipped-tail counts and the
+    winsorized mean. The robust-mean preprocessing step a metrics pipeline
+    runs before alerting on outlier-heavy gauges.
+
+    Shape: ONE shuffle on the group key for the ranking window (ties made
+    deterministic by the tiebreak column); the per-group bounds frame is
+    group-count-sized and broadcast back; the final aggregate reuses the
+    same key so AQE coalesces it onto the ranked exchange. All counters
+    and the clamped sum are exact int64; the mean is a single final
+    division.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    bounds = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(
+                F.col("_rn") <= F.expr(f"({lo_pct} * _n + 99) div 100"),
+                F.col(value_col),
+            )
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("_rn") <= F.expr(f"({hi_pct} * _n + 99) div 100"),
+                F.col(value_col),
+            )
+        ).alias("hi_cents"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        ranked.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo_cents").alias("lo_cents"),
+            F.min("hi_cents").alias("hi_cents"),
+            F.sum(clamped).alias("win_sum_cents"),
+            F.sum((v < F.col("lo_cents")).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col("hi_cents")).cast("long")).alias("n_clipped_hi"),
+        )
+        .withColumn(
+            "win_mean",
+            F.round(F.col("win_sum_cents") / F.col("n") / F.lit(100.0), 4),
+        )
+        .orderBy(group_col)
+    )

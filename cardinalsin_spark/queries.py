@@ -3753,6 +3753,45 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorized mean per event type: clamp at the p05/p95
+    order statistics (percentile_disc semantics — exact integer cents, no
+    interpolation) and report clipped-tail counts. Robust-mean
+    preprocessing for outlier-heavy gauges."""
+    from cardinalsin_spark.operators.timeseries import winsorize_stats
+
+    return winsorize_stats(_events_cents(spark, sf_dir))
+
+
+SQL_TS_WINSORIZE = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, {_sql_cents('value')} AS vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {_sql_cents('value')}, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rn <= (5 * n + 99) // 100 THEN vc END) AS lo_cents,
+         max(CASE WHEN rn <= (95 * n + 99) // 100 THEN vc END) AS hi_cents
+  FROM ranked GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(lo_cents) AS lo_cents,
+       min(hi_cents) AS hi_cents,
+       CAST(sum(least(greatest(vc, lo_cents), hi_cents)) AS BIGINT)
+         AS win_sum_cents,
+       CAST(count(*) FILTER (WHERE vc < lo_cents) AS BIGINT) AS n_clipped_lo,
+       CAST(count(*) FILTER (WHERE vc > hi_cents) AS BIGINT) AS n_clipped_hi,
+       round(CAST(sum(least(greatest(vc, lo_cents), hi_cents)) AS DOUBLE)
+             / count(*) / 100.0, 4) AS win_mean
+FROM ranked r JOIN bounds USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive anomaly residual: each (event_type, hour) bucket's
     summed value minus the SAME bucket 24h earlier (the simplest seasonal
@@ -5278,6 +5317,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
+    "ts_winsorize": (q_ts_winsorize, SQL_TS_WINSORIZE),
     "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
     "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
     "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
@@ -5368,8 +5408,8 @@ _DRIVER_WINDOW = [
     # eight never-checked additions promql_mod_arith / promql_group_agg /
     # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
     # ts_bloom_join / media_audio_resample / docs_sentence_stats, and
-    # emb_ivfpq_residual_topk / emb_semdedup displaced by the
-    # docs_char_diversity / docs_zipf_ranks additions.
+    # emb_ivfpq_residual_topk / emb_semdedup / emb_centroids displaced by
+    # the docs_char_diversity / docs_zipf_ranks / ts_winsorize additions.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5392,6 +5432,7 @@ _DRIVER_WINDOW = [
     "tpch_q20ish",
     "docs_char_diversity",
     "docs_zipf_ranks",
+    "ts_winsorize",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5425,7 +5466,6 @@ _DRIVER_WINDOW = [
     "docs_search_and",
     "docs_source_quality",
     "docs_tfidf_topterms",
-    "emb_centroids",
 ]
 
 

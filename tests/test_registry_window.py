@@ -114,7 +114,6 @@ RECHECK: dict[str, str] = {
     "docs_search_and": "stale-r5",
     "docs_source_quality": "stale-r5",
     "docs_tfidf_topterms": "stale-r5",
-    "emb_centroids": "stale-r5",
 }
 
 
