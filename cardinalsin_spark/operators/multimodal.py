@@ -838,3 +838,70 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         "media_id", "content", "width", "height", "n_frames"
     )
     return cols.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+SCENE_CHANGE_SCHEMA = "media_id long, frame_idx int, sad64 long, is_cut int"
+
+
+def scene_change(
+    media: DataFrame, probes: int = 64, cut_threshold: int = 40 * 64
+) -> DataFrame:
+    """Scene-cut detection over video blobs: sum of absolute differences
+    between consecutive frames on a SPARSE deterministic probe grid
+    (``probes`` evenly-strided pixel bytes per frame) — the classic fast
+    cut detector that reads O(probes) bytes per pair instead of the whole
+    frame, so the metric stays cheap at any resolution. A pair is a cut
+    when the probe SAD exceeds ``cut_threshold``.
+
+    Exact-integer contract: probe positions are ``k · (n_px // probes)``
+    and the SAD is an int64 sum of uint8 diffs, so the result is
+    bit-deterministic and oracle-checkable byte-for-byte against the
+    tiled-blob layout. Real containers (RIFF/AVI, ffmpeg tier) demux
+    first; other blobs take the fake tile decode. Arrow-batched
+    mapInPandas — blob bytes never shuffle; output is O(n_frames) scalar
+    rows per video.
+    """
+    ffmpeg = resolve_ffmpeg()
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content or b"")
+                real = decode_video_frames(content, ffmpeg)
+                if real is not None:
+                    arrs = [f.reshape(-1) for f in real]
+                else:
+                    frame_px = r.width * r.height * 3
+                    all_px = _decode_bytes(content, frame_px * r.n_frames)
+                    arrs = [
+                        all_px[i * frame_px : (i + 1) * frame_px]
+                        for i in range(r.n_frames)
+                    ]
+                if len(arrs) < 2:
+                    continue
+                n_px = int(arrs[0].size)
+                stride = max(1, n_px // probes)
+                idx = np.minimum(
+                    np.arange(probes, dtype=np.int64) * stride, n_px - 1
+                )
+                prev = arrs[0][idx].astype(np.int64)
+                for i in range(1, len(arrs)):
+                    # real containers may change frame shape mid-stream:
+                    # clamp the probe grid to each frame's own extent
+                    a = arrs[i]
+                    cur = a[np.minimum(idx, a.size - 1)].astype(np.int64)
+                    sad = int(np.abs(cur - prev).sum())
+                    rows.append((r.media_id, i, sad, int(sad > cut_threshold)))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "sad64", "is_cut"]
+            )
+
+    cols = media.filter(F.col("kind") == "video").select(
+        "media_id", "content", "width", "height", "n_frames"
+    )
+    return cols.mapInPandas(fn, SCENE_CHANGE_SCHEMA)

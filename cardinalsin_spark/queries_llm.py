@@ -1291,6 +1291,43 @@ FROM (SELECT media_id, width, height, tiled,
 """
 
 
+def q_media_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per consecutive frame pair: 64-probe sparse SAD
+    (exact int64) with a fixed cut threshold."""
+    from cardinalsin_spark.operators import multimodal as mm
+
+    return mm.scene_change(mm.documents_as_media(_docs(spark, sf_dir)))
+
+
+# mirrors the probe grid exactly: position k·(frame_px // 64) within frame i
+# of the tiled blob; text is ASCII so char positions == byte positions
+SQL_MEDIA_SCENE_CHANGE = f"""
+WITH media AS ({_SQL_MEDIA}),
+vid AS (
+  SELECT media_id, n_frames, 3*width*height AS frame_px,
+         substring(repeat(text, CAST((3*width*height*n_frames + n - 1) // n
+                                     AS INT)),
+                   1, 3*width*height*n_frames) AS tiled
+  FROM media WHERE kind = 'video' AND n_frames >= 2
+),
+probes AS (
+  SELECT media_id, frame_px, tiled, i, unnest(range(0, 64)) AS k
+  FROM (SELECT media_id, frame_px, tiled,
+               unnest(range(1, n_frames)) AS i FROM vid)
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(sum(abs(
+         ord(substring(tiled, CAST(i*frame_px + k*(frame_px//64) + 1 AS INT), 1))
+       - ord(substring(tiled, CAST((i-1)*frame_px + k*(frame_px//64) + 1 AS INT), 1))
+       )) AS BIGINT) AS sad64,
+       CAST(CAST(sum(abs(
+         ord(substring(tiled, CAST(i*frame_px + k*(frame_px//64) + 1 AS INT), 1))
+       - ord(substring(tiled, CAST((i-1)*frame_px + k*(frame_px//64) + 1 AS INT), 1))
+       )) AS BIGINT) > 2560 AS INT) AS is_cut
+FROM probes GROUP BY media_id, i
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF oracle: the k-means trainer is iterative (not SQL-expressible), but its
 # centroids are deterministic — so the oracle harness reproduces them with
@@ -3098,6 +3135,7 @@ REGISTRY_LLM = {
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
     "media_audio_resample": (q_media_audio_resample, SQL_MEDIA_AUDIO_RESAMPLE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_scene_change": (q_media_scene_change, SQL_MEDIA_SCENE_CHANGE),
     "docs_split_assign": (q_docs_split_assign, SQL_DOCS_SPLIT_ASSIGN),
     "docs_stratified_sample": (
         q_docs_stratified_sample,

@@ -113,7 +113,6 @@ RECHECK: dict[str, str] = {
     "docs_mixture_sample": "stale-r5",
     "docs_search_and": "stale-r5",
     "docs_source_quality": "stale-r5",
-    "docs_tfidf_topterms": "stale-r5",
 }
 
 
