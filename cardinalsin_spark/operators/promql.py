@@ -1982,7 +1982,11 @@ def cumulative_le_buckets(
             assign
         )
     counts = (
-        df.select(*group_cols, assign.alias(le_col))
+        # a NULL sample is no sample: without the filter the when-chain
+        # falls through and silently counts it into the +Inf bucket
+        # (same defect class as the r7 KMV null slot)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, assign.alias(le_col))
         .groupBy(*group_cols, le_col)
         .agg(F.count(F.lit(1)).alias("_n"))
     )

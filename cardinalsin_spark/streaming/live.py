@@ -793,3 +793,83 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: classic-histogram cumulative buckets
+# ---------------------------------------------------------------------------
+
+_HISTB_OUTPUT = "metric_name string, le long, cum long"
+_HISTB_STATE = "counts array<long>"
+
+
+def _hist_fn_factory(bounds: list[int]):
+    from cardinalsin_spark.operators.promql import LE_INF
+
+    n_b = len(bounds)
+
+    def _fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+        """Per-key bucket-count state: one long per le bound plus the +Inf
+        overflow — constant width however long the stream runs. Each
+        micro-batch assigns its values to the SMALLEST covering bound
+        (identical CASE order to the batch operator) and re-emits the full
+        cumulative grid, so the LAST emission per (key, le) is bit-equal
+        to ``operators.promql.cumulative_le_buckets`` over the same
+        rows."""
+        import pandas as pd
+
+        counts = list(state.get[0]) if state.exists else [0] * (n_b + 1)
+        n = 0
+        for pdf in pdf_iter:
+            for v in pdf["_v"]:
+                if v is None or v != v:  # null / NaN-after-Arrow skip
+                    continue
+                n += 1
+                v = int(v)
+                for i, b in enumerate(bounds):
+                    if v <= b:
+                        counts[i] += 1
+                        break
+                else:
+                    counts[n_b] += 1
+        state.update((counts,))
+        if n == 0:
+            return
+        les = bounds + [LE_INF]
+        cum, tot = [], 0
+        for c in counts:
+            tot += c
+            cum.append(tot)
+        yield pd.DataFrame(
+            {"metric_name": [key[0]] * len(les), "le": les, "cum": cum}
+        )
+
+    return _fn
+
+
+def streaming_le_buckets(
+    sdf: DataFrame, value_col: str, les: list[int]
+) -> DataFrame:
+    """Streaming classic-histogram cumulative buckets per metric via
+    ``applyInPandasWithState``: the live counterpart of
+    ``operators.promql.cumulative_le_buckets`` (the frame
+    histogram_quantile / histogram_fraction consume). State is
+    ``len(les)+1`` longs per key — bucket counts merge by addition, the
+    mergeability histograms exist for — and every micro-batch re-emits the
+    cumulative grid, so the stream's last emission per (key, le) is
+    bit-equal to the batch frame over the same rows. The reference's
+    streaming layer forwards raw rows only (``query/streaming.rs``;
+    SURVEY §2.9 superset)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bounds = sorted(int(b) for b in les)
+    keyed = sdf.select(
+        "metric_name", F.col(value_col).cast("long").alias("_v")
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        _hist_fn_factory(bounds),
+        outputStructType=_HISTB_OUTPUT,
+        stateStructType=_HISTB_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

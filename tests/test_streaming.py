@@ -543,3 +543,41 @@ def test_streaming_sessionize_matches_batch(spark, metrics_df, chunk_dir, tmp_pa
     # sessions genuinely span the two chunk files: at least one closed
     # session must have been emitted in the SECOND batch (idx > 0 exists)
     assert any(idx > 0 for (_, idx) in last)
+
+
+def test_streaming_le_buckets_matches_batch(spark, metrics_df, chunk_dir, tmp_path):
+    """Histogram-bucket twin: counts merge by addition across micro-batches,
+    so the stream's LAST emitted cumulative grid per metric must be
+    bit-equal to operators.promql.cumulative_le_buckets over the same
+    rows — including on null-bearing input (a NULL sample is no sample on
+    BOTH sides; the batch operator used to fall through its when-chain
+    and count nulls into +Inf)."""
+    from cardinalsin_spark.operators.promql import LE_INF, cumulative_le_buckets
+    from cardinalsin_spark.queries import cents
+    from cardinalsin_spark.streaming import streaming_le_buckets
+
+    les = [1000, 2500, 5000, 10000, 20000, 50000]
+    nullable = F.when(F.floor(value_expr()) % 7 != 0, cents(value_expr()))
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    est = streaming_le_buckets(
+        sdf.withColumn("value_cents", nullable), "value_cents", les
+    )
+    name = _run_stream(est, "append", tmp_path)
+    rows = spark.table(name).collect()
+    assert rows
+    last: dict = {}
+    for r in rows:  # memory sink preserves emission order: later wins
+        last[(r.metric_name, r.le)] = r.cum
+    nulled = metrics_df.withColumn("value_cents", nullable)
+    assert nulled.filter(F.col("value_cents").isNull()).count() > 0
+    batch = {
+        (b.metric_name, b.le): b.cum
+        for b in cumulative_le_buckets(
+            nulled, ["metric_name"], "value_cents", les
+        ).collect()
+    }
+    assert last == batch
+    # the grid is dense: every metric carries every bound + the Inf row
+    metrics = {m for m, _ in batch}
+    assert len(batch) == len(metrics) * (len(les) + 1)
+    assert all((m, LE_INF) in batch for m in metrics)
