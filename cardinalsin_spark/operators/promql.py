@@ -123,8 +123,8 @@ _ABSENT_OT_RE = re.compile(
 # value-transforming scalar wrappers over an instant vector
 _SCALAR_FN_RE = re.compile(
     r"^(clamp|clamp_min|clamp_max|abs|ceil|floor|sgn|sort|sort_desc|sqrt"
-    r"|timestamp|minute|hour|day_of_week|day_of_month|days_in_month"
-    r"|month|year|round|exp|ln|log2|log10"
+    r"|timestamp|minute|hour|day_of_week|day_of_month|day_of_year"
+    r"|days_in_month|month|year|round|exp|ln|log2|log10"
     r"|sin|cos|tan|asin|acos|atan|sinh|cosh|tanh|deg|rad)"
     r"\s*\((.+)\)$",
     re.DOTALL,
@@ -2227,10 +2227,11 @@ def _apply_scalar_fn(res: DataFrame, fn: str, args: list[str]) -> DataFrame:
                 F.floor(v / F.lit(float(div))) + F.lit(shift), F.lit(mod)
             ).cast("double"),
         )
-    if fn in ("day_of_month", "month", "year", "days_in_month"):
+    if fn in ("day_of_month", "day_of_year", "month", "year", "days_in_month"):
         t = F.timestamp_seconds(F.floor(v).cast("long"))
         comp = {
             "day_of_month": F.dayofmonth(t),
+            "day_of_year": F.dayofyear(t),
             "month": F.month(t),
             "year": F.year(t),
             "days_in_month": F.dayofmonth(F.last_day(t)),

@@ -752,7 +752,8 @@ def test_present_over_time(spark, sf_dir):
 
 
 def test_time_component_functions(spark, sf_dir):
-    """minute/hour/day_of_week/day_of_month/month/year/days_in_month over
+    """minute/hour/day_of_week/day_of_month/day_of_year/month/year/
+    days_in_month over
     timestamp(m): the value is reinterpreted as an epoch-seconds time and
     the UTC component extracted (promql/functions.go funcHour family).
     Verified against Python's datetime on every sample."""
@@ -775,6 +776,7 @@ def test_time_component_functions(spark, sf_dir):
         "hour": float(d.hour),
         "day_of_week": float((d.weekday() + 1) % 7),
         "day_of_month": float(d.day),
+        "day_of_year": float(d.timetuple().tm_yday),
         "month": float(d.month),
         "year": float(d.year),
         "days_in_month": float(
