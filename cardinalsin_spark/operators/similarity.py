@@ -1255,3 +1255,99 @@ def _int_matmul_udf(rows, center=None):
         return pd.Series(list(X @ Rt))
 
     return _proj
+
+
+def mmr_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein 1998): greedily select ``k`` of the top-``n_candidates``
+    exact-cosine hits, each step maximizing
+    ``lam·sim(q,i) − mu·max_{j∈S} sim(i,j)`` (ties → smaller id; step 1
+    has no redundancy term, so it is the relevance argmax). The standard
+    diversity pass a retrieval pipeline runs between ANN search and
+    prompt assembly.
+
+    Scale shape: candidate generation is the brute top-N (same
+    small-query-set CONTRACT as :func:`cosine_topk_bruteforce`; swap the
+    LSH/IVF path in for corpus-scale query sets); the candidate id set
+    broadcasts back onto the corpus scan to fetch vectors (map-side
+    hash join, no corpus shuffle), and the greedy loop touches only
+    ``n_candidates`` rows per query inside one applyInPandas —
+    O(k·n²) int64 dots at n ≤ 20, never driver-side.
+
+    Determinism: pairwise sims are the exact int64 quantized dot with ONE
+    float chain ``dot/(√dd_i·√dd_j)`` (identical to the relational
+    cosine), and ``lam``/``mu`` are independent literals — never derived
+    as ``1−lam``, which is not exactly 0.3 in binary — so the score is
+    the same two-mult-one-sub double chain the SQL oracle runs.
+    """
+    cand = cosine_topk_bruteforce(
+        df,
+        queries,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    vecs = df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS _qv")
+    joined = vecs.join(F.broadcast(cand), id_col).select(
+        query_id_col, id_col, "cosine", "_qv"
+    )
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, cosine double, "
+        "mmr_score double, mmr_rank int"
+    )
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        qid = int(pdf[query_id_col].iat[0])
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # row order must not matter
+        ids = ids[order]
+        rel = pdf["cosine"].to_numpy()[order]
+        M = np.stack(pdf["_qv"].to_numpy()[order]).astype(np.int64, copy=False)
+        G = M @ M.T  # exact: |q| ≤ 1e6, dim 64 ⇒ entries ≪ 2^63
+        dn = np.sqrt(G.diagonal().astype(np.float64))
+        selected: list[int] = []
+        remaining = list(range(len(ids)))
+        rows = []
+        for step in range(1, min(k, len(ids)) + 1):
+            best_t, best_key = None, None
+            for t in remaining:
+                if selected:
+                    ms = max(
+                        float(G[t, s]) / (dn[t] * dn[s]) for s in selected
+                    )
+                    score = lam * rel[t] - mu * ms
+                else:
+                    score = lam * rel[t]
+                key = (-score, ids[t])
+                if best_key is None or key < best_key:
+                    best_t, best_key = t, key
+            selected.append(best_t)
+            remaining.remove(best_t)
+            rows.append(
+                (qid, int(ids[best_t]), float(rel[best_t]),
+                 float(-best_key[0]), step)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[query_id_col, id_col, "cosine", "mmr_score", "mmr_rank"],
+        )
+
+    return (
+        joined.groupBy(query_id_col)
+        .applyInPandas(_greedy, out_schema)
+        .orderBy(query_id_col, "mmr_rank")
+    )

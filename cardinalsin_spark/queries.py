@@ -5409,8 +5409,9 @@ _DRIVER_WINDOW = [
     # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
     # ts_bloom_join / media_audio_resample / docs_sentence_stats, and
     # emb_ivfpq_residual_topk / emb_semdedup / emb_centroids /
-    # docs_tfidf_topterms displaced by the docs_char_diversity /
-    # docs_zipf_ranks / ts_winsorize / media_scene_change additions.
+    # docs_tfidf_topterms / docs_source_quality displaced by the
+    # docs_char_diversity / docs_zipf_ranks / ts_winsorize /
+    # media_scene_change / emb_mmr_rerank additions.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5435,6 +5436,7 @@ _DRIVER_WINDOW = [
     "docs_zipf_ranks",
     "ts_winsorize",
     "media_scene_change",
+    "emb_mmr_rerank",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5466,7 +5468,6 @@ _DRIVER_WINDOW = [
     "docs_edit_distance",
     "docs_mixture_sample",
     "docs_search_and",
-    "docs_source_quality",
 ]
 
 

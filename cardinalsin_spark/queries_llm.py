@@ -1291,6 +1291,93 @@ FROM (SELECT media_id, width, height, tiled,
 """
 
 
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 from the exact top-20 cosine candidates
+    (lam=0.7, mu=0.3): greedy relevance-vs-redundancy re-rank."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.mmr_rerank(emb, queries, k=5, n_candidates=20)
+
+
+def _mmr_sql(k: int = 5, n_cand: int = 20, lam: str = "0.7", mu: str = "0.3") -> str:
+    """Unroll the k-step MMR greedy as chained CTEs: step s scores every
+    unpicked candidate as ``lam·cosine − mu·max(sim to the s−1 picks)``
+    and takes the (score DESC, vec_id) argmax per query — bit-equal to
+    the applyInPandas greedy because both run the identical double
+    chain on the identical exact-int pairwise dots."""
+    steps = []
+    for s in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{i}" for i in range(1, s)
+        )
+        steps.append(f"""
+sel{s} AS ({sel}),
+s{s}_scores AS (
+  SELECT c.query_id, c.vec_id, c.cosine,
+         {lam}*c.cosine - {mu}*max(p.sim) AS score
+  FROM cand c
+  LEFT JOIN sel{s} x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+  JOIN pair p ON p.query_id = c.query_id AND p.i = c.vec_id
+  JOIN sel{s} sl ON sl.query_id = p.query_id AND sl.vec_id = p.j
+  WHERE x.vec_id IS NULL
+  GROUP BY 1, 2, 3
+),
+s{s} AS (
+  SELECT query_id, vec_id, cosine, score AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM s{s}_scores) WHERE rn = 1
+)""")
+        # noqa trailing comma handled by join below
+    final = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, cosine, mmr_score, {i} AS mmr_rank FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.qv,
+         list_dot_product(qq, qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, qv, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {n_cand}
+),
+pair AS (
+  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+         list_dot_product(a.qv, b.qv)
+           / (sqrt(list_dot_product(a.qv, a.qv))
+              * sqrt(list_dot_product(b.qv, b.qv))) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+s1 AS (
+  SELECT query_id, vec_id, cosine, {lam}*cosine AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+),{",".join(steps)}
+SELECT query_id, vec_id, cosine, mmr_score, mmr_rank
+FROM ({final}) ORDER BY query_id, mmr_rank
+"""
+
+
+SQL_EMB_MMR_RERANK = _mmr_sql()
+
+
 def q_media_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut detection per consecutive frame pair: 64-probe sparse SAD
     (exact int64) with a fixed cut threshold."""
@@ -3127,6 +3214,7 @@ REGISTRY_LLM = {
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
     "emb_hamming_recall": (q_emb_hamming_recall, SQL_EMB_HAMMING_RECALL),
+    "emb_mmr_rerank": (q_emb_mmr_rerank, SQL_EMB_MMR_RERANK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),

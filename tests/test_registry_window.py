@@ -112,7 +112,6 @@ RECHECK: dict[str, str] = {
     "docs_edit_distance": "stale-r5",
     "docs_mixture_sample": "stale-r5",
     "docs_search_and": "stale-r5",
-    "docs_source_quality": "stale-r5",
 }
 
 
