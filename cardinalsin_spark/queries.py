@@ -3753,6 +3753,94 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling per (day, event_type): first/last by
+    (ts, event_id) via two row_number orders on ONE partition shuffle,
+    high/low/count as plain aggregates — all exact integer cents. The
+    classic gauge→candlestick rollup a dashboarding layer asks of a
+    metrics store."""
+    ev = _events_cents(spark, sf_dir).select(
+        time_bucket("ts", 86400).alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value_cents",
+    )
+    w_a = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_ra", F.row_number().over(w_a))
+        .withColumn("_rd", F.row_number().over(w_d))
+        .groupBy("day", "event_type")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value_cents"))).alias(
+                "open_cents"
+            ),
+            F.max("value_cents").alias("high_cents"),
+            F.min("value_cents").alias("low_cents"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value_cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_TS_OHLC = f"""
+WITH ev AS (
+  SELECT {_sql_bucket(86400)} AS day, event_type, ts, event_id,
+         {_sql_cents('value')} AS vc
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY day, event_type
+                               ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY day, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM ev
+)
+SELECT day, event_type,
+       max(CASE WHEN ra = 1 THEN vc END) AS open_cents,
+       max(vc) AS high_cents,
+       min(vc) AS low_cents,
+       max(CASE WHEN rd = 1 THEN vc END) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: daily event counts in wide form. The category
+    list is PINNED (no hidden distinct pre-scan — Spark's pivot without
+    values runs one), so the plan is a single hash aggregate; absent
+    cells fill 0 like the oracle's conditional counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(time_bucket("ts", 86400).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+        .orderBy("day")
+    )
+
+
+SQL_SQL_PIVOT = f"""
+SELECT {_sql_bucket(86400)} AS day,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+           for t in _PIVOT_TYPES
+       )}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based winsorized mean per event type: clamp at the p05/p95
     order statistics (percentile_disc semantics — exact integer cents, no
@@ -5318,6 +5406,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q8ish": (q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "ts_value_quartiles": (q_ts_value_quartiles, SQL_TS_VALUE_QUARTILES),
     "ts_winsorize": (q_ts_winsorize, SQL_TS_WINSORIZE),
+    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
+    "sql_pivot": (q_sql_pivot, SQL_SQL_PIVOT),
     "ts_autocorr_lag1": (q_ts_autocorr_lag1, SQL_TS_AUTOCORR_LAG1),
     "ts_crosscorr": (q_ts_crosscorr, SQL_TS_CROSSCORR),
     "ts_gap_stats": (q_ts_gap_stats, SQL_TS_GAP_STATS),
@@ -5409,9 +5499,10 @@ _DRIVER_WINDOW = [
     # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
     # ts_bloom_join / media_audio_resample / docs_sentence_stats, and
     # emb_ivfpq_residual_topk / emb_semdedup / emb_centroids /
-    # docs_tfidf_topterms / docs_source_quality displaced by the
-    # docs_char_diversity / docs_zipf_ranks / ts_winsorize /
-    # media_scene_change / emb_mmr_rerank additions.
+    # docs_tfidf_topterms / docs_source_quality / docs_mixture_sample /
+    # docs_search_and displaced by the docs_char_diversity /
+    # docs_zipf_ranks / ts_winsorize / media_scene_change /
+    # emb_mmr_rerank / ts_ohlc / sql_pivot additions.
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5437,6 +5528,8 @@ _DRIVER_WINDOW = [
     "ts_winsorize",
     "media_scene_change",
     "emb_mmr_rerank",
+    "ts_ohlc",
+    "sql_pivot",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5466,8 +5559,6 @@ _DRIVER_WINDOW = [
     "docs_containment",
     "docs_dup_cluster_stats",
     "docs_edit_distance",
-    "docs_mixture_sample",
-    "docs_search_and",
 ]
 
 

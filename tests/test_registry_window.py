@@ -110,8 +110,6 @@ RECHECK: dict[str, str] = {
     "docs_containment": "stale-r5",
     "docs_dup_cluster_stats": "stale-r5",
     "docs_edit_distance": "stale-r5",
-    "docs_mixture_sample": "stale-r5",
-    "docs_search_and": "stale-r5",
 }
 
 
