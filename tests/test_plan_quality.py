@@ -491,3 +491,73 @@ def test_bloom_semi_join_broadcasts_never_shuffles_fact_by_key(spark, sf_dir):
     # nothing in this plan may fall back to a nested-loop product
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_char_diversity_is_exchange_free(spark, sf_dir):
+    """The letter-histogram diversity is 26 constant-width counters folded
+    per row — a pure map: the plan must contain NO exchange and NO Python
+    node (whole-stage codegen end to end)."""
+    plan = plan_string(_df(spark, sf_dir, "docs_char_diversity"), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_zipf_ranks_partial_top_k_and_shared_scan(spark, sf_dir):
+    """The global rank<=100 must compile to TakeOrderedAndProject (the
+    distributed top-k with map-side partials — stronger than the
+    WindowGroupLimit fallback), term counts must partial-aggregate, and
+    at runtime AQE must REUSE the term-count shuffle between the top-100
+    branch and the corpus-total branch — the corpus explode runs ONCE."""
+    df = _df(spark, sf_dir, "docs_zipf_ranks")
+    plan = plan_string(df, "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """The per-group p05/p95 bounds frame is group-count-sized: it must
+    come back as a broadcast join, never a shuffled one."""
+    df = _df(spark, sf_dir, "ts_winsorize")
+    assert is_broadcast_join(df), plan_string(df, "simple")
+
+
+def test_ohlc_windows_share_one_exchange(spark, sf_dir):
+    """The asc/desc row_number orders partition on the same
+    (day, event_type) key — ONE hash exchange feeds both sorts; the final
+    aggregate reuses the partitioning (AQE), keeping the plan ≤ 2
+    hash exchanges."""
+    df = _df(spark, sf_dir, "ts_ohlc")
+    plan = plan_string(df, "formatted")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """Pinned-category PIVOT must plan as one partial-aggregated hash
+    aggregate — no hidden distinct scan over the category column, no
+    join."""
+    df = _df(spark, sf_dir, "sql_pivot")
+    plan = plan_string(df, "formatted")
+    assert "partial_" in plan
+    assert "Join" not in plan, plan
+
+
+def test_mmr_candidate_vectors_broadcast(spark, sf_dir):
+    """MMR's vector fetch joins the ≤ |queries|·n_candidates id set back
+    onto the corpus — it must be a broadcast hash join (the corpus never
+    shuffles on vec_id); the greedy runs in exactly one
+    FlatMapGroupsInPandas."""
+    df = _df(spark, sf_dir, "emb_mmr_rerank")
+    plan = plan_string(df, "simple")
+    assert is_broadcast_join(df), plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_scene_change_prunes_doc_metadata(spark, sf_dir):
+    """Scene change reads only the blob source + dims from the documents
+    scan; lang/source must be pruned."""
+    df = _df(spark, sf_dir, "media_scene_change")
+    cols = scan_read_schema(df)
+    assert "lang" not in cols and "source" not in cols, cols
