@@ -5502,7 +5502,8 @@ _DRIVER_WINDOW = [
     # docs_tfidf_topterms / docs_source_quality / docs_mixture_sample /
     # docs_search_and displaced by the docs_char_diversity /
     # docs_zipf_ranks / ts_winsorize / media_scene_change /
-    # emb_mmr_rerank / ts_ohlc / sql_pivot additions.
+    # emb_mmr_rerank / ts_ohlc / sql_pivot additions (docs_edit_distance
+    # by docs_drift_chisq).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5530,6 +5531,7 @@ _DRIVER_WINDOW = [
     "emb_mmr_rerank",
     "ts_ohlc",
     "sql_pivot",
+    "docs_drift_chisq",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5558,7 +5560,6 @@ _DRIVER_WINDOW = [
     "docs_chunk_windows",
     "docs_containment",
     "docs_dup_cluster_stats",
-    "docs_edit_distance",
 ]
 
 

@@ -1291,6 +1291,70 @@ FROM (SELECT media_id, width, height, tiled,
 """
 
 
+def q_docs_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift detector: contingency chi-square of
+    the document-length histogram (fixed 100-char bins capped at 9 — no
+    global sort, unlike quantile binning) against the corpus marginals.
+    The log-free PSI alternative a data pipeline runs to catch a source
+    whose length profile shifted between crawls.
+
+    term = (o − e)²/e with e = T_s·C_b/C, carried as
+    d²/(C·T_s·C_b) where d = o·C − T_s·C_b stays exact int64; the one
+    double square + one division are correctly-rounded IEEE ops, so the
+    rounded term is engine-identical. Shape: one scan → (source, bin)
+    hash agg; ALL marginals re-aggregate from that tiny contingency
+    frame (source-count × 10 rows) — the corpus is read once."""
+    df = _docs(spark, sf_dir)
+    o = (
+        df.select(
+            "source",
+            F.least(F.expr("length(text) div 100"), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    t_s = o.groupBy("source").agg(F.sum("o").alias("t_s"))
+    c_b = o.groupBy("bin").agg(F.sum("o").alias("c_b"))
+    c = o.agg(F.sum("o").alias("c"))
+    d = F.col("o") * F.col("c") - F.col("t_s") * F.col("c_b")
+    den = F.col("c") * F.col("t_s") * F.col("c_b")
+    return (
+        o.join(F.broadcast(t_s), "source")
+        .join(F.broadcast(c_b), "bin")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "source",
+            "bin",
+            "o",
+            F.round(
+                (d.cast("double") * d.cast("double")) / den.cast("double"), 6
+            ).alias("chi_term"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+SQL_DOCS_DRIFT_CHISQ = """
+WITH o AS (
+  SELECT source,
+         CAST(least(length(text) // 100, 9) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(sum(o) AS BIGINT) AS t_s FROM o GROUP BY 1),
+b AS (SELECT bin, CAST(sum(o) AS BIGINT) AS c_b FROM o GROUP BY 1),
+g AS (SELECT CAST(sum(o) AS BIGINT) AS c FROM o)
+SELECT o.source, o.bin, o.o,
+       round(
+         (CAST(o.o*c - t_s*c_b AS DOUBLE) * CAST(o.o*c - t_s*c_b AS DOUBLE))
+         / CAST(c * t_s * c_b AS DOUBLE), 6) AS chi_term
+FROM o JOIN t USING (source) JOIN b USING (bin) CROSS JOIN g
+ORDER BY 1, 2
+"""
+
+
 def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-5 from the exact top-20 cosine candidates
     (lam=0.7, mu=0.3): greedy relevance-vs-redundancy re-rank."""
@@ -3214,6 +3278,7 @@ REGISTRY_LLM = {
     "emb_cosine_lsh": (q_emb_cosine_lsh, SQL_EMB_COSINE_LSH),
     "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
     "emb_hamming_recall": (q_emb_hamming_recall, SQL_EMB_HAMMING_RECALL),
+    "docs_drift_chisq": (q_docs_drift_chisq, SQL_DOCS_DRIFT_CHISQ),
     "emb_mmr_rerank": (q_emb_mmr_rerank, SQL_EMB_MMR_RERANK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),

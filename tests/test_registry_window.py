@@ -109,7 +109,6 @@ RECHECK: dict[str, str] = {
     "docs_chunk_windows": "stale-r5",
     "docs_containment": "stale-r5",
     "docs_dup_cluster_stats": "stale-r5",
-    "docs_edit_distance": "stale-r5",
 }
 
 
