@@ -141,10 +141,16 @@ class SnapshotCatalog:
     ``CasBackend``; data files always live under ``root`` on the shared
     filesystem — only the manifest log goes through the backend)."""
 
-    def __init__(self, root: str, backend: CasBackend | None = None):
+    def __init__(self, root: str, backend: CasBackend | None = None, clock=None):
+        from cardinalsin_spark.clock import BoundedClock
+
         self.root = root
         self.dir = os.path.join(root, "_snapshots")
         self.backend = backend if backend is not None else LocalFsCas(self.dir)
+        # BoundedClock: commit stamps never go backward even on an NTP
+        # rewind, so version order and committed_at_ns order always agree
+        # (version_as_of depends on that). Injectable for tests.
+        self.clock = clock if clock is not None else BoundedClock()
 
     # -- manifest log -----------------------------------------------------
 
@@ -195,7 +201,12 @@ class SnapshotCatalog:
         for p in rel:
             if p.startswith(".."):
                 raise ValueError(f"data file {p!r} is outside the table root")
-        body = {"version": next_v, "parent": base_version, "files": rel}
+        body = {
+            "version": next_v,
+            "parent": base_version,
+            "files": rel,
+            "committed_at_ns": self.clock.now_nanos(),
+        }
         self.backend.put_if_absent(
             self._key(next_v), json.dumps(body, indent=1).encode()
         )
@@ -255,6 +266,68 @@ class SnapshotCatalog:
             )
         groups: dict[tuple[str, ...], list[str]] = {}
         for p in paths:
+            groups.setdefault(self._partition_keys(p), []).append(p)
+        frames = []
+        for key in sorted(groups):
+            reader = spark.read.option("mergeSchema", "true")
+            if key:
+                reader = reader.option("basePath", self.root)
+            frames.append(reader.parquet(*sorted(groups[key])))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def version_as_of(self, ts_ns: int) -> int:
+        """Time travel: the latest version committed at or before
+        ``ts_ns``. Manifests from before commit stamping (no
+        ``committed_at_ns``) are treated as infinitely old, so they stay
+        reachable. Raises if the table did not exist yet at ``ts_ns``."""
+        best = None
+        for v in self.versions():
+            stamp = self.manifest(v).get("committed_at_ns", 0)
+            if stamp <= ts_ns:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot under {self.dir} committed at or before {ts_ns}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_ns: int) -> DataFrame:
+        """``read`` pinned to :meth:`version_as_of` — the repeatable
+        "query the table as it was at T" read (reference CAS-versioned
+        metadata ``metadata/s3.rs:181-260`` names versions but never
+        exposes time travel; superset)."""
+        return self.read(spark, self.version_as_of(ts_ns))
+
+    def diff(self, v_from: int | None, v_to: int | None = None) -> dict:
+        """File-level changes between two snapshots: relative paths added
+        and removed going ``v_from`` → ``v_to`` (head by default;
+        ``v_from=None`` means the empty table, so every file is new).
+        Removed ≠ deleted: pinned readers still see them until vacuum."""
+        old = set(self.manifest(v_from)["files"]) if v_from is not None else set()
+        new = set(self.manifest(v_to)["files"])
+        return {
+            "added": sorted(new - old),
+            "removed": sorted(old - new),
+        }
+
+    def read_changes(
+        self, spark: SparkSession, v_from: int | None, v_to: int | None = None
+    ) -> DataFrame:
+        """Incremental read: rows in the files ADDED between two versions —
+        CDC-style consumption for the append-only ingest path (a consumer
+        checkpoints the version it has processed and reads only the delta;
+        files a compaction merely rewrote come back as adds, matching
+        Delta/Iceberg append-CDF semantics). Empty diff → empty frame with
+        the head snapshot's schema, so downstream unions never branch."""
+        added = self.diff(v_from, v_to)["added"]
+        if not added:
+            return self.read(spark, v_to).limit(0)
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for rel in added:
+            p = os.path.join(self.root, rel)
             groups.setdefault(self._partition_keys(p), []).append(p)
         frames = []
         for key in sorted(groups):

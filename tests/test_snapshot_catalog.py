@@ -292,3 +292,73 @@ def test_catalog_full_lifecycle_on_memory_backend(spark, tmp_path):
     deleted = cat.vacuum(keep_last=1)
     assert deleted and cat.versions() == [v1]
     assert cat.read(spark).count() == 100
+
+
+def test_time_travel_version_as_of(spark, table, tmp_path):
+    """Commit stamps come from the injectable BoundedClock; version_as_of
+    resolves the latest version at-or-before T, raises before the table
+    existed, and a wall-clock REWIND between commits still yields
+    monotone stamps (version order == stamp order)."""
+    from cardinalsin_spark.clock import BoundedClock
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "tt")
+    spark.range(0, 10).write.parquet(root)
+    ticks = iter([1_000, 500, 2_000])  # NTP rewind after the first commit
+    cat = SnapshotCatalog(
+        root, clock=BoundedClock(wall_ns=lambda: next(ticks))
+    )
+    cat.init_from_directory()  # v0 @ 1000
+    extra = str(tmp_path / "extra.parquet")
+    spark.range(10, 15).coalesce(1).write.parquet(str(tmp_path / "xd"))
+    src = next(
+        f for f in os.listdir(str(tmp_path / "xd")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "xd"), src), os.path.join(root, "x.parquet"))
+    cat.commit_new_files()  # v1 @ max(500, 1001) = 1001 (never backward)
+    s0 = cat.manifest(0)["committed_at_ns"]
+    s1 = cat.manifest(1)["committed_at_ns"]
+    assert s0 == 1_000 and s1 == 1_001  # rewind absorbed, still monotone
+    assert cat.version_as_of(1_000) == 0
+    assert cat.version_as_of(1_001) == 1
+    assert cat.version_as_of(10**15) == 1
+    with pytest.raises(FileNotFoundError):
+        cat.version_as_of(999)
+    assert cat.read_as_of(spark, 1_000).count() == 10
+    assert cat.read_as_of(spark, 1_001).count() == 15
+
+
+def test_diff_and_read_changes_incremental(spark, table):
+    """diff lists exactly the files an append added; read_changes returns
+    exactly those rows (CDC-style consumption), and the empty diff yields
+    an empty frame with the snapshot schema."""
+    root, cat = table
+    spark.range(5000, 5100).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704200000) + F.col("id")).alias("timestamp"),
+        (F.col("id") % 7).alias("v"),
+    ).coalesce(1).write.mode("append").parquet(root)
+    v1 = cat.commit_new_files()
+    assert v1 == 1
+    d = cat.diff(0, 1)
+    assert len(d["added"]) == 1 and d["removed"] == []
+    changes = cat.read_changes(spark, 0, 1)
+    assert changes.count() == 100
+    assert changes.agg(F.min("id")).first()[0] == 5000
+    # full-history diff: v_from=None means everything is an add
+    assert len(cat.diff(None, 1)["added"]) == 9
+    empty = cat.read_changes(spark, 1, 1)
+    assert empty.count() == 0
+    assert empty.schema == cat.read(spark, 1).schema
+
+
+def test_diff_after_compaction_reports_rewrite(spark, table):
+    """Compaction = files removed (the merged inputs) + files added (the
+    compacted output under _data-v*): a CDC consumer sees the rewrite as
+    adds, matching append-only change-feed semantics."""
+    root, cat = table
+    cat.compact(spark, target_files=2)
+    d = cat.diff(0, 1)
+    assert len(d["removed"]) == 8
+    assert d["added"] and all("_data-v" in p for p in d["added"])
+    assert cat.read_changes(spark, 0, 1).count() == 1000
