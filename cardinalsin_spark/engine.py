@@ -168,6 +168,11 @@ class CardinalSin:
         versions."""
         return self.snapshot_catalog().read(self.spark, version)
 
+    def read_snapshot_as_of(self, ts_ns: int) -> DataFrame:
+        """Read the metrics table as it was at ``ts_ns`` (time travel on
+        commit stamps — the latest version committed at or before T)."""
+        return self.snapshot_catalog().read_as_of(self.spark, ts_ns)
+
     # -- entry point A: SQL pass-through -------------------------------------
 
     def sql(self, query: str, tenant_id: str | None = None) -> DataFrame:

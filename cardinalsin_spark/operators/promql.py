@@ -71,6 +71,15 @@ _SUBQ_RE = re.compile(
     r"\s*\(\s*(.+)\[(\d+)([smhd]):(?:(\d+)([smhd]))?\]\s*\)$",
     re.DOTALL,
 )
+# range function over a subquery: rate(expr[W:R]) — evaluate expr at
+# resolution R, apply the reference's MAX−MIN function per outer W bucket
+# (rate/increase/delta only; the last-two-samples / least-squares family
+# needs raw sample spacing that the inner grid has erased — loud reject)
+_SUBQ_FN_RE = re.compile(
+    r"^(rate|irate|increase|delta|idelta|deriv)"
+    r"\s*\(\s*(.+)\[(\d+)([smhd]):(?:(\d+)([smhd]))?\]\s*\)$",
+    re.DOTALL,
+)
 # quantile_over_time carries a leading quantile argument:
 # quantile_over_time(0.9, m[1h])
 _QOT_RE = re.compile(
@@ -364,7 +373,17 @@ def parse_promql(promql: str) -> ParsedPromQL:
         if m.group(2):
             out.label_matchers = parse_label_matchers(m.group(2))
     if not out.metric_name:
-        out.metric_name = promql  # reference fallback: whole string is the name
+        # reference fallback: the whole string becomes the metric name.
+        # That is only sane for name-shaped residue — an EXPRESSION that
+        # fell through every grammar branch (brackets, parens, operators,
+        # whitespace) would silently filter on a nonsense name and return
+        # empty; fail loudly instead (same doctrine as the offset guard)
+        if re.search(r"[\[\](){}\s+*/%<>=!,|@\"']", promql):
+            raise ValueError(
+                f"unparseable PromQL expression {promql!r}: no grammar "
+                "branch matched and the residue is not a metric name"
+            )
+        out.metric_name = promql
     return out
 
 
@@ -1512,6 +1531,45 @@ def promql_range(
         return (
             inner.groupBy(outer_bucket.alias("time_bucket"), *keys)
             .agg(agg_col.alias("value"))
+            .orderBy("time_bucket", *keys)
+        )
+
+    sqf = _SUBQ_FN_RE.match(promql.strip())
+    if sqf:
+        fn = sqf.group(1)
+        if fn not in ("rate", "increase", "delta"):
+            raise ValueError(
+                f"{fn} over a subquery is not supported: the inner grid "
+                "erases the raw sample spacing the last-two-samples/"
+                "least-squares family needs (rate/increase/delta use the "
+                "reference's MAX−MIN form and are supported)"
+            )
+        if faithful:
+            raise ValueError(
+                f"faithful {fn} over a subquery is not supported — the "
+                "counter-reset machinery needs raw samples, not the inner "
+                "grid; use faithful=False"
+            )
+        window_s = int(float(sqf.group(3)) * _UNIT_SECONDS[sqf.group(4)])
+        resolution_s = (
+            int(float(sqf.group(5)) * _UNIT_SECONDS[sqf.group(6)])
+            if sqf.group(5)
+            else int(step_s)
+        )
+        inner = promql_range(
+            df, sqf.group(2), start_s, end_s, resolution_s, cols, faithful,
+            ts_ns_col,
+        )
+        keys = [c for c in inner.columns if c not in ("time_bucket", "value")]
+        outer_bucket = F.timestamp_seconds(
+            (F.unix_seconds(F.col("time_bucket")) / window_s).cast("long")
+            * F.lit(window_s)
+        )
+        spread = F.max("value") - F.min("value")
+        value = spread / F.lit(float(window_s)) if fn == "rate" else spread
+        return (
+            inner.groupBy(outer_bucket.alias("time_bucket"), *keys)
+            .agg(value.alias("value"))
             .orderBy("time_bucket", *keys)
         )
 

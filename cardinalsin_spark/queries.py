@@ -3176,6 +3176,47 @@ FROM inner_rate GROUP BY 1, 2, 3
 """
 
 
+def q_promql_subquery_outer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`increase(purchase[1d:6h])`: range FUNCTION over a subquery — the
+    inner default range (avg per 6h bucket) feeds the reference's MAX−MIN
+    increase per 1d outer window (two-level tumbling evaluation; the
+    outer-fn direction of `promql_subquery_max_rate`). max/min are
+    order-free, one subtraction + one division → engine-deterministic."""
+    from cardinalsin_spark.operators.promql import promql_range
+
+    df = promql_range(
+        _events_promql(spark, sf_dir),
+        "increase(purchase[1d:6h])",
+        start_s=1704067200.0,
+        end_s=1706745600.0,
+        step_s=86400,
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "time_bucket",
+        "event_type",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    )
+
+
+SQL_PROMQL_SUBQUERY_OUTER_RATE = f"""
+WITH filtered AS (
+  SELECT ts, event_type, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+),
+inner_avg AS (
+  SELECT {_sql_bucket(21600)} AS tb, event_type, avg(vc) AS v
+  FROM filtered GROUP BY 1, 2
+)
+SELECT {_sql_bucket(86400, 'tb')} AS time_bucket, event_type,
+       round((max(v) - min(v)) / 100.0, 6) AS value
+FROM inner_avg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`quantile_over_time(0.9, purchase[1d])`: per-SERIES interpolated
     quantile over each bucket's samples (the per-series twin of the
@@ -5387,6 +5428,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_subquery_max_rate,
         SQL_PROMQL_SUBQUERY_MAX_RATE,
     ),
+    "promql_subquery_outer_rate": (
+        q_promql_subquery_outer_rate,
+        SQL_PROMQL_SUBQUERY_OUTER_RATE,
+    ),
     "maint_zorder_key": (q_maint_zorder_key, SQL_MAINT_ZORDER_KEY),
     "tpch_q4ish": (q_tpch_q4ish, SQL_TPCH_Q4ISH),
     "tpch_q16ish": (q_tpch_q16ish, SQL_TPCH_Q16ISH),
@@ -5503,7 +5548,8 @@ _DRIVER_WINDOW = [
     # docs_search_and displaced by the docs_char_diversity /
     # docs_zipf_ranks / ts_winsorize / media_scene_change /
     # emb_mmr_rerank / ts_ohlc / sql_pivot additions (docs_edit_distance
-    # by docs_drift_chisq).
+    # by docs_drift_chisq, docs_dup_cluster_stats by
+    # promql_subquery_outer_rate).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5532,6 +5578,7 @@ _DRIVER_WINDOW = [
     "ts_ohlc",
     "sql_pivot",
     "docs_drift_chisq",
+    "promql_subquery_outer_rate",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5559,7 +5606,6 @@ _DRIVER_WINDOW = [
     "docs_bm25",
     "docs_chunk_windows",
     "docs_containment",
-    "docs_dup_cluster_stats",
 ]
 
 

@@ -2044,3 +2044,52 @@ def test_cmp_group_left_modifier(spark, sf_dir):
             "sum by (user_id) (view)",
             time_s=t, cols=EV_CENTS,
         )
+
+
+def test_range_fn_over_subquery(spark, sf_dir):
+    """rate/increase/delta over a subquery: inner expr evaluates on the
+    resolution grid, the outer window applies the reference's MAX−MIN
+    form per W bucket. Verified against a hand-built two-level
+    computation; irate/deriv and faithful variants loud-reject; an
+    expression that no grammar branch recognizes raises instead of
+    silently filtering on a nonsense metric name."""
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    kw = dict(
+        start_s=1704067200.0,
+        end_s=1704067200.0 + 86400 * 8,
+        step_s=2 * 86400,
+        cols=EV_CENTS,
+    )
+    got = {
+        (r.time_bucket, r.event_type): r.value
+        for r in promql_range(ev, "increase(purchase[2d:1d])", **kw).collect()
+    }
+    assert got
+    import datetime as _dt
+
+    inner = promql_range(ev, "purchase", **{**kw, "step_s": 86400})
+    two_day = {}
+    for r in inner.collect():
+        epoch = r.time_bucket.replace(tzinfo=_dt.timezone.utc).timestamp()
+        b = _dt.datetime.fromtimestamp(
+            (int(epoch) // 172800) * 172800, _dt.timezone.utc
+        ).replace(tzinfo=None)
+        two_day.setdefault((b, r.event_type), []).append(r.value)
+    want = {k: max(v) - min(v) for k, v in two_day.items()}
+    assert got == want
+    rate = {
+        (r.time_bucket, r.event_type): r.value
+        for r in promql_range(ev, "rate(purchase[2d:1d])", **kw).collect()
+    }
+    assert rate == {k: v / (2 * 86400.0) for k, v in want.items()}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="over a subquery"):
+        promql_range(ev, "deriv(purchase[2d:1d])", **kw)
+    with _pt.raises(ValueError, match="faithful"):
+        promql_range(ev, "rate(purchase[2d:1d])", **{**kw, "faithful": True})
+    with _pt.raises(ValueError, match="unparseable"):
+        promql_range(ev, "rate(purchase[2d:1d]", **kw)  # unbalanced residue

@@ -108,7 +108,6 @@ RECHECK: dict[str, str] = {
     "docs_bm25": "stale-r5",
     "docs_chunk_windows": "stale-r5",
     "docs_containment": "stale-r5",
-    "docs_dup_cluster_stats": "stale-r5",
 }
 
 
