@@ -378,7 +378,7 @@ def parse_promql(promql: str) -> ParsedPromQL:
         # fell through every grammar branch (brackets, parens, operators,
         # whitespace) would silently filter on a nonsense name and return
         # empty; fail loudly instead (same doctrine as the offset guard)
-        if re.search(r"[\[\](){}\s+*/%<>=!,|@\"']", promql):
+        if re.search(r"[\[\](){}\s+*/%<>=!,|@\"'\-^~&#;$`\\]", promql):
             raise ValueError(
                 f"unparseable PromQL expression {promql!r}: no grammar "
                 "branch matched and the residue is not a metric name"

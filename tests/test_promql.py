@@ -2093,3 +2093,23 @@ def test_range_fn_over_subquery(spark, sf_dir):
         promql_range(ev, "rate(purchase[2d:1d])", **{**kw, "faithful": True})
     with _pt.raises(ValueError, match="unparseable"):
         promql_range(ev, "rate(purchase[2d:1d]", **kw)  # unbalanced residue
+
+
+def test_parse_fallback_rejects_expression_residue():
+    """The leaf parser's reference fallback (whole string = metric name)
+    must only accept name-shaped residue: unary minus, matrix selectors,
+    unbalanced fragments, and unspaced `m-n` raise instead of silently
+    filtering on a nonsense metric name. Valid names (colons, dunders)
+    still pass through."""
+    import pytest as _pt
+
+    from cardinalsin_spark.operators.promql import parse_promql
+
+    for bad in ["-m", "m[5m]", "rate(m[5m]", "m-n", "m$x", "''", "m n"]:
+        with _pt.raises(ValueError, match="unparseable"):
+            parse_promql(bad)
+    for good in ["valid_name", "name:with:colons", "__name__"]:
+        assert parse_promql(good).metric_name == good
+    # quoted matcher values keep their operator-looking content
+    p = parse_promql('m{label="va[l-u/e"}')
+    assert p.metric_name == "m" and p.label_matchers[0].value == "va[l-u/e"
