@@ -19,6 +19,16 @@ SQL string. Supported grammar (exactly the reference's):
   with an optional ``offset Nu`` modifier (beyond the reference)
 - wrappers (beyond the reference): ``label_replace(v, dst, repl, src, re)``,
   ``label_join(v, dst, sep, src...)``, ``absent(selector)`` (instant)
+- subqueries (beyond the reference, range queries): ``fn_over_time(
+  expr[W:R])`` for the over_time family, and range functions OVER a
+  subquery ``rate|increase|delta(expr[W:R])`` (inner grid at R, the
+  reference's MAX−MIN form per outer W bucket; irate/idelta/deriv and
+  faithful variants loud-reject — the inner grid erases raw sample
+  spacing)
+- fail-loudly: residue no grammar branch recognizes raises ``ValueError``
+  — including the leaf name-fallback, which only accepts metric-name-
+  shaped strings (an expression-looking fallthrough used to silently
+  filter on a nonsense name and return empty)
 
 Deviations from the reference (documented, deliberate):
 - ``topk``/``bottomk`` take their k argument and apply a real LIMIT
