@@ -19,11 +19,12 @@ SQL string. Supported grammar (exactly the reference's):
   with an optional ``offset Nu`` modifier (beyond the reference)
 - wrappers (beyond the reference): ``label_replace(v, dst, repl, src, re)``,
   ``label_join(v, dst, sep, src...)``, ``absent(selector)`` (instant)
-- subqueries (beyond the reference, range queries): ``fn_over_time(
-  expr[W:R])`` for the over_time family, and range functions OVER a
-  subquery ``rate|increase|delta(expr[W:R])`` (inner grid at R, the
-  reference's MAX−MIN form per outer W bucket; irate/idelta/deriv and
-  faithful variants loud-reject — the inner grid erases raw sample
+- subqueries (beyond the reference, range AND instant queries):
+  ``fn_over_time(expr[W:R])`` for the over_time family, and range
+  functions OVER a subquery ``rate|increase|delta(expr[W:R])`` (inner
+  grid at R, the reference's MAX−MIN form per outer W bucket — or per
+  series over [time−W, time] for an instant query; irate/idelta/deriv
+  and faithful variants loud-reject — the inner grid erases raw sample
   spacing)
 - fail-loudly: residue no grammar branch recognizes raises ``ValueError``
   — including the leaf name-fallback, which only accepts metric-name-
@@ -718,6 +719,50 @@ def promql_instant(
         ).orderBy(*keys) if keys else joined.select(
             arith(F.col("_lv"), F.col("_rv")).alias("value")
         )
+
+    sq = _SUBQ_RE.match(promql.strip()) or _SUBQ_FN_RE.match(promql.strip())
+    if sq:
+        # instant subquery: evaluate the inner expression over the closed
+        # window [time_s − W, time_s] on the R grid, then collapse it to
+        # one sample per series — fn_over_time aggregates the points,
+        # rate/increase/delta apply the reference's MAX−MIN form
+        if time_s is None:
+            raise ValueError(
+                "subqueries in instant queries need an explicit "
+                "evaluation time (pass time_s)"
+            )
+        fn = sq.group(1)
+        if fn in ("irate", "idelta", "deriv"):
+            raise ValueError(
+                f"{fn} over a subquery is not supported: the inner grid "
+                "erases the raw sample spacing it needs"
+            )
+        window_s = int(float(sq.group(3)) * _UNIT_SECONDS[sq.group(4)])
+        if not sq.group(5):
+            raise ValueError(
+                "instant subqueries need an explicit resolution "
+                "(expr[W:R]) — there is no outer step grid to inherit"
+            )
+        resolution_s = int(float(sq.group(5)) * _UNIT_SECONDS[sq.group(6)])
+        inner = promql_range(
+            df, sq.group(2), time_s - window_s, time_s, resolution_s, cols
+        )
+        keys = [c for c in inner.columns if c not in ("time_bucket", "value")]
+        if fn in ("rate", "increase", "delta"):
+            spread = F.max("value") - F.min("value")
+            agg_col = (
+                spread / F.lit(float(window_s)) if fn == "rate" else spread
+            )
+        elif fn == "last":
+            agg_col = F.expr("max_by(value, time_bucket)")
+        else:
+            agg_col = _agg_column(fn, "value")
+        out = (
+            inner.groupBy(*keys)
+            .agg(agg_col.alias("value"))
+            .filter(F.col("value").isNotNull())
+        )
+        return out.orderBy(*keys) if keys else out
 
     am = _ABSENT_RE.match(promql.strip())
     if am:

@@ -2113,3 +2113,36 @@ def test_parse_fallback_rejects_expression_residue():
     # quoted matcher values keep their operator-looking content
     p = parse_promql('m{label="va[l-u/e"}')
     assert p.metric_name == "m" and p.label_matchers[0].value == "va[l-u/e"
+
+
+def test_instant_subquery(spark, sf_dir):
+    """Instant-query subqueries: `avg_over_time(purchase[2d:1d])` at T
+    aggregates the inner 1d-grid points over the closed [T−2d, T] window,
+    one row per series — verified against the hand-built inner range;
+    rate over a subquery divides the MAX−MIN spread by W. Missing
+    resolution and unpinned time loud-reject."""
+    import pytest as _pt
+
+    from cardinalsin_spark.operators.promql import promql_instant, promql_range
+    from cardinalsin_spark.queries import EV_CENTS, _events_promql
+
+    ev = _events_promql(spark, sf_dir)
+    t = 1704067200.0 + 86400 * 10
+    got = promql_instant(
+        ev, "avg_over_time(purchase[2d:1d])", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert len(got) == 1
+    inner = promql_range(
+        ev, "purchase", start_s=t - 2 * 86400, end_s=t, step_s=86400,
+        cols=EV_CENTS,
+    ).collect()
+    vals = [r.value for r in inner]
+    assert got[0].value == sum(vals) / len(vals)
+    rate = promql_instant(
+        ev, "rate(purchase[2d:1d])", time_s=t, cols=EV_CENTS
+    ).collect()
+    assert rate[0].value == (max(vals) - min(vals)) / (2 * 86400.0)
+    with _pt.raises(ValueError, match="explicit resolution"):
+        promql_instant(ev, "avg_over_time(purchase[2d:])", time_s=t, cols=EV_CENTS)
+    with _pt.raises(ValueError, match="evaluation time"):
+        promql_instant(ev, "avg_over_time(purchase[2d:1d])", time_s=None, cols=EV_CENTS)
