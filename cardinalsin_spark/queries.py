@@ -3217,6 +3217,43 @@ FROM inner_avg GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_promql_instant_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_over_time(purchase[2d:6h])` as an INSTANT query at a pinned
+    eval time: the inner default range evaluates on the 6h grid over the
+    closed [T−2d, T] window, then collapses to one sample per series
+    (round-8 grammar: subqueries in both query modes). Inner avgs are
+    single divisions of exact-int sums; the outer max is order-free, so
+    the chain stays engine-deterministic."""
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = promql_instant(
+        _events_promql(spark, sf_dir),
+        "max_over_time(purchase[2d:6h])",
+        time_s=1704931200.0,  # 2024-01-11 00:00:00 UTC
+        cols=EV_CENTS,
+    )
+    return df.select(
+        "event_type", F.round(F.col("value") / 100.0, 6).alias("value")
+    )
+
+
+SQL_PROMQL_INSTANT_SUBQUERY = f"""
+WITH filtered AS (
+  SELECT ts, event_type, {_sql_cents('value')} AS vc
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-09 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-11 00:00:00'
+),
+inner_avg AS (
+  SELECT {_sql_bucket(21600)} AS tb, event_type, avg(vc) AS v
+  FROM filtered GROUP BY 1, 2
+)
+SELECT event_type, round(max(v) / 100.0, 6) AS value
+FROM inner_avg GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`quantile_over_time(0.9, purchase[1d])`: per-SERIES interpolated
     quantile over each bucket's samples (the per-series twin of the
@@ -5432,6 +5469,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_promql_subquery_outer_rate,
         SQL_PROMQL_SUBQUERY_OUTER_RATE,
     ),
+    "promql_instant_subquery": (
+        q_promql_instant_subquery,
+        SQL_PROMQL_INSTANT_SUBQUERY,
+    ),
     "maint_zorder_key": (q_maint_zorder_key, SQL_MAINT_ZORDER_KEY),
     "tpch_q4ish": (q_tpch_q4ish, SQL_TPCH_Q4ISH),
     "tpch_q16ish": (q_tpch_q16ish, SQL_TPCH_Q16ISH),
@@ -5549,7 +5590,8 @@ _DRIVER_WINDOW = [
     # docs_zipf_ranks / ts_winsorize / media_scene_change /
     # emb_mmr_rerank / ts_ohlc / sql_pivot additions (docs_edit_distance
     # by docs_drift_chisq, docs_dup_cluster_stats by
-    # promql_subquery_outer_rate).
+    # promql_subquery_outer_rate, docs_containment by
+    # promql_instant_subquery).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5579,6 +5621,7 @@ _DRIVER_WINDOW = [
     "sql_pivot",
     "docs_drift_chisq",
     "promql_subquery_outer_rate",
+    "promql_instant_subquery",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5605,7 +5648,6 @@ _DRIVER_WINDOW = [
     "docs_bigram_lift",
     "docs_bm25",
     "docs_chunk_windows",
-    "docs_containment",
 ]
 
 

@@ -107,7 +107,6 @@ RECHECK: dict[str, str] = {
     "docs_bigram_lift": "stale-r5",
     "docs_bm25": "stale-r5",
     "docs_chunk_windows": "stale-r5",
-    "docs_containment": "stale-r5",
 }
 
 
