@@ -385,11 +385,14 @@ def parse_promql(promql: str) -> ParsedPromQL:
             out.label_matchers = parse_label_matchers(m.group(2))
     if not out.metric_name:
         # reference fallback: the whole string becomes the metric name.
-        # That is only sane for name-shaped residue — an EXPRESSION that
-        # fell through every grammar branch (brackets, parens, operators,
-        # whitespace) would silently filter on a nonsense name and return
-        # empty; fail loudly instead (same doctrine as the offset guard)
-        if re.search(r"[\[\](){}\s+*/%<>=!,|@\"'\-^~&#;$`\\]", promql):
+        # That is only sane for name-shaped residue — the reference's lax
+        # model (and this engine's arbitrary name column) admits weird
+        # names like dashes, so those stay queryable — but an EXPRESSION
+        # that fell through every grammar branch (brackets, parens,
+        # operators, whitespace, quotes) would silently filter on a
+        # nonsense name and return empty; fail loudly instead (same
+        # doctrine as the offset guard)
+        if re.search(r"[\[\](){}\s+*/%<>=!,|@\"'^~;`\\]", promql):
             raise ValueError(
                 f"unparseable PromQL expression {promql!r}: no grammar "
                 "branch matched and the residue is not a metric name"

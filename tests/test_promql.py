@@ -2097,18 +2097,19 @@ def test_range_fn_over_subquery(spark, sf_dir):
 
 def test_parse_fallback_rejects_expression_residue():
     """The leaf parser's reference fallback (whole string = metric name)
-    must only accept name-shaped residue: unary minus, matrix selectors,
-    unbalanced fragments, and unspaced `m-n` raise instead of silently
-    filtering on a nonsense metric name. Valid names (colons, dunders)
-    still pass through."""
+    must only accept name-shaped residue: matrix selectors, unbalanced
+    fragments, operator/quote/whitespace leftovers raise instead of
+    silently filtering on a nonsense metric name. Weird-but-plausible
+    names (dashes — the reference's lax model, pinned by
+    test_fallback_whole_string — colons, dunders) still pass through."""
     import pytest as _pt
 
     from cardinalsin_spark.operators.promql import parse_promql
 
-    for bad in ["-m", "m[5m]", "rate(m[5m]", "m-n", "m$x", "''", "m n"]:
+    for bad in ["m[5m]", "rate(m[5m]", "a|b", "m~x", "''", "m n", "m^2y"]:
         with _pt.raises(ValueError, match="unparseable"):
             parse_promql(bad)
-    for good in ["valid_name", "name:with:colons", "__name__"]:
+    for good in ["valid_name", "name:with:colons", "__name__", "-m", "m-n"]:
         assert parse_promql(good).metric_name == good
     # quoted matcher values keep their operator-looking content
     p = parse_promql('m{label="va[l-u/e"}')
