@@ -427,10 +427,15 @@ def char_diversity(df: DataFrame, text_col: str = "text", scale: int = 1_000_000
         ]
     )
     zero = F.lit(0).cast("long")
-    n = F.aggregate(cnts, zero, lambda a, x: a + x)
-    sumsq = F.aggregate(cnts, zero, lambda a, x: a + x * x)
-    n_distinct = F.size(F.filter(cnts, lambda c: c > 0))
-    base = df.select(
+    # materialize the counter array ONCE: embedding `cnts` in each of the
+    # three folds would replicate the 26-replace tree 3x — triple the
+    # string scans and a codegen blowup
+    staged = df.select("doc_id", cnts.alias("_c"))
+    c = F.col("_c")
+    n = F.aggregate(c, zero, lambda a, x: a + x)
+    sumsq = F.aggregate(c, zero, lambda a, x: a + x * x)
+    n_distinct = F.size(F.filter(c, lambda v: v > 0))
+    base = staged.select(
         "doc_id",
         n.alias("_n"),
         sumsq.alias("_ss"),
