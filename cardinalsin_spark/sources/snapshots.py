@@ -381,17 +381,61 @@ class SnapshotCatalog:
         before commit) leaves the table untouched — the new data dir is
         unreferenced, underscore-hidden garbage that the next compact
         attempt clears."""
-        import shutil
-
         head = self.current_version()
         if head is None:
             raise FileNotFoundError("nothing to compact: no snapshots")
+        return self._rewrite_and_commit(
+            self.read(spark, head), head, target_files, ts_col
+        )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        ts_col: str = "timestamp",
+        target_files: int = 1,
+    ) -> int:
+        """Keyed MERGE (upsert): commit a new snapshot equal to the head
+        with ``updates`` winning on key collisions — rows whose key
+        matches an update are replaced, everything else survives, new
+        keys append. Delta-style copy-on-write realized on the manifest
+        log: pinned readers keep the pre-merge version; a CAS conflict
+        (or crash) leaves only unreferenced underscore-hidden garbage.
+
+        Scale note: this baseline rewrites the whole head snapshot (the
+        anti-join is one shuffle on ``key_cols``). The 100 TB refinement —
+        rewriting only the files whose key ranges intersect the updates,
+        like Delta's file-pruned COW — needs per-file key stats in the
+        manifest; the chunk-stats machinery (``sources/catalog.py``) is
+        the natural donor and the commit path here stays unchanged."""
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError("nothing to merge into: no snapshots")
+        current = self.read(spark, head)
+        # no broadcast hint: AQE broadcasts the key frame when it is small
+        # (the usual upsert shape) and degrades to a shuffle join when a
+        # bulk backfill makes it large — either plan is correct
+        keys = updates.select(*key_cols).distinct()
+        merged = current.join(keys, key_cols, "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
+        return self._rewrite_and_commit(merged, head, target_files, ts_col)
+
+    def _rewrite_and_commit(
+        self, df: DataFrame, head: int, target_files: int, ts_col: str
+    ) -> int:
+        """Stage → rename → CAS-commit a full rewrite (shared by compact
+        and merge_upsert). The staged dir and the final data dir are both
+        underscore-prefixed, so manifest-unaware root reads never see
+        half-written generations."""
+        import shutil
+
         next_v = head + 1
         out_dir = os.path.join(self.root, f"_staged-v{next_v:06d}")
         shutil.rmtree(out_dir, ignore_errors=True)
         (
-            self.read(spark, head)
-            .coalesce(target_files)
+            df.coalesce(target_files)
             .sortWithinPartitions(ts_col)
             .write.mode("overwrite")
             .option("compression", "zstd")

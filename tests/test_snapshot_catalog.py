@@ -362,3 +362,41 @@ def test_diff_after_compaction_reports_rewrite(spark, table):
     assert len(d["removed"]) == 8
     assert d["added"] and all("_data-v" in p for p in d["added"])
     assert cat.read_changes(spark, 0, 1).count() == 1000
+
+
+def test_merge_upsert_replaces_keys_keeps_rest(spark, table):
+    """MERGE semantics: matched keys take the update's row, unmatched
+    survive byte-identical, brand-new keys append; a reader pinned to the
+    pre-merge version still sees the original rows."""
+    root, cat = table
+    pinned = cat.read(spark, 0)
+    updates = spark.range(0, 5).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("timestamp"),
+        F.lit(999).alias("v"),
+    ).unionByName(
+        spark.range(5000, 5003).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1704300000) + F.col("id")).alias(
+                "timestamp"
+            ),
+            F.lit(777).alias("v"),
+        )
+    )
+    v1 = cat.merge_upsert(spark, updates, key_cols=["id"])
+    assert v1 == 1
+    after = cat.read(spark)
+    assert after.count() == 1003
+    assert after.filter(F.col("id") < 5).agg(F.sum("v")).first()[0] == 999 * 5
+    assert after.filter(F.col("id") >= 5000).count() == 3
+    # untouched keys keep their original values
+    assert (
+        after.filter((F.col("id") >= 5) & (F.col("id") < 1000))
+        .agg(F.sum("v")).first()[0]
+        == sum(i % 7 for i in range(5, 1000))
+    )
+    # pinned pre-merge reader: original everywhere
+    assert pinned.filter(F.col("id") < 5).agg(F.sum("v")).first()[0] == sum(
+        i % 7 for i in range(5)
+    )
+    assert pinned.count() == 1000
