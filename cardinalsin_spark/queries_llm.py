@@ -1291,6 +1291,47 @@ FROM (SELECT media_id, width, height, tiled,
 """
 
 
+def q_docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector dedup audit (the docs twin of `emb_hamming_recall`):
+    how much do the two independent near-dup detectors agree? Strong
+    MinHash pairs (exact char-shingle Jaccard ≥ 0.9) versus SimHash pairs
+    (token-hash Hamming ≤ 3) — containment of the strong-Jaccard set in
+    the SimHash set is the per-build health number a dedup pipeline
+    tracks (a drop means one detector's hashing or banding regressed).
+    The fixture has NO exact duplicates, so an exact-fingerprint ground
+    truth would be trivially zero — detector agreement stays
+    data-dependent. Exact int64 counts + one guarded division; both pair
+    sets come from the session-cached indexes."""
+    mh = (
+        _minhash_sims(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    sh = dd.simhash_pairs_from_signatures(
+        _simhash_sigs(spark, sf_dir), max_hamming=3
+    ).select("id_a", "id_b")
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash_pairs"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash_pairs"))
+    n_both = mh.join(sh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    return (
+        n_mh.crossJoin(n_sh)
+        .crossJoin(n_both)
+        .select(
+            "n_minhash_pairs",
+            "n_simhash_pairs",
+            "n_both",
+            F.when(
+                F.col("n_minhash_pairs") > 0,
+                F.expr("(n_both * 1000000) div n_minhash_pairs"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("containment_micro"),
+        )
+    )
+
+
 def q_docs_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution-drift detector: contingency chi-square of
     the document-length histogram (fixed 100-char bins capped at 9 — no
@@ -3279,6 +3320,29 @@ REGISTRY_LLM = {
     "emb_hamming_topk": (q_emb_hamming_topk, SQL_EMB_HAMMING_TOPK),
     "emb_hamming_recall": (q_emb_hamming_recall, SQL_EMB_HAMMING_RECALL),
     "docs_drift_chisq": (q_docs_drift_chisq, SQL_DOCS_DRIFT_CHISQ),
+    "docs_dedup_eval": (
+        q_docs_dedup_eval,
+        # compose the two detector oracles verbatim (nested WITH inside a
+        # CTE body — same pattern as emb_hamming_recall)
+        "\nWITH mh AS (\n  SELECT id_a, id_b FROM ("
+        + SQL_DOCS_MINHASH_PAIRS
+        + ") WHERE jaccard >= 0.9\n),\nsh AS (\n  SELECT id_a, id_b FROM ("
+        + SQL_DOCS_SIMHASH_PAIRS
+        + """)
+),
+cnt AS (
+  SELECT CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_minhash_pairs,
+         CAST((SELECT count(*) FROM sh) AS BIGINT) AS n_simhash_pairs,
+         CAST((SELECT count(*) FROM mh JOIN sh
+               USING (id_a, id_b)) AS BIGINT) AS n_both
+)
+SELECT n_minhash_pairs, n_simhash_pairs, n_both,
+       CASE WHEN n_minhash_pairs > 0
+            THEN (n_both * 1000000) // n_minhash_pairs
+            ELSE CAST(0 AS BIGINT) END AS containment_micro
+FROM cnt
+""",
+    ),
     "emb_mmr_rerank": (q_emb_mmr_rerank, SQL_EMB_MMR_RERANK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_near_dup_cc": (q_emb_near_dup_cc, SQL_EMB_NEAR_DUP_CC),

@@ -106,7 +106,6 @@ RECHECK: dict[str, str] = {
     # -- stale-r5 fillers
     "docs_bigram_lift": "stale-r5",
     "docs_bm25": "stale-r5",
-    "docs_chunk_windows": "stale-r5",
 }
 
 
