@@ -5591,7 +5591,8 @@ _DRIVER_WINDOW = [
     # emb_mmr_rerank / ts_ohlc / sql_pivot additions (docs_edit_distance
     # by docs_drift_chisq, docs_dup_cluster_stats by
     # promql_subquery_outer_rate, docs_containment by
-    # promql_instant_subquery, docs_chunk_windows by docs_dedup_eval).
+    # promql_instant_subquery, docs_chunk_windows by docs_dedup_eval,
+    # docs_bm25 by emb_class_separation).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5623,6 +5624,7 @@ _DRIVER_WINDOW = [
     "promql_subquery_outer_rate",
     "promql_instant_subquery",
     "docs_dedup_eval",
+    "emb_class_separation",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5647,7 +5649,6 @@ _DRIVER_WINDOW = [
     "docs_hll_overlap",
     # -- (c) r5-stale fillers: docs/emb/tpch tiers
     "docs_bigram_lift",
-    "docs_bm25",
 ]
 
 

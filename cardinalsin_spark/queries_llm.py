@@ -1332,6 +1332,98 @@ def q_docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between class centroids — the class-separation
+    audit an embedding pipeline tracks per build (two labels collapsing
+    toward cosine 1 means the encoder stopped separating them).
+
+    Exactness: cosine(mean_a, mean_b) equals cosine of the per-dim
+    integer SUM vectors — the 1/n factors cancel — so the whole chain is
+    exact DECIMAL(38) sums of int64 products (overflow-proof at any
+    vector count) with the single sqrt/divide float step at the end.
+    Shape: the flat centroid frame is label-count-sized; the pair join
+    and norms are label²·dim arithmetic — negligible at any corpus
+    size."""
+    # rebuild the exact per-dim integer sums (centroid_by_label's flat
+    # output already divided by n — undoing that would round)
+    q = _emb(spark, sf_dir).select(
+        "label",
+        F.posexplode(sim.quantize("embedding")).alias("pos", "_qv"),
+    )
+    s = q.groupBy("label", "pos").agg(F.sum("_qv").alias("s"))
+    dec = F.col("s").cast("decimal(38,0)")
+    norms = s.groupBy("label").agg(
+        F.sum(dec * F.col("s")).alias("_n2")
+    )
+    a = s.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("_dot")
+        )
+    )
+    na = F.broadcast(
+        norms.select(F.col("label").alias("label_a"), F.col("_n2").alias("_na2"))
+    )
+    nb = F.broadcast(
+        norms.select(F.col("label").alias("label_b"), F.col("_n2").alias("_nb2"))
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .filter((F.col("_na2") > 0) & (F.col("_nb2") > 0))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na2").cast("double"))
+                    * F.sqrt(F.col("_nb2").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+SQL_EMB_CLASS_SEPARATION = f"""
+WITH q AS (
+  SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+  FROM (SELECT label, {_SQL_QVEC} AS qv FROM embeddings)
+),
+s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+norms AS (
+  SELECT label, sum(CAST(s AS HUGEINT) * s) AS n2 FROM s GROUP BY 1
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS centroid_cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+WHERE na.n2 > 0 AND nb.n2 > 0
+ORDER BY 1, 2
+"""
+
+
 def q_docs_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution-drift detector: contingency chi-square of
     the document-length histogram (fixed 100-char bins capped at 9 — no
@@ -3342,6 +3434,10 @@ SELECT n_minhash_pairs, n_simhash_pairs, n_both,
             ELSE CAST(0 AS BIGINT) END AS containment_micro
 FROM cnt
 """,
+    ),
+    "emb_class_separation": (
+        q_emb_class_separation,
+        SQL_EMB_CLASS_SEPARATION,
     ),
     "emb_mmr_rerank": (q_emb_mmr_rerank, SQL_EMB_MMR_RERANK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),

@@ -105,7 +105,6 @@ RECHECK: dict[str, str] = {
     "docs_hll_overlap": "sketch-churn",
     # -- stale-r5 fillers
     "docs_bigram_lift": "stale-r5",
-    "docs_bm25": "stale-r5",
 }
 
 
