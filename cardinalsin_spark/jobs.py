@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--bits", type=int, default=16)
     z.add_argument("--target-files", type=int, default=None)
 
+    bl = sub.add_parser(
+        "bloom", help="(re)build the per-chunk Bloom pruning sidecar"
+    )
+    bl.add_argument("--path", required=True)
+    bl.add_argument("--column", default="metric_name")
+    bl.add_argument("--m-bits", type=int, default=1 << 16)
+    bl.add_argument("--k-hashes", type=int, default=5)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
@@ -115,6 +123,21 @@ def main(argv: list[str] | None = None) -> int:
         out = downsample(old, args.resolution_s, series_cols=series)
         out.write.mode("overwrite").option("compression", "zstd").parquet(args.out)
         print(f"downsampled to {args.resolution_s}s buckets -> {args.out}")
+
+    elif args.cmd == "bloom":
+        from cardinalsin_spark.sources.chunk_bloom import ChunkBloomIndex
+
+        idx = ChunkBloomIndex(
+            args.path,
+            column=args.column,
+            m_bits=args.m_bits,
+            k_hashes=args.k_hashes,
+        )
+        body = idx.build(spark)
+        print(
+            f"bloom sidecar over {args.column}: {len(body['files'])} files"
+            f" -> {idx.path}"
+        )
 
     elif args.cmd == "zorder":
         from cardinalsin_spark.operators.compaction import write_zordered

@@ -94,3 +94,16 @@ def test_sidecar_is_underscore_hidden(spark, bloom_table):
     root, idx = bloom_table
     assert os.path.basename(idx.path).startswith("_")
     assert spark.read.parquet(root).count() == 4000
+
+
+def test_bloom_job_cli(spark, bloom_table, capsys):
+    """`python -m cardinalsin_spark.jobs bloom --path ...` rebuilds the
+    sidecar in place."""
+    from cardinalsin_spark import jobs
+
+    root, idx = bloom_table
+    os.remove(idx.path)
+    rc = jobs.main(["bloom", "--path", root])
+    assert rc == 0 and os.path.exists(idx.path)
+    assert "bloom sidecar" in capsys.readouterr().out
+    assert idx.candidate_files(spark, "metric_0")
