@@ -414,3 +414,68 @@ def kmv_bottomk(
         )
         .orderBy(*key_cols, "rank")
     )
+
+
+def kmv_setop_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = KMV_SEED,
+) -> DataFrame:
+    """Theta-sketch-style SET-OPERATION estimates from per-group KMV
+    bottom-k sketches (the DataSketches theta construction on the KMV
+    threshold): ``θ`` is the smaller of the groups' k-th-hash thresholds
+    (the full hash space when a sketch is not full — its sample is then
+    its whole set); every retained hash below θ is a uniform θ/2⁶⁰-rate
+    sample of its set, so membership counting across groups estimates
+    ``|A∪B|`` and ``|A∩B|``, and the ratio of the sample counts IS the
+    sketch Jaccard — an exact integer ratio, no float in the headline
+    number. Complements ``hll_overlap_estimate``: HLL gives
+    inclusion-exclusion with register state, KMV-theta gives direct
+    intersection counting with the sampled values available as evidence.
+
+    Scale: everything downstream of the per-group bottom-k (map-side
+    WindowGroupLimit partial — see :func:`kmv_bottomk`) touches ≤
+    #groups·k sketch rows. Output: ONE row of exact int64 sample counts,
+    the θ threshold, and the two single-division estimates.
+    """
+    sk = kmv_bottomk(df, [group_col], value_col, k=k, seed=seed)
+    thr = (
+        sk.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))
+        .select(
+            F.when(F.col("_n") >= k, F.col("_hk").cast("double"))
+            .otherwise(F.lit(_KMV_SPACE))
+            .alias("_theta_g")
+        )
+    )
+    theta = thr.agg(F.min("_theta_g").alias("theta"))
+    s = sk.crossJoin(F.broadcast(theta)).filter(
+        F.col("h").cast("double") < F.col("theta")
+    )
+    per_hash = s.groupBy("h").agg(
+        F.count_distinct(F.col(group_col)).alias("_g")
+    )
+    counts = per_hash.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.coalesce(
+            F.sum((F.col("_g") >= 2).cast("long")), F.lit(0).cast("long")
+        ).alias("n_inter_sample"),
+    )
+    return counts.crossJoin(F.broadcast(theta)).select(
+        "n_union_sample",
+        "n_inter_sample",
+        F.round(
+            F.col("n_union_sample") * F.lit(_KMV_SPACE) / F.col("theta"), 2
+        ).alias("union_est"),
+        F.round(
+            F.col("n_inter_sample") * F.lit(_KMV_SPACE) / F.col("theta"), 2
+        ).alias("inter_est"),
+        F.when(
+            F.col("n_union_sample") > 0,
+            F.expr("(n_inter_sample * 1000000) div n_union_sample"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("jaccard_micro"),
+    )

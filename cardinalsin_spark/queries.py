@@ -5592,7 +5592,9 @@ _DRIVER_WINDOW = [
     # by docs_drift_chisq, docs_dup_cluster_stats by
     # promql_subquery_outer_rate, docs_containment by
     # promql_instant_subquery, docs_chunk_windows by docs_dedup_eval,
-    # docs_bm25 by emb_class_separation).
+    # docs_bm25 by emb_class_separation, docs_bigram_lift by
+    # docs_kmv_setops — no r5-stale filler slots remain; the 30 new rows
+    # + 13 r4-stale + 7 churn rechecks fill the window exactly).
     # Every non-windowed registry query remains covered by the builder-side
     # parity sweep (tests/test_oracle_parity.py).
     # -- (a) added in round 8, never driver-checked
@@ -5625,6 +5627,7 @@ _DRIVER_WINDOW = [
     "promql_instant_subquery",
     "docs_dedup_eval",
     "emb_class_separation",
+    "docs_kmv_setops",
     # -- (b) last green in round 4 (oldest coverage)
     "docs_gopher_repetition",
     "docs_lang_id",
@@ -5647,8 +5650,6 @@ _DRIVER_WINDOW = [
     "docs_cms_heavy_hitters",
     "docs_hll_distinct",
     "docs_hll_overlap",
-    # -- (c) r5-stale fillers: docs/emb/tpch tiers
-    "docs_bigram_lift",
 ]
 
 

@@ -3029,6 +3029,86 @@ ORDER BY source, rank
 SQL_DOCS_KMV_SAMPLE = _sql_kmv()
 
 
+def q_docs_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set operations from KMV sketches: the bigram
+    vocabularies of two source halves (lexicographic ``source < 'src5'``)
+    sketch to k=64 bottom hashes each; θ-thresholded membership counting
+    yields |A∪B| / |A∩B| estimates and an exact-integer sketch Jaccard —
+    the direct-counting complement of `docs_hll_overlap`'s
+    inclusion-exclusion (operators.sketches.kmv_setop_estimates)."""
+    from cardinalsin_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.when(F.col("source") < "src5", F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("grp"),
+        F.split(tx.normalize_text("text"), " ").alias("_t"),
+    )
+    sliced = toks.select(
+        "grp",
+        F.expr("slice(_t, 1, size(_t) - 1)").alias("_h"),
+        F.expr("slice(_t, 2, size(_t) - 1)").alias("_u"),
+    )
+    pairs = sliced.select(
+        "grp", F.explode(F.arrays_zip("_h", "_u")).alias("_p")
+    ).select(
+        "grp",
+        F.concat_ws(" ", F.col("_p._h"), F.col("_p._u")).alias("bigram"),
+    )
+    return sk.kmv_setop_estimates(pairs, "grp", "bigram", k=64)
+
+
+def _sql_kmv_setops() -> str:
+    from cardinalsin_spark.operators import sketches as sk
+
+    h = sk.sql_hash60(sk.KMV_SEED, "value")
+    space = repr(sk._KMV_SPACE)
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN source < 'src5' THEN 'a' ELSE 'b' END AS grp,
+         string_split({_SQL_NORM}, ' ') AS t
+  FROM documents
+),
+bg AS (
+  SELECT grp, t[i] || ' ' || t[CAST(i AS INT) + 1] AS value
+  FROM (SELECT grp, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+d AS (SELECT DISTINCT grp, value FROM bg),
+hashed AS (SELECT grp, value, {h} AS h FROM d),
+ranked AS (
+  SELECT grp, value, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h, value) AS rank
+  FROM hashed
+),
+kept AS (SELECT grp, h FROM ranked WHERE rank <= 64),
+thr AS (
+  SELECT CASE WHEN count(*) >= 64 THEN CAST(max(h) AS DOUBLE)
+         ELSE {space} END AS theta_g
+  FROM kept GROUP BY grp
+),
+theta AS (SELECT min(theta_g) AS theta FROM thr),
+s AS (SELECT h, grp FROM kept, theta WHERE CAST(h AS DOUBLE) < theta),
+ph AS (SELECT h, count(DISTINCT grp) AS g FROM s GROUP BY 1),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sample,
+         CAST(coalesce(sum(CASE WHEN g >= 2 THEN 1 END), 0) AS BIGINT)
+           AS n_inter_sample
+  FROM ph
+)
+SELECT n_union_sample, n_inter_sample,
+       round(n_union_sample * {space} / theta, 2) AS union_est,
+       round(n_inter_sample * {space} / theta, 2) AS inter_est,
+       CASE WHEN n_union_sample > 0
+            THEN (n_inter_sample * 1000000) // n_union_sample
+            ELSE CAST(0 AS BIGINT) END AS jaccard_micro
+FROM cnt, theta
+"""
+
+
+SQL_DOCS_KMV_SETOPS = _sql_kmv_setops()
+
+
 def q_docs_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test fingerprint-overlap estimate from merged HLL registers
     (|A|, |B| per split; |A∪B| from register max-merge; |A∩B| by
@@ -3363,6 +3443,7 @@ REGISTRY_LLM = {
     "docs_hll_distinct": (q_docs_hll_distinct, SQL_DOCS_HLL_DISTINCT),
     "docs_kmv_sample": (q_docs_kmv_sample, SQL_DOCS_KMV_SAMPLE),
     "docs_hll_overlap": (q_docs_hll_overlap, SQL_DOCS_HLL_OVERLAP),
+    "docs_kmv_setops": (q_docs_kmv_setops, SQL_DOCS_KMV_SETOPS),
     "docs_cms_heavy_hitters": (
         q_docs_cms_heavy_hitters,
         SQL_DOCS_CMS_HEAVY_HITTERS,

@@ -103,8 +103,6 @@ RECHECK: dict[str, str] = {
     "docs_cms_heavy_hitters": "sketch-churn",
     "docs_hll_distinct": "sketch-churn",
     "docs_hll_overlap": "sketch-churn",
-    # -- stale-r5 fillers
-    "docs_bigram_lift": "stale-r5",
 }
 
 
