@@ -281,13 +281,17 @@ class IndexLifecycleManager:
                     }
                 )
             else:  # bloom_filter
+                # executable for real since round 8: the per-chunk bloom
+                # sidecar (sources/chunk_bloom.py — Spark's vectorized
+                # reader ignores parquet-native column blooms, so the
+                # sidecar is the one the planner actually consults);
+                # `python -m cardinalsin_spark.jobs bloom` runs it
                 specs.append(
                     {
                         "index_id": e.id,
-                        "action": "write_bloom",
-                        "options": {
-                            f"parquet.bloom.filter.enabled#{e.column}": "true"
-                        },
+                        "action": "build_chunk_bloom",
+                        "column": e.column,
+                        "job": ["bloom", "--column", e.column],
                     }
                 )
         return specs

@@ -117,10 +117,40 @@ def test_writer_job_specs_by_index_type():
     assert specs["write_partitioned"]["partition_by"] == ["user"]
     assert specs["write_zordered"]["a"] == "latency"
     assert specs["write_zordered"]["b"] == "ts"
-    assert (
-        specs["write_bloom"]["options"]["parquet.bloom.filter.enabled#trace_id"]
-        == "true"
+    assert specs["build_chunk_bloom"]["column"] == "trace_id"
+    assert specs["build_chunk_bloom"]["job"][:1] == ["bloom"]
+
+
+def test_bloom_spec_is_executable(spark, tmp_path):
+    """The bloom recommendation's job spec drives the REAL sidecar build —
+    recommendation → jobs CLI → ChunkBloomIndex prunes (the same
+    advice-executes property the zorder rewrite has)."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.chunk_bloom import ChunkBloomIndex
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    (
+        spark.range(0, 400)
+        .select(
+            F.concat(F.lit("m"), (F.col("id") % 4)).alias("metric_name"),
+            "id",
+        )
+        .repartition(4, F.col("id") % 4)
+        .write.parquet(root)
     )
+    m = _manager()
+    m.create_invisible_index("metric_name", "bloom_filter")
+    for _ in range(100):
+        m.record_query_columns({"metric_name"})
+    m.check_visibility()
+    (spec,) = [
+        s for s in m.writer_job_specs() if s["action"] == "build_chunk_bloom"
+    ]
+    rc = jobs.main(spec["job"] + ["--path", root])
+    assert rc == 0
+    idx = ChunkBloomIndex(root, column=spec["column"])
+    assert idx.read_matching(spark, "m1").count() == 100
 
 
 def test_create_from_recommendations_roundtrip():
