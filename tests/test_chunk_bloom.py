@@ -107,3 +107,37 @@ def test_bloom_job_cli(spark, bloom_table, capsys):
     assert rc == 0 and os.path.exists(idx.path)
     assert "bloom sidecar" in capsys.readouterr().out
     assert idx.candidate_files(spark, "metric_0")
+
+
+def test_bloom_membership_property(spark, tmp_path):
+    """Property: for randomized key sets, every key written to a file is
+    found in that file's candidate list (no false negatives — the pruning
+    safety invariant), including keys with quotes/unicode/whitespace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(key, min_size=1, max_size=12, unique=True))
+    def check(keys):
+        import shutil
+        import uuid
+
+        root = str(tmp_path / f"t{uuid.uuid4().hex[:8]}")
+        spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "metric_name string, v long"
+        ).coalesce(1).write.parquet(root)
+        idx = ChunkBloomIndex(root, m_bits=1 << 10, k_hashes=3)
+        idx.build(spark)
+        for k in keys:
+            cands = idx.candidate_files(spark, k)
+            assert cands, (k,)
+            assert idx.read_matching(spark, k).count() == 1
+        shutil.rmtree(root)
+
+    check()

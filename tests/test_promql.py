@@ -1932,6 +1932,9 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
         "sum by (h) (m)", 'm{note=" or "}', "scalar(sum(m))",
         "histogram_quantile(0.9, m_bucket)", "m offset 5m", "m @ 123",
         "(m > 3)", "(sum by (h) (m))", "5",
+        # subquery grammar (round 8): both directions + parenthesized inner
+        "sum_over_time(m[1h:10m])", "rate(m[1h:10m])",
+        "max_over_time((a / b)[2h:1h])", "increase((m)[1d:6h])",
     ])
     op = st.sampled_from([
         " + ", " - ", " * ", " / ", " % ", " ^ ", " atan2 ",
