@@ -395,6 +395,7 @@ class SnapshotCatalog:
         key_cols: list[str],
         ts_col: str = "timestamp",
         target_files: int = 1,
+        prune_files: bool = True,
     ) -> int:
         """Keyed MERGE (upsert): commit a new snapshot equal to the head
         with ``updates`` winning on key collisions — rows whose key
@@ -403,12 +404,15 @@ class SnapshotCatalog:
         log: pinned readers keep the pre-merge version; a CAS conflict
         (or crash) leaves only unreferenced underscore-hidden garbage.
 
-        Scale note: this baseline rewrites the whole head snapshot (the
-        anti-join is one shuffle on ``key_cols``). The 100 TB refinement —
-        rewriting only the files whose key ranges intersect the updates,
-        like Delta's file-pruned COW — needs per-file key stats in the
-        manifest; the chunk-stats machinery (``sources/catalog.py``) is
-        the natural donor and the commit path here stays unchanged."""
+        ``prune_files=True`` is the 100 TB shape — file-pruned COW like
+        Delta's: one semi-join scan finds the head files that actually
+        hold a matching key (``input_file_name`` per surviving row), ONLY
+        those rewrite together with the updates, and every untouched file
+        carries over into the new manifest by reference. A targeted
+        upsert of one hot partition rewrites one file, not the table; a
+        pure insert rewrites nothing. ``prune_files=False`` keeps the
+        full-rewrite baseline (it also re-coalesces the table, which a
+        pruned merge deliberately does not)."""
         head = self.current_version()
         if head is None:
             raise FileNotFoundError("nothing to merge into: no snapshots")
@@ -417,18 +421,77 @@ class SnapshotCatalog:
         # (the usual upsert shape) and degrades to a shuffle join when a
         # bulk backfill makes it large — either plan is correct
         keys = updates.select(*key_cols).distinct()
-        merged = current.join(keys, key_cols, "left_anti").unionByName(
-            updates, allowMissingColumns=True
+        if not prune_files:
+            merged = current.join(keys, key_cols, "left_anti").unionByName(
+                updates, allowMissingColumns=True
+            )
+            return self._rewrite_and_commit(merged, head, target_files, ts_col)
+        from pyspark.sql import functions as F
+
+        touched_uris = (
+            current.withColumn("_f", F.input_file_name())
+            .join(keys, key_cols, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()  # catalog-sized: file names, never rows
         )
-        return self._rewrite_and_commit(merged, head, target_files, ts_col)
+        touched = {self._uri_to_rel(r._f) for r in touched_uris}
+        head_files = self.manifest(head)["files"]
+        untouched = [p for p in head_files if p not in touched]
+        if touched - set(head_files):
+            raise RuntimeError(
+                "merge scan saw files outside the head manifest: "
+                f"{sorted(touched - set(head_files))[:3]}"
+            )
+        if touched:
+            groups: dict[tuple[str, ...], list[str]] = {}
+            for rel in sorted(touched):
+                p = os.path.join(self.root, rel)
+                groups.setdefault(self._partition_keys(p), []).append(p)
+            frames = []
+            for key in sorted(groups):
+                reader = spark.read.option("mergeSchema", "true")
+                if key:
+                    reader = reader.option("basePath", self.root)
+                frames.append(reader.parquet(*sorted(groups[key])))
+            sub = frames[0]
+            for f in frames[1:]:
+                sub = sub.unionByName(f, allowMissingColumns=True)
+            merged_part = sub.join(keys, key_cols, "left_anti")
+        else:
+            merged_part = None
+        part = (
+            merged_part.unionByName(updates, allowMissingColumns=True)
+            if merged_part is not None
+            else updates
+        )
+        return self._rewrite_and_commit(
+            part,
+            head,
+            target_files,
+            ts_col,
+            carry_files=[os.path.join(self.root, p) for p in untouched],
+        )
+
+    def _uri_to_rel(self, file_uri: str) -> str:
+        p = file_uri
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return os.path.relpath(p, os.path.abspath(self.root))
 
     def _rewrite_and_commit(
-        self, df: DataFrame, head: int, target_files: int, ts_col: str
+        self,
+        df: DataFrame,
+        head: int,
+        target_files: int,
+        ts_col: str,
+        carry_files: list[str] | None = None,
     ) -> int:
-        """Stage → rename → CAS-commit a full rewrite (shared by compact
-        and merge_upsert). The staged dir and the final data dir are both
-        underscore-prefixed, so manifest-unaware root reads never see
-        half-written generations."""
+        """Stage → rename → CAS-commit a rewrite (shared by compact and
+        merge_upsert). ``carry_files`` are referenced unchanged in the new
+        manifest (the file-pruned COW path). The staged dir and the final
+        data dir are both underscore-prefixed, so manifest-unaware root
+        reads never see half-written generations."""
         import shutil
 
         next_v = head + 1
@@ -450,7 +513,7 @@ class SnapshotCatalog:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         try:
-            return self.commit(new_files, head)
+            return self.commit(list(carry_files or []) + new_files, head)
         except SnapshotConflict:
             shutil.rmtree(final_dir, ignore_errors=True)
             raise

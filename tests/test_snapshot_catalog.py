@@ -400,3 +400,64 @@ def test_merge_upsert_replaces_keys_keeps_rest(spark, table):
         i % 7 for i in range(5)
     )
     assert pinned.count() == 1000
+
+
+def test_merge_upsert_file_pruned_cow(spark, tmp_path):
+    """File-pruned COW: an upsert whose keys live in ONE of four files
+    rewrites exactly that file (diff: 1 removed + 1 added; the other
+    three carry over by reference), a pure insert removes nothing, and
+    the pruned result equals the full-rewrite result row-for-row."""
+    root = str(tmp_path / "cow")
+    (
+        spark.range(0, 400)
+        .select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias(
+                "timestamp"
+            ),
+            (F.col("id") % 7).alias("v"),
+        )
+        .repartitionByRange(4, F.col("id"))  # contiguous id ranges per file
+        .write.parquet(root)
+    )
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    assert len(cat.files(0)) == 4
+    # keys 0,4,8: all in the first id range — exactly one file holds them
+    upd = spark.createDataFrame(
+        [(i, 111) for i in (0, 4, 8)], "id long, v long"
+    ).select(
+        "id",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("timestamp"),
+        "v",
+    )
+    v1 = cat.merge_upsert(spark, upd, key_cols=["id"])
+    d = cat.diff(0, 1)
+    assert len(d["removed"]) == 1 and len(d["added"]) == 1
+    after = cat.read(spark)
+    assert after.count() == 400
+    assert after.filter(F.col("id").isin(0, 4, 8)).agg(F.sum("v")).first()[0] == 333
+    assert (
+        after.filter(~F.col("id").isin(0, 4, 8)).agg(F.sum("v")).first()[0]
+        == sum(i % 7 for i in range(400) if i not in (0, 4, 8))
+    )
+    # pure insert: nothing removed, one file added
+    ins = spark.createDataFrame([(9999, 5)], "id long, v long").select(
+        "id",
+        F.timestamp_seconds(F.lit(1704999999)).alias("timestamp"),
+        "v",
+    )
+    cat.merge_upsert(spark, ins, key_cols=["id"])
+    d2 = cat.diff(1, 2)
+    assert d2["removed"] == [] and len(d2["added"]) == 1
+    assert cat.read(spark).count() == 401
+    # equality against the full-rewrite baseline from the same base
+    root2 = str(tmp_path / "cow2")
+    spark.read.parquet(root).write.parquet(root2)  # root read skips _data-v*
+    cat2 = SnapshotCatalog(root2)
+    cat2.init_from_directory()
+    cat2.merge_upsert(spark, upd, key_cols=["id"], prune_files=False)
+    cat2.merge_upsert(spark, ins, key_cols=["id"], prune_files=False)
+    a = sorted(map(tuple, cat.read(spark).select("id", "v").collect()))
+    b = sorted(map(tuple, cat2.read(spark).select("id", "v").collect()))
+    assert a == b
