@@ -183,7 +183,12 @@ class SnapshotCatalog:
         m = self.manifest(version)
         return [os.path.join(self.root, p) for p in m["files"]]
 
-    def commit(self, files: list[str], base_version: int | None) -> int:
+    def commit(
+        self,
+        files: list[str],
+        base_version: int | None,
+        extra: dict | None = None,
+    ) -> int:
         """CAS-commit a new manifest listing ``files`` (paths under root,
         stored relative). ``base_version`` must be the version the writer
         built on (None for the bootstrap commit); the commit fails with
@@ -206,6 +211,7 @@ class SnapshotCatalog:
             "parent": base_version,
             "files": rel,
             "committed_at_ns": self.clock.now_nanos(),
+            **(extra or {}),
         }
         self.backend.put_if_absent(
             self._key(next_v), json.dumps(body, indent=1).encode()

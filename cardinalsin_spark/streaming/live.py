@@ -873,3 +873,63 @@ def streaming_le_buckets(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-committing streaming sink (idempotent per micro-batch)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_ingest_sink(root: str, backend=None):
+    """Build a ``foreachBatch`` function that lands each micro-batch as
+    parquet files under ``root`` and CAS-commits one snapshot version per
+    batch — the streaming twin of ``engine.ingest``'s
+    snapshot-registered write path.
+
+    Exactly-once per manifest: the committed manifest carries
+    ``stream_batch_id``, and a REPLAYED batch (Structured Streaming
+    re-runs the last batch after a crash before the checkpoint advanced)
+    is detected by ``batch_id <= head's stream_batch_id`` and skipped
+    before any file is written — the same transactional-sink idea as
+    Delta's ``txnAppId``/``txnVersion``. Files land under an
+    underscore-hidden staging dir first and move into place before the
+    commit, so a crash mid-batch leaves no root-visible orphans; a crash
+    AFTER the move but before the commit leaves files that
+    ``commit_new_files`` would register — call it once on recovery (or
+    let the next engine ingest do it) to adopt them.
+
+    A downstream consumer pairs this with ``SnapshotCatalog.read_changes``
+    for per-batch incremental reads.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    def _sink(batch_df, batch_id: int) -> None:
+        cat = SnapshotCatalog(root, backend=backend)
+        head = cat.current_version()
+        if head is not None:
+            last = cat.manifest(head).get("stream_batch_id")
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already durable, skip
+        stage = os.path.join(root, f"_stream-stage-{uuid.uuid4().hex[:12]}")
+        batch_df.write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(stage)
+        moved = []
+        for name in os.listdir(stage):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                dst = os.path.join(
+                    root, f"stream-{batch_id:08d}-{name}"
+                )
+                os.rename(os.path.join(stage, name), dst)
+                moved.append(dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        base = cat.files(head) if head is not None else []
+        cat.commit(
+            base + moved, head, extra={"stream_batch_id": int(batch_id)}
+        )
+
+    return _sink

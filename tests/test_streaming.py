@@ -581,3 +581,47 @@ def test_streaming_le_buckets_matches_batch(spark, metrics_df, chunk_dir, tmp_pa
     metrics = {m for m, _ in batch}
     assert len(batch) == len(metrics) * (len(les) + 1)
     assert all((m, LE_INF) in batch for m in metrics)
+
+
+def test_snapshot_ingest_sink_versions_and_idempotency(
+    spark, metrics_df, chunk_dir, tmp_path
+):
+    """Streaming ingest lands one snapshot version per micro-batch
+    (readable per-batch via read_changes), total row count matches the
+    source, and a REPLAYED batch (same batch_id re-delivered after a
+    crash) commits nothing — the manifest's stream_batch_id makes the
+    sink idempotent."""
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+    from cardinalsin_spark.streaming import snapshot_ingest_sink
+
+    root = str(tmp_path / "snaptbl")
+    os.makedirs(root)
+    sdf = read_metrics_stream(spark, chunk_dir, max_files_per_trigger=1)
+    sink = snapshot_ingest_sink(root)
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    cat = SnapshotCatalog(root)
+    versions = cat.versions()
+    assert len(versions) == 2  # two chunk files, one batch each
+    total = metrics_df.count()
+    assert cat.read(spark).count() == total
+    per_batch = [
+        cat.read_changes(spark, None, 0).count(),
+        cat.read_changes(spark, 0, 1).count(),
+    ]
+    assert sum(per_batch) == total and all(n > 0 for n in per_batch)
+    assert cat.manifest(1)["stream_batch_id"] == 1
+    # replay the LAST batch: nothing must change (idempotent sink)
+    head_before = cat.current_version()
+    sink(cat.read_changes(spark, 0, 1), 1)
+    assert cat.current_version() == head_before
+    # a genuinely new batch commits
+    sink(cat.read_changes(spark, 0, 1).limit(5), 2)
+    assert cat.current_version() == head_before + 1
+    assert cat.read(spark).count() == total + 5
