@@ -173,6 +173,17 @@ class CardinalSin:
         commit stamps — the latest version committed at or before T)."""
         return self.snapshot_catalog().read_as_of(self.spark, ts_ns)
 
+    def snapshot_stream_sink(self):
+        """``foreachBatch`` function that lands micro-batches into the
+        metrics table with one idempotent CAS snapshot per batch
+        (``streaming.snapshot_ingest_sink`` bound to this engine's
+        table root)."""
+        from cardinalsin_spark.streaming import snapshot_ingest_sink
+
+        if not self.metrics_path:
+            raise ValueError("engine opened without a metrics_path")
+        return snapshot_ingest_sink(self.metrics_path)
+
     # -- entry point A: SQL pass-through -------------------------------------
 
     def sql(self, query: str, tenant_id: str | None = None) -> DataFrame:
