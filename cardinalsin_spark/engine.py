@@ -173,6 +173,32 @@ class CardinalSin:
         commit stamps — the latest version committed at or before T)."""
         return self.snapshot_catalog().read_as_of(self.spark, ts_ns)
 
+    def point_lookup(self, metric_name: str) -> DataFrame:
+        """Equality point-lookup on the metrics table. When the bloom
+        sidecar exists (``jobs bloom`` / the adaptive recommender's
+        ``build_chunk_bloom`` spec), only candidate files scan — the
+        planner-level file skip the reference README promises from its
+        (disabled) per-chunk blooms; otherwise a plain filtered read
+        (Catalyst still pushes the predicate to every footer)."""
+        import os as _os
+
+        from cardinalsin_spark.sources.chunk_bloom import (
+            _SIDECAR,
+            ChunkBloomIndex,
+        )
+
+        if not self.metrics_path:
+            raise ValueError("engine opened without a metrics_path")
+        if _os.path.exists(_os.path.join(self.metrics_path, _SIDECAR)):
+            idx = ChunkBloomIndex.open(self.metrics_path)
+            if idx.column == "metric_name":
+                return idx.read_matching(self.spark, metric_name)
+        from pyspark.sql import functions as _F
+
+        return self.spark.read.parquet(self.metrics_path).filter(
+            _F.col("metric_name") == _F.lit(metric_name)
+        )
+
     def snapshot_stream_sink(self):
         """``foreachBatch`` function that lands micro-batches into the
         metrics table with one idempotent CAS snapshot per batch

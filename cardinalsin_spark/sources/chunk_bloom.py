@@ -54,6 +54,21 @@ class ChunkBloomIndex:
         self.k_hashes = int(k_hashes)
         self.path = os.path.join(root, _SIDECAR)
 
+    @classmethod
+    def open(cls, root: str) -> "ChunkBloomIndex":
+        """Construct from an existing sidecar, ADOPTING its column and
+        hash parameters (a prober must never guess them — a silent m/k
+        mismatch would make every membership test garbage; the explicit
+        constructor raises on mismatch, this never can)."""
+        with open(os.path.join(root, _SIDECAR)) as f:
+            body = json.load(f)
+        return cls(
+            root,
+            column=body["column"],
+            m_bits=body["m_bits"],
+            k_hashes=body["k_hashes"],
+        )
+
     # -- build -------------------------------------------------------------
 
     def build(self, spark: SparkSession) -> dict:

@@ -141,3 +141,26 @@ def test_bloom_membership_property(spark, tmp_path):
         shutil.rmtree(root)
 
     check()
+
+
+def test_engine_point_lookup_uses_sidecar(spark, bloom_table):
+    """engine.point_lookup prunes through the sidecar when present
+    (adopting its parameters via ChunkBloomIndex.open) and falls back to
+    a plain filtered read without one — same rows either way."""
+    from cardinalsin_spark.engine import CardinalSin
+
+    root, idx = bloom_table
+    eng = CardinalSin(spark, metrics_path=root)
+    got = eng.point_lookup("metric_5")
+    want = (
+        spark.read.parquet(root)
+        .filter(F.col("metric_name") == "metric_5")
+        .count()
+    )
+    assert got.count() == want and want > 0
+    # non-default-params sidecar: open() adopts them, probe still works
+    idx2 = ChunkBloomIndex(root, m_bits=1 << 12, k_hashes=2)
+    idx2.build(spark)
+    assert eng.point_lookup("metric_5").count() == want
+    os.remove(idx2.path)
+    assert eng.point_lookup("metric_5").count() == want  # plain fallback
