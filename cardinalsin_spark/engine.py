@@ -228,23 +228,32 @@ class CardinalSin:
 
     # -- entry point B: PromQL ------------------------------------------------
 
-    def _promql_frame(self) -> DataFrame:
+    def _promql_frame(self, at_version: int | None = None) -> DataFrame:
         """Wide table + the canonical coalesced value read
-        (``api/query/prometheus_api.rs:26-27``)."""
+        (``api/query/prometheus_api.rs:26-27``). ``at_version`` pins the
+        read to a snapshot manifest — repeatable PromQL evaluation while
+        compaction/ingest commit newer versions."""
         from cardinalsin_spark.schema import value_expr
 
-        return self.metrics.withColumn("value", value_expr())
+        base = (
+            self.read_snapshot(at_version)
+            if at_version is not None
+            else self.metrics
+        )
+        return base.withColumn("value", value_expr())
 
     def promql_instant(
         self,
         promql: str,
         time_s: float | None = None,
         tenant_id: str | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """`/api/v1/query` — epoch-seconds evaluation time, like the
-        Prometheus HTTP API."""
+        Prometheus HTTP API. ``at_version`` evaluates against a pinned
+        snapshot (time travel for queries)."""
         self._admit_query(tenant_id)
-        out = promql_instant(self._promql_frame(), promql, time_s)
+        out = promql_instant(self._promql_frame(at_version), promql, time_s)
         self._record(out)
         return out
 
@@ -256,6 +265,7 @@ class CardinalSin:
         step_s: int,
         faithful: bool = True,
         tenant_id: str | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """`/api/v1/query_range` — epoch-seconds range + step.
 
@@ -267,7 +277,7 @@ class CardinalSin:
         reference-compatible degradation."""
         self._admit_query(tenant_id)
         out = promql_range(
-            self._promql_frame(), promql, start_s, end_s, step_s,
+            self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
         )
         self._record(out)

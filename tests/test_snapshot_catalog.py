@@ -461,3 +461,27 @@ def test_merge_upsert_file_pruned_cow(spark, tmp_path):
     a = sorted(map(tuple, cat.read(spark).select("id", "v").collect()))
     b = sorted(map(tuple, cat2.read(spark).select("id", "v").collect()))
     assert a == b
+
+
+def test_promql_at_version_is_repeatable(spark, tmp_path):
+    """PromQL time travel: `at_version` pins the evaluation input to a
+    snapshot — a later ingest changes the head answer but not the pinned
+    one (the reference pins chunk lists per query for exactly this
+    property, query/mod.rs prune→pin→register)."""
+    eng = _fresh_engine(spark, tmp_path, sub="pinq")
+    eng.ingest(
+        _metrics_batch(spark, 0, 60), "ts_ns", "name", "v", snapshot=True
+    )
+    v0 = eng.snapshot_catalog().current_version()
+    kw = dict(
+        start_s=1704067200.0, end_s=1704067200.0 + 3600, step_s=3600
+    )
+    pinned_before = eng.promql_range("sum(m)", **kw).collect()
+    eng.ingest(_metrics_batch(spark, 60, 120), "ts_ns", "name", "v")
+    head = eng.promql_range("sum(m)", **kw).collect()
+    pinned_after = eng.promql_range("sum(m)", at_version=v0, **kw).collect()
+    assert pinned_after == pinned_before
+    assert head != pinned_before  # the head really did move
+    inst = eng.promql_instant("sum(m)", time_s=1704067200.0 + 3600,
+                              at_version=v0)
+    assert inst.collect()
