@@ -5566,90 +5566,81 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-8 window (VERDICT r7 item 8), planned from
-    # `scripts/check_parity.py --ages --before 8`:
-    #   (a) queries ADDED in round 8 — never driver-checked, windowed
-    #       first by the coverage invariant (tests/test_registry_window.py);
-    #   (b) all 13 queries whose last green driver row is CORRECTNESS_r04
-    #       (four code rounds stale);
-    #   (c) r5-stale picks prioritised by ROUND-8 code churn: the promql
-    #       tier (promql.py gained the parser-edge fixes, per-step
-    #       scalar() and the pinned range-function path this round) and
-    #       the sketch tier (sketches.py KMV null-filter), then the
-    #       remaining r5-stale docs_/emb_/tpch rows oldest-coverage-first.
-    # Left out (still r5-stale, rotate into r9): all 17 ts_* analytics rows —
-    # timeseries.py is untouched since their r5 green and 20 sibling ts_
-    # rows on the same machinery re-verified green in r7 — plus
-    # tpch_q4/7/8/12/15/16/17/18ish (r5-green), displaced late-r8 by the
-    # eight never-checked additions promql_mod_arith / promql_group_agg /
-    # promql_subquery_default_res / sql_grouping_sets / emb_mips_topk /
-    # ts_bloom_join / media_audio_resample / docs_sentence_stats, and
-    # emb_ivfpq_residual_topk / emb_semdedup / emb_centroids /
-    # docs_tfidf_topterms / docs_source_quality / docs_mixture_sample /
-    # docs_search_and displaced by the docs_char_diversity /
-    # docs_zipf_ranks / ts_winsorize / media_scene_change /
-    # emb_mmr_rerank / ts_ohlc / sql_pivot additions (docs_edit_distance
-    # by docs_drift_chisq, docs_dup_cluster_stats by
-    # promql_subquery_outer_rate, docs_containment by
-    # promql_instant_subquery, docs_chunk_windows by docs_dedup_eval,
-    # docs_bm25 by emb_class_separation, docs_bigram_lift by
-    # docs_kmv_setops — no r5-stale filler slots remain; the 30 new rows
-    # + 13 r4-stale + 7 churn rechecks fill the window exactly).
-    # Every non-windowed registry query remains covered by the builder-side
-    # parity sweep (tests/test_oracle_parity.py).
-    # -- (a) added in round 8, never driver-checked
-    "promql_mod_arith",
-    "promql_group_agg",
-    "promql_subquery_default_res",
-    "sql_grouping_sets",
-    "emb_mips_topk",
-    "ts_bloom_join",
-    "media_audio_resample",
-    "docs_sentence_stats",
-    "promql_range_fn_at",
-    "promql_range_scalar",
-    "emb_hamming_recall",
-    "promql_vector_fallback",
-    "promql_time_staleness",
-    "promql_histogram_fraction",
-    "tpch_q2ish",
-    "tpch_q11ish",
-    "tpch_q20ish",
-    "docs_char_diversity",
-    "docs_zipf_ranks",
-    "ts_winsorize",
-    "media_scene_change",
-    "emb_mmr_rerank",
-    "ts_ohlc",
-    "sql_pivot",
-    "docs_drift_chisq",
-    "promql_subquery_outer_rate",
-    "promql_instant_subquery",
-    "docs_dedup_eval",
-    "emb_class_separation",
-    "docs_kmv_setops",
-    # -- (b) last green in round 4 (oldest coverage)
-    "docs_gopher_repetition",
-    "docs_lang_id",
-    "docs_pack_shards",
-    "docs_pii_scrub",
-    "docs_quality",
-    "docs_quality_filter",
-    "docs_rare_words",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "ts_holt_winters",
-    "ts_outliers",
-    "ts_predict_linear",
-    # -- (c) r5-stale: round-8 churn first (promql + sketch tiers)
-    "promql_present_over_time",
-    "promql_quantile_over_time",
-    "promql_scalar_arith",
-    "promql_timestamp_hour",
-    "docs_cms_heavy_hitters",
-    "docs_hll_distinct",
-    "docs_hll_overlap",
+    # Round-9 window (VERDICT r8 item 1), planned from
+    # `scripts/check_parity.py --ages --before 9`:
+    #   (a) the ENTIRE r5-stale tier — all 43 queries whose last green
+    #       driver row is CORRECTNESS_r05 (three to four code rounds
+    #       stale): the 17 ts_* analytics rows deferred from r8, the 16
+    #       docs_/emb_ fillers displaced during r8's additions, and the
+    #       10 r5-green tpch rows.  This clears the oldest tier in one
+    #       round, per the VERDICT-r8 rotation-debt directive ("rotate
+    #       hard and grow the registry slower than it re-verifies").
+    #   (b) 7 r6-tier picks, churn-prioritised: the flagship query, the
+    #       media tier (multimodal.py changed in r8: scene-change +
+    #       ffmpeg resample paths), emb_hamming_topk (similarity.py
+    #       churn: recall yardstick + MMR), maint_retention
+    #       (snapshots/compaction churn), docs_kmv_sample (sketches.py
+    #       churn: KMV set ops + null filter).
+    # Left out (still r6-stale, rotate into r10): the remaining 43 rows
+    # of the r6 tier (promql instant/set/cmp family, tpch_q1/q9/13/21ish,
+    # docs clean_corpus/contamination/crossdup/near_dedup_cc/
+    # temperature_mixture, ts asof/ewma/moving_avg/rate family).
+    # Every non-windowed registry query remains covered by the
+    # builder-side parity sweep (tests/test_oracle_parity.py).
+    # -- (a) r5-stale tier, oldest coverage first: ts_* analytics
+    "ts_apdex",
+    "ts_autocorr_lag1",
+    "ts_burn_rate",
+    "ts_crosscorr",
+    "ts_cusum",
+    "ts_error_budget",
+    "ts_funnel",
+    "ts_gap_stats",
+    "ts_json_props",
+    "ts_lttb",
+    "ts_mad",
+    "ts_retention_cohorts",
+    "ts_seasonal_residual",
+    "ts_session_incidents",
+    "ts_time_weighted_avg",
+    "ts_value_quartiles",
+    "ts_weekday_profile",
+    # -- (a) r5-stale: docs_/emb_ fillers displaced in r8
+    "docs_bigram_lift",
+    "docs_bm25",
+    "docs_chunk_windows",
+    "docs_containment",
+    "docs_dup_cluster_stats",
+    "docs_edit_distance",
+    "docs_mixture_sample",
+    "docs_search_and",
+    "docs_source_quality",
+    "docs_tfidf_topterms",
+    "emb_centroids",
+    "emb_ivfpq_residual_topk",
+    "emb_norm_stats",
+    "emb_pca_project",
+    "emb_random_projection",
+    "emb_semdedup",
+    # -- (a) r5-stale: tpch rows
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q12ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q22ish",
+    # -- (b) r6-tier picks, churn-prioritised
+    "flagship_minute_p99",
+    "media_frame_sample",
+    "media_image_features",
+    "media_resize",
+    "emb_hamming_topk",
+    "maint_retention",
+    "docs_kmv_sample",
 ]
 
 
