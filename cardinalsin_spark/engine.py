@@ -179,7 +179,13 @@ class CardinalSin:
         ``build_chunk_bloom`` spec), only candidate files scan — the
         planner-level file skip the reference README promises from its
         (disabled) per-chunk blooms; otherwise a plain filtered read
-        (Catalyst still pushes the predicate to every footer)."""
+        (Catalyst still pushes the predicate to every footer). Both paths
+        see exactly the file set ``engine.sql`` sees: the sidecar probes
+        against the head manifest when the table is snapshot-managed
+        (``ChunkBloomIndex._current_files``), and the no-sidecar fallback
+        routes through ``read_snapshot`` — a root directory listing would
+        skip underscore-hidden ``_data-v*`` compaction output and read
+        stale pre-compaction files instead."""
         import os as _os
 
         from cardinalsin_spark.sources.chunk_bloom import (
@@ -189,12 +195,16 @@ class CardinalSin:
 
         if not self.metrics_path:
             raise ValueError("engine opened without a metrics_path")
+        from pyspark.sql import functions as _F
+
         if _os.path.exists(_os.path.join(self.metrics_path, _SIDECAR)):
             idx = ChunkBloomIndex.open(self.metrics_path)
             if idx.column == "metric_name":
                 return idx.read_matching(self.spark, metric_name)
-        from pyspark.sql import functions as _F
-
+        if _os.path.isdir(_os.path.join(self.metrics_path, "_snapshots")):
+            return self.read_snapshot().filter(
+                _F.col("metric_name") == _F.lit(metric_name)
+            )
         return self.spark.read.parquet(self.metrics_path).filter(
             _F.col("metric_name") == _F.lit(metric_name)
         )

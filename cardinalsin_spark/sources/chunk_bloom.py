@@ -69,15 +69,52 @@ class ChunkBloomIndex:
             k_hashes=body["k_hashes"],
         )
 
+    # -- the table's live file set ------------------------------------------
+
+    def _current_files(self) -> list[str]:
+        """Relative paths of the table's CURRENT data files — the head
+        manifest when the table is snapshot-managed (root listings miss
+        underscore-hidden ``_data-v*`` compaction output and, after
+        vacuum, include nothing stale), else a directory walk with
+        Spark's own root-read visibility (``_``/``.`` paths skipped)."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        if os.path.isdir(snap_dir):
+            from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+            cat = SnapshotCatalog(self.root)
+            return sorted(
+                os.path.relpath(p, self.root) for p in cat.files()
+            )
+        out = []
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for name in filenames:
+                if name.endswith(".parquet") and not name.startswith((".", "_")):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, name), self.root)
+                    )
+        return sorted(out)
+
+    def _read_files(self, spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+        from cardinalsin_spark.sources.snapshots import read_parquet_grouped
+
+        return read_parquet_grouped(
+            spark, self.root, [os.path.join(self.root, p) for p in rel_paths]
+        )
+
     # -- build -------------------------------------------------------------
 
     def build(self, spark: SparkSession) -> dict:
         """Scan the table once (distinct projection of (file, column)) and
         write the sidecar: ``{rel_file: {word_index: bits_hex}}`` plus the
-        hash parameters, so a probe cannot silently use mismatched m/k."""
+        hash parameters, so a probe cannot silently use mismatched m/k.
+        The scan covers exactly :meth:`_current_files` — on a
+        snapshot-managed table that is the head manifest (including
+        ``_data-v*`` compaction output a root read would skip), not a
+        directory listing."""
         seeds = F.array(*[F.lit(i) for i in range(self.k_hashes)])
         rows = (
-            spark.read.parquet(self.root)
+            self._read_files(spark, self._current_files())
             .select(
                 F.input_file_name().alias("_f"),
                 F.col(self.column).cast("string").alias("_k"),
@@ -111,6 +148,11 @@ class ChunkBloomIndex:
             "m_bits": self.m_bits,
             "k_hashes": self.k_hashes,
             "files": files,
+            # the exact file set the build covered: lets a probe tell a
+            # file that was indexed-but-all-null (prunable) apart from a
+            # file ingested AFTER the build (must stay a candidate — the
+            # no-false-negatives guarantee does not cover it)
+            "indexed_files": self._current_files(),
         }
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -159,11 +201,30 @@ class ChunkBloomIndex:
 
     def candidate_files(self, spark: SparkSession, value: str) -> list[str]:
         """Relative paths of every file that MAY contain ``value`` —
-        guaranteed superset of the files that do."""
+        guaranteed superset of the files that do, over the table's
+        CURRENT file set:
+
+        * a current file the build never saw (ingested / stream-landed /
+          compacted-in after the sidecar was written) is ALWAYS a
+          candidate — stale bloom bits must widen the scan, never narrow
+          it past a real match;
+        * a sidecar entry for a file no longer current (compacted away,
+          vacuumed) is dropped — reading it would be wrong or fail;
+        * an indexed file with no bits for the value is pruned, including
+          the indexed-but-all-null case the explicit ``indexed_files``
+          stamp distinguishes from never-indexed."""
         body = self._load()
+        current = self._current_files()
+        indexed = set(body.get("indexed_files", body["files"].keys()))
         pos = self._positions(spark, value)
         out = []
-        for rel, words in body["files"].items():
+        for rel in current:
+            if rel not in indexed:
+                out.append(rel)  # post-build file: unconditional candidate
+                continue
+            words = body["files"].get(rel)
+            if words is None:
+                continue  # indexed, all-null column: cannot match equality
             ok = True
             for p in pos:
                 bits = int(words.get(str(p // 64), "0"), 16)
@@ -175,20 +236,21 @@ class ChunkBloomIndex:
         return sorted(out)
 
     def read_matching(self, spark: SparkSession, value: str) -> DataFrame:
-        """Exact point-lookup read: scan only the candidate files (with
-        ``basePath`` so partition columns survive) and apply the equality
-        filter — bloom false positives drop here, so the result is
-        identical to a full-table filter."""
+        """Exact point-lookup read: scan only the candidate files (grouped
+        by partition layout so ``date=``/``hour=`` columns survive and
+        flat ``_data-v*`` compaction output unions in) and apply the
+        equality filter — bloom false positives drop here, so the result
+        is identical to a full-table filter over the current file set."""
         cands = self.candidate_files(spark, value)
         if not cands:
+            current = self._current_files()
+            if not current:
+                raise FileNotFoundError(f"no data files under {self.root}")
             return (
-                spark.read.parquet(self.root)
+                self._read_files(spark, current)
                 .filter(F.col(self.column) == F.lit(value))
                 .limit(0)
             )
-        paths = [os.path.join(self.root, c) for c in cands]
-        return (
-            spark.read.option("basePath", self.root)
-            .parquet(*paths)
-            .filter(F.col(self.column) == F.lit(value))
+        return self._read_files(spark, cands).filter(
+            F.col(self.column) == F.lit(value)
         )

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,7 +90,11 @@ class LocalFsCas(CasBackend):
     def put_if_absent(self, key: str, data: bytes) -> None:
         os.makedirs(self.dir, exist_ok=True)
         final = os.path.join(self.dir, key)
-        tmp = final + f".tmp.{os.getpid()}"
+        # pid alone is not unique: two THREADS in one process racing the
+        # same key would share the tmp file (one links the other's bytes,
+        # or the finally-unlink raises FileNotFoundError and masks the
+        # intended SnapshotConflict)
+        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(data)
         try:
@@ -134,6 +139,122 @@ class MemoryCas(CasBackend):
     def delete(self, key: str) -> None:
         with self._lock:
             self._objects.pop(key, None)
+
+
+class ObjectStoreCas(CasBackend):
+    """Conditional-PUT CAS on an S3-compatible object store — the
+    reference's actual catalog protocol (``metadata/s3.rs:181-260``),
+    expressed as ``PutObject`` with ``If-None-Match: *`` (native on S3
+    since 2024, and on GCS/MinIO/R2). A 412 ``PreconditionFailed`` (or the
+    409 ``ConditionalRequestConflict`` S3 returns while a concurrent
+    conditional write is in flight) maps to :class:`SnapshotConflict` —
+    byte-for-byte the same loser-retries semantics ``MemoryCas`` fakes
+    in-process.
+
+    The client is injectable (anything with the boto3 S3 client's
+    ``put_object`` / ``get_object`` / ``delete_object`` /
+    ``list_objects_v2`` surface); with ``client=None`` boto3 is imported
+    lazily, so the module has no hard dependency on it."""
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        if client is None:  # pragma: no cover - exercised only with boto3
+            import boto3
+
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+
+    def _key(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    @staticmethod
+    def _error_code(exc) -> str:
+        resp = getattr(exc, "response", None) or {}
+        err = resp.get("Error", {}) if isinstance(resp, dict) else {}
+        return str(err.get("Code", ""))
+
+    def list_keys(self) -> list[str]:
+        out: list[str] = []
+        token = None
+        strip = f"{self.prefix}/" if self.prefix else ""
+        while True:
+            kwargs = {"Bucket": self.bucket}
+            if strip:
+                kwargs["Prefix"] = strip
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kwargs)
+            for obj in resp.get("Contents", []):
+                out.append(obj["Key"][len(strip):])
+            if not resp.get("IsTruncated"):
+                return sorted(out)
+            token = resp.get("NextContinuationToken")
+
+    def get(self, key: str) -> bytes:
+        resp = self.client.get_object(Bucket=self.bucket, Key=self._key(key))
+        return resp["Body"].read()
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(key),
+                Body=data,
+                IfNoneMatch="*",
+            )
+        except Exception as exc:  # botocore ClientError, duck-typed
+            if self._error_code(exc) in (
+                "PreconditionFailed",  # 412: the key already exists
+                "ConditionalRequestConflict",  # 409: racing conditional write
+            ):
+                raise SnapshotConflict(
+                    f"{key} was committed by another writer"
+                ) from None
+            raise
+
+    def delete(self, key: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(key))
+
+
+def _partition_keys_of(root: str, path: str) -> tuple[str, ...]:
+    """Hive partition-column names encoded in a file's directory path
+    relative to ``root`` (``date=2024-01-01/hour=3/f.parquet`` →
+    ``("date", "hour")``)."""
+    rel = os.path.relpath(path, root)
+    keys = []
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg and not seg.startswith((".", "_")):
+            keys.append(seg.split("=", 1)[0])
+    return tuple(keys)
+
+
+def read_parquet_grouped(
+    spark: SparkSession, root: str, paths: list[str]
+) -> DataFrame:
+    """Read an explicit parquet file list with Hive partition columns
+    intact. Files are grouped by partition layout; each group reads with
+    ``basePath=root`` so ``date=``/``hour=`` directory values survive
+    (a bare ``spark.read.parquet(*files)`` silently drops them), and
+    groups are aligned with ``unionByName`` — Spark refuses mixed flat +
+    Hive layouts in one read (CONFLICTING_DIRECTORY_STRUCTURES).
+    ``mergeSchema`` keeps label-evolution semantics identical to a root
+    directory read."""
+    if not paths:
+        raise ValueError("read_parquet_grouped: empty file list")
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for p in paths:
+        groups.setdefault(_partition_keys_of(root, p), []).append(p)
+    frames = []
+    for key in sorted(groups):
+        reader = spark.read.option("mergeSchema", "true")
+        if key:
+            reader = reader.option("basePath", root)
+        frames.append(reader.parquet(*sorted(groups[key])))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 class SnapshotCatalog:
@@ -213,6 +334,15 @@ class SnapshotCatalog:
             "committed_at_ns": self.clock.now_nanos(),
             **(extra or {}),
         }
+        # Delta txnAppId-style carry-forward: the streaming sink's replay
+        # guard reads stream_batch_id from the HEAD manifest, so every
+        # interleaved non-stream commit (compact, merge_upsert,
+        # commit_new_files) must inherit the marker from its base — else a
+        # replayed batch after such a commit would re-append its rows.
+        if "stream_batch_id" not in body and base_version is not None:
+            inherited = self.manifest(base_version).get("stream_batch_id")
+            if inherited is not None:
+                body["stream_batch_id"] = inherited
         self.backend.put_if_absent(
             self._key(next_v), json.dumps(body, indent=1).encode()
         )
@@ -242,12 +372,7 @@ class SnapshotCatalog:
     def _partition_keys(self, path: str) -> tuple[str, ...]:
         """Hive partition-column names encoded in a file's directory path
         (``date=2024-01-01/hour=3/f.parquet`` → ``("date", "hour")``)."""
-        rel = os.path.relpath(path, self.root)
-        keys = []
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg and not seg.startswith((".", "_")):
-                keys.append(seg.split("=", 1)[0])
-        return tuple(keys)
+        return _partition_keys_of(self.root, path)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read a snapshot: exactly the manifest's file list, nothing else.
@@ -270,19 +395,7 @@ class SnapshotCatalog:
                 f"snapshot {version if version is not None else self.current_version()}"
                 " references no data files"
             )
-        groups: dict[tuple[str, ...], list[str]] = {}
-        for p in paths:
-            groups.setdefault(self._partition_keys(p), []).append(p)
-        frames = []
-        for key in sorted(groups):
-            reader = spark.read.option("mergeSchema", "true")
-            if key:
-                reader = reader.option("basePath", self.root)
-            frames.append(reader.parquet(*sorted(groups[key])))
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        return read_parquet_grouped(spark, self.root, paths)
 
     def version_as_of(self, ts_ns: int) -> int:
         """Time travel: the latest version committed at or before
@@ -331,28 +444,40 @@ class SnapshotCatalog:
         added = self.diff(v_from, v_to)["added"]
         if not added:
             return self.read(spark, v_to).limit(0)
-        groups: dict[tuple[str, ...], list[str]] = {}
-        for rel in added:
-            p = os.path.join(self.root, rel)
-            groups.setdefault(self._partition_keys(p), []).append(p)
-        frames = []
-        for key in sorted(groups):
-            reader = spark.read.option("mergeSchema", "true")
-            if key:
-                reader = reader.option("basePath", self.root)
-            frames.append(reader.parquet(*sorted(groups[key])))
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        return read_parquet_grouped(
+            spark, self.root, [os.path.join(self.root, rel) for rel in added]
+        )
 
-    def append(self, new_files: list[str]) -> int:
-        """Commit head + ``new_files`` (ingest). Retriable on conflict."""
-        head = self.current_version()
-        base = self.files(head) if head is not None else []
-        return self.commit(base + list(new_files), head)
+    def _retrying(self, attempt_fn, retries: int) -> int:
+        """Bounded loser-retries CAS policy — the reference's retry macro
+        around catalog mutations (``metadata/s3.rs:181-260``): on
+        :class:`SnapshotConflict` the loser re-plans against the winner's
+        head (``attempt_fn`` re-reads ``current_version()`` each call) and
+        tries again, up to ``retries`` extra attempts before the conflict
+        surfaces to the caller."""
+        for remaining in range(retries, -1, -1):
+            try:
+                return attempt_fn()
+            except SnapshotConflict:
+                if remaining == 0:
+                    raise
+        raise AssertionError("unreachable")
 
-    def commit_new_files(self) -> int:
+    def append(self, new_files: list[str], retries: int = 5) -> int:
+        """Commit head + ``new_files`` (ingest). A lost CAS race re-reads
+        the new head and re-appends — appending is always safe to retry."""
+
+        def _attempt() -> int:
+            head = self.current_version()
+            base = self.files(head) if head is not None else []
+            return self.commit(base + list(new_files), head)
+
+        return self._retrying(_attempt, retries)
+
+    def commit_new_files(self, retries: int = 5) -> int:
+        return self._retrying(self._commit_new_files_once, retries)
+
+    def _commit_new_files_once(self) -> int:
         """Post-ingest catalog registration (the reference's upload →
         catalog-register sequence, ``metadata/s3.rs:86-127``): diff the
         table directory against the head manifest and append any data
@@ -374,7 +499,11 @@ class SnapshotCatalog:
         return self.commit(current + new, head)
 
     def compact(
-        self, spark: SparkSession, target_files: int = 1, ts_col: str = "timestamp"
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        ts_col: str = "timestamp",
+        retries: int = 0,
     ) -> int:
         """Snapshot-aware chunk merge: read the head snapshot, rewrite it
         sorted into ``target_files`` files under an underscore-prefixed,
@@ -386,13 +515,20 @@ class SnapshotCatalog:
         disk for pinned readers until ``vacuum``; a conflict (or a crash
         before commit) leaves the table untouched — the new data dir is
         unreferenced, underscore-hidden garbage that the next compact
-        attempt clears."""
-        head = self.current_version()
-        if head is None:
-            raise FileNotFoundError("nothing to compact: no snapshots")
-        return self._rewrite_and_commit(
-            self.read(spark, head), head, target_files, ts_col
-        )
+        attempt clears. ``retries > 0`` re-plans a lost CAS race from the
+        winner's head (re-reading the snapshot, so an interleaved ingest's
+        rows are included in the retried rewrite) instead of surfacing
+        :class:`SnapshotConflict`."""
+
+        def _attempt() -> int:
+            head = self.current_version()
+            if head is None:
+                raise FileNotFoundError("nothing to compact: no snapshots")
+            return self._rewrite_and_commit(
+                self.read(spark, head), head, target_files, ts_col
+            )
+
+        return self._retrying(_attempt, retries)
 
     def merge_upsert(
         self,
@@ -402,6 +538,7 @@ class SnapshotCatalog:
         ts_col: str = "timestamp",
         target_files: int = 1,
         prune_files: bool = True,
+        retries: int = 0,
     ) -> int:
         """Keyed MERGE (upsert): commit a new snapshot equal to the head
         with ``updates`` winning on key collisions — rows whose key
@@ -418,7 +555,27 @@ class SnapshotCatalog:
         upsert of one hot partition rewrites one file, not the table; a
         pure insert rewrites nothing. ``prune_files=False`` keeps the
         full-rewrite baseline (it also re-coalesces the table, which a
-        pruned merge deliberately does not)."""
+        pruned merge deliberately does not). ``retries > 0`` re-plans a
+        lost CAS race from the winner's head — the touched-file scan
+        reruns against the new snapshot, so the merge applies on top of
+        the interleaved commit instead of raising."""
+
+        def _attempt() -> int:
+            return self._merge_upsert_once(
+                spark, updates, key_cols, ts_col, target_files, prune_files
+            )
+
+        return self._retrying(_attempt, retries)
+
+    def _merge_upsert_once(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        ts_col: str,
+        target_files: int,
+        prune_files: bool,
+    ) -> int:
         head = self.current_version()
         if head is None:
             raise FileNotFoundError("nothing to merge into: no snapshots")
@@ -450,19 +607,11 @@ class SnapshotCatalog:
                 f"{sorted(touched - set(head_files))[:3]}"
             )
         if touched:
-            groups: dict[tuple[str, ...], list[str]] = {}
-            for rel in sorted(touched):
-                p = os.path.join(self.root, rel)
-                groups.setdefault(self._partition_keys(p), []).append(p)
-            frames = []
-            for key in sorted(groups):
-                reader = spark.read.option("mergeSchema", "true")
-                if key:
-                    reader = reader.option("basePath", self.root)
-                frames.append(reader.parquet(*sorted(groups[key])))
-            sub = frames[0]
-            for f in frames[1:]:
-                sub = sub.unionByName(f, allowMissingColumns=True)
+            sub = read_parquet_grouped(
+                spark,
+                self.root,
+                [os.path.join(self.root, rel) for rel in sorted(touched)],
+            )
             merged_part = sub.join(keys, key_cols, "left_anti")
         else:
             merged_part = None
@@ -525,28 +674,85 @@ class SnapshotCatalog:
             raise
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Drop manifests older than the last ``keep_last`` versions and
+        """Drop manifests older than the last ``keep_last`` versions,
         delete data files no retained manifest references (the reference's
         GC-grace analog: files live until every retained snapshot stops
-        referencing them). Returns the deleted data-file paths."""
+        referencing them), and reclaim crash debris — staging directories
+        whose commit can provably never happen. Returns the deleted
+        data-file paths."""
         vs = self.versions()
-        if len(vs) <= keep_last:
-            return []
-        keep, drop = vs[-keep_last:], vs[:-keep_last]
-        referenced: set[str] = set()
-        for v in keep:
-            referenced.update(self.files(v))
-        doomed: set[str] = set()
-        for v in drop:
-            doomed.update(self.files(v))
-        deleted = []
-        for path in sorted(doomed - referenced):
-            if os.path.exists(path):
-                os.unlink(path)
-                deleted.append(path)
-        for v in drop:
-            self.backend.delete(self._key(v))
+        deleted: list[str] = []
+        if len(vs) > keep_last:
+            keep, drop = vs[-keep_last:], vs[:-keep_last]
+            referenced: set[str] = set()
+            for v in keep:
+                referenced.update(self.files(v))
+            doomed: set[str] = set()
+            for v in drop:
+                doomed.update(self.files(v))
+            for path in sorted(doomed - referenced):
+                if os.path.exists(path):
+                    os.unlink(path)
+                    deleted.append(path)
+            for v in drop:
+                self.backend.delete(self._key(v))
+        deleted.extend(self._reclaim_orphans())
         return deleted
+
+    def _reclaim_orphans(self) -> list[str]:
+        """Remove underscore-hidden staging debris a crash left behind —
+        the reference's staged-upload crash story (``ingester/mod.rs``):
+        a writer dies between landing files and CAS-committing, and the
+        next maintenance pass must reclaim the garbage WITHOUT touching
+        anything a retained manifest references. Provably-dead debris:
+
+        * ``_stream-stage-{batch:08d}`` where ``batch`` ≤ the head's
+          ``stream_batch_id`` — that batch committed (its files moved out
+          before the commit), so the stage dir is leftovers;
+        * ``_staged-v{N}`` where ``N`` ≤ head — the rewrite's target
+          version was taken by another commit, the rename can never run;
+        * ``_data-v{N}`` where ``N`` ≤ head and NO file under it is
+          referenced by any retained manifest — a rewrite that renamed
+          but lost its CAS race (or crashed before commit).
+
+        In-flight writers always stage at ``head+1`` / a batch id above
+        the head marker, so they are never touched."""
+        import re
+        import shutil
+
+        head = self.current_version()
+        if head is None:
+            return []
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self.files(v))
+        head_sbi = self.manifest(head).get("stream_batch_id")
+        removed: list[str] = []
+        for name in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, name)
+            if not os.path.isdir(full) or full == self.dir:
+                continue
+            doomed = False
+            m = re.fullmatch(r"_stream-stage-(\d+)", name)
+            if m and head_sbi is not None and int(m.group(1)) <= head_sbi:
+                doomed = True
+            m = re.fullmatch(r"_staged-v(\d+)", name)
+            if m and int(m.group(1)) <= head:
+                doomed = True
+            m = re.fullmatch(r"_data-v(\d+)", name)
+            if m and int(m.group(1)) <= head:
+                inside = {
+                    os.path.join(dp, f)
+                    for dp, _, fs in os.walk(full)
+                    for f in fs
+                }
+                if not inside & referenced:
+                    doomed = True
+            if doomed:
+                for dp, _, fs in os.walk(full):
+                    removed.extend(os.path.join(dp, f) for f in fs)
+                shutil.rmtree(full, ignore_errors=True)
+        return removed
 
 
 def snapshot_chunk_stats(

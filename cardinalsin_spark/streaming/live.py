@@ -891,21 +891,32 @@ def snapshot_ingest_sink(root: str, backend=None):
     re-runs the last batch after a crash before the checkpoint advanced)
     is detected by ``batch_id <= head's stream_batch_id`` and skipped
     before any file is written — the same transactional-sink idea as
-    Delta's ``txnAppId``/``txnVersion``. Files land under an
-    underscore-hidden staging dir first and move into place before the
-    commit, so a crash mid-batch leaves no root-visible orphans; a crash
-    AFTER the move but before the commit leaves files that
-    ``commit_new_files`` would register — call it once on recovery (or
-    let the next engine ingest do it) to adopt them.
+    Delta's ``txnAppId``/``txnVersion``. ``SnapshotCatalog.commit``
+    carries the marker forward into every interleaved non-stream commit
+    (compact, merge_upsert, commit_new_files), so the head check stays
+    valid whatever committed in between.
+
+    Crash story: files land under a staging dir NAMED BY THE BATCH and
+    move into place under DETERMINISTIC names (``stream-{batch}-{ordinal}``)
+    before the commit, so a crash anywhere replays cleanly — the rerun
+    overwrites the same paths instead of writing a second,
+    differently-named set that a later ``commit_new_files`` would adopt
+    alongside the first (duplicate rows). A lost CAS race (interleaved
+    compaction/ingest commit) re-reads the winner's head and retries: the
+    batch's files are already durable, only the manifest pointer races.
+    Stage leftovers from batches that did commit are reclaimed by
+    ``vacuum``.
 
     A downstream consumer pairs this with ``SnapshotCatalog.read_changes``
     for per-batch incremental reads.
     """
     import os
     import shutil
-    import uuid
 
-    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+    from cardinalsin_spark.sources.snapshots import (
+        SnapshotCatalog,
+        SnapshotConflict,
+    )
 
     def _sink(batch_df, batch_id: int) -> None:
         cat = SnapshotCatalog(root, backend=backend)
@@ -914,22 +925,54 @@ def snapshot_ingest_sink(root: str, backend=None):
             last = cat.manifest(head).get("stream_batch_id")
             if last is not None and batch_id <= last:
                 return  # replayed batch: already durable, skip
-        stage = os.path.join(root, f"_stream-stage-{uuid.uuid4().hex[:12]}")
+        stage = os.path.join(root, f"_stream-stage-{batch_id:08d}")
         batch_df.write.mode("overwrite").option(
             "compression", "zstd"
         ).parquet(stage)
         moved = []
-        for name in os.listdir(stage):
-            if name.endswith(".parquet") and not name.startswith((".", "_")):
-                dst = os.path.join(
-                    root, f"stream-{batch_id:08d}-{name}"
-                )
-                os.rename(os.path.join(stage, name), dst)
-                moved.append(dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        base = cat.files(head) if head is not None else []
-        cat.commit(
-            base + moved, head, extra={"stream_batch_id": int(batch_id)}
+        parts = sorted(
+            name
+            for name in os.listdir(stage)
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
         )
+        for i, name in enumerate(parts):
+            dst = os.path.join(root, f"stream-{batch_id:08d}-{i:04d}.parquet")
+            os.replace(os.path.join(stage, name), dst)  # replay overwrites
+            moved.append(dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        # A crashed attempt of THIS batch may have landed more part files
+        # than this rerun produced (output partitioning is not stable
+        # across reruns). Those leftovers hold rows this rerun re-wrote —
+        # delete them, or a later commit_new_files would adopt them as
+        # "new" data next to the committed set (duplicate rows).
+        prefix = f"stream-{batch_id:08d}-"
+        superseded = {
+            os.path.join(root, name)
+            for name in os.listdir(root)
+            if name.startswith(prefix) and name.endswith(".parquet")
+        } - set(moved)
+        for stale in sorted(superseded):
+            os.unlink(stale)
+        for attempt in range(8):
+            head = cat.current_version()
+            if head is not None:
+                last = cat.manifest(head).get("stream_batch_id")
+                if last is not None and batch_id <= last:
+                    return  # the racing commit already carries this batch
+            base = set(cat.files(head)) if head is not None else set()
+            try:
+                # set-union with the moved files (an interleaved
+                # commit_new_files may already have adopted them — never
+                # register twice), minus any superseded crashed-attempt
+                # files an adoption picked up before this rerun replaced them
+                cat.commit(
+                    sorted((base | set(moved)) - superseded),
+                    head,
+                    extra={"stream_batch_id": int(batch_id)},
+                )
+                return
+            except SnapshotConflict:
+                if attempt == 7:
+                    raise
 
     return _sink
