@@ -828,7 +828,15 @@ def promql_instant(
         series = [c for c in discover_label_columns(parsed) if c != "le"]
         latest = (
             out.groupBy(cols.name, *series, "le")
-            .agg(F.expr(f"max_by({cols.value}, {cols.ts})").alias("cum"))
+            # cumulative bucket counts are integral by construction; the
+            # wide table's coalesced value column arrives as double (e.g.
+            # OTLP bucket ingest routes through value_u64) and the exact
+            # DECIMAL(38) rank/interpolation math requires an integer cum
+            .agg(
+                F.expr(f"max_by({cols.value}, {cols.ts})")
+                .cast("long")
+                .alias("cum")
+            )
             .withColumn(
                 "_le_n",
                 F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(

@@ -76,6 +76,10 @@ _HISTO_POINT = T.StructType(
         T.StructField("timeUnixNano", T.StringType()),
         T.StructField("sum", T.DoubleType()),
         T.StructField("count", T.StringType()),
+        # classic-histogram bucket shape (bucketCounts are strings in
+        # OTLP/JSON, like every 64-bit integer); absent on summary points
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+        T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
         T.StructField("attributes", _ATTR),
     ]
 )
@@ -151,13 +155,28 @@ def _attr_map(attrs: F.Column) -> F.Column:
     )
 
 
-def otlp_json_flatten(payloads: DataFrame, json_col: str = "payload") -> DataFrame:
+def otlp_json_flatten(
+    payloads: DataFrame,
+    json_col: str = "payload",
+    histogram_buckets: bool = False,
+) -> DataFrame:
     """OTLP/JSON payload strings → (ts_ns, metric_name, value, labels map).
 
     One output row per data point. Histogram/summary points collapse to
     ``sum`` (fallback ``count``) exactly like the reference. Resource
     attributes merge under point attributes (point wins on key conflict).
-    """
+
+    ``histogram_buckets=True`` is the SUPERSET mode the reference lacks
+    (it always collapses, ``api/ingest/otlp.rs:176-246``): classic
+    histogram data points expand to the Prometheus exposition shape —
+    one ``{name}_bucket`` row per explicit bound carrying the CUMULATIVE
+    count with an ``le`` label (shortest-spelling bound, ``+Inf`` row
+    included), plus ``{name}_count`` and (when present) ``{name}_sum``
+    rows — exactly what ``histogram_quantile``/``histogram_fraction``
+    consume downstream. Exponential histograms and summaries still
+    collapse (they carry no explicit bounds). All expansion is
+    DataFrame-side (posexplode + aggregate over the bucket arrays), no
+    Python in the loop."""
     parsed = payloads.select(
         F.from_json(F.col(json_col), OTLP_JSON_SCHEMA).alias("p")
     )
@@ -212,10 +231,112 @@ def otlp_json_flatten(payloads: DataFrame, json_col: str = "payload") -> DataFra
             )
         )
 
+    def histogram_bucket_rows() -> DataFrame:
+        base = (
+            metrics.filter(F.col("m.histogram").isNotNull())
+            .select(
+                "res_attrs",
+                F.col("m.name").alias("metric_name"),
+                F.explode(F.col("m.histogram.dataPoints")).alias("dp"),
+            )
+            .select(
+                "res_attrs",
+                "metric_name",
+                F.col("dp.timeUnixNano").cast("long").alias("ts_ns"),
+                F.col("dp.count").cast("long").alias("_cnt"),
+                F.col("dp.sum").alias("_sum"),
+                F.coalesce(
+                    F.col("dp.bucketCounts").cast("array<long>"),
+                    F.array().cast("array<long>"),
+                ).alias("_bc"),
+                F.coalesce(
+                    F.col("dp.explicitBounds"),
+                    F.array().cast("array<double>"),
+                ).alias("_bounds"),
+                _attr_map(F.coalesce(F.col("dp.attributes"), F.array())).alias(
+                    "attrs"
+                ),
+            )
+            # the point's count wins when set (the spec requires it to
+            # equal sum(bucket_counts)); a zero/absent count falls back
+            # to the bucket total — same rule as the wire decoder
+            .withColumn(
+                "_total",
+                F.when(
+                    F.col("_cnt").isNotNull() & (F.col("_cnt") > 0),
+                    F.col("_cnt"),
+                ).otherwise(F.expr("aggregate(_bc, 0L, (a, x) -> a + x)")),
+            )
+        )
+        le_str = F.expr(
+            "CASE WHEN _b = floor(_b) AND abs(_b) < 9e18"
+            " THEN CAST(CAST(_b AS BIGINT) AS STRING)"
+            " ELSE CAST(_b AS STRING) END"
+        )
+        per_bound = (
+            base.select(
+                "res_attrs",
+                "metric_name",
+                "ts_ns",
+                "attrs",
+                "_bc",
+                F.posexplode("_bounds").alias("_pos", "_b"),
+            )
+            .select(
+                "res_attrs",
+                F.concat("metric_name", F.lit("_bucket")).alias("metric_name"),
+                "ts_ns",
+                # cumulative count <= bound: prefix-sum of the per-bucket
+                # counts (a short bucket array stalls the prefix, same as
+                # the wire decoder)
+                F.expr(
+                    "CAST(aggregate(slice(_bc, 1, _pos + 1), 0L,"
+                    " (a, x) -> a + x) AS DOUBLE)"
+                ).alias("value"),
+                F.map_concat(
+                    "attrs", F.create_map(F.lit("le"), le_str)
+                ).alias("attrs"),
+            )
+        )
+        inf_rows = base.select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_bucket")).alias("metric_name"),
+            "ts_ns",
+            F.col("_total").cast("double").alias("value"),
+            F.map_concat(
+                "attrs", F.create_map(F.lit("le"), F.lit("+Inf"))
+            ).alias("attrs"),
+        )
+        count_rows = base.select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_count")).alias("metric_name"),
+            "ts_ns",
+            F.col("_total").cast("double").alias("value"),
+            "attrs",
+        )
+        sum_rows = base.filter(F.col("_sum").isNotNull()).select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_sum")).alias("metric_name"),
+            "ts_ns",
+            F.col("_sum").alias("value"),
+            "attrs",
+        )
+        return (
+            per_bound.unionByName(inf_rows)
+            .unionByName(count_rows)
+            .unionByName(sum_rows)
+            .select("res_attrs", "metric_name", "ts_ns", "value", "attrs")
+        )
+
+    histo = (
+        histogram_bucket_rows()
+        if histogram_buckets
+        else histo_points("histogram")
+    )
     points = (
         number_points("gauge")
         .unionByName(number_points("sum"))
-        .unionByName(histo_points("histogram"))
+        .unionByName(histo)
         .unionByName(histo_points("summary"))
     )
     return points.select(
@@ -256,9 +377,15 @@ def otlp_to_metrics(
     payloads: DataFrame,
     label_keys: list[str] | None = None,
     json_col: str = "payload",
+    histogram_buckets: bool = False,
 ) -> DataFrame:
-    """Full OTLP/JSON ingest: flatten, pivot labels, route value types."""
-    return _flat_to_metrics(otlp_json_flatten(payloads, json_col), label_keys)
+    """Full OTLP/JSON ingest: flatten, pivot labels, route value types.
+    ``histogram_buckets=True`` preserves classic-histogram buckets as
+    per-``le`` rows (see :func:`otlp_json_flatten`) so the ingested table
+    answers ``histogram_quantile``/``histogram_fraction`` directly."""
+    return _flat_to_metrics(
+        otlp_json_flatten(payloads, json_col, histogram_buckets), label_keys
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +471,93 @@ def _decode_number_point(buf: bytes) -> tuple[int, float, dict]:
     return ts, value, attrs
 
 
+def _packed_fixed64(val: bytes) -> list[int]:
+    return [
+        struct.unpack_from("<Q", val, i)[0] for i in range(0, len(val), 8)
+    ]
+
+
+def _packed_double(val: bytes) -> list[float]:
+    return [
+        struct.unpack_from("<d", val, i)[0] for i in range(0, len(val), 8)
+    ]
+
+
+def _fmt_le(bound: float) -> str:
+    """Prometheus-style shortest bound spelling for the ``le`` label:
+    integral bounds render without a decimal point (``1.0`` → ``"1"``),
+    everything else as Python's shortest round-trip repr (``0.5``)."""
+    s = repr(float(bound))
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _decode_histogram_point_full(
+    buf: bytes,
+) -> tuple[int, int, float | None, list[int], list[float], dict]:
+    """Classic HistogramDataPoint with buckets preserved: (ts, count, sum,
+    bucket_counts, explicit_bounds, attrs). bucket_counts (fixed64, field
+    6) and explicit_bounds (double, field 7) arrive packed (one
+    length-delimited blob of 8-byte values) or, from pre-proto3
+    serializers, unpacked — both accepted."""
+    ts = 0
+    count = 0
+    s: float | None = None
+    counts: list[int] = []
+    bounds: list[float] = []
+    attrs: dict[str, str] = {}
+    for fno, wt, val in _fields(buf):
+        if fno == 3 and wt == 1:
+            ts = _fixed64_i64(val)
+        elif fno == 4 and wt == 1:
+            count = struct.unpack("<Q", val)[0]
+        elif fno == 5 and wt == 1:
+            s = struct.unpack("<d", val)[0]
+        elif fno == 6 and wt == 2:
+            counts.extend(_packed_fixed64(val))
+        elif fno == 6 and wt == 1:
+            counts.append(struct.unpack("<Q", val)[0])
+        elif fno == 7 and wt == 2:
+            bounds.extend(_packed_double(val))
+        elif fno == 7 and wt == 1:
+            bounds.append(struct.unpack("<d", val)[0])
+        elif fno == 9 and wt == 2:
+            k, v = _key_values(val)
+            attrs[k] = v
+    return ts, count, s, counts, bounds, attrs
+
+
+def _histogram_bucket_rows(
+    name: str,
+    ts: int,
+    count: int,
+    s: float | None,
+    counts: list[int],
+    bounds: list[float],
+    labels: dict,
+) -> list[tuple[int, str, float, dict]]:
+    """Prometheus exposition shape for one histogram point: cumulative
+    ``{name}_bucket`` rows per bound + ``+Inf``, ``{name}_count``, and
+    ``{name}_sum`` when present. The point's ``count`` wins as the total
+    when set (the spec requires count == sum(bucket_counts)); a
+    zero/absent count falls back to the bucket total."""
+    rows: list[tuple[int, str, float, dict]] = []
+    cum = 0
+    for i, bound in enumerate(bounds):
+        if i < len(counts):
+            cum += counts[i]
+        rows.append(
+            (ts, f"{name}_bucket", float(cum), {**labels, "le": _fmt_le(bound)})
+        )
+    total = sum(counts) if counts else cum
+    if count > 0:
+        total = count
+    rows.append((ts, f"{name}_bucket", float(total), {**labels, "le": "+Inf"}))
+    rows.append((ts, f"{name}_count", float(total), dict(labels)))
+    if s is not None:
+        rows.append((ts, f"{name}_sum", s, dict(labels)))
+    return rows
+
+
 def _decode_histo_point(buf: bytes, attr_field: int, sum_optional: bool) -> tuple[int, float, dict]:
     ts = 0
     count = 0
@@ -376,7 +590,9 @@ _POINT_KINDS: dict[int, tuple] = {
 }
 
 
-def _decode_metric(buf: bytes, res_labels: dict) -> list[tuple[int, str, float, dict]]:
+def _decode_metric(
+    buf: bytes, res_labels: dict, histogram_buckets: bool = False
+) -> list[tuple[int, str, float, dict]]:
     name = ""
     point_bufs: list[tuple[int, bytes]] = []
     for fno, wt, val in _fields(buf):
@@ -388,6 +604,17 @@ def _decode_metric(buf: bytes, res_labels: dict) -> list[tuple[int, str, float, 
                     point_bufs.append((fno, dval))
     rows = []
     for kind_field, pbuf in point_bufs:
+        if histogram_buckets and kind_field == 9:
+            ts, count, s, counts, bounds, attrs = (
+                _decode_histogram_point_full(pbuf)
+            )
+            rows.extend(
+                _histogram_bucket_rows(
+                    name, ts, count, s, counts, bounds,
+                    {**res_labels, **attrs},
+                )
+            )
+            continue
         kind, args = _POINT_KINDS[kind_field]
         if kind == "number":
             ts, value, attrs = _decode_number_point(pbuf)
@@ -397,10 +624,15 @@ def _decode_metric(buf: bytes, res_labels: dict) -> list[tuple[int, str, float, 
     return rows
 
 
-def decode_export_metrics_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
+def decode_export_metrics_request(
+    payload: bytes, histogram_buckets: bool = False
+) -> list[tuple[int, str, float, dict]]:
     """One ExportMetricsServiceRequest → [(ts_ns, metric_name, value,
     labels), ...] with point attributes overriding resource attributes
-    (reference ``api/ingest/otlp.rs:merge_labels``)."""
+    (reference ``api/ingest/otlp.rs:merge_labels``).
+    ``histogram_buckets=True`` expands classic histogram points to
+    cumulative per-``le`` rows instead of the sum/count collapse (see
+    :func:`otlp_json_flatten`)."""
     rows = []
     for fno, wt, rm in _fields(payload):
         if fno != 1 or wt != 2:  # ResourceMetrics
@@ -420,12 +652,17 @@ def decode_export_metrics_request(payload: bytes) -> list[tuple[int, str, float,
         for sm in scope_bufs:
             for f3, w3, mbuf in _fields(sm):
                 if f3 == 2 and w3 == 2:  # Metric
-                    rows.extend(_decode_metric(mbuf, res_labels))
+                    rows.extend(
+                        _decode_metric(mbuf, res_labels, histogram_buckets)
+                    )
     return rows
 
 
 def otlp_proto_flatten(
-    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+    payloads: DataFrame,
+    bytes_col: str = "payload",
+    on_error: str = "skip",
+    histogram_buckets: bool = False,
 ) -> DataFrame:
     """binary ExportMetricsServiceRequest payloads → flat point rows.
 
@@ -444,7 +681,11 @@ def otlp_proto_flatten(
             rows: list[tuple] = []
             for payload in pdf[bytes_col]:
                 try:
-                    rows.extend(decode_export_metrics_request(bytes(payload)))
+                    rows.extend(
+                        decode_export_metrics_request(
+                            bytes(payload), histogram_buckets
+                        )
+                    )
                 except (ValueError, UnicodeDecodeError, struct.error):
                     if on_error == "raise":
                         raise
@@ -460,7 +701,13 @@ def otlp_proto_to_metrics(
     payloads: DataFrame,
     label_keys: list[str] | None = None,
     bytes_col: str = "payload",
+    histogram_buckets: bool = False,
 ) -> DataFrame:
     """Full OTLP protobuf ingest: wire decode, pivot labels, route value
     types — the wire-true twin of :func:`otlp_to_metrics`."""
-    return _flat_to_metrics(otlp_proto_flatten(payloads, bytes_col), label_keys)
+    return _flat_to_metrics(
+        otlp_proto_flatten(
+            payloads, bytes_col, histogram_buckets=histogram_buckets
+        ),
+        label_keys,
+    )
