@@ -5633,11 +5633,14 @@ _DRIVER_WINDOW = [
     "tpch_q18ish",
     "tpch_q19ish",
     "tpch_q22ish",
+    # -- (c) ADDED in round 9 — never driver-checked, windowed by the
+    # coverage invariant (displaced the media_image_features/media_resize
+    # r6 picks; media-tier churn stays covered by media_frame_sample)
+    "emb_ivf_recall",
+    "emb_ivfpq_recall",
     # -- (b) r6-tier picks, churn-prioritised
     "flagship_minute_p99",
     "media_frame_sample",
-    "media_image_features",
-    "media_resize",
     "emb_hamming_topk",
     "maint_retention",
     "docs_kmv_sample",

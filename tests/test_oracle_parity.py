@@ -16,7 +16,9 @@ CASES = sorted(name for name, (_, sql) in q.REGISTRY.items() if sql is not None)
 # case runs at sf0.01 like the driver gate does.
 SF_PINNED = {
     "emb_ivf_topk": "/root/testdata/sf0.01",
+    "emb_ivf_recall": "/root/testdata/sf0.01",
     "emb_ivfpq_topk": "/root/testdata/sf0.01",
+    "emb_ivfpq_recall": "/root/testdata/sf0.01",
     "emb_ivfpq_residual_topk": "/root/testdata/sf0.01",
     "emb_semdedup": "/root/testdata/sf0.01",
     "emb_pca_project": "/root/testdata/sf0.01",

@@ -132,8 +132,6 @@ RECHECK: dict[str, str] = {
     # -- r6-tier picks
     "flagship_minute_p99": "flagship",
     "media_frame_sample": "media-churn",
-    "media_image_features": "media-churn",
-    "media_resize": "media-churn",
     "emb_hamming_topk": "sim-churn",
     "maint_retention": "maint-churn",
     "docs_kmv_sample": "sketch-churn",
