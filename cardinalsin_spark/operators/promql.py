@@ -1709,6 +1709,47 @@ def promql_range(
             out = out.drop(ts_ns_col)
     label_cols = discover_label_columns(parsed)
 
+    if parsed.function == "histogram_quantile" and parsed.q_str is not None:
+        # histogram_quantile(φ, m_bucket) on the range grid: per step the
+        # bucket family's state is the LATEST cumulative count per
+        # (series, le) in the bucket (counters only move forward inside a
+        # step), then the same exact-integer quantile algorithm as the
+        # instant path runs per (step, series). Without this branch the
+        # default AVG arm would average cumulative counts ACROSS le
+        # buckets — the reference's silent degradation
+        # (api/query/prometheus_api.rs:998-1012), a wrong answer here.
+        from fractions import Fraction
+
+        frac = Fraction(parsed.q_str)
+        series = [c for c in label_cols if c != "le"]
+        latest = (
+            out.groupBy(
+                time_bucket(cols.ts, step_s).alias("time_bucket"),
+                F.col(cols.name),
+                *series,
+                "le",
+            )
+            .agg(
+                F.expr(f"max_by({cols.value}, {cols.ts})")
+                .cast("long")
+                .alias("cum")
+            )
+            .withColumn(
+                "_le_n",
+                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
+                    F.col("le").cast("long")
+                ),
+            )
+        )
+        return histogram_quantile_cumulative(
+            latest,
+            frac.numerator,
+            frac.denominator,
+            ["time_bucket", cols.name, *series],
+            le_col="_le_n",
+            cum_col="cum",
+        )
+
     if faithful and parsed.function in (
         "rate", "irate", "increase", "deriv", "idelta", "delta",
         "resets", "changes", "predict_linear", "holt_winters",

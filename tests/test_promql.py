@@ -2150,3 +2150,41 @@ def test_instant_subquery(spark, sf_dir):
         promql_instant(ev, "avg_over_time(purchase[2d:])", time_s=t, cols=EV_CENTS)
     with _pt.raises(ValueError, match="evaluation time"):
         promql_instant(ev, "avg_over_time(purchase[2d:1d])", time_s=None, cols=EV_CENTS)
+
+
+def test_histogram_quantile_through_range_transpiler(spark):
+    """histogram_quantile(0.5, m_bucket) on the range grid: per step the
+    latest cumulative count per (series, le) feeds the exact quantile —
+    previously this fell to the default AVG arm, which averaged
+    cumulative counts ACROSS le buckets (the reference's silent
+    degradation; a wrong answer, not a degraded one)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 1, 0)
+    rows = []
+    for ts, cums in [(t0, [10, 18, 20]), (t1, [10, 38, 40])]:
+        for le, cum in zip(["100", "200", "+Inf"], cums):
+            rows.append(
+                Row(timestamp=ts, metric_name="lat_bucket", le=le,
+                    value=float(cum))
+            )
+    df = spark.createDataFrame(rows)
+    out = promql_range(
+        df,
+        "histogram_quantile(0.5, lat_bucket)",
+        1704067200.0,
+        1704067260.0,
+        60,
+        MetricsCols(),
+    ).collect()
+    assert [r.time_bucket for r in out] == [t0, t1]
+    # step 0: rank 10 -> first bucket: 100*(10-0)/10 = 100
+    assert out[0].value == 100.0
+    # step 1: rank 20 -> (100,200]: 100 + 100*(20-10)/28 = 135.714285
+    assert out[1].value == 135.714285  # floored onto the 1e-6 grid
