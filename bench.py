@@ -143,18 +143,32 @@ def main() -> int:
     write_path = _bench_write_path(spark, sf_dir)
     _between_groups(spark)
 
+    # SPARK_GRAFT_BENCH_REPEATS > 1 records the per-query MEDIAN of N
+    # back-to-back runs (VERDICT r8 item 6: single-pass timings on
+    # local[32] carry a ±15-20% machine band that round-over-round
+    # comparisons then chase). The driver's per-round run stays at the
+    # default 1 (same wall-clock budget as every prior round); the
+    # builder's re-anchor run uses 3 and the medians land in
+    # BENCH_MEDIANS.json so BENCH_DETAIL.json remains the single-pass
+    # artifact the driver overwrites.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
     prev_group: str | None = None
     registry = q.queries()
+    import statistics
+
     for name in _bench_sequence(registry):
         fn = registry[name]
         group = _group_of(name)
         if prev_group is not None and group != prev_group:
             _between_groups(spark)
         prev_group = group
-        start = time.perf_counter()
-        _run_to_completion(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 4)
+        runs = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            _run_to_completion(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -163,14 +177,14 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
         "write_path": write_path,
         "write_path_position": "pre-suite",
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_name = "BENCH_MEDIANS.json" if repeats > 1 else "BENCH_DETAIL.json"
     try:
-        with open(detail_path, "w") as fh:
+        with open(os.path.join(here, detail_name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass
