@@ -71,6 +71,28 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--m-bits", type=int, default=1 << 16)
     bl.add_argument("--k-hashes", type=int, default=5)
 
+    sc = sub.add_parser(
+        "snapshot-compact",
+        help="snapshot-aware chunk merge: rewrite the head manifest's "
+        "files and CAS-commit a new version (pinned readers keep theirs)",
+    )
+    sc.add_argument("--path", required=True)
+    sc.add_argument("--target-files", type=int, default=1)
+    sc.add_argument("--ts-col", default="timestamp")
+    sc.add_argument(
+        "--retries", type=int, default=5,
+        help="re-plan from the winner's head after a lost CAS race, up to "
+        "N times (the reference compactor's retry loop)",
+    )
+
+    v = sub.add_parser(
+        "vacuum",
+        help="drop manifests past the retention window, delete "
+        "unreferenced data files, reclaim crash-orphaned staging dirs",
+    )
+    v.add_argument("--path", required=True)
+    v.add_argument("--keep-last", type=int, default=2)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
@@ -149,6 +171,30 @@ def main(argv: list[str] | None = None) -> int:
             target_files=args.target_files,
         )
         print(f"z-ordered on ({a}, {b}) -> {args.out}")
+
+    elif args.cmd == "snapshot-compact":
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        cat = SnapshotCatalog(args.path)
+        if cat.current_version() is None:
+            cat.init_from_directory()
+            print(f"bootstrapped manifest v0 from {args.path}")
+        v = cat.compact(
+            spark,
+            target_files=args.target_files,
+            ts_col=args.ts_col,
+            retries=args.retries,
+        )
+        print(
+            f"snapshot-compacted {args.path} -> v{v}"
+            f" ({len(cat.files(v))} files)"
+        )
+
+    elif args.cmd == "vacuum":
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        deleted = SnapshotCatalog(args.path).vacuum(keep_last=args.keep_last)
+        print(f"vacuumed {args.path}: {len(deleted)} files reclaimed")
 
     return 0
 

@@ -548,3 +548,37 @@ def test_merge_upsert_loser_retries(spark, table, tmp_path):
     assert df.filter(F.col("metric_name") == "rewritten").count() == 3
     assert df.filter(F.col("metric_name") == "mid_append").count() == 5
     assert v == racing.current_version()
+
+
+# ---------------------------------------------------------------------------
+# jobs CLI: snapshot-compact (with retries) and vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_jobs_snapshot_compact_and_vacuum_cli(spark, table, capsys):
+    from cardinalsin_spark import jobs
+
+    root, cat = table
+    rc = jobs.main(
+        ["snapshot-compact", "--path", root, "--target-files", "2"]
+    )
+    assert rc == 0
+    assert "-> v1 (2 files)" in capsys.readouterr().out
+    assert cat.read(spark).count() == 600
+
+    # crash debris + an old version for vacuum to reclaim
+    os.makedirs(os.path.join(root, "_stream-stage-00000000"), exist_ok=True)
+    with open(
+        os.path.join(root, "_stream-stage-00000000", "x.parquet"), "w"
+    ) as f:
+        f.write("junk")
+    # vacuum only reclaims stream stages when a head carries the marker
+    from cardinalsin_spark.streaming.live import snapshot_ingest_sink
+
+    snapshot_ingest_sink(root)(_batch(spark, 7000, 7005), 3)
+    rc = jobs.main(["vacuum", "--path", root, "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "files reclaimed" in out
+    assert not os.path.exists(os.path.join(root, "_stream-stage-00000000"))
+    assert cat.read(spark).count() == 605
