@@ -112,6 +112,13 @@ _HW_RE = re.compile(
 _HISTQ_RE = re.compile(
     r"^histogram_quantile\s*\(\s*([0-9]*\.?[0-9]+)\s*,\s*(.+)\)$", re.DOTALL
 )
+# histogram_fraction(lo, hi, m_bucket): estimated fraction of observations
+# in (lo, hi] over the same cumulative-bucket family
+_HISTF_RE = re.compile(
+    r"^histogram_fraction\s*\(\s*(-?[0-9]*\.?[0-9]+)\s*,"
+    r"\s*(-?[0-9]*\.?[0-9]+)\s*,\s*(.+)\)$",
+    re.DOTALL,
+)
 _SELECTOR_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?$")
 _MATCHER_RE = re.compile(r'(\w+)\s*(=~|!=|!~|=)\s*"([^"]*)"')
 _UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
@@ -205,6 +212,8 @@ class ParsedPromQL:
     hw_sf: float | None = None  # holt_winters level factor
     hw_tf: float | None = None  # holt_winters trend factor
     q_str: str | None = None  # histogram_quantile φ as written (exact)
+    frac_lo: int | None = None  # histogram_fraction thresholds (le units)
+    frac_hi: int | None = None
 
 
 def _in_quotes(s: str, pos: int) -> bool:
@@ -359,6 +368,33 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.q = float(m.group(1))
         out.q_str = m.group(1)
         inner_parsed = parse_promql(m.group(2))
+        out.metric_name = inner_parsed.metric_name
+        out.label_matchers = inner_parsed.label_matchers
+        out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
+        if out.at_seconds is None:
+            out.at_seconds = inner_parsed.at_seconds
+        return out
+
+    m = _HISTF_RE.match(promql)
+    if m:
+        lo_f, hi_f = float(m.group(1)), float(m.group(2))
+        # the exact-rational interpolation runs on the integer le grid;
+        # non-integral thresholds would need a scaled grid — loud-reject
+        # rather than silently rounding them onto bucket bounds
+        if lo_f != int(lo_f) or hi_f != int(hi_f):
+            raise ValueError(
+                "histogram_fraction thresholds must be integral in the "
+                "bucket-bound (le) unit — scale the instrumented values "
+                f"(got {m.group(1)}, {m.group(2)})"
+            )
+        if not (0 <= lo_f < hi_f):
+            raise ValueError(
+                "histogram_fraction needs 0 <= lo < hi "
+                f"(got {m.group(1)}, {m.group(2)})"
+            )
+        out.function = "histogram_fraction"
+        out.frac_lo, out.frac_hi = int(lo_f), int(hi_f)
+        inner_parsed = parse_promql(m.group(3))
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
         out.offset_seconds = out.offset_seconds or inner_parsed.offset_seconds
@@ -848,6 +884,34 @@ def promql_instant(
             latest,
             frac.numerator,
             frac.denominator,
+            [cols.name, *series],
+            le_col="_le_n",
+            cum_col="cum",
+        )
+
+    if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
+        # histogram_fraction(lo, hi, m_bucket): same latest-cumulative
+        # frame as the quantile path, fed to the exact-rational
+        # interpolation at both thresholds
+        series = [c for c in discover_label_columns(parsed) if c != "le"]
+        latest = (
+            out.groupBy(cols.name, *series, "le")
+            .agg(
+                F.expr(f"max_by({cols.value}, {cols.ts})")
+                .cast("long")
+                .alias("cum")
+            )
+            .withColumn(
+                "_le_n",
+                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
+                    F.col("le").cast("long")
+                ),
+            )
+        )
+        return histogram_fraction_cumulative(
+            latest,
+            parsed.frac_lo,
+            parsed.frac_hi,
             [cols.name, *series],
             le_col="_le_n",
             cum_col="cum",
@@ -1745,6 +1809,38 @@ def promql_range(
             latest,
             frac.numerator,
             frac.denominator,
+            ["time_bucket", cols.name, *series],
+            le_col="_le_n",
+            cum_col="cum",
+        )
+
+    if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
+        # histogram_fraction on the range grid: per step, same
+        # latest-cumulative state as the quantile branch above
+        series = [c for c in label_cols if c != "le"]
+        latest = (
+            out.groupBy(
+                time_bucket(cols.ts, step_s).alias("time_bucket"),
+                F.col(cols.name),
+                *series,
+                "le",
+            )
+            .agg(
+                F.expr(f"max_by({cols.value}, {cols.ts})")
+                .cast("long")
+                .alias("cum")
+            )
+            .withColumn(
+                "_le_n",
+                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
+                    F.col("le").cast("long")
+                ),
+            )
+        )
+        return histogram_fraction_cumulative(
+            latest,
+            parsed.frac_lo,
+            parsed.frac_hi,
             ["time_bucket", cols.name, *series],
             le_col="_le_n",
             cum_col="cum",

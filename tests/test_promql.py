@@ -2188,3 +2188,50 @@ def test_histogram_quantile_through_range_transpiler(spark):
     assert out[0].value == 100.0
     # step 1: rank 20 -> (100,200]: 100 + 100*(20-10)/28 = 135.714285
     assert out[1].value == 135.714285  # floored onto the 1e-6 grid
+
+
+def test_histogram_fraction_through_transpilers(spark):
+    """histogram_fraction(lo, hi, m_bucket) now parses in both query
+    modes (previously only the direct-API operator existed; the PromQL
+    spelling loud-rejected). Hand check: cums [10, 18, 20] at bounds
+    [100, 200, +Inf] -> n(<=150) = 10 + 50*8/100 = 14, n(<=50) = 5,
+    fraction = (14-5)/20 = 0.45."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import (
+        promql_instant,
+        promql_range,
+    )
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(timestamp=t0, metric_name="lat_bucket", le=le, value=float(cum))
+        for le, cum in zip(["100", "200", "+Inf"], [10, 18, 20])
+    ]
+    df = spark.createDataFrame(rows)
+    inst = promql_instant(
+        df, "histogram_fraction(50, 150, lat_bucket)",
+        time_s=1704067200.0, cols=MetricsCols(),
+    ).collect()
+    assert len(inst) == 1 and inst[0].value == 0.45
+    rng = promql_range(
+        df, "histogram_fraction(50, 150, lat_bucket)",
+        1704067200.0, 1704067200.0, 60, MetricsCols(),
+    ).collect()
+    assert len(rng) == 1 and rng[0].value == 0.45
+    # loud-rejects, not silent wrong answers
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        promql_instant(
+            df, "histogram_fraction(0.5, 150, lat_bucket)",
+            time_s=1704067200.0, cols=MetricsCols(),
+        )
+    with _pytest.raises(ValueError, match="lo < hi"):
+        promql_instant(
+            df, "histogram_fraction(150, 50, lat_bucket)",
+            time_s=1704067200.0, cols=MetricsCols(),
+        )
