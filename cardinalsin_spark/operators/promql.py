@@ -212,7 +212,7 @@ class ParsedPromQL:
     hw_sf: float | None = None  # holt_winters level factor
     hw_tf: float | None = None  # holt_winters trend factor
     q_str: str | None = None  # histogram_quantile φ as written (exact)
-    frac_lo: int | None = None  # histogram_fraction thresholds (le units)
+    frac_lo: int | None = None  # histogram_fraction thresholds (exact micros)
     frac_hi: int | None = None
 
 
@@ -377,23 +377,26 @@ def parse_promql(promql: str) -> ParsedPromQL:
 
     m = _HISTF_RE.match(promql)
     if m:
-        lo_f, hi_f = float(m.group(1)), float(m.group(2))
-        # the exact-rational interpolation runs on the integer le grid;
-        # non-integral thresholds would need a scaled grid — loud-reject
-        # rather than silently rounding them onto bucket bounds
-        if lo_f != int(lo_f) or hi_f != int(hi_f):
+        from fractions import Fraction as _Fr
+
+        # thresholds live on the same exact-micros grid as the le bounds
+        # (the engine's _le_micros conversion); spellings finer than 10⁻⁶
+        # would silently land between grid points — loud-reject those
+        lo_fr = _Fr(m.group(1)) * 1_000_000
+        hi_fr = _Fr(m.group(2)) * 1_000_000
+        if lo_fr.denominator != 1 or hi_fr.denominator != 1:
             raise ValueError(
-                "histogram_fraction thresholds must be integral in the "
-                "bucket-bound (le) unit — scale the instrumented values "
-                f"(got {m.group(1)}, {m.group(2)})"
+                "histogram_fraction thresholds finer than 1e-6 are not "
+                f"representable on the exact bucket grid (got "
+                f"{m.group(1)}, {m.group(2)})"
             )
-        if not (0 <= lo_f < hi_f):
+        if not (0 <= lo_fr < hi_fr):
             raise ValueError(
                 "histogram_fraction needs 0 <= lo < hi "
                 f"(got {m.group(1)}, {m.group(2)})"
             )
         out.function = "histogram_fraction"
-        out.frac_lo, out.frac_hi = int(lo_f), int(hi_f)
+        out.frac_lo, out.frac_hi = int(lo_fr), int(hi_fr)
         inner_parsed = parse_promql(m.group(3))
         out.metric_name = inner_parsed.metric_name
         out.label_matchers = inner_parsed.label_matchers
@@ -873,12 +876,7 @@ def promql_instant(
                 .cast("long")
                 .alias("cum")
             )
-            .withColumn(
-                "_le_n",
-                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
-                    F.col("le").cast("long")
-                ),
-            )
+            .withColumn("_le_n", _le_micros())
         )
         return histogram_quantile_cumulative(
             latest,
@@ -887,6 +885,7 @@ def promql_instant(
             [cols.name, *series],
             le_col="_le_n",
             cum_col="cum",
+            le_prescale=1_000_000,
         )
 
     if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
@@ -901,12 +900,7 @@ def promql_instant(
                 .cast("long")
                 .alias("cum")
             )
-            .withColumn(
-                "_le_n",
-                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
-                    F.col("le").cast("long")
-                ),
-            )
+            .withColumn("_le_n", _le_micros())
         )
         return histogram_fraction_cumulative(
             latest,
@@ -1798,12 +1792,7 @@ def promql_range(
                 .cast("long")
                 .alias("cum")
             )
-            .withColumn(
-                "_le_n",
-                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
-                    F.col("le").cast("long")
-                ),
-            )
+            .withColumn("_le_n", _le_micros())
         )
         return histogram_quantile_cumulative(
             latest,
@@ -1812,6 +1801,7 @@ def promql_range(
             ["time_bucket", cols.name, *series],
             le_col="_le_n",
             cum_col="cum",
+            le_prescale=1_000_000,
         )
 
     if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
@@ -1830,12 +1820,7 @@ def promql_range(
                 .cast("long")
                 .alias("cum")
             )
-            .withColumn(
-                "_le_n",
-                F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
-                    F.col("le").cast("long")
-                ),
-            )
+            .withColumn("_le_n", _le_micros())
         )
         return histogram_fraction_cumulative(
             latest,
@@ -2140,6 +2125,18 @@ def _promql_range_faithful(
 LE_INF = 2**62
 
 
+def _le_micros() -> F.Column:
+    """``le`` label string → exact micros on an integer grid ("0.5" →
+    500000, "250" → 250000000, "+Inf" → LE_INF) — fractional bucket
+    bounds (the normal Prometheus seconds-unit instrumentation) stay on
+    the exact-integer interpolation path. DECIMAL(32,6) parses any
+    decimal spelling down to 10⁻⁶ exactly; a garbage label raises under
+    ANSI instead of silently pruning the bucket."""
+    return F.when(F.col("le") == "+Inf", F.lit(LE_INF)).otherwise(
+        F.expr("CAST(CAST(le AS DECIMAL(32,6)) * 1000000 AS BIGINT)")
+    )
+
+
 def histogram_quantile_cumulative(
     buckets: DataFrame,
     q_num: int,
@@ -2149,6 +2146,7 @@ def histogram_quantile_cumulative(
     cum_col: str = "cum",
     value_alias: str = "value",
     out_scale: float = 1_000_000.0,
+    le_prescale: int = 1,
 ) -> DataFrame:
     """PromQL ``histogram_quantile(q, m_bucket)`` over a cumulative-bucket
     frame: one row per (group, le) with the cumulative count ``cum`` of
@@ -2166,9 +2164,20 @@ def histogram_quantile_cumulative(
     in exact int64 before ONE float division by ``out_scale``, so results
     hash-match across engines.
 
+    ``le_prescale=S`` declares that the ``le`` values arrive multiplied
+    by S (the engine's PromQL paths pass bounds in exact micros, S=10⁶,
+    so FRACTIONAL bucket bounds — the normal Prometheus seconds-unit
+    instrumentation — stay on an integer grid). The interpolation is
+    linear in le and the 10⁶ micro-grid multiplier divides down by S
+    before the single integer division, so results are bit-identical to
+    the unscaled path for bounds expressible at both scales.
+
     Plan: two stacked windows on the group key (max + lag share a single
     shuffle), then a filter — no UDFs, no collect.
     """
+    if 1_000_000 % le_prescale:
+        raise ValueError(f"le_prescale must divide 1e6, got {le_prescale}")
+    mult = 1_000_000 // le_prescale
     g = Window.partitionBy(*group_cols)
     w = g.orderBy(le_col)
     le = F.col(le_col)
@@ -2200,11 +2209,11 @@ def histogram_quantile_cumulative(
         f" + CAST({le_col} - coalesce(_prev_le, 0) AS DECIMAL(38,0))"
         f" * (CAST({q_num} AS DECIMAL(38,0)) * _total"
         f"    - CAST({q_den} AS DECIMAL(38,0)) * _prev_cum))"
-        f" * 1000000 div (CAST({q_den} AS DECIMAL(38,0))"
+        f" * {mult} div (CAST({q_den} AS DECIMAL(38,0))"
         f" * ({cum_col} - _prev_cum))"
     )
     micro = (
-        F.when(le >= F.lit(LE_INF), F.col("_prev_le") * F.lit(1_000_000))
+        F.when(le >= F.lit(LE_INF), F.col("_prev_le") * F.lit(mult))
         .when(cnt > 0, interp_micro)
         .otherwise(F.lit(None))
     )

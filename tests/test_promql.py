@@ -2225,9 +2225,9 @@ def test_histogram_fraction_through_transpilers(spark):
     # loud-rejects, not silent wrong answers
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="integral"):
+    with _pytest.raises(ValueError, match="finer than 1e-6"):
         promql_instant(
-            df, "histogram_fraction(0.5, 150, lat_bucket)",
+            df, "histogram_fraction(0.0000001, 150, lat_bucket)",
             time_s=1704067200.0, cols=MetricsCols(),
         )
     with _pytest.raises(ValueError, match="lo < hi"):
@@ -2235,3 +2235,35 @@ def test_histogram_fraction_through_transpilers(spark):
             df, "histogram_fraction(150, 50, lat_bucket)",
             time_s=1704067200.0, cols=MetricsCols(),
         )
+
+
+def test_histogram_functions_fractional_le_bounds(spark):
+    """Real Prometheus instrumentation uses seconds-unit bounds ("0.1",
+    "0.25"); the le label now converts to exact micros so fractional
+    bounds run on the same exact-integer interpolation (previously the
+    long cast raised). Hand check on cums [10, 18, 20] at bounds
+    [0.1, 0.2, +Inf]: p50 rank 10 -> first bucket -> 0.1;
+    fraction(0.05, 0.15) = (14-5)/20 = 0.45."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(timestamp=t0, metric_name="lat_bucket", le=le, value=float(cum))
+        for le, cum in zip(["0.1", "0.2", "+Inf"], [10, 18, 20])
+    ]
+    df = spark.createDataFrame(rows)
+    q = promql_instant(
+        df, "histogram_quantile(0.5, lat_bucket)",
+        time_s=1704067200.0, cols=MetricsCols(),
+    ).collect()
+    assert len(q) == 1 and q[0].value == 0.1
+    fr = promql_instant(
+        df, "histogram_fraction(0.05, 0.15, lat_bucket)",
+        time_s=1704067200.0, cols=MetricsCols(),
+    ).collect()
+    assert len(fr) == 1 and fr[0].value == 0.45
