@@ -561,3 +561,60 @@ def test_scene_change_prunes_doc_metadata(spark, sf_dir):
     df = _df(spark, sf_dir, "media_scene_change")
     cols = scan_read_schema(df)
     assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_otlp_bucket_expansion_stays_jvm_side(spark):
+    """The OTLP/JSON histogram-bucket expansion (posexplode + prefix-sum
+    aggregate over the bucket arrays) must compile to pure JVM
+    expressions — a Python eval node in an ingest path would cap 100 TB
+    throughput at Arrow-transfer speed for no reason."""
+    from cardinalsin_spark.sources.otlp import otlp_json_flatten
+
+    payloads = spark.createDataFrame([("{}",)], "payload string")
+    plan = plan_string(
+        otlp_json_flatten(payloads, histogram_buckets=True), "formatted"
+    )
+    assert "EvalPython" not in plan, plan
+
+
+def test_ann_recall_joins_broadcast_topk_frames(spark, sf_dir):
+    """Recall measurement joins two k·|queries|-row result frames — the
+    approximate side must broadcast so recall never costs a shuffle of
+    anything corpus-sized."""
+    df = _df(spark, sf_dir, "emb_ivf_recall")
+    assert is_broadcast_join(df), plan_string(df, "formatted")
+
+
+def test_range_histogram_quantile_single_shuffle_per_window_chain(spark):
+    """The range-grid quantile is two stacked windows + a filter on the
+    same (step, series) key: one Exchange for the aggregation and one for
+    the window chain — no Python, no extra shuffles."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = [
+        Row(
+            timestamp=dt.datetime(2024, 1, 1, 0, 0, 0),
+            metric_name="lat_bucket",
+            le=le,
+            value=float(c),
+        )
+        for le, c in zip(["0.1", "0.2", "+Inf"], [10, 18, 20])
+    ]
+    df = spark.createDataFrame(rows)
+    out = promql_range(
+        df, "histogram_quantile(0.9, lat_bucket)",
+        1704067200.0, 1704067260.0, 60, MetricsCols(),
+    )
+    plan = plan_string(out, "formatted")
+    assert "EvalPython" not in plan, plan
+    import re as _re
+
+    # formatted output lists each node once in the tree and once in the
+    # detail section — count detail headers (one per physical node)
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan  # agg + window chain + final sort
