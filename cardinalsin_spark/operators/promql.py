@@ -2363,6 +2363,69 @@ def histogram_fraction_cumulative(
     )
 
 
+def exp_histogram_quantile(
+    buckets: DataFrame,
+    q: float,
+    group_cols: list[str],
+    scale_col: str = "scale",
+    idx_col: str = "idx",
+    sign_col: str = "sign",
+    count_col: str = "cnt",
+    value_alias: str = "value",
+) -> DataFrame:
+    """Quantile over OTLP exponential-histogram buckets (the
+    ``histogram_buckets=True`` ingest shape: one row per non-empty bucket
+    with ``scale``/``idx``/``sign`` in {pos, neg, zero} and the
+    NON-cumulative count). Bucket ``idx`` at scale ``s`` covers
+    ``(2^(idx/2^s), 2^((idx+1)/2^s)]`` for ``sign=pos`` and its mirror
+    for ``neg``; the zero bucket collapses to 0. Buckets order by true
+    value (negatives by descending idx), the running count locates the
+    rank bucket, and the estimate interpolates linearly inside it — the
+    native-histogram analogue of ``histogram_quantile_cumulative``.
+
+    Scale note: ``2^(k/2^s)`` needs ``pow`` — libm-dependent for
+    ``s > 0``, exact powers of two for ``s <= 0`` — so this operator is
+    deliberately outside the oracle-checked tier (same rule as the
+    exp/ln convenience functions). Assumes one scale per group (the
+    ingest stamps ``scale`` as a label; group by it or rescale first).
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    sgn = F.col(sign_col)
+    idx = F.col(idx_col).cast("double")
+    cnt = F.col(count_col)
+    order1 = F.when(sgn == "neg", -1).when(sgn == "zero", 0).otherwise(1)
+    order2 = F.when(sgn == "neg", -idx).when(sgn == "zero", F.lit(0.0)).otherwise(idx)
+    g = Window.partitionBy(*group_cols)
+    w = g.orderBy(order1, order2)
+    inv = F.pow(F.lit(2.0), -F.col(scale_col).cast("double"))  # 1/2^scale
+    lo_pos = F.pow(F.lit(2.0), idx * inv)
+    hi_pos = F.pow(F.lit(2.0), (idx + 1) * inv)
+    annotated = (
+        buckets.withColumn("_cum", F.sum(cnt).over(w))
+        .withColumn("_total", F.sum(cnt).over(g))
+        .withColumn("_rank", F.lit(float(q)) * F.col("_total"))
+    )
+    hit = (
+        annotated.filter(
+            (F.col("_cum") >= F.col("_rank")) & (F.col("_total") > 0)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    into = (F.col("_rank") - (F.col("_cum") - cnt)) / cnt
+    value = (
+        F.when(sgn == "zero", F.lit(0.0))
+        .when(sgn == "pos", lo_pos + (hi_pos - lo_pos) * into)
+        .otherwise(-hi_pos + (hi_pos - lo_pos) * into)
+    )
+    return (
+        hit.withColumn(value_alias, value)
+        .select(*group_cols, value_alias)
+        .orderBy(*group_cols)
+    )
+
+
 def _median_of(arr: str) -> str:
     """SQL fragment: percentile_cont(0.5) over an already-sorted array —
     (a[(n−1) div 2] + a[n div 2]) / 2, 1-based element_at. Exact on

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cardinalsin_spark.sources.ingest import route_value_types
-from cardinalsin_spark.sources.remote_write import _fields
+from cardinalsin_spark.sources.remote_write import _fields, _read_varint
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -84,6 +84,26 @@ _HISTO_POINT = T.StructType(
     ]
 )
 
+_EXP_SPAN = T.StructType(
+    [
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+    ]
+)
+
+_EXP_HISTO_POINT = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("zeroCount", T.StringType()),
+        T.StructField("positive", _EXP_SPAN),
+        T.StructField("negative", _EXP_SPAN),
+        T.StructField("attributes", _ATTR),
+    ]
+)
+
 _METRIC = T.StructType(
     [
         T.StructField("name", T.StringType()),
@@ -98,6 +118,12 @@ _METRIC = T.StructType(
         T.StructField(
             "histogram",
             T.StructType([T.StructField("dataPoints", T.ArrayType(_HISTO_POINT))]),
+        ),
+        T.StructField(
+            "exponentialHistogram",
+            T.StructType(
+                [T.StructField("dataPoints", T.ArrayType(_EXP_HISTO_POINT))]
+            ),
         ),
         T.StructField(
             "summary",
@@ -328,15 +354,144 @@ def otlp_json_flatten(
             .select("res_attrs", "metric_name", "ts_ns", "value", "attrs")
         )
 
+    def exp_histogram_bucket_rows() -> DataFrame:
+        base = (
+            metrics.filter(F.col("m.exponentialHistogram").isNotNull())
+            .select(
+                "res_attrs",
+                F.col("m.name").alias("metric_name"),
+                F.explode(
+                    F.col("m.exponentialHistogram.dataPoints")
+                ).alias("dp"),
+            )
+            .select(
+                "res_attrs",
+                "metric_name",
+                F.col("dp.timeUnixNano").cast("long").alias("ts_ns"),
+                F.col("dp.count").cast("long").alias("_cnt"),
+                F.col("dp.sum").alias("_sum"),
+                F.coalesce(F.col("dp.scale"), F.lit(0)).alias("_scale"),
+                F.coalesce(
+                    F.col("dp.zeroCount").cast("long"), F.lit(0)
+                ).alias("_zero"),
+                F.coalesce(F.col("dp.positive.offset"), F.lit(0)).alias(
+                    "_pos_off"
+                ),
+                F.coalesce(
+                    F.col("dp.positive.bucketCounts").cast("array<long>"),
+                    F.array().cast("array<long>"),
+                ).alias("_pos_bc"),
+                F.coalesce(F.col("dp.negative.offset"), F.lit(0)).alias(
+                    "_neg_off"
+                ),
+                F.coalesce(
+                    F.col("dp.negative.bucketCounts").cast("array<long>"),
+                    F.array().cast("array<long>"),
+                ).alias("_neg_bc"),
+                _attr_map(
+                    F.coalesce(F.col("dp.attributes"), F.array())
+                ).alias("attrs"),
+            )
+            .withColumn(
+                "_total",
+                F.when(
+                    F.col("_cnt").isNotNull() & (F.col("_cnt") > 0),
+                    F.col("_cnt"),
+                ).otherwise(
+                    F.col("_zero")
+                    + F.expr("aggregate(_pos_bc, 0L, (a, x) -> a + x)")
+                    + F.expr("aggregate(_neg_bc, 0L, (a, x) -> a + x)")
+                ),
+            )
+        )
+
+        def sign_rows(sign: str, off_col: str, bc_col: str) -> DataFrame:
+            return (
+                base.select(
+                    "res_attrs",
+                    "metric_name",
+                    "ts_ns",
+                    "attrs",
+                    "_scale",
+                    F.col(off_col).alias("_off"),
+                    F.posexplode(bc_col).alias("_pos", "_c"),
+                )
+                .filter(F.col("_c") > 0)
+                .select(
+                    "res_attrs",
+                    F.concat("metric_name", F.lit("_exp_bucket")).alias(
+                        "metric_name"
+                    ),
+                    "ts_ns",
+                    F.col("_c").cast("double").alias("value"),
+                    F.map_concat(
+                        "attrs",
+                        F.create_map(
+                            F.lit("scale"),
+                            F.col("_scale").cast("string"),
+                            F.lit("idx"),
+                            (F.col("_off") + F.col("_pos")).cast("string"),
+                            F.lit("sign"),
+                            F.lit(sign),
+                        ),
+                    ).alias("attrs"),
+                )
+            )
+
+        zero_rows = base.select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_exp_zero")).alias("metric_name"),
+            "ts_ns",
+            F.col("_zero").cast("double").alias("value"),
+            F.map_concat(
+                "attrs",
+                F.create_map(
+                    F.lit("scale"), F.col("_scale").cast("string")
+                ),
+            ).alias("attrs"),
+        )
+        count_rows = base.select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_count")).alias("metric_name"),
+            "ts_ns",
+            F.col("_total").cast("double").alias("value"),
+            "attrs",
+        )
+        sum_rows = base.filter(F.col("_sum").isNotNull()).select(
+            "res_attrs",
+            F.concat("metric_name", F.lit("_sum")).alias("metric_name"),
+            "ts_ns",
+            F.col("_sum").alias("value"),
+            "attrs",
+        )
+        return (
+            sign_rows("pos", "_pos_off", "_pos_bc")
+            .unionByName(sign_rows("neg", "_neg_off", "_neg_bc"))
+            .unionByName(zero_rows)
+            .unionByName(count_rows)
+            .unionByName(sum_rows)
+            .select("res_attrs", "metric_name", "ts_ns", "value", "attrs")
+        )
+
     histo = (
         histogram_bucket_rows()
         if histogram_buckets
         else histo_points("histogram")
     )
+    # exponential histograms: the reference's flatten DROPS them on the
+    # JSON path and sum-collapses on the wire path; here JSON collapses
+    # identically to the wire decoder, and bucket mode expands to
+    # scale/idx/sign rows feeding exp_histogram_quantile
+    exp = (
+        exp_histogram_bucket_rows()
+        if histogram_buckets
+        else histo_points("exponentialHistogram")
+    )
     points = (
         number_points("gauge")
         .unionByName(number_points("sum"))
         .unionByName(histo)
+        .unionByName(exp)
         .unionByName(histo_points("summary"))
     )
     return points.select(
@@ -558,6 +713,113 @@ def _histogram_bucket_rows(
     return rows
 
 
+def _zigzag(v: int) -> int:
+    """Decode a zigzag-encoded sint32/sint64 varint value."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_varints(val: bytes) -> list[int]:
+    out: list[int] = []
+    i = 0
+    while i < len(val):
+        v, i = _read_varint(val, i)
+        out.append(v)
+    return out
+
+
+def _decode_exp_bucket_span(buf: bytes) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets: (offset, bucket_counts).
+    offset is zigzag sint32; bucket_counts are packed (or unpacked)
+    varint uint64."""
+    offset = 0
+    counts: list[int] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 0:
+            offset = _zigzag(val)
+        elif fno == 2 and wt == 2:
+            counts.extend(_packed_varints(val))
+        elif fno == 2 and wt == 0:
+            counts.append(val)
+    return offset, counts
+
+
+def _decode_exp_histogram_point_full(
+    buf: bytes,
+) -> tuple[int, int, float | None, int, int, tuple, tuple, dict]:
+    """ExponentialHistogramDataPoint with buckets preserved: (ts, count,
+    sum, scale, zero_count, (pos_offset, pos_counts), (neg_offset,
+    neg_counts), attrs). Field numbers per public opentelemetry-proto:
+    attributes=1, time=3, count=4, sum=5, scale=6 (zigzag sint32),
+    zero_count=7 (fixed64), positive=8, negative=9."""
+    ts = 0
+    count = 0
+    s: float | None = None
+    scale = 0
+    zero = 0
+    pos: tuple[int, list[int]] = (0, [])
+    neg: tuple[int, list[int]] = (0, [])
+    attrs: dict[str, str] = {}
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            k, v = _key_values(val)
+            attrs[k] = v
+        elif fno == 3 and wt == 1:
+            ts = _fixed64_i64(val)
+        elif fno == 4 and wt == 1:
+            count = struct.unpack("<Q", val)[0]
+        elif fno == 5 and wt == 1:
+            s = struct.unpack("<d", val)[0]
+        elif fno == 6 and wt == 0:
+            scale = _zigzag(val)
+        elif fno == 7 and wt == 1:
+            zero = struct.unpack("<Q", val)[0]
+        elif fno == 8 and wt == 2:
+            pos = _decode_exp_bucket_span(val)
+        elif fno == 9 and wt == 2:
+            neg = _decode_exp_bucket_span(val)
+    return ts, count, s, scale, zero, pos, neg, attrs
+
+
+def _exp_histogram_bucket_rows(
+    name: str,
+    ts: int,
+    count: int,
+    s: float | None,
+    scale: int,
+    zero: int,
+    pos: tuple[int, list[int]],
+    neg: tuple[int, list[int]],
+    labels: dict,
+) -> list[tuple[int, str, float, dict]]:
+    """Exponential-histogram point → per-bucket rows: one
+    ``{name}_exp_bucket`` row per non-empty bucket carrying the
+    NON-cumulative count with ``scale``/``idx``/``sign`` labels (bucket
+    ``idx`` covers ``(2^(idx/2^scale), 2^((idx+1)/2^scale)]`` for
+    ``sign=pos``, mirrored for ``neg``), plus ``{name}_exp_zero``
+    (zero-bucket count, same ``scale``), ``{name}_count`` and
+    ``{name}_sum``. Feeds ``operators.promql.exp_histogram_quantile``."""
+    rows: list[tuple[int, str, float, dict]] = []
+    base = {**labels, "scale": str(scale)}
+    for sign, (offset, counts) in (("pos", pos), ("neg", neg)):
+        for i, c in enumerate(counts):
+            if c == 0:
+                continue
+            rows.append(
+                (
+                    ts,
+                    f"{name}_exp_bucket",
+                    float(c),
+                    {**base, "idx": str(offset + i), "sign": sign},
+                )
+            )
+    rows.append((ts, f"{name}_exp_zero", float(zero), dict(base)))
+    total = count if count > 0 else zero + sum(pos[1]) + sum(neg[1])
+    rows.append((ts, f"{name}_count", float(total), dict(labels)))
+    if s is not None:
+        rows.append((ts, f"{name}_sum", s, dict(labels)))
+    return rows
+
+
 def _decode_histo_point(buf: bytes, attr_field: int, sum_optional: bool) -> tuple[int, float, dict]:
     ts = 0
     count = 0
@@ -611,6 +873,17 @@ def _decode_metric(
             rows.extend(
                 _histogram_bucket_rows(
                     name, ts, count, s, counts, bounds,
+                    {**res_labels, **attrs},
+                )
+            )
+            continue
+        if histogram_buckets and kind_field == 10:
+            ts, count, s, scale, zero, pos, neg, attrs = (
+                _decode_exp_histogram_point_full(pbuf)
+            )
+            rows.extend(
+                _exp_histogram_bucket_rows(
+                    name, ts, count, s, scale, zero, pos, neg,
                     {**res_labels, **attrs},
                 )
             )

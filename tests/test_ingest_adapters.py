@@ -690,3 +690,181 @@ def test_otlp_histogram_buckets_to_quantile_end_to_end(spark, tmp_path):
     assert got == oracle  # exact, both floored onto the 1e-6 grid
     # sanity: 0.9·100 = rank 90 lands in (200, 500]: 200 + 300·(90−85)/10
     assert got == 350.0
+
+
+# --- OTLP exponential-histogram bucket preservation ---------------------------
+
+
+def _zz(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _exp_span(offset: int, counts: list[int]) -> bytes:
+    return (
+        _varint(1 << 3 | 0) + _varint(_zz(offset))
+        + _ld(2, b"".join(_varint(c) for c in counts))
+    )
+
+
+def _exp_histo_point(
+    ts_ns: int, count: int, s, scale: int, zero: int,
+    pos=None, neg=None, attrs=(),
+) -> bytes:
+    out = _fixed64(3, ts_ns) + _fixed64(4, count)
+    if s is not None:
+        out += _double(5, s)
+    out += _varint(6 << 3 | 0) + _varint(_zz(scale))
+    out += _fixed64(7, zero)
+    if pos is not None:
+        out += _ld(8, _exp_span(*pos))
+    if neg is not None:
+        out += _ld(9, _exp_span(*neg))
+    for k, av in attrs:
+        out += _ld(1, _kv(k, av))
+    return out
+
+
+def test_otlp_proto_exp_histogram_buckets_decode():
+    """Exponential histograms expand to scale/idx/sign bucket rows plus
+    zero/count/sum; zigzag scale and offsets decode (negative scale,
+    negative offset), zero-count buckets are skipped."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+
+    payload = _export_request(
+        [("env", _any_string("prod"))],
+        [
+            _metric(
+                "lat", 10,
+                [
+                    _exp_histo_point(
+                        9_000, count=10, s=21.5, scale=-1, zero=2,
+                        pos=(-2, [3, 0, 4]), neg=(0, [1]),
+                    )
+                ],
+            )
+        ],
+    )
+    rows = decode_export_metrics_request(payload, histogram_buckets=True)
+    got = {
+        (r[1], r[3].get("sign"), r[3].get("idx")): (r[2], r[3].get("scale"))
+        for r in rows
+    }
+    assert got == {
+        ("lat_exp_bucket", "pos", "-2"): (3.0, "-1"),
+        ("lat_exp_bucket", "pos", "0"): (4.0, "-1"),  # zero-count idx -1 skipped
+        ("lat_exp_bucket", "neg", "0"): (1.0, "-1"),
+        ("lat_exp_zero", None, None): (2.0, "-1"),
+        ("lat_count", None, None): (10.0, None),
+        ("lat_sum", None, None): (21.5, None),
+    }
+    assert all(r[3]["env"] == "prod" for r in rows)
+    # default mode still collapses to sum (reference parity)
+    collapsed = decode_export_metrics_request(payload)
+    assert [(r[1], r[2]) for r in collapsed] == [("lat", 21.5)]
+
+
+def test_otlp_json_exp_histogram_matches_proto_twin(spark):
+    import json as _json
+
+    from cardinalsin_spark.sources.otlp import (
+        decode_export_metrics_request,
+        otlp_json_flatten,
+    )
+
+    payload_json = _json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "resource": {"attributes": []},
+                    "scopeMetrics": [
+                        {
+                            "metrics": [
+                                {
+                                    "name": "lat",
+                                    "exponentialHistogram": {
+                                        "dataPoints": [
+                                            {
+                                                "timeUnixNano": "9000",
+                                                "count": "10",
+                                                "sum": 21.5,
+                                                "scale": -1,
+                                                "zeroCount": "2",
+                                                "positive": {
+                                                    "offset": -2,
+                                                    "bucketCounts": ["3", "0", "4"],
+                                                },
+                                                "negative": {
+                                                    "offset": 0,
+                                                    "bucketCounts": ["1"],
+                                                },
+                                            }
+                                        ]
+                                    },
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    df = spark.createDataFrame([(payload_json,)], "payload string")
+    got = {
+        (r.ts_ns, r.metric_name, r.value, tuple(sorted(r.labels.items())))
+        for r in otlp_json_flatten(df, histogram_buckets=True).collect()
+    }
+    proto = _export_request(
+        [],
+        [
+            _metric(
+                "lat", 10,
+                [
+                    _exp_histo_point(
+                        9_000, count=10, s=21.5, scale=-1, zero=2,
+                        pos=(-2, [3, 0, 4]), neg=(0, [1]),
+                    )
+                ],
+            )
+        ],
+    )
+    expect = {
+        (ts, name, val, tuple(sorted(labels.items())))
+        for ts, name, val, labels in decode_export_metrics_request(
+            proto, histogram_buckets=True
+        )
+    }
+    assert got == expect
+    # default JSON mode now collapses exp histograms like the wire path
+    # (previously the JSON flatten dropped them entirely)
+    collapsed = otlp_json_flatten(df).collect()
+    assert [(r.metric_name, r.value) for r in collapsed] == [("lat", 21.5)]
+
+
+def test_exp_histogram_quantile_operator(spark):
+    """Deterministic check at scale 0 (bounds are exact powers of two):
+    zero=2, (1,2]:4, (2,4]:4 -> total 10; p50 rank 5 lands in (1,2] with
+    3/4 consumed -> 1.75 exactly; p10 rank 1 is inside the zero bucket."""
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import exp_histogram_quantile
+
+    rows = [
+        Row(g="a", scale=0, idx=0, sign="pos", cnt=4.0),
+        Row(g="a", scale=0, idx=1, sign="pos", cnt=4.0),
+        Row(g="a", scale=0, idx=None, sign="zero", cnt=2.0),
+    ]
+    df = spark.createDataFrame(rows)
+    p50 = exp_histogram_quantile(df, 0.5, ["g"]).collect()
+    assert len(p50) == 1 and p50[0].value == 1.75
+    p10 = exp_histogram_quantile(df, 0.1, ["g"]).collect()
+    assert p10[0].value == 0.0
+    # negative buckets order below zero: all-negative + zero, p50 in neg
+    rows_n = [
+        Row(g="b", scale=0, idx=0, sign="neg", cnt=4.0),  # [-2, -1)
+        Row(g="b", scale=0, idx=None, sign="zero", cnt=4.0),
+    ]
+    p25 = exp_histogram_quantile(
+        spark.createDataFrame(rows_n), 0.25, ["g"]
+    ).collect()
+    # rank 2 consumes half the (-2,-1] bucket: -2 + 1*0.5 = -1.5
+    assert p25[0].value == -1.5
