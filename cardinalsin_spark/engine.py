@@ -293,6 +293,61 @@ class CardinalSin:
         self._record(out)
         return out
 
+    def exp_histogram_quantile(
+        self,
+        base_name: str,
+        q: float,
+        time_s: float | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame:
+        """Quantile over an ingested OTLP exponential histogram (the
+        ``histogram_buckets=True`` ingest shape: ``{base}_exp_bucket``
+        rows with scale/idx/sign labels + ``{base}_exp_zero``). Takes
+        the latest count per (series, bucket) at ``time_s`` — the same
+        instant-vector convention as ``promql_instant``'s classic
+        ``histogram_quantile`` path — and runs
+        ``operators.promql.exp_histogram_quantile`` per series.
+        Outside the oracle tier by the libm rule (2^(k/2^s) needs pow);
+        exact for scale <= 0."""
+        from pyspark.sql import functions as _F
+
+        from cardinalsin_spark.operators.promql import (
+            exp_histogram_quantile as _ehq,
+        )
+        from cardinalsin_spark.schema import label_columns as _label_cols
+
+        df = self._promql_frame(at_version)
+        sel = df.filter(
+            _F.col("metric_name").isin(
+                f"{base_name}_exp_bucket", f"{base_name}_exp_zero"
+            )
+        )
+        if time_s is not None:
+            sel = sel.filter(
+                _F.col("timestamp") <= _F.timestamp_seconds(_F.lit(time_s))
+            )
+        special = {"scale", "idx", "sign"}
+        series = [
+            c for c in _label_cols(sel.schema)
+            if c not in special and c != "value"
+        ]
+        latest = (
+            sel.groupBy("metric_name", *series, "scale", "idx", "sign")
+            .agg(_F.expr("max_by(value, timestamp)").alias("cnt"))
+            .withColumn(
+                "sign",
+                _F.when(
+                    _F.col("metric_name") == f"{base_name}_exp_zero",
+                    _F.lit("zero"),
+                ).otherwise(_F.col("sign")),
+            )
+            .withColumn("idx", _F.col("idx").cast("long"))
+            .withColumn("scale", _F.col("scale").cast("int"))
+        )
+        # group by series AND scale: the operator assumes one scale per
+        # group, and the ingest stamps it as a label per data point
+        return _ehq(latest, q, [*series, "scale"])
+
     # -- Prometheus metadata endpoints (labels / label values / series) ------
 
     def labels(self) -> list[str]:

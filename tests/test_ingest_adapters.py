@@ -868,3 +868,37 @@ def test_exp_histogram_quantile_operator(spark):
     ).collect()
     # rank 2 consumes half the (-2,-1] bucket: -2 + 1*0.5 = -1.5
     assert p25[0].value == -1.5
+
+
+def test_exp_histogram_ingest_to_engine_quantile(spark, tmp_path):
+    """OTLP exponential histogram -> bucket-preserving ingest -> metrics
+    table -> engine.exp_histogram_quantile: p50 of zero=2, (1,2]:4,
+    (2,4]:4 is exactly 1.75 (scale 0 -> exact powers of two)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.otlp import otlp_proto_to_metrics
+
+    ts_ns = 1_700_000_000_000_000_000
+    payload = _export_request(
+        [("svc", _any_string("api"))],
+        [
+            _metric(
+                "rt", 10,
+                [
+                    _exp_histo_point(
+                        ts_ns, count=10, s=16.0, scale=0, zero=2,
+                        pos=(0, [4, 4]),
+                    )
+                ],
+            )
+        ],
+    )
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    wide = otlp_proto_to_metrics(df, histogram_buckets=True)
+    path = str(tmp_path / "m")
+    write_metrics(wide, path, mode="overwrite")
+    eng = CardinalSin(spark, path)
+    out = eng.exp_histogram_quantile("rt", 0.5, time_s=ts_ns / 1e9).collect()
+    assert len(out) == 1
+    assert out[0].value == 1.75
+    assert out[0].svc == "api"
