@@ -1854,6 +1854,50 @@ def promql_range(
         value = _range_fn_value(
             parsed, cols, parsed.range_seconds or float(step_s)
         )
+    elif (
+        parsed.aggregation in ("topk", "bottomk") and parsed.k is not None
+    ):
+        # real per-step top-k (the instant path's semantics on the range
+        # grid): per-series step value (AVG per bucket, the established
+        # selector convention), ranked within each step — the generic
+        # aggregation arm would AVG across ALL series instead. The
+        # rank<=k window compiles to WindowGroupLimit (map-side partial
+        # top-k below the exchange, same shape pinned for KMV).
+        gby = effective_group_by(parsed, cols)
+        grouped = out.groupBy(
+            time_bucket(cols.ts, step_s).alias("time_bucket"),
+            F.col(cols.name),
+            *[F.col(c) for c in gby],
+        ).agg(F.avg(cols.value).alias("value"))
+        order = (
+            F.asc("value")
+            if parsed.aggregation == "bottomk"
+            else F.desc("value")
+        )
+        w = Window.partitionBy("time_bucket", cols.name).orderBy(
+            order, *[F.asc(c) for c in gby]
+        )
+        return (
+            grouped.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= parsed.k)
+            .drop("_rk")
+            .orderBy("time_bucket", order, cols.name, *gby)
+        )
+    elif (
+        parsed.aggregation == "count_values" and parsed.dst_label is not None
+    ):
+        # real per-step count_values: one row per (step, distinct sampled
+        # value), the value becoming a label column — exact integer
+        # counts, like the instant path
+        return (
+            out.groupBy(
+                time_bucket(cols.ts, step_s).alias("time_bucket"),
+                F.col(cols.name),
+                F.col(cols.value).alias(parsed.dst_label),
+            )
+            .agg(F.count(F.lit(1)).alias("value"))
+            .orderBy("time_bucket", cols.name, parsed.dst_label)
+        )
     elif parsed.aggregation:
         # range aggregation groups by time_bucket + metric + group_by only
         keys = [

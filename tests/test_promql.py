@@ -2267,3 +2267,50 @@ def test_histogram_functions_fractional_le_bounds(spark):
         time_s=1704067200.0, cols=MetricsCols(),
     ).collect()
     assert len(fr) == 1 and fr[0].value == 0.45
+
+
+def test_range_topk_and_count_values_are_real(spark):
+    """topk/bottomk/count_values on the range grid previously fell to the
+    generic aggregation arm's AVG fallback (one averaged row per step —
+    the reference's degradation); now each step ranks per-series values /
+    counts distinct values, matching the instant path's semantics."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 1, 0)
+    rows = []
+    for ts, vals in [(t0, [1.0, 2.0, 3.0, 4.0]), (t1, [9.0, 2.0, 3.0, 4.0])]:
+        for svc, v in zip(["a", "b", "c", "d"], vals):
+            rows.append(
+                Row(timestamp=ts, metric_name="m", svc=svc, value=v)
+            )
+    df = spark.createDataFrame(rows)
+    top = promql_range(
+        df, "topk by (svc) (2, m)", 1704067200.0, 1704067260.0, 60, MetricsCols()
+    ).collect()
+    by_step = {}
+    for r in top:
+        by_step.setdefault(r.time_bucket, []).append((r.svc, r.value))
+    assert by_step[t0] == [("d", 4.0), ("c", 3.0)]
+    assert by_step[t1] == [("a", 9.0), ("d", 4.0)]  # ranking moves per step
+
+    bot = promql_range(
+        df, "bottomk by (svc) (1, m)", 1704067200.0, 1704067260.0, 60, MetricsCols()
+    ).collect()
+    assert [(r.time_bucket, r.svc, r.value) for r in bot] == [
+        (t0, "a", 1.0), (t1, "b", 2.0),
+    ]
+
+    cv = promql_range(
+        df, 'count_values("v", m)', 1704067200.0, 1704067260.0, 60,
+        MetricsCols(),
+    ).collect()
+    got = {(r.time_bucket, r.v): r.value for r in cv}
+    assert got[(t0, 1.0)] == 1 and got[(t1, 9.0)] == 1
+    assert got[(t0, 4.0)] == 1 and got[(t1, 3.0)] == 1
+    assert len([k for k in got if k[0] == t0]) == 4
