@@ -1935,6 +1935,12 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
         # subquery grammar (round 8): both directions + parenthesized inner
         "sum_over_time(m[1h:10m])", "rate(m[1h:10m])",
         "max_over_time((a / b)[2h:1h])", "increase((m)[1d:6h])",
+        # round 9: fraction grammar + fractional thresholds/bounds,
+        # per-step topk convention
+        "histogram_fraction(1, 5, m_bucket)",
+        "histogram_fraction(0.05, 0.15, m_bucket)",
+        "histogram_quantile(0.99, m_bucket{le=\"0.5\"})",
+        "topk by (h) (3, m)",
     ])
     op = st.sampled_from([
         " + ", " - ", " * ", " / ", " % ", " ^ ", " atan2 ",
