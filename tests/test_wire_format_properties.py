@@ -148,3 +148,54 @@ def test_otlp_decoder_never_crashes_unexpectedly(buf):
         assert isinstance(ts, int)
         assert isinstance(name, str)
         assert isinstance(labels, dict)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=9),
+    st.lists(st.integers(1, 10_000), min_size=2, max_size=10, unique=True),
+)
+def test_otlp_histogram_bucket_expansion_properties(counts, raw_bounds):
+    """Wire-decode property over random classic histograms: cumulative
+    bucket rows are monotone non-decreasing in le, the +Inf row equals
+    the point's count (or the bucket total when count is absent), and
+    every bound appears exactly once."""
+    from cardinalsin_spark.sources.otlp import decode_export_metrics_request
+    from tests.test_ingest_adapters import (
+        _export_request,
+        _histo_point_buckets,
+        _metric,
+    )
+
+    bounds = sorted(float(b) for b in raw_bounds)[: max(1, len(counts) - 1)]
+    counts = counts[: len(bounds) + 1]
+    total = sum(counts)
+    payload = _export_request(
+        [],
+        [
+            _metric(
+                "h", 9,
+                [
+                    _histo_point_buckets(
+                        1_000, count=total, s=None,
+                        counts=counts, bounds=bounds,
+                    )
+                ],
+            )
+        ],
+    )
+    rows = decode_export_metrics_request(payload, histogram_buckets=True)
+    buckets = [(r[3]["le"], r[2]) for r in rows if r[1] == "h_bucket"]
+    finite = [b for b in buckets if b[0] != "+Inf"]
+    assert len(finite) == len(bounds)
+    cums = [v for _, v in finite]
+    assert cums == sorted(cums)  # cumulative is monotone
+    inf = [v for le, v in buckets if le == "+Inf"]
+    assert inf == [float(total) if total else float(sum(counts))]
+    count_row = [r[2] for r in rows if r[1] == "h_count"]
+    assert count_row == inf
+    # prefix-sum correctness against the raw counts
+    import itertools
+
+    expect = list(itertools.accumulate(counts[: len(bounds)]))
+    assert cums == [float(c) for c in expect]
