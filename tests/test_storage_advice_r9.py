@@ -582,3 +582,80 @@ def test_jobs_snapshot_compact_and_vacuum_cli(spark, table, capsys):
     assert "files reclaimed" in out
     assert not os.path.exists(os.path.join(root, "_stream-stage-00000000"))
     assert cat.read(spark).count() == 605
+
+
+# ---------------------------------------------------------------------------
+# The works: every storage feature interacting on one table
+# ---------------------------------------------------------------------------
+
+
+def test_storage_tier_end_to_end(spark, tmp_path):
+    """One table through the full lifecycle: batch ingest -> streamed
+    micro-batches (with a replay) -> compaction -> post-compaction ingest
+    -> bloom sidecar -> point lookup == engine view -> merge upsert ->
+    vacuum -> pinned time travel. Every step must keep point lookups,
+    manifest reads and the row multiset consistent."""
+    from cardinalsin_spark.sources.chunk_bloom import ChunkBloomIndex
+    from cardinalsin_spark.streaming.live import snapshot_ingest_sink
+
+    root = str(tmp_path / "life")
+    _batch(spark, 0, 300, "base").repartition(3).write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+
+    sink = snapshot_ingest_sink(root)
+    sink(_batch(spark, 1000, 1050, "streamed"), 0)
+    sink(_batch(spark, 1050, 1080, "streamed"), 1)
+    sink(_batch(spark, 1050, 1080, "streamed"), 1)  # replay: no-op
+    assert cat.read(spark).count() == 380
+
+    v_before_compact = cat.current_version()
+    cat.compact(spark, target_files=2, retries=2)
+    assert cat.manifest(cat.current_version())["stream_batch_id"] == 1
+
+    # post-compaction ingest + a third stream batch land on the manifest
+    extra_dir = str(tmp_path / "x")
+    _batch(spark, 2000, 2010, "late").coalesce(1).write.parquet(extra_dir)
+    extra = [
+        os.path.join(extra_dir, f)
+        for f in os.listdir(extra_dir)
+        if f.endswith(".parquet")
+    ][0]
+    dst = os.path.join(root, "late.parquet")
+    os.replace(extra, dst)
+    cat.append([dst])
+    sink(_batch(spark, 3000, 3005, "streamed"), 2)
+    assert cat.read(spark).count() == 395
+
+    # bloom sidecar over the CURRENT manifest; point lookups match the
+    # engine view for pre-compaction, compacted and post-sidecar data
+    idx = ChunkBloomIndex(root, column="metric_name")
+    idx.build(spark)
+    sink(_batch(spark, 4000, 4002, "post_sidecar"), 3)  # sidecar now stale
+    from cardinalsin_spark.engine import CardinalSin
+
+    eng = CardinalSin(spark, root)
+    for metric, expect in [
+        ("base", 300), ("streamed", 85), ("late", 10), ("post_sidecar", 2),
+    ]:
+        assert eng.point_lookup(metric).count() == expect, metric
+
+    # keyed merge rewrites only key-holding files; replay guard survives
+    cat.merge_upsert(
+        spark, _batch(spark, 0, 5, "rewritten"), key_cols=["id"], retries=2
+    )
+    sink(_batch(spark, 4000, 4002, "post_sidecar"), 3)  # replay after merge
+    df = cat.read(spark)
+    assert df.count() == 397
+    assert df.filter(F.col("metric_name") == "rewritten").count() == 5
+
+    # vacuum: old generations + stage debris reclaimed, pinned head intact
+    head = cat.current_version()
+    deleted = cat.vacuum(keep_last=1)
+    assert deleted
+    assert cat.versions() == [head]
+    assert cat.read(spark).count() == 397
+    assert eng.point_lookup("rewritten").count() == 5
+    # the pre-compaction version is gone; time travel to the head works
+    with pytest.raises(Exception):
+        cat.read(spark, v_before_compact).collect()
