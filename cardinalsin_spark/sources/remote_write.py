@@ -145,8 +145,82 @@ def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
     return rows
 
 
+def _decode_sample(buf: bytes) -> tuple[float, int]:
+    v = 0.0
+    ts = 0
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 1:
+            v = struct.unpack("<d", val)[0]
+        elif fno == 2 and wt == 0:
+            ts = val - (1 << 64) if val >= 1 << 63 else val
+    return v, ts
+
+
+def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]]:
+    """Remote-write 2.0 (``io.prometheus.write.v2.Request``, the current
+    public spec) → the same flat rows as the v1 decoder. The 2.0 format
+    string-interns every label into a request-level ``symbols`` table
+    (field 4; ``symbols[0]`` is ""), and each series carries packed
+    ``labels_refs`` pairs (name_ref, value_ref — field 1) instead of
+    Label messages; samples are unchanged. Native-histogram series
+    (field 4 inside TimeSeries) are beyond this adapter — their SAMPLES
+    simply don't exist, so they decode to nothing rather than to wrong
+    rows; classic histograms arrive as ordinary ``_bucket``/``_sum``/
+    ``_count`` series and work as in v1. The reference supports only v1
+    (``api/ingest/prometheus.rs``)."""
+    buf = _maybe_decompress(payload)
+    symbols: list[str] = []
+    series_bufs: list[bytes] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 4 and wt == 2:
+            symbols.append(val.decode("utf-8"))
+        elif fno == 5 and wt == 2:
+            series_bufs.append(val)
+    rows: list[tuple[int, str, float, dict]] = []
+    for ts_buf in series_bufs:
+        refs: list[int] = []
+        samples: list[tuple[float, int]] = []
+        for fno, wt, val in _fields(ts_buf):
+            if fno == 1 and wt == 2:  # packed uint32 refs
+                i = 0
+                while i < len(val):
+                    r, i = _read_varint(val, i)
+                    refs.append(r)
+            elif fno == 1 and wt == 0:  # unpacked straggler
+                refs.append(val)
+            elif fno == 2 and wt == 2:
+                samples.append(_decode_sample(val))
+        if len(refs) % 2:
+            raise ValueError(
+                f"odd labels_refs length {len(refs)} (must be name/value pairs)"
+            )
+        labels: dict[str, str] = {}
+        for j in range(0, len(refs), 2):
+            labels[symbols[refs[j]]] = symbols[refs[j + 1]]
+        metric = labels.pop("__name__", "")
+        for v, ts in samples:
+            rows.append((ts, metric, v, dict(labels)))
+    return rows
+
+
+def _looks_like_v2(buf: bytes) -> bool:
+    """Protocol sniff for ``version="auto"``: a v1 WriteRequest carries
+    field 1 (timeseries); a 2.0 Request has no field 1 at all — its
+    content lives in fields 4 (symbols) and 5 (timeseries). The field
+    sets are disjoint, so the first recognised field number decides."""
+    for fno, wt, _ in _fields(buf):
+        if fno == 1 and wt == 2:
+            return False
+        if fno in (4, 5) and wt == 2:
+            return True
+    return False
+
+
 def remote_write_flatten(
-    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+    payloads: DataFrame,
+    bytes_col: str = "payload",
+    on_error: str = "skip",
+    version: str | int = 1,
 ) -> DataFrame:
     """binary WriteRequest payloads → (ts_ms, metric_name, value, labels).
 
@@ -155,9 +229,16 @@ def remote_write_flatten(
     a per-request 400 and keeps serving, ``api/ingest/prometheus.rs``).
     ``on_error="skip"`` (default) drops bad payloads and counts them in the
     ``rw_decode_errors`` Spark accumulator; ``on_error="raise"`` propagates.
+
+    ``version`` selects the wire protocol: ``1`` (default, the
+    reference's only format), ``2`` (remote-write 2.0 symbol-table
+    format), or ``"auto"`` to sniff per payload (the field sets are
+    disjoint, so the sniff cannot misroute a well-formed request).
     """
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    if version not in (1, 2, "auto"):
+        raise ValueError(f"version must be 1, 2 or 'auto', got {version!r}")
     acc = payloads.sparkSession.sparkContext.accumulator(0)
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -167,8 +248,17 @@ def remote_write_flatten(
             rows: list[tuple] = []
             for payload in pdf[bytes_col]:
                 try:
-                    rows.extend(decode_write_request(bytes(payload)))
-                except (ValueError, UnicodeDecodeError, struct.error):
+                    raw = bytes(payload)
+                    if version == 2:
+                        rows.extend(decode_write_request_v2(raw))
+                    elif version == "auto":
+                        if _looks_like_v2(_maybe_decompress(raw)):
+                            rows.extend(decode_write_request_v2(raw))
+                        else:
+                            rows.extend(decode_write_request(raw))
+                    else:
+                        rows.extend(decode_write_request(raw))
+                except (ValueError, UnicodeDecodeError, struct.error, IndexError):
                     if on_error == "raise":
                         raise
                     acc.add(1)
@@ -183,10 +273,12 @@ def remote_write_to_metrics(
     payloads: DataFrame,
     label_keys: list[str] | None = None,
     bytes_col: str = "payload",
+    version: str | int = 1,
 ) -> DataFrame:
     """Full remote-write ingest: decode, pivot labels to columns, route
-    value types (f64/i64/u64 by losslessness, like the reference)."""
-    flat = remote_write_flatten(payloads, bytes_col)
+    value types (f64/i64/u64 by losslessness, like the reference).
+    ``version`` as in :func:`remote_write_flatten` (1, 2 or "auto")."""
+    flat = remote_write_flatten(payloads, bytes_col, version=version)
     if label_keys is None:
         label_keys = sorted(
             r[0]
