@@ -348,6 +348,26 @@ class CardinalSin:
         # group, and the ingest stamps it as a label per data point
         return _ehq(latest, q, [*series, "scale"])
 
+    def rollup_router(self, series_cols: list[str] | None = None):
+        """Continuous-aggregate routing over this engine's metrics table
+        (``operators.rollup.RollupRouter``): attach ``jobs downsample``
+        outputs and range aggregations whose step/bounds align serve
+        from the rollup instead of the raw samples. The base side reads
+        through the engine's coalesced value view (and the snapshot
+        manifest when one exists)."""
+        from cardinalsin_spark.operators.rollup import RollupRouter
+        from cardinalsin_spark.schema import label_columns, value_expr
+
+        if not self.metrics_path:
+            raise ValueError("engine opened without a metrics_path")
+        base = self.metrics.withColumn("value", value_expr())
+        cols = (
+            series_cols
+            if series_cols is not None
+            else ["metric_name", *label_columns(self.metrics.schema)]
+        )
+        return RollupRouter(self.spark, base, series_cols=cols)
+
     # -- Prometheus metadata endpoints (labels / label values / series) ------
 
     def labels(self) -> list[str]:

@@ -1,0 +1,180 @@
+"""Rollup (continuous-aggregate) query routing.
+
+The reference ships downsampling CONFIG (``downsample_after_days``,
+``downsample_resolution``, ``compactor/mod.rs:70-91``) with no
+implementation and no query path; ``operators.compaction.downsample``
+completes the write side (avg/min/max/sum/count moments per bucket).
+This module completes the READ side — the hypertable/continuous-aggregate
+idea: a range aggregation whose step is a multiple of a rollup's
+resolution is answered from the rollup (bucket count ≈ rows scanned)
+instead of the raw table (sample count).
+
+Correct recomposition from moments:
+
+* ``sum``  → SUM(sum_value), ``count`` → SUM(count_value) — exact
+  (integer counts; float sums exact whenever the values are, e.g. the
+  integer-cents discipline);
+* ``min``/``max`` → MIN(min_value)/MAX(max_value) — always exact;
+* ``avg``  → SUM(sum_value)/SUM(count_value) — the same sum/count the
+  raw aggregation computes, never avg-of-avgs (which would weight
+  buckets equally regardless of sample count).
+
+Routing is only attempted when it cannot change results structurally:
+the rollup resolution must divide the query step (every rollup bucket
+lands wholly inside one output step — ``floor(floor(t/r)·r/step) ==
+floor(t/step)`` when ``r | step``) and the closed query range must
+cover whole rollup buckets (``start % r == 0`` and ``(end+1) % r == 0``)
+so no edge bucket smuggles out-of-range samples in. Anything else falls
+through to the base table.
+
+Scale shape: a 1-year dashboard query at 1-day steps over a 5-minute
+rollup scans ~10⁵ rollup rows instead of the raw samples; the rollup
+read is an ordinary pruned parquet scan (bucket is the sort/partition
+prefix), and the recomposition is one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MOMENTS = ("avg", "min", "max", "sum", "count")
+
+
+class RollupRouter:
+    """Routes range aggregations across a base metrics table and any
+    number of attached ``downsample()`` rollups.
+
+    >>> r = RollupRouter(spark, base_path, series_cols=["metric_name"])
+    >>> r.attach(rollup_5m_path, 300)
+    >>> r.attach(rollup_1h_path, 3600)
+    >>> df = r.range_agg("avg", start_s, end_s, step_s=3600)  # serves 1h
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str | DataFrame,
+        series_cols: list[str],
+        ts_col: str = "timestamp",
+        value_col: str = "value",
+    ):
+        self.spark = spark
+        self.base = base  # parquet path, or an already-shaped DataFrame
+        self.series_cols = list(series_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self._rollups: list[tuple[int, str]] = []  # (resolution_s, path)
+
+    def attach(self, path: str, resolution_s: int) -> "RollupRouter":
+        if resolution_s <= 0:
+            raise ValueError(f"resolution must be positive, got {resolution_s}")
+        self._rollups.append((int(resolution_s), path))
+        self._rollups.sort()
+        return self
+
+    # -- routing decision ---------------------------------------------------
+
+    def pick(
+        self, start_s: float, end_s: float, step_s: int
+    ) -> tuple[int, str] | None:
+        """The coarsest attached rollup that can answer this range
+        exactly, or None (route to base). See module docstring for the
+        divisibility/alignment rules."""
+        best = None
+        for r, path in self._rollups:
+            if r > step_s or step_s % r:
+                continue
+            if int(start_s) % r or (int(end_s) + 1) % r:
+                continue
+            best = (r, path)  # sorted ascending: last hit is coarsest
+        return best
+
+    def explain_pick(self, start_s: float, end_s: float, step_s: int) -> str:
+        p = self.pick(start_s, end_s, step_s)
+        if p is None:
+            base = self.base if isinstance(self.base, str) else "<dataframe>"
+            return f"base table ({base})"
+        return f"rollup r={p[0]}s ({p[1]})"
+
+    # -- the routed aggregation ----------------------------------------------
+
+    def range_agg(
+        self,
+        agg: str,
+        start_s: float,
+        end_s: float,
+        step_s: int,
+        group_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Tumbling-bucket range aggregation, served from the coarsest
+        eligible rollup. ``agg`` ∈ avg/min/max/sum/count; ``group_cols``
+        defaults to the router's series columns. Output:
+        (time_bucket, *group_cols, value) ordered by bucket."""
+        if agg not in _MOMENTS:
+            raise ValueError(f"agg must be one of {_MOMENTS}, got {agg!r}")
+        gby = self.series_cols if group_cols is None else list(group_cols)
+        extra = set(gby) - set(self.series_cols)
+        picked = None if extra else self.pick(start_s, end_s, step_s)
+        if picked is None:
+            return self._from_base(agg, start_s, end_s, step_s, gby)
+        return self._from_rollup(picked[1], agg, start_s, end_s, step_s, gby)
+
+    def _bucket(self, col, step_s: int):
+        return F.timestamp_seconds(
+            (F.unix_seconds(col) / step_s).cast("long") * F.lit(step_s)
+        )
+
+    def _from_base(
+        self, agg: str, start_s: float, end_s: float, step_s: int,
+        gby: list[str],
+    ) -> DataFrame:
+        df = (
+            self.spark.read.parquet(self.base)
+            if isinstance(self.base, str)
+            else self.base
+        )
+        ts = F.col(self.ts_col)
+        df = df.filter(
+            (ts >= F.timestamp_seconds(F.lit(start_s)))
+            & (ts <= F.timestamp_seconds(F.lit(end_s)))
+        )
+        fn = {
+            "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+            "count": F.count,
+        }[agg]
+        return (
+            df.groupBy(
+                self._bucket(ts, step_s).alias("time_bucket"),
+                *[F.col(c) for c in gby],
+            )
+            .agg(fn(self.value_col).alias("value"))
+            .orderBy("time_bucket", *gby)
+        )
+
+    def _from_rollup(
+        self, path: str, agg: str, start_s: float, end_s: float, step_s: int,
+        gby: list[str],
+    ) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        b = F.col("bucket")
+        df = df.filter(
+            (b >= F.timestamp_seconds(F.lit(start_s)))
+            & (b <= F.timestamp_seconds(F.lit(end_s)))
+        )
+        value = {
+            # never avg-of-avgs: recompose from the exact moments
+            "avg": F.sum("sum_value") / F.sum("count_value"),
+            "min": F.min("min_value"),
+            "max": F.max("max_value"),
+            "sum": F.sum("sum_value"),
+            "count": F.sum("count_value"),
+        }[agg]
+        return (
+            df.groupBy(
+                self._bucket(b, step_s).alias("time_bucket"),
+                *[F.col(c) for c in gby],
+            )
+            .agg(value.alias("value"))
+            .orderBy("time_bucket", *gby)
+        )

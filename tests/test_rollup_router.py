@@ -1,0 +1,148 @@
+"""Rollup (continuous-aggregate) query routing: range aggregations whose
+step and bounds align serve from downsample() moments and must agree with
+the raw-table aggregation EXACTLY (integer-valued fixture: float sums of
+integers < 2^53 are order-independent, so recomposition is bit-equal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators.compaction import downsample
+from cardinalsin_spark.operators.rollup import RollupRouter
+
+START = 1_704_067_200  # 2024-01-01 00:00:00 UTC — hour-aligned
+
+
+@pytest.fixture(scope="module")
+def rolled(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rollup")
+    base = str(tmp / "base")
+    (
+        spark.range(0, 20_000)
+        .select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 7200).alias(
+                "timestamp"
+            ),
+            F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias(
+                "metric_name"
+            ),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+        )
+        .write.parquet(base)
+    )
+    r5 = str(tmp / "r300")
+    r1h = str(tmp / "r3600")
+    df = spark.read.parquet(base)
+    downsample(df, 300, ["metric_name"]).write.parquet(r5)
+    downsample(df, 3600, ["metric_name"]).write.parquet(r1h)
+    router = RollupRouter(spark, base, series_cols=["metric_name"])
+    router.attach(r5, 300).attach(r1h, 3600)
+    return base, router
+
+
+def _rows(df):
+    return [
+        (r.time_bucket, r.metric_name, r.value)
+        for r in df.collect()
+    ]
+
+
+def test_routed_aggs_bit_equal_to_base(spark, rolled):
+    base, router = rolled
+    start, end, step = START, START + 7200 - 1, 3600
+    assert "r=3600" in router.explain_pick(start, end, step)
+    unrouted = RollupRouter(spark, base, series_cols=["metric_name"])
+    for agg in ("avg", "min", "max", "sum", "count"):
+        got = _rows(router.range_agg(agg, start, end, step))
+        expect = _rows(unrouted.range_agg(agg, start, end, step))
+        assert got == expect, agg
+        assert len(got) == 6  # 2 steps x 3 series
+
+
+def test_pick_rules(spark, rolled):
+    _, router = rolled
+    start, end = START, START + 7200 - 1
+    # coarsest dividing rollup wins; non-dividing step drops a tier
+    assert router.pick(start, end, 3600) == router._rollups[1]
+    assert router.pick(start, end, 900)[0] == 300  # 3600 does not divide
+    # misaligned bounds or sub-resolution steps route to base
+    assert router.pick(start + 7, end, 3600) is None
+    assert router.pick(start, end - 30, 3600) is None
+    assert router.pick(start, end, 60) is None
+    assert "base table" in router.explain_pick(start, end, 60)
+
+
+def test_routed_group_subset_and_unknown_group(spark, rolled):
+    base, router = rolled
+    start, end, step = START, START + 7200 - 1, 3600
+    # grouping coarser than the rollup's series (global per step): exact
+    got = router.range_agg("sum", start, end, step, group_cols=[])
+    expect = RollupRouter(
+        spark, base, series_cols=["metric_name"]
+    ).range_agg("sum", start, end, step, group_cols=[])
+    assert [(r.time_bucket, r.value) for r in got.collect()] == [
+        (r.time_bucket, r.value) for r in expect.collect()
+    ]
+    # a group column the rollup never kept falls through to base (here the
+    # base table genuinely has no such column either -> AnalysisException,
+    # but the ROUTING decision must already be "base")
+    assert router.pick(start, end, step) is not None
+    df = router.range_agg("sum", start, end, step, group_cols=["metric_name"])
+    assert df.count() == 6
+
+
+def test_avg_is_never_avg_of_avgs(spark, rolled):
+    """Skewed per-bucket sample counts: avg-of-avgs would weight sparse
+    rollup buckets equally and diverge; the moment recomposition cannot."""
+    base, router = rolled
+    start, end, step = START, START + 7200 - 1, 7200
+    got = router.range_agg("avg", start, end, step, group_cols=[]).collect()
+    raw = (
+        spark.read.parquet(base)
+        .filter(
+            (F.col("timestamp") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("timestamp") <= F.timestamp_seconds(F.lit(end)))
+        )
+        .agg((F.sum("value") / F.count("value")).alias("v"))
+        .first()
+        .v
+    )
+    assert len(got) == 1 and got[0].value == raw
+
+
+def test_engine_rollup_router(spark, tmp_path):
+    """Engine hook: rollups attach over the metrics table's coalesced
+    value view; routed results match the unrouted base aggregation."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 5000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300, ["metric_name"]
+    ).write.parquet(rp)
+    router = eng.rollup_router(series_cols=["metric_name"]).attach(rp, 300)
+    start, end = START, START + 3600 - 1
+    got = router.range_agg("sum", start, end, 600)
+    assert "r=300" in router.explain_pick(start, end, 600)
+    expect = eng.rollup_router(series_cols=["metric_name"]).range_agg(
+        "sum", start, end, 600
+    )
+    assert _rows(got) == _rows(expect)
+    assert got.count() == 12  # 6 steps x 2 series
