@@ -96,6 +96,33 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
+    import os as _os
+
+    def _snapshot_managed(path: str) -> bool:
+        return _os.path.isdir(_os.path.join(path, "_snapshots"))
+
+    def _read_table(path: str):
+        """Manifest-routed read when the table carries a snapshot log —
+        a root directory read skips underscore-hidden `_data-v*`
+        compaction output and would feed the job stale pre-compaction
+        files (the point_lookup bug class, ADVICE r8)."""
+        if _snapshot_managed(path):
+            from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+            return SnapshotCatalog(path).read(spark)
+        return spark.read.parquet(path)
+
+    if args.cmd in ("compact", "retention") and _snapshot_managed(args.path):
+        # these two operate on the Hive directory layout in place; on a
+        # manifest-managed table they would rewrite/delete files that
+        # pinned snapshots still reference — loud-reject to the
+        # snapshot-native equivalents instead of corrupting the log
+        print(
+            f"{args.cmd}: {args.path} is snapshot-managed — use "
+            "'snapshot-compact' (CAS rewrite) / 'vacuum' (retention + GC)"
+        )
+        return 2
+
     if args.cmd == "compact":
         import datetime as dt
 
@@ -131,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "downsample":
         from cardinalsin_spark.schema import label_columns, value_expr
 
-        df = spark.read.parquet(args.path)
+        df = _read_table(args.path)
         cutoff = F.current_timestamp() - F.expr(
             f"INTERVAL {args.older_than_days} DAYS"
         )
@@ -165,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
         from cardinalsin_spark.operators.compaction import write_zordered
 
         a, b = [c.strip() for c in args.cols.split(",")]
-        df = spark.read.parquet(args.path)
+        df = _read_table(args.path)
         write_zordered(
             df, args.out, a, b, bits=args.bits,
             target_files=args.target_files,

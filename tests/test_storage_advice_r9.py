@@ -659,3 +659,53 @@ def test_storage_tier_end_to_end(spark, tmp_path):
     # the pre-compaction version is gone; time travel to the head works
     with pytest.raises(Exception):
         cat.read(spark, v_before_compact).collect()
+
+
+def test_jobs_route_through_manifest_on_snapshot_tables(spark, tmp_path, capsys):
+    """Same staleness class as the point_lookup ADVICE bug, in the jobs
+    CLI: downsample/zorder must read the manifest (root reads skip
+    _data-v* after compaction), and the in-place Hive compact/retention
+    jobs must loud-reject on manifest-managed tables instead of
+    rewriting files pinned snapshots still reference."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    root = str(tmp_path / "store")
+    write_metrics(
+        normalize_to_metrics(
+            _batch(spark, 0, 600).withColumn(
+                "ts_ns", F.unix_micros("timestamp") * 1000
+            ),
+            "ts_ns",
+            "metric_name",
+            "value",
+        ),
+        root,
+        mode="overwrite",
+    )
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    cat.compact(spark, target_files=1)
+    cat.vacuum(keep_last=1)  # root now holds ONLY _data-v* + the manifest
+
+    out = str(tmp_path / "rollup")
+    rc = jobs.main(
+        ["downsample", "--path", root, "--out", out,
+         "--older-than-days", "0", "--resolution-s", "300"]
+    )
+    assert rc == 0
+    rolled = spark.read.parquet(out)
+    # a root read would have seen ZERO files -> empty rollup
+    assert rolled.agg(F.sum("count_value")).first()[0] == 600
+
+    for cmd in (
+        ["compact", "--path", root],
+        ["retention", "--path", root, "--days", "0"],
+    ):
+        rc = jobs.main(cmd)
+        assert rc == 2
+        assert "snapshot-managed" in capsys.readouterr().out
+    assert cat.read(spark).count() == 600  # nothing was touched
