@@ -400,6 +400,11 @@ class CardinalSin:
                 df = df.filter(F.col("metric_name") == parsed.metric_name)
             known = set(self.labels())
             for m in parsed.label_matchers:
+                if m.label == "__name__":  # metric-name pseudo-label
+                    df = df.filter(
+                        label_matcher("metric_name", m.op, m.value)
+                    )
+                    continue
                 if m.label not in known:  # same guard as label_values
                     raise ValueError(f"unknown label: {m.label}")
                 df = df.filter(label_matcher(m.label, m.op, m.value))

@@ -119,7 +119,10 @@ _HISTF_RE = re.compile(
     r"\s*(-?[0-9]*\.?[0-9]+)\s*,\s*(.+)\)$",
     re.DOTALL,
 )
-_SELECTOR_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{([^}]*)\})?$")
+# name optional: `{__name__=~"api_.*"}` is the multi-metric selector form
+_SELECTOR_RE = re.compile(
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?\s*(?:\{([^}]*)\})?$"
+)
 _MATCHER_RE = re.compile(r'(\w+)\s*(=~|!=|!~|=)\s*"([^"]*)"')
 _UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
 # topk/bottomk carry a leading k argument: topk(5, metric)
@@ -422,6 +425,29 @@ def parse_promql(promql: str) -> ParsedPromQL:
         out.metric_name = m.group(1)
         if m.group(2):
             out.label_matchers = parse_label_matchers(m.group(2))
+        if out.metric_name is None and m.group(2) is not None:
+            # bare-brace selector: the name constraint (if any) rides as
+            # a __name__ matcher (`{__name__=~"api_.*"}` — the standard
+            # Prometheus multi-metric idiom); an equality __name__
+            # promotes to the metric name so downstream paths (absent,
+            # ns-prefilter, bucket grouping) behave as for a named form
+            eq = [
+                lm for lm in out.label_matchers
+                if lm.label == "__name__" and lm.op == "="
+            ]
+            if eq:
+                out.metric_name = eq[0].value
+                out.label_matchers = [
+                    lm for lm in out.label_matchers if lm not in eq
+                ]
+            elif not out.label_matchers:
+                raise ValueError(
+                    "empty selector {} matches everything — name a metric "
+                    "or add at least one matcher"
+                )
+            else:
+                out.metric_name = None
+                return out
     if not out.metric_name:
         # reference fallback: the whole string becomes the metric name.
         # That is only sane for name-shaped residue — the reference's lax
@@ -449,10 +475,12 @@ def parse_label_matchers(s: str) -> list[LabelMatcher]:
 
 def discover_label_columns(parsed: ParsedPromQL) -> list[str]:
     """Matcher labels + group_by labels, first-seen order (reference
-    ``api/query/prometheus_api.rs:855-874``)."""
+    ``api/query/prometheus_api.rs:855-874``). ``__name__`` is the
+    metric-name pseudo-label (already bound to ``cols.name``), never a
+    label column."""
     labels: list[str] = []
     for m in parsed.label_matchers:
-        if m.label not in labels:
+        if m.label != "__name__" and m.label not in labels:
             labels.append(m.label)
     for lbl in parsed.group_by:
         if lbl not in labels:
@@ -474,9 +502,17 @@ def effective_group_by(parsed: ParsedPromQL, cols: MetricsCols) -> list[str]:
 
 
 def _selector_filter(parsed: ParsedPromQL, cols: MetricsCols) -> Column:
-    cond = F.col(cols.name) == F.lit(parsed.metric_name)
+    # metric_name None = bare-brace multi-metric selector: the name
+    # constraint (if any) rides as a __name__ matcher below
+    cond = (
+        F.col(cols.name) == F.lit(parsed.metric_name)
+        if parsed.metric_name is not None
+        else F.lit(True)
+    )
     for m in parsed.label_matchers:
-        cond = cond & label_matcher(m.label, m.op, m.value)
+        # __name__ is the metric-name pseudo-label, not a column
+        col = cols.name if m.label == "__name__" else m.label
+        cond = cond & label_matcher(col, m.op, m.value)
     return cond
 
 

@@ -2320,3 +2320,69 @@ def test_range_topk_and_count_values_are_real(spark):
     assert got[(t0, 1.0)] == 1 and got[(t1, 9.0)] == 1
     assert got[(t0, 4.0)] == 1 and got[(t1, 3.0)] == 1
     assert len([k for k in got if k[0] == t0]) == 4
+
+
+def test_bare_brace_and_name_matcher_selectors(spark):
+    """The standard Prometheus multi-metric idiom `{__name__=~"..."}`:
+    __name__ is the metric-name pseudo-label, an equality __name__
+    promotes to the metric name, `{}` loud-rejects."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import (
+        parse_promql,
+        promql_instant,
+    )
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(timestamp=t0, metric_name=n, svc=s, value=v)
+        for n, s, v in [
+            ("api_req", "a", 3.0), ("api_err", "a", 1.0), ("web_req", "b", 9.0),
+        ]
+    ]
+    df = spark.createDataFrame(rows)
+
+    # engine convention: metric_name stays in every aggregation's output
+    # identity, so a multi-metric selector sums PER MATCHED METRIC
+    out = promql_instant(
+        df, 'sum({__name__=~"api_.*"})', time_s=1704067200.0,
+        cols=MetricsCols(),
+    ).collect()
+    got = {r.metric_name: r.value for r in out}
+    assert got == {"api_req": 3.0, "api_err": 1.0}
+
+    # regex name + ordinary label matcher combine
+    out = promql_instant(
+        df, 'sum({__name__=~"api_.*", svc="a"})', time_s=1704067200.0,
+        cols=MetricsCols(),
+    ).collect()
+    assert {r.metric_name: r.value for r in out} == {
+        "api_req": 3.0, "api_err": 1.0,
+    }
+    out = promql_instant(
+        df, 'sum({__name__=~".*_req", svc=~"a|b"})', time_s=1704067200.0,
+        cols=MetricsCols(),
+    ).collect()
+    assert {r.metric_name: r.value for r in out} == {
+        "api_req": 3.0, "web_req": 9.0,
+    }
+
+    # equality __name__ promotes to the metric name
+    p = parse_promql('{__name__="api_req", svc="a"}')
+    assert p.metric_name == "api_req"
+    assert [(m.label, m.op) for m in p.label_matchers] == [("svc", "=")]
+
+    # __name__ never becomes a label column (grouping still works)
+    from cardinalsin_spark.operators.promql import discover_label_columns
+
+    assert discover_label_columns(
+        parse_promql('{__name__=~"api_.*", svc="a"}')
+    ) == ["svc"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matches everything"):
+        parse_promql("{}")
