@@ -733,6 +733,7 @@ def span_dedup(
     span_tokens: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_text: bool = False,
 ) -> DataFrame:
     """C4-style exact span-level dedup across the corpus: split each
     document into consecutive ``span_tokens``-token chunks, keep only the
@@ -749,7 +750,9 @@ def span_dedup(
     per-doc ordered reassembly. The composite winner key
     ``doc_id·2²⁰ + chunk_no`` is exact while chunk_no < 2²⁰ (a ≥10M-token
     document) and doc_id < 2⁴². Output: per-doc span counts + md5 of the
-    rebuilt text (order-exact reassembly).
+    rebuilt text (order-exact reassembly); ``emit_text=True`` returns the
+    rebuilt TEXT itself instead (``(id, text)`` — the corpus-rewrite
+    shape the pipeline's span_dedup stage consumes).
     """
     span = int(span_tokens)
     base = df.select(
@@ -773,21 +776,26 @@ def span_dedup(
     )
     # collect_list skips the CASE's NULLs -> only surviving chunks are
     # reassembled, in chunk_no order via array_sort on the struct
+    rebuilt = F.concat_ws(
+        " ",
+        F.expr(
+            "transform(array_sort(collect_list("
+            "CASE WHEN _kept THEN struct(chunk_no, chunk) END)),"
+            " x -> x.chunk)"
+        ),
+    )
+    if emit_text:
+        return (
+            flagged.groupBy(id_col)
+            .agg(rebuilt.alias(text_col))
+            .orderBy(id_col)
+        )
     return (
         flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.col("_kept").cast("long")).alias("n_kept"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        "transform(array_sort(collect_list("
-                        "CASE WHEN _kept THEN struct(chunk_no, chunk) END)),"
-                        " x -> x.chunk)"
-                    ),
-                )
-            ).alias("rebuilt_md5"),
+            F.md5(rebuilt).alias("rebuilt_md5"),
         )
         .orderBy(id_col)
     )

@@ -116,9 +116,75 @@ def _stage_chunk_windows(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _stage_span_dedup(df: DataFrame, p: dict) -> DataFrame:
+    """Rewrite every document's text with corpus-duplicate spans removed
+    (C4-style keep-first); non-text columns carry through."""
+    from cardinalsin_spark.operators.dedup_docs import span_dedup
+
+    rebuilt = span_dedup(
+        df, span_tokens=p.get("span_tokens", 10), emit_text=True
+    ).withColumnRenamed("text", "_rebuilt")
+    return (
+        df.join(rebuilt, "doc_id")
+        .withColumn("text", F.col("_rebuilt"))
+        .drop("_rebuilt")
+    )
+
+
+def _stage_decontaminate(df: DataFrame, p: dict) -> DataFrame:
+    """Drop corpus documents sharing a winnowing fingerprint with ANY
+    document in an external benchmark set (``benchmark`` = parquet path
+    with doc_id/text) — the GPT-3-appendix-C audit as a pipeline stage.
+    The benchmark side is the protected "train" role of
+    cross_split_contamination; flagged corpus docs anti-join out."""
+    from cardinalsin_spark.operators.dedup_docs import (
+        cross_split_contamination,
+    )
+
+    path = p.get("benchmark")
+    if not path:
+        raise ValueError("decontaminate stage needs a 'benchmark' path")
+    bench = df.sparkSession.read.parquet(path).select(
+        F.concat(F.lit("bench:"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    corpus = df.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    # the split label must be an expression of doc_id (the contamination
+    # op re-derives it after its fingerprint projection) — the bench:
+    # prefix carries the role through
+    role = F.when(
+        F.col("doc_id").startswith("bench:"), F.lit("train")
+    ).otherwise(F.lit("test"))
+    flagged = cross_split_contamination(
+        corpus.unionByName(bench), role
+    ).select(F.col("doc_id").alias("_bad"))
+    return df.join(
+        flagged, df["doc_id"].cast("string") == flagged["_bad"], "left_anti"
+    )
+
+
+def _stage_pack_shards(df: DataFrame, p: dict) -> DataFrame:
+    """Assign each document its exact stream offset and fixed-capacity
+    shard index (concat-and-chunk packing) — the terminal stage before
+    the shard writer."""
+    from cardinalsin_spark.operators.sampling import pack_stream_offsets
+
+    with_tokens = df.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    packed = pack_stream_offsets(
+        with_tokens, capacity_tokens=p.get("capacity_tokens", 2048)
+    )
+    return packed
+
+
 STAGES = {
     "exact_dedup": _stage_exact_dedup,
     "near_dedup_cc": _stage_near_dedup_cc,
+    "span_dedup": _stage_span_dedup,
+    "decontaminate": _stage_decontaminate,
     "quality_filter": _stage_quality_filter,
     "lang_filter": _stage_lang_filter,
     "pii_scrub": _stage_pii_scrub,
@@ -126,6 +192,7 @@ STAGES = {
     "mixture_sample": _stage_mixture_sample,
     "temperature_mixture": _stage_temperature_mixture,
     "chunk_windows": _stage_chunk_windows,
+    "pack_shards": _stage_pack_shards,
 }
 
 

@@ -56,10 +56,14 @@ def test_unknown_stage_rejected(spark, docs):
         run_pipeline(spark, docs, [{"stage": "nope"}], count_rows=False)
 
 
-def test_every_stage_runs_standalone(spark, docs):
+def test_every_stage_runs_standalone(spark, docs, tmp_path):
     small = docs.limit(50)
+    bench = str(tmp_path / "bench")
+    small.limit(2).select("doc_id", "text").write.parquet(bench)
+    # stages needing non-default params to be meaningful standalone
+    params: dict[str, dict] = {"decontaminate": {"benchmark": bench}}
     for name, fn in STAGES.items():
-        out = fn(small, {"stage": name})
+        out = fn(small, {"stage": name, **params.get(name, {})})
         assert out.limit(1).collect() is not None, name
 
 
@@ -78,3 +82,47 @@ def test_cli_main(spark, docs, tmp_path):
     assert rc == 0
     out = spark.read.parquet(str(tmp_path / "out"))
     assert "split" in out.columns and out.count() > 0
+
+
+def test_pipeline_decontaminate_span_dedup_pack(spark, sf_dir, tmp_path):
+    """The three round-9 stages compose: a benchmark built FROM corpus
+    docs must knock exactly those docs out; span_dedup rewrites text;
+    pack_shards appends exact stream offsets/shard ids and preserves
+    every upstream column."""
+    from cardinalsin_spark.pipeline import run_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # benchmark = 5 lowest-id corpus docs, verbatim -> guaranteed overlap
+    bench_path = str(tmp_path / "benchmark")
+    docs.orderBy("doc_id").limit(5).select("doc_id", "text").write.parquet(
+        bench_path
+    )
+    n_in = docs.count()
+    out, report = run_pipeline(
+        spark,
+        docs,
+        [
+            {"stage": "decontaminate", "benchmark": bench_path},
+            {"stage": "span_dedup", "span_tokens": 10},
+            {"stage": "pack_shards", "capacity_tokens": 512},
+        ],
+    )
+    rows = {r["stage"]: r.get("rows") for r in report}
+    assert rows["decontaminate"] <= n_in - 5  # the 5 clones are gone
+    assert rows["pack_shards"] == rows["span_dedup"]  # packing drops nothing
+    cols = set(out.columns)
+    assert {"doc_id", "text", "n_tokens", "stream_offset", "shard"} <= cols
+    got = out.select("stream_offset", "n_tokens", "shard").orderBy(
+        "stream_offset"
+    ).collect()
+    # offsets are an exact exclusive prefix sum of token counts
+    acc = 0
+    for r in got:
+        assert r.stream_offset == acc
+        assert r.shard == acc // 512
+        acc += r.n_tokens
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="benchmark"):
+        run_pipeline(spark, docs, [{"stage": "decontaminate"}])
