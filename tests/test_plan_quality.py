@@ -618,3 +618,33 @@ def test_range_histogram_quantile_single_shuffle_per_window_chain(spark):
     # detail section — count detail headers (one per physical node)
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 3, plan  # agg + window chain + final sort
+
+
+def test_range_topk_partial_group_limit(spark):
+    """Per-step topk must pre-reduce map-side: the rank<=k filter
+    compiles to a two-phase WindowGroupLimit, so each task ships at most
+    k rows per (step, series) into the window exchange."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = [
+        Row(
+            timestamp=dt.datetime(2024, 1, 1, 0, 0, 0),
+            metric_name="m",
+            svc=s,
+            value=float(i),
+        )
+        for i, s in enumerate("abcd")
+    ]
+    out = promql_range(
+        spark.createDataFrame(rows),
+        "topk by (svc) (2, m)",
+        1704067200.0, 1704067260.0, 60, MetricsCols(),
+    )
+    plan = plan_string(out, "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan  # the map-side phase below the exchange
