@@ -890,6 +890,36 @@ def promql_instant(
         out = out.filter(F.col(cols.ts) <= F.timestamp_seconds(F.lit(t_eval)))
         out = _ns_prefilter(out, None, t_eval)
 
+    if parsed.function is not None and parsed.range_seconds is not None:
+        # range-vector function at an instant — `rate(m[5m])` through the
+        # instant API, the canonical alert query: evaluate once over the
+        # closed window [T − range, T] with the reference's function
+        # semantics (_range_fn_value: rate/increase → MAX−MIN family,
+        # *_over_time → its aggregation). Previously this fell through to
+        # the latest-sample selector branch — a silent wrong answer, the
+        # r7 misparse class.
+        if time_s is None:
+            raise ValueError(
+                f"instant {parsed.function}({parsed.metric_name}[…]) needs "
+                "an evaluation time (time_s or an @ pin) to bound the window"
+            )
+        rng = float(parsed.range_seconds)
+        win = out.filter(
+            F.col(cols.ts) >= F.timestamp_seconds(F.lit(t_eval - rng))
+        )
+        win = _ns_prefilter(win, t_eval - rng, None)
+        keys = [F.col(cols.name)] + [
+            F.col(c) for c in discover_label_columns(parsed)
+        ]
+        return (
+            win.groupBy(*keys)
+            .agg(
+                F.max(cols.ts).alias("timestamp_"),
+                _range_fn_value(parsed, cols, rng).alias("value"),
+            )
+            .orderBy(cols.name, *discover_label_columns(parsed))
+        )
+
     if parsed.function == "histogram_quantile" and parsed.q_str is not None:
         # histogram_quantile(φ, m_bucket): the selector matches a cumulative
         # bucket family whose `le` label holds integer upper bounds (or

@@ -2386,3 +2386,51 @@ def test_bare_brace_and_name_matcher_selectors(spark):
 
     with _pytest.raises(ValueError, match="matches everything"):
         parse_promql("{}")
+
+
+def test_instant_range_vector_functions(spark):
+    """rate/increase/avg_over_time at an INSTANT — the canonical alert
+    query — evaluate over [T − range, T] with the reference's function
+    semantics. Previously these fell through to the latest-sample
+    selector branch (rate(c[5m]) returned the raw last sample — a silent
+    wrong answer)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = [
+        Row(timestamp=dt.datetime(2024, 1, 1, 0, m), metric_name="c",
+            svc="a", value=float(v))
+        for m, v in [(0, 10.0), (2, 20.0), (4, 40.0)]
+    ]
+    df = spark.createDataFrame(rows)
+    t = 1704067200.0 + 300  # 00:05, window covers all three samples
+
+    def val(q):
+        out = promql_instant(df, q, time_s=t, cols=MetricsCols()).collect()
+        assert len(out) == 1
+        return out[0].value
+
+    assert val("rate(c[5m])") == (40.0 - 10.0) / 300  # MAX-MIN reference mode
+    assert val("increase(c[5m])") == 30.0
+    assert val("avg_over_time(c[5m])") == (10 + 20 + 40) / 3
+    assert val("max_over_time(c[5m])") == 40.0
+    assert val("count_over_time(c[5m])") == 3
+    assert val("last_over_time(c[5m])") == 40.0
+    # window bounds respected: [T-2m-eps] sees only the last two samples
+    assert val("increase(c[3m])") == 20.0
+    # offset shifts the window
+    assert val("increase(c[3m] offset 2m)") == 10.0
+    # matcher labels survive as output columns
+    out = promql_instant(
+        df, 'rate(c{svc="a"}[5m])', time_s=t, cols=MetricsCols()
+    ).collect()
+    assert out[0].svc == "a" and out[0].value == 0.1
+    # unpinned instant has no window end: loud, not empty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evaluation time"):
+        promql_instant(df, "rate(c[5m])", cols=MetricsCols())
