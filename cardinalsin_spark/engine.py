@@ -74,6 +74,8 @@ class CardinalSin:
         # opt-in subsystems (enable_* below)
         self.rate_limiter: RateLimiter | None = None
         self.lifecycle: IndexLifecycleManager | None = None
+        # attached continuous aggregates: (resolution_s, path, subsecond)
+        self._attached_rollups: list[tuple[int, str, bool]] = []
 
     # -- opt-in subsystems ----------------------------------------------------
 
@@ -284,14 +286,39 @@ class CardinalSin:
         (counter-reset-aware, last-two-samples, least-squares) — the
         reference degrades all of these to (MAX−MIN)/range or AVG
         (``api/query/prometheus_api.rs:969-1012``); pass ``False`` for its
-        reference-compatible degradation."""
+        reference-compatible degradation.
+
+        Rollup routing: when ``attach_rollup`` registered continuous
+        aggregates, a plain selector / sum-avg-min-max-count aggregation
+        whose step is a multiple of a rollup's resolution and whose bounds
+        cover whole rollup buckets serves from the rollup parquet (bucket
+        count ≈ rows scanned) instead of raw samples — transparent, exact
+        by the moment-recomposition rules, raw-path fallback otherwise.
+        Snapshot-pinned evaluation (``at_version``) never routes: the
+        rollup tracks the live table, not the pinned manifest."""
         self._admit_query(tenant_id)
         out = promql_range(
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
+            rollups=self._attached_rollups if at_version is None else None,
         )
         self._record(out)
         return out
+
+    def attach_rollup(
+        self, path: str, resolution_s: int, subsecond: bool = False
+    ) -> "CardinalSin":
+        """Register a ``jobs downsample`` output (bucket + series labels +
+        avg/min/max/sum/count moments) as a continuous aggregate serving
+        ``promql_range`` — the read side of the reference's downsample
+        config (``compactor/mod.rs:70-91``), which it never implemented.
+        ``subsecond=True`` declares the base data carries sub-second
+        timestamps, switching bound-coverage checks to the exact-micro rule
+        (``operators.rollup.rollup_covers``)."""
+        if resolution_s <= 0:
+            raise ValueError(f"resolution must be positive, got {resolution_s}")
+        self._attached_rollups.append((int(resolution_s), path, bool(subsecond)))
+        return self
 
     def exp_histogram_quantile(
         self,

@@ -1442,6 +1442,7 @@ def promql_range(
     cols: MetricsCols = MetricsCols(),
     faithful: bool = False,
     ts_ns_col: str = "ts_ns",
+    rollups: list[tuple[int, str, bool]] | None = None,
 ) -> DataFrame:
     """Range query (reference ``transpile_promql_range``,
     ``api/query/prometheus_api.rs:938-1087``): bucket = floor(ts/step)*step;
@@ -1905,6 +1906,13 @@ def promql_range(
             out, parsed, step_s, cols, label_cols, ts_ns_col, faithful
         )
 
+    if rollups:
+        routed = _maybe_route_rollup(
+            df, rollups, parsed, start_s, end_s, step_s, cols
+        )
+        if routed is not None:
+            return routed
+
     # NOTE (reference fidelity): when BOTH an aggregation and a range
     # function parse (`sum(rate(m[300s]))`), the function branch wins and
     # output stays per-(bucket, discovered labels) — exactly the
@@ -1977,6 +1985,81 @@ def promql_range(
     return (
         df_group_sorted(out, keys, value.alias("value"))
     )
+
+
+def _maybe_route_rollup(
+    df: DataFrame,
+    rollups: list[tuple[int, str, bool]],
+    parsed: ParsedPromQL,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols,
+) -> DataFrame | None:
+    """Transparent continuous-aggregate serving for the range query's
+    generic arm (VERDICT r9 item 2; the reference configures downsampling,
+    ``compactor/mod.rs:70-91``, implying rollups serve queries — it never
+    implemented either side).
+
+    Routable iff the expression reaching the generic arm is a plain
+    selector (per-bucket AVG) or a sum/avg/min/max/count aggregation with
+    no offset/@/function, the step is a multiple of an attached rollup's
+    resolution, the closed bounds cover whole rollup buckets
+    (``rollup_covers`` — micros-exact for sub-second data), and the rollup
+    kept every column the result needs (metric name, matcher labels,
+    group-by labels).  Anything else returns None and the raw-table arm
+    runs unchanged.
+
+    Exactness: min/max/count recompose exactly; sum/avg re-add
+    per-rollup-bucket float sums, exact whenever the values are (integer
+    cents / counts — the determinism doctrine), bit-identical division for
+    avg (same global sum / same global count as the raw arm).
+    """
+    from cardinalsin_spark.operators.rollup import rollup_covers, rollup_moment
+
+    if (
+        parsed.function is not None
+        or parsed.offset_seconds
+        or parsed.at_seconds is not None
+    ):
+        return None
+    agg = parsed.aggregation
+    if agg is None:
+        fn = "avg"  # the plain-selector arm's per-bucket AVG
+        gcols = discover_label_columns(parsed)
+    elif (
+        agg in ("sum", "avg", "min", "max", "count")
+        and parsed.k is None
+        and parsed.dst_label is None
+        and parsed.q is None
+    ):
+        fn = agg
+        gcols = effective_group_by(parsed, cols)
+    else:
+        return None
+    best: tuple[int, str] | None = None
+    for r, path, subsecond in rollups:
+        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return None
+    ro = df.sparkSession.read.parquet(best[1])
+    need = {cols.name, "bucket", *gcols} | {
+        m.label for m in parsed.label_matchers if m.label != "__name__"
+    }
+    if not need.issubset(set(ro.columns)):
+        return None
+    b = F.col("bucket")
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+    )
+    keys = [
+        time_bucket(b, step_s).alias("time_bucket"),
+        F.col(cols.name),
+    ] + [F.col(c) for c in gcols]
+    return df_group_sorted(ro, keys, rollup_moment(fn).alias("value"))
 
 
 def _range_fn_value(parsed: ParsedPromQL, cols: MetricsCols, rng: float) -> Column:

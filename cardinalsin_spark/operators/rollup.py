@@ -41,6 +41,56 @@ from pyspark.sql import functions as F
 _MOMENTS = ("avg", "min", "max", "sum", "count")
 
 
+def rollup_covers(
+    resolution_s: int,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    subsecond: bool = False,
+) -> bool:
+    """True iff a rollup at ``resolution_s`` answers the closed range
+    ``[start_s, end_s]`` at ``step_s`` exactly.
+
+    Two bound conventions:
+
+    * ``subsecond=False`` (scrape convention): samples are declared to sit
+      on whole seconds, so an integer-second range like ``[0, r-1]`` covers
+      whole buckets — ``start % r == 0 and (end+1) % r == 0``.
+    * ``subsecond=True`` (microsecond data, e.g. event streams): the closed
+      range must cover buckets to the exact micro —
+      ``start_us % r_us == 0 and (end_us + 1) % r_us == 0`` (the next micro
+      after ``end`` starts a new bucket).  An integer-second ``end`` never
+      qualifies here: the open micro-gap ``(end, end+1)`` could smuggle
+      samples into the rollup's last bucket that the raw closed-range scan
+      excludes.
+    """
+    if resolution_s <= 0 or resolution_s > step_s or step_s % resolution_s:
+        return False
+    if subsecond:
+        r_us = resolution_s * 1_000_000
+        s_us = int(round(start_s * 1e6))
+        e_us = int(round(end_s * 1e6))
+        return s_us % r_us == 0 and (e_us + 1) % r_us == 0
+    return int(start_s) % resolution_s == 0 and (int(end_s) + 1) % resolution_s == 0
+
+
+def rollup_moment(agg: str, sum_col: str = "sum_value", count_col: str = "count_value",
+                  min_col: str = "min_value", max_col: str = "max_value"):
+    """The recomposition expression for one aggregate over downsample()
+    moments — shared by RollupRouter and the PromQL range router.  Never
+    avg-of-avgs: avg re-divides the exact global sum by the exact global
+    count, the same two numbers the raw aggregation divides."""
+    if agg not in _MOMENTS:
+        raise ValueError(f"agg must be one of {_MOMENTS}, got {agg!r}")
+    return {
+        "avg": F.sum(sum_col) / F.sum(count_col),
+        "min": F.min(min_col),
+        "max": F.max(max_col),
+        "sum": F.sum(sum_col),
+        "count": F.sum(count_col),
+    }[agg]
+
+
 class RollupRouter:
     """Routes range aggregations across a base metrics table and any
     number of attached ``downsample()`` rollups.
@@ -58,12 +108,16 @@ class RollupRouter:
         series_cols: list[str],
         ts_col: str = "timestamp",
         value_col: str = "value",
+        subsecond: bool = False,
     ):
         self.spark = spark
         self.base = base  # parquet path, or an already-shaped DataFrame
         self.series_cols = list(series_cols)
         self.ts_col = ts_col
         self.value_col = value_col
+        # subsecond=True: timestamps carry sub-second precision, so bound
+        # coverage is checked to the exact micro (see rollup_covers)
+        self.subsecond = bool(subsecond)
         self._rollups: list[tuple[int, str]] = []  # (resolution_s, path)
 
     def attach(self, path: str, resolution_s: int) -> "RollupRouter":
@@ -79,15 +133,12 @@ class RollupRouter:
         self, start_s: float, end_s: float, step_s: int
     ) -> tuple[int, str] | None:
         """The coarsest attached rollup that can answer this range
-        exactly, or None (route to base). See module docstring for the
+        exactly, or None (route to base). See ``rollup_covers`` for the
         divisibility/alignment rules."""
         best = None
         for r, path in self._rollups:
-            if r > step_s or step_s % r:
-                continue
-            if int(start_s) % r or (int(end_s) + 1) % r:
-                continue
-            best = (r, path)  # sorted ascending: last hit is coarsest
+            if rollup_covers(r, start_s, end_s, step_s, self.subsecond):
+                best = (r, path)  # sorted ascending: last hit is coarsest
         return best
 
     def explain_pick(self, start_s: float, end_s: float, step_s: int) -> str:
@@ -135,9 +186,11 @@ class RollupRouter:
             else self.base
         )
         ts = F.col(self.ts_col)
+        # micros-exact bounds (a float-seconds literal near 2^31 carries
+        # ~0.25µs of representation error; the int-µs form never does)
         df = df.filter(
-            (ts >= F.timestamp_seconds(F.lit(start_s)))
-            & (ts <= F.timestamp_seconds(F.lit(end_s)))
+            (ts >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
+            & (ts <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
         )
         fn = {
             "avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
@@ -159,17 +212,11 @@ class RollupRouter:
         df = self.spark.read.parquet(path)
         b = F.col("bucket")
         df = df.filter(
-            (b >= F.timestamp_seconds(F.lit(start_s)))
-            & (b <= F.timestamp_seconds(F.lit(end_s)))
+            (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
+            & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
         )
-        value = {
-            # never avg-of-avgs: recompose from the exact moments
-            "avg": F.sum("sum_value") / F.sum("count_value"),
-            "min": F.min("min_value"),
-            "max": F.max("max_value"),
-            "sum": F.sum("sum_value"),
-            "count": F.sum("count_value"),
-        }[agg]
+        # never avg-of-avgs: recompose from the exact moments
+        value = rollup_moment(agg)
         return (
             df.groupBy(
                 self._bucket(b, step_s).alias("time_bucket"),

@@ -1729,6 +1729,103 @@ FROM events GROUP BY 1, 2
 """
 
 
+# Rollup parquet cache for maint_rollup_routed: one deterministic
+# downsample() write per (process, sf_dir) into a fresh tempdir — the
+# routed query then scans ONLY the rollup, never raw events (the plan pin
+# in tests/test_plan_quality.py proves it).
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _events_rollup_path(
+    spark: SparkSession, sf_dir: str, resolution_s: int = 21600
+) -> str:
+    import tempfile
+
+    from cardinalsin_spark.operators.compaction import downsample
+
+    key = f"{sf_dir}::{resolution_s}"
+    path = _ROLLUP_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cardinalsin-rollup-") + "/rollup"
+        downsample(
+            _events_cents(spark, sf_dir),
+            resolution_s,
+            ["event_type"],
+            ts_col="ts",
+            value_col="value_cents",
+        ).write.parquet(path)
+        _ROLLUP_CACHE[key] = path
+    return path
+
+
+def q_maint_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent continuous-aggregate SERVING (VERDICT r9 item 2): a
+    14-day daily range aggregation routed through a 6h downsample rollup —
+    the read side of the reference's downsample config
+    (``compactor/mod.rs:70-91``), which shipped with no implementation.
+
+    The oracle below computes the RAW-path answer directly from events;
+    this query must hash-match it while scanning only the rollup parquet
+    (exact moment recomposition on integer cents; ``subsecond=True`` bound
+    coverage to the exact micro — events carry µs timestamps, so the query
+    end is 2024-01-15 00:00:00 − 1µs, covering whole 6h buckets).  The
+    ``pick() is None`` guard makes a silent raw-path fallback impossible.
+
+    Scale shape: 1000 executors answer a 90-day dashboard query from
+    ~10⁴ rollup rows instead of re-scanning raw samples; the rollup read
+    is an ordinary pruned parquet scan plus one hash aggregation."""
+    from cardinalsin_spark.operators.rollup import RollupRouter
+
+    resolution_s = 21600
+    router = RollupRouter(
+        spark,
+        _events_cents(spark, sf_dir),
+        series_cols=["event_type"],
+        ts_col="ts",
+        value_col="value_cents",
+        subsecond=True,
+    )
+    router.attach(_events_rollup_path(spark, sf_dir, resolution_s), resolution_s)
+    start = 1704067200  # 2024-01-01 00:00:00 UTC
+    end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
+    step = 86400
+    if router.pick(start, end, step) is None:
+        raise RuntimeError(
+            "maint_rollup_routed: rollup routing must engage (pick() "
+            "returned base) — the aligned bounds or attach() regressed"
+        )
+    avg = router.range_agg("avg", start, end, step).withColumnRenamed(
+        "value", "avg_cents"
+    )
+    tot = router.range_agg("sum", start, end, step).withColumnRenamed(
+        "value", "sum_cents"
+    )
+    return (
+        avg.join(tot, ["time_bucket", "event_type"])
+        .select(
+            "time_bucket",
+            "event_type",
+            F.round(F.col("avg_cents") / F.lit(100.0), 4).alias("avg_value"),
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("time_bucket", "event_type")
+    )
+
+
+SQL_MAINT_ROLLUP_ROUTED = f"""
+SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / count(value) / 100.0, 4)
+           AS avg_value,
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time joins and gap-filling (SURVEY §2.3/§2.4 superset — the
 # canonical time-series ops Spark lacks natively, built as compositions)
@@ -5422,6 +5519,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "maint_retention": (q_maint_retention, SQL_MAINT_RETENTION),
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
+    "maint_rollup_routed": (q_maint_rollup_routed, SQL_MAINT_ROLLUP_ROUTED),
     "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
     "ts_bloom_join": (q_ts_bloom_join, SQL_TS_BLOOM_JOIN),
     "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
@@ -5566,84 +5664,85 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-9 window (VERDICT r8 item 1), planned from
-    # `scripts/check_parity.py --ages --before 9`:
-    #   (a) the ENTIRE r5-stale tier — all 43 queries whose last green
-    #       driver row is CORRECTNESS_r05 (three to four code rounds
-    #       stale): the 17 ts_* analytics rows deferred from r8, the 16
-    #       docs_/emb_ fillers displaced during r8's additions, and the
-    #       10 r5-green tpch rows.  This clears the oldest tier in one
-    #       round, per the VERDICT-r8 rotation-debt directive ("rotate
-    #       hard and grow the registry slower than it re-verifies").
-    #   (b) 7 r6-tier picks, churn-prioritised: the flagship query, the
-    #       media tier (multimodal.py changed in r8: scene-change +
-    #       ffmpeg resample paths), emb_hamming_topk (similarity.py
-    #       churn: recall yardstick + MMR), maint_retention
-    #       (snapshots/compaction churn), docs_kmv_sample (sketches.py
-    #       churn: KMV set ops + null filter).
-    # Left out (still r6-stale, rotate into r10): the remaining 43 rows
-    # of the r6 tier (promql instant/set/cmp family, tpch_q1/q9/13/21ish,
-    # docs clean_corpus/contamination/crossdup/near_dedup_cc/
-    # temperature_mixture, ts asof/ewma/moving_avg/rate family).
-    # Every non-windowed registry query remains covered by the
-    # builder-side parity sweep (tests/test_oracle_parity.py).
-    # -- (a) r5-stale tier, oldest coverage first: ts_* analytics
-    "ts_apdex",
-    "ts_autocorr_lag1",
-    "ts_burn_rate",
-    "ts_crosscorr",
-    "ts_cusum",
-    "ts_error_budget",
-    "ts_funnel",
-    "ts_gap_stats",
-    "ts_json_props",
-    "ts_lttb",
-    "ts_mad",
-    "ts_retention_cohorts",
-    "ts_seasonal_residual",
-    "ts_session_incidents",
-    "ts_time_weighted_avg",
-    "ts_value_quartiles",
-    "ts_weekday_profile",
-    # -- (a) r5-stale: docs_/emb_ fillers displaced in r8
-    "docs_bigram_lift",
-    "docs_bm25",
-    "docs_chunk_windows",
-    "docs_containment",
-    "docs_dup_cluster_stats",
-    "docs_edit_distance",
-    "docs_mixture_sample",
-    "docs_search_and",
-    "docs_source_quality",
-    "docs_tfidf_topterms",
-    "emb_centroids",
-    "emb_ivfpq_residual_topk",
-    "emb_norm_stats",
-    "emb_pca_project",
-    "emb_random_projection",
-    "emb_semdedup",
-    # -- (a) r5-stale: tpch rows
-    "tpch_q4ish",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q12ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q22ish",
-    # -- (c) ADDED in round 9 — never driver-checked, windowed by the
-    # coverage invariant (displaced the media_image_features/media_resize
-    # r6 picks; media-tier churn stays covered by media_frame_sample)
-    "emb_ivf_recall",
-    "emb_ivfpq_recall",
-    # -- (b) r6-tier picks, churn-prioritised
-    "flagship_minute_p99",
-    "media_frame_sample",
-    "emb_hamming_topk",
-    "maint_retention",
-    "docs_kmv_sample",
+    # Round-10 window (VERDICT r9 item 1), planned from
+    # `scripts/check_parity.py --ages --before 10`:
+    #   (a) the ENTIRE r6-stale tier — all 45 queries whose last green
+    #       driver row is CORRECTNESS_r06 (three to four code rounds
+    #       stale).  This is simultaneously the oldest coverage tier AND
+    #       the churn recheck VERDICT r9 demands: the bulk of the tier is
+    #       the promql instant/set/cmp family, and operators/promql.py
+    #       churned heavily in r9 (instant range-vector functions,
+    #       __name__ pseudo-label, range topk/quantile/fraction, exact-
+    #       micros le bounds).
+    #   (b) 5 r7-tier picks, churn-prioritised: four promql r7 rows whose
+    #       machinery r9's promql churn (and this round's instant
+    #       resets/deriv + exp-histogram routing work) touches, plus the
+    #       round-10 addition maint_rollup_routed (never driver-checked).
+    # Left out (still r7-stale, rotate into r11): the remaining r7 tier
+    # (docs_minhash/simhash family, emb_* topk tiers, maint_* plans,
+    # sql_cube/rollup, tpch_q3/10/14ish, promql_absent_over_time,
+    # promql_holt_winters, promql_resets).  Every non-windowed registry
+    # query remains covered by the builder-side parity sweep
+    # (tests/test_oracle_parity.py).
+    # -- (a) r6-stale tier: promql instant/set/cmp family (churn recheck)
+    "promql_absent",
+    "promql_at_pinned",
+    "promql_at_start",
+    "promql_binary_ratio",
+    "promql_clamp",
+    "promql_cmp_vector",
+    "promql_count_values",
+    "promql_day_of_week",
+    "promql_histogram_quantile",
+    "promql_idelta",
+    "promql_instant_sum",
+    "promql_instant_topk",
+    "promql_irate_faithful",
+    "promql_label_replace",
+    "promql_mad_over_time",
+    "promql_offset_delta",
+    "promql_quantile",
+    "promql_range_at_end",
+    "promql_range_sum_by",
+    "promql_rate_extrapolated",
+    "promql_rate_faithful",
+    "promql_rate_range",
+    "promql_scalar_fold",
+    "promql_set_or",
+    "promql_set_unless",
+    "promql_subquery_max_rate",
+    # -- (a) r6-stale: ts rate/asof/ewma family
+    "ts_asof_join",
+    "ts_ewma",
+    "ts_irate_faithful",
+    "ts_moving_avg",
+    "ts_rate_extrapolated",
+    "ts_rate_faithful",
+    "ts_topk_by",
+    # -- (a) r6-stale: tpch rows
+    "tpch_q1",
+    "tpch_q9ish",
+    "tpch_q13ish",
+    "tpch_q21ish",
+    # -- (a) r6-stale: docs/media rows
+    "docs_clean_corpus",
+    "docs_contamination",
+    "docs_crossdup",
+    "docs_near_dedup_cc",
+    "docs_temperature_mixture",
+    "media_audio_features",
+    "media_image_features",
+    "media_resize",
+    # -- (b) r7-tier picks, churn-prioritised (promql.py churned in r9
+    # and churns again this round: instant resets/deriv loud-reject,
+    # exp-histogram routing in the parser)
+    "promql_delta_faithful",
+    "promql_over_time",
+    "promql_predict_linear",
+    "promql_resets",
+    # -- (b) ADDED in round 10 — never driver-checked, windowed by the
+    # coverage invariant (transparent rollup serving, VERDICT r9 item 2)
+    "maint_rollup_routed",
 ]
 
 

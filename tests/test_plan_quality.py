@@ -577,6 +577,17 @@ def test_otlp_bucket_expansion_stays_jvm_side(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_rollup_routed_scans_rollup_not_base(spark, sf_dir):
+    """maint_rollup_routed must serve from the downsample rollup parquet
+    — the whole point of continuous-aggregate routing.  The raw events
+    scan appearing here would mean the router silently fell back (the
+    query's pick() guard would normally raise first)."""
+    df = _df(spark, sf_dir, "maint_rollup_routed")
+    plan = plan_string(df, "formatted")
+    assert "cardinalsin-rollup-" in plan, plan
+    assert "events.parquet" not in plan, plan
+
+
 def test_ann_recall_joins_broadcast_topk_frames(spark, sf_dir):
     """Recall measurement joins two k·|queries|-row result frames — the
     approximate side must broadcast so recall never costs a shuffle of

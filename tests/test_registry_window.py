@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
-of ``queries()`` (verified against CORRECTNESS_r03..r08: their keys were
-exactly registry[:50]).  These tests pin the round-9 window composition:
+of ``queries()`` (verified against CORRECTNESS_r03..r09: their keys were
+exactly registry[:50]).  These tests pin the round-10 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -15,9 +15,9 @@ driver landing this round's (all-green) artifact cannot re-arm these tests
 — the r5/r6 self-arming failure.  The simulation regression below runs
 against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
 fake artifact into the live repo root risked leaving a forged driver file
-behind on a hard kill).  Window rotation for r10 is a planning task (bump
+behind on a hard kill).  Window rotation for r11 is a planning task (bump
 WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
-``scripts/check_parity.py --ages --before 10``).
+``scripts/check_parity.py --ages --before 11``).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -65,76 +65,74 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 9.
+# builder-side parity sweep.  Empty entering round 10.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 # Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r5      — last green row is CORRECTNESS_r05, four code rounds
-#                   ago; the oldest coverage tier entering round 9
-#                   (VERDICT r8 item 1 names this exact set).
-#   media-churn   — last green r6; multimodal.py changed in r8 (sparse
-#                   SAD scene-change, ffmpeg resample routing).
-#   sim-churn     — last green r6; similarity.py changed in r8 (ann_recall
-#                   yardstick, MMR re-rank, MIPS top-k).
-#   sketch-churn  — last green r6; sketches.py changed in r8 (KMV null
-#                   filter, theta-style set ops).
-#   maint-churn   — last green r6; snapshots/compaction changed heavily
-#                   in r8 (_data-v* output, CAS seam, merge_upsert).
-#   flagship      — last green r6; the headline query re-verifies every
-#                   few rounds on principle.
+#   stale-r6      — last green row is CORRECTNESS_r06, four code rounds
+#                   ago; the oldest coverage tier entering round 10
+#                   (VERDICT r9 item 1 names this exact 45-row set).
+#                   Doubles as the churn recheck: the bulk of the tier is
+#                   the promql family, and operators/promql.py churned
+#                   heavily in r9 (instant range-fns, __name__, range
+#                   topk/quantile/fraction, exact-micros le bounds).
+#   promql-churn  — last green r7; promql.py churned in r9 and churns
+#                   again in r10 (instant resets/deriv loud-reject,
+#                   exp-histogram quantile routing in the parser).
 RECHECK: dict[str, str] = {
-    # -- stale-r5 (the full 43-row tier)
-    "ts_apdex": "stale-r5",
-    "ts_autocorr_lag1": "stale-r5",
-    "ts_burn_rate": "stale-r5",
-    "ts_crosscorr": "stale-r5",
-    "ts_cusum": "stale-r5",
-    "ts_error_budget": "stale-r5",
-    "ts_funnel": "stale-r5",
-    "ts_gap_stats": "stale-r5",
-    "ts_json_props": "stale-r5",
-    "ts_lttb": "stale-r5",
-    "ts_mad": "stale-r5",
-    "ts_retention_cohorts": "stale-r5",
-    "ts_seasonal_residual": "stale-r5",
-    "ts_session_incidents": "stale-r5",
-    "ts_time_weighted_avg": "stale-r5",
-    "ts_value_quartiles": "stale-r5",
-    "ts_weekday_profile": "stale-r5",
-    "docs_bigram_lift": "stale-r5",
-    "docs_bm25": "stale-r5",
-    "docs_chunk_windows": "stale-r5",
-    "docs_containment": "stale-r5",
-    "docs_dup_cluster_stats": "stale-r5",
-    "docs_edit_distance": "stale-r5",
-    "docs_mixture_sample": "stale-r5",
-    "docs_search_and": "stale-r5",
-    "docs_source_quality": "stale-r5",
-    "docs_tfidf_topterms": "stale-r5",
-    "emb_centroids": "stale-r5",
-    "emb_ivfpq_residual_topk": "stale-r5",
-    "emb_norm_stats": "stale-r5",
-    "emb_pca_project": "stale-r5",
-    "emb_random_projection": "stale-r5",
-    "emb_semdedup": "stale-r5",
-    "tpch_q4ish": "stale-r5",
-    "tpch_q7ish": "stale-r5",
-    "tpch_q8ish": "stale-r5",
-    "tpch_q12ish": "stale-r5",
-    "tpch_q15ish": "stale-r5",
-    "tpch_q16ish": "stale-r5",
-    "tpch_q17ish": "stale-r5",
-    "tpch_q18ish": "stale-r5",
-    "tpch_q19ish": "stale-r5",
-    "tpch_q22ish": "stale-r5",
-    # -- r6-tier picks
-    "flagship_minute_p99": "flagship",
-    "media_frame_sample": "media-churn",
-    "emb_hamming_topk": "sim-churn",
-    "maint_retention": "maint-churn",
-    "docs_kmv_sample": "sketch-churn",
+    # -- stale-r6 (the full 45-row tier)
+    "promql_absent": "stale-r6",
+    "promql_at_pinned": "stale-r6",
+    "promql_at_start": "stale-r6",
+    "promql_binary_ratio": "stale-r6",
+    "promql_clamp": "stale-r6",
+    "promql_cmp_vector": "stale-r6",
+    "promql_count_values": "stale-r6",
+    "promql_day_of_week": "stale-r6",
+    "promql_histogram_quantile": "stale-r6",
+    "promql_idelta": "stale-r6",
+    "promql_instant_sum": "stale-r6",
+    "promql_instant_topk": "stale-r6",
+    "promql_irate_faithful": "stale-r6",
+    "promql_label_replace": "stale-r6",
+    "promql_mad_over_time": "stale-r6",
+    "promql_offset_delta": "stale-r6",
+    "promql_quantile": "stale-r6",
+    "promql_range_at_end": "stale-r6",
+    "promql_range_sum_by": "stale-r6",
+    "promql_rate_extrapolated": "stale-r6",
+    "promql_rate_faithful": "stale-r6",
+    "promql_rate_range": "stale-r6",
+    "promql_scalar_fold": "stale-r6",
+    "promql_set_or": "stale-r6",
+    "promql_set_unless": "stale-r6",
+    "promql_subquery_max_rate": "stale-r6",
+    "ts_asof_join": "stale-r6",
+    "ts_ewma": "stale-r6",
+    "ts_irate_faithful": "stale-r6",
+    "ts_moving_avg": "stale-r6",
+    "ts_rate_extrapolated": "stale-r6",
+    "ts_rate_faithful": "stale-r6",
+    "ts_topk_by": "stale-r6",
+    "tpch_q1": "stale-r6",
+    "tpch_q9ish": "stale-r6",
+    "tpch_q13ish": "stale-r6",
+    "tpch_q21ish": "stale-r6",
+    "docs_clean_corpus": "stale-r6",
+    "docs_contamination": "stale-r6",
+    "docs_crossdup": "stale-r6",
+    "docs_near_dedup_cc": "stale-r6",
+    "docs_temperature_mixture": "stale-r6",
+    "media_audio_features": "stale-r6",
+    "media_image_features": "stale-r6",
+    "media_resize": "stale-r6",
+    # -- r7-tier picks
+    "promql_delta_faithful": "promql-churn",
+    "promql_over_time": "promql-churn",
+    "promql_predict_linear": "promql-churn",
+    "promql_resets": "promql-churn",
 }
 
 

@@ -111,6 +111,63 @@ def test_avg_is_never_avg_of_avgs(spark, rolled):
     assert len(got) == 1 and got[0].value == raw
 
 
+def test_engine_promql_range_transparent_routing(spark, tmp_path):
+    """VERDICT r9 item 2: ``attach_rollup`` makes ``engine.promql_range``
+    serve aligned plain-selector / moment aggregations from the rollup
+    parquet TRANSPARENTLY — bit-equal to the raw path (integer-valued
+    fixture), rollup (not base) scanned, raw fallback for every
+    non-routable shape."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 5000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    routed_eng = CardinalSin(spark, path)
+    raw_eng = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        routed_eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name"],
+    ).write.parquet(rp)
+    routed_eng.attach_rollup(rp, 300)
+    start, end, step = START, START + 3600 - 1, 600
+    for expr in ("s0", "sum(s0)", "min(s0)", "max(s0)", "count(s0)",
+                 "avg(s0)", '{__name__=~"s.*"}'):
+        got = routed_eng.promql_range(expr, start, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        expect = raw_eng.promql_range(expr, start, end, step)
+        assert got.collect() == expect.collect(), expr
+    # non-routable shapes fall back to the raw table: a range function,
+    # misaligned bounds, a sub-resolution step, an offset
+    for expr, b in (
+        ("rate(s0[300s])", (start, end, step)),
+        ("sum(s0)", (start + 7, end, step)),
+        ("sum(s0)", (start, end, 60)),
+        ("sum(s0) offset 300s", (start + 300, end, step)),
+    ):
+        got = routed_eng.promql_range(expr, *b)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" not in plan, (expr, plan)
+        assert got.collect() == raw_eng.promql_range(expr, *b).collect(), expr
+    # snapshot-pinned evaluation must never consult the (live) rollup
+    # even when aligned — guarded in the engine, not the operator
+    assert routed_eng._attached_rollups  # the attach itself stuck
+
+
 def test_engine_rollup_router(spark, tmp_path):
     """Engine hook: rollups attach over the metrics table's coalesced
     value view; routed results match the unrouted base aggregation."""
