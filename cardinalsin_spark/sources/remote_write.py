@@ -9,9 +9,16 @@ becomes ``metric_name`` and every other label a column
 Wire format parsed here (public Prometheus remote-write proto):
 
     WriteRequest { repeated TimeSeries timeseries = 1; }
-    TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+    TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2;
+                   repeated Histogram histograms = 4; }  // native histograms
     Label        { string name = 1; string value = 2; }
     Sample       { double value = 1; int64 timestamp = 2; }  // ms epoch
+
+Native-histogram samples (prompb field 4; the identical Histogram message
+is write.v2's field 3) decode to the bucket-preserving exp-bucket row
+shape shared with the OTLP exponential-histogram ingest, so
+``exp_histogram_quantile`` serves both paths; custom-bucket (NHCB,
+schema −53) histograms loud-reject rather than decode wrongly.
 
 Decode runs in ``mapInPandas`` (Arrow-batched, streamed) because protobuf
 bytes are opaque to Catalyst. This is the documented slow path: one Python
@@ -111,7 +118,9 @@ def _maybe_decompress(payload: bytes) -> bytes:
 
 
 def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
-    """One WriteRequest → [(ts_ms, metric_name, value, labels), ...]."""
+    """One WriteRequest → [(ts_ms, metric_name, value, labels), ...].
+    Native-histogram samples (prompb ``TimeSeries`` field 4) decode to the
+    bucket-preserving exp-bucket row shape (``_native_histogram_rows``)."""
     rows = []
     buf = _maybe_decompress(payload)
     for fno, wt, ts_bytes in _fields(buf):
@@ -119,6 +128,7 @@ def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
             continue  # numbered 1 would otherwise be sliced as a message
         labels: dict[str, str] = {}
         samples: list[tuple[float, int]] = []
+        histograms: list[dict] = []
         for sfno, swt, sval in _fields(ts_bytes):
             if sfno == 1 and swt == 2:  # Label
                 name = value = ""
@@ -139,9 +149,13 @@ def decode_write_request(payload: bytes) -> list[tuple[int, str, float, dict]]:
                         # negatives arrive as 10-byte varints (two's compl.)
                         ts = pval - (1 << 64) if pval >= 1 << 63 else pval
                 samples.append((v, ts))
+            elif sfno == 4 and swt == 2:  # native Histogram (prompb)
+                histograms.append(_decode_native_histogram(sval))
         metric = labels.pop("__name__", "")
         for v, ts in samples:
             rows.append((ts, metric, v, dict(labels)))
+        for h in histograms:
+            rows.extend(_native_histogram_rows(metric, labels, h))
     return rows
 
 
@@ -156,18 +170,205 @@ def _decode_sample(buf: bytes) -> tuple[float, int]:
     return v, ts
 
 
+# --- native histograms (shared Histogram message: prompb field 4 /
+# io.prometheus.write.v2 field 3 — identical field numbering) -----------------
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_zigzags(val: bytes) -> list[int]:
+    out: list[int] = []
+    i = 0
+    while i < len(val):
+        v, i = _read_varint(val, i)
+        out.append(_zigzag(v))
+    return out
+
+
+def _packed_doubles(val: bytes) -> list[float]:
+    if len(val) % 8:
+        raise ValueError("packed double field not a multiple of 8 bytes")
+    return [
+        struct.unpack("<d", val[i : i + 8])[0] for i in range(0, len(val), 8)
+    ]
+
+
+def _decode_bucket_span(buf: bytes) -> tuple[int, int]:
+    """BucketSpan: offset (zigzag sint32, gap from the running index) +
+    length (uint32)."""
+    offset = length = 0
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 0:
+            offset = _zigzag(val)
+        elif fno == 2 and wt == 0:
+            length = val
+    return offset, length
+
+
+_MAX_NATIVE_BUCKETS = 100_000  # DoS guard: a span length is a raw uint32
+
+
+def _decode_native_histogram(buf: bytes) -> dict:
+    """Prometheus native Histogram message → decoded dict. Field numbers
+    per the public proto (identical in prompb and write.v2): count_int=1 /
+    count_float=2, sum=3, schema=4 (zigzag sint32), zero_threshold=5,
+    zero_count_int=6 / zero_count_float=7, negative spans/deltas/counts =
+    8/9/10, positive spans/deltas/counts = 11/12/13, timestamp=15 (ms)."""
+    h: dict = {
+        "count": None, "sum": None, "schema": 0, "zero_count": 0.0,
+        "neg_spans": [], "neg_deltas": [], "neg_counts": [],
+        "pos_spans": [], "pos_deltas": [], "pos_counts": [], "ts_ms": 0,
+    }
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 0:
+            h["count"] = float(val)
+        elif fno == 2 and wt == 1:
+            h["count"] = struct.unpack("<d", val)[0]
+        elif fno == 3 and wt == 1:
+            h["sum"] = struct.unpack("<d", val)[0]
+        elif fno == 4 and wt == 0:
+            h["schema"] = _zigzag(val)
+        elif fno == 6 and wt == 0:
+            h["zero_count"] = float(val)
+        elif fno == 7 and wt == 1:
+            h["zero_count"] = struct.unpack("<d", val)[0]
+        elif fno == 8 and wt == 2:
+            h["neg_spans"].append(_decode_bucket_span(val))
+        elif fno == 9 and wt == 2:
+            h["neg_deltas"].extend(_packed_zigzags(val))
+        elif fno == 9 and wt == 0:
+            h["neg_deltas"].append(_zigzag(val))
+        elif fno == 10 and wt == 2:
+            h["neg_counts"].extend(_packed_doubles(val))
+        elif fno == 10 and wt == 1:
+            h["neg_counts"].append(struct.unpack("<d", val)[0])
+        elif fno == 11 and wt == 2:
+            h["pos_spans"].append(_decode_bucket_span(val))
+        elif fno == 12 and wt == 2:
+            h["pos_deltas"].extend(_packed_zigzags(val))
+        elif fno == 12 and wt == 0:
+            h["pos_deltas"].append(_zigzag(val))
+        elif fno == 13 and wt == 2:
+            h["pos_counts"].extend(_packed_doubles(val))
+        elif fno == 13 and wt == 1:
+            h["pos_counts"].append(struct.unpack("<d", val)[0])
+        elif fno == 15 and wt == 0:
+            h["ts_ms"] = val - (1 << 64) if val >= 1 << 63 else val
+    return h
+
+
+def _expand_native_buckets(
+    spans: list[tuple[int, int]], deltas: list[int], counts: list[float]
+) -> list[tuple[int, float]]:
+    """Spans + delta-encoded (integer) or absolute (float) counts →
+    [(absolute native bucket index, count)], zero counts skipped. The
+    running index starts at 0; each span's offset is a gap added before
+    its buckets (the upstream iterator convention)."""
+    if counts and deltas:
+        raise ValueError("histogram carries both integer deltas and float counts")
+    if counts:
+        vals = counts
+    else:
+        vals, run = [], 0
+        for d in deltas:
+            run += d
+            vals.append(float(run))
+    total_len = sum(length for _, length in spans)
+    if total_len > _MAX_NATIVE_BUCKETS:
+        raise ValueError(f"native histogram declares {total_len} buckets")
+    if total_len != len(vals):
+        raise ValueError(
+            f"span lengths ({total_len}) != bucket count ({len(vals)})"
+        )
+    out: list[tuple[int, float]] = []
+    idx = 0
+    j = 0
+    for offset, length in spans:
+        idx += offset
+        for _ in range(length):
+            c = vals[j]
+            j += 1
+            if c < 0:
+                raise ValueError(f"negative bucket count {c}")
+            if c:
+                out.append((idx, c))
+            idx += 1
+    return out
+
+
+def _native_histogram_rows(
+    metric: str, labels: dict, h: dict
+) -> list[tuple[int, str, float, dict]]:
+    """Native-histogram sample → the SAME bucket-preserving row shape the
+    OTLP exponential-histogram ingest emits (``sources/otlp.py``
+    ``_exp_histogram_bucket_rows``): ``{name}_exp_bucket`` rows with
+    non-cumulative counts + ``scale``/``idx``/``sign`` labels,
+    ``{name}_exp_zero``, ``{name}_count``, ``{name}_sum`` — so
+    ``exp_histogram_quantile`` serves both ingest paths unchanged.
+
+    Index convention bridge: Prometheus native bucket ``n`` covers
+    ``(base^(n-1), base^n]`` while the OTLP row shape's ``idx`` covers
+    ``(2^(idx·2^-scale), 2^((idx+1)·2^-scale)]`` — the same interval at
+    ``idx = n − 1``, so native indexes shift down by one on emit.
+    ``schema`` maps to ``scale`` verbatim (same base definition).
+
+    Custom-bucket histograms (schema −53, NHCB) and out-of-spec schemas
+    loud-reject: their bounds live in a side array this row shape cannot
+    carry — decoding them as exponential buckets would be a wrong answer.
+    """
+    schema = h["schema"]
+    if not -4 <= schema <= 8:
+        raise ValueError(
+            f"unsupported native-histogram schema {schema} (custom-bucket "
+            "NHCB [-53] and out-of-spec schemas are rejected, not guessed)"
+        )
+    ts = h["ts_ms"]
+    base = {**labels, "scale": str(schema)}
+    rows: list[tuple[int, str, float, dict]] = []
+    for sign, spans, deltas, counts in (
+        ("pos", h["pos_spans"], h["pos_deltas"], h["pos_counts"]),
+        ("neg", h["neg_spans"], h["neg_deltas"], h["neg_counts"]),
+    ):
+        for nidx, c in _expand_native_buckets(spans, deltas, counts):
+            rows.append(
+                (
+                    ts,
+                    f"{metric}_exp_bucket",
+                    float(c),
+                    {**base, "idx": str(nidx - 1), "sign": sign},
+                )
+            )
+    rows.append((ts, f"{metric}_exp_zero", float(h["zero_count"]), dict(base)))
+    total = h["count"]
+    if total is None:
+        total = (
+            h["zero_count"]
+            + sum(c for _, c in _expand_native_buckets(
+                h["pos_spans"], h["pos_deltas"], h["pos_counts"]))
+            + sum(c for _, c in _expand_native_buckets(
+                h["neg_spans"], h["neg_deltas"], h["neg_counts"]))
+        )
+    rows.append((ts, f"{metric}_count", float(total), dict(labels)))
+    if h["sum"] is not None:
+        rows.append((ts, f"{metric}_sum", h["sum"], dict(labels)))
+    return rows
+
+
 def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]]:
     """Remote-write 2.0 (``io.prometheus.write.v2.Request``, the current
     public spec) → the same flat rows as the v1 decoder. The 2.0 format
     string-interns every label into a request-level ``symbols`` table
     (field 4; ``symbols[0]`` is ""), and each series carries packed
     ``labels_refs`` pairs (name_ref, value_ref — field 1) instead of
-    Label messages; samples are unchanged. Native-histogram series
-    (field 4 inside TimeSeries) are beyond this adapter — their SAMPLES
-    simply don't exist, so they decode to nothing rather than to wrong
-    rows; classic histograms arrive as ordinary ``_bucket``/``_sum``/
-    ``_count`` series and work as in v1. The reference supports only v1
-    (``api/ingest/prometheus.rs``)."""
+    Label messages; samples are unchanged. Native-histogram samples
+    (``TimeSeries`` field 3 — the same Histogram message as prompb's
+    field 4) decode to the bucket-preserving exp-bucket row shape shared
+    with the OTLP ingest (``_native_histogram_rows``); custom-bucket
+    (NHCB, schema −53) payloads loud-reject. Classic histograms arrive as
+    ordinary ``_bucket``/``_sum``/``_count`` series and work as in v1.
+    The reference supports only v1 (``api/ingest/prometheus.rs``)."""
     buf = _maybe_decompress(payload)
     symbols: list[str] = []
     series_bufs: list[bytes] = []
@@ -180,6 +381,7 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
     for ts_buf in series_bufs:
         refs: list[int] = []
         samples: list[tuple[float, int]] = []
+        histograms: list[dict] = []
         for fno, wt, val in _fields(ts_buf):
             if fno == 1 and wt == 2:  # packed uint32 refs
                 i = 0
@@ -190,6 +392,8 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
                 refs.append(val)
             elif fno == 2 and wt == 2:
                 samples.append(_decode_sample(val))
+            elif fno == 3 and wt == 2:  # native Histogram (write.v2)
+                histograms.append(_decode_native_histogram(val))
         if len(refs) % 2:
             raise ValueError(
                 f"odd labels_refs length {len(refs)} (must be name/value pairs)"
@@ -200,6 +404,8 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
         metric = labels.pop("__name__", "")
         for v, ts in samples:
             rows.append((ts, metric, v, dict(labels)))
+        for h in histograms:
+            rows.extend(_native_histogram_rows(metric, labels, h))
     return rows
 
 

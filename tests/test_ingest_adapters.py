@@ -1000,3 +1000,160 @@ def test_remote_write_auto_sniff(spark):
             version=2,
             on_error="raise",
         ).collect()
+
+
+# --- native histograms (remote-write 2.0 field 3 / prompb field 4) -----------
+
+
+def _zz(v: int) -> bytes:  # zigzag varint
+    return _varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+
+def _bucket_span(offset: int, length: int) -> bytes:
+    return _varint(1 << 3 | 0) + _zz(offset)[0:] + _varint(2 << 3 | 0) + _varint(length)
+
+
+def _native_histogram(
+    count: int | None = None,
+    s: float | None = None,
+    schema: int = 0,
+    zero: float | int = 0,
+    pos_spans: list[tuple[int, int]] = (),
+    pos_deltas: list[int] = (),
+    pos_counts: list[float] = (),
+    neg_spans: list[tuple[int, int]] = (),
+    neg_deltas: list[int] = (),
+    ts_ms: int = 0,
+) -> bytes:
+    out = b""
+    if count is not None:
+        out += _varint(1 << 3 | 0) + _varint(count)
+    if s is not None:
+        out += _varint(3 << 3 | 1) + struct.pack("<d", s)
+    out += _varint(4 << 3 | 0) + _zz(schema)
+    if isinstance(zero, float):
+        out += _varint(7 << 3 | 1) + struct.pack("<d", zero)
+    elif zero:
+        out += _varint(6 << 3 | 0) + _varint(zero)
+    for off, ln in neg_spans:
+        out += _ld(8, _bucket_span(off, ln))
+    if neg_deltas:
+        out += _ld(9, b"".join(_zz(d) for d in neg_deltas))
+    for off, ln in pos_spans:
+        out += _ld(11, _bucket_span(off, ln))
+    if pos_deltas:
+        out += _ld(12, b"".join(_zz(d) for d in pos_deltas))
+    if pos_counts:
+        out += _ld(13, b"".join(struct.pack("<d", c) for c in pos_counts))
+    out += _varint(15 << 3 | 0) + _varint(ts_ms & (1 << 64) - 1)
+    return out
+
+
+def _v2_with_histogram(labels: dict, histo: bytes) -> bytes:
+    symbols = [""]
+    refs = []
+    for k, v in labels.items():
+        for sym in (k, v):
+            if sym not in symbols:
+                symbols.append(sym)
+        refs.extend((symbols.index(k), symbols.index(v)))
+    ts = _ld(1, b"".join(_varint(r) for r in refs)) + _ld(3, histo)
+    return b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+
+def test_v2_native_histogram_rows():
+    """write.v2 native histogram (schema 0: zero=2, (1,2]:4, (2,4]:4)
+    decodes to the OTLP exp-bucket row shape: native index n shifts to
+    otlp idx n-1, counts are NON-cumulative, count/sum series emitted."""
+    from cardinalsin_spark.sources.remote_write import decode_write_request_v2
+
+    h = _native_histogram(
+        count=10, s=16.0, schema=0, zero=2,
+        pos_spans=[(1, 2)], pos_deltas=[4, 0], ts_ms=1000,
+    )
+    rows = decode_write_request_v2(
+        _v2_with_histogram({"__name__": "rt", "svc": "api"}, h)
+    )
+    by = {}
+    for ts, name, v, labels in rows:
+        assert ts == 1000
+        by.setdefault(name, []).append((v, labels))
+    assert sorted(
+        (lbl["idx"], v) for v, lbl in by["rt_exp_bucket"]
+    ) == [("0", 4.0), ("1", 4.0)]
+    for v, lbl in by["rt_exp_bucket"]:
+        assert lbl["sign"] == "pos" and lbl["scale"] == "0"
+        assert lbl["svc"] == "api"
+    assert by["rt_exp_zero"] == [(2.0, {"svc": "api", "scale": "0"})]
+    assert by["rt_count"] == [(10.0, {"svc": "api"})]
+    assert by["rt_sum"] == [(16.0, {"svc": "api"})]
+
+
+def test_v1_native_histogram_matches_v2():
+    """The identical Histogram message rides prompb field 4 — both wire
+    formats produce the same row set (incl. float-histogram counts and
+    negative buckets)."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request,
+        decode_write_request_v2,
+    )
+
+    h = _native_histogram(
+        s=3.25, schema=1, zero=1.0,
+        pos_spans=[(0, 2), (2, 1)], pos_counts=[2.0, 1.0, 4.0],
+        neg_spans=[(2, 1)], neg_deltas=[3], ts_ms=2000,
+    )
+    labels = {"__name__": "lat", "env": "prod"}
+    ts_v1 = _ld(1, _label("__name__", "lat")) + _ld(1, _label("env", "prod"))
+    ts_v1 += _ld(4, h)
+    v1 = decode_write_request(_ld(1, ts_v1))
+    v2 = decode_write_request_v2(_v2_with_histogram(labels, h))
+    key = lambda r: (r[0], r[1], r[2], tuple(sorted(r[3].items())))  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, v2))
+    # count omitted on the wire -> derived zero + buckets total
+    cnt = [r for r in v1 if r[1] == "lat_count"]
+    assert cnt[0][2] == 1.0 + 2.0 + 1.0 + 4.0 + 3.0
+    # sparse spans produce the right absolute indexes (native -> otlp -1):
+    # pos spans (0,2)+(2,1) -> native 0,1,4 -> idx -1,0,3
+    idxs = sorted(
+        (r[3]["sign"], r[3]["idx"]) for r in v1 if r[1] == "lat_exp_bucket"
+    )
+    assert idxs == [("neg", "1"), ("pos", "-1"), ("pos", "0"), ("pos", "3")]
+
+
+def test_native_histogram_nhcb_loud_rejects(spark):
+    """Custom-bucket histograms (schema -53) cannot be expressed as
+    exponential buckets — loud-reject, never guess."""
+    from cardinalsin_spark.sources.remote_write import remote_write_flatten
+
+    h = _native_histogram(count=3, schema=-53, pos_spans=[(0, 1)], pos_deltas=[3])
+    payload = _v2_with_histogram({"__name__": "x"}, h)
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    with pytest.raises(Exception, match="NHCB|schema"):
+        remote_write_flatten(df, version=2, on_error="raise").collect()
+    # default on_error="skip" isolates the payload instead
+    assert remote_write_flatten(df, version=2).count() == 0
+
+
+def test_v2_native_histogram_to_engine_quantile(spark, tmp_path):
+    """End-to-end: write.v2 native histogram -> remote_write_to_metrics ->
+    metrics table -> engine.exp_histogram_quantile. Same closed form as
+    the OTLP twin: p50 of zero=2, (1,2]:4, (2,4]:4 is exactly 1.75."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.remote_write import remote_write_to_metrics
+
+    h = _native_histogram(
+        count=10, s=16.0, schema=0, zero=2,
+        pos_spans=[(1, 2)], pos_deltas=[4, 0], ts_ms=1_700_000_000_000,
+    )
+    payload = _v2_with_histogram({"__name__": "rt", "svc": "api"}, h)
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    wide = remote_write_to_metrics(df, version=2)
+    path = str(tmp_path / "m")
+    write_metrics(wide, path, mode="overwrite")
+    eng = CardinalSin(spark, path)
+    out = eng.exp_histogram_quantile("rt", 0.5, time_s=1_700_000_000.0).collect()
+    assert len(out) == 1
+    assert out[0].value == 1.75
+    assert out[0].svc == "api"

@@ -199,3 +199,77 @@ def test_otlp_histogram_bucket_expansion_properties(counts, raw_bounds):
 
     expect = list(itertools.accumulate(counts[: len(bounds)]))
     assert cums == [float(c) for c in expect]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(-4, 8),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 4)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.data(),
+)
+def test_native_histogram_expansion_property(schema, spans, data):
+    """Random native histograms (write.v2 field 3): the exp-bucket rows
+    carry exactly the span-expanded NON-cumulative counts at otlp idx =
+    native idx - 1, zero/count/sum rows agree, and the identical message
+    through prompb field 4 (v1) yields the same row set."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request_v2,
+    )
+    from tests.test_ingest_adapters import (
+        _label,
+        _ld,
+        _native_histogram,
+        _v2_with_histogram,
+    )
+
+    nbuckets = sum(length for _, length in spans)
+    counts = data.draw(
+        st.lists(
+            st.integers(0, 100), min_size=nbuckets, max_size=nbuckets
+        )
+    )
+    deltas = [counts[0]] + [
+        counts[i] - counts[i - 1] for i in range(1, len(counts))
+    ]
+    zero = data.draw(st.integers(0, 50))
+    h = _native_histogram(
+        schema=schema, zero=zero, pos_spans=spans, pos_deltas=deltas,
+        ts_ms=777,
+    )
+    rows = decode_write_request_v2(_v2_with_histogram({"__name__": "m"}, h))
+    # independent span walk: absolute native index per bucket
+    expect: dict[str, float] = {}
+    idx = 0
+    j = 0
+    for off, length in spans:
+        idx += off
+        for _ in range(length):
+            if counts[j]:
+                expect[str(idx - 1)] = float(counts[j])
+            j += 1
+            idx += 1
+    got = {
+        r[3]["idx"]: r[2] for r in rows if r[1] == "m_exp_bucket"
+    }
+    assert got == expect
+    for r in rows:
+        if r[1] == "m_exp_bucket":
+            assert r[3]["scale"] == str(schema) and r[3]["sign"] == "pos"
+        assert r[0] == 777
+    assert [r[2] for r in rows if r[1] == "m_exp_zero"] == [float(zero)]
+    # count omitted on the wire -> derived zero + bucket total
+    assert [r[2] for r in rows if r[1] == "m_count"] == [
+        float(zero + sum(counts))
+    ]
+    # v1 twin: same Histogram message on prompb field 4
+    from cardinalsin_spark.sources.remote_write import decode_write_request
+
+    v1 = decode_write_request(
+        _ld(1, _ld(1, _label("__name__", "m")) + _ld(4, h))
+    )
+    key = lambda r: (r[0], r[1], r[2], tuple(sorted(r[3].items())))  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, rows))
