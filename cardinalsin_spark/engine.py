@@ -353,7 +353,10 @@ class CardinalSin:
             sel = sel.filter(
                 _F.col("timestamp") <= _F.timestamp_seconds(_F.lit(time_s))
             )
-        special = {"scale", "idx", "sign"}
+        # le is the CLASSIC family's structure label (null on exp rows);
+        # grouping on it would only add a constant-null output column in
+        # mixed classic+exp tables — same rule as the parser route
+        special = {"scale", "idx", "sign", "le"}
         series = [
             c for c in _label_cols(sel.schema)
             if c not in special and c != "value"

@@ -908,6 +908,15 @@ def promql_instant(
             F.col(cols.ts) >= F.timestamp_seconds(F.lit(t_eval - rng))
         )
         win = _ns_prefilter(win, t_eval - rng, None)
+        if parsed.function in (
+            "resets", "changes", "idelta", "deriv", "predict_linear"
+        ):
+            # these have no reference instant analogue (the reference's
+            # instant grammar never had range functions), so there is no
+            # compatibility mode to honor — the old AVG fallback was a
+            # silent wrong answer (VERDICT r9 item 5); evaluate the real
+            # PromQL semantics over the window instead
+            return _instant_range_fn_faithful(win, parsed, cols, t_eval)
         keys = [F.col(cols.name)] + [
             F.col(c) for c in discover_label_columns(parsed)
         ]
@@ -927,8 +936,25 @@ def promql_instant(
         # (series, le), fed to the exact-integer quantile algorithm. φ is
         # turned into an exact num/den pair from its decimal spelling so the
         # rank comparison stays integral.
+        # An `{base}_exp_bucket` family (the bucket-preserving exponential
+        # ingest shape, scale/idx/sign labels) routes to the
+        # exp_histogram_quantile operator instead (VERDICT r9 item 4 —
+        # previously engine-API-only); multi-metric selectors loud-reject:
+        # classic (le) and exponential (scale/idx) rows cannot share one
+        # quantile computation, and a regex cannot be checked statically.
         from fractions import Fraction
 
+        if parsed.metric_name is None:
+            raise ValueError(
+                "histogram_quantile needs a single named bucket family — "
+                "a multi-metric selector cannot distinguish classic (le) "
+                "from exponential (scale/idx) bucket rows"
+            )
+        if parsed.metric_name.endswith("_exp_bucket"):
+            return _route_exp_histogram_quantile(
+                df, parsed, float(Fraction(parsed.q_str)), cols,
+                time_s=time_s,
+            )
         frac = Fraction(parsed.q_str)
         series = [c for c in discover_label_columns(parsed) if c != "le"]
         latest = (
@@ -1790,6 +1816,18 @@ def promql_range(
                 & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(pin)))
             )
             win = _ns_prefilter(win, pin - rng, pin)
+            if parsed.function in (
+                "resets", "changes", "idelta", "deriv", "predict_linear"
+            ):
+                # same rule as the instant path: no reference analogue
+                # exists, so the AVG degradation would be a silent wrong
+                # answer — evaluate faithfully at the pin, then replicate
+                inst = _instant_range_fn_faithful(win, parsed, cols, pin).drop(
+                    "timestamp_"
+                )
+                return _replicate_over_grid(
+                    inst, df.sparkSession, start_s, end_s, step_s
+                )
             keys = [F.col(cols.name)] + [
                 F.col(c) for c in discover_label_columns(parsed)
             ]
@@ -1843,8 +1881,22 @@ def promql_range(
         # default AVG arm would average cumulative counts ACROSS le
         # buckets — the reference's silent degradation
         # (api/query/prometheus_api.rs:998-1012), a wrong answer here.
+        # Exp-bucket families route to exp_histogram_quantile per step;
+        # multi-metric selectors loud-reject (same rule as the instant
+        # path).
         from fractions import Fraction
 
+        if parsed.metric_name is None:
+            raise ValueError(
+                "histogram_quantile needs a single named bucket family — "
+                "a multi-metric selector cannot distinguish classic (le) "
+                "from exponential (scale/idx) bucket rows"
+            )
+        if parsed.metric_name.endswith("_exp_bucket"):
+            return _route_exp_histogram_quantile(
+                df, parsed, float(Fraction(parsed.q_str)), cols,
+                start_s=start_s, end_s=end_s, step_s=step_s,
+            )
         frac = Fraction(parsed.q_str)
         series = [c for c in label_cols if c != "le"]
         latest = (
@@ -2097,7 +2149,85 @@ def _range_fn_value(parsed: ParsedPromQL, cols: MetricsCols, rng: float) -> Colu
             # samples-per-series-per-window like quantile_over_time.
             return F.expr(_mad_expr(cols.value))
         return _agg_column(agg, cols.value, parsed.q)
-    return F.avg(cols.value)  # idelta/deriv/unknown → AVG fallback
+    # idelta/deriv/resets/changes/... → AVG: the reference's documented
+    # range-grid degradation (api/query/prometheus_api.rs:998-1012),
+    # reachable only with faithful=False on the bucket grid. The instant
+    # and @-pinned paths route these to _instant_range_fn_faithful instead
+    # (no reference instant analogue exists to be compatible with).
+    return F.avg(cols.value)
+
+
+def _instant_range_fn_faithful(
+    win: DataFrame, parsed: ParsedPromQL, cols: MetricsCols, t_eval: float
+) -> DataFrame:
+    """Faithful instant evaluation of resets/changes/idelta/deriv/
+    predict_linear over the window [T − range, T] (VERDICT r9 item 5 —
+    these previously degraded to a silent per-window AVG).
+
+    resets/changes walk consecutive-sample pairs of the time-sorted
+    window (state: the window's sample list per series, the same bound as
+    quantile_over_time); idelta is the last two samples' difference;
+    deriv/predict_linear run the least-squares regression with x relative
+    to the evaluation time (upstream ``linearRegression(samples,
+    enh.Ts)``: intercept at T, predicted = intercept + slope·horizon) —
+    plain sum aggregates, no collected state. Series with too few samples
+    drop (upstream emits nothing), ties on a timestamp break by value
+    (array_sort struct comparison / the lag tiebreak convention)."""
+    labels = discover_label_columns(parsed)
+    keys = [F.col(cols.name)] + [F.col(c) for c in labels]
+    fn = parsed.function
+    if fn in ("deriv", "predict_linear"):
+        x = F.unix_micros(F.col(cols.ts)) / F.lit(1e6) - F.lit(float(t_eval))
+        y = F.col(cols.value).cast("double")
+        agg = (
+            win.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(cols.ts).alias("timestamp_"),
+                F.sum(x).alias("_sx"),
+                F.sum(y).alias("_sy"),
+                F.sum(x * y).alias("_sxy"),
+                F.sum(x * x).alias("_sxx"),
+            )
+            .filter(F.col("_n") >= 2)
+        )
+        n = F.col("_n").cast("double")
+        slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+            n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        )
+        if fn == "deriv":
+            value = slope
+        else:
+            intercept = F.col("_sy") / n - slope * (F.col("_sx") / n)
+            value = intercept + slope * F.lit(
+                float(parsed.predict_ahead_s or 0)
+            )
+        return agg.select(
+            cols.name, *labels, "timestamp_", value.alias("value")
+        ).orderBy(cols.name, *labels)
+    arr = (
+        f"array_sort(collect_list(struct({cols.ts} as t, "
+        f"{cols.value} as v)))"
+    )
+    base = win.groupBy(*keys).agg(
+        F.expr(arr).alias("_a"), F.max(cols.ts).alias("timestamp_")
+    )
+    deltas = (
+        "zip_with(slice(_a, 1, size(_a) - 1), slice(_a, 2, size(_a) - 1), "
+        "(x, y) -> y.v - x.v)"
+    )
+    if fn == "resets":
+        value = F.expr(f"size(filter({deltas}, d -> d < 0))").cast("double")
+    elif fn == "changes":
+        value = F.expr(f"size(filter({deltas}, d -> d != 0))").cast("double")
+    else:  # idelta
+        base = base.filter(F.size("_a") >= 2)
+        value = F.expr("element_at(_a, -1).v - element_at(_a, -2).v").cast(
+            "double"
+        )
+    return base.select(
+        cols.name, *labels, "timestamp_", value.alias("value")
+    ).orderBy(cols.name, *labels)
 
 
 def _replicate_over_grid(
@@ -2617,6 +2747,98 @@ def exp_histogram_quantile(
         .select(*group_cols, value_alias)
         .orderBy(*group_cols)
     )
+
+
+def _route_exp_histogram_quantile(
+    df: DataFrame,
+    parsed: ParsedPromQL,
+    q: float,
+    cols: MetricsCols,
+    time_s: float | None = None,
+    start_s: float | None = None,
+    end_s: float | None = None,
+    step_s: int | None = None,
+) -> DataFrame:
+    """``histogram_quantile(φ, {base}_exp_bucket)`` from PromQL text
+    (VERDICT r9 item 4 — previously the engine API was the only door):
+    selects the ``{base}_exp_bucket`` + ``{base}_exp_zero`` family rows
+    (the bucket-preserving exponential ingest shape), takes the latest
+    count per (series, scale, idx, sign) — per grid step in range mode —
+    and runs ``exp_histogram_quantile`` per (series, scale), exactly the
+    engine-API convention, so both doors answer bit-identically.
+
+    ``le`` never joins the series key: it is the CLASSIC family's
+    structure label (null on every exp row); grouping on it would only
+    add a constant-null output column.  Offset/@ loud-reject — the
+    modifiers are supported on the classic path and nobody should get a
+    silently unshifted exponential answer."""
+    import dataclasses
+
+    if parsed.offset_seconds or parsed.at_seconds is not None:
+        raise ValueError(
+            "offset/@ modifiers are not supported on exponential-bucket "
+            "histogram_quantile; evaluate at an explicit time instead"
+        )
+    for c in ("scale", "idx", "sign"):
+        if c not in df.columns:
+            raise ValueError(
+                f"exp-bucket family {parsed.metric_name!r} needs the {c!r} "
+                "label column (the histogram_buckets=True ingest shape)"
+            )
+    base = parsed.metric_name[: -len("_exp_bucket")]
+    p2 = dataclasses.replace(
+        parsed,
+        metric_name=None,
+        label_matchers=[
+            m for m in parsed.label_matchers if m.label != "__name__"
+        ],
+    )
+    sel = df.filter(
+        F.col(cols.name).isin(parsed.metric_name, f"{base}_exp_zero")
+    ).filter(_selector_filter(p2, cols))
+    from cardinalsin_spark.schema import CORE_COLUMNS
+
+    non_labels = set(CORE_COLUMNS) | {
+        "date", "hour", "value", "ts_ns", cols.ts, cols.name, cols.value,
+        "scale", "idx", "sign", "le",
+    }
+    series = [c for c in sel.columns if c not in non_labels]
+    if step_s is None:  # instant convention: latest state at time_s
+        if time_s is not None:
+            sel = sel.filter(
+                F.col(cols.ts) <= F.timestamp_seconds(F.lit(time_s))
+            )
+            sel = _ns_prefilter(sel, None, time_s)
+        latest = sel.groupBy(cols.name, *series, "scale", "idx", "sign").agg(
+            F.expr(f"max_by({cols.value}, {cols.ts})").alias("cnt")
+        )
+        group = [*series, "scale"]
+    else:  # range grid: latest state per step
+        sel = sel.filter(
+            (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s)))
+            & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s)))
+        )
+        sel = _ns_prefilter(sel, start_s, end_s)
+        latest = sel.groupBy(
+            time_bucket(cols.ts, step_s).alias("time_bucket"),
+            F.col(cols.name),
+            *series,
+            "scale",
+            "idx",
+            "sign",
+        ).agg(F.expr(f"max_by({cols.value}, {cols.ts})").alias("cnt"))
+        group = ["time_bucket", *series, "scale"]
+    latest = (
+        latest.withColumn(
+            "sign",
+            F.when(
+                F.col(cols.name) == f"{base}_exp_zero", F.lit("zero")
+            ).otherwise(F.col("sign")),
+        )
+        .withColumn("idx", F.col("idx").cast("long"))
+        .withColumn("scale", F.col("scale").cast("int"))
+    )
+    return exp_histogram_quantile(latest, q, group)
 
 
 def _median_of(arr: str) -> str:

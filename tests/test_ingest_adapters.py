@@ -1005,12 +1005,12 @@ def test_remote_write_auto_sniff(spark):
 # --- native histograms (remote-write 2.0 field 3 / prompb field 4) -----------
 
 
-def _zz(v: int) -> bytes:  # zigzag varint
+def _zzv(v: int) -> bytes:  # zigzag varint
     return _varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
 
 
 def _bucket_span(offset: int, length: int) -> bytes:
-    return _varint(1 << 3 | 0) + _zz(offset)[0:] + _varint(2 << 3 | 0) + _varint(length)
+    return _varint(1 << 3 | 0) + _zzv(offset)[0:] + _varint(2 << 3 | 0) + _varint(length)
 
 
 def _native_histogram(
@@ -1030,7 +1030,7 @@ def _native_histogram(
         out += _varint(1 << 3 | 0) + _varint(count)
     if s is not None:
         out += _varint(3 << 3 | 1) + struct.pack("<d", s)
-    out += _varint(4 << 3 | 0) + _zz(schema)
+    out += _varint(4 << 3 | 0) + _zzv(schema)
     if isinstance(zero, float):
         out += _varint(7 << 3 | 1) + struct.pack("<d", zero)
     elif zero:
@@ -1038,11 +1038,11 @@ def _native_histogram(
     for off, ln in neg_spans:
         out += _ld(8, _bucket_span(off, ln))
     if neg_deltas:
-        out += _ld(9, b"".join(_zz(d) for d in neg_deltas))
+        out += _ld(9, b"".join(_zzv(d) for d in neg_deltas))
     for off, ln in pos_spans:
         out += _ld(11, _bucket_span(off, ln))
     if pos_deltas:
-        out += _ld(12, b"".join(_zz(d) for d in pos_deltas))
+        out += _ld(12, b"".join(_zzv(d) for d in pos_deltas))
     if pos_counts:
         out += _ld(13, b"".join(struct.pack("<d", c) for c in pos_counts))
     out += _varint(15 << 3 | 0) + _varint(ts_ms & (1 << 64) - 1)
@@ -1157,3 +1157,87 @@ def test_v2_native_histogram_to_engine_quantile(spark, tmp_path):
     assert len(out) == 1
     assert out[0].value == 1.75
     assert out[0].svc == "api"
+
+
+def test_histogram_quantile_promql_text_routes_exp_family(spark, tmp_path):
+    """VERDICT r9 item 4: `histogram_quantile(phi, {base}_exp_bucket)` in
+    PromQL TEXT routes to exp_histogram_quantile — bit-identical to the
+    engine API on the same OTLP fixture — in both query modes; mixed/
+    multi-metric selectors and non-exp frames loud-reject."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.otlp import otlp_proto_to_metrics
+
+    ts_ns = 1_700_000_000_000_000_000
+    payload = _export_request(
+        [("svc", _any_string("api"))],
+        [
+            _metric(
+                "rt", 10,
+                [
+                    _exp_histo_point(
+                        ts_ns, count=10, s=16.0, scale=0, zero=2,
+                        pos=(0, [4, 4]),
+                    )
+                ],
+            )
+        ],
+    )
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    wide = otlp_proto_to_metrics(df, histogram_buckets=True)
+    path = str(tmp_path / "m")
+    write_metrics(wide, path, mode="overwrite")
+    eng = CardinalSin(spark, path)
+    t = ts_ns / 1e9
+    via_text = eng.promql_instant(
+        "histogram_quantile(0.5, rt_exp_bucket)", time_s=t
+    ).collect()
+    via_api = eng.exp_histogram_quantile("rt", 0.5, time_s=t).collect()
+    assert len(via_text) == 1 and via_text[0].value == 1.75
+    assert [r.asDict() for r in via_text] == [r.asDict() for r in via_api]
+    # matchers on series labels still apply on the routed path
+    assert (
+        eng.promql_instant(
+            'histogram_quantile(0.5, rt_exp_bucket{svc="nope"})', time_s=t
+        ).count()
+        == 0
+    )
+    # range grid: the per-step latest state reproduces the same quantile
+    # at every step covering the sample
+    rng = eng.promql_range(
+        "histogram_quantile(0.5, rt_exp_bucket)", t, t + 120, 60
+    ).collect()
+    assert len(rng) == 1  # only the sample's own step has state
+    assert rng[0].value == 1.75
+    # multi-metric selector loud-rejects (classic vs exp is undecidable)
+    with pytest.raises(ValueError, match="single named bucket family"):
+        eng.promql_instant(
+            'histogram_quantile(0.5, {__name__=~"rt.*bucket"})', time_s=t
+        )
+    # offset modifier on the exp route loud-rejects
+    with pytest.raises(ValueError, match="offset"):
+        eng.promql_instant(
+            "histogram_quantile(0.5, rt_exp_bucket offset 5m)", time_s=t
+        )
+
+
+def test_histogram_quantile_exp_route_needs_exp_columns(spark):
+    """A frame without scale/idx/sign cannot carry an exp family —
+    loud-reject instead of an empty (or wrong) answer."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                timestamp=dt.datetime(2024, 1, 1),
+                metric_name="x_exp_bucket",
+                value=1.0,
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="scale"):
+        promql_instant(df, "histogram_quantile(0.5, x_exp_bucket)")

@@ -2434,3 +2434,73 @@ def test_instant_range_vector_functions(spark):
 
     with _pytest.raises(ValueError, match="evaluation time"):
         promql_instant(df, "rate(c[5m])", cols=MetricsCols())
+
+
+def test_instant_resets_deriv_faithful(spark):
+    """VERDICT r9 item 5: resets/changes/idelta/deriv/predict_linear at an
+    INSTANT evaluate the real PromQL semantics (closed forms below) — the
+    old path silently returned the window AVG, a wrong answer with no
+    reference analogue to excuse it."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.promql import promql_instant
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    # counter with one reset, one repeat: 10, 20, 20, 5, 15
+    vals = [10.0, 20.0, 20.0, 5.0, 15.0]
+    rows = [
+        Row(timestamp=dt.datetime(2024, 1, 1, 0, m), metric_name="c",
+            value=v)
+        for m, v in zip(range(0, 10, 2), vals)
+    ]
+    df = spark.createDataFrame(rows)
+    t = 1704067200.0 + 600  # 00:10
+
+    def val(q):
+        out = promql_instant(df, q, time_s=t, cols=MetricsCols()).collect()
+        assert len(out) == 1, q
+        return out[0].value
+
+    assert val("resets(c[10m])") == 1.0  # only 20 -> 5 drops
+    assert val("changes(c[10m])") == 3.0  # 10->20, 20->5, 5->15
+    assert val("idelta(c[10m])") == 10.0  # 15 - 5
+    # deriv over an exact line y = 2x + 10 (x = seconds since first
+    # sample): slope exactly 2/120 per second... use a clean line instead
+    line = [
+        Row(timestamp=dt.datetime(2024, 1, 1, 0, m), metric_name="g",
+            value=float(100 + 60 * m))  # 1 unit per second
+        for m in (0, 2, 4)
+    ]
+    gdf = spark.createDataFrame(line)
+    gt = 1704067200.0 + 240
+    gout = promql_instant(
+        gdf, "deriv(g[4m])", time_s=gt, cols=MetricsCols()
+    ).collect()
+    assert len(gout) == 1 and gout[0].value == 1.0  # exact slope
+    # predict_linear: the same line extrapolated 60s past T —
+    # value(T) = 100 + 240 = 340, +60s -> 400
+    pout = promql_instant(
+        gdf, "predict_linear(g[4m], 60)", time_s=gt, cols=MetricsCols()
+    ).collect()
+    assert len(pout) == 1 and pout[0].value == 400.0
+    # single-sample windows: resets/changes = 0, idelta/deriv emit nothing
+    one = spark.createDataFrame(line[:1])
+    assert promql_instant(
+        one, "resets(g[4m])", time_s=gt, cols=MetricsCols()
+    ).collect()[0].value == 0.0
+    assert promql_instant(
+        one, "idelta(g[4m])", time_s=gt, cols=MetricsCols()
+    ).count() == 0
+    assert promql_instant(
+        one, "deriv(g[4m])", time_s=gt, cols=MetricsCols()
+    ).count() == 0
+    # @-pinned range mode replicates the faithful value across the grid
+    from cardinalsin_spark.operators.promql import promql_range
+
+    rng = promql_range(
+        gdf, f"deriv(g[4m] @ {int(gt)})", gt, gt + 120, 60,
+        cols=MetricsCols(),
+    ).collect()
+    assert len(rng) == 3 and all(r.value == 1.0 for r in rng)
