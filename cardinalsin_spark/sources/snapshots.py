@@ -646,11 +646,23 @@ class SnapshotCatalog:
         merge_upsert). ``carry_files`` are referenced unchanged in the new
         manifest (the file-pruned COW path). The staged dir and the final
         data dir are both underscore-prefixed, so manifest-unaware root
-        reads never see half-written generations."""
+        reads never see half-written generations.
+
+        Both dirs carry a WRITER-UNIQUE token after the version: two
+        drivers racing to rewrite the same head each stage into their own
+        directory, and CAS arbitration alone decides whose files the next
+        manifest references (the r10 two-driver CLI race test caught the
+        shared-name scheme rmtree-ing the competitor's in-progress write —
+        data loss the manifest could then reference). The loser's dir is
+        deleted on conflict below; a crash leaves it to
+        ``_reclaim_orphans``, whose patterns accept the token suffix."""
         import shutil
+        import threading
+        import uuid
 
         next_v = head + 1
-        out_dir = os.path.join(self.root, f"_staged-v{next_v:06d}")
+        token = f"{os.getpid():x}-{threading.get_ident():x}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, f"_staged-v{next_v:06d}-{token}")
         shutil.rmtree(out_dir, ignore_errors=True)
         (
             df.coalesce(target_files)
@@ -659,7 +671,7 @@ class SnapshotCatalog:
             .option("compression", "zstd")
             .parquet(out_dir)
         )
-        final_dir = os.path.join(self.root, f"_data-v{next_v:06d}")
+        final_dir = os.path.join(self.root, f"_data-v{next_v:06d}-{token}")
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(out_dir, final_dir)
         new_files = sorted(
@@ -709,10 +721,12 @@ class SnapshotCatalog:
         * ``_stream-stage-{batch:08d}`` where ``batch`` ≤ the head's
           ``stream_batch_id`` — that batch committed (its files moved out
           before the commit), so the stage dir is leftovers;
-        * ``_staged-v{N}`` where ``N`` ≤ head — the rewrite's target
-          version was taken by another commit, the rename can never run;
-        * ``_data-v{N}`` where ``N`` ≤ head and NO file under it is
-          referenced by any retained manifest — a rewrite that renamed
+        * ``_staged-v{N}[-token]`` where ``N`` ≤ head — the rewrite's
+          target version was taken by another commit, the rename can
+          never run (the optional token is the writer-unique suffix two
+          racing drivers stage under);
+        * ``_data-v{N}[-token]`` where ``N`` ≤ head and NO file under it
+          is referenced by any retained manifest — a rewrite that renamed
           but lost its CAS race (or crashed before commit).
 
         In-flight writers always stage at ``head+1`` / a batch id above
@@ -736,10 +750,10 @@ class SnapshotCatalog:
             m = re.fullmatch(r"_stream-stage-(\d+)", name)
             if m and head_sbi is not None and int(m.group(1)) <= head_sbi:
                 doomed = True
-            m = re.fullmatch(r"_staged-v(\d+)", name)
+            m = re.fullmatch(r"_staged-v(\d+)(?:-[0-9a-f-]+)?", name)
             if m and int(m.group(1)) <= head:
                 doomed = True
-            m = re.fullmatch(r"_data-v(\d+)", name)
+            m = re.fullmatch(r"_data-v(\d+)(?:-[0-9a-f-]+)?", name)
             if m and int(m.group(1)) <= head:
                 inside = {
                     os.path.join(dp, f)
