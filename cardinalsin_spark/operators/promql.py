@@ -1485,14 +1485,22 @@ def promql_range(
     per-series values, matching PromQL's two-level evaluation. irate/deriv
     need a raw-ns column (``ts_ns_col``); if absent it is derived exactly
     from the timestamp via ``unix_micros``.
+
+    ``rollups`` — optional ``[(resolution_s, parquet_path, subsecond)]``
+    continuous aggregates (``engine.attach_rollup``): any subexpression
+    reaching the generic arm as a plain selector or moment aggregation
+    with aligned step/bounds serves from the rollup
+    (``_maybe_route_rollup``); the list forwards through every recursive
+    branch, so each side of ``sum(m1) or vector(0)`` routes
+    independently.
     """
     promql = _resolve_at_bounds(promql, float(start_s), float(end_s))
     promql = _strip_outer_parens(promql)
     setop = _split_top_level_setop(promql)
     if setop:
         left, op, on_labels, right = setop
-        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
-        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups)
+        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups)
         return _vector_setop(lf, rf, op, on_labels, cols)
     cmpv = _split_top_level_cmp(promql)
     if cmpv:
@@ -1514,11 +1522,11 @@ def promql_range(
             # numeric literal on the LEFT: flip onto the vector side
             # (same fix as the instant path — ADVICE r7 #3)
             rf = promql_range(
-                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
             )
             return _apply_scalar_cmp(rf, _CMP_FLIP[op], float(left), want_bool)
         lf = promql_range(
-            df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
         )
         if num_r:
             # vector-scalar comparison on the range grid (instant grew this
@@ -1526,7 +1534,7 @@ def promql_range(
             # fold — no join, no shuffle)
             return _apply_scalar_cmp(lf, op, float(right), want_bool)
         rf = promql_range(
-            df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
         )
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
     if _TIME_RE.match(promql.strip()):
@@ -1597,7 +1605,7 @@ def promql_range(
                 vec, vec_first = left, True
                 sc_side_t, sc_inner = t_r, sc_r.group(1) if sc_r else None
             lf = promql_range(
-                df, vec, start_s, end_s, step_s, cols, faithful, ts_ns_col
+                df, vec, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
             )
             if sc_side_t:
                 # time(): the per-step frame is just the grid's own epochs
@@ -1626,26 +1634,26 @@ def promql_range(
             return out.orderBy(*[c for c in out.columns if c != "value"])
         if num_r and not num_l:
             lf = promql_range(
-                df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col
+                df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
             )
             return lf.withColumn(
                 "value", arith(F.col("value"), F.lit(float(right)))
             )
         if num_l and not num_r:
             rf = promql_range(
-                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col
+                df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
             )
             return rf.withColumn(
                 "value", arith(F.lit(float(left)), F.col("value"))
             )
-        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col)
-        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        lf = promql_range(df, left, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups)
+        rf = promql_range(df, right, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups)
         return _vector_match(lf, rf, op, on_labels, cols, group_mode, carry)
 
     lm = _LABEL_FN_RE.match(promql.strip())
     if lm:
         inner, args = _split_label_fn_args(lm.group(2))
-        res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col)
+        res = promql_range(df, inner, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups)
         return _apply_label_fn(res, lm.group(1), args)
 
     sm = _SCALAR_FN_RE.match(promql.strip())
@@ -1681,7 +1689,7 @@ def promql_range(
             value = F.unix_micros(F.max(cols.ts)) / F.lit(1_000_000.0)
             return df_group_sorted(out, keys, value.alias("value"))
         res = promql_range(
-            df, inner_expr, start_s, end_s, step_s, cols, faithful, ts_ns_col
+            df, inner_expr, start_s, end_s, step_s, cols, faithful, ts_ns_col, rollups=rollups
         )
         return _apply_scalar_fn(res, fn, args)
 
@@ -1734,7 +1742,7 @@ def promql_range(
         )
         inner = promql_range(
             df, sq.group(2), start_s, end_s, resolution_s, cols, faithful,
-            ts_ns_col,
+            ts_ns_col, rollups=rollups,
         )
         keys = [c for c in inner.columns if c not in ("time_bucket", "value")]
         outer_bucket = F.timestamp_seconds(
@@ -1775,7 +1783,7 @@ def promql_range(
         )
         inner = promql_range(
             df, sqf.group(2), start_s, end_s, resolution_s, cols, faithful,
-            ts_ns_col,
+            ts_ns_col, rollups=rollups,
         )
         keys = [c for c in inner.columns if c not in ("time_bucket", "value")]
         outer_bucket = F.timestamp_seconds(

@@ -163,6 +163,15 @@ def test_engine_promql_range_transparent_routing(spark, tmp_path):
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "r300" not in plan, (expr, plan)
         assert got.collect() == raw_eng.promql_range(expr, *b).collect(), expr
+    # rollups forward through the recursive branches: each side of a
+    # composed expression routes independently
+    for expr in ("sum(s0) or vector(0)", "sum(s0) / sum(s1)",
+                 "avg(s0) > bool 0"):
+        got = routed_eng.promql_range(expr, start, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        expect = raw_eng.promql_range(expr, start, end, step)
+        assert got.collect() == expect.collect(), expr
     # snapshot-pinned evaluation must never consult the (live) rollup
     # even when aligned — guarded in the engine, not the operator
     assert routed_eng._attached_rollups  # the attach itself stuck
