@@ -305,6 +305,42 @@ class CardinalSin:
         self._record(out)
         return out
 
+    def refresh_rollup(
+        self,
+        rollup_root: str,
+        resolution_s: int,
+        series_cols: list[str] | None = None,
+        target_files: int = 1,
+        retries: int = 5,
+    ) -> int:
+        """Incrementally refresh (or bootstrap) a continuous-aggregate
+        rollup of this engine's snapshot-managed metrics table
+        (``operators.rollup.refresh_rollup``): only rows committed since
+        the last refresh fold in; rewrite-shaped base commits trigger a
+        rebuild. Pair with ``attach_rollup(rollup_root, resolution_s)``
+        for transparent serving — the route reads the rollup through its
+        manifest, so served answers always reflect the latest refresh."""
+        from cardinalsin_spark.operators.rollup import refresh_rollup
+        from cardinalsin_spark.schema import label_columns, value_expr
+
+        cols = (
+            series_cols
+            if series_cols is not None
+            else ["metric_name", *label_columns(self.metrics.schema)]
+        )
+        return refresh_rollup(
+            self.spark,
+            self.snapshot_catalog(),
+            rollup_root,
+            resolution_s,
+            cols,
+            ts_col="timestamp",
+            value_col="value",
+            transform=lambda df: df.withColumn("value", value_expr()),
+            target_files=target_files,
+            retries=retries,
+        )
+
     def attach_rollup(
         self, path: str, resolution_s: int, subsecond: bool = False
     ) -> "CardinalSin":

@@ -93,6 +93,18 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--path", required=True)
     v.add_argument("--keep-last", type=int, default=2)
 
+    rr = sub.add_parser(
+        "rollup-refresh",
+        help="incrementally refresh a continuous-aggregate rollup of a "
+        "snapshot-managed metrics table (bootstrap on first run; only "
+        "files committed since the last refresh fold in)",
+    )
+    rr.add_argument("--path", required=True, help="snapshot-managed base table")
+    rr.add_argument("--out", required=True, help="rollup table root")
+    rr.add_argument("--resolution-s", type=int, default=300)
+    rr.add_argument("--target-files", type=int, default=1)
+    rr.add_argument("--retries", type=int, default=5)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
@@ -222,6 +234,39 @@ def main(argv: list[str] | None = None) -> int:
 
         deleted = SnapshotCatalog(args.path).vacuum(keep_last=args.keep_last)
         print(f"vacuumed {args.path}: {len(deleted)} files reclaimed")
+
+    elif args.cmd == "rollup-refresh":
+        from cardinalsin_spark.operators.rollup import refresh_rollup
+        from cardinalsin_spark.schema import label_columns, value_expr
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        if not _snapshot_managed(args.path):
+            print(
+                f"rollup-refresh: {args.path} is not snapshot-managed — "
+                "run 'snapshot-compact' once (it bootstraps the manifest) "
+                "or ingest through the snapshot sink first",
+                file=sys.stderr,
+            )
+            return 2
+        cat = SnapshotCatalog(args.path)
+        base_df = cat.read(spark)
+        series = ["metric_name", *label_columns(base_df.schema)]
+        v = refresh_rollup(
+            spark,
+            cat,
+            args.out,
+            args.resolution_s,
+            series,
+            ts_col="timestamp",
+            value_col="value",
+            transform=lambda df: df.withColumn("value", value_expr()),
+            target_files=args.target_files,
+            retries=args.retries,
+        )
+        print(
+            f"rollup-refresh {args.path} -> {args.out} v{v} "
+            f"(res {args.resolution_s}s, base v{cat.current_version()})"
+        )
 
     return 0
 

@@ -2104,7 +2104,12 @@ def _maybe_route_rollup(
                 best = (r, path)
     if best is None:
         return None
-    ro = df.sparkSession.read.parquet(best[1])
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    # manifest-routed when the rollup is itself a snapshot table (the
+    # refresh_rollup shape): a root read would skip the underscore-hidden
+    # merge output and serve the stale bootstrap files
+    ro = read_table_auto(df.sparkSession, best[1])
     need = {cols.name, "bucket", *gcols} | {
         m.label for m in parsed.label_matchers if m.label != "__name__"
     }

@@ -74,6 +74,150 @@ def rollup_covers(
     return int(start_s) % resolution_s == 0 and (int(end_s) + 1) % resolution_s == 0
 
 
+def refresh_rollup(
+    spark: SparkSession,
+    base,
+    rollup_root: str,
+    resolution_s: int,
+    series_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    transform=None,
+    target_files: int = 1,
+    retries: int = 5,
+) -> int:
+    """Incremental continuous-aggregate refresh (Timescale-style refresh
+    policy, Spark-first): maintain a ``downsample()`` rollup of a
+    snapshot-managed base table by folding in only the rows COMMITTED
+    since the last refresh — the write-side completion of the transparent
+    serving path (the reference's downsample config,
+    ``compactor/mod.rs:70-91``, implemented neither side).
+
+    The rollup is itself a snapshot table; each refresh commit records
+    ``rollup_base_version`` (the base version folded through) and
+    ``rollup_resolution_s`` in its manifest, so refresh state is
+    crash-safe and CAS-arbitrated like every other commit.
+
+    Refresh modes, chosen from the base's manifest diff:
+
+    * bootstrap — no rollup yet: full ``downsample()`` of the base head,
+      committed as v0;
+    * no-op — base head already folded in;
+    * incremental — only files ADDED since the last refresh: downsample
+      the delta to partial moments, COMBINE with the current rollup rows
+      of the touched buckets only (sum/count add, min/max fold, avg
+      recomputed from the exact global sum/count — never avg-of-avgs),
+      and ``merge_upsert`` with file pruning, so an append touching one
+      hot bucket rewrites one rollup file, not the rollup;
+    * rebuild — the base diff REMOVED files (compaction, merge,
+      retention): moments cannot be subtracted, so the rollup rewrites
+      from the new base head (the same answer an invalidation-region
+      engine converges to, paid only on rewrite-shaped base commits —
+      plain appends, the 100 TB steady state, stay incremental).
+
+    ``base`` is a ``SnapshotCatalog``; ``transform`` (optional) maps the
+    raw stored schema to query shape before downsampling (the engine
+    passes its coalesced ``value`` view). Returns the rollup's new (or
+    unchanged) version.
+    """
+    import os
+
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    if resolution_s <= 0:
+        raise ValueError(f"resolution must be positive, got {resolution_s}")
+    base_head = base.current_version()
+    if base_head is None:
+        raise FileNotFoundError("base table has no snapshots to roll up")
+    shape = transform if transform is not None else (lambda df: df)
+
+    def _downsample(df: DataFrame) -> DataFrame:
+        from cardinalsin_spark.operators.compaction import downsample
+
+        return downsample(
+            shape(df), resolution_s, series_cols, ts_col=ts_col,
+            value_col=value_col,
+        )
+
+    extra = {
+        "rollup_base_version": base_head,
+        "rollup_resolution_s": int(resolution_s),
+    }
+    ru = SnapshotCatalog(rollup_root)
+    head = ru.current_version()
+    if head is None:
+        os.makedirs(rollup_root, exist_ok=True)
+        _downsample(base.read(spark, base_head)).coalesce(
+            target_files
+        ).write.mode("overwrite").parquet(
+            os.path.join(rollup_root, "_bootstrap")
+        )
+        boot = os.path.join(rollup_root, "_bootstrap")
+        files = sorted(
+            os.path.join(boot, f)
+            for f in os.listdir(boot)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        return ru.commit(files, None, extra=extra)
+    man = ru.manifest(head)
+    last_res = man.get("rollup_resolution_s")
+    if last_res is not None and int(last_res) != int(resolution_s):
+        raise ValueError(
+            f"rollup at {rollup_root} has resolution {last_res}s; "
+            f"refusing to refresh at {resolution_s}s (rebuild into a new "
+            "path instead)"
+        )
+    last = man.get("rollup_base_version")
+    if last == base_head:
+        return head  # no-op: already folded through the base head
+    diff = base.diff(last, base_head)
+    if last is None or diff["removed"]:
+        # rewrite-shaped base commit: moments cannot be subtracted
+        full = _downsample(base.read(spark, base_head))
+
+        def _rebuild() -> int:
+            h = ru.current_version()
+            return ru._rewrite_and_commit(
+                full, h, target_files, "bucket", extra=extra
+            )
+
+        return ru._retrying(_rebuild, retries)
+    delta = base.read_changes(spark, last, base_head)
+    partial = _downsample(delta)
+    keys = ["bucket", *series_cols]
+    touched = ru.read(spark, head).join(
+        partial.select(*keys).distinct(), keys, "left_semi"
+    )
+    combined = (
+        touched.unionByName(partial)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("count_value").alias("count_value"),
+        )
+        .select(
+            *keys,
+            (F.col("sum_value") / F.col("count_value")).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "sum_value",
+            "count_value",
+        )
+    )
+    return ru.merge_upsert(
+        spark,
+        combined,
+        key_cols=keys,
+        ts_col="bucket",
+        target_files=target_files,
+        prune_files=True,
+        retries=retries,
+        extra=extra,
+    )
+
+
 def rollup_moment(agg: str, sum_col: str = "sum_value", count_col: str = "count_value",
                   min_col: str = "min_value", max_col: str = "max_value"):
     """The recomposition expression for one aggregate over downsample()
@@ -180,8 +324,10 @@ class RollupRouter:
         self, agg: str, start_s: float, end_s: float, step_s: int,
         gby: list[str],
     ) -> DataFrame:
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
         df = (
-            self.spark.read.parquet(self.base)
+            read_table_auto(self.spark, self.base)
             if isinstance(self.base, str)
             else self.base
         )
@@ -209,7 +355,11 @@ class RollupRouter:
         self, path: str, agg: str, start_s: float, end_s: float, step_s: int,
         gby: list[str],
     ) -> DataFrame:
-        df = self.spark.read.parquet(path)
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        # manifest-routed when the rollup is a refresh_rollup snapshot
+        # table (root reads skip its underscore-hidden merge output)
+        df = read_table_auto(self.spark, path)
         b = F.col("bucket")
         df = df.filter(
             (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))

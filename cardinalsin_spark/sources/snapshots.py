@@ -257,6 +257,22 @@ def read_parquet_grouped(
     return out
 
 
+def snapshot_managed(path: str) -> bool:
+    """True when ``path`` carries a manifest log (a ``_snapshots`` dir)."""
+    return os.path.isdir(os.path.join(path, "_snapshots"))
+
+
+def read_table_auto(spark: SparkSession, path: str) -> "DataFrame":
+    """Manifest-routed read when the table carries a snapshot log, root
+    directory read otherwise. A root read of a snapshot-managed table is
+    the point_lookup bug class (ADVICE r8): Spark's listing skips the
+    underscore-hidden ``_data-v*`` rewrite output, so it feeds stale
+    pre-compaction/pre-merge files."""
+    if snapshot_managed(path):
+        return SnapshotCatalog(path).read(spark)
+    return spark.read.parquet(path)
+
+
 class SnapshotCatalog:
     """Versioned manifest log under ``<root>/_snapshots/`` (or any
     ``CasBackend``; data files always live under ``root`` on the shared
@@ -504,6 +520,7 @@ class SnapshotCatalog:
         target_files: int = 1,
         ts_col: str = "timestamp",
         retries: int = 0,
+        extra: dict | None = None,
     ) -> int:
         """Snapshot-aware chunk merge: read the head snapshot, rewrite it
         sorted into ``target_files`` files under an underscore-prefixed,
@@ -525,7 +542,8 @@ class SnapshotCatalog:
             if head is None:
                 raise FileNotFoundError("nothing to compact: no snapshots")
             return self._rewrite_and_commit(
-                self.read(spark, head), head, target_files, ts_col
+                self.read(spark, head), head, target_files, ts_col,
+                extra=extra,
             )
 
         return self._retrying(_attempt, retries)
@@ -539,6 +557,7 @@ class SnapshotCatalog:
         target_files: int = 1,
         prune_files: bool = True,
         retries: int = 0,
+        extra: dict | None = None,
     ) -> int:
         """Keyed MERGE (upsert): commit a new snapshot equal to the head
         with ``updates`` winning on key collisions — rows whose key
@@ -562,7 +581,8 @@ class SnapshotCatalog:
 
         def _attempt() -> int:
             return self._merge_upsert_once(
-                spark, updates, key_cols, ts_col, target_files, prune_files
+                spark, updates, key_cols, ts_col, target_files, prune_files,
+                extra,
             )
 
         return self._retrying(_attempt, retries)
@@ -575,6 +595,7 @@ class SnapshotCatalog:
         ts_col: str,
         target_files: int,
         prune_files: bool,
+        extra: dict | None = None,
     ) -> int:
         head = self.current_version()
         if head is None:
@@ -588,7 +609,9 @@ class SnapshotCatalog:
             merged = current.join(keys, key_cols, "left_anti").unionByName(
                 updates, allowMissingColumns=True
             )
-            return self._rewrite_and_commit(merged, head, target_files, ts_col)
+            return self._rewrite_and_commit(
+                merged, head, target_files, ts_col, extra=extra
+            )
         from pyspark.sql import functions as F
 
         touched_uris = (
@@ -626,6 +649,7 @@ class SnapshotCatalog:
             target_files,
             ts_col,
             carry_files=[os.path.join(self.root, p) for p in untouched],
+            extra=extra,
         )
 
     def _uri_to_rel(self, file_uri: str) -> str:
@@ -641,6 +665,7 @@ class SnapshotCatalog:
         target_files: int,
         ts_col: str,
         carry_files: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Stage → rename → CAS-commit a rewrite (shared by compact and
         merge_upsert). ``carry_files`` are referenced unchanged in the new
@@ -680,7 +705,9 @@ class SnapshotCatalog:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         try:
-            return self.commit(list(carry_files or []) + new_files, head)
+            return self.commit(
+                list(carry_files or []) + new_files, head, extra=extra
+            )
         except SnapshotConflict:
             shutil.rmtree(final_dir, ignore_errors=True)
             raise

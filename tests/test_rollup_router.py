@@ -212,3 +212,176 @@ def test_engine_rollup_router(spark, tmp_path):
     )
     assert _rows(got) == _rows(expect)
     assert got.count() == 12  # 6 steps x 2 series
+
+
+def _rows_all(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_refresh_rollup_incremental(spark, tmp_path):
+    """Incremental continuous-aggregate refresh: bootstrap == full
+    downsample; appends fold in incrementally (bit-equal to a rebuild on
+    integer data); a compaction on the base (rewrite-shaped diff) routes
+    to the rebuild arm WITHOUT double-counting; no-op when already
+    current; resolution mismatch loud-rejects."""
+    import os
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "base")
+    ru_root = str(tmp_path / "ru")
+
+    def batch(lo, hi, metric):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 7200).alias(
+                "timestamp"
+            ),
+            F.lit(metric).alias("metric_name"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+        )
+
+    batch(0, 5000, "m0").write.parquet(root)
+    cat = SnapshotCatalog(root)
+    assert cat.init_from_directory() == 0
+
+    def expect_df():
+        return downsample(cat.read(spark), 300, ["metric_name"])
+
+    # bootstrap
+    v = refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+    ru = SnapshotCatalog(ru_root)
+    assert v == 0 and ru.manifest(0)["rollup_base_version"] == 0
+    assert _rows_all(ru.read(spark)) == _rows_all(expect_df())
+    # no-op
+    assert refresh_rollup(spark, cat, ru_root, 300, ["metric_name"]) == 0
+    # append-only base commit -> incremental arm
+    batch(5000, 9000, "m1").write.mode("append").parquet(root)
+    assert cat.commit_new_files() == 1
+    v = refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+    assert v == 1 and ru.manifest(1)["rollup_base_version"] == 1
+    assert _rows_all(ru.read(spark)) == _rows_all(expect_df())
+    # overlapping append into EXISTING buckets -> moments combine, not
+    # replace (same metric, same time range)
+    batch(9000, 11000, "m0").write.mode("append").parquet(root)
+    assert cat.commit_new_files() == 2
+    assert refresh_rollup(spark, cat, ru_root, 300, ["metric_name"]) == 2
+    assert _rows_all(ru.read(spark)) == _rows_all(expect_df())
+    # compaction rewrites every file -> diff.removed nonempty -> rebuild
+    # arm; the refreshed rollup must NOT double-count the re-added rows
+    cat.compact(spark, target_files=2)
+    v = refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+    assert ru.manifest(v)["rollup_base_version"] == cat.current_version()
+    assert _rows_all(ru.read(spark)) == _rows_all(expect_df())
+    # resolution mismatch loud-rejects
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resolution"):
+        refresh_rollup(spark, cat, ru_root, 600, ["metric_name"])
+    # a root directory read of the rollup would be stale/empty (the merge
+    # output is underscore-hidden) — the manifest-routed read is the
+    # contract, and attach_rollup uses it
+    assert not [
+        f
+        for f in os.listdir(ru_root)
+        if f.endswith(".parquet")
+    ]
+
+
+def test_refresh_rollup_serves_promql_after_append(spark, tmp_path):
+    """End-to-end continuous aggregate: engine.refresh_rollup +
+    attach_rollup — the routed answer reflects data appended AFTER the
+    bootstrap (the stale-root-read bug class), matching the raw path
+    bit-for-bit."""
+    import os
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    ru_root = str(tmp_path / "ru")
+
+    def src(lo, hi):
+        return spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+            ).alias("ts_ns"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias(
+                "name"
+            ),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+
+    write_metrics(normalize_to_metrics(src(0, 3000), "ts_ns", "name", "v"),
+                  path, mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) == 0
+    eng.attach_rollup(ru_root, 300)
+    start, end, step = START, START + 3600 - 1, 600
+    raw_eng = CardinalSin(spark, path)
+
+    def check(tag):
+        got = eng.promql_range("sum(s0)", start, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert ru_root in plan and "metrics" not in plan, (tag, plan)
+        assert got.collect() == raw_eng.promql_range(
+            "sum(s0)", start, end, step
+        ).collect(), tag
+
+    check("bootstrap")
+    # append more rows through the catalog, refresh, re-check: the routed
+    # answer must include them (manifest-routed rollup read). Files land
+    # FLAT in the table root, the snapshot-sink convention.
+    import shutil
+
+    extra_dir = str(tmp_path / "extra-stage")
+    normalize_to_metrics(src(3000, 5000), "ts_ns", "name", "v").coalesce(
+        1
+    ).write.parquet(extra_dir)
+    for i, f in enumerate(sorted(os.listdir(extra_dir))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(extra_dir, f),
+                os.path.join(path, f"extra-{i:04d}.parquet"),
+            )
+    cat.commit_new_files()
+    # the raw side follows the manifest too (a plain root read would not
+    # recurse into the appended subdirectory)
+    eng.metrics = raw_eng.metrics = cat.read(spark)
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) >= 1
+    check("after-append")
+
+
+def test_jobs_rollup_refresh_cli(spark, tmp_path, capsys):
+    """CLI smoke: bootstrap + incremental runs print the refreshed
+    version; non-snapshot tables rc=2 loud-reject."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "m")
+    src = spark.range(0, 1000).select(
+        (F.lit(START * 1_000_000_000)).alias("ts_ns"),
+        F.lit("x").alias("name"),
+        F.col("id").cast("double").alias("v"),
+    )
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    out = str(tmp_path / "ru")
+    # not snapshot-managed yet -> rc 2
+    assert jobs.main(
+        ["rollup-refresh", "--path", path, "--out", out,
+         "--resolution-s", "300"]
+    ) == 2
+    SnapshotCatalog(path).init_from_directory()
+    assert jobs.main(
+        ["rollup-refresh", "--path", path, "--out", out,
+         "--resolution-s", "300"]
+    ) == 0
+    assert "v0" in capsys.readouterr().out
+    assert SnapshotCatalog(out).manifest(0)["rollup_resolution_s"] == 300
