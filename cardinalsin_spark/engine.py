@@ -342,15 +342,43 @@ class CardinalSin:
         )
 
     def attach_rollup(
-        self, path: str, resolution_s: int, subsecond: bool = False
+        self,
+        path: str,
+        resolution_s: int | None = None,
+        subsecond: bool = False,
     ) -> "CardinalSin":
-        """Register a ``jobs downsample`` output (bucket + series labels +
-        avg/min/max/sum/count moments) as a continuous aggregate serving
-        ``promql_range`` — the read side of the reference's downsample
-        config (``compactor/mod.rs:70-91``), which it never implemented.
-        ``subsecond=True`` declares the base data carries sub-second
-        timestamps, switching bound-coverage checks to the exact-micro rule
+        """Register a ``jobs downsample`` / ``refresh_rollup`` output
+        (bucket + series labels + avg/min/max/sum/count moments) as a
+        continuous aggregate serving ``promql_range`` — the read side of
+        the reference's downsample config (``compactor/mod.rs:70-91``),
+        which it never implemented. ``resolution_s=None`` reads the
+        resolution from the rollup's own manifest
+        (``rollup_resolution_s``, stamped by every refresh) — loud when
+        the rollup carries no manifest to ask. ``subsecond=True``
+        declares the base data carries sub-second timestamps, switching
+        bound-coverage checks to the exact-micro rule
         (``operators.rollup.rollup_covers``)."""
+        if resolution_s is None:
+            from cardinalsin_spark.sources.snapshots import (
+                SnapshotCatalog,
+                snapshot_managed,
+            )
+
+            if not snapshot_managed(path):
+                raise ValueError(
+                    f"attach_rollup({path!r}): no resolution_s given and "
+                    "the rollup carries no manifest to read it from "
+                    "(plain downsample parquet needs an explicit "
+                    "resolution)"
+                )
+            resolution_s = SnapshotCatalog(path).manifest().get(
+                "rollup_resolution_s"
+            )
+            if resolution_s is None:
+                raise ValueError(
+                    f"attach_rollup({path!r}): manifest has no "
+                    "rollup_resolution_s (not a refresh_rollup table?)"
+                )
         if resolution_s <= 0:
             raise ValueError(f"resolution must be positive, got {resolution_s}")
         self._attached_rollups.append((int(resolution_s), path, bool(subsecond)))

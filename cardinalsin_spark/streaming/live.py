@@ -880,7 +880,7 @@ def streaming_le_buckets(
 # ---------------------------------------------------------------------------
 
 
-def snapshot_ingest_sink(root: str, backend=None):
+def snapshot_ingest_sink(root: str, backend=None, on_commit=None):
     """Build a ``foreachBatch`` function that lands each micro-batch as
     parquet files under ``root`` and CAS-commits one snapshot version per
     batch — the streaming twin of ``engine.ingest``'s
@@ -909,6 +909,17 @@ def snapshot_ingest_sink(root: str, backend=None):
 
     A downstream consumer pairs this with ``SnapshotCatalog.read_changes``
     for per-batch incremental reads.
+
+    ``on_commit`` (optional) is called as ``on_commit(version)`` after a
+    batch's manifest commit lands — the streaming continuous-aggregate
+    hook: pass ``lambda v: refresh_rollup(spark, cat, ...)`` and every
+    micro-batch folds into the rollup incrementally (the refresh reads
+    the CDC delta, so its cost tracks the batch, not the table). NOT
+    called on replayed/raced-away batches (their rows were already
+    committed — and already folded — by the earlier run); an exception
+    from the hook fails the batch, and the replay skip above makes the
+    retry safe because refresh itself is idempotent on an unchanged base
+    head.
     """
     import os
     import shutil
@@ -965,11 +976,13 @@ def snapshot_ingest_sink(root: str, backend=None):
                 # commit_new_files may already have adopted them — never
                 # register twice), minus any superseded crashed-attempt
                 # files an adoption picked up before this rerun replaced them
-                cat.commit(
+                v = cat.commit(
                     sorted((base | set(moved)) - superseded),
                     head,
                     extra={"stream_batch_id": int(batch_id)},
                 )
+                if on_commit is not None:
+                    on_commit(v)
                 return
             except SnapshotConflict:
                 if attempt == 7:

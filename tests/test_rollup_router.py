@@ -321,7 +321,11 @@ def test_refresh_rollup_serves_promql_after_append(spark, tmp_path):
     cat.init_from_directory()
     eng = CardinalSin(spark, path)
     assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) == 0
-    eng.attach_rollup(ru_root, 300)
+    # resolution read from the rollup's own manifest (refresh stamps it);
+    # a manifest-less path must loud-reject the no-resolution form
+    with pytest.raises(ValueError, match="resolution"):
+        eng.attach_rollup(str(tmp_path / "nowhere"))
+    eng.attach_rollup(ru_root)
     start, end, step = START, START + 3600 - 1, 600
     raw_eng = CardinalSin(spark, path)
 
@@ -385,3 +389,47 @@ def test_jobs_rollup_refresh_cli(spark, tmp_path, capsys):
     ) == 0
     assert "v0" in capsys.readouterr().out
     assert SnapshotCatalog(out).manifest(0)["rollup_resolution_s"] == 300
+
+
+def test_streaming_sink_rollup_refresh_hook(spark, tmp_path):
+    """Streaming continuous aggregate: the snapshot sink's on_commit hook
+    refreshes the rollup after every micro-batch commit, so the rollup
+    tracks the stream bit-for-bit; replayed batches skip the hook (their
+    rows were already folded)."""
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+    from cardinalsin_spark.streaming.live import snapshot_ingest_sink
+
+    root = str(tmp_path / "t")
+    ru_root = str(tmp_path / "ru")
+    import os
+
+    os.makedirs(root)
+    cat = SnapshotCatalog(root)
+    calls: list[int] = []
+
+    def hook(version: int) -> None:
+        calls.append(version)
+        refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+
+    def batch(lo, hi, metric="mX"):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 3600).alias(
+                "timestamp"
+            ),
+            F.lit(metric).alias("metric_name"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+
+    sink = snapshot_ingest_sink(root, on_commit=hook)
+    sink(batch(0, 2000, "a"), 0)
+    sink(batch(2000, 3500, "b"), 1)
+    assert calls == [0, 1]
+    expect = downsample(cat.read(spark), 300, ["metric_name"])
+    got = SnapshotCatalog(ru_root).read(spark)
+    assert _rows_all(got) == _rows_all(expect)
+    # replayed batch: rows already durable AND already folded — no hook
+    sink(batch(2000, 3500, "b"), 1)
+    assert calls == [0, 1]
+    assert _rows_all(SnapshotCatalog(ru_root).read(spark)) == _rows_all(expect)
