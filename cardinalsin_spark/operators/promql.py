@@ -983,7 +983,20 @@ def promql_instant(
     if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
         # histogram_fraction(lo, hi, m_bucket): same latest-cumulative
         # frame as the quantile path, fed to the exact-rational
-        # interpolation at both thresholds
+        # interpolation at both thresholds. Exp-bucket families route to
+        # exp_histogram_fraction; multi-metric selectors loud-reject
+        # (same rules as histogram_quantile).
+        if parsed.metric_name is None:
+            raise ValueError(
+                "histogram_fraction needs a single named bucket family — "
+                "a multi-metric selector cannot distinguish classic (le) "
+                "from exponential (scale/idx) bucket rows"
+            )
+        if parsed.metric_name.endswith("_exp_bucket"):
+            return _route_exp_histogram_quantile(
+                df, parsed, None, cols, time_s=time_s,
+                frac=(parsed.frac_lo / 1e6, parsed.frac_hi / 1e6),
+            )
         series = [c for c in discover_label_columns(parsed) if c != "le"]
         latest = (
             out.groupBy(cols.name, *series, "le")
@@ -1933,7 +1946,21 @@ def promql_range(
 
     if parsed.function == "histogram_fraction" and parsed.frac_lo is not None:
         # histogram_fraction on the range grid: per step, same
-        # latest-cumulative state as the quantile branch above
+        # latest-cumulative state as the quantile branch above.
+        # Exp-bucket families route per step; multi-metric selectors
+        # loud-reject (same rules as histogram_quantile).
+        if parsed.metric_name is None:
+            raise ValueError(
+                "histogram_fraction needs a single named bucket family — "
+                "a multi-metric selector cannot distinguish classic (le) "
+                "from exponential (scale/idx) bucket rows"
+            )
+        if parsed.metric_name.endswith("_exp_bucket"):
+            return _route_exp_histogram_quantile(
+                df, parsed, None, cols,
+                start_s=start_s, end_s=end_s, step_s=step_s,
+                frac=(parsed.frac_lo / 1e6, parsed.frac_hi / 1e6),
+            )
         series = [c for c in label_cols if c != "le"]
         latest = (
             out.groupBy(
@@ -2765,14 +2792,16 @@ def exp_histogram_quantile(
 def _route_exp_histogram_quantile(
     df: DataFrame,
     parsed: ParsedPromQL,
-    q: float,
+    q: float | None,
     cols: MetricsCols,
     time_s: float | None = None,
     start_s: float | None = None,
     end_s: float | None = None,
     step_s: int | None = None,
+    frac: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """``histogram_quantile(φ, {base}_exp_bucket)`` from PromQL text
+    """``histogram_quantile(φ, {base}_exp_bucket)`` — and, with ``frac``,
+    ``histogram_fraction(lo, hi, {base}_exp_bucket)`` — from PromQL text
     (VERDICT r9 item 4 — previously the engine API was the only door):
     selects the ``{base}_exp_bucket`` + ``{base}_exp_zero`` family rows
     (the bucket-preserving exponential ingest shape), takes the latest
@@ -2851,7 +2880,65 @@ def _route_exp_histogram_quantile(
         .withColumn("idx", F.col("idx").cast("long"))
         .withColumn("scale", F.col("scale").cast("int"))
     )
+    if frac is not None:
+        return exp_histogram_fraction(latest, frac[0], frac[1], group)
     return exp_histogram_quantile(latest, q, group)
+
+
+def exp_histogram_fraction(
+    buckets: DataFrame,
+    lo: float,
+    hi: float,
+    group_cols: list[str],
+    scale_col: str = "scale",
+    idx_col: str = "idx",
+    sign_col: str = "sign",
+    count_col: str = "cnt",
+    value_alias: str = "value",
+) -> DataFrame:
+    """Fraction of observations in ``(lo, hi]`` over exponential-histogram
+    buckets (the same scale/idx/sign row shape as
+    :func:`exp_histogram_quantile`): per threshold, buckets wholly below
+    contribute their full count, the bucket containing the threshold
+    contributes linearly (upstream promql/histogram.go convention), and
+    the fraction is the difference over the total. ``0 <= lo < hi`` like
+    the classic path; the zero bucket is a point mass at 0 (counted at
+    any threshold ≥ 0), negative buckets sit wholly below 0. Same libm
+    rule as the quantile (``2^(k/2^s)`` needs ``pow``) — outside the
+    oracle tier, exact at ``scale <= 0``. Groups with zero total yield
+    NaN (0/0), the upstream convention."""
+    if not (0 <= lo < hi):
+        raise ValueError(f"need 0 <= lo < hi, got ({lo}, {hi})")
+    sgn = F.col(sign_col)
+    idx = F.col(idx_col).cast("double")
+    cnt = F.col(count_col)
+    inv = F.pow(F.lit(2.0), -F.col(scale_col).cast("double"))
+    lo_pos = F.pow(F.lit(2.0), idx * inv)
+    hi_pos = F.pow(F.lit(2.0), (idx + 1) * inv)
+    b_lo = (
+        F.when(sgn == "zero", F.lit(0.0))
+        .when(sgn == "pos", lo_pos)
+        .otherwise(-hi_pos)
+    )
+    b_hi = (
+        F.when(sgn == "zero", F.lit(0.0))
+        .when(sgn == "pos", hi_pos)
+        .otherwise(-lo_pos)
+    )
+
+    def cum_at(x: float):
+        xl = F.lit(float(x))
+        return F.sum(
+            F.when(b_hi <= xl, cnt)
+            .when(b_lo >= xl, F.lit(0.0))
+            .otherwise(cnt * (xl - b_lo) / (b_hi - b_lo))
+        )
+
+    return (
+        buckets.groupBy(*group_cols)
+        .agg(((cum_at(hi) - cum_at(lo)) / F.sum(cnt)).alias(value_alias))
+        .orderBy(*group_cols)
+    )
 
 
 def _median_of(arr: str) -> str:

@@ -1241,3 +1241,57 @@ def test_histogram_quantile_exp_route_needs_exp_columns(spark):
     )
     with pytest.raises(ValueError, match="scale"):
         promql_instant(df, "histogram_quantile(0.5, x_exp_bucket)")
+
+
+def test_histogram_fraction_promql_text_routes_exp_family(spark, tmp_path):
+    """histogram_fraction(lo, hi, {base}_exp_bucket) routes to
+    exp_histogram_fraction: closed forms on the scale-0 fixture (exact
+    powers of two), both query modes, multi-metric loud-reject."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.otlp import otlp_proto_to_metrics
+
+    ts_ns = 1_700_000_000_000_000_000
+    payload = _export_request(
+        [("svc", _any_string("api"))],
+        [
+            _metric(
+                "rt", 10,
+                [
+                    _exp_histo_point(
+                        ts_ns, count=10, s=16.0, scale=0, zero=2,
+                        pos=(0, [4, 4]),
+                    )
+                ],
+            )
+        ],
+    )
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    path = str(tmp_path / "m")
+    write_metrics(
+        otlp_proto_to_metrics(df, histogram_buckets=True), path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    t = ts_ns / 1e9
+    # zero=2 (point mass at 0), (1,2]:4, (2,4]:4 — total 10
+    # (0, 2]: the two whole buckets below/at 2 minus the zero mass -> 4/10
+    got = eng.promql_instant(
+        "histogram_fraction(0, 2, rt_exp_bucket)", time_s=t
+    ).collect()
+    assert len(got) == 1 and got[0].value == 0.4
+    # (0, 3]: + half of (2,4] by linear interpolation -> 6/10
+    got = eng.promql_instant(
+        "histogram_fraction(0, 3, rt_exp_bucket)", time_s=t
+    ).collect()
+    assert got[0].value == 0.6
+    # range grid: same per-step state
+    rng = eng.promql_range(
+        "histogram_fraction(0, 2, rt_exp_bucket)", t, t + 120, 60
+    ).collect()
+    assert len(rng) == 1 and rng[0].value == 0.4
+    # multi-metric selector loud-rejects
+    with pytest.raises(ValueError, match="single named bucket family"):
+        eng.promql_instant(
+            'histogram_fraction(0, 2, {__name__=~"rt.*"})', time_s=t
+        )
