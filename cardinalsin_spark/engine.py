@@ -263,9 +263,14 @@ class CardinalSin:
     ) -> DataFrame:
         """`/api/v1/query` — epoch-seconds evaluation time, like the
         Prometheus HTTP API. ``at_version`` evaluates against a pinned
-        snapshot (time travel for queries)."""
+        snapshot (time travel for queries). Attached rollups serve
+        aligned moment ``*_over_time`` windows (the alert-rule shape);
+        snapshot-pinned evaluation never routes."""
         self._admit_query(tenant_id)
-        out = promql_instant(self._promql_frame(at_version), promql, time_s)
+        out = promql_instant(
+            self._promql_frame(at_version), promql, time_s,
+            rollups=self._attached_rollups if at_version is None else None,
+        )
         self._record(out)
         return out
 

@@ -183,7 +183,9 @@ def downsample(
 
     The reference ships ``downsample_after_days``/``downsample_resolution``
     config but no implementation (SURVEY §2.11) — this completes it. Output
-    keeps enough moments to re-aggregate (sum+count → exact avg on rollup).
+    keeps enough moments to re-aggregate (sum+count → exact avg on rollup);
+    ``max_ts`` (the bucket's latest raw sample time) lets the instant-door
+    rollup route reproduce the raw path's ``timestamp_`` exactly.
     """
     from cardinalsin_spark.functions.core import time_bucket
 
@@ -198,6 +200,7 @@ def downsample(
             F.max(value_col).alias("max_value"),
             F.sum(value_col).alias("sum_value"),
             F.count(value_col).alias("count_value"),
+            F.max(ts_col).alias("max_ts"),
         )
         .orderBy("bucket", *series_cols)
     )

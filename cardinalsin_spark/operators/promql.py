@@ -644,20 +644,29 @@ def promql_instant(
     time_s: float | None = None,
     cols: MetricsCols = MetricsCols(),
     tiebreak: list[str] | None = None,
+    rollups: list[tuple[int, str, bool]] | None = None,
 ) -> DataFrame:
     """Instant query (reference ``transpile_promql_instant``,
     ``api/query/prometheus_api.rs:877-935``).
 
     Aggregated form: one row per (metric, *by) with MAX(ts) as the sample
     timestamp, ordered by value desc. Selector form: latest single sample.
+
+    ``rollups`` — optional continuous aggregates (same list as
+    ``promql_range``): a moment ``*_over_time`` window whose bounds cover
+    whole rollup buckets (the aligned alert-rule shape,
+    ``avg_over_time(m[1d])`` evaluated on the day boundary) serves from
+    the rollup, reproducing the raw path's ``timestamp_`` via the
+    ``max_ts`` moment; anything else evaluates raw. Forwards through the
+    recursive branches like the range door.
     """
     promql = _resolve_at_bounds(promql, time_s, time_s)
     promql = _strip_outer_parens(promql)
     setop = _split_top_level_setop(promql)
     if setop:
         left, op, on_labels, right = setop
-        lf = promql_instant(df, left, time_s, cols, tiebreak)
-        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
+        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
         if "value" not in rf.columns and cols.value in rf.columns:
@@ -688,16 +697,16 @@ def promql_instant(
             # side and flip the operator — previously this recursed the
             # literal into a selector parse of a metric named "5" and
             # silently returned empty (ADVICE r7 #3)
-            rf = promql_instant(df, right, time_s, cols, tiebreak)
+            rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
             if "value" not in rf.columns and cols.value in rf.columns:
                 rf = rf.withColumnRenamed(cols.value, "value")
             return _apply_scalar_cmp(rf, _CMP_FLIP[op], float(left), want_bool)
-        lf = promql_instant(df, left, time_s, cols, tiebreak)
+        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
         if num_r:
             return _apply_scalar_cmp(lf, op, float(right), want_bool)
-        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
@@ -760,7 +769,7 @@ def promql_instant(
                 vec, sc_inner, vec_first = right, sc_l.group(1), False
             else:  # scalar(a) / scalar(b): fold rhs into lhs's single row
                 vec, sc_inner, vec_first = left, sc_r.group(1), True
-            lf = promql_instant(df, vec, time_s, cols, tiebreak)
+            lf = promql_instant(df, vec, time_s, cols, tiebreak, rollups=rollups)
             if "value" not in lf.columns and cols.value in lf.columns:
                 lf = lf.withColumnRenamed(cols.value, "value")
             sdf = _scalar_of(df, sc_inner, time_s, cols, tiebreak)
@@ -775,17 +784,17 @@ def promql_instant(
                 .drop("_sc")
             )
         if num_r and not num_l:
-            lf = promql_instant(df, left, time_s, cols, tiebreak)
+            lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
             return lf.withColumn(
                 "value", arith(F.col("value"), F.lit(float(right)))
             )
         if num_l and not num_r:
-            rf = promql_instant(df, right, time_s, cols, tiebreak)
+            rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
             return rf.withColumn(
                 "value", arith(F.lit(float(left)), F.col("value"))
             )
-        lf = promql_instant(df, left, time_s, cols, tiebreak)
-        rf = promql_instant(df, right, time_s, cols, tiebreak)
+        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
+        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
         drop = {cols.name, "value", "timestamp_", cols.ts}
         shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
         keys = _match_keys(shared, on_labels)
@@ -847,7 +856,7 @@ def promql_instant(
         # absent(selector): 1-sample vector {value: 1} iff the selector
         # matches nothing in the window, else empty (PromQL semantics;
         # the reference's transpiler has no function vocabulary at all)
-        inner = promql_instant(df, am.group(1), time_s, cols, tiebreak)
+        inner = promql_instant(df, am.group(1), time_s, cols, tiebreak, rollups=rollups)
         return (
             inner.agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") == 0)
@@ -858,7 +867,7 @@ def promql_instant(
     if sm and not _RANGE_FN_RE.match(promql.strip()):
         fn = sm.group(1)
         inner_expr, args = _split_label_fn_args(sm.group(2))
-        res = promql_instant(df, inner_expr, time_s, cols, tiebreak)
+        res = promql_instant(df, inner_expr, time_s, cols, tiebreak, rollups=rollups)
         if "value" not in res.columns and cols.value in res.columns:
             # selector-form inner results keep the source value column;
             # the wrappers operate on the canonical "value" name
@@ -876,7 +885,7 @@ def promql_instant(
 
     cm = _CMP_SCALAR_RE.match(promql.strip())
     if cm and _balanced(cm.group(1)):
-        inner = promql_instant(df, cm.group(1), time_s, cols, tiebreak)
+        inner = promql_instant(df, cm.group(1), time_s, cols, tiebreak, rollups=rollups)
         return _apply_scalar_cmp(
             inner, cm.group(2), float(cm.group(4)), bool(cm.group(3))
         )
@@ -904,6 +913,12 @@ def promql_instant(
                 "an evaluation time (time_s or an @ pin) to bound the window"
             )
         rng = float(parsed.range_seconds)
+        if rollups:
+            routed = _maybe_route_rollup_instant(
+                df, rollups, parsed, t_eval, rng, cols
+            )
+            if routed is not None:
+                return routed
         win = out.filter(
             F.col(cols.ts) >= F.timestamp_seconds(F.lit(t_eval - rng))
         )
@@ -2071,6 +2086,65 @@ def promql_range(
 
     return (
         df_group_sorted(out, keys, value.alias("value"))
+    )
+
+
+def _maybe_route_rollup_instant(
+    df: DataFrame,
+    rollups: list[tuple[int, str, bool]],
+    parsed: ParsedPromQL,
+    t_eval: float,
+    rng: float,
+    cols: MetricsCols,
+) -> DataFrame | None:
+    """Instant-door continuous-aggregate serving: a moment
+    ``*_over_time`` window ``[T − range, T]`` exactly tiled by rollup
+    buckets (``rollup_window_covers`` — closed bounds, so an N-bucket
+    window is ``[k·r, k·r + N·r − 1]``) recomposes from the downsample
+    moments — the aligned alert-rule shape.  The raw
+    path's ``timestamp_`` (MAX raw sample time in the window) reproduces
+    exactly from the rollup's ``max_ts`` moment; rollups written before
+    that moment existed lack the column and simply never route.  Offset
+    and ``@`` need no special casing: both only move ``t_eval``."""
+    fn = parsed.function or ""
+    if not fn.endswith("_over_time"):
+        return None
+    agg = fn[: -len("_over_time")]
+    if agg not in ("avg", "min", "max", "sum", "count"):
+        return None
+    from cardinalsin_spark.operators.rollup import (
+        rollup_moment,
+        rollup_window_covers,
+    )
+
+    best: tuple[int, str] | None = None
+    for r, path, subsecond in rollups:
+        if rollup_window_covers(r, t_eval - rng, t_eval, subsecond):
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return None
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    ro = read_table_auto(df.sparkSession, best[1])
+    gcols = discover_label_columns(parsed)
+    need = {cols.name, "bucket", "max_ts", *gcols} | {
+        m.label for m in parsed.label_matchers if m.label != "__name__"
+    }
+    if not need.issubset(set(ro.columns)):
+        return None
+    b = F.col("bucket")
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        (b >= F.timestamp_micros(F.lit(int(round((t_eval - rng) * 1e6)))))
+        & (b <= F.timestamp_micros(F.lit(int(round(t_eval * 1e6)))))
+    )
+    return (
+        ro.groupBy(F.col(cols.name), *[F.col(c) for c in gcols])
+        .agg(
+            F.max("max_ts").alias("timestamp_"),
+            rollup_moment(agg).alias("value"),
+        )
+        .orderBy(cols.name, *gcols)
     )
 
 

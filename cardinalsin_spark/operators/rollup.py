@@ -66,6 +66,23 @@ def rollup_covers(
     """
     if resolution_s <= 0 or resolution_s > step_s or step_s % resolution_s:
         return False
+    return rollup_window_covers(resolution_s, start_s, end_s, subsecond)
+
+
+def rollup_window_covers(
+    resolution_s: int, start_s: float, end_s: float, subsecond: bool = False
+) -> bool:
+    """The bounds half of ``rollup_covers``: the closed range
+    ``[start_s, end_s]`` is exactly tiled by ``resolution_s`` buckets.
+    Used alone by the instant-door ``*_over_time`` route, where there is
+    no output step to divide — any resolution tiling the single window
+    works. Note the closed-bounds arithmetic: a window spanning N whole
+    buckets has ``end = start + N·r − 1`` (seconds convention) or
+    ``− 1µs`` (subsecond), so ``avg_over_time(m[3599s])`` at ``:59:59``
+    tiles hourly buckets while ``[3600s]`` at the same instant hangs one
+    sample over the left edge and correctly falls back to raw."""
+    if resolution_s <= 0:
+        return False
     if subsecond:
         r_us = resolution_s * 1_000_000
         s_us = int(round(start_s * 1e6))
@@ -196,6 +213,7 @@ def refresh_rollup(
             F.max("max_value").alias("max_value"),
             F.sum("sum_value").alias("sum_value"),
             F.sum("count_value").alias("count_value"),
+            F.max("max_ts").alias("max_ts"),
         )
         .select(
             *keys,
@@ -204,6 +222,7 @@ def refresh_rollup(
             "max_value",
             "sum_value",
             "count_value",
+            "max_ts",
         )
     )
     return ru.merge_upsert(

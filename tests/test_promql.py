@@ -1941,6 +1941,12 @@ def test_splitter_fuzz_never_crashes_and_reassembles():
         "histogram_fraction(0.05, 0.15, m_bucket)",
         "histogram_quantile(0.99, m_bucket{le=\"0.5\"})",
         "topk by (h) (3, m)",
+        # round 10: exp-bucket family routing, bare-brace/__name__
+        # selectors, faithful instant range functions
+        "histogram_quantile(0.5, rt_exp_bucket)",
+        "histogram_fraction(0, 2, rt_exp_bucket)",
+        '{__name__=~"m.*"}',
+        "resets(m[10m])", "deriv(m[4m])", "predict_linear(m[4m], 60)",
     ])
     op = st.sampled_from([
         " + ", " - ", " * ", " / ", " % ", " ^ ", " atan2 ",

@@ -433,3 +433,67 @@ def test_streaming_sink_rollup_refresh_hook(spark, tmp_path):
     sink(batch(2000, 3500, "b"), 1)
     assert calls == [0, 1]
     assert _rows_all(SnapshotCatalog(ru_root).read(spark)) == _rows_all(expect)
+
+
+def test_instant_over_time_routes_rollup(spark, tmp_path):
+    """Instant-door serving: an aligned moment *_over_time window (the
+    alert-rule shape) serves from the rollup — bit-equal to the raw path
+    INCLUDING timestamp_ (the max_ts moment); misaligned windows and
+    non-moment functions fall back."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 5000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    routed_eng = CardinalSin(spark, path)
+    raw_eng = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        routed_eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name"],
+    ).write.parquet(rp)
+    routed_eng.attach_rollup(rp, 300)
+    # closed-bounds tiling: an N-bucket window at end-of-bucket T spans
+    # N*r - 1 seconds ([START, START+3599] = 12 whole 300s buckets)
+    t = START + 3600 - 1
+    for expr in (
+        "avg_over_time(s0[3599s])",
+        "sum_over_time(s0[3599s])",
+        "min_over_time(s0[599s])",
+        "max_over_time(s0[599s])",
+        "count_over_time(s0[3599s])",
+        "sum(sum_over_time(s0[3599s]))",  # function-wins precedence
+    ):
+        got = routed_eng.promql_instant(expr, time_s=t)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        expect = raw_eng.promql_instant(expr, time_s=t)
+        assert got.collect() == expect.collect(), expr
+    # fall-backs: [3600s] hangs one sample over the left edge (closed
+    # bounds), misaligned eval time, non-moment function, last_over_time
+    for expr, tt in (
+        ("avg_over_time(s0[3600s])", t),
+        ("avg_over_time(s0[3599s])", t - 7),
+        ("rate(s0[3599s])", t),
+        ("last_over_time(s0[3599s])", t),
+        ("avg_over_time(s0[90s])", t),
+    ):
+        got = routed_eng.promql_instant(expr, time_s=tt)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" not in plan, (expr, plan)
+        assert got.collect() == raw_eng.promql_instant(
+            expr, time_s=tt
+        ).collect(), expr
