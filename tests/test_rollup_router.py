@@ -497,3 +497,61 @@ def test_instant_over_time_routes_rollup(spark, tmp_path):
         assert got.collect() == raw_eng.promql_instant(
             expr, time_s=tt
         ).collect(), expr
+
+
+def test_refresh_rollup_concurrent_refreshes_idempotent(spark, tmp_path):
+    """Two drivers refreshing the same rollup from the same base head:
+    CAS arbitration makes the race value-idempotent — both fold the SAME
+    delta onto the same pre-state, so whichever interleaving wins (one
+    no-ops, or both merge), the final rollup is bit-equal to a rebuild
+    and the refresh marker is the base head."""
+    import threading
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "base")
+    ru_root = str(tmp_path / "ru")
+    spark.range(0, 4000).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 3600).alias(
+            "timestamp"
+        ),
+        F.lit("m0").alias("metric_name"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    ).write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    assert refresh_rollup(spark, cat, ru_root, 300, ["metric_name"]) == 0
+    spark.range(4000, 6000).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 3600).alias(
+            "timestamp"
+        ),
+        F.lit("m1").alias("metric_name"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    ).coalesce(1).write.mode("append").parquet(root)
+    assert cat.commit_new_files() == 1
+
+    barrier = threading.Barrier(2)
+    results: dict[str, int | BaseException] = {}
+
+    def run(tag: str) -> None:
+        barrier.wait()
+        try:
+            results[tag] = refresh_rollup(
+                spark, SnapshotCatalog(root), ru_root, 300, ["metric_name"]
+            )
+        except BaseException as e:  # noqa: BLE001
+            results[tag] = e
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(isinstance(v, int) for v in results.values()), results
+    ru = SnapshotCatalog(ru_root)
+    assert ru.manifest()["rollup_base_version"] == 1
+    assert _rows_all(ru.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 300, ["metric_name"])
+    )
