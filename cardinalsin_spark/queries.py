@@ -1705,13 +1705,25 @@ def q_maint_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_col="value_cents",
     )
+    # avg derives from the EXACT moments, UNROUNDED: int64 cents sum →
+    # one deterministic IEEE division chain, identical bits in both
+    # engines. The old round(AVG(.), 4) failed twice over at sf0.1 — the
+    # float AVG is accumulation-order-dependent, and even on the exact
+    # sum/count a bucket whose true mean sits ON the 10^-4 half-boundary
+    # splits Spark's BigDecimal HALF_UP from DuckDB's multiply-and-round.
+    # No rounding, no boundary (the r3 class, caught by the r10 sf0.1
+    # sweep).
     return ds.select(
         "bucket",
         "event_type",
-        F.round(F.col("avg_value") / F.lit(100.0), 4).alias("avg_value"),
+        (
+            F.col("sum_value").cast("double")
+            / F.col("count_value")
+            / F.lit(100.0)
+        ).alias("avg_value"),
         (F.col("min_value") / F.lit(100.0)).alias("min_value"),
         (F.col("max_value") / F.lit(100.0)).alias("max_value"),
-        F.round(F.col("sum_value").cast("double") / F.lit(100.0), 2).alias(
+        (F.col("sum_value").cast("double") / F.lit(100.0)).alias(
             "sum_value"
         ),
         "count_value",
@@ -1720,10 +1732,11 @@ def q_maint_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MAINT_DOWNSAMPLE = f"""
 SELECT {_sql_bucket(3600)} AS bucket, event_type,
-       round(avg({_sql_cents('value')}) / 100.0, 4) AS avg_value,
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / count(value) / 100.0
+           AS avg_value,
        min({_sql_cents('value')}) / 100.0 AS min_value,
        max({_sql_cents('value')}) / 100.0 AS max_value,
-       round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0, 2) AS sum_value,
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value,
        count(value) AS count_value
 FROM events GROUP BY 1, 2
 """
@@ -5674,10 +5687,12 @@ _DRIVER_WINDOW = [
     #       churned heavily in r9 (instant range-vector functions,
     #       __name__ pseudo-label, range topk/quantile/fraction, exact-
     #       micros le bounds).
-    #   (b) 5 r7-tier picks, churn-prioritised: four promql r7 rows whose
-    #       machinery r9's promql churn (and this round's instant
-    #       resets/deriv + exp-histogram routing work) touches, plus the
-    #       round-10 addition maint_rollup_routed (never driver-checked).
+    #   (b) 5 non-r6 picks: three promql r7 rows whose machinery r9's
+    #       promql churn (and this round's instant resets/deriv +
+    #       exp-histogram routing work) touches, the round-10 addition
+    #       maint_rollup_routed (never driver-checked), and
+    #       maint_downsample (reformulated this round after the sf0.1
+    #       sweep caught round(AVG) rounding non-determinism).
     # Left out (still r7-stale, rotate into r11): the remaining r7 tier
     # (docs_minhash/simhash family, emb_* topk tiers, maint_* plans,
     # sql_cube/rollup, tpch_q3/10/14ish, promql_absent_over_time,
@@ -5737,9 +5752,12 @@ _DRIVER_WINDOW = [
     # and churns again this round: instant resets/deriv loud-reject,
     # exp-histogram routing in the parser)
     "promql_delta_faithful",
-    "promql_over_time",
     "promql_predict_linear",
     "promql_resets",
+    # -- (b) changed-in-r10: the sf0.1 sweep caught round(AVG) rounding
+    # non-determinism; the row was reformulated (exact moments, no
+    # rounding) and must re-verify under the driver this round
+    "maint_downsample",
     # -- (b) ADDED in round 10 — never driver-checked, windowed by the
     # coverage invariant (transparent rollup serving, VERDICT r9 item 2)
     "maint_rollup_routed",

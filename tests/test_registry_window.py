@@ -130,9 +130,11 @@ RECHECK: dict[str, str] = {
     "media_resize": "stale-r6",
     # -- r7-tier picks
     "promql_delta_faithful": "promql-churn",
-    "promql_over_time": "promql-churn",
     "promql_predict_linear": "promql-churn",
     "promql_resets": "promql-churn",
+    # -- changed in r10: reformulated after the sf0.1 sweep caught
+    # round(AVG(.)) rounding non-determinism (exact moments, no rounding)
+    "maint_downsample": "changed-r10",
 }
 
 
