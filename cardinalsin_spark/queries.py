@@ -147,13 +147,13 @@ def q_ts_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_cents(spark, sf_dir), 300, "avg", cols=EV_CENTS, value_alias="v"
     )
     return df.select(
-        "bucket", "event_type", F.round(F.col("v") / F.lit(100.0), 4).alias("value")
+        "bucket", "event_type", (F.col("v") / F.lit(100.0)).alias("value")
     )
 
 
 SQL_TS_BUCKET_AVG = f"""
 SELECT {_sql_bucket(300)} AS bucket, event_type,
-       round(avg({_sql_cents('value')}) / 100.0, 4) AS value
+       avg({_sql_cents('value')}) / 100.0 AS value
 FROM events GROUP BY 1, 2
 """
 
@@ -343,12 +343,12 @@ def q_ts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topk(3, avg) done correctly (reference degrades topk: no LIMIT)."""
     df = topk(_events_cents(spark, sf_dir), 3, "avg", cols=EV_CENTS, value_alias="v")
     return df.select(
-        "event_type", F.round(F.col("v") / F.lit(100.0), 4).alias("value")
+        "event_type", (F.col("v") / F.lit(100.0)).alias("value")
     )
 
 
 SQL_TS_TOPK = f"""
-SELECT event_type, round(avg({_sql_cents('value')}) / 100.0, 4) AS value
+SELECT event_type, avg({_sql_cents('value')}) / 100.0 AS value
 FROM events GROUP BY 1
 ORDER BY avg({_sql_cents('value')}) DESC, event_type LIMIT 3
 """
@@ -1337,7 +1337,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(10000.0),
                 2,
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.avg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1351,7 +1351,7 @@ SELECT l_returnflag, l_linestatus,
          AS sum_base_price,
        round(CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE)
          / 10000.0, 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       avg(l_quantity) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1484,7 +1484,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("value_cents", cents(F.col("value")))
         .groupBy(time_bucket("ts", 60).alias("minute"), F.col("event_type"))
         .agg(
-            F.round(F.avg("value_cents") / F.lit(100.0), 4).alias("avg_value"),
+            (F.avg("value_cents") / F.lit(100.0)).alias("avg_value"),
             F.round(
                 F.percentile("value_cents", F.lit(0.99)) / F.lit(100.0), 4
             ).alias("p99_value"),
@@ -1496,7 +1496,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FLAGSHIP = f"""
 SELECT {_sql_bucket(60)} AS minute, event_type,
-       round(avg({_sql_cents('value')}) / 100.0, 4) AS avg_value,
+       avg({_sql_cents('value')}) / 100.0 AS avg_value,
        round(quantile_cont({_sql_cents('value')}, 0.99) / 100.0, 4) AS p99_value,
        count(*) AS sample_count
 FROM events
