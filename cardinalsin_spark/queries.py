@@ -961,14 +961,14 @@ def q_promql_instant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.col("timestamp_").alias("sample_time"),
-        F.round(F.col("value").cast("double") / F.lit(100.0), 4).alias("value"),
+        (F.col("value").cast("double") / F.lit(100.0)).alias("value"),
     )
 
 
 SQL_PROMQL_INSTANT_TOPK = f"""
 SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
        max(ts) AS sample_time,
-       round(CAST(avg({_sql_cents('value')}) AS DOUBLE) / 100.0, 4) AS value
+       CAST(avg({_sql_cents('value')}) AS DOUBLE) / 100.0 AS value
 FROM events
 WHERE event_type = 'view'
 GROUP BY 1, 2

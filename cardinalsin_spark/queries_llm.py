@@ -115,9 +115,8 @@ def q_docs_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_sent.cast("long").alias("n_sentences"),
         toks.cast("long").alias("n_tokens"),
-        F.round(
-            toks.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double"),
-            4,
+        (
+            toks.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double")
         ).alias("tokens_per_sentence"),
     )
 
@@ -126,8 +125,8 @@ SQL_DOCS_SENTENCE_STATS = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
        CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n_tokens,
-       round(CAST(len({_SQL_TOKS_RAW}) AS DOUBLE)
-             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1), 4)
+       CAST(len({_SQL_TOKS_RAW}) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
          AS tokens_per_sentence
 FROM documents
 """
