@@ -555,3 +555,40 @@ def test_refresh_rollup_concurrent_refreshes_idempotent(spark, tmp_path):
     assert _rows_all(ru.read(spark)) == _rows_all(
         downsample(cat.read(spark), 300, ["metric_name"])
     )
+
+
+def test_refresh_incremental_reads_only_delta_files(spark, tmp_path):
+    """The incremental arm's cost contract: the CDC read feeding the
+    partial downsample touches ONLY the files added since the last
+    refresh — at 100 TB the steady-state refresh tracks the append, not
+    the table."""
+    import os
+
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "b")
+    spark.range(0, 2000).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 600).alias(
+            "timestamp"
+        ),
+        F.lit("m").alias("metric_name"),
+        F.col("id").cast("double").alias("value"),
+    ).repartition(4).write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    spark.range(2000, 2500).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 600).alias(
+            "timestamp"
+        ),
+        F.lit("m").alias("metric_name"),
+        F.col("id").cast("double").alias("value"),
+    ).coalesce(1).write.mode("append").parquet(root)
+    cat.commit_new_files()
+    added = cat.diff(0, 1)["added"]
+    delta = cat.read_changes(spark, 0, 1)
+    scanned = {
+        os.path.relpath(p.replace("file:", ""), root)
+        for p in delta.inputFiles()
+    }
+    assert scanned == set(added)
+    assert len(scanned) == 1  # one appended file, not the 4-file base
