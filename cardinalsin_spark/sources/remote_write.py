@@ -356,7 +356,9 @@ def _native_histogram_rows(
     return rows
 
 
-def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]]:
+def decode_write_request_v2(
+    payload: bytes, created_zero: bool = False
+) -> list[tuple[int, str, float, dict]]:
     """Remote-write 2.0 (``io.prometheus.write.v2.Request``, the current
     public spec) → the same flat rows as the v1 decoder. The 2.0 format
     string-interns every label into a request-level ``symbols`` table
@@ -368,6 +370,11 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
     with the OTLP ingest (``_native_histogram_rows``); custom-bucket
     (NHCB, schema −53) payloads loud-reject. Classic histograms arrive as
     ordinary ``_bucket``/``_sum``/``_count`` series and work as in v1.
+    ``created_zero=True`` opts into CT-zero injection: a series whose 2.0
+    ``created_timestamp`` (field 6, ms) predates its first sample gets a
+    synthetic zero sample there — the Prometheus created-timestamp
+    semantics that make ``rate``/``increase`` see a counter's rise from
+    birth. Off by default (row-for-row wire fidelity).
     The reference supports only v1 (``api/ingest/prometheus.rs``)."""
     buf = _maybe_decompress(payload)
     symbols: list[str] = []
@@ -382,6 +389,7 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
         refs: list[int] = []
         samples: list[tuple[float, int]] = []
         histograms: list[dict] = []
+        created_ms = 0
         for fno, wt, val in _fields(ts_buf):
             if fno == 1 and wt == 2:  # packed uint32 refs
                 i = 0
@@ -394,6 +402,8 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
                 samples.append(_decode_sample(val))
             elif fno == 3 and wt == 2:  # native Histogram (write.v2)
                 histograms.append(_decode_native_histogram(val))
+            elif fno == 6 and wt == 0:  # created_timestamp (ms)
+                created_ms = val - (1 << 64) if val >= 1 << 63 else val
         if len(refs) % 2:
             raise ValueError(
                 f"odd labels_refs length {len(refs)} (must be name/value pairs)"
@@ -402,6 +412,16 @@ def decode_write_request_v2(payload: bytes) -> list[tuple[int, str, float, dict]
         for j in range(0, len(refs), 2):
             labels[symbols[refs[j]]] = symbols[refs[j + 1]]
         metric = labels.pop("__name__", "")
+        if created_zero and created_ms > 0 and samples:
+            # CT-zero injection (Prometheus created-timestamp handling):
+            # a counter born at CT strictly before its first sample gets
+            # a synthetic zero there, so rate/increase over the window
+            # see the true rise from zero instead of missing the first
+            # segment. Never injected at/after the first sample (the CT
+            # would lie about an already-advanced counter).
+            first_ts = min(ts for _, ts in samples)
+            if created_ms < first_ts:
+                rows.append((created_ms, metric, 0.0, dict(labels)))
         for v, ts in samples:
             rows.append((ts, metric, v, dict(labels)))
         for h in histograms:
@@ -427,6 +447,7 @@ def remote_write_flatten(
     bytes_col: str = "payload",
     on_error: str = "skip",
     version: str | int = 1,
+    created_zero: bool = False,
 ) -> DataFrame:
     """binary WriteRequest payloads → (ts_ms, metric_name, value, labels).
 
@@ -440,6 +461,8 @@ def remote_write_flatten(
     reference's only format), ``2`` (remote-write 2.0 symbol-table
     format), or ``"auto"`` to sniff per payload (the field sets are
     disjoint, so the sniff cannot misroute a well-formed request).
+    ``created_zero`` opts v2 payloads into CT-zero injection (see
+    :func:`decode_write_request_v2`); v1 has no created timestamps.
     """
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
@@ -456,10 +479,12 @@ def remote_write_flatten(
                 try:
                     raw = bytes(payload)
                     if version == 2:
-                        rows.extend(decode_write_request_v2(raw))
+                        rows.extend(decode_write_request_v2(raw, created_zero))
                     elif version == "auto":
                         if _looks_like_v2(_maybe_decompress(raw)):
-                            rows.extend(decode_write_request_v2(raw))
+                            rows.extend(
+                                decode_write_request_v2(raw, created_zero)
+                            )
                         else:
                             rows.extend(decode_write_request(raw))
                     else:
@@ -480,11 +505,14 @@ def remote_write_to_metrics(
     label_keys: list[str] | None = None,
     bytes_col: str = "payload",
     version: str | int = 1,
+    created_zero: bool = False,
 ) -> DataFrame:
     """Full remote-write ingest: decode, pivot labels to columns, route
     value types (f64/i64/u64 by losslessness, like the reference).
-    ``version`` as in :func:`remote_write_flatten` (1, 2 or "auto")."""
-    flat = remote_write_flatten(payloads, bytes_col, version=version)
+    ``version``/``created_zero`` as in :func:`remote_write_flatten`."""
+    flat = remote_write_flatten(
+        payloads, bytes_col, version=version, created_zero=created_zero
+    )
     if label_keys is None:
         label_keys = sorted(
             r[0]

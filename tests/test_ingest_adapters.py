@@ -1295,3 +1295,46 @@ def test_histogram_fraction_promql_text_routes_exp_family(spark, tmp_path):
         eng.promql_instant(
             'histogram_fraction(0, 2, {__name__=~"rt.*"})', time_s=t
         )
+
+
+def test_v2_created_timestamp_zero_injection(spark):
+    """Remote-write 2.0 created_timestamp (TimeSeries field 6): with
+    created_zero=True a counter born before its first sample gets a
+    synthetic zero at CT, so rate/increase see the rise from birth;
+    off by default; never injected at/after the first sample."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request_v2,
+        remote_write_flatten,
+    )
+
+    def v2_with_ct(labels, samples, ct_ms):
+        symbols = [""]
+        refs = []
+        for k, v in labels.items():
+            for sym in (k, v):
+                if sym not in symbols:
+                    symbols.append(sym)
+            refs.extend((symbols.index(k), symbols.index(v)))
+        ts = _ld(1, b"".join(_varint(r) for r in refs))
+        ts += b"".join(_ld(2, _sample(v, t)) for v, t in samples)
+        ts += _varint(6 << 3 | 0) + _varint(ct_ms)
+        return b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+    payload = v2_with_ct(
+        {"__name__": "req_total", "svc": "a"}, [(5.0, 1000), (9.0, 2000)],
+        ct_ms=400,
+    )
+    # default: wire fidelity, no synthetic rows
+    assert len(decode_write_request_v2(payload)) == 2
+    rows = decode_write_request_v2(payload, created_zero=True)
+    assert (400, "req_total", 0.0, {"svc": "a"}) in rows
+    assert len(rows) == 3
+    # CT at/after the first sample: the counter had already advanced —
+    # no injection
+    late = v2_with_ct({"__name__": "m"}, [(5.0, 1000)], ct_ms=1000)
+    assert len(decode_write_request_v2(late, created_zero=True)) == 1
+    # flatten plumb-through
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    got = remote_write_flatten(df, version=2, created_zero=True).collect()
+    assert sorted(r.ts_ms for r in got) == [400, 1000, 2000]
+    assert [r.value for r in got if r.ts_ms == 400] == [0.0]
