@@ -185,6 +185,7 @@ def otlp_json_flatten(
     payloads: DataFrame,
     json_col: str = "payload",
     histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> DataFrame:
     """OTLP/JSON payload strings → (ts_ns, metric_name, value, labels map).
 
@@ -203,6 +204,13 @@ def otlp_json_flatten(
     collapse (they carry no explicit bounds). All expansion is
     DataFrame-side (posexplode + aggregate over the bucket arrays), no
     Python in the loop."""
+    if start_zero:
+        raise ValueError(
+            "start_zero (start-time zero injection) is wire-format-only: "
+            "use otlp_proto_flatten/otlp_proto_to_metrics — the JSON "
+            "column-algebra twin does not implement it, and silently "
+            "ignoring the flag would under-report counter increases"
+        )
     parsed = payloads.select(
         F.from_json(F.col(json_col), OTLP_JSON_SCHEMA).alias("p")
     )
@@ -533,11 +541,17 @@ def otlp_to_metrics(
     label_keys: list[str] | None = None,
     json_col: str = "payload",
     histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> DataFrame:
     """Full OTLP/JSON ingest: flatten, pivot labels, route value types.
     ``histogram_buckets=True`` preserves classic-histogram buckets as
     per-``le`` rows (see :func:`otlp_json_flatten`) so the ingested table
-    answers ``histogram_quantile``/``histogram_fraction`` directly."""
+    answers ``histogram_quantile``/``histogram_fraction`` directly.
+    ``start_zero`` loud-rejects (see :func:`otlp_json_flatten`)."""
+    if start_zero:
+        raise ValueError(
+            "start_zero is wire-format-only: use otlp_proto_to_metrics"
+        )
     return _flat_to_metrics(
         otlp_json_flatten(payloads, json_col, histogram_buckets), label_keys
     )
@@ -609,12 +623,15 @@ def _fixed64_i64(raw: bytes) -> int:
     return u - (1 << 64) if u >= 1 << 63 else u
 
 
-def _decode_number_point(buf: bytes) -> tuple[int, float, dict]:
+def _decode_number_point(buf: bytes) -> tuple[int, float, dict, int]:
     ts = 0
+    start_ns = 0
     value = float("nan")  # no value field → NaN, like the reference
     attrs: dict[str, str] = {}
     for fno, wt, val in _fields(buf):
-        if fno == 3 and wt == 1:
+        if fno == 2 and wt == 1:
+            start_ns = _fixed64_i64(val)
+        elif fno == 3 and wt == 1:
             ts = _fixed64_i64(val)
         elif fno == 4 and wt == 1:
             value = struct.unpack("<d", val)[0]
@@ -623,7 +640,7 @@ def _decode_number_point(buf: bytes) -> tuple[int, float, dict]:
         elif fno == 7 and wt == 2:
             k, v = _key_values(val)
             attrs[k] = v
-    return ts, value, attrs
+    return ts, value, attrs, start_ns
 
 
 def _packed_fixed64(val: bytes) -> list[int]:
@@ -853,10 +870,16 @@ _POINT_KINDS: dict[int, tuple] = {
 
 
 def _decode_metric(
-    buf: bytes, res_labels: dict, histogram_buckets: bool = False
+    buf: bytes, res_labels: dict, histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> list[tuple[int, str, float, dict]]:
     name = ""
     point_bufs: list[tuple[int, bytes]] = []
+    # Sum envelope metadata (aggregation_temporality=2, is_monotonic=3):
+    # start-zero injection only makes sense for MONOTONIC CUMULATIVE sums
+    # — a counter born at start_time; gauges/delta sums never inject
+    sum_temporality = 0
+    sum_monotonic = False
     for fno, wt, val in _fields(buf):
         if fno == 1 and wt == 2:
             name = val.decode("utf-8")
@@ -864,7 +887,13 @@ def _decode_metric(
             for dfno, dwt, dval in _fields(val):
                 if dfno == 1 and dwt == 2:  # data_points
                     point_bufs.append((fno, dval))
+                elif fno == 7 and dfno == 2 and dwt == 0:
+                    sum_temporality = dval
+                elif fno == 7 and dfno == 3 and dwt == 0:
+                    sum_monotonic = bool(dval)
     rows = []
+    injected: set = set()  # one zero per (series, start) even though
+    # every cumulative point repeats the same start_time
     for kind_field, pbuf in point_bufs:
         if histogram_buckets and kind_field == 9:
             ts, count, s, counts, bounds, attrs = (
@@ -890,7 +919,24 @@ def _decode_metric(
             continue
         kind, args = _POINT_KINDS[kind_field]
         if kind == "number":
-            ts, value, attrs = _decode_number_point(pbuf)
+            ts, value, attrs, start_ns = _decode_number_point(pbuf)
+            if (
+                start_zero
+                and kind_field == 7  # Sum
+                and sum_monotonic
+                and sum_temporality == 2  # CUMULATIVE
+                and 0 < start_ns < ts
+            ):
+                # CT-zero injection (the remote-write 2.0
+                # created_timestamp semantics on the OTLP side): the
+                # counter was born at start_time strictly before this
+                # sample, so rate/increase should see its rise from zero
+                key = (start_ns, tuple(sorted(attrs.items())))
+                if key not in injected:
+                    injected.add(key)
+                    rows.append(
+                        (start_ns, name, 0.0, {**res_labels, **attrs})
+                    )
         else:
             ts, value, attrs = _decode_histo_point(pbuf, *args)
         rows.append((ts, name, value, {**res_labels, **attrs}))
@@ -898,7 +944,8 @@ def _decode_metric(
 
 
 def decode_export_metrics_request(
-    payload: bytes, histogram_buckets: bool = False
+    payload: bytes, histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> list[tuple[int, str, float, dict]]:
     """One ExportMetricsServiceRequest → [(ts_ns, metric_name, value,
     labels), ...] with point attributes overriding resource attributes
@@ -926,7 +973,9 @@ def decode_export_metrics_request(
             for f3, w3, mbuf in _fields(sm):
                 if f3 == 2 and w3 == 2:  # Metric
                     rows.extend(
-                        _decode_metric(mbuf, res_labels, histogram_buckets)
+                        _decode_metric(
+                            mbuf, res_labels, histogram_buckets, start_zero
+                        )
                     )
     return rows
 
@@ -936,12 +985,20 @@ def otlp_proto_flatten(
     bytes_col: str = "payload",
     on_error: str = "skip",
     histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> DataFrame:
     """binary ExportMetricsServiceRequest payloads → flat point rows.
 
     Same error-isolation contract as ``remote_write_flatten``: one
     malformed payload must not fail the ingest job; skipped payloads count
-    in the ``otlp_decode_errors`` accumulator."""
+    in the ``otlp_decode_errors`` accumulator.
+
+    ``start_zero=True`` opts monotonic CUMULATIVE sums into start-time
+    zero injection — the remote-write 2.0 created_timestamp semantics on
+    the OTLP side: a counter whose ``start_time_unix_nano`` strictly
+    predates its first sample gets one synthetic zero there, so
+    rate/increase see the rise from birth. Wire-format path only (the
+    JSON twin loud-rejects the flag)."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     acc = payloads.sparkSession.sparkContext.accumulator(0)
@@ -956,7 +1013,7 @@ def otlp_proto_flatten(
                 try:
                     rows.extend(
                         decode_export_metrics_request(
-                            bytes(payload), histogram_buckets
+                            bytes(payload), histogram_buckets, start_zero
                         )
                     )
                 except (ValueError, UnicodeDecodeError, struct.error):
@@ -975,12 +1032,14 @@ def otlp_proto_to_metrics(
     label_keys: list[str] | None = None,
     bytes_col: str = "payload",
     histogram_buckets: bool = False,
+    start_zero: bool = False,
 ) -> DataFrame:
     """Full OTLP protobuf ingest: wire decode, pivot labels, route value
     types — the wire-true twin of :func:`otlp_to_metrics`."""
     return _flat_to_metrics(
         otlp_proto_flatten(
-            payloads, bytes_col, histogram_buckets=histogram_buckets
+            payloads, bytes_col, histogram_buckets=histogram_buckets,
+            start_zero=start_zero,
         ),
         label_keys,
     )

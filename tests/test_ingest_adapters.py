@@ -1338,3 +1338,57 @@ def test_v2_created_timestamp_zero_injection(spark):
     got = remote_write_flatten(df, version=2, created_zero=True).collect()
     assert sorted(r.ts_ms for r in got) == [400, 1000, 2000]
     assert [r.value for r in got if r.ts_ms == 400] == [0.0]
+
+
+def test_otlp_start_time_zero_injection(spark):
+    """OTLP start-time zero injection (the CT-zero twin): monotonic
+    CUMULATIVE sums whose start_time_unix_nano predates the first sample
+    get ONE synthetic zero per series at start; gauges, delta sums,
+    non-monotonic sums and repeated per-point start_times never inject;
+    the JSON twin loud-rejects the flag."""
+    from cardinalsin_spark.sources.otlp import (
+        decode_export_metrics_request,
+        otlp_json_flatten,
+        otlp_proto_flatten,
+        otlp_to_metrics,
+    )
+
+    def sum_metric(name, points, temporality=2, monotonic=True):
+        data = b"".join(_ld(1, p) for p in points)
+        data += _varint(2 << 3 | 0) + _varint(temporality)
+        data += _varint(3 << 3 | 0) + _varint(1 if monotonic else 0)
+        return _ld(1, name.encode()) + _ld(7, data)
+
+    def pt(ts_ns, v, start_ns):
+        return _fixed64(2, start_ns) + _number_point(ts_ns, as_double=v)
+
+    t0, t1, t2 = 1_000, 2_000, 3_000
+    payload = _export_request(
+        [],
+        [
+            sum_metric("c", [pt(t1, 5.0, t0), pt(t2, 9.0, t0)]),
+            sum_metric("d", [pt(t1, 5.0, t0)], temporality=1),  # DELTA
+            sum_metric("g", [pt(t1, 5.0, t0)], monotonic=False),
+            _metric("gauge", 5, [pt(t1, 7.0, t0)]),
+            sum_metric("late", [pt(t1, 5.0, t1)]),  # start == first ts
+        ],
+    )
+    # default: wire fidelity — no synthetic rows
+    base = decode_export_metrics_request(payload)
+    assert not any(ts == t0 for ts, *_ in base)
+    rows = decode_export_metrics_request(payload, start_zero=True)
+    zeros = [(ts, n, v) for ts, n, v, _ in rows if ts == t0]
+    assert zeros == [(t0, "c", 0.0)]  # ONE zero despite two points
+    assert len(rows) == len(base) + 1
+    # flatten plumb-through
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    got = otlp_proto_flatten(df, start_zero=True).collect()
+    assert sorted(r.value for r in got if r.metric_name == "c") == [
+        0.0, 5.0, 9.0
+    ]
+    # JSON twin loud-rejects instead of silently ignoring the flag
+    jdf = spark.createDataFrame([("{}",)], "payload string")
+    with pytest.raises(ValueError, match="wire-format-only"):
+        otlp_json_flatten(jdf, start_zero=True)
+    with pytest.raises(ValueError, match="wire-format-only"):
+        otlp_to_metrics(jdf, start_zero=True)
