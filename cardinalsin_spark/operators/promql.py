@@ -2126,7 +2126,13 @@ def _maybe_route_rollup_instant(
         return None
     from cardinalsin_spark.sources.snapshots import read_table_auto
 
-    ro = read_table_auto(df.sparkSession, best[1])
+    # a DataFrame target is the engine's fresh='union' shape: rollup
+    # rows ∪ downsampled read_changes delta, pre-built at route-list time
+    ro = (
+        read_table_auto(df.sparkSession, best[1])
+        if isinstance(best[1], str)
+        else best[1]
+    )
     gcols = discover_label_columns(parsed)
     need = {cols.name, "bucket", "max_ts", *gcols} | {
         m.label for m in parsed.label_matchers if m.label != "__name__"
@@ -2209,8 +2215,14 @@ def _maybe_route_rollup(
 
     # manifest-routed when the rollup is itself a snapshot table (the
     # refresh_rollup shape): a root read would skip the underscore-hidden
-    # merge output and serve the stale bootstrap files
-    ro = read_table_auto(df.sparkSession, best[1])
+    # merge output and serve the stale bootstrap files. A DataFrame
+    # target is the engine's fresh='union' real-time shape (rollup rows
+    # ∪ downsampled delta moments), used as-is.
+    ro = (
+        read_table_auto(df.sparkSession, best[1])
+        if isinstance(best[1], str)
+        else best[1]
+    )
     need = {cols.name, "bucket", *gcols} | {
         m.label for m in parsed.label_matchers if m.label != "__name__"
     }

@@ -88,6 +88,12 @@ def rollup_window_covers(
         s_us = int(round(start_s * 1e6))
         e_us = int(round(end_s * 1e6))
         return s_us % r_us == 0 and (e_us + 1) % r_us == 0
+    if start_s != int(start_s) or end_s != int(end_s):
+        # fractional bounds never claim coverage under the seconds
+        # convention (ADVICE r10): int() truncation would let e.g.
+        # start=0.5 route while the raw path's ts >= 0.5 filter excludes
+        # the whole-second sample at t=0 the rollup bucket includes
+        return False
     return int(start_s) % resolution_s == 0 and (int(end_s) + 1) % resolution_s == 0
 
 
@@ -132,6 +138,16 @@ def refresh_rollup(
       engine converges to, paid only on rewrite-shaped base commits —
       plain appends, the 100 TB steady state, stay incremental).
 
+    Every mode runs inside ONE retried CAS attempt that re-reads both
+    heads (ADVICE r10): the bootstrap stages under the writer-unique
+    token scheme of ``_rewrite_and_commit`` (a shared staging dir let a
+    racing bootstrap's overwrite delete the winner's committed files),
+    and the incremental arm recomputes touched buckets per attempt and
+    CAS-pins the rollup head it planned against — a concurrent refresh
+    that folded a newer base version in between conflicts instead of
+    being overwritten with stale moments. A refresh that finds the
+    current rollup already at (or past) its own base target no-ops.
+
     ``base`` is a ``SnapshotCatalog``; ``transform`` (optional) maps the
     raw stored schema to query shape before downsampling (the engine
     passes its coalesced ``value`` view). Returns the rollup's new (or
@@ -161,80 +177,81 @@ def refresh_rollup(
         "rollup_resolution_s": int(resolution_s),
     }
     ru = SnapshotCatalog(rollup_root)
-    head = ru.current_version()
-    if head is None:
-        os.makedirs(rollup_root, exist_ok=True)
-        _downsample(base.read(spark, base_head)).coalesce(
-            target_files
-        ).write.mode("overwrite").parquet(
-            os.path.join(rollup_root, "_bootstrap")
-        )
-        boot = os.path.join(rollup_root, "_bootstrap")
-        files = sorted(
-            os.path.join(boot, f)
-            for f in os.listdir(boot)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        return ru.commit(files, None, extra=extra)
-    man = ru.manifest(head)
-    last_res = man.get("rollup_resolution_s")
-    if last_res is not None and int(last_res) != int(resolution_s):
-        raise ValueError(
-            f"rollup at {rollup_root} has resolution {last_res}s; "
-            f"refusing to refresh at {resolution_s}s (rebuild into a new "
-            "path instead)"
-        )
-    last = man.get("rollup_base_version")
-    if last == base_head:
-        return head  # no-op: already folded through the base head
-    diff = base.diff(last, base_head)
-    if last is None or diff["removed"]:
-        # rewrite-shaped base commit: moments cannot be subtracted
-        full = _downsample(base.read(spark, base_head))
 
-        def _rebuild() -> int:
-            h = ru.current_version()
+    def _attempt() -> int:
+        # re-read BOTH heads each attempt: after a lost CAS race the
+        # refresh decision (bootstrap / no-op / incremental / rebuild)
+        # is re-derived from the winner's state, never replayed stale
+        head = ru.current_version()
+        if head is None:
+            os.makedirs(rollup_root, exist_ok=True)
+            full = _downsample(base.read(spark, base_head))
             return ru._rewrite_and_commit(
-                full, h, target_files, "bucket", extra=extra
+                full, None, target_files, "bucket", extra=extra
             )
+        man = ru.manifest(head)
+        last_res = man.get("rollup_resolution_s")
+        if last_res is not None and int(last_res) != int(resolution_s):
+            raise ValueError(
+                f"rollup at {rollup_root} has resolution {last_res}s; "
+                f"refusing to refresh at {resolution_s}s (rebuild into a "
+                "new path instead)"
+            )
+        last = man.get("rollup_base_version")
+        if last is not None and last >= base_head:
+            # no-op: this base head (or a newer one — a concurrent
+            # refresh won the race) is already folded in; re-folding
+            # the delta would double-count sums/counts
+            return head
+        diff = base.diff(last, base_head)
+        if last is None or diff["removed"]:
+            # rewrite-shaped base commit: moments cannot be subtracted
+            full = _downsample(base.read(spark, base_head))
+            return ru._rewrite_and_commit(
+                full, head, target_files, "bucket", extra=extra
+            )
+        delta = base.read_changes(spark, last, base_head)
+        partial = _downsample(delta)
+        keys = ["bucket", *series_cols]
+        touched = ru.read(spark, head).join(
+            partial.select(*keys).distinct(), keys, "left_semi"
+        )
+        combined = (
+            touched.unionByName(partial)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+                F.sum("sum_value").alias("sum_value"),
+                F.sum("count_value").alias("count_value"),
+                F.max("max_ts").alias("max_ts"),
+            )
+            .select(
+                *keys,
+                (F.col("sum_value") / F.col("count_value")).alias("avg_value"),
+                "min_value",
+                "max_value",
+                "sum_value",
+                "count_value",
+                "max_ts",
+            )
+        )
+        # head= pins the merge to the snapshot `touched` was computed
+        # from: a commit landing in between conflicts (and this whole
+        # closure re-runs) instead of merge_upsert silently applying
+        # stale buckets over the winner's newer moments
+        return ru._merge_upsert_once(
+            spark,
+            combined,
+            key_cols=keys,
+            ts_col="bucket",
+            target_files=target_files,
+            prune_files=True,
+            extra=extra,
+            head=head,
+        )
 
-        return ru._retrying(_rebuild, retries)
-    delta = base.read_changes(spark, last, base_head)
-    partial = _downsample(delta)
-    keys = ["bucket", *series_cols]
-    touched = ru.read(spark, head).join(
-        partial.select(*keys).distinct(), keys, "left_semi"
-    )
-    combined = (
-        touched.unionByName(partial)
-        .groupBy(*[F.col(k) for k in keys])
-        .agg(
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-            F.sum("sum_value").alias("sum_value"),
-            F.sum("count_value").alias("count_value"),
-            F.max("max_ts").alias("max_ts"),
-        )
-        .select(
-            *keys,
-            (F.col("sum_value") / F.col("count_value")).alias("avg_value"),
-            "min_value",
-            "max_value",
-            "sum_value",
-            "count_value",
-            "max_ts",
-        )
-    )
-    return ru.merge_upsert(
-        spark,
-        combined,
-        key_cols=keys,
-        ts_col="bucket",
-        target_files=target_files,
-        prune_files=True,
-        retries=retries,
-        extra=extra,
-    )
+    return ru._retrying(_attempt, retries)
 
 
 def rollup_moment(agg: str, sum_col: str = "sum_value", count_col: str = "count_value",

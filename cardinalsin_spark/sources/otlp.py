@@ -871,8 +871,8 @@ _POINT_KINDS: dict[int, tuple] = {
 
 def _decode_metric(
     buf: bytes, res_labels: dict, histogram_buckets: bool = False,
-    start_zero: bool = False,
-) -> list[tuple[int, str, float, dict]]:
+    start_zero: bool = False, _flag_injected: bool = False,
+) -> list[tuple]:
     name = ""
     point_bufs: list[tuple[int, bytes]] = []
     # Sum envelope metadata (aggregation_temporality=2, is_monotonic=3):
@@ -893,7 +893,10 @@ def _decode_metric(
                     sum_monotonic = bool(dval)
     rows = []
     injected: set = set()  # one zero per (series, start) even though
-    # every cumulative point repeats the same start_time
+    # every cumulative point repeats the same start_time; cross-PAYLOAD
+    # repeats are deduped DataFrame-side in otlp_proto_flatten (ADVICE
+    # r10), which is what _flag_injected marks rows for
+    inj_idx: set[int] = set()
     for kind_field, pbuf in point_bufs:
         if histogram_buckets and kind_field == 9:
             ts, count, s, counts, bounds, attrs = (
@@ -934,19 +937,22 @@ def _decode_metric(
                 key = (start_ns, tuple(sorted(attrs.items())))
                 if key not in injected:
                     injected.add(key)
+                    inj_idx.add(len(rows))
                     rows.append(
                         (start_ns, name, 0.0, {**res_labels, **attrs})
                     )
         else:
             ts, value, attrs = _decode_histo_point(pbuf, *args)
         rows.append((ts, name, value, {**res_labels, **attrs}))
+    if _flag_injected:
+        return [(*r, i in inj_idx) for i, r in enumerate(rows)]
     return rows
 
 
 def decode_export_metrics_request(
     payload: bytes, histogram_buckets: bool = False,
-    start_zero: bool = False,
-) -> list[tuple[int, str, float, dict]]:
+    start_zero: bool = False, _flag_injected: bool = False,
+) -> list[tuple]:
     """One ExportMetricsServiceRequest → [(ts_ns, metric_name, value,
     labels), ...] with point attributes overriding resource attributes
     (reference ``api/ingest/otlp.rs:merge_labels``).
@@ -974,7 +980,8 @@ def decode_export_metrics_request(
                 if f3 == 2 and w3 == 2:  # Metric
                     rows.extend(
                         _decode_metric(
-                            mbuf, res_labels, histogram_buckets, start_zero
+                            mbuf, res_labels, histogram_buckets, start_zero,
+                            _flag_injected,
                         )
                     )
     return rows
@@ -998,11 +1005,17 @@ def otlp_proto_flatten(
     the OTLP side: a counter whose ``start_time_unix_nano`` strictly
     predates its first sample gets one synthetic zero there, so
     rate/increase see the rise from birth. Wire-format path only (the
-    JSON twin loud-rejects the flag)."""
+    JSON twin loud-rejects the flag). Injected zeros are deduped ACROSS
+    payloads here (ADVICE r10): every scrape repeats the same
+    start_time, and without this dedup each request would stack another
+    (ts=start, 0.0) row — inflating ``count_over_time``/``avg`` windows
+    spanning the start. Real samples are never touched."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     acc = payloads.sparkSession.sparkContext.accumulator(0)
     schema = "ts_ns long, metric_name string, value double, labels map<string,string>"
+    if start_zero:
+        schema += ", _ct_injected boolean"
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1013,18 +1026,34 @@ def otlp_proto_flatten(
                 try:
                     rows.extend(
                         decode_export_metrics_request(
-                            bytes(payload), histogram_buckets, start_zero
+                            bytes(payload), histogram_buckets, start_zero,
+                            _flag_injected=start_zero,
                         )
                     )
                 except (ValueError, UnicodeDecodeError, struct.error):
                     if on_error == "raise":
                         raise
                     acc.add(1)
-            yield pd.DataFrame(
-                rows, columns=["ts_ns", "metric_name", "value", "labels"]
-            )
+            cols = ["ts_ns", "metric_name", "value", "labels"]
+            if start_zero:
+                cols.append("_ct_injected")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return payloads.select(bytes_col).mapInPandas(fn, schema)
+    flat = payloads.select(bytes_col).mapInPandas(fn, schema)
+    if not start_zero:
+        return flat
+    lk = F.to_json(F.array_sort(F.map_entries("labels")))
+    inj = (
+        flat.filter(F.col("_ct_injected"))
+        .withColumn("_lk", lk)
+        .dropDuplicates(["ts_ns", "metric_name", "_lk"])
+        .drop("_lk")
+    )
+    return (
+        flat.filter(~F.col("_ct_injected"))
+        .unionByName(inj)
+        .drop("_ct_injected")
+    )
 
 
 def otlp_proto_to_metrics(

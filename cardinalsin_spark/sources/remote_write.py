@@ -374,8 +374,21 @@ def decode_write_request_v2(
     ``created_timestamp`` (field 6, ms) predates its first sample gets a
     synthetic zero sample there — the Prometheus created-timestamp
     semantics that make ``rate``/``increase`` see a counter's rise from
-    birth. Off by default (row-for-row wire fidelity).
+    birth. Off by default (row-for-row wire fidelity). Injection is
+    per-payload; ``remote_write_flatten`` dedupes the synthetic zeros
+    ACROSS payloads (ADVICE r10 — Prometheus injects once because TSDB
+    rejects same-timestamp duplicates; this store has no such gate).
     The reference supports only v1 (``api/ingest/prometheus.rs``)."""
+    return _decode_write_request_v2_tracked(payload, created_zero)[0]
+
+
+def _decode_write_request_v2_tracked(
+    payload: bytes, created_zero: bool = False
+) -> tuple[list[tuple[int, str, float, dict]], set[int]]:
+    """:func:`decode_write_request_v2` plus the row indices of injected
+    CT-zero samples, so the flatten step can dedupe exactly those rows
+    across payloads without touching real samples."""
+    injected: set[int] = set()
     buf = _maybe_decompress(payload)
     symbols: list[str] = []
     series_bufs: list[bytes] = []
@@ -421,12 +434,13 @@ def decode_write_request_v2(
             # would lie about an already-advanced counter).
             first_ts = min(ts for _, ts in samples)
             if created_ms < first_ts:
+                injected.add(len(rows))
                 rows.append((created_ms, metric, 0.0, dict(labels)))
         for v, ts in samples:
             rows.append((ts, metric, v, dict(labels)))
         for h in histograms:
             rows.extend(_native_histogram_rows(metric, labels, h))
-    return rows
+    return rows, injected
 
 
 def _looks_like_v2(buf: bytes) -> bool:
@@ -463,41 +477,86 @@ def remote_write_flatten(
     disjoint, so the sniff cannot misroute a well-formed request).
     ``created_zero`` opts v2 payloads into CT-zero injection (see
     :func:`decode_write_request_v2`); v1 has no created timestamps.
+    Injected zeros are deduped ACROSS payloads here (ADVICE r10): a
+    scraper resending the same ``created_timestamp`` every request
+    would otherwise accumulate one synthetic (ts=CT, 0.0) row per
+    payload — rate/increase (MAX−MIN) shrug, but ``count_over_time``/
+    ``avg_over_time`` windows spanning the CT inflate. Prometheus gets
+    this dedup for free from TSDB's same-timestamp rejection; this
+    store has no such gate, so the flatten step drops duplicate
+    injected rows on (series labels, ts) — real samples are never
+    touched.
     """
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     if version not in (1, 2, "auto"):
         raise ValueError(f"version must be 1, 2 or 'auto', got {version!r}")
     acc = payloads.sparkSession.sparkContext.accumulator(0)
+    # created_zero rows carry an internal injected flag through the
+    # decode so the cross-payload dedup touches exactly those rows
+    schema = (
+        FLAT_SCHEMA + ", _ct_injected boolean" if created_zero else FLAT_SCHEMA
+    )
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             rows: list[tuple] = []
+
+            def _v2(raw: bytes) -> None:
+                if created_zero:
+                    r2, inj = _decode_write_request_v2_tracked(raw, True)
+                    rows.extend(
+                        (*t, i in inj) for i, t in enumerate(r2)
+                    )
+                else:
+                    rows.extend(decode_write_request_v2(raw))
+
+            def _v1(raw: bytes) -> None:
+                decoded = decode_write_request(raw)
+                if created_zero:
+                    rows.extend((*t, False) for t in decoded)
+                else:
+                    rows.extend(decoded)
+
             for payload in pdf[bytes_col]:
                 try:
                     raw = bytes(payload)
                     if version == 2:
-                        rows.extend(decode_write_request_v2(raw, created_zero))
+                        _v2(raw)
                     elif version == "auto":
                         if _looks_like_v2(_maybe_decompress(raw)):
-                            rows.extend(
-                                decode_write_request_v2(raw, created_zero)
-                            )
+                            _v2(raw)
                         else:
-                            rows.extend(decode_write_request(raw))
+                            _v1(raw)
                     else:
-                        rows.extend(decode_write_request(raw))
+                        _v1(raw)
                 except (ValueError, UnicodeDecodeError, struct.error, IndexError):
                     if on_error == "raise":
                         raise
                     acc.add(1)
-            yield pd.DataFrame(
-                rows, columns=["ts_ms", "metric_name", "value", "labels"]
-            )
+            cols = ["ts_ms", "metric_name", "value", "labels"]
+            if created_zero:
+                cols.append("_ct_injected")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return payloads.select(bytes_col).mapInPandas(fn, FLAT_SCHEMA)
+    flat = payloads.select(bytes_col).mapInPandas(fn, schema)
+    if not created_zero:
+        return flat
+    # canonical label key: maps aren't orderable, sorted entries are
+    lk = F.to_json(F.array_sort(F.map_entries("labels")))
+    inj = (
+        flat.filter(F.col("_ct_injected"))
+        .withColumn("_lk", lk)
+        .dropDuplicates(["ts_ms", "metric_name", "_lk"])
+        .drop("_lk")
+    )
+    return (
+        flat.filter(~F.col("_ct_injected"))
+        .unionByName(inj)
+        .drop("_ct_injected")
+    )
 
 
 def remote_write_to_metrics(

@@ -596,8 +596,16 @@ class SnapshotCatalog:
         target_files: int,
         prune_files: bool,
         extra: dict | None = None,
+        head: int | None = None,
     ) -> int:
-        head = self.current_version()
+        # ``head`` pins the snapshot this merge was PLANNED against (the
+        # concurrent-refresh fix, ADVICE r10): a caller that computed
+        # ``updates`` from version N passes head=N so the CAS commit
+        # conflicts — instead of silently applying stale rows — when
+        # another writer committed N+1 in between. None = plan against
+        # the current head (the plain merge_upsert path).
+        if head is None:
+            head = self.current_version()
         if head is None:
             raise FileNotFoundError("nothing to merge into: no snapshots")
         current = self.read(spark, head)
@@ -661,7 +669,7 @@ class SnapshotCatalog:
     def _rewrite_and_commit(
         self,
         df: DataFrame,
-        head: int,
+        head: int | None,
         target_files: int,
         ts_col: str,
         carry_files: list[str] | None = None,
@@ -680,12 +688,18 @@ class SnapshotCatalog:
         shared-name scheme rmtree-ing the competitor's in-progress write —
         data loss the manifest could then reference). The loser's dir is
         deleted on conflict below; a crash leaves it to
-        ``_reclaim_orphans``, whose patterns accept the token suffix."""
+        ``_reclaim_orphans``, whose patterns accept the token suffix.
+
+        ``head=None`` stages the BOOTSTRAP commit (v0) under the same
+        token scheme — two drivers racing the first write of a table each
+        stage privately and CAS on v0 decides (ADVICE r10: the rollup
+        bootstrap's shared ``_bootstrap`` dir had the loser's overwrite
+        deleting the winner's committed files)."""
         import shutil
         import threading
         import uuid
 
-        next_v = head + 1
+        next_v = 0 if head is None else head + 1
         token = f"{os.getpid():x}-{threading.get_ident():x}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, f"_staged-v{next_v:06d}-{token}")
         shutil.rmtree(out_dir, ignore_errors=True)

