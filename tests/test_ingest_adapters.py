@@ -1392,3 +1392,77 @@ def test_otlp_start_time_zero_injection(spark):
         otlp_json_flatten(jdf, start_zero=True)
     with pytest.raises(ValueError, match="wire-format-only"):
         otlp_to_metrics(jdf, start_zero=True)
+
+
+def test_ct_zero_injection_dedupes_across_payloads(spark):
+    """ADVICE r10: CT/start-zero injection is per payload, but a scraper
+    resends the same created_timestamp every request — the flatten step
+    must keep exactly ONE synthetic zero per (series, ts) across
+    payloads while leaving real samples untouched (duplicate real
+    samples are the store's normal at-least-once shape)."""
+    from cardinalsin_spark.sources.otlp import otlp_proto_flatten
+    from cardinalsin_spark.sources.remote_write import remote_write_flatten
+
+    def v2_with_ct(labels, samples, ct_ms):
+        symbols = [""]
+        refs = []
+        for k, v in labels.items():
+            for sym in (k, v):
+                if sym not in symbols:
+                    symbols.append(sym)
+            refs.extend((symbols.index(k), symbols.index(v)))
+        ts = _ld(1, b"".join(_varint(r) for r in refs))
+        ts += b"".join(_ld(2, _sample(v, t)) for v, t in samples)
+        ts += _varint(6 << 3 | 0) + _varint(ct_ms)
+        return b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+    pa = v2_with_ct(
+        {"__name__": "req_total", "svc": "a"}, [(5.0, 1000), (9.0, 2000)],
+        ct_ms=400,
+    )
+    pb = v2_with_ct(
+        {"__name__": "req_total", "svc": "b"}, [(3.0, 1500)], ct_ms=700
+    )
+    df = spark.createDataFrame(
+        [(bytearray(pa),), (bytearray(pa),), (bytearray(pa),),
+         (bytearray(pb),), (bytearray(pb),)],
+        "payload binary",
+    )
+    got = remote_write_flatten(df, version=2, created_zero=True).collect()
+    zeros = sorted(
+        (r.ts_ms, dict(r.labels)["svc"]) for r in got if r.value == 0.0
+    )
+    assert zeros == [(400, "a"), (700, "b")]  # one per series, not per payload
+    # real samples keep wire fidelity: 3x + 2x duplicates survive
+    assert sorted(r.ts_ms for r in got if r.value != 0.0) == (
+        [1000] * 3 + [1500] * 2 + [2000] * 3
+    )
+    # schema is unchanged by the internal flag column
+    assert remote_write_flatten(df, version=2, created_zero=True).columns == [
+        "ts_ms", "metric_name", "value", "labels"
+    ]
+
+    # OTLP twin: repeated ExportMetricsServiceRequest payloads
+    def sum_metric(name, points):
+        data = b"".join(_ld(1, p) for p in points)
+        data += _varint(2 << 3 | 0) + _varint(2)
+        data += _varint(3 << 3 | 0) + _varint(1)
+        return _ld(1, name.encode()) + _ld(7, data)
+
+    def pt(ts_ns, v, start_ns):
+        return _fixed64(2, start_ns) + _number_point(ts_ns, as_double=v)
+
+    payload = _export_request(
+        [], [sum_metric("c", [pt(2_000, 5.0, 1_000), pt(3_000, 9.0, 1_000)])]
+    )
+    odf = spark.createDataFrame(
+        [(bytearray(payload),), (bytearray(payload),)], "payload binary"
+    )
+    orows = otlp_proto_flatten(odf, start_zero=True).collect()
+    assert len([r for r in orows if r.value == 0.0]) == 1
+    assert sorted(r.ts_ns for r in orows if r.value != 0.0) == (
+        [2_000] * 2 + [3_000] * 2
+    )
+    assert otlp_proto_flatten(odf, start_zero=True).columns == [
+        "ts_ns", "metric_name", "value", "labels"
+    ]
