@@ -1024,6 +1024,7 @@ def _native_histogram(
     neg_spans: list[tuple[int, int]] = (),
     neg_deltas: list[int] = (),
     ts_ms: int = 0,
+    custom_values: list[float] = (),
 ) -> bytes:
     out = b""
     if count is not None:
@@ -1046,6 +1047,8 @@ def _native_histogram(
     if pos_counts:
         out += _ld(13, b"".join(struct.pack("<d", c) for c in pos_counts))
     out += _varint(15 << 3 | 0) + _varint(ts_ms & (1 << 64) - 1)
+    if custom_values:
+        out += _ld(16, b"".join(struct.pack("<d", b) for b in custom_values))
     return out
 
 
@@ -1121,18 +1124,120 @@ def test_v1_native_histogram_matches_v2():
     assert idxs == [("neg", "1"), ("pos", "-1"), ("pos", "0"), ("pos", "3")]
 
 
-def test_native_histogram_nhcb_loud_rejects(spark):
-    """Custom-bucket histograms (schema -53) cannot be expressed as
-    exponential buckets — loud-reject, never guess."""
-    from cardinalsin_spark.sources.remote_write import remote_write_flatten
+def test_native_histogram_nhcb_out_of_spec_loud_rejects(spark):
+    """NHCB (schema -53) now DECODES when well-formed; out-of-spec
+    payloads still loud-reject: no custom_values bounds, non-increasing
+    bounds, negative-side buckets, a used zero bucket, a bucket index
+    past +Inf — and out-of-spec exponential schemas stay rejected."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request_v2,
+        remote_write_flatten,
+    )
 
+    # no custom_values at all (the r10 reject case stays a reject)
     h = _native_histogram(count=3, schema=-53, pos_spans=[(0, 1)], pos_deltas=[3])
     payload = _v2_with_histogram({"__name__": "x"}, h)
     df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
-    with pytest.raises(Exception, match="NHCB|schema"):
+    with pytest.raises(Exception, match="NHCB|custom_values"):
         remote_write_flatten(df, version=2, on_error="raise").collect()
     # default on_error="skip" isolates the payload instead
     assert remote_write_flatten(df, version=2).count() == 0
+    bad = [
+        _native_histogram(  # non-increasing bounds
+            schema=-53, pos_spans=[(0, 2)], pos_deltas=[1, 1],
+            custom_values=[2.0, 2.0],
+        ),
+        _native_histogram(  # negative-side buckets
+            schema=-53, pos_spans=[(0, 1)], pos_deltas=[1],
+            neg_spans=[(0, 1)], neg_deltas=[1], custom_values=[1.0],
+        ),
+        _native_histogram(  # zero bucket in use
+            schema=-53, zero=2, pos_spans=[(0, 1)], pos_deltas=[1],
+            custom_values=[1.0],
+        ),
+        _native_histogram(  # index past the +Inf bucket
+            schema=-53, pos_spans=[(3, 1)], pos_deltas=[1],
+            custom_values=[1.0, 2.0],
+        ),
+        _native_histogram(schema=9, pos_spans=[(0, 1)], pos_deltas=[1]),
+    ]
+    for hb in bad:
+        with pytest.raises(ValueError, match="NHCB|schema"):
+            decode_write_request_v2(_v2_with_histogram({"__name__": "x"}, hb))
+
+
+def test_nhcb_decodes_to_classic_le_rows():
+    """NHCB decode (VERDICT r10 missing #2): schema -53 + custom_values
+    is the wire twin of a classic histogram — rows come out CUMULATIVE
+    per le with the classic _bucket/_count/_sum naming and +Inf, le
+    spelled Prometheus-style; prompb field 4 and write.v2 field 3 agree;
+    sparse spans fill gap buckets with the running cumulative."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request,
+        decode_write_request_v2,
+    )
+
+    # bounds [0.5, 1, 2.5] -> buckets (..,0.5] (0.5,1] (1,2.5] (2.5,+Inf)
+    # counts:      3        0 (gap)    5         2     via sparse spans
+    h = _native_histogram(
+        count=10, s=14.25, schema=-53,
+        pos_spans=[(0, 1), (1, 2)], pos_deltas=[3, 2, -3],
+        ts_ms=1000, custom_values=[0.5, 1.0, 2.5],
+    )
+    labels = {"__name__": "lat", "env": "prod"}
+    rows = decode_write_request_v2(_v2_with_histogram(labels, h))
+    by = {}
+    for ts, name, v, lbl in rows:
+        assert ts == 1000
+        by.setdefault(name, []).append((v, lbl))
+    got = sorted((lbl["le"], v) for v, lbl in by["lat_bucket"])
+    assert got == [("+Inf", 10.0), ("0.5", 3.0), ("1", 3.0), ("2.5", 8.0)]
+    for _, lbl in by["lat_bucket"]:
+        assert lbl["env"] == "prod" and "scale" not in lbl
+    assert by["lat_count"] == [(10.0, {"env": "prod"})]
+    assert by["lat_sum"] == [(14.25, {"env": "prod"})]
+    # prompb (v1) twin: identical rows off the identical message
+    ts_v1 = _ld(1, _label("__name__", "lat")) + _ld(1, _label("env", "prod"))
+    ts_v1 += _ld(4, h)
+    key = lambda r: (r[0], r[1], r[2], tuple(sorted(r[3].items())))  # noqa: E731
+    assert sorted(map(key, decode_write_request(_ld(1, ts_v1)))) == sorted(
+        map(key, rows)
+    )
+    # float-count (gauge) NHCB variant decodes the same shape
+    hf = _native_histogram(
+        s=1.0, schema=-53, pos_spans=[(0, 2)], pos_counts=[1.5, 2.5],
+        ts_ms=1000, custom_values=[1.0],
+    )
+    rf = decode_write_request_v2(_v2_with_histogram({"__name__": "g"}, hf))
+    assert sorted(
+        (lbl["le"], v) for ts, n, v, lbl in rf if n == "g_bucket"
+    ) == [("+Inf", 4.0), ("1", 1.5)]
+
+
+def test_nhcb_to_engine_histogram_quantile(spark, tmp_path):
+    """End-to-end round-trip: NHCB payload -> remote_write_to_metrics ->
+    metrics table -> promql histogram_quantile == the closed-form classic
+    interpolation (rank 5 inside (1,2] over cum 2->6: 1.75)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.remote_write import remote_write_to_metrics
+
+    h = _native_histogram(
+        count=10, s=16.0, schema=-53,
+        pos_spans=[(0, 3)], pos_deltas=[2, 2, 0],
+        ts_ms=1_700_000_000_000, custom_values=[1.0, 2.0],
+    )
+    payload = _v2_with_histogram({"__name__": "rt", "svc": "api"}, h)
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    wide = remote_write_to_metrics(df, version=2)
+    path = str(tmp_path / "m")
+    write_metrics(wide, path, mode="overwrite")
+    eng = CardinalSin(spark, path)
+    out = eng.promql_instant(
+        "histogram_quantile(0.5, rt_bucket)", time_s=1_700_000_000.0
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == 1.75
 
 
 def test_v2_native_histogram_to_engine_quantile(spark, tmp_path):

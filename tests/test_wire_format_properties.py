@@ -273,3 +273,60 @@ def test_native_histogram_expansion_property(schema, spans, data):
     )
     key = lambda r: (r[0], r[1], r[2], tuple(sorted(r[3].items())))  # noqa: E731
     assert sorted(map(key, v1)) == sorted(map(key, rows))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(0.001, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=6, unique=True,
+    ),
+    st.data(),
+)
+def test_nhcb_decode_property(raw_bounds, data):
+    """Random NHCB histograms (schema -53 + custom_values): decoded
+    ``{m}_bucket`` rows are the CUMULATIVE sums of the span-expanded
+    counts over the sorted bounds plus a +Inf total, count/sum rows
+    agree, and prompb field 4 (v1) yields the same row set."""
+    import itertools
+
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request,
+        decode_write_request_v2,
+    )
+    from tests.test_ingest_adapters import (
+        _label,
+        _ld,
+        _native_histogram,
+        _v2_with_histogram,
+    )
+
+    bounds = sorted(raw_bounds)
+    n = len(bounds) + 1  # + the +Inf overflow bucket
+    counts = data.draw(st.lists(st.integers(0, 100), min_size=n, max_size=n))
+    deltas = [counts[0]] + [
+        counts[i] - counts[i - 1] for i in range(1, len(counts))
+    ]
+    h = _native_histogram(
+        s=1.5, schema=-53, pos_spans=[(0, n)], pos_deltas=deltas,
+        ts_ms=777, custom_values=bounds,
+    )
+    rows = decode_write_request_v2(_v2_with_histogram({"__name__": "m"}, h))
+    from cardinalsin_spark.sources.otlp import _fmt_le
+
+    cums = list(itertools.accumulate(counts))
+    expect = {
+        _fmt_le(b): float(c) for b, c in zip(bounds, cums[:-1])
+    }
+    expect["+Inf"] = float(cums[-1])
+    got = {r[3]["le"]: r[2] for r in rows if r[1] == "m_bucket"}
+    assert got == expect
+    assert [r[2] for r in rows if r[1] == "m_count"] == [float(cums[-1])]
+    assert [r[2] for r in rows if r[1] == "m_sum"] == [1.5]
+    for r in rows:
+        assert r[0] == 777 and "scale" not in r[3]
+    v1 = decode_write_request(
+        _ld(1, _ld(1, _label("__name__", "m")) + _ld(4, h))
+    )
+    key = lambda r: (r[0], r[1], r[2], tuple(sorted(r[3].items())))  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, rows))
