@@ -98,6 +98,25 @@ def _bench_sequence(registry_queries: dict) -> list[str]:
     return ordered
 
 
+# Session-scoped index caches and the query each build is ATTRIBUTED to
+# (the BENCH_ORDER namesake that runs first). Evicted before EVERY timed
+# repeat of the namesake so a median-of-N run prices the build cold each
+# time — exactly what the driver's single pass pays (VERDICT r10 item 4:
+# docs_simhash read 13x its median because repeats 2..N were warm; the
+# family total was fine, the attribution was not). The last repeat leaves
+# the cache warm, so downstream consumers measure warm in both modes.
+CACHE_NAMESAKES = {
+    "docs_minhash_pairs": "_SIMS_CACHE",
+    "docs_simhash": "_SIMHASH_CACHE",
+}
+
+
+def _evict_index_cache(attr: str) -> None:
+    from cardinalsin_spark import queries_llm
+
+    getattr(queries_llm, attr).clear()
+
+
 def _run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -165,6 +184,8 @@ def main() -> int:
         prev_group = group
         runs = []
         for _ in range(repeats):
+            if name in CACHE_NAMESAKES:
+                _evict_index_cache(CACHE_NAMESAKES[name])
             start = time.perf_counter()
             _run_to_completion(fn(spark, sf_dir))
             runs.append(time.perf_counter() - start)

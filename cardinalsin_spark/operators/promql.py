@@ -644,7 +644,7 @@ def promql_instant(
     time_s: float | None = None,
     cols: MetricsCols = MetricsCols(),
     tiebreak: list[str] | None = None,
-    rollups: list[tuple[int, str, bool]] | None = None,
+    rollups: list[tuple[int, object, bool]] | None = None,
 ) -> DataFrame:
     """Instant query (reference ``transpile_promql_instant``,
     ``api/query/prometheus_api.rs:877-935``).
@@ -1496,7 +1496,7 @@ def promql_range(
     cols: MetricsCols = MetricsCols(),
     faithful: bool = False,
     ts_ns_col: str = "ts_ns",
-    rollups: list[tuple[int, str, bool]] | None = None,
+    rollups: list[tuple[int, object, bool]] | None = None,
 ) -> DataFrame:
     """Range query (reference ``transpile_promql_range``,
     ``api/query/prometheus_api.rs:938-1087``): bucket = floor(ts/step)*step;
@@ -2091,7 +2091,7 @@ def promql_range(
 
 def _maybe_route_rollup_instant(
     df: DataFrame,
-    rollups: list[tuple[int, str, bool]],
+    rollups: list[tuple[int, object, bool]],
     parsed: ParsedPromQL,
     t_eval: float,
     rng: float,
@@ -2156,7 +2156,7 @@ def _maybe_route_rollup_instant(
 
 def _maybe_route_rollup(
     df: DataFrame,
-    rollups: list[tuple[int, str, bool]],
+    rollups: list[tuple[int, object, bool]],
     parsed: ParsedPromQL,
     start_s: float,
     end_s: float,

@@ -1839,6 +1839,102 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Fixtures for maint_rollup_sql_door: events reshaped to the engine's
+# metrics schema (timestamp = µs event time, metric_name = event_type,
+# value = integer cents) plus a 6h downsample rollup — one deterministic
+# write per (process, sf_dir), like _events_rollup_path above.
+_SQL_DOOR_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _sql_door_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+
+    pair = _SQL_DOOR_CACHE.get(sf_dir)
+    if pair is None:
+        base = tempfile.mkdtemp(prefix="cardinalsin-sqldoor-")
+        mpath, rpath = base + "/metrics", base + "/rollup"
+        # metrics-shaped directly (flat parquet, typed value columns) —
+        # the fixture is query-side scaffolding whose one-time build cost
+        # lands in this query's first timed bench run, so it skips the
+        # hive-partitioned ingest layout AND the normalize value-routing
+        # pass (µs timestamps survive the ts rename untouched)
+        src = _events_cents(spark, sf_dir).select(
+            F.col("ts").alias("timestamp"),
+            F.col("event_type").alias("metric_name"),
+            F.col("value_cents").cast("double").alias("value_f64"),
+            F.lit(None).cast("long").alias("value_i64"),
+            F.lit(None).cast("long").alias("value_u64"),
+        )
+        src.coalesce(2).write.parquet(mpath)
+        downsample(
+            spark.read.parquet(mpath).withColumn("value", value_expr()),
+            21600,
+            ["metric_name"],
+        ).write.parquet(rpath)
+        pair = (mpath, rpath)
+        _SQL_DOOR_CACHE[sf_dir] = pair
+    return pair
+
+
+def q_maint_rollup_sql_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent rollup serving at the SQL door (VERDICT r10 missing
+    #3): ``engine.sql`` recognizes the canonical GROUP-BY-``time_bucket``
+    aggregation shape (``operators.rollup.match_bucket_agg_sql``) and
+    serves it from an attached 6h rollup — the same ``rollup_covers``
+    geometry and freshness rules as the promql doors, closing the
+    asymmetry where the identical aggregation routed through PromQL but
+    re-scanned raw through SQL. The events carry µs timestamps, so the
+    query uses the micros-exact bound form (``timestamp_micros``, end =
+    2024-01-15 − 1µs) — an integer-second bound would rightly refuse to
+    route. The route guard makes a silent raw-path fallback impossible;
+    the oracle computes the raw answer straight from events (exact
+    integer cents, one final division).
+
+    Scale shape: the dashboard query reads ~10³ rollup rows instead of
+    the raw event samples; reference anchor ``compactor/mod.rs:70-91``
+    (downsample config, no read side)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+
+    mpath, rpath = _sql_door_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.metrics.withColumn("value", value_expr()).createOrReplaceTempView(
+        "metrics"
+    )
+    eng.attach_rollup(rpath, 21600, subsecond=True)
+    q = (
+        "SELECT time_bucket(timestamp, 86400) AS time_bucket, metric_name, "
+        "sum(value) AS sum_cents FROM metrics "
+        "WHERE timestamp >= timestamp_micros(1704067200000000) "
+        "AND timestamp <= timestamp_micros(1705276799999999) "
+        "GROUP BY time_bucket, metric_name "
+        "ORDER BY time_bucket, metric_name"
+    )
+    if eng._maybe_route_sql_rollup(q) is None:
+        raise RuntimeError(
+            "maint_rollup_sql_door: SQL-door rollup routing must engage "
+            "— the grammar match, alignment or attach() regressed"
+        )
+    return eng.sql(q).select(
+        "time_bucket",
+        F.col("metric_name").alias("event_type"),
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+SQL_MAINT_ROLLUP_SQL_DOOR = f"""
+SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time joins and gap-filling (SURVEY §2.3/§2.4 superset — the
 # canonical time-series ops Spark lacks natively, built as compositions)
@@ -5533,6 +5629,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
     "maint_rollup_routed": (q_maint_rollup_routed, SQL_MAINT_ROLLUP_ROUTED),
+    "maint_rollup_sql_door": (
+        q_maint_rollup_sql_door,
+        SQL_MAINT_ROLLUP_SQL_DOOR,
+    ),
     "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
     "ts_bloom_join": (q_ts_bloom_join, SQL_TS_BLOOM_JOIN),
     "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
@@ -5677,90 +5777,92 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-10 window (VERDICT r9 item 1), planned from
-    # `scripts/check_parity.py --ages --before 10`:
-    #   (a) the ENTIRE r6-stale tier — all 45 queries whose last green
-    #       driver row is CORRECTNESS_r06 (three to four code rounds
-    #       stale).  This is simultaneously the oldest coverage tier AND
-    #       the churn recheck VERDICT r9 demands: the bulk of the tier is
-    #       the promql instant/set/cmp family, and operators/promql.py
-    #       churned heavily in r9 (instant range-vector functions,
-    #       __name__ pseudo-label, range topk/quantile/fraction, exact-
-    #       micros le bounds).
-    #   (b) 5 non-r6 picks: three promql r7 rows whose machinery r9's
-    #       promql churn (and this round's instant resets/deriv +
-    #       exp-histogram routing work) touches, the round-10 addition
-    #       maint_rollup_routed (never driver-checked), and
-    #       maint_downsample (reformulated this round after the sf0.1
-    #       sweep caught round(AVG) rounding non-determinism).
-    # Left out (still r7-stale, rotate into r11): the remaining r7 tier
-    # (docs_minhash/simhash family, emb_* topk tiers, maint_* plans,
-    # sql_cube/rollup, tpch_q3/10/14ish, promql_absent_over_time,
-    # promql_holt_winters, promql_resets).  Every non-windowed registry
+    # Round-11 window (VERDICT r10 item 2), planned from
+    # `scripts/check_parity.py --ages --before 11`:
+    #   (a) the ENTIRE r7-stale tier — all 46 queries whose last green
+    #       driver row is CORRECTNESS_r07 (four code rounds stale; the
+    #       oldest coverage tier entering round 11): the docs
+    #       minhash/simhash/winnow dedup family, the emb_* topk/LSH/CC
+    #       tiers, the maint_* compaction-plan rows, sql_cube/rollup,
+    #       tpch_q3/5/6/10/14ish, promql_absent_over_time/holt_winters/
+    #       over_time, and the ts window-function tier.
+    #   (b) 4 non-r7 picks: flagship_minute_p99 + docs_sentence_stats
+    #       (reformulated in late r10 by the rounding-class fix — drop
+    #       round() from exact averages — OUTSIDE the r10 window, so
+    #       builder-parity-verified only until now; VERDICT r10 names
+    #       them), maint_rollup_routed (its machinery churned THIS round:
+    #       freshness guard, fresh='union' serving, refresh-race fixes in
+    #       operators/rollup.py + snapshots.py), and the round-11
+    #       addition maint_rollup_sql_door (never driver-checked).
+    # Left out (r8-stale, rotate into r12): the docs text-analysis tier,
+    # emb class/hamming/mips/mmr, media resample/scene_change, the
+    # promql group/fraction/subquery rows.  Every non-windowed registry
     # query remains covered by the builder-side parity sweep
     # (tests/test_oracle_parity.py).
-    # -- (a) r6-stale tier: promql instant/set/cmp family (churn recheck)
-    "promql_absent",
-    "promql_at_pinned",
-    "promql_at_start",
-    "promql_binary_ratio",
-    "promql_clamp",
-    "promql_cmp_vector",
-    "promql_count_values",
-    "promql_day_of_week",
-    "promql_histogram_quantile",
-    "promql_idelta",
-    "promql_instant_sum",
-    "promql_instant_topk",
-    "promql_irate_faithful",
-    "promql_label_replace",
-    "promql_mad_over_time",
-    "promql_offset_delta",
-    "promql_quantile",
-    "promql_range_at_end",
-    "promql_range_sum_by",
-    "promql_rate_extrapolated",
-    "promql_rate_faithful",
-    "promql_rate_range",
-    "promql_scalar_fold",
-    "promql_set_or",
-    "promql_set_unless",
-    "promql_subquery_max_rate",
-    # -- (a) r6-stale: ts rate/asof/ewma family
-    "ts_asof_join",
-    "ts_ewma",
-    "ts_irate_faithful",
-    "ts_moving_avg",
-    "ts_rate_extrapolated",
-    "ts_rate_faithful",
-    "ts_topk_by",
-    # -- (a) r6-stale: tpch rows
-    "tpch_q1",
-    "tpch_q9ish",
-    "tpch_q13ish",
-    "tpch_q21ish",
-    # -- (a) r6-stale: docs/media rows
-    "docs_clean_corpus",
-    "docs_contamination",
-    "docs_crossdup",
-    "docs_near_dedup_cc",
-    "docs_temperature_mixture",
-    "media_audio_features",
-    "media_image_features",
-    "media_resize",
-    # -- (b) r7-tier picks, churn-prioritised (promql.py churned in r9
-    # and churns again this round: instant resets/deriv loud-reject,
-    # exp-histogram routing in the parser)
-    "promql_delta_faithful",
-    "promql_predict_linear",
-    "promql_resets",
-    # -- (b) changed-in-r10: the sf0.1 sweep caught round(AVG) rounding
-    # non-determinism; the row was reformulated (exact moments, no
-    # rounding) and must re-verify under the driver this round
-    "maint_downsample",
-    # -- (b) ADDED in round 10 — never driver-checked, windowed by the
-    # coverage invariant (transparent rollup serving, VERDICT r9 item 2)
+    # -- (a) r7-stale: docs dedup family (minhash/simhash/winnow)
+    "docs_exact_dedup",
+    "docs_minhash_pairs",
+    "docs_near_dedup",
+    "docs_ngram_jaccard",
+    "docs_simhash",
+    "docs_simhash_pairs",
+    "docs_span_dedup",
+    "docs_winnow",
+    # -- (a) r7-stale: emb ANN tiers
+    "emb_cosine_lsh",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    "emb_knn_classify",
+    "emb_near_dup",
+    "emb_near_dup_cc",
+    # -- (a) r7-stale: maint compaction/pruning plans
+    "maint_l0_plan",
+    "maint_leveled_plan",
+    "maint_small_files",
+    "maint_time_prune",
+    "maint_zorder_key",
+    # -- (a) r7-stale: promql leftovers
+    "promql_absent_over_time",
+    "promql_holt_winters",
+    "promql_over_time",
+    # -- (a) r7-stale: sql grouping tier
+    "sql_cube",
+    "sql_rollup",
+    # -- (a) r7-stale: tpch rows
+    "tpch_q3ish",
+    "tpch_q5ish",
+    "tpch_q6",
+    "tpch_q10ish",
+    "tpch_q14ish",
+    # -- (a) r7-stale: ts window-function tier
+    "ts_bucket_avg",
+    "ts_dedup_first",
+    "ts_deriv",
+    "ts_distinct_series",
+    "ts_distinct_values",
+    "ts_filter_range",
+    "ts_gapfill_locf",
+    "ts_heatmap",
+    "ts_increase",
+    "ts_instant_sum",
+    "ts_latest_per_series",
+    "ts_rate",
+    "ts_resets_changes",
+    "ts_sessionize",
+    "ts_stddev",
+    "ts_topk",
+    # -- (b) changed in late r10 OUTSIDE the r10 window (rounding-class
+    # fix: never round() an exact average below the value's granularity)
+    "flagship_minute_p99",
+    "docs_sentence_stats",
+    # -- (b) machinery churned in r11: rollup freshness guard +
+    # fresh='union' + refresh-race fixes (rollup.py, snapshots.py,
+    # promql route targets)
     "maint_rollup_routed",
+    # -- (b) ADDED in round 11 — never driver-checked (SQL-door rollup
+    # routing, VERDICT r10 missing #3)
+    "maint_rollup_sql_door",
 ]
 
 

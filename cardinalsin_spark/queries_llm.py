@@ -237,6 +237,12 @@ class _IndexCache:
     def __contains__(self, key) -> bool:
         return key in self._entries
 
+    def clear(self) -> None:
+        """Drop every entry (bench attribution hook: evicting before a
+        timed run makes the namesake query pay its index build cold,
+        matching the driver's single-pass cost — VERDICT r10 item 4)."""
+        self._entries.clear()
+
 
 _SIMS_CACHE = _IndexCache()
 

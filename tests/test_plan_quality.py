@@ -588,6 +588,18 @@ def test_rollup_routed_scans_rollup_not_base(spark, sf_dir):
     assert "events.parquet" not in plan, plan
 
 
+def test_sql_door_rollup_scans_rollup_not_base(spark, sf_dir):
+    """maint_rollup_sql_door (VERDICT r10 missing #3): the SQL-door
+    routed aggregation must serve from the rollup parquet, never the
+    reshaped metrics table (the query's route guard would normally raise
+    first, this pins the plan itself)."""
+    df = _df(spark, sf_dir, "maint_rollup_sql_door")
+    plan = plan_string(df, "formatted")
+    assert "cardinalsin-sqldoor-" in plan and "/rollup" in plan, plan
+    assert "/metrics" not in plan, plan
+    assert "events.parquet" not in plan, plan
+
+
 def test_ann_recall_joins_broadcast_topk_frames(spark, sf_dir):
     """Recall measurement joins two k·|queries|-row result frames — the
     approximate side must broadcast so recall never costs a shuffle of

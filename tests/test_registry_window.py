@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
-of ``queries()`` (verified against CORRECTNESS_r03..r09: their keys were
-exactly registry[:50]).  These tests pin the round-10 window composition:
+of ``queries()`` (verified against CORRECTNESS_r03..r10: their keys were
+exactly registry[:50]).  These tests pin the round-11 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -15,9 +15,11 @@ driver landing this round's (all-green) artifact cannot re-arm these tests
 — the r5/r6 self-arming failure.  The simulation regression below runs
 against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
 fake artifact into the live repo root risked leaving a forged driver file
-behind on a hard kill).  Window rotation for r11 is a planning task (bump
+behind on a hard kill).  Window rotation for r12 is a planning task (bump
 WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
-``scripts/check_parity.py --ages --before 11``).
+``scripts/check_parity.py --ages --before 12`` — the r8-stale tier is
+next: docs text-analysis, emb class/hamming/mips/mmr, media
+resample/scene_change, promql group/fraction/subquery rows).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -65,76 +67,76 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 10.
+# builder-side parity sweep.  Empty entering round 11.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 # Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r6      — last green row is CORRECTNESS_r06, four code rounds
-#                   ago; the oldest coverage tier entering round 10
-#                   (VERDICT r9 item 1 names this exact 45-row set).
-#                   Doubles as the churn recheck: the bulk of the tier is
-#                   the promql family, and operators/promql.py churned
-#                   heavily in r9 (instant range-fns, __name__, range
-#                   topk/quantile/fraction, exact-micros le bounds).
-#   promql-churn  — last green r7; promql.py churned in r9 and churns
-#                   again in r10 (instant resets/deriv loud-reject,
-#                   exp-histogram quantile routing in the parser).
+#   stale-r7      — last green row is CORRECTNESS_r07, four code rounds
+#                   ago; the oldest coverage tier entering round 11
+#                   (VERDICT r10 item 2 names this exact 46-row set).
+#   changed-r10   — reformulated in LATE r10 by the rounding-class fix
+#                   (drop round() from exact averages) after the r10
+#                   window froze; builder-parity-verified only until now
+#                   (VERDICT r10 watch item b names these two).
+#   changed-r11   — machinery churned this round: rollup freshness
+#                   guard + fresh='union' serving + refresh-race fixes
+#                   (operators/rollup.py, sources/snapshots.py, promql
+#                   route targets).
 RECHECK: dict[str, str] = {
-    # -- stale-r6 (the full 45-row tier)
-    "promql_absent": "stale-r6",
-    "promql_at_pinned": "stale-r6",
-    "promql_at_start": "stale-r6",
-    "promql_binary_ratio": "stale-r6",
-    "promql_clamp": "stale-r6",
-    "promql_cmp_vector": "stale-r6",
-    "promql_count_values": "stale-r6",
-    "promql_day_of_week": "stale-r6",
-    "promql_histogram_quantile": "stale-r6",
-    "promql_idelta": "stale-r6",
-    "promql_instant_sum": "stale-r6",
-    "promql_instant_topk": "stale-r6",
-    "promql_irate_faithful": "stale-r6",
-    "promql_label_replace": "stale-r6",
-    "promql_mad_over_time": "stale-r6",
-    "promql_offset_delta": "stale-r6",
-    "promql_quantile": "stale-r6",
-    "promql_range_at_end": "stale-r6",
-    "promql_range_sum_by": "stale-r6",
-    "promql_rate_extrapolated": "stale-r6",
-    "promql_rate_faithful": "stale-r6",
-    "promql_rate_range": "stale-r6",
-    "promql_scalar_fold": "stale-r6",
-    "promql_set_or": "stale-r6",
-    "promql_set_unless": "stale-r6",
-    "promql_subquery_max_rate": "stale-r6",
-    "ts_asof_join": "stale-r6",
-    "ts_ewma": "stale-r6",
-    "ts_irate_faithful": "stale-r6",
-    "ts_moving_avg": "stale-r6",
-    "ts_rate_extrapolated": "stale-r6",
-    "ts_rate_faithful": "stale-r6",
-    "ts_topk_by": "stale-r6",
-    "tpch_q1": "stale-r6",
-    "tpch_q9ish": "stale-r6",
-    "tpch_q13ish": "stale-r6",
-    "tpch_q21ish": "stale-r6",
-    "docs_clean_corpus": "stale-r6",
-    "docs_contamination": "stale-r6",
-    "docs_crossdup": "stale-r6",
-    "docs_near_dedup_cc": "stale-r6",
-    "docs_temperature_mixture": "stale-r6",
-    "media_audio_features": "stale-r6",
-    "media_image_features": "stale-r6",
-    "media_resize": "stale-r6",
-    # -- r7-tier picks
-    "promql_delta_faithful": "promql-churn",
-    "promql_predict_linear": "promql-churn",
-    "promql_resets": "promql-churn",
-    # -- changed in r10: reformulated after the sf0.1 sweep caught
-    # round(AVG(.)) rounding non-determinism (exact moments, no rounding)
-    "maint_downsample": "changed-r10",
+    # -- stale-r7 (the full 46-row tier)
+    "docs_exact_dedup": "stale-r7",
+    "docs_minhash_pairs": "stale-r7",
+    "docs_near_dedup": "stale-r7",
+    "docs_ngram_jaccard": "stale-r7",
+    "docs_simhash": "stale-r7",
+    "docs_simhash_pairs": "stale-r7",
+    "docs_span_dedup": "stale-r7",
+    "docs_winnow": "stale-r7",
+    "emb_cosine_lsh": "stale-r7",
+    "emb_cosine_topk": "stale-r7",
+    "emb_ivf_topk": "stale-r7",
+    "emb_ivfpq_topk": "stale-r7",
+    "emb_knn_classify": "stale-r7",
+    "emb_near_dup": "stale-r7",
+    "emb_near_dup_cc": "stale-r7",
+    "maint_l0_plan": "stale-r7",
+    "maint_leveled_plan": "stale-r7",
+    "maint_small_files": "stale-r7",
+    "maint_time_prune": "stale-r7",
+    "maint_zorder_key": "stale-r7",
+    "promql_absent_over_time": "stale-r7",
+    "promql_holt_winters": "stale-r7",
+    "promql_over_time": "stale-r7",
+    "sql_cube": "stale-r7",
+    "sql_rollup": "stale-r7",
+    "tpch_q3ish": "stale-r7",
+    "tpch_q5ish": "stale-r7",
+    "tpch_q6": "stale-r7",
+    "tpch_q10ish": "stale-r7",
+    "tpch_q14ish": "stale-r7",
+    "ts_bucket_avg": "changed-r10",
+    "ts_dedup_first": "stale-r7",
+    "ts_deriv": "stale-r7",
+    "ts_distinct_series": "stale-r7",
+    "ts_distinct_values": "stale-r7",
+    "ts_filter_range": "stale-r7",
+    "ts_gapfill_locf": "stale-r7",
+    "ts_heatmap": "stale-r7",
+    "ts_increase": "stale-r7",
+    "ts_instant_sum": "stale-r7",
+    "ts_latest_per_series": "stale-r7",
+    "ts_rate": "stale-r7",
+    "ts_resets_changes": "stale-r7",
+    "ts_sessionize": "stale-r7",
+    "ts_stddev": "stale-r7",
+    "ts_topk": "changed-r10",
+    # -- changed in late r10 outside the r10 window
+    "flagship_minute_p99": "changed-r10",
+    "docs_sentence_stats": "changed-r10",
+    # -- machinery churned in r11
+    "maint_rollup_routed": "changed-r11",
 }
 
 
