@@ -471,7 +471,7 @@ class CardinalSin:
         spec = match_bucket_agg_sql(query, view=self.view_name)
         if spec is None or spec["ts_col"] != "timestamp":
             return None
-        if spec["value_col"] != "value":
+        if any(val != "value" for _, val, _ in spec["aggs"]):
             return None
         need = {
             "bucket",
@@ -508,7 +508,12 @@ class CardinalSin:
         out = ro.groupBy(
             time_bucket(b, spec["step_s"]).alias(spec["bucket_alias"]),
             *[F.col(c) for c in spec["group_cols"]],
-        ).agg(rollup_moment(spec["agg"]).alias(spec["value_alias"]))
+        ).agg(
+            *[
+                rollup_moment(agg).alias(alias)
+                for agg, _, alias in spec["aggs"]
+            ]
+        )
         if spec["order_by"]:
             out = out.orderBy(*spec["order_by"])
         return out

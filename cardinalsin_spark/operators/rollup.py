@@ -277,10 +277,9 @@ _SQL_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 _SQL_BUCKET_AGG = re.compile(
     rf"\s*select\s+time_bucket\(\s*(?P<ts>{_SQL_IDENT})\s*,\s*(?P<step>\d+)\s*\)"
-    rf"\s+as\s+(?P<b>{_SQL_IDENT})\s*"
-    rf"(?P<groups>(?:,\s*{_SQL_IDENT}\s*(?=,))*)"
-    rf",\s*(?P<agg>sum|avg|min|max|count)\s*\(\s*(?P<val>{_SQL_IDENT})\s*\)"
-    rf"\s+as\s+(?P<v>{_SQL_IDENT})\s+"
+    rf"\s+as\s+(?P<b>{_SQL_IDENT})"
+    rf"(?P<items>(?:\s*,\s*(?:(?:sum|avg|min|max|count)\s*\(\s*{_SQL_IDENT}\s*\)"
+    rf"\s+as\s+{_SQL_IDENT}|{_SQL_IDENT}))+)\s+"
     rf"from\s+(?P<table>{_SQL_IDENT})\s+"
     rf"where\s+(?P<ts2>{_SQL_IDENT})\s*>=\s*"
     rf"(?P<lofn>timestamp_seconds|timestamp_micros)\(\s*(?P<lo>\d+)\s*\)"
@@ -296,6 +295,12 @@ _SQL_FILTER = re.compile(
     rf"and\s+(?P<col>{_SQL_IDENT})\s*=\s*'(?P<lit>[^']*)'", re.IGNORECASE
 )
 
+_SQL_ITEM = re.compile(
+    rf"\s*,\s*(?:(?P<agg>sum|avg|min|max|count)\s*\(\s*(?P<val>{_SQL_IDENT})\s*\)"
+    rf"\s+as\s+(?P<alias>{_SQL_IDENT})|(?P<ident>{_SQL_IDENT}))",
+    re.IGNORECASE,
+)
+
 
 def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     """Conservative parse of the CANONICAL bucketed-aggregation SQL shape
@@ -306,7 +311,7 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
 
         SELECT time_bucket(timestamp, {step}) AS {b}
              [, label_col ...]
-             , {sum|avg|min|max|count}(value) AS {v}
+             , {sum|avg|min|max|count}(value) AS {v} [, agg(value) AS w ...]
         FROM metrics
         WHERE timestamp >= timestamp_seconds({A})    -- or timestamp_micros
           AND timestamp <= timestamp_seconds({B})    -- (µs data needs the
@@ -330,16 +335,32 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     ts_col = m.group("ts")
     if m.group("ts2") != ts_col or m.group("ts3") != ts_col:
         return None
-    groups = [
-        g.strip().lstrip(",").strip()
-        for g in m.group("groups").split(",")
-        if g.strip().lstrip(",").strip()
-    ]
-    b, v = m.group("b"), m.group("v")
+    # walk the select-list tail: bare label columns, then one or more
+    # aggregate terms — interleavings are rejected so the routed output's
+    # column order always equals the written select list
+    groups: list[str] = []
+    aggs: list[tuple[str, str, str]] = []  # (agg, value_col, alias)
+    for item in _SQL_ITEM.finditer(m.group("items")):
+        if item.group("ident") is not None:
+            if aggs:
+                return None  # label after an aggregate: ambiguous order
+            groups.append(item.group("ident"))
+        else:
+            aggs.append(
+                (
+                    item.group("agg").lower(),
+                    item.group("val"),
+                    item.group("alias"),
+                )
+            )
+    if not aggs:
+        return None
+    b = m.group("b")
     step = int(m.group("step"))
-    if len({b, v, *groups}) != 2 + len(groups):
+    names = [b, *groups, *[a for _, _, a in aggs]]
+    if len(set(names)) != len(names):
         return None  # duplicate output names: refuse to interpret
-    # select-list positions: 1 = bucket, 2..n+1 = labels, n+2 = aggregate
+    # select-list positions: 1 = bucket, 2..n+1 = labels, then aggregates
     by_pos = {str(i + 2): g for i, g in enumerate(groups)}
     bucket_expr = re.compile(
         rf"time_bucket\(\s*{re.escape(ts_col)}\s*,\s*{step}\s*\)",
@@ -388,9 +409,7 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
         "step_s": step,
         "bucket_alias": b,
         "group_cols": groups,
-        "agg": m.group("agg").lower(),
-        "value_col": m.group("val"),
-        "value_alias": v,
+        "aggs": aggs,
         "start_s": _bound(m.group("lofn"), m.group("lo")),
         "end_s": _bound(m.group("hifn"), m.group("hi")),
         "filters": filters,

@@ -1907,7 +1907,8 @@ def q_maint_rollup_sql_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.attach_rollup(rpath, 21600, subsecond=True)
     q = (
         "SELECT time_bucket(timestamp, 86400) AS time_bucket, metric_name, "
-        "sum(value) AS sum_cents FROM metrics "
+        "sum(value) AS sum_cents, avg(value) AS avg_cents, "
+        "count(value) AS sample_count FROM metrics "
         "WHERE timestamp >= timestamp_micros(1704067200000000) "
         "AND timestamp <= timestamp_micros(1705276799999999) "
         "GROUP BY time_bucket, metric_name "
@@ -1922,12 +1923,20 @@ def q_maint_rollup_sql_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bucket",
         F.col("metric_name").alias("event_type"),
         (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        # exact average, never rounded below the value's own granularity
+        # (the r10 rounding doctrine): sum/count is the same bit-
+        # deterministic division chain the oracle runs
+        (F.col("avg_cents") / F.lit(100.0)).alias("avg_value"),
+        "sample_count",
     )
 
 
 SQL_MAINT_ROLLUP_SQL_DOOR = f"""
 SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
-       CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(sum({_sql_cents('value')}) AS DOUBLE) / count(value) / 100.0
+           AS avg_value,
+       CAST(count(value) AS BIGINT) AS sample_count
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
   AND ts < TIMESTAMP '2024-01-15 00:00:00'

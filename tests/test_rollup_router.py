@@ -900,8 +900,8 @@ def test_match_bucket_agg_sql_grammar():
     spec = m(q)
     assert spec == {
         "ts_col": "timestamp", "step_s": 600, "bucket_alias": "tb",
-        "group_cols": ["metric_name"], "agg": "sum", "value_col": "value",
-        "value_alias": "v", "start_s": 1000, "end_s": 4599,
+        "group_cols": ["metric_name"], "aggs": [("sum", "value", "v")],
+        "start_s": 1000, "end_s": 4599,
         "filters": [("svc", "api")], "order_by": ["tb", "metric_name"],
     }
     # GROUP BY by position and by the repeated bucket expression
@@ -914,7 +914,29 @@ def test_match_bucket_agg_sql_grammar():
     )
     # case-insensitive keywords
     assert m(q.lower())
+    # multiple aggregates in one query (the dashboard shape)
+    multi = m(
+        q.replace(
+            "sum(value) AS v", "sum(value) AS s, avg(value) AS a, "
+            "count(value) AS n"
+        )
+    )
+    assert multi["aggs"] == [
+        ("sum", "value", "s"), ("avg", "value", "a"), ("count", "value", "n")
+    ]
+    # micros bounds parse to exact fractional seconds
+    us = m(
+        q.replace("timestamp_seconds(1000)", "timestamp_micros(1000000000)")
+        .replace("timestamp_seconds(4599)", "timestamp_micros(4599999999)")
+    )
+    assert us["start_s"] == 1000.0 and us["end_s"] == 4599.999999
     rejects = [
+        # a label column AFTER an aggregate: ambiguous output order
+        q.replace(
+            "metric_name, sum(value) AS v", "sum(value) AS v, metric_name"
+        ),
+        # duplicate output aliases
+        q.replace("sum(value) AS v", "sum(value) AS v, avg(value) AS v"),
         q.replace("GROUP BY tb, metric_name", "GROUP BY tb"),  # drops a col
         q.replace("GROUP BY tb, metric_name", "GROUP BY tb, metric_name, svc"),
         q.replace("ORDER BY tb, metric_name", "ORDER BY tb DESC"),
