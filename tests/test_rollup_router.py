@@ -1038,3 +1038,64 @@ def test_sql_door_rollup_routing(spark, tmp_path):
             continue
         assert rp not in routed._jdf.queryExecution().executedPlan().toString()
         assert routed.collect() == raw_eng.sql(bad).collect(), bad
+
+
+def test_sql_door_honors_freshness_guard(spark, tmp_path):
+    """The SQL door shares _route_rollups with the promql doors: a
+    rollup lagging its snapshot base falls back to a raw SQL scan
+    (default), serves rollup ∪ delta under fresh='union', and resumes
+    routing after refresh — answers bit-equal to raw throughout."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    ru_root = str(tmp_path / "ru")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    union_eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) == 0
+    eng.attach_rollup(ru_root)
+    union_eng.attach_rollup(ru_root, fresh="union")
+
+    def register(e):
+        e.metrics.withColumn("value", value_expr()).createOrReplaceTempView(
+            "metrics"
+        )
+
+    start, end = START, START + 3600 - 1
+    q = (
+        f"SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        f"sum(value) AS v FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        f"GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    register(eng)
+    fresh_df = eng.sql(q)
+    assert ru_root in fresh_df._jdf.queryExecution().executedPlan().toString()
+    # base advances past the rollup's fold point
+    _append_committed(spark, path, cat, 3000, 5000)
+    for e in (eng, union_eng, raw):
+        e.metrics = cat.read(spark)
+    register(eng)
+    expect = raw.sql(q).collect()
+    # fallback engine: raw scan, new rows visible
+    got = eng.sql(q)
+    assert ru_root not in got._jdf.queryExecution().executedPlan().toString()
+    assert got.collect() == expect
+    # union engine: rollup + CDC delta, same answer, rollup in plan
+    got_u = union_eng.sql(q)
+    plan_u = got_u._jdf.queryExecution().executedPlan().toString()
+    assert ru_root in plan_u
+    assert got_u.collect() == expect
+    # refresh folds the delta -> fallback engine routes again
+    assert eng.refresh_rollup(ru_root, 300, series_cols=["metric_name"]) >= 1
+    got2 = eng.sql(q)
+    assert ru_root in got2._jdf.queryExecution().executedPlan().toString()
+    assert got2.collect() == expect
