@@ -540,22 +540,53 @@ class CardinalSin:
         if self.metrics_path and snapshot_managed(self.metrics_path):
             cat = self.snapshot_catalog()
             base_head = cat.current_version()
+        import os as _os
+
+        def _chain_fresh(path: str) -> tuple[bool, int | None, bool]:
+            """Walk the rollup's base chain (coarse ← fine ← … ← base):
+            fresh iff every tier folded its parent's current head and
+            the innermost tier folded the metrics head. Returns
+            (fresh, direct_base_version, is_direct) where is_direct
+            means the rollup sits straight on the metrics table (the
+            only shape the union path can serve)."""
+            node, rb = path, None
+            for _ in range(8):  # cascade depth guard
+                if not snapshot_managed(node):
+                    return False, None, node == path
+                try:
+                    man = SnapshotCatalog(node).manifest()
+                except FileNotFoundError:
+                    return False, None, node == path
+                rb = man.get("rollup_base_version")
+                if rb is None:
+                    return False, None, node == path
+                broot = man.get("rollup_base_root")
+                direct = node == path
+                if broot is None or _os.path.abspath(broot) == _os.path.abspath(
+                    self.metrics_path
+                ):
+                    return rb == base_head, rb if direct else None, direct
+                parent = SnapshotCatalog(broot)
+                if parent.current_version() != rb:
+                    return False, None, direct
+                node = broot
+            return False, None, False
+
         out: list[tuple[int, object, bool]] = []
         for r, path, sub, fresh in self._attached_rollups:
             if base_head is None or fresh == "static":
                 out.append((r, path, sub))
                 continue
-            rb = None
-            if snapshot_managed(path):
-                try:
-                    rb = SnapshotCatalog(path).manifest().get(
-                        "rollup_base_version"
-                    )
-                except FileNotFoundError:
-                    rb = None  # manifest dir exists but holds no versions
-            if rb == base_head:
+            is_fresh, rb, direct = _chain_fresh(path)
+            if is_fresh:
                 out.append((r, path, sub))
                 continue
+            if not direct:
+                continue  # stale cascade tier: raw (or a finer tier) serves
+            # rb is non-None ONLY when the rollup sits straight on the
+            # metrics table (a cascade tier's version numbers belong to
+            # its parent rollup's catalog and must never be compared —
+            # or diffed — against the metrics head)
             try:
                 # a vacuumed base manifest (rb older than the retention
                 # horizon) makes the delta unreadable — treat as

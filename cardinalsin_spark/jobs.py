@@ -104,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     rr.add_argument("--resolution-s", type=int, default=300)
     rr.add_argument("--target-files", type=int, default=1)
     rr.add_argument("--retries", type=int, default=5)
+    rr.add_argument(
+        "--from-rollup",
+        action="store_true",
+        help="--path is itself a refresh_rollup table: cascade its "
+        "moments to the coarser --resolution-s (hierarchical continuous "
+        "aggregates; never rescans raw data)",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
@@ -249,20 +256,39 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         cat = SnapshotCatalog(args.path)
-        base_df = cat.read(spark)
-        series = ["metric_name", *label_columns(base_df.schema)]
-        v = refresh_rollup(
-            spark,
-            cat,
-            args.out,
-            args.resolution_s,
-            series,
-            ts_col="timestamp",
-            value_col="value",
-            transform=lambda df: df.withColumn("value", value_expr()),
-            target_files=args.target_files,
-            retries=args.retries,
-        )
+        if args.from_rollup:
+            from cardinalsin_spark.operators.rollup import cascade_rollup
+
+            base_df = cat.read(spark)
+            moment_cols = {
+                "bucket", "avg_value", "min_value", "max_value",
+                "sum_value", "count_value", "max_ts",
+            }
+            series = [c for c in base_df.columns if c not in moment_cols]
+            v = cascade_rollup(
+                spark,
+                args.path,
+                args.out,
+                args.resolution_s,
+                series,
+                target_files=args.target_files,
+                retries=args.retries,
+            )
+        else:
+            base_df = cat.read(spark)
+            series = ["metric_name", *label_columns(base_df.schema)]
+            v = refresh_rollup(
+                spark,
+                cat,
+                args.out,
+                args.resolution_s,
+                series,
+                ts_col="timestamp",
+                value_col="value",
+                transform=lambda df: df.withColumn("value", value_expr()),
+                target_files=args.target_files,
+                retries=args.retries,
+            )
         print(
             f"rollup-refresh {args.path} -> {args.out} v{v} "
             f"(res {args.resolution_s}s, base v{cat.current_version()})"

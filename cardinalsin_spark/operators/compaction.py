@@ -206,6 +206,54 @@ def downsample(
     )
 
 
+def downsample_moments(
+    df: DataFrame,
+    step_seconds: int,
+    series_cols: list[str],
+) -> DataFrame:
+    """Re-bucket ``downsample()`` MOMENT rows to a coarser resolution —
+    the cascade step of hierarchical continuous aggregates (5m → 1h →
+    1d): sums and counts add, min/max fold, ``max_ts`` folds, and avg is
+    recomputed from the exact global sum/count (never avg-of-avgs), so a
+    coarse rollup can be maintained FROM a finer one without ever
+    touching raw data. Output schema and ordering are identical to
+    ``downsample()``, so every consumer (RollupRouter, the promql/SQL
+    routes, ``refresh_rollup``'s combine) works unchanged.
+
+    Exactness: bit-equal to ``downsample(raw, coarse_step)`` whenever the
+    fine resolution divides the coarse one (each fine bucket lands wholly
+    in one coarse bucket) and the raw values are exactly representable
+    (integer cents / counts — the determinism doctrine); the float sums
+    re-add the same addends grouped differently, associative on exact
+    integers < 2^53."""
+    from cardinalsin_spark.functions.core import time_bucket
+
+    return (
+        df.groupBy(
+            time_bucket("bucket", step_seconds).alias("bucket"),
+            *[F.col(c) for c in series_cols],
+        )
+        .agg(
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("count_value").alias("count_value"),
+            F.max("max_ts").alias("max_ts"),
+        )
+        .select(
+            "bucket",
+            *series_cols,
+            (F.col("sum_value") / F.col("count_value")).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "sum_value",
+            "count_value",
+            "max_ts",
+        )
+        .orderBy("bucket", *series_cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order clustering (executes the adaptive recommender's "range" advice)
 # ---------------------------------------------------------------------------

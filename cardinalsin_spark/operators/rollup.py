@@ -110,6 +110,7 @@ def refresh_rollup(
     transform=None,
     target_files: int = 1,
     retries: int = 5,
+    moments: bool = False,
 ) -> int:
     """Incremental continuous-aggregate refresh (Timescale-style refresh
     policy, Spark-first): maintain a ``downsample()`` rollup of a
@@ -152,8 +153,12 @@ def refresh_rollup(
 
     ``base`` is a ``SnapshotCatalog``; ``transform`` (optional) maps the
     raw stored schema to query shape before downsampling (the engine
-    passes its coalesced ``value`` view). Returns the rollup's new (or
-    unchanged) version.
+    passes its coalesced ``value`` view). ``moments=True`` declares the
+    base itself holds ``downsample()`` moment rows (the hierarchical-
+    cascade case, see :func:`cascade_rollup`): the fold step becomes
+    ``downsample_moments`` (sums/counts add, min/max fold, avg
+    recomputed) and raw data is never touched. Returns the rollup's new
+    (or unchanged) version.
     """
     import os
 
@@ -167,8 +172,13 @@ def refresh_rollup(
     shape = transform if transform is not None else (lambda df: df)
 
     def _downsample(df: DataFrame) -> DataFrame:
-        from cardinalsin_spark.operators.compaction import downsample
+        from cardinalsin_spark.operators.compaction import (
+            downsample,
+            downsample_moments,
+        )
 
+        if moments:
+            return downsample_moments(shape(df), resolution_s, series_cols)
         return downsample(
             shape(df), resolution_s, series_cols, ts_col=ts_col,
             value_col=value_col,
@@ -177,6 +187,10 @@ def refresh_rollup(
     extra = {
         "rollup_base_version": base_head,
         "rollup_resolution_s": int(resolution_s),
+        # lets the engine's freshness guard walk a cascade chain
+        # (coarse ← fine ← base) instead of comparing every tier
+        # against the metrics head directly
+        "rollup_base_root": os.path.abspath(base.root),
     }
     ru = SnapshotCatalog(rollup_root)
 
@@ -254,6 +268,69 @@ def refresh_rollup(
         )
 
     return ru._retrying(_attempt, retries)
+
+
+def cascade_rollup(
+    spark: SparkSession,
+    fine_root: str,
+    coarse_root: str,
+    resolution_s: int,
+    series_cols: list[str],
+    target_files: int = 1,
+    retries: int = 5,
+) -> int:
+    """Hierarchical continuous aggregates: maintain a COARSE rollup from
+    a FINER rollup's moment rows (5m → 1h → 1d), never rescanning raw
+    data — the Timescale "continuous aggregate on a continuous
+    aggregate" shape. Moments compose exactly (sums/counts add, min/max
+    fold, avg recomputed from the global sum/count), so the cascade is
+    bit-equal to downsampling raw straight to the coarse resolution on
+    exactly-representable values.
+
+    The coarse resolution must be a multiple of the fine rollup's (a
+    fine bucket must land wholly inside one coarse bucket) — validated
+    against the fine manifest's ``rollup_resolution_s``, loud on
+    violation. Refresh state chains: the coarse manifest records the
+    fine rollup's version as ``rollup_base_version`` and its path as
+    ``rollup_base_root``, which the engine's freshness guard walks
+    (coarse fresh ⇔ coarse folded the fine head AND fine folded the
+    base head).
+
+    Cost shape: the fine rollup's incremental merges are rewrite-shaped
+    diffs (file-pruned COW removes files), so a cascade refresh usually
+    takes the rebuild arm — but the rebuild READS THE FINE ROLLUP, which
+    is index-sized (~10⁵ rows for a year at 5m), never the raw table;
+    at 100 TB the cascade's cost tracks rollup sizes, not data size."""
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    fine = SnapshotCatalog(fine_root)
+    head = fine.current_version()
+    if head is None:
+        raise FileNotFoundError(
+            f"cascade_rollup: fine rollup at {fine_root} has no snapshots"
+        )
+    fine_res = fine.manifest(head).get("rollup_resolution_s")
+    if fine_res is None:
+        raise ValueError(
+            f"cascade_rollup: {fine_root} carries no rollup_resolution_s "
+            "(not a refresh_rollup table?)"
+        )
+    if resolution_s % int(fine_res):
+        raise ValueError(
+            f"coarse resolution {resolution_s}s must be a multiple of the "
+            f"fine rollup's {fine_res}s (a fine bucket must land wholly "
+            "inside one coarse bucket)"
+        )
+    return refresh_rollup(
+        spark,
+        fine,
+        coarse_root,
+        resolution_s,
+        series_cols,
+        target_files=target_files,
+        retries=retries,
+        moments=True,
+    )
 
 
 def rollup_moment(agg: str, sum_col: str = "sum_value", count_col: str = "count_value",

@@ -1099,3 +1099,163 @@ def test_sql_door_honors_freshness_guard(spark, tmp_path):
     got2 = eng.sql(q)
     assert ru_root in got2._jdf.queryExecution().executedPlan().toString()
     assert got2.collect() == expect
+
+
+def test_cascade_rollup_bit_equal_and_guards(spark, tmp_path):
+    """Hierarchical continuous aggregates: a 1h rollup maintained FROM
+    the 5m rollup's moments is bit-equal to downsampling raw straight to
+    1h (integer fixture); non-multiple resolutions and non-rollup fine
+    tables loud-reject; incremental base appends flow fine -> coarse."""
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import (
+        cascade_rollup,
+        refresh_rollup,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "base")
+    fine_root = str(tmp_path / "r300")
+    coarse_root = str(tmp_path / "r3600")
+
+    def batch(lo, hi, metric):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 7200).alias(
+                "timestamp"
+            ),
+            F.lit(metric).alias("metric_name"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+        )
+
+    batch(0, 5000, "m0").write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    assert refresh_rollup(spark, cat, fine_root, 300, ["metric_name"]) == 0
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) == 0
+    co = SnapshotCatalog(coarse_root)
+    man = co.manifest()
+    assert man["rollup_resolution_s"] == 3600
+    assert man["rollup_base_version"] == 0  # the FINE rollup's version
+    import os
+
+    assert os.path.abspath(man["rollup_base_root"]) == os.path.abspath(
+        fine_root
+    )
+    assert _rows_all(co.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 3600, ["metric_name"])
+    )
+    # no-op when the fine head is already folded
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) == 0
+    # append flows base -> fine (incremental) -> coarse (cascade)
+    batch(5000, 8000, "m1").coalesce(1).write.mode("append").parquet(root)
+    cat.commit_new_files()
+    assert refresh_rollup(spark, cat, fine_root, 300, ["metric_name"]) >= 1
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) >= 1
+    assert _rows_all(co.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 3600, ["metric_name"])
+    )
+    # guards
+    with pytest.raises(ValueError, match="multiple"):
+        cascade_rollup(spark, fine_root, str(tmp_path / "bad"), 450,
+                       ["metric_name"])
+    plain = str(tmp_path / "plain")
+    batch(0, 10, "x").write.parquet(plain)
+    SnapshotCatalog(plain).init_from_directory()
+    with pytest.raises(ValueError, match="rollup_resolution_s"):
+        cascade_rollup(spark, plain, str(tmp_path / "bad2"), 3600,
+                       ["metric_name"])
+
+
+def test_engine_cascade_chain_freshness(spark, tmp_path):
+    """Chain-aware freshness: with a fine (300s) and a cascaded coarse
+    (3600s) rollup attached, an aligned hourly query serves from the
+    COARSE tier; after a base append the whole chain is stale -> raw;
+    refreshing only the fine tier routes FINE (coarse still lags);
+    cascading restores the coarse route. Answers == raw throughout."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import cascade_rollup
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    fine_root = str(tmp_path / "r300")
+    coarse_root = str(tmp_path / "r3600")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    assert eng.refresh_rollup(fine_root, 300,
+                              series_cols=["metric_name"]) == 0
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) == 0
+    eng.attach_rollup(fine_root).attach_rollup(coarse_root)
+    start, end, step = START, START + 3600 - 1, 3600
+
+    def q(e):
+        df = e.promql_range("sum(s0)", start, end, step)
+        # executedPlan().toString() truncates file paths (both tiers
+        # share the "r3..." prefix) — inputFiles() is exact
+        return df, df.inputFiles()
+
+    def reads(files, tier):
+        return any(f"/{tier}/" in f for f in files)
+
+    got, files = q(eng)
+    assert reads(files, "r3600") and not reads(files, "r300"), files
+    expect, _ = q(raw)
+    assert got.collect() == expect.collect()
+    # base advances: every tier lags -> raw
+    _append_committed(spark, path, cat, 3000, 5000)
+    eng.metrics = raw.metrics = cat.read(spark)
+    got, files = q(eng)
+    assert not reads(files, "r3600") and not reads(files, "r300"), files
+    expect, _ = q(raw)
+    assert got.collect() == expect.collect()
+    # fine refreshed, coarse not: the fine tier serves
+    assert eng.refresh_rollup(fine_root, 300,
+                              series_cols=["metric_name"]) >= 1
+    got, files = q(eng)
+    assert reads(files, "r300") and not reads(files, "r3600"), files
+    assert got.collect() == expect.collect()
+    # cascade refreshed: coarse serves again
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) >= 1
+    got, files = q(eng)
+    assert reads(files, "r3600") and not reads(files, "r300"), files
+    assert got.collect() == expect.collect()
+
+
+def test_jobs_rollup_cascade_cli(spark, tmp_path, capsys):
+    """CLI: `jobs rollup-refresh --from-rollup` cascades a fine rollup's
+    moments to a coarser resolution — bit-equal to a direct downsample."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    root = str(tmp_path / "b")
+    fine = str(tmp_path / "r300")
+    coarse = str(tmp_path / "r3600")
+    spark.range(0, 3000).select(
+        F.timestamp_seconds(F.lit(START) + F.col("id") % 7200).alias(
+            "timestamp"
+        ),
+        F.lit("m").alias("metric_name"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    ).write.parquet(root)
+    cat = SnapshotCatalog(root)
+    cat.init_from_directory()
+    assert refresh_rollup(spark, cat, fine, 300, ["metric_name"]) == 0
+    assert jobs.main(
+        ["rollup-refresh", "--path", fine, "--out", coarse,
+         "--resolution-s", "3600", "--from-rollup"]
+    ) == 0
+    assert "v0" in capsys.readouterr().out
+    co = SnapshotCatalog(coarse)
+    assert co.manifest()["rollup_resolution_s"] == 3600
+    assert _rows_all(co.read(spark)) == _rows_all(
+        downsample(cat.read(spark), 3600, ["metric_name"])
+    )
