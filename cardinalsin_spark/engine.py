@@ -518,6 +518,96 @@ class CardinalSin:
             out = out.orderBy(*spec["order_by"])
         return out
 
+    def _rollup_chain_state(
+        self, path: str, base_head: int | None
+    ) -> tuple[bool, int | None, bool, str]:
+        """Walk a rollup's base chain (coarse ← fine ← … ← metrics):
+        fresh iff every tier folded its parent's current head and the
+        innermost tier folded the metrics head. Returns (fresh,
+        direct_base_version, is_direct, reason) — direct_base_version
+        is set ONLY when the rollup sits straight on the metrics table
+        (a cascade tier's version numbers belong to its parent rollup's
+        catalog and must never be compared against the metrics head);
+        reason is a one-line human explanation for ``rollup_status``."""
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            snapshot_managed,
+        )
+        import os as _os
+
+        node = path
+        for _ in range(8):  # cascade depth guard
+            direct = node == path
+            if not snapshot_managed(node):
+                return False, None, direct, f"{node}: no snapshot manifest"
+            try:
+                man = SnapshotCatalog(node).manifest()
+            except FileNotFoundError:
+                return False, None, direct, f"{node}: manifest log empty"
+            rb = man.get("rollup_base_version")
+            if rb is None:
+                return (
+                    False, None, direct,
+                    f"{node}: manifest carries no rollup_base_version",
+                )
+            broot = man.get("rollup_base_root")
+            if broot is None or _os.path.abspath(broot) == _os.path.abspath(
+                self.metrics_path
+            ):
+                ok = rb == base_head
+                why = (
+                    "fresh: folded the metrics head"
+                    if ok
+                    else f"{node}: folded metrics v{rb}, head is v{base_head}"
+                )
+                return ok, rb if direct else None, direct, why
+            parent = SnapshotCatalog(broot)
+            ph = parent.current_version()
+            if ph != rb:
+                return (
+                    False, None, direct,
+                    f"{node}: folded parent v{rb}, parent head is v{ph}",
+                )
+            node = broot
+        return False, None, False, "cascade chain deeper than 8 tiers"
+
+    def rollup_status(self) -> list[dict]:
+        """Freshness report for every attached rollup — the ops answer
+        to "why didn't my query route?": one dict per attach with the
+        resolution, staleness policy, whether the routing list currently
+        includes it, and a one-line reason (chain-aware: a cascaded tier
+        reports which link lags)."""
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
+
+        base_head = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            base_head = self.snapshot_catalog().current_version()
+        out = []
+        for r, path, sub, fresh in self._attached_rollups:
+            if base_head is None:
+                eligible, why = True, "base is not snapshot-managed"
+            elif fresh == "static":
+                eligible, why = True, "fresh='static' (caller-asserted)"
+            else:
+                ok, rb, direct, why = self._rollup_chain_state(
+                    path, base_head
+                )
+                eligible = ok
+                if not ok and fresh == "union" and direct:
+                    why += " (fresh='union': serves rollup ∪ delta when "
+                    why += "the divergence is append-only)"
+            out.append(
+                {
+                    "path": path,
+                    "resolution_s": r,
+                    "subsecond": sub,
+                    "fresh": fresh,
+                    "eligible": eligible,
+                    "reason": why,
+                }
+            )
+        return out
+
     def _route_rollups(self) -> list[tuple[int, object, bool]]:
         """The per-query routing list: attached rollups with the
         freshness guard applied (VERDICT r10 — `_maybe_route_rollup`
@@ -540,44 +630,14 @@ class CardinalSin:
         if self.metrics_path and snapshot_managed(self.metrics_path):
             cat = self.snapshot_catalog()
             base_head = cat.current_version()
-        import os as _os
-
-        def _chain_fresh(path: str) -> tuple[bool, int | None, bool]:
-            """Walk the rollup's base chain (coarse ← fine ← … ← base):
-            fresh iff every tier folded its parent's current head and
-            the innermost tier folded the metrics head. Returns
-            (fresh, direct_base_version, is_direct) where is_direct
-            means the rollup sits straight on the metrics table (the
-            only shape the union path can serve)."""
-            node, rb = path, None
-            for _ in range(8):  # cascade depth guard
-                if not snapshot_managed(node):
-                    return False, None, node == path
-                try:
-                    man = SnapshotCatalog(node).manifest()
-                except FileNotFoundError:
-                    return False, None, node == path
-                rb = man.get("rollup_base_version")
-                if rb is None:
-                    return False, None, node == path
-                broot = man.get("rollup_base_root")
-                direct = node == path
-                if broot is None or _os.path.abspath(broot) == _os.path.abspath(
-                    self.metrics_path
-                ):
-                    return rb == base_head, rb if direct else None, direct
-                parent = SnapshotCatalog(broot)
-                if parent.current_version() != rb:
-                    return False, None, direct
-                node = broot
-            return False, None, False
-
         out: list[tuple[int, object, bool]] = []
         for r, path, sub, fresh in self._attached_rollups:
             if base_head is None or fresh == "static":
                 out.append((r, path, sub))
                 continue
-            is_fresh, rb, direct = _chain_fresh(path)
+            is_fresh, rb, direct, _why = self._rollup_chain_state(
+                path, base_head
+            )
             if is_fresh:
                 out.append((r, path, sub))
                 continue

@@ -1259,3 +1259,40 @@ def test_jobs_rollup_cascade_cli(spark, tmp_path, capsys):
     assert _rows_all(co.read(spark)) == _rows_all(
         downsample(cat.read(spark), 3600, ["metric_name"])
     )
+
+
+def test_rollup_status_report(spark, tmp_path):
+    """engine.rollup_status(): the ops answer to "why didn't my query
+    route" — chain-aware freshness with a one-line reason per attach."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import cascade_rollup
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    fine_root = str(tmp_path / "r300")
+    coarse_root = str(tmp_path / "r3600")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    eng.refresh_rollup(fine_root, 300, series_cols=["metric_name"])
+    cascade_rollup(spark, fine_root, coarse_root, 3600, ["metric_name"])
+    eng.attach_rollup(fine_root).attach_rollup(coarse_root)
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert st[fine_root]["eligible"] and st[coarse_root]["eligible"]
+    assert st[fine_root]["resolution_s"] == 300
+    # base advances: fine reports the metrics lag, coarse reports fresh
+    # against its PARENT... no — the chain walks to the stale innermost
+    _append_committed(spark, path, cat, 3000, 5000)
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert not st[fine_root]["eligible"] and not st[coarse_root]["eligible"]
+    assert "head is v1" in st[fine_root]["reason"]
+    assert "head is v1" in st[coarse_root]["reason"]  # innermost link lags
+    # fine refreshed: fine eligible, coarse reports the fine-tier lag
+    eng.refresh_rollup(fine_root, 300, series_cols=["metric_name"])
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert st[fine_root]["eligible"]
+    assert not st[coarse_root]["eligible"]
+    assert "parent head" in st[coarse_root]["reason"]
