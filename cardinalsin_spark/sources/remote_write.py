@@ -511,6 +511,186 @@ def _decode_write_request_v2_tracked(
     return rows, injected
 
 
+_METRIC_TYPES = (
+    "unspecified", "counter", "gauge", "histogram", "gaugehistogram",
+    "summary", "info", "stateset",
+)
+
+
+def decode_write_request_v2_meta(payload: bytes) -> list[dict]:
+    """Series metadata + exemplars from a write.v2 request — the two
+    TimeSeries fields the sample decoder ignores (public
+    ``io.prometheus.write.v2`` spec: exemplars = field 4, Metadata =
+    field 5 with ``type`` enum / ``help_ref`` / ``unit_ref`` into the
+    request symbol table). One dict per series:
+
+        {"metric_name", "labels", "type", "help", "unit",
+         "exemplars": [(ts_ms, value, exemplar_labels), ...]}
+
+    Series carrying neither metadata nor exemplars are omitted. The
+    reference ingests neither (v1-only, ``api/ingest/prometheus.rs``);
+    this feeds the information_schema-style metadata surface and
+    trace-ID exemplar linking."""
+    buf = _maybe_decompress(payload)
+    symbols: list[str] = []
+    series_bufs: list[bytes] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 4 and wt == 2:
+            symbols.append(val.decode("utf-8"))
+        elif fno == 5 and wt == 2:
+            series_bufs.append(val)
+
+    def _refs_to_labels(refs: list[int]) -> dict[str, str]:
+        if len(refs) % 2:
+            raise ValueError(
+                f"odd labels_refs length {len(refs)} (must be name/value pairs)"
+            )
+        return {
+            symbols[refs[j]]: symbols[refs[j + 1]]
+            for j in range(0, len(refs), 2)
+        }
+
+    def _packed_refs(val, wt) -> list[int]:
+        if wt == 0:
+            return [val]
+        refs, i = [], 0
+        while i < len(val):
+            r, i = _read_varint(val, i)
+            refs.append(r)
+        return refs
+
+    out: list[dict] = []
+    for ts_buf in series_bufs:
+        refs: list[int] = []
+        meta: dict | None = None
+        exemplars: list[tuple[int, float, dict]] = []
+        for fno, wt, val in _fields(ts_buf):
+            if fno == 1:
+                refs.extend(_packed_refs(val, wt))
+            elif fno == 4 and wt == 2:  # Exemplar
+                erefs: list[int] = []
+                ev, ets = 0.0, 0
+                for efno, ewt, eval_ in _fields(val):
+                    if efno == 1:
+                        erefs.extend(_packed_refs(eval_, ewt))
+                    elif efno == 2 and ewt == 1:
+                        ev = struct.unpack("<d", eval_)[0]
+                    elif efno == 3 and ewt == 0:
+                        ets = eval_ - (1 << 64) if eval_ >= 1 << 63 else eval_
+                exemplars.append((ets, ev, _refs_to_labels(erefs)))
+            elif fno == 5 and wt == 2:  # Metadata
+                mtype, help_ref, unit_ref = 0, 0, 0
+                for mfno, mwt, mval in _fields(val):
+                    if mfno == 1 and mwt == 0:
+                        mtype = mval
+                    elif mfno == 3 and mwt == 0:
+                        help_ref = mval
+                    elif mfno == 4 and mwt == 0:
+                        unit_ref = mval
+                if mtype >= len(_METRIC_TYPES):
+                    raise ValueError(f"unknown metric type enum {mtype}")
+                meta = {
+                    "type": _METRIC_TYPES[mtype],
+                    "help": symbols[help_ref],
+                    "unit": symbols[unit_ref],
+                }
+        if meta is None and not exemplars:
+            continue
+        labels = _refs_to_labels(refs)
+        out.append(
+            {
+                "metric_name": labels.pop("__name__", ""),
+                "labels": labels,
+                "type": (meta or {}).get("type"),
+                "help": (meta or {}).get("help"),
+                "unit": (meta or {}).get("unit"),
+                "exemplars": exemplars,
+            }
+        )
+    return out
+
+
+def remote_write_metadata(
+    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+) -> DataFrame:
+    """Metric metadata frame from write.v2 payloads: (metric_name, type,
+    help, unit), one row per distinct metric — the wire-fed twin of the
+    engine's information_schema surface. Repeated scrapes resend the
+    same metadata; duplicates collapse."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    acc = payloads.sparkSession.sparkContext.accumulator(0)
+    schema = "metric_name string, type string, help string, unit string"
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf[bytes_col]:
+                try:
+                    for s in decode_write_request_v2_meta(bytes(payload)):
+                        if s["type"] is not None:
+                            rows.append(
+                                (s["metric_name"], s["type"], s["help"],
+                                 s["unit"])
+                            )
+                except (ValueError, UnicodeDecodeError, struct.error,
+                        IndexError):
+                    if on_error == "raise":
+                        raise
+                    acc.add(1)
+            yield pd.DataFrame(
+                rows, columns=["metric_name", "type", "help", "unit"]
+            )
+
+    return payloads.select(bytes_col).mapInPandas(fn, schema).dropDuplicates()
+
+
+def remote_write_exemplars(
+    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+) -> DataFrame:
+    """Exemplar frame from write.v2 payloads: (ts_ms, metric_name, value,
+    series labels, exemplar labels — trace_id/span_id live here). Kept as
+    its own narrow frame rather than widening the sample rows: exemplars
+    are sparse (~1 per histogram bucket per scrape) and join back to
+    samples on (metric, labels, time range) only when a trace link is
+    actually wanted."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    acc = payloads.sparkSession.sparkContext.accumulator(0)
+    schema = (
+        "ts_ms long, metric_name string, value double, "
+        "labels map<string,string>, exemplar_labels map<string,string>"
+    )
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf[bytes_col]:
+                try:
+                    for s in decode_write_request_v2_meta(bytes(payload)):
+                        for ets, ev, elabels in s["exemplars"]:
+                            rows.append(
+                                (ets, s["metric_name"], ev, s["labels"],
+                                 elabels)
+                            )
+                except (ValueError, UnicodeDecodeError, struct.error,
+                        IndexError):
+                    if on_error == "raise":
+                        raise
+                    acc.add(1)
+            yield pd.DataFrame(
+                rows,
+                columns=["ts_ms", "metric_name", "value", "labels",
+                         "exemplar_labels"],
+            )
+
+    return payloads.select(bytes_col).mapInPandas(fn, schema)
+
+
 def _looks_like_v2(buf: bytes) -> bool:
     """Protocol sniff for ``version="auto"``: a v1 WriteRequest carries
     field 1 (timeseries); a 2.0 Request has no field 1 at all — its

@@ -1571,3 +1571,82 @@ def test_ct_zero_injection_dedupes_across_payloads(spark):
     assert otlp_proto_flatten(odf, start_zero=True).columns == [
         "ts_ns", "metric_name", "value", "labels"
     ]
+
+
+def test_v2_metadata_and_exemplars(spark):
+    """write.v2 TimeSeries fields the sample decoder ignores: Metadata
+    (field 5: type enum + help/unit symbol refs) and Exemplars (field 4:
+    labels_refs + value + ts) decode into their own frames — metadata
+    dedupes across scrapes, exemplars keep series AND exemplar labels
+    (trace_id lives in the latter)."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request_v2,
+        decode_write_request_v2_meta,
+        remote_write_exemplars,
+        remote_write_metadata,
+    )
+
+    symbols = ["", "__name__", "req_total", "svc", "a",
+               "Total requests.", "requests", "trace_id", "abc123"]
+
+    def sym(s):
+        return symbols.index(s)
+
+    refs = [sym("__name__"), sym("req_total"), sym("svc"), sym("a")]
+    ts = _ld(1, b"".join(_varint(r) for r in refs))
+    ts += _ld(2, _sample(5.0, 1000))
+    # exemplar: trace_id=abc123, value 4.25 at t=900
+    ex = _ld(1, b"".join(_varint(r) for r in
+                         (sym("trace_id"), sym("abc123"))))
+    ex += _varint(2 << 3 | 1) + struct.pack("<d", 4.25)
+    ex += _varint(3 << 3 | 0) + _varint(900)
+    ts += _ld(4, ex)
+    # metadata: COUNTER(1), help/unit refs
+    md = _varint(1 << 3 | 0) + _varint(1)
+    md += _varint(3 << 3 | 0) + _varint(sym("Total requests."))
+    md += _varint(4 << 3 | 0) + _varint(sym("requests"))
+    ts += _ld(5, md)
+    payload = b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+    # the sample decoder is unaffected by fields 4/5
+    assert decode_write_request_v2(payload) == [
+        (1000, "req_total", 5.0, {"svc": "a"})
+    ]
+    (series,) = decode_write_request_v2_meta(payload)
+    assert series["metric_name"] == "req_total"
+    assert series["labels"] == {"svc": "a"}
+    assert series["type"] == "counter"
+    assert series["help"] == "Total requests."
+    assert series["unit"] == "requests"
+    assert series["exemplars"] == [(900, 4.25, {"trace_id": "abc123"})]
+
+    # DataFrame twins: metadata dedupes across repeated scrapes,
+    # exemplars keep one row per exemplar per payload
+    df = spark.createDataFrame(
+        [(bytearray(payload),), (bytearray(payload),)], "payload binary"
+    )
+    meta = remote_write_metadata(df).collect()
+    assert [(r.metric_name, r.type, r.help, r.unit) for r in meta] == [
+        ("req_total", "counter", "Total requests.", "requests")
+    ]
+    ex_rows = remote_write_exemplars(df).collect()
+    assert len(ex_rows) == 2
+    assert all(
+        r.ts_ms == 900
+        and r.value == 4.25
+        and dict(r.labels) == {"svc": "a"}
+        and dict(r.exemplar_labels) == {"trace_id": "abc123"}
+        for r in ex_rows
+    )
+    # unknown type enum loud-rejects
+    bad_md = _varint(1 << 3 | 0) + _varint(99)
+    bad_ts = _ld(1, b"".join(_varint(r) for r in refs)) + _ld(5, bad_md)
+    bad = b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, bad_ts)
+    with pytest.raises(ValueError, match="metric type"):
+        decode_write_request_v2_meta(bad)
+    # series with neither metadata nor exemplars are omitted
+    plain_ts = _ld(1, b"".join(_varint(r) for r in refs)) + _ld(
+        2, _sample(1.0, 1)
+    )
+    plain = b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, plain_ts)
+    assert decode_write_request_v2_meta(plain) == []
