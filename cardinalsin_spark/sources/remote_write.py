@@ -610,31 +610,76 @@ def decode_write_request_v2_meta(payload: bytes) -> list[dict]:
     return out
 
 
+def decode_write_request_metadata(
+    payload: bytes,
+) -> list[tuple[str, str, str, str]]:
+    """v1 (prompb) request-level metadata — ``WriteRequest`` field 3,
+    ``MetricMetadata { type=1, metric_family_name=2, help=4, unit=5 }``
+    — as (metric_family_name, type, help, unit) tuples, the same
+    canonical type vocabulary as the v2 decoder (enum 0 →
+    "unspecified")."""
+    out: list[tuple[str, str, str, str]] = []
+    for fno, wt, val in _fields(_maybe_decompress(payload)):
+        if fno != 3 or wt != 2:
+            continue
+        mtype, fam, help_, unit = 0, "", "", ""
+        for mfno, mwt, mval in _fields(val):
+            if mfno == 1 and mwt == 0:
+                mtype = mval
+            elif mfno == 2 and mwt == 2:
+                fam = mval.decode("utf-8")
+            elif mfno == 4 and mwt == 2:
+                help_ = mval.decode("utf-8")
+            elif mfno == 5 and mwt == 2:
+                unit = mval.decode("utf-8")
+        if mtype >= len(_METRIC_TYPES):
+            raise ValueError(f"unknown metric type enum {mtype}")
+        out.append((fam, _METRIC_TYPES[mtype], help_, unit))
+    return out
+
+
 def remote_write_metadata(
-    payloads: DataFrame, bytes_col: str = "payload", on_error: str = "skip"
+    payloads: DataFrame,
+    bytes_col: str = "payload",
+    on_error: str = "skip",
+    version: str | int = 2,
 ) -> DataFrame:
-    """Metric metadata frame from write.v2 payloads: (metric_name, type,
-    help, unit), one row per distinct metric — the wire-fed twin of the
-    engine's information_schema surface. Repeated scrapes resend the
-    same metadata; duplicates collapse."""
+    """Metric metadata frame from remote-write payloads: (metric_name,
+    type, help, unit), one row per distinct metric — the wire-fed twin
+    of the engine's information_schema surface. ``version`` as in
+    :func:`remote_write_flatten` (v2 carries metadata per series, v1 at
+    the request level; ``"auto"`` sniffs per payload). Repeated scrapes
+    resend the same metadata; duplicates collapse."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    if version not in (1, 2, "auto"):
+        raise ValueError(f"version must be 1, 2 or 'auto', got {version!r}")
     acc = payloads.sparkSession.sparkContext.accumulator(0)
     schema = "metric_name string, type string, help string, unit string"
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def _v2(raw: bytes, rows: list) -> None:
+            for s in decode_write_request_v2_meta(raw):
+                if s["type"] is not None:
+                    rows.append(
+                        (s["metric_name"], s["type"], s["help"], s["unit"])
+                    )
+
         for pdf in batches:
-            rows = []
+            rows: list[tuple] = []
             for payload in pdf[bytes_col]:
                 try:
-                    for s in decode_write_request_v2_meta(bytes(payload)):
-                        if s["type"] is not None:
-                            rows.append(
-                                (s["metric_name"], s["type"], s["help"],
-                                 s["unit"])
-                            )
+                    raw = bytes(payload)
+                    if version == 2:
+                        _v2(raw, rows)
+                    elif version == 1:
+                        rows.extend(decode_write_request_metadata(raw))
+                    elif _looks_like_v2(_maybe_decompress(raw)):
+                        _v2(raw, rows)
+                    else:
+                        rows.extend(decode_write_request_metadata(raw))
                 except (ValueError, UnicodeDecodeError, struct.error,
                         IndexError):
                     if on_error == "raise":

@@ -1650,3 +1650,48 @@ def test_v2_metadata_and_exemplars(spark):
     )
     plain = b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, plain_ts)
     assert decode_write_request_v2_meta(plain) == []
+
+
+def test_v1_request_level_metadata(spark):
+    """prompb (v1) metadata rides the REQUEST (WriteRequest field 3,
+    MetricMetadata with inline strings) — decodes to the same canonical
+    (metric_name, type, help, unit) rows as the v2 per-series form, and
+    remote_write_metadata(version='auto') sniffs both in one feed."""
+    from cardinalsin_spark.sources.remote_write import (
+        decode_write_request_metadata,
+        remote_write_metadata,
+    )
+
+    def v1_md(fam, mtype, help_, unit):
+        m = _varint(1 << 3 | 0) + _varint(mtype)
+        m += _ld(2, fam.encode()) + _ld(4, help_.encode())
+        m += _ld(5, unit.encode())
+        return _ld(3, m)
+
+    payload = v1_md("http_seconds", 3, "Latency.", "seconds") + v1_md(
+        "up", 2, "Scrape health.", ""
+    )
+    assert decode_write_request_metadata(payload) == [
+        ("http_seconds", "histogram", "Latency.", "seconds"),
+        ("up", "gauge", "Scrape health.", ""),
+    ]
+    with pytest.raises(ValueError, match="metric type"):
+        decode_write_request_metadata(v1_md("x", 42, "", ""))
+    # auto-sniff: one v1 payload + one v2 payload in the same frame
+    symbols = ["", "__name__", "req_total", "Total.", "requests"]
+    md2 = _varint(1 << 3 | 0) + _varint(1)
+    md2 += _varint(3 << 3 | 0) + _varint(3) + _varint(4 << 3 | 0) + _varint(4)
+    ts2 = _ld(1, _varint(1) + _varint(2)) + _ld(5, md2)
+    v2 = b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts2)
+    df = spark.createDataFrame(
+        [(bytearray(payload),), (bytearray(v2),)], "payload binary"
+    )
+    got = sorted(
+        (r.metric_name, r.type, r.help, r.unit)
+        for r in remote_write_metadata(df, version="auto").collect()
+    )
+    assert got == [
+        ("http_seconds", "histogram", "Latency.", "seconds"),
+        ("req_total", "counter", "Total.", "requests"),
+        ("up", "gauge", "Scrape health.", ""),
+    ]

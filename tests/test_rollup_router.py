@@ -1296,3 +1296,57 @@ def test_rollup_status_report(spark, tmp_path):
     assert st[fine_root]["eligible"]
     assert not st[coarse_root]["eligible"]
     assert "parent head" in st[coarse_root]["reason"]
+
+
+def test_streaming_sink_cascade_pyramid(spark, tmp_path):
+    """Streaming hierarchical continuous aggregates: the snapshot sink's
+    on_commit hook refreshes the fine tier AND cascades the coarse tier
+    per micro-batch — both stay bit-equal to a direct downsample of the
+    table after every batch, and replayed batches leave both untouched."""
+    from cardinalsin_spark.operators.rollup import (
+        cascade_rollup,
+        refresh_rollup,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+    from cardinalsin_spark.streaming.live import snapshot_ingest_sink
+
+    import os
+
+    root = str(tmp_path / "t")
+    fine = str(tmp_path / "r300")
+    coarse = str(tmp_path / "r3600")
+    os.makedirs(root)
+    cat = SnapshotCatalog(root)
+
+    def hook(version: int) -> None:
+        refresh_rollup(spark, cat, fine, 300, ["metric_name"])
+        cascade_rollup(spark, fine, coarse, 3600, ["metric_name"])
+
+    def batch(lo, hi, metric="mX"):
+        return spark.range(lo, hi).select(
+            F.timestamp_seconds(F.lit(START) + F.col("id") % 7200).alias(
+                "timestamp"
+            ),
+            F.lit(metric).alias("metric_name"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+
+    sink = snapshot_ingest_sink(root, on_commit=hook)
+    sink(batch(0, 2000, "a"), 0)
+    sink(batch(2000, 3500, "b"), 1)
+
+    def check():
+        for res, path in ((300, fine), (3600, coarse)):
+            got = _rows_all(SnapshotCatalog(path).read(spark))
+            assert got == _rows_all(
+                downsample(cat.read(spark), res, ["metric_name"])
+            ), res
+
+    check()
+    # replayed batch: rows already durable, hook not fired, tiers intact
+    fine_v = SnapshotCatalog(fine).current_version()
+    coarse_v = SnapshotCatalog(coarse).current_version()
+    sink(batch(2000, 3500, "b"), 1)
+    assert SnapshotCatalog(fine).current_version() == fine_v
+    assert SnapshotCatalog(coarse).current_version() == coarse_v
+    check()
