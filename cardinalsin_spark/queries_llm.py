@@ -1306,23 +1306,37 @@ def q_docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture has NO exact duplicates, so an exact-fingerprint ground
     truth would be trivially zero — detector agreement stays
     data-dependent. Exact int64 counts + one guarded division; both pair
-    sets come from the session-cached indexes."""
+    sets come from the session-cached indexes.
+
+    Plan shape: ONE full outer join + ONE aggregation computes all
+    three counts — the previous three-aggregate crossJoin form evaluated
+    the SimHash pair-generation subtree twice (once for its count, once
+    for the semi-join), the expensive half of the query."""
     mh = (
         _minhash_sims(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.9)
         .select("id_a", "id_b")
+        .withColumn("in_mh", F.lit(1))
     )
-    sh = dd.simhash_pairs_from_signatures(
-        _simhash_sigs(spark, sf_dir), max_hamming=3
-    ).select("id_a", "id_b")
-    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash_pairs"))
-    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash_pairs"))
-    n_both = mh.join(sh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_both")
+    sh = (
+        dd.simhash_pairs_from_signatures(
+            _simhash_sigs(spark, sf_dir), max_hamming=3
+        )
+        .select("id_a", "id_b")
+        .withColumn("in_sh", F.lit(1))
     )
     return (
-        n_mh.crossJoin(n_sh)
-        .crossJoin(n_both)
+        mh.join(sh, ["id_a", "id_b"], "full")
+        .agg(
+            F.count("in_mh").alias("n_minhash_pairs"),
+            F.count("in_sh").alias("n_simhash_pairs"),
+            F.count(
+                F.when(
+                    F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(),
+                    1,
+                )
+            ).alias("n_both"),
+        )
         .select(
             "n_minhash_pairs",
             "n_simhash_pairs",
