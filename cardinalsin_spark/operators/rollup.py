@@ -417,7 +417,17 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     # column order always equals the written select list
     groups: list[str] = []
     aggs: list[tuple[str, str, str]] = []  # (agg, value_col, alias)
-    for item in _SQL_ITEM.finditer(m.group("items")):
+    items_txt, pos = m.group("items"), 0
+    parsed_items = []
+    while pos < len(items_txt):
+        item = _SQL_ITEM.match(items_txt, pos)
+        if item is None or item.end() == pos:
+            return None  # unconsumed select-list text: never guess
+        parsed_items.append(item)
+        pos = item.end()
+    if items_txt[pos:].strip():
+        return None
+    for item in parsed_items:
         if item.group("ident") is not None:
             if aggs:
                 return None  # label after an aggregate: ambiguous order
@@ -500,13 +510,22 @@ def expand_time_bucket_sql(query: str) -> str:
     canonical Spark expression — identical semantics to
     ``functions.core.time_bucket`` for the non-negative epochs this store
     holds. Applied to every ``engine.sql`` query AFTER route matching, so
-    unrouted macro queries still run."""
-    return re.sub(
-        rf"time_bucket\(\s*({_SQL_IDENT})\s*,\s*(\d+)\s*\)",
-        r"timestamp_seconds(cast(floor(unix_seconds(\1) / \2) * \2 as long))",
-        query,
-        flags=re.IGNORECASE,
-    )
+    unrouted macro queries still run. Single-quoted string literals are
+    left untouched (a label value spelling "time_bucket(...)" must not
+    be rewritten)."""
+    parts = re.split(r"('(?:[^']|'')*')", query)  # odd indexes = literals
+    out = []
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            part = re.sub(
+                rf"time_bucket\(\s*({_SQL_IDENT})\s*,\s*(\d+)\s*\)",
+                r"timestamp_seconds(cast(floor(unix_seconds(\1) / \2) * \2"
+                r" as long))",
+                part,
+                flags=re.IGNORECASE,
+            )
+        out.append(part)
+    return "".join(out)
 
 
 class RollupRouter:

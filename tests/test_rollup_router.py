@@ -1350,3 +1350,33 @@ def test_streaming_sink_cascade_pyramid(spark, tmp_path):
     assert SnapshotCatalog(fine).current_version() == fine_v
     assert SnapshotCatalog(coarse).current_version() == coarse_v
     check()
+
+
+def test_sql_matcher_never_guesses_and_macro_spares_literals():
+    """Hardening: select-list text the item walker cannot fully consume
+    rejects the whole query (an unparsed fragment must not be silently
+    dropped), and the time_bucket macro never rewrites inside quoted
+    string literals."""
+    from cardinalsin_spark.operators.rollup import (
+        expand_time_bucket_sql,
+        match_bucket_agg_sql,
+    )
+
+    base = (
+        "SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        "{sel} FROM metrics "
+        "WHERE timestamp >= timestamp_seconds(0) "
+        "AND timestamp <= timestamp_seconds(599) "
+        "GROUP BY tb, metric_name"
+    )
+    assert match_bucket_agg_sql(base.format(sel="sum(value) AS v"))
+    # alias-less aggregate, unknown function: reject, never reinterpret
+    assert match_bucket_agg_sql(base.format(sel="sum(value)")) is None
+    assert (
+        match_bucket_agg_sql(base.format(sel="foo(value) AS v")) is None
+    )
+    ex = expand_time_bucket_sql(
+        "SELECT time_bucket(ts, 60) FROM t WHERE note = 'time_bucket(x, 5)'"
+    )
+    assert "floor(unix_seconds(ts) / 60)" in ex
+    assert "'time_bucket(x, 5)'" in ex
