@@ -2169,13 +2169,16 @@ def _maybe_route_rollup(
     implemented either side).
 
     Routable iff the expression reaching the generic arm is a plain
-    selector (per-bucket AVG) or a sum/avg/min/max/count aggregation with
-    no offset/@/function, the step is a multiple of an attached rollup's
-    resolution, the closed bounds cover whole rollup buckets
-    (``rollup_covers`` — micros-exact for sub-second data), and the rollup
-    kept every column the result needs (metric name, matcher labels,
-    group-by labels).  Anything else returns None and the raw-table arm
-    runs unchanged.
+    selector (per-bucket AVG), a sum/avg/min/max/count aggregation with
+    no offset/@/function, or a moment ``*_over_time`` range function in
+    the canonical tumbling shape (``fn(m[step])`` — on this arm the
+    window IS the bucket, so the per-bucket moment recomposes exactly;
+    any other bracketed range falls back), the step is a multiple of an
+    attached rollup's resolution, the closed bounds cover whole rollup
+    buckets (``rollup_covers`` — micros-exact for sub-second data), and
+    the rollup kept every column the result needs (metric name, matcher
+    labels, group-by labels).  Anything else returns None and the
+    raw-table arm runs unchanged.
 
     Exactness: min/max/count recompose exactly; sum/avg re-add
     per-rollup-bucket float sums, exact whenever the values are (integer
@@ -2184,14 +2187,29 @@ def _maybe_route_rollup(
     """
     from cardinalsin_spark.operators.rollup import rollup_covers, rollup_moment
 
-    if (
-        parsed.function is not None
-        or parsed.offset_seconds
-        or parsed.at_seconds is not None
-    ):
+    if parsed.offset_seconds or parsed.at_seconds is not None:
         return None
     agg = parsed.aggregation
-    if agg is None:
+    if parsed.function is not None:
+        # moment *_over_time in the tumbling shape only: the generic arm
+        # evaluates range functions per BUCKET (window == bucket), so
+        # fn(m[step]) is exactly the per-bucket moment; any other range
+        # stays raw (zero behavioural risk if the grid ever grows
+        # sliding-window semantics)
+        over = (
+            parsed.function[: -len("_over_time")]
+            if parsed.function.endswith("_over_time")
+            else None
+        )
+        if (
+            over not in ("avg", "min", "max", "sum", "count")
+            or parsed.q is not None
+            or parsed.range_seconds != step_s
+        ):
+            return None
+        fn = over
+        gcols = discover_label_columns(parsed)
+    elif agg is None:
         fn = "avg"  # the plain-selector arm's per-bucket AVG
         gcols = discover_label_columns(parsed)
     elif (

@@ -1380,3 +1380,52 @@ def test_sql_matcher_never_guesses_and_macro_spares_literals():
     )
     assert "floor(unix_seconds(ts) / 60)" in ex
     assert "'time_bucket(x, 5)'" in ex
+
+
+def test_range_over_time_routes_rollup(spark, tmp_path):
+    """Range-door moment *_over_time in the tumbling shape (fn(m[step]))
+    — the generic arm's window IS the bucket, so the rollup moment
+    recomposes exactly; any other bracketed range (and non-moment
+    over-time fns) falls back to raw."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import write_metrics
+
+    path = str(tmp_path / "metrics")
+    write_metrics(_metrics_fixture(spark, path, 0, 5000), path,
+                  mode="overwrite")
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300, ["metric_name"]
+    ).write.parquet(rp)
+    eng.attach_rollup(rp, 300)
+    start, end, step = START, START + 3600 - 1, 600
+    for expr in (
+        "sum_over_time(s0[600s])",
+        "min_over_time(s0[600s])",
+        "max_over_time(s0[600s])",
+        "count_over_time(s0[600s])",
+        "avg_over_time(s0[600s])",
+    ):
+        got = eng.promql_range(expr, start, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        assert got.collect() == raw.promql_range(
+            expr, start, end, step
+        ).collect(), expr
+    # fall-backs: range != step, non-moment over-time, quantile form
+    for expr in (
+        "sum_over_time(s0[300s])",
+        "last_over_time(s0[600s])",
+        "quantile_over_time(0.9, s0[600s])",
+        "sum_over_time(s0[600s]) offset 600s",
+    ):
+        got = eng.promql_range(expr, start + 600, end, step)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" not in plan, (expr, plan)
+        assert got.collect() == raw.promql_range(
+            expr, start + 600, end, step
+        ).collect(), expr
