@@ -660,24 +660,28 @@ class CardinalSin:
             except FileNotFoundError:
                 unionable = False
             if unionable:
-                from cardinalsin_spark.operators.compaction import downsample
+                from cardinalsin_spark.operators.compaction import (
+                    COUNTER_MOMENT_COLS,
+                    MOMENT_COLS,
+                    downsample,
+                )
                 from cardinalsin_spark.schema import value_expr
 
                 ro = read_table_auto(self.spark, path)
-                series = [
-                    c
-                    for c in ro.columns
-                    if c
-                    not in (
-                        "bucket", "avg_value", "min_value", "max_value",
-                        "sum_value", "count_value", "max_ts",
-                    )
-                ]
+                series = [c for c in ro.columns if c not in MOMENT_COLS]
                 delta = cat.read_changes(self.spark, rb, base_head).withColumn(
                     "value", value_expr()
                 )
-                partial = downsample(delta, r, series)
-                out.append((r, ro.unionByName(partial.select(*ro.columns)), sub))
+                # counters=False: a union target only serves the classic
+                # moments (the counter routes take committed single-
+                # segment-per-bucket rollup tables only — a hot bucket
+                # split across a rollup row and a delta partial cannot
+                # fold first/last/inc without an ordering proof)
+                partial = downsample(delta, r, series, counters=False)
+                cols = [c for c in ro.columns if c not in COUNTER_MOMENT_COLS]
+                out.append(
+                    (r, ro.select(*cols).unionByName(partial.select(*cols)), sub)
+                )
                 continue
             # stale under 'fallback' (or rewrite-shaped under 'union'):
             # drop from the routing list — the raw arm scans base,

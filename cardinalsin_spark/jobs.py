@@ -260,11 +260,9 @@ def main(argv: list[str] | None = None) -> int:
             from cardinalsin_spark.operators.rollup import cascade_rollup
 
             base_df = cat.read(spark)
-            moment_cols = {
-                "bucket", "avg_value", "min_value", "max_value",
-                "sum_value", "count_value", "max_ts",
-            }
-            series = [c for c in base_df.columns if c not in moment_cols]
+            from cardinalsin_spark.operators.compaction import MOMENT_COLS
+
+            series = [c for c in base_df.columns if c not in MOMENT_COLS]
             v = cascade_rollup(
                 spark,
                 args.path,

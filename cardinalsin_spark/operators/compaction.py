@@ -172,12 +172,32 @@ def compact_partition(
     return n_input
 
 
+# Every downsample() output column that is NOT a series key. Consumers
+# that need to recover a rollup's series columns subtract this set from
+# the schema instead of keeping their own lists.
+MOMENT_COLS = frozenset(
+    {
+        "bucket", "avg_value", "min_value", "max_value", "sum_value",
+        "count_value", "max_ts", "min_ts", "first_value", "last_value",
+        "inc_value",
+    }
+)
+
+# The counter-moment subset (absent from rollups written before they
+# existed — such rollups keep serving the classic moments and simply
+# never route counter functions).
+COUNTER_MOMENT_COLS = frozenset(
+    {"min_ts", "first_value", "last_value", "inc_value"}
+)
+
+
 def downsample(
     df: DataFrame,
     step_seconds: int,
     series_cols: list[str],
     ts_col: str = "timestamp",
     value_col: str = "value",
+    counters: bool = True,
 ) -> DataFrame:
     """Time-bucket rollup: avg/min/max/count/sum per (bucket, *series).
 
@@ -186,14 +206,61 @@ def downsample(
     keeps enough moments to re-aggregate (sum+count → exact avg on rollup);
     ``max_ts`` (the bucket's latest raw sample time) lets the instant-door
     rollup route reproduce the raw path's ``timestamp_`` exactly.
+
+    ``counters=True`` (default) appends the counter-function moments so
+    PromQL ``rate``/``increase`` can serve from the rollup (the
+    reference's hottest generated shape,
+    ``api/query/prometheus_api.rs:969-983``, is the per-bucket rate):
+
+    * ``min_ts`` — earliest raw sample time in the bucket;
+    * ``first_value``/``last_value`` — value at the bucket's first/last
+      sample (ties on the timestamp broken by the value, so the pair is
+      deterministic);
+    * ``inc_value`` — the reset-aware IN-BUCKET increase (sum of
+      consecutive-sample deltas inside the bucket, a drop meaning
+      counter reset → the post-reset value itself is the increase),
+      NULL for single-sample buckets (no in-bucket delta — mirrors the
+      raw path's ``SUM`` over zero deltas).  Cross-bucket boundary
+      deltas are NOT included; the reader re-adds them from the
+      first/last pairs (``operators.promql``'s faithful counter route),
+      so the moments compose under any tiling.
+
+    Cost: the counter moments need a per-(bucket, series) sort (one
+    window sharing the aggregation's shuffle — AQE reuses the hash
+    partitioning), so ``counters=False`` keeps the old single-hash-agg
+    shape for callers that never serve counters from the rollup.
     """
     from cardinalsin_spark.functions.core import time_bucket
 
-    return (
-        df.groupBy(
-            time_bucket(ts_col, step_seconds).alias("bucket"),
-            *[F.col(c) for c in series_cols],
+    b = time_bucket(ts_col, step_seconds).alias("bucket")
+    if not counters:
+        return (
+            df.groupBy(b, *[F.col(c) for c in series_cols])
+            .agg(
+                F.avg(value_col).alias("avg_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+                F.sum(value_col).alias("sum_value"),
+                F.count(value_col).alias("count_value"),
+                F.max(ts_col).alias("max_ts"),
+            )
+            .orderBy("bucket", *series_cols)
         )
+    dfb = df.withColumn("__bucket", time_bucket(ts_col, step_seconds))
+    w = Window.partitionBy("__bucket", *series_cols).orderBy(
+        F.col(ts_col), F.col(value_col)
+    )
+    prev = F.lag(F.col(value_col)).over(w)
+    v = F.col(value_col)
+    delta = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(v >= prev, (v - prev).cast("double")).otherwise(
+            v.cast("double")
+        )
+    )
+    ord_key = F.struct(F.col(ts_col), F.col(value_col))
+    return (
+        dfb.withColumn("__delta", delta)
+        .groupBy(F.col("__bucket").alias("bucket"), *[F.col(c) for c in series_cols])
         .agg(
             F.avg(value_col).alias("avg_value"),
             F.min(value_col).alias("min_value"),
@@ -201,6 +268,10 @@ def downsample(
             F.sum(value_col).alias("sum_value"),
             F.count(value_col).alias("count_value"),
             F.max(ts_col).alias("max_ts"),
+            F.min(ts_col).alias("min_ts"),
+            F.min_by(v.cast("double"), ord_key).alias("first_value"),
+            F.max_by(v.cast("double"), ord_key).alias("last_value"),
+            F.sum("__delta").alias("inc_value"),
         )
         .orderBy("bucket", *series_cols)
     )
@@ -225,10 +296,37 @@ def downsample_moments(
     in one coarse bucket) and the raw values are exactly representable
     (integer cents / counts — the determinism doctrine); the float sums
     re-add the same addends grouped differently, associative on exact
-    integers < 2^53."""
+    integers < 2^53.
+
+    Counter moments (when the fine rollup carries them) fold too:
+    ``min_ts``/``first_value``/``last_value`` by min/max over the fine
+    buckets (no cross-bucket timestamp ties — fine buckets cover
+    disjoint time), and ``inc_value`` as the sum of fine in-bucket
+    increases PLUS the reset-aware boundary delta between each pair of
+    consecutive fine buckets inside the coarse one (one window over
+    rollup-sized rows) — exactly the deltas ``downsample(raw, coarse)``
+    sums, so counter routing keeps working at every cascade tier."""
     from cardinalsin_spark.functions.core import time_bucket
 
-    return (
+    counters = COUNTER_MOMENT_COLS.issubset(set(df.columns))
+    extra_aggs = []
+    if counters:
+        cb = time_bucket("bucket", step_seconds)
+        w = Window.partitionBy(cb, *series_cols).orderBy("bucket")
+        prev_last = F.lag("last_value").over(w)
+        fv = F.col("first_value")
+        bnd = F.when(prev_last.isNull(), F.lit(None).cast("double")).otherwise(
+            F.when(fv >= prev_last, fv - prev_last).otherwise(fv)
+        )
+        df = df.withColumn("__bnd", bnd)
+        extra_aggs = [
+            F.min("min_ts").alias("min_ts"),
+            F.min_by("first_value", "min_ts").alias("first_value"),
+            F.max_by("last_value", "max_ts").alias("last_value"),
+            F.sum("inc_value").alias("__inc"),
+            F.sum("__bnd").alias("__bsum"),
+        ]
+    out = (
         df.groupBy(
             time_bucket("bucket", step_seconds).alias("bucket"),
             *[F.col(c) for c in series_cols],
@@ -239,8 +337,28 @@ def downsample_moments(
             F.sum("sum_value").alias("sum_value"),
             F.sum("count_value").alias("count_value"),
             F.max("max_ts").alias("max_ts"),
+            *extra_aggs,
         )
-        .select(
+    )
+    counter_cols = []
+    if counters:
+        # NULL iff the coarse bucket saw no delta at all (a single
+        # sample), mirroring downsample()'s SUM-over-zero-deltas NULL
+        inc = F.when(
+            F.col("__inc").isNull() & F.col("__bsum").isNull(),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.coalesce(F.col("__inc"), F.lit(0.0))
+            + F.coalesce(F.col("__bsum"), F.lit(0.0))
+        )
+        counter_cols = [
+            F.col("min_ts"),
+            F.col("first_value"),
+            F.col("last_value"),
+            inc.alias("inc_value"),
+        ]
+    return (
+        out.select(
             "bucket",
             *series_cols,
             (F.col("sum_value") / F.col("count_value")).alias("avg_value"),
@@ -249,6 +367,7 @@ def downsample_moments(
             "sum_value",
             "count_value",
             "max_ts",
+            *counter_cols,
         )
         .orderBy("bucket", *series_cols)
     )

@@ -2004,6 +2004,12 @@ def promql_range(
         "rate", "irate", "increase", "deriv", "idelta", "delta",
         "resets", "changes", "predict_linear", "holt_winters",
     ):
+        if rollups and faithful is True:
+            routed = _maybe_route_rollup_counter(
+                df, rollups, parsed, start_s, end_s, step_s, cols
+            )
+            if routed is not None:
+                return routed
         return _promql_range_faithful(
             out, parsed, step_s, cols, label_cols, ts_ns_col, faithful
         )
@@ -2027,6 +2033,29 @@ def promql_range(
     ]
 
     if parsed.function is not None:
+        over = (
+            parsed.function[: -len("_over_time")]
+            if parsed.function.endswith("_over_time")
+            else None
+        )
+        rng = parsed.range_seconds
+        if (
+            over in ("avg", "min", "max", "sum", "count")
+            and parsed.q is None
+            and rng is not None
+            and rng > step_s
+            and rng % step_s == 0
+        ):
+            # sliding *_over_time (the Grafana smoothing default: window
+            # > step): the window for the step ending at (j+1)·step is
+            # the last m = rng/step whole steps — the natural sliding
+            # extension of this arm's window==bucket convention (m == 1
+            # degenerates to it). Ranges that aren't a whole multiple of
+            # the step keep the historical per-bucket behaviour below.
+            return _range_sliding_moment(
+                out, over, rng // step_s, start_s, end_s, step_s, cols,
+                label_cols,
+            )
         value = _range_fn_value(
             parsed, cols, parsed.range_seconds or float(step_s)
         )
@@ -2170,44 +2199,60 @@ def _maybe_route_rollup(
 
     Routable iff the expression reaching the generic arm is a plain
     selector (per-bucket AVG), a sum/avg/min/max/count aggregation with
-    no offset/@/function, or a moment ``*_over_time`` range function in
-    the canonical tumbling shape (``fn(m[step])`` — on this arm the
-    window IS the bucket, so the per-bucket moment recomposes exactly;
-    any other bracketed range falls back), the step is a multiple of an
-    attached rollup's resolution, the closed bounds cover whole rollup
-    buckets (``rollup_covers`` — micros-exact for sub-second data), and
-    the rollup kept every column the result needs (metric name, matcher
-    labels, group-by labels).  Anything else returns None and the
-    raw-table arm runs unchanged.
+    no offset/@/function, a moment ``*_over_time`` range function in the
+    tumbling shape (``fn(m[step])`` — on this arm the window IS the
+    bucket, so the per-bucket moment recomposes exactly) or the SLIDING
+    shape (``fn(m[k·step])``, the Grafana smoothing default — the window
+    is k whole steps, recomposed by fanning each rollup bucket out to
+    the k output steps whose window covers it), or a counter function
+    ``rate/irate/increase/delta(m[step])`` (the reference's hottest
+    generated shape, ``api/query/prometheus_api.rs:969-983``, whose
+    MAX−MIN semantics recompose from the max/min moments); the step is a
+    multiple of an attached rollup's resolution, the closed bounds cover
+    whole rollup buckets (``rollup_covers`` — micros-exact for
+    sub-second data), and the rollup kept every column the result needs
+    (metric name, matcher labels, group-by labels).  Anything else
+    returns None and the raw-table arm runs unchanged.
 
-    Exactness: min/max/count recompose exactly; sum/avg re-add
+    Exactness: min/max/count recompose exactly (so do the MAX−MIN
+    counter shapes — max of maxes / min of mins); sum/avg re-add
     per-rollup-bucket float sums, exact whenever the values are (integer
-    cents / counts — the determinism doctrine), bit-identical division for
-    avg (same global sum / same global count as the raw arm).
+    cents / counts — the determinism doctrine), bit-identical division
+    for avg (same global sum / same global count as the raw arm).
     """
     from cardinalsin_spark.operators.rollup import rollup_covers, rollup_moment
 
     if parsed.offset_seconds or parsed.at_seconds is not None:
         return None
     agg = parsed.aggregation
+    counter_fn = None
+    fn = None
+    slide_m = 1
     if parsed.function is not None:
-        # moment *_over_time in the tumbling shape only: the generic arm
-        # evaluates range functions per BUCKET (window == bucket), so
-        # fn(m[step]) is exactly the per-bucket moment; any other range
-        # stays raw (zero behavioural risk if the grid ever grows
-        # sliding-window semantics)
         over = (
             parsed.function[: -len("_over_time")]
             if parsed.function.endswith("_over_time")
             else None
         )
-        if (
-            over not in ("avg", "min", "max", "sum", "count")
-            or parsed.q is not None
-            or parsed.range_seconds != step_s
-        ):
+        rng = parsed.range_seconds
+        if parsed.q is not None or rng is None:
             return None
-        fn = over
+        if over in ("avg", "min", "max", "sum", "count"):
+            if rng == step_s:
+                fn = over  # tumbling: window == bucket
+            elif rng > step_s and rng % step_s == 0:
+                # sliding: window == m whole steps ending at the bucket
+                # end — mirrors _range_sliding_moment on the raw arm
+                fn = over
+                slide_m = rng // step_s
+            else:
+                return None
+        elif parsed.function in ("rate", "irate", "increase", "delta"):
+            if rng != step_s:
+                return None
+            counter_fn = parsed.function
+        else:
+            return None
         gcols = discover_label_columns(parsed)
     elif agg is None:
         fn = "avg"  # the plain-selector arm's per-bucket AVG
@@ -2251,11 +2296,188 @@ def _maybe_route_rollup(
         (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
         & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
     )
+    if counter_fn is not None:
+        # the generic arm's reference counter semantics: MAX−MIN per
+        # window (api/query/prometheus_api.rs:969-997) — max of bucket
+        # maxes / min of bucket mins, exact for any tiling; rate/irate
+        # divide by the range exactly like _range_fn_value
+        value = F.max("max_value") - F.min("min_value")
+        if counter_fn in ("rate", "irate"):
+            value = value / F.lit(parsed.range_seconds or float(step_s))
+    else:
+        value = rollup_moment(fn)
+    if slide_m > 1:
+        # fan each rollup bucket out to the m output steps whose window
+        # covers it (home step i → steps i..i+m−1); the raw arm's
+        # _range_sliding_moment fans SAMPLES out the same way, so the
+        # grids and window contents match row for row
+        i = F.floor(b.cast("double") / F.lit(step_s)).cast("long")
+        step_us = step_s * 1_000_000
+        j_min = int(round(start_s * 1e6)) // step_us
+        j_max = int(round(end_s * 1e6)) // step_us
+        ro = ro.withColumn(
+            "__j", F.explode(F.sequence(i, i + F.lit(int(slide_m - 1))))
+        ).filter((F.col("__j") >= j_min) & (F.col("__j") <= j_max))
+        keys = [
+            F.timestamp_seconds(F.col("__j") * F.lit(step_s)).alias(
+                "time_bucket"
+            ),
+            F.col(cols.name),
+        ] + [F.col(c) for c in gcols]
+    else:
+        keys = [
+            time_bucket(b, step_s).alias("time_bucket"),
+            F.col(cols.name),
+        ] + [F.col(c) for c in gcols]
+    return df_group_sorted(ro, keys, value.alias("value"))
+
+
+def _maybe_route_rollup_counter(
+    df: DataFrame,
+    rollups: list[tuple[int, object, bool]],
+    parsed: ParsedPromQL,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols,
+) -> DataFrame | None:
+    """FAITHFUL counter serving from a rollup's counter moments:
+    ``rate``/``increase`` with reset-aware PromQL semantics recompose
+    exactly from per-bucket ``inc_value`` (the in-bucket reset-aware
+    increase) plus the reset-aware boundary delta between consecutive
+    rollup buckets of the same series (``first_value``/``last_value``
+    pairs; one window over rollup-sized rows) — the deltas the raw path
+    sums are partitioned into in-bucket deltas and boundary deltas, and
+    both are recoverable, so counter resets anywhere (inside a bucket or
+    across a boundary) reproduce bit-for-bit on exactly-representable
+    values.
+
+    Guard rails (each miss returns None → the raw faithful arm runs):
+
+    * canonical tumbling shape ``fn(m[step])``, no offset/@/aggregation;
+    * path targets only — a ``fresh='union'`` DataFrame target can hold a
+      hot bucket split across two segments with no ordering proof;
+    * the rollup carries the counter moments (pre-upgrade rollups don't);
+    * the rollup's series identity EQUALS the query's per-series
+      partition (metric name + matcher/group labels + the frame's bound
+      labels) — a coarser rollup merged distinct series into one delta
+      chain and a finer one splits it, either of which changes reset
+      detection.
+    """
+    from cardinalsin_spark.operators.compaction import (
+        COUNTER_MOMENT_COLS,
+        MOMENT_COLS,
+    )
+    from cardinalsin_spark.operators.rollup import rollup_covers
+
+    if parsed.offset_seconds or parsed.at_seconds is not None:
+        return None
+    if parsed.aggregation is not None or parsed.q is not None:
+        return None
+    if parsed.function not in ("rate", "increase"):
+        return None
+    if parsed.range_seconds != step_s:
+        return None
+    label_cols = discover_label_columns(parsed)
+    series = list(dict.fromkeys([*label_cols, *cols.labels]))
+    best: tuple[int, str] | None = None
+    for r, path, subsecond in rollups:
+        if not isinstance(path, str):
+            continue
+        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return None
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    ro = read_table_auto(df.sparkSession, best[1])
+    rcols = set(ro.columns)
+    if not COUNTER_MOMENT_COLS.issubset(rcols):
+        return None
+    if rcols - MOMENT_COLS != {cols.name, *series}:
+        return None
+    b = F.col("bucket")
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+    )
+    w = Window.partitionBy(cols.name, *series).orderBy("bucket")
+    prev_last = F.lag("last_value").over(w)
+    fv = F.col("first_value")
+    bnd = F.when(prev_last.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(fv >= prev_last, fv - prev_last).otherwise(fv)
+    )
+    # NULL contribution ⇔ the bucket contributed no delta at all (single
+    # sample, no in-range predecessor) — SUM skips it exactly like the
+    # raw arm's SUM over that bucket's (empty) delta set
+    contrib = F.when(
+        F.col("inc_value").isNull() & bnd.isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.coalesce(F.col("inc_value"), F.lit(0.0))
+        + F.coalesce(bnd, F.lit(0.0))
+    )
+    value = F.sum("__contrib")
+    if parsed.function == "rate":
+        value = value / F.lit(float(step_s))
+    return (
+        ro.withColumn("__contrib", contrib)
+        .groupBy(
+            time_bucket(b, step_s).alias("time_bucket"),
+            F.col(cols.name),
+            *[F.col(c) for c in series],
+        )
+        .agg(value.alias("value"))
+        .orderBy("time_bucket", cols.name, *series)
+    )
+
+
+def _range_sliding_moment(
+    out: DataFrame,
+    over: str,
+    m: int,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols,
+    label_cols: list[str],
+) -> DataFrame:
+    """Sliding-window moment ``*_over_time`` on the bucket grid: the
+    window for the output step ending at ``(j+1)·step`` is the last
+    ``m`` whole steps ``[(j−m+1)·step, (j+1)·step)`` — each sample fans
+    out to the ``m`` output steps whose window covers it (home step
+    ``i`` → steps ``i..i+m−1``), then one hash aggregation per step.
+    Output grid stays clamped to the query bounds (steps
+    ``floor(start/step)..floor(end/step)``), and only samples inside
+    the closed query range participate (early windows are truncated at
+    ``start`` — the same truncation the tumbling arm applies).
+
+    Plan shape: the explode multiplies rows by ``m`` BEFORE the
+    aggregation — fine for raw scans at modest ``m`` (a 12× fan-out for
+    1h windows at 5m steps), and the rollup route fans out rollup-sized
+    rows instead (``_maybe_route_rollup`` mirrors this logic bucket-for-
+    bucket, so routed == raw bit-for-bit on exactly-representable
+    values)."""
+    i = F.floor(F.col(cols.ts).cast("double") / F.lit(step_s)).cast("long")
+    step_us = step_s * 1_000_000
+    j_min = int(round(start_s * 1e6)) // step_us
+    j_max = int(round(end_s * 1e6)) // step_us
+    ex = out.withColumn(
+        "__j", F.explode(F.sequence(i, i + F.lit(int(m - 1))))
+    ).filter((F.col("__j") >= j_min) & (F.col("__j") <= j_max))
+    value = {
+        "avg": F.avg(cols.value),
+        "min": F.min(cols.value),
+        "max": F.max(cols.value),
+        "sum": F.sum(cols.value),
+        "count": F.count(F.lit(1)),
+    }[over]
     keys = [
-        time_bucket(b, step_s).alias("time_bucket"),
+        F.timestamp_seconds(F.col("__j") * F.lit(step_s)).alias("time_bucket"),
         F.col(cols.name),
-    ] + [F.col(c) for c in gcols]
-    return df_group_sorted(ro, keys, rollup_moment(fn).alias("value"))
+    ] + [F.col(c) for c in label_cols]
+    return df_group_sorted(ex, keys, value.alias("value"))
 
 
 def _range_fn_value(parsed: ParsedPromQL, cols: MetricsCols, rng: float) -> Column:

@@ -229,9 +229,50 @@ def refresh_rollup(
         delta = base.read_changes(spark, last, base_head)
         partial = _downsample(delta)
         keys = ["bucket", *series_cols]
-        touched = ru.read(spark, head).join(
+        current = ru.read(spark, head)
+        from cardinalsin_spark.operators.compaction import COUNTER_MOMENT_COLS
+
+        have_counters = COUNTER_MOMENT_COLS.issubset(set(current.columns))
+        if not have_counters:
+            # a rollup written before the counter moments existed keeps
+            # its classic schema — widening it here would leave NULL
+            # counters on untouched buckets, poisoning counter routing
+            partial = partial.drop(*COUNTER_MOMENT_COLS)
+        touched = current.join(
             partial.select(*keys).distinct(), keys, "left_semi"
         )
+        counter_aggs, counter_sel = [], []
+        if have_counters:
+            # ≤2 segments per key (the committed row + the delta
+            # partial): fold first/last by segment order (min_ts) and
+            # re-add the reset-aware boundary delta between them —
+            # exact when the delta's samples all land AFTER the
+            # committed bucket's (the append steady state, checked
+            # below; interleaved late data falls back to a rebuild)
+            n = F.count(F.lit(1))
+            fv_late = F.max_by("first_value", "min_ts")
+            lv_early = F.min_by("last_value", "min_ts")
+            bnd = F.when(
+                n > 1,
+                F.when(fv_late >= lv_early, fv_late - lv_early).otherwise(
+                    fv_late
+                ),
+            ).otherwise(F.lit(None).cast("double"))
+            inc_sum = F.sum("inc_value")
+            inc = F.when(
+                inc_sum.isNull() & bnd.isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.coalesce(inc_sum, F.lit(0.0)) + F.coalesce(bnd, F.lit(0.0))
+            )
+            counter_aggs = [
+                F.min("min_ts").alias("min_ts"),
+                F.min_by("first_value", "min_ts").alias("first_value"),
+                F.max_by("last_value", "max_ts").alias("last_value"),
+                inc.alias("inc_value"),
+                ((n == 1) | (F.max("min_ts") > F.min_by("max_ts", "min_ts")))
+                .alias("__segments_ordered"),
+            ]
+            counter_sel = ["min_ts", "first_value", "last_value", "inc_value"]
         combined = (
             touched.unionByName(partial)
             .groupBy(*[F.col(k) for k in keys])
@@ -241,6 +282,7 @@ def refresh_rollup(
                 F.sum("sum_value").alias("sum_value"),
                 F.sum("count_value").alias("count_value"),
                 F.max("max_ts").alias("max_ts"),
+                *counter_aggs,
             )
             .select(
                 *keys,
@@ -250,8 +292,28 @@ def refresh_rollup(
                 "sum_value",
                 "count_value",
                 "max_ts",
+                *counter_sel,
+                *(
+                    [F.col("__segments_ordered")]
+                    if have_counters
+                    else []
+                ),
             )
         )
+        if have_counters:
+            interleaved = (
+                combined.filter(~F.col("__segments_ordered")).limit(1).count()
+            )
+            if interleaved:
+                # late data landed inside an already-rolled-up bucket:
+                # the two segments' time ranges interleave, so their
+                # first/last/inc moments cannot be folded — rebuild
+                # (same answer, paid only on out-of-order ingest)
+                full = _downsample(base.read(spark, base_head))
+                return ru._rewrite_and_commit(
+                    full, head, target_files, "bucket", extra=extra
+                )
+            combined = combined.drop("__segments_ordered")
         # head= pins the merge to the snapshot `touched` was computed
         # from: a commit landing in between conflicts (and this whole
         # closure re-runs) instead of merge_upsert silently applying
