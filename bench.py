@@ -61,6 +61,12 @@ BENCH_ORDER = [
     "promql_absent", "tpch_q1", "tpch_q3ish", "sql_rollup", "sql_cube",
     "maint_l0_plan", "maint_small_files", "maint_leveled_plan",
     "maint_retention", "maint_time_prune", "maint_downsample",
+    # rate_routed FIRST among the sqldoor-fixture consumers: it is the
+    # _SQL_DOOR_CACHE namesake (the metrics reshape + 6h rollup build is
+    # the continuous-aggregate "index" and belongs to its cold time);
+    # sql_door then measures the routed aggregation warm
+    "maint_rollup_routed", "maint_rollup_rate_routed",
+    "maint_rollup_sql_door",
     "ts_asof_join", "ts_gapfill_locf", "ts_resets_changes",
     "ts_predict_linear", "ts_stddev", "promql_histogram_quantile",
     "tpch_q6", "tpch_q5ish", "tpch_q10ish", "tpch_q14ish", "ts_sessionize",
@@ -112,7 +118,7 @@ CACHE_NAMESAKES = {
     "docs_minhash_pairs": ("cardinalsin_spark.queries_llm", "_SIMS_CACHE"),
     "docs_simhash": ("cardinalsin_spark.queries_llm", "_SIMHASH_CACHE"),
     "maint_rollup_routed": ("cardinalsin_spark.queries", "_ROLLUP_CACHE"),
-    "maint_rollup_sql_door": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
+    "maint_rollup_rate_routed": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
 }
 
 

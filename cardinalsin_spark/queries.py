@@ -1743,30 +1743,52 @@ FROM events GROUP BY 1, 2
 
 
 # Rollup parquet cache for maint_rollup_routed: one deterministic
-# downsample() write per (process, sf_dir) into a fresh tempdir — the
-# routed query then scans ONLY the rollup, never raw events (the plan pin
-# in tests/test_plan_quality.py proves it).
+# downsample() write per (process, sf_dir) — the routed query then scans
+# ONLY the rollup, never raw events (the plan pin in
+# tests/test_plan_quality.py proves it).  Rebuilds after a bench cache
+# eviction REUSE the same per-(pid, sf) directory with an overwrite
+# write (ADVICE r11: a fresh mkdtemp per miss leaked one parquet tree
+# per timed repeat), and every directory is removed at interpreter exit.
 _ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _fixture_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) scratch dir for query-side
+    parquet fixtures, registered for cleanup at exit."""
+    import atexit
+    import re as _re
+    import shutil
+    import tempfile
+
+    slug = _re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir.strip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"cardinalsin-{kind}-{os.getpid()}-{slug}"
+    )
+    if path not in _FIXTURE_DIRS:
+        _FIXTURE_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_FIXTURE_DIRS: set[str] = set()
 
 
 def _events_rollup_path(
     spark: SparkSession, sf_dir: str, resolution_s: int = 21600
 ) -> str:
-    import tempfile
-
     from cardinalsin_spark.operators.compaction import downsample
 
     key = f"{sf_dir}::{resolution_s}"
     path = _ROLLUP_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="cardinalsin-rollup-") + "/rollup"
+        path = _fixture_dir(f"rollup-{resolution_s}", sf_dir) + "/rollup"
         downsample(
             _events_cents(spark, sf_dir),
             resolution_s,
             ["event_type"],
             ts_col="ts",
             value_col="value_cents",
-        ).write.parquet(path)
+        ).write.mode("overwrite").parquet(path)
         _ROLLUP_CACHE[key] = path
     return path
 
@@ -1847,14 +1869,15 @@ _SQL_DOOR_CACHE: dict[str, tuple[str, str]] = {}
 
 
 def _sql_door_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    import tempfile
-
     from cardinalsin_spark.operators.compaction import downsample
     from cardinalsin_spark.schema import value_expr
 
     pair = _SQL_DOOR_CACHE.get(sf_dir)
     if pair is None:
-        base = tempfile.mkdtemp(prefix="cardinalsin-sqldoor-")
+        # deterministic per-(pid, sf) dir, overwrite on rebuild (ADVICE
+        # r11: a fresh mkdtemp per bench eviction leaked a tree per
+        # timed repeat), removed at interpreter exit via _fixture_dir
+        base = _fixture_dir("sqldoor", sf_dir)
         mpath, rpath = base + "/metrics", base + "/rollup"
         # metrics-shaped directly (flat parquet, typed value columns) —
         # the fixture is query-side scaffolding whose one-time build cost
@@ -1868,12 +1891,12 @@ def _sql_door_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             F.lit(None).cast("long").alias("value_i64"),
             F.lit(None).cast("long").alias("value_u64"),
         )
-        src.coalesce(2).write.parquet(mpath)
+        src.coalesce(2).write.mode("overwrite").parquet(mpath)
         downsample(
             spark.read.parquet(mpath).withColumn("value", value_expr()),
             21600,
             ["metric_name"],
-        ).write.parquet(rpath)
+        ).write.mode("overwrite").parquet(rpath)
         pair = (mpath, rpath)
         _SQL_DOOR_CACHE[sf_dir] = pair
     return pair
@@ -1941,6 +1964,85 @@ FROM events
 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
   AND ts < TIMESTAMP '2024-01-15 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_maint_rollup_rate_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAITHFUL counter functions served from a rollup (VERDICT r11 item
+    1 — the reference's hottest generated shape is the per-bucket rate,
+    ``api/query/prometheus_api.rs:969-983``, and it was the one query
+    family that still rescanned raw under an attached rollup): a 14-day
+    daily ``rate``/``increase`` over every metric, recomposed from the 6h
+    rollup's counter moments — ``inc_value`` (the reset-aware in-bucket
+    increase) plus the reset-aware boundary delta between consecutive
+    rollup buckets of each series (``first_value``/``last_value``) —
+    so counter resets anywhere reproduce the raw answer bit-for-bit on
+    the integer-cents fixture.
+
+    The oracle computes the RAW faithful answer straight from events
+    (the same per-series lag chain PromQL's increase sums, with the
+    reference's bucket attribution: a delta lands in the LATER sample's
+    bucket).  The plan guard makes a silent raw-path fallback
+    impossible.
+
+    Scale shape: a 90-day counter dashboard reads ~10³ rollup rows +
+    one rollup-sized window instead of rescanning raw samples — the
+    missing half of the continuous-aggregate story (gauges routed since
+    r9; counters routed here)."""
+    from cardinalsin_spark.engine import CardinalSin
+
+    mpath, rpath = _sql_door_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.attach_rollup(rpath, 21600, subsecond=True)
+    start = 1704067200  # 2024-01-01 00:00:00 UTC
+    end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
+    step = 86400
+    rate = eng.promql_range('rate({__name__=~".+"}[86400s])', start, end, step)
+    inc = eng.promql_range(
+        'increase({__name__=~".+"}[86400s])', start, end, step
+    ).withColumnRenamed("value", "inc_cents")
+    for df, what in ((rate, "rate"), (inc, "increase")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "/rollup" not in plan or "/metrics" in plan:
+            raise RuntimeError(
+                f"maint_rollup_rate_routed: faithful {what} must serve "
+                "from the rollup (counter moments, alignment or "
+                "attach() regressed) — refusing the silent raw fallback"
+            )
+    return (
+        rate.join(inc, ["time_bucket", "metric_name"])
+        .select(
+            "time_bucket",
+            F.col("metric_name").alias("event_type"),
+            # cents/s → units/s and cents → units: one deterministic
+            # division chain, identical on both engines (exact int64
+            # delta sums underneath — the rounding doctrine)
+            (F.col("value") / F.lit(100.0)).alias("rate_value"),
+            (F.col("inc_cents") / F.lit(100.0)).alias("increase_value"),
+        )
+        .orderBy("time_bucket", "event_type")
+    )
+
+
+SQL_MAINT_ROLLUP_RATE_ROUTED = f"""
+WITH d AS (
+  SELECT {_sql_bucket(86400)} AS tb, event_type,
+         CASE WHEN pv IS NULL THEN NULL
+              WHEN v >= pv THEN v - pv
+              ELSE v END AS dlt
+  FROM (
+    SELECT ts, event_type, {_sql_cents('value')} AS v,
+           lag({_sql_cents('value')})
+               OVER (PARTITION BY event_type ORDER BY ts) AS pv
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  )
+)
+SELECT tb AS time_bucket, event_type,
+       sum(dlt) / 86400.0 / 100.0 AS rate_value,
+       sum(dlt) / 100.0 AS increase_value
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -5638,6 +5740,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "maint_time_prune": (q_maint_time_prune, SQL_MAINT_TIME_PRUNE),
     "maint_downsample": (q_maint_downsample, SQL_MAINT_DOWNSAMPLE),
     "maint_rollup_routed": (q_maint_rollup_routed, SQL_MAINT_ROLLUP_ROUTED),
+    "maint_rollup_rate_routed": (
+        q_maint_rollup_rate_routed,
+        SQL_MAINT_ROLLUP_RATE_ROUTED,
+    ),
     "maint_rollup_sql_door": (
         q_maint_rollup_sql_door,
         SQL_MAINT_ROLLUP_SQL_DOOR,
@@ -5786,92 +5892,89 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-11 window (VERDICT r10 item 2), planned from
-    # `scripts/check_parity.py --ages --before 11`:
-    #   (a) the ENTIRE r7-stale tier — all 46 queries whose last green
-    #       driver row is CORRECTNESS_r07 (four code rounds stale; the
-    #       oldest coverage tier entering round 11): the docs
-    #       minhash/simhash/winnow dedup family, the emb_* topk/LSH/CC
-    #       tiers, the maint_* compaction-plan rows, sql_cube/rollup,
-    #       tpch_q3/5/6/10/14ish, promql_absent_over_time/holt_winters/
-    #       over_time, and the ts window-function tier.
-    #   (b) 4 non-r7 picks: flagship_minute_p99 + docs_sentence_stats
-    #       (reformulated in late r10 by the rounding-class fix — drop
-    #       round() from exact averages — OUTSIDE the r10 window, so
-    #       builder-parity-verified only until now; VERDICT r10 names
-    #       them), maint_rollup_routed (its machinery churned THIS round:
-    #       freshness guard, fresh='union' serving, refresh-race fixes in
-    #       operators/rollup.py + snapshots.py), and the round-11
-    #       addition maint_rollup_sql_door (never driver-checked).
-    # Left out (r8-stale, rotate into r12): the docs text-analysis tier,
-    # emb class/hamming/mips/mmr, media resample/scene_change, the
-    # promql group/fraction/subquery rows.  Every non-windowed registry
-    # query remains covered by the builder-side parity sweep
+    # Round-12 window (VERDICT r11 item 2), planned from
+    # `scripts/check_parity.py --ages --before 12`:
+    #   (a) the ENTIRE r8-stale tier — all 49 queries whose last green
+    #       driver row is CORRECTNESS_r08 (four code rounds stale; the
+    #       oldest coverage tier entering round 12): the docs
+    #       text-analysis/sketch tier, emb class/hamming/mips/mmr, the
+    #       media resample/scene_change rows, the promql group/fraction/
+    #       subquery/scalar rows, sql_grouping_sets/pivot,
+    #       tpch_q2/11/20ish, and the ts forecasting/outlier tier.
+    #       Includes docs_dedup_eval (ALSO reformulated late-r11 — the
+    #       single-pass full-join rewrite landed OUTSIDE the r11 window,
+    #       so it is builder-parity-verified only until now; VERDICT r11
+    #       item 2 names it) and ts_holt_winters (its driver-vs-median
+    #       1.61× reading gets a fresh driver datapoint).
+    #   (b) 1 addition: maint_rollup_rate_routed — NEW this round
+    #       (faithful counter-function rollup serving, VERDICT r11 item
+    #       1), never driver-checked; it also keeps a rollup-routing row
+    #       windowed while the rollup/promql machinery churns (the
+    #       VERDICT r11 watch-item-2 condition).
+    # Left out (r9-green, rotate into r13): the docs bm25/containment/
+    # edit-distance tier, emb semdedup/hamming_topk, the sketches rows,
+    # sampling/pack pipeline rows.  Every non-windowed registry query
+    # remains covered by the builder-side parity sweep
     # (tests/test_oracle_parity.py).
-    # -- (a) r7-stale: docs dedup family (minhash/simhash/winnow)
-    "docs_exact_dedup",
-    "docs_minhash_pairs",
-    "docs_near_dedup",
-    "docs_ngram_jaccard",
-    "docs_simhash",
-    "docs_simhash_pairs",
-    "docs_span_dedup",
-    "docs_winnow",
-    # -- (a) r7-stale: emb ANN tiers
-    "emb_cosine_lsh",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_ivfpq_topk",
-    "emb_knn_classify",
-    "emb_near_dup",
-    "emb_near_dup_cc",
-    # -- (a) r7-stale: maint compaction/pruning plans
-    "maint_l0_plan",
-    "maint_leveled_plan",
-    "maint_small_files",
-    "maint_time_prune",
-    "maint_zorder_key",
-    # -- (a) r7-stale: promql leftovers
-    "promql_absent_over_time",
-    "promql_holt_winters",
-    "promql_over_time",
-    # -- (a) r7-stale: sql grouping tier
-    "sql_cube",
-    "sql_rollup",
-    # -- (a) r7-stale: tpch rows
-    "tpch_q3ish",
-    "tpch_q5ish",
-    "tpch_q6",
-    "tpch_q10ish",
-    "tpch_q14ish",
-    # -- (a) r7-stale: ts window-function tier
-    "ts_bucket_avg",
-    "ts_dedup_first",
-    "ts_deriv",
-    "ts_distinct_series",
-    "ts_distinct_values",
-    "ts_filter_range",
-    "ts_gapfill_locf",
-    "ts_heatmap",
-    "ts_increase",
-    "ts_instant_sum",
-    "ts_latest_per_series",
-    "ts_rate",
-    "ts_resets_changes",
-    "ts_sessionize",
-    "ts_stddev",
-    "ts_topk",
-    # -- (b) changed in late r10 OUTSIDE the r10 window (rounding-class
-    # fix: never round() an exact average below the value's granularity)
-    "flagship_minute_p99",
-    "docs_sentence_stats",
-    # -- (b) machinery churned in r11: rollup freshness guard +
-    # fresh='union' + refresh-race fixes (rollup.py, snapshots.py,
-    # promql route targets)
-    "maint_rollup_routed",
-    # -- (b) ADDED in round 11 — never driver-checked (SQL-door rollup
-    # routing, VERDICT r10 missing #3)
-    "maint_rollup_sql_door",
+    # -- (a) r8-stale: docs text-analysis / sketch tier
+    "docs_char_diversity",
+    "docs_cms_heavy_hitters",
+    "docs_dedup_eval",
+    "docs_drift_chisq",
+    "docs_gopher_repetition",
+    "docs_hll_distinct",
+    "docs_hll_overlap",
+    "docs_kmv_setops",
+    "docs_lang_id",
+    "docs_pack_shards",
+    "docs_pii_scrub",
+    "docs_quality",
+    "docs_quality_filter",
+    "docs_rare_words",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "docs_zipf_ranks",
+    # -- (a) r8-stale: emb tiers
+    "emb_class_separation",
+    "emb_hamming_recall",
+    "emb_mips_topk",
+    "emb_mmr_rerank",
+    # -- (a) r8-stale: multimodal rows
+    "media_audio_resample",
+    "media_scene_change",
+    # -- (a) r8-stale: promql rows
+    "promql_group_agg",
+    "promql_histogram_fraction",
+    "promql_instant_subquery",
+    "promql_mod_arith",
+    "promql_present_over_time",
+    "promql_quantile_over_time",
+    "promql_range_fn_at",
+    "promql_range_scalar",
+    "promql_scalar_arith",
+    "promql_subquery_default_res",
+    "promql_subquery_outer_rate",
+    "promql_time_staleness",
+    "promql_timestamp_hour",
+    "promql_vector_fallback",
+    # -- (a) r8-stale: sql grouping tier
+    "sql_grouping_sets",
+    "sql_pivot",
+    # -- (a) r8-stale: tpch rows
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "tpch_q20ish",
+    # -- (a) r8-stale: ts forecasting/outlier tier
+    "ts_bloom_join",
+    "ts_holt_winters",
+    "ts_ohlc",
+    "ts_outliers",
+    "ts_predict_linear",
+    "ts_winsorize",
+    # -- (b) ADDED in round 12 — never driver-checked (faithful counter
+    # rollup serving, VERDICT r11 item 1)
+    "maint_rollup_rate_routed",
 ]
 
 

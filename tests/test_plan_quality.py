@@ -600,6 +600,18 @@ def test_sql_door_rollup_scans_rollup_not_base(spark, sf_dir):
     assert "events.parquet" not in plan, plan
 
 
+def test_rate_routed_scans_rollup_not_base(spark, sf_dir):
+    """maint_rollup_rate_routed (VERDICT r11 item 1): FAITHFUL
+    rate/increase must serve from the rollup's counter moments, never
+    the reshaped metrics table or raw events (the query's route guard
+    would normally raise first, this pins the plan itself)."""
+    df = _df(spark, sf_dir, "maint_rollup_rate_routed")
+    plan = plan_string(df, "formatted")
+    assert "cardinalsin-sqldoor-" in plan and "/rollup" in plan, plan
+    assert "/metrics" not in plan, plan
+    assert "events.parquet" not in plan, plan
+
+
 def test_ann_recall_joins_broadcast_topk_frames(spark, sf_dir):
     """Recall measurement joins two k·|queries|-row result frames — the
     approximate side must broadcast so recall never costs a shuffle of

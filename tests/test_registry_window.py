@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
-of ``queries()`` (verified against CORRECTNESS_r03..r10: their keys were
-exactly registry[:50]).  These tests pin the round-11 window composition:
+of ``queries()`` (verified against CORRECTNESS_r03..r11: their keys were
+exactly registry[:50]).  These tests pin the round-12 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -15,11 +15,11 @@ driver landing this round's (all-green) artifact cannot re-arm these tests
 — the r5/r6 self-arming failure.  The simulation regression below runs
 against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
 fake artifact into the live repo root risked leaving a forged driver file
-behind on a hard kill).  Window rotation for r12 is a planning task (bump
+behind on a hard kill).  Window rotation for r13 is a planning task (bump
 WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
-``scripts/check_parity.py --ages --before 12`` — the r8-stale tier is
-next: docs text-analysis, emb class/hamming/mips/mmr, media
-resample/scene_change, promql group/fraction/subquery rows).
+``scripts/check_parity.py --ages --before 13`` — the r9-green tier is
+next: docs bm25/containment/edit-distance, emb semdedup/hamming_topk,
+the sketches rows, sampling/pack pipeline rows).
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -67,76 +67,74 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 11.
+# builder-side parity sweep.  Empty entering round 12.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 # Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r7      — last green row is CORRECTNESS_r07, four code rounds
-#                   ago; the oldest coverage tier entering round 11
-#                   (VERDICT r10 item 2 names this exact 46-row set).
-#   changed-r10   — reformulated in LATE r10 by the rounding-class fix
-#                   (drop round() from exact averages) after the r10
-#                   window froze; builder-parity-verified only until now
-#                   (VERDICT r10 watch item b names these two).
-#   changed-r11   — machinery churned this round: rollup freshness
-#                   guard + fresh='union' serving + refresh-race fixes
-#                   (operators/rollup.py, sources/snapshots.py, promql
-#                   route targets).
+#   stale-r8      — last green row is CORRECTNESS_r08, four code rounds
+#                   ago; the oldest coverage tier entering round 12
+#                   (VERDICT r11 item 2 names this exact 49-row set).
+#   changed-r11   — ALSO reformulated in LATE r11 OUTSIDE the r11 window
+#                   (docs_dedup_eval: the single-pass full-join rewrite
+#                   — builder-parity-verified only until now; VERDICT
+#                   r11 item 2 calls it out by name).
+#   sliding-r12   — its machinery sits on the promql_range generic arm
+#                   whose *_over_time handling gained the sliding-window
+#                   branch this round (range == step rows are untouched
+#                   by construction, but the tier deserves the driver
+#                   datapoint while the arm churns).
 RECHECK: dict[str, str] = {
-    # -- stale-r7 (the full 46-row tier)
-    "docs_exact_dedup": "stale-r7",
-    "docs_minhash_pairs": "stale-r7",
-    "docs_near_dedup": "stale-r7",
-    "docs_ngram_jaccard": "stale-r7",
-    "docs_simhash": "stale-r7",
-    "docs_simhash_pairs": "stale-r7",
-    "docs_span_dedup": "stale-r7",
-    "docs_winnow": "stale-r7",
-    "emb_cosine_lsh": "stale-r7",
-    "emb_cosine_topk": "stale-r7",
-    "emb_ivf_topk": "stale-r7",
-    "emb_ivfpq_topk": "stale-r7",
-    "emb_knn_classify": "stale-r7",
-    "emb_near_dup": "stale-r7",
-    "emb_near_dup_cc": "stale-r7",
-    "maint_l0_plan": "stale-r7",
-    "maint_leveled_plan": "stale-r7",
-    "maint_small_files": "stale-r7",
-    "maint_time_prune": "stale-r7",
-    "maint_zorder_key": "stale-r7",
-    "promql_absent_over_time": "stale-r7",
-    "promql_holt_winters": "stale-r7",
-    "promql_over_time": "stale-r7",
-    "sql_cube": "stale-r7",
-    "sql_rollup": "stale-r7",
-    "tpch_q3ish": "stale-r7",
-    "tpch_q5ish": "stale-r7",
-    "tpch_q6": "stale-r7",
-    "tpch_q10ish": "stale-r7",
-    "tpch_q14ish": "stale-r7",
-    "ts_bucket_avg": "changed-r10",
-    "ts_dedup_first": "stale-r7",
-    "ts_deriv": "stale-r7",
-    "ts_distinct_series": "stale-r7",
-    "ts_distinct_values": "stale-r7",
-    "ts_filter_range": "stale-r7",
-    "ts_gapfill_locf": "stale-r7",
-    "ts_heatmap": "stale-r7",
-    "ts_increase": "stale-r7",
-    "ts_instant_sum": "stale-r7",
-    "ts_latest_per_series": "stale-r7",
-    "ts_rate": "stale-r7",
-    "ts_resets_changes": "stale-r7",
-    "ts_sessionize": "stale-r7",
-    "ts_stddev": "stale-r7",
-    "ts_topk": "changed-r10",
-    # -- changed in late r10 outside the r10 window
-    "flagship_minute_p99": "changed-r10",
-    "docs_sentence_stats": "changed-r10",
-    # -- machinery churned in r11
-    "maint_rollup_routed": "changed-r11",
+    "docs_char_diversity": "stale-r8",
+    "docs_cms_heavy_hitters": "stale-r8",
+    "docs_dedup_eval": "changed-r11",
+    "docs_drift_chisq": "stale-r8",
+    "docs_gopher_repetition": "stale-r8",
+    "docs_hll_distinct": "stale-r8",
+    "docs_hll_overlap": "stale-r8",
+    "docs_kmv_setops": "stale-r8",
+    "docs_lang_id": "stale-r8",
+    "docs_pack_shards": "stale-r8",
+    "docs_pii_scrub": "stale-r8",
+    "docs_quality": "stale-r8",
+    "docs_quality_filter": "stale-r8",
+    "docs_rare_words": "stale-r8",
+    "docs_split_assign": "stale-r8",
+    "docs_stratified_sample": "stale-r8",
+    "docs_token_stats": "stale-r8",
+    "docs_zipf_ranks": "stale-r8",
+    "emb_class_separation": "stale-r8",
+    "emb_hamming_recall": "stale-r8",
+    "emb_mips_topk": "stale-r8",
+    "emb_mmr_rerank": "stale-r8",
+    "media_audio_resample": "stale-r8",
+    "media_scene_change": "stale-r8",
+    "promql_group_agg": "stale-r8",
+    "promql_histogram_fraction": "stale-r8",
+    "promql_instant_subquery": "stale-r8",
+    "promql_mod_arith": "stale-r8",
+    "promql_present_over_time": "sliding-r12",
+    "promql_quantile_over_time": "sliding-r12",
+    "promql_range_fn_at": "stale-r8",
+    "promql_range_scalar": "stale-r8",
+    "promql_scalar_arith": "stale-r8",
+    "promql_subquery_default_res": "stale-r8",
+    "promql_subquery_outer_rate": "stale-r8",
+    "promql_time_staleness": "stale-r8",
+    "promql_timestamp_hour": "stale-r8",
+    "promql_vector_fallback": "stale-r8",
+    "sql_grouping_sets": "stale-r8",
+    "sql_pivot": "stale-r8",
+    "tpch_q2ish": "stale-r8",
+    "tpch_q11ish": "stale-r8",
+    "tpch_q20ish": "stale-r8",
+    "ts_bloom_join": "stale-r8",
+    "ts_holt_winters": "stale-r8",
+    "ts_ohlc": "stale-r8",
+    "ts_outliers": "stale-r8",
+    "ts_predict_linear": "stale-r8",
+    "ts_winsorize": "stale-r8",
 }
 
 
