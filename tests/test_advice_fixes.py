@@ -257,3 +257,64 @@ def test_rate_extrapolated_negative_first_sample_skips_zero_clamp(spark):
     factor = (sampled + ext_start + ext_end) / sampled
     expected = 30.0 * factor / 3600.0
     assert math.isclose(out[0].rate, expected, rel_tol=1e-12)
+
+
+def test_symlinked_base_path_still_direct(spark, tmp_path):
+    """ADVICE r11 item 2: a refresh job that reached the base through a
+    symlink must not make a direct rollup look like a cascade tier — the
+    chain walk compares realpaths, so the rollup stays eligible."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    real = str(tmp_path / "metrics")
+    link = str(tmp_path / "metrics-link")
+    src = spark.range(0, 500).select(
+        (F.lit(1_704_067_200_000_000_000) + F.col("id") * F.lit(10**9)).alias(
+            "ts_ns"
+        ),
+        F.lit("m").alias("name"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), real,
+                  mode="overwrite")
+    SnapshotCatalog(real).init_from_directory()
+    os.symlink(real, link)
+    # the refresh stamps rollup_base_root through the SYMLINK...
+    link_eng = CardinalSin(spark, link)
+    fine = str(tmp_path / "r300")
+    link_eng.refresh_rollup(fine, 300, series_cols=["metric_name"])
+    # ...and the serving engine references the base by its REAL path
+    eng = CardinalSin(spark, real)
+    eng.attach_rollup(fine)
+    st = eng.rollup_status()[0]
+    assert st["eligible"], st
+    assert eng._route_rollups(), "symlinked base root must still route"
+
+
+def test_attach_rollup_empty_log_is_valueerror(spark, tmp_path):
+    """ADVICE r11 item 3: a rollup dir with an existing-but-empty
+    _snapshots log must raise the explanatory ValueError from
+    attach_rollup, not a FileNotFoundError from the manifest read."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 100).select(
+        (F.lit(1_704_067_200_000_000_000) + F.col("id") * F.lit(10**9)).alias(
+            "ts_ns"
+        ),
+        F.lit("m").alias("name"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    hollow = tmp_path / "hollow-rollup"
+    (hollow / "_snapshots").mkdir(parents=True)  # log dir exists, no commits
+    with pytest.raises(ValueError, match="rollup_base_version|manifest"):
+        eng.attach_rollup(str(hollow), 300)
+    with pytest.raises(ValueError, match="resolution|manifest"):
+        eng.attach_rollup(str(hollow))

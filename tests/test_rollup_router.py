@@ -1298,6 +1298,123 @@ def test_rollup_status_report(spark, tmp_path):
     assert "parent head" in st[coarse_root]["reason"]
 
 
+def test_cascade_union_serves_stale_coarse_tier(spark, tmp_path):
+    """VERDICT r11 item 4: under ``fresh='union'`` a stale CASCADE tier
+    must keep serving — tier rows for coarse buckets the parent diff did
+    not touch ∪ a recompute of the touched buckets from the parent
+    rollup's head — reading ONLY rollup catalogs, never raw metrics.
+    Parity with raw throughout, and ``rollup_status`` agrees with the
+    routing decision (ADVICE r11: the two disagreed for union serving)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import cascade_rollup
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    import os
+    import shutil
+
+    path = str(tmp_path / "metrics")
+    fine_root = str(tmp_path / "r300")
+    coarse_root = str(tmp_path / "r3600")
+
+    def rows(lo, hi, span):
+        src = spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % span).cast("long") * F.lit(1_000_000_000)
+            ).alias("ts_ns"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias(
+                "name"
+            ),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        return normalize_to_metrics(src, "ts_ns", "name", "v")
+
+    # base spans TWO coarse buckets (7200s) so the second one stays
+    # untouched by the append below — the 'kept' arm must serve it from
+    # the stale tier row, the recompute arm only the touched first hour
+    write_metrics(rows(0, 4000, 7200), path, mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    assert eng.refresh_rollup(fine_root, 300,
+                              series_cols=["metric_name"]) == 0
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) == 0
+    eng.attach_rollup(coarse_root, fresh="union")
+    start, end, step = START, START + 7200 - 1, 3600
+
+    def q(e):
+        return e.promql_range("sum(s0)", start, end, step)
+
+    assert q(eng).collect() == q(raw).collect()
+    # append confined to the FIRST hour, committed through the catalog
+    stage = path + "-stage"
+    rows(4000, 5000, 3600).coalesce(1).write.parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(stage, f),
+                os.path.join(path, f"extra-{i:04d}.parquet"),
+            )
+    cat.commit_new_files()
+    eng.metrics = raw.metrics = cat.read(spark)
+    # fine refreshed, coarse NOT: the coarse tier still serves via the
+    # invalidation recompute — no raw metrics file is read
+    assert eng.refresh_rollup(fine_root, 300,
+                              series_cols=["metric_name"]) >= 1
+    df = q(eng)
+    files = df.inputFiles()
+    assert any("/r3600/" in f for f in files), files
+    assert any("/r300/" in f for f in files), files  # parent delta+head
+    assert not any("/metrics/" in f for f in files), files
+    assert df.collect() == q(raw).collect()
+    # status agrees with routing: eligible, with the cascade-union reason
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert st[coarse_root]["eligible"]
+    assert "parent-delta recompute" in st[coarse_root]["reason"]
+    # cascading folds the tier forward; the plain fresh path resumes and
+    # the parent rollup drops out of the read set
+    assert cascade_rollup(spark, fine_root, coarse_root, 3600,
+                          ["metric_name"]) >= 1
+    df = q(eng)
+    files = df.inputFiles()
+    assert any("/r3600/" in f for f in files), files
+    assert not any("/r300/" in f for f in files), files
+    assert df.collect() == q(raw).collect()
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert st[coarse_root]["eligible"]
+
+
+def test_direct_union_status_agrees_with_routing(spark, tmp_path):
+    """ADVICE r11 item 1: a ``fresh='union'`` DIRECT rollup lagging an
+    append-only base is SERVED by ``_route_rollups`` — ``rollup_status``
+    must report it eligible with the union reason, not eligible=False."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    fine_root = str(tmp_path / "r300")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    eng.refresh_rollup(fine_root, 300, series_cols=["metric_name"])
+    eng.attach_rollup(fine_root, fresh="union")
+    _append_committed(spark, path, cat, 3000, 5000)
+    eng.metrics = cat.read(spark)
+    assert eng._route_rollups(), "union serving must engage"
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert st[fine_root]["eligible"], st
+    assert "rollup ∪ downsampled delta" in st[fine_root]["reason"], st
+
+
 def test_streaming_sink_cascade_pyramid(spark, tmp_path):
     """Streaming hierarchical continuous aggregates: the snapshot sink's
     on_commit hook refreshes the fine tier AND cascades the coarse tier
