@@ -512,8 +512,10 @@ class CardinalSin:
             (b >= F.timestamp_micros(F.lit(int(round(spec["start_s"] * 1e6)))))
             & (b <= F.timestamp_micros(F.lit(int(round(spec["end_s"] * 1e6)))))
         )
-        for col, lit in spec["filters"]:
-            ro = ro.filter(F.col(col) == F.lit(lit))
+        for col, lits in spec["filters"]:
+            # equality and IN-list share one code path ((col, [literals])
+            # — isin pushes to the scan as an In filter either way)
+            ro = ro.filter(F.col(col).isin(*lits))
         out = ro.groupBy(
             time_bucket(b, spec["step_s"]).alias(spec["bucket_alias"]),
             *[F.col(c) for c in spec["group_cols"]],

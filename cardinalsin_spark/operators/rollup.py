@@ -414,24 +414,38 @@ def rollup_moment(agg: str, sum_col: str = "sum_value", count_col: str = "count_
 
 _SQL_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
+_SQL_TSFN = r"timestamp_seconds|timestamp_micros"
+
+# One label filter: equality or an IN list of plain string literals
+# (no quote escapes — a literal containing a quote breaks the filters
+# group, the outer fullmatch fails, and the query passes through).
+_SQL_ONE_FILTER = (
+    rf"{_SQL_IDENT}\s*(?:=\s*'[^']*'"
+    rf"|in\s*\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*\))"
+)
+
 _SQL_BUCKET_AGG = re.compile(
     rf"\s*select\s+time_bucket\(\s*(?P<ts>{_SQL_IDENT})\s*,\s*(?P<step>\d+)\s*\)"
     rf"\s+as\s+(?P<b>{_SQL_IDENT})"
     rf"(?P<items>(?:\s*,\s*(?:(?:sum|avg|min|max|count)\s*\(\s*{_SQL_IDENT}\s*\)"
     rf"\s+as\s+{_SQL_IDENT}|{_SQL_IDENT}))+)\s+"
     rf"from\s+(?P<table>{_SQL_IDENT})\s+"
-    rf"where\s+(?P<ts2>{_SQL_IDENT})\s*>=\s*"
-    rf"(?P<lofn>timestamp_seconds|timestamp_micros)\(\s*(?P<lo>\d+)\s*\)"
+    rf"where\s+(?P<ts2>{_SQL_IDENT})\s*(?:"
+    rf">=\s*(?P<lofn>{_SQL_TSFN})\(\s*(?P<lo>\d+)\s*\)"
     rf"\s+and\s+(?P<ts3>{_SQL_IDENT})\s*<=\s*"
-    rf"(?P<hifn>timestamp_seconds|timestamp_micros)\(\s*(?P<hi>\d+)\s*\)"
-    rf"(?P<filters>(?:\s+and\s+{_SQL_IDENT}\s*=\s*'[^']*')*)\s*"
+    rf"(?P<hifn>{_SQL_TSFN})\(\s*(?P<hi>\d+)\s*\)"
+    rf"|between\s+(?P<lofn2>{_SQL_TSFN})\(\s*(?P<lo2>\d+)\s*\)"
+    rf"\s+and\s+(?P<hifn2>{_SQL_TSFN})\(\s*(?P<hi2>\d+)\s*\))"
+    rf"(?P<filters>(?:\s+and\s+{_SQL_ONE_FILTER})*)\s*"
     rf"group\s+by\s+(?P<gb>.+?)\s*"
     rf"(?:order\s+by\s+(?P<ob>.+?)\s*)?;?\s*",
     re.IGNORECASE | re.DOTALL,
 )
 
 _SQL_FILTER = re.compile(
-    rf"and\s+(?P<col>{_SQL_IDENT})\s*=\s*'(?P<lit>[^']*)'", re.IGNORECASE
+    rf"and\s+(?P<col>{_SQL_IDENT})\s*(?:=\s*'(?P<lit>[^']*)'"
+    rf"|in\s*\(\s*(?P<lits>'[^']*'(?:\s*,\s*'[^']*')*)\s*\))",
+    re.IGNORECASE,
 )
 
 _SQL_ITEM = re.compile(
@@ -452,27 +466,34 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
              [, label_col ...]
              , {sum|avg|min|max|count}(value) AS {v} [, agg(value) AS w ...]
         FROM metrics
-        WHERE timestamp >= timestamp_seconds({A})    -- or timestamp_micros
-          AND timestamp <= timestamp_seconds({B})    -- (µs data needs the
-          [AND label_col = 'literal' ...]            --  micros-exact bound)
+        WHERE timestamp >= timestamp_seconds({A})    -- or timestamp_micros,
+          AND timestamp <= timestamp_seconds({B})    -- or the equivalent
+                                                     -- BETWEEN lo AND hi
+          [AND label_col = 'literal' ...]            -- or label_col IN
+                                                     -- ('a', 'b', ...)
         GROUP BY {b | positions | the bucket expression}[, label_col ...]
         [ORDER BY {b}[, label_col ...] [ASC]]
 
     Anything outside this grammar (expressions, HAVING, JOINs, DESC,
-    LIMIT, subqueries, other tables) returns None and the query passes
-    through to Spark untouched — the router must never guess. The parse
-    verifies GROUP BY is exactly the bucket + the selected label columns
-    (by alias, select-list position, or the repeated ``time_bucket``
-    expression) and ORDER BY (when present) is a prefix-free subset of
-    the non-aggregate select list, so the routed plan cannot change
-    grouping or ordering semantics. Returns the routing spec dict."""
+    LIMIT, subqueries, other tables, quoted quotes in a literal) returns
+    None and the query passes through to Spark untouched — the router
+    must never guess. The parse verifies GROUP BY is exactly the bucket
+    + the selected label columns (by alias, select-list position, or the
+    repeated ``time_bucket`` expression) and ORDER BY (when present) is
+    a prefix-free subset of the non-aggregate select list, so the routed
+    plan cannot change grouping or ordering semantics. Returns the
+    routing spec dict; ``filters`` entries are ``(column, [literals])``
+    (equality = a one-literal list — SQL ``BETWEEN``/``IN`` are both
+    inclusive/disjunctive exactly like the >=/<=/= forms they sugar)."""
     m = _SQL_BUCKET_AGG.fullmatch(query)
     if m is None:
         return None
     if m.group("table").lower() != view.lower():
         return None
     ts_col = m.group("ts")
-    if m.group("ts2") != ts_col or m.group("ts3") != ts_col:
+    if m.group("ts2") != ts_col:
+        return None
+    if m.group("ts3") is not None and m.group("ts3") != ts_col:
         return None
     # walk the select-list tail: bare label columns, then one or more
     # aggregate terms — interleavings are rejected so the routed output's
@@ -544,23 +565,31 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
             if n is None:
                 return None
             order.append(n)
-    filters = [
-        (f.group("col"), f.group("lit"))
-        for f in _SQL_FILTER.finditer(m.group("filters"))
-    ]
+    filters: list[tuple[str, list[str]]] = []
+    for f in _SQL_FILTER.finditer(m.group("filters")):
+        if f.group("lit") is not None:
+            filters.append((f.group("col"), [f.group("lit")]))
+        else:
+            filters.append(
+                (f.group("col"), re.findall(r"'([^']*)'", f.group("lits")))
+            )
 
     def _bound(fn_name: str, raw: str) -> float | int:
         n = int(raw)
         return n if fn_name.lower() == "timestamp_seconds" else n / 1e6
 
+    lofn = m.group("lofn") or m.group("lofn2")
+    hifn = m.group("hifn") or m.group("hifn2")
+    lo = m.group("lo") or m.group("lo2")
+    hi = m.group("hi") or m.group("hi2")
     return {
         "ts_col": ts_col,
         "step_s": step,
         "bucket_alias": b,
         "group_cols": groups,
         "aggs": aggs,
-        "start_s": _bound(m.group("lofn"), m.group("lo")),
-        "end_s": _bound(m.group("hifn"), m.group("hi")),
+        "start_s": _bound(lofn, lo),
+        "end_s": _bound(hifn, hi),
         "filters": filters,
         "order_by": order,
     }

@@ -755,6 +755,7 @@ def remote_write_flatten(
     on_error: str = "skip",
     version: str | int = 1,
     created_zero: bool = False,
+    keep_injected_flag: bool = False,
 ) -> DataFrame:
     """binary WriteRequest payloads → (ts_ms, metric_name, value, labels).
 
@@ -779,6 +780,12 @@ def remote_write_flatten(
     store has no such gate, so the flatten step drops duplicate
     injected rows on (series labels, ts) — real samples are never
     touched.
+
+    Scope of that dedup: payloads flattened in THIS call.  Two separate
+    ingest jobs decoding the same series' CT each re-land the same
+    (ts=CT, 0.0) row — pass ``keep_injected_flag=True`` and commit
+    through :func:`append_ct_idempotent` for store-level idempotence
+    (or run the engine's dual-write dedup on read).
     """
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
@@ -845,11 +852,13 @@ def remote_write_flatten(
         .dropDuplicates(["ts_ms", "metric_name", "_lk"])
         .drop("_lk")
     )
-    return (
-        flat.filter(~F.col("_ct_injected"))
-        .unionByName(inj)
-        .drop("_ct_injected")
-    )
+    out = flat.filter(~F.col("_ct_injected")).unionByName(inj)
+    if keep_injected_flag:
+        # the flag travels to the sink so append_ct_idempotent can make
+        # the injected rows idempotent against the COMMITTED store too
+        # (this dedup only covers payloads flattened in one call)
+        return out
+    return out.drop("_ct_injected")
 
 
 def remote_write_to_metrics(
@@ -858,12 +867,19 @@ def remote_write_to_metrics(
     bytes_col: str = "payload",
     version: str | int = 1,
     created_zero: bool = False,
+    keep_injected_flag: bool = False,
 ) -> DataFrame:
     """Full remote-write ingest: decode, pivot labels to columns, route
     value types (f64/i64/u64 by losslessness, like the reference).
-    ``version``/``created_zero`` as in :func:`remote_write_flatten`."""
+    ``version``/``created_zero``/``keep_injected_flag`` as in
+    :func:`remote_write_flatten` (the flag column rides along for
+    :func:`append_ct_idempotent`)."""
     flat = remote_write_flatten(
-        payloads, bytes_col, version=version, created_zero=created_zero
+        payloads,
+        bytes_col,
+        version=version,
+        created_zero=created_zero,
+        keep_injected_flag=keep_injected_flag,
     )
     if label_keys is None:
         label_keys = sorted(
@@ -878,5 +894,74 @@ def remote_write_to_metrics(
         "metric_name",
         "value",
         *[F.col("labels").getItem(k).alias(k) for k in label_keys],
+        *(["_ct_injected"] if keep_injected_flag and created_zero else []),
     )
     return route_value_types(out).drop("value")
+
+
+def append_ct_idempotent(
+    spark,
+    cat,
+    df: DataFrame,
+    flag_col: str = "_ct_injected",
+    target_files: int = 1,
+    retries: int = 5,
+) -> int:
+    """Commit a remote-write batch to a snapshot table with STORE-LEVEL
+    idempotence for the injected CT-zero rows (VERDICT r11 watch #1):
+    the flatten-level dedup only covers payloads decoded in one call, so
+    two ingest jobs (or a redelivered batch) decoding the same series'
+    ``created_timestamp`` would each land the same synthetic (ts=CT, 0)
+    row.  Flagged rows are anti-joined (null-safe — absent labels are
+    NULL columns) against the COMMITTED table on (timestamp,
+    metric_name, *labels) before the append, so each (series, CT) holds
+    exactly one zero row; a committed REAL sample at the CT instant also
+    suppresses the synthetic zero.  Real samples are never filtered —
+    they keep the ingest path's at-least-once fidelity by design (the
+    engine's dual-write dedup handles them on read).
+
+    Files stage under a writer-unique token and move to deterministic
+    names before one CAS-retried append, the snapshot sink's crash
+    story.  Idempotence is against committed state: two ingests racing
+    the SAME CT concurrently can still both pass the anti-join — the
+    read-side dedup remains the backstop for that window.  Returns the
+    committed version.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from functools import reduce
+
+    flag = F.col(flag_col)
+    real = df.filter(~flag).drop(flag_col)
+    injected = df.filter(flag).drop(flag_col)
+    keys = [
+        c
+        for c in real.columns
+        if c not in ("ts_ns", "value_f64", "value_i64", "value_u64", "value")
+    ]
+    if cat.current_version() is not None:
+        committed = cat.read(spark).select(*keys).distinct()
+        cond = reduce(
+            lambda a, b: a & b,
+            [injected[k].eqNullSafe(committed[k]) for k in keys],
+        )
+        injected = injected.join(committed, cond, "left_anti")
+    out = real.unionByName(injected)
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(cat.root, f"_ct_stage-{token}")
+    out.coalesce(target_files).write.mode("overwrite").parquet(stage)
+    names: list[str] = []
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            dst = os.path.join(
+                cat.root, f"ct-{token}-{len(names):04d}.parquet"
+            )
+            shutil.move(os.path.join(stage, f), dst)
+            names.append(dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    if not names:
+        head = cat.current_version()
+        return head if head is not None else cat.append([], retries=retries)
+    return cat.append(names, retries=retries)

@@ -1695,3 +1695,101 @@ def test_v1_request_level_metadata(spark):
         ("req_total", "counter", "Total.", "requests"),
         ("up", "gauge", "Scrape health.", ""),
     ]
+
+
+def test_ct_zero_store_level_idempotence(spark, tmp_path):
+    """VERDICT r11 watch #1: the flatten-level CT-zero dedup covers one
+    job's payloads; TWO ingest jobs decoding the same series' CT must
+    still land exactly one synthetic (ts=CT, 0) row in the STORE —
+    ``append_ct_idempotent`` anti-joins the flagged rows against the
+    committed table.  Real samples keep at-least-once fidelity (both
+    jobs' copies land)."""
+    from cardinalsin_spark.sources.remote_write import (
+        append_ct_idempotent,
+        remote_write_to_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    def v2_with_ct(labels, samples, ct_ms):
+        symbols = [""]
+        refs = []
+        for k, v in labels.items():
+            for sym in (k, v):
+                if sym not in symbols:
+                    symbols.append(sym)
+            refs.extend((symbols.index(k), symbols.index(v)))
+        ts = _ld(1, b"".join(_varint(r) for r in refs))
+        ts += b"".join(_ld(2, _sample(v, t)) for v, t in samples)
+        ts += _varint(6 << 3 | 0) + _varint(ct_ms)
+        return b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+    pa = v2_with_ct(
+        {"__name__": "req_total", "svc": "a"}, [(5.0, 1000)], ct_ms=400
+    )
+    pb = v2_with_ct(
+        {"__name__": "req_total", "svc": "b"}, [(3.0, 1500)], ct_ms=700
+    )
+    payloads = spark.createDataFrame(
+        [(bytearray(pa),), (bytearray(pb),)], "payload binary"
+    )
+    import os as _os
+
+    root = str(tmp_path / "store")
+    _os.makedirs(root)
+    cat = SnapshotCatalog(root)
+
+    def job():
+        m = remote_write_to_metrics(
+            payloads, label_keys=["svc"], version=2, created_zero=True,
+            keep_injected_flag=True,
+        )
+        return append_ct_idempotent(spark, cat, m)
+
+    assert job() == 0
+    assert job() == 1  # second job decodes the SAME CTs
+    rows = cat.read(spark).collect()
+    zeros = sorted(
+        (r.timestamp, r.svc)
+        for r in rows
+        if (r.value_u64 or r.value_f64 or 0) == 0 and r.value_u64 is not None
+        or (r.value_f64 == 0.0)
+    )
+    # exactly ONE zero per (series, CT) across both jobs
+    import datetime as dt
+
+    # collected timestamps are tz-naive under the UTC session timezone
+    ct_a = dt.datetime(1970, 1, 1, 0, 0, 0, 400000)
+    ct_b = dt.datetime(1970, 1, 1, 0, 0, 0, 700000)
+    assert zeros == [(ct_a, "a"), (ct_b, "b")]
+    # real samples: both jobs' copies land (at-least-once by design)
+    reals = sorted(
+        (r.svc, float(r.value_u64 if r.value_u64 is not None else r.value_f64))
+        for r in rows
+        if not (
+            (r.value_u64 is not None and r.value_u64 == 0)
+            or r.value_f64 == 0.0
+        )
+    )
+    assert reals == [("a", 5.0), ("a", 5.0), ("b", 3.0), ("b", 3.0)]
+    # a committed REAL sample at a CT instant suppresses a later
+    # synthetic zero for that series too
+    pc = v2_with_ct(
+        {"__name__": "req_total", "svc": "a"}, [(2.0, 400)], ct_ms=400
+    )
+    m = remote_write_to_metrics(
+        spark.createDataFrame([(bytearray(pc),)], "payload binary"),
+        label_keys=["svc"], version=2, created_zero=True,
+        keep_injected_flag=True,
+    )
+    append_ct_idempotent(spark, cat, m)
+    at_ct = [
+        r
+        for r in cat.read(spark).collect()
+        if r.svc == "a" and r.timestamp == ct_a
+    ]
+    # the original zero + the new real sample; no SECOND zero
+    vals = sorted(
+        float(r.value_u64 if r.value_u64 is not None else r.value_f64)
+        for r in at_ct
+    )
+    assert vals == [0.0, 2.0]

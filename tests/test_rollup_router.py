@@ -902,8 +902,35 @@ def test_match_bucket_agg_sql_grammar():
         "ts_col": "timestamp", "step_s": 600, "bucket_alias": "tb",
         "group_cols": ["metric_name"], "aggs": [("sum", "value", "v")],
         "start_s": 1000, "end_s": 4599,
-        "filters": [("svc", "api")], "order_by": ["tb", "metric_name"],
+        "filters": [("svc", ["api"])], "order_by": ["tb", "metric_name"],
     }
+    # BETWEEN bounds (inclusive both ends — sugar for the >=/<= pair)
+    bt = m(
+        q.replace(
+            "timestamp >= timestamp_seconds(1000) "
+            "AND timestamp <= timestamp_seconds(4599)",
+            "timestamp BETWEEN timestamp_seconds(1000) "
+            "AND timestamp_seconds(4599)",
+        )
+    )
+    assert bt is not None
+    assert bt["start_s"] == 1000 and bt["end_s"] == 4599
+    assert bt["filters"] == [("svc", ["api"])]
+    # IN-list label filters (VERDICT r11 item 6)
+    inl = m(q.replace("svc = 'api'", "svc IN ('api', 'web', 'cron')"))
+    assert inl["filters"] == [("svc", ["api", "web", "cron"])]
+    # mixed equality + IN, and IN under BETWEEN
+    both = m(
+        q.replace(
+            "svc = 'api'", "env = 'prod' AND svc IN ('api','web')"
+        ).replace(
+            "timestamp >= timestamp_seconds(1000) "
+            "AND timestamp <= timestamp_seconds(4599)",
+            "timestamp BETWEEN timestamp_seconds(1000) "
+            "AND timestamp_seconds(4599)",
+        )
+    )
+    assert both["filters"] == [("env", ["prod"]), ("svc", ["api", "web"])]
     # GROUP BY by position and by the repeated bucket expression
     assert m(q.replace("GROUP BY tb, metric_name", "GROUP BY 1, 2"))
     assert m(
@@ -946,6 +973,23 @@ def test_match_bucket_agg_sql_grammar():
         q + " LIMIT 5",
         "SELECT * FROM metrics",
         q.replace("timestamp_seconds(1000)", "timestamp_seconds(1000.5)"),
+        # widened-grammar edges that must STILL pass through: an empty
+        # IN list, a NOT IN, a numeric IN list, a quote inside a
+        # literal, BETWEEN on plain numbers, half a BETWEEN
+        q.replace("svc = 'api'", "svc IN ()"),
+        q.replace("svc = 'api'", "svc NOT IN ('api')"),
+        q.replace("svc = 'api'", "svc IN (1, 2)"),
+        q.replace("svc = 'api'", "svc IN ('a''b')"),
+        q.replace(
+            "timestamp >= timestamp_seconds(1000) "
+            "AND timestamp <= timestamp_seconds(4599)",
+            "timestamp BETWEEN 1000 AND 4599",
+        ),
+        q.replace(
+            "timestamp >= timestamp_seconds(1000) "
+            "AND timestamp <= timestamp_seconds(4599)",
+            "timestamp BETWEEN timestamp_seconds(1000)",
+        ),
     ]
     for bad in rejects:
         assert m(bad) is None, bad
@@ -1022,12 +1066,38 @@ def test_sql_door_rollup_routing(spark, tmp_path):
         for r in eng.promql_range("sum(s0)", start, end, 600).collect()
     ]
     assert got == pq
+    # widened grammar (VERDICT r11 item 6): BETWEEN bounds and IN-list
+    # label filters route too, bit-equal to the raw SQL
+    between = (
+        f"SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        f"sum(value) AS v FROM metrics "
+        f"WHERE timestamp BETWEEN timestamp_seconds({start}) "
+        f"AND timestamp_seconds({end}) "
+        f"AND metric_name IN ('s0', 's1') "
+        f"GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    routed = eng.sql(between)
+    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    assert routed.collect() == raw_eng.sql(between).collect()
+    # IN-list narrowing to one series == the equality form
+    one = between.replace("IN ('s0', 's1')", "IN ('s0')")
+    routed = eng.sql(one)
+    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    assert routed.collect() == raw_eng.sql(
+        simple("sum", extra=" AND metric_name = 's0'").replace(
+            f"timestamp >= timestamp_seconds({start}) "
+            f"AND timestamp <= timestamp_seconds({end})",
+            f"timestamp BETWEEN timestamp_seconds({start}) "
+            f"AND timestamp_seconds({end})",
+        )
+    ).collect()
     # non-routable: misaligned bounds / sub-resolution step / unknown
     # column — pass through (macro still expands) and stay correct
     for bad in (
         simple("sum", lo=start + 7),
         simple("sum", step=60),
         simple("sum", extra=" AND nosuch = 'x'"),
+        between.replace("IN ('s0', 's1')", "NOT IN ('s0')"),
     ):
         try:
             routed = eng.sql(bad)
