@@ -2134,12 +2134,22 @@ def _maybe_route_rollup_instant(
     path's ``timestamp_`` (MAX raw sample time in the window) reproduces
     exactly from the rollup's ``max_ts`` moment; rollups written before
     that moment existed lack the column and simply never route.  Offset
-    and ``@`` need no special casing: both only move ``t_eval``."""
+    and ``@`` need no special casing: both only move ``t_eval``.
+
+    Counter functions route too (VERDICT r11 item 1 at the instant
+    door — ``rate(m[5m])`` through the instant API IS the canonical
+    alert query): the instant door evaluates the reference's MAX−MIN
+    semantics (``_range_fn_value``), which recomposes exactly from the
+    max/min moments for any tiling."""
     fn = parsed.function or ""
-    if not fn.endswith("_over_time"):
+    agg = None
+    if fn.endswith("_over_time"):
+        agg = fn[: -len("_over_time")]
+        if agg not in ("avg", "min", "max", "sum", "count", "last"):
+            return None
+    elif fn not in ("rate", "irate", "increase", "delta"):
         return None
-    agg = fn[: -len("_over_time")]
-    if agg not in ("avg", "min", "max", "sum", "count"):
+    if parsed.q is not None:
         return None
     from cardinalsin_spark.operators.rollup import (
         rollup_moment,
@@ -2166,6 +2176,8 @@ def _maybe_route_rollup_instant(
     need = {cols.name, "bucket", "max_ts", *gcols} | {
         m.label for m in parsed.label_matchers if m.label != "__name__"
     }
+    if agg == "last":
+        need |= {"last_value"}  # pre-upgrade rollups lack the moment
     if not need.issubset(set(ro.columns)):
         return None
     b = F.col("bucket")
@@ -2173,11 +2185,22 @@ def _maybe_route_rollup_instant(
         (b >= F.timestamp_micros(F.lit(int(round((t_eval - rng) * 1e6)))))
         & (b <= F.timestamp_micros(F.lit(int(round(t_eval * 1e6)))))
     )
+    if agg == "last":
+        # the window's most recent sample = the last bucket's last_value
+        value = F.expr("max_by(last_value, max_ts)")
+    elif agg is not None:
+        value = rollup_moment(agg)
+    else:
+        # the instant door's reference counter semantics (MAX−MIN per
+        # window, rate/irate divided by the range — _range_fn_value)
+        value = F.max("max_value") - F.min("min_value")
+        if fn in ("rate", "irate"):
+            value = value / F.lit(rng)
     return (
         ro.groupBy(F.col(cols.name), *[F.col(c) for c in gcols])
         .agg(
             F.max("max_ts").alias("timestamp_"),
-            rollup_moment(agg).alias("value"),
+            value.alias("value"),
         )
         .orderBy(cols.name, *gcols)
     )
@@ -2247,6 +2270,13 @@ def _maybe_route_rollup(
                 slide_m = rng // step_s
             else:
                 return None
+        elif over == "last":
+            # last_over_time recomposes from the counter-moment pair
+            # (last_value at max_ts); tumbling shape only — the raw
+            # sliding arm doesn't cover `last`, so neither does routing
+            if rng != step_s:
+                return None
+            fn = "last"
         elif parsed.function in ("rate", "irate", "increase", "delta"):
             if rng != step_s:
                 return None
@@ -2289,6 +2319,8 @@ def _maybe_route_rollup(
     need = {cols.name, "bucket", *gcols} | {
         m.label for m in parsed.label_matchers if m.label != "__name__"
     }
+    if fn == "last":
+        need |= {"last_value", "max_ts"}  # pre-upgrade rollups lack them
     if not need.issubset(set(ro.columns)):
         return None
     b = F.col("bucket")
@@ -2304,6 +2336,10 @@ def _maybe_route_rollup(
         value = F.max("max_value") - F.min("min_value")
         if counter_fn in ("rate", "irate"):
             value = value / F.lit(parsed.range_seconds or float(step_s))
+    elif fn == "last":
+        # the window's most recent sample = the last bucket's last_value
+        # (same tuple-max convention as the raw arm's max_by(value, ts))
+        value = F.expr("max_by(last_value, max_ts)")
     else:
         value = rollup_moment(fn)
     if slide_m > 1:
