@@ -2145,7 +2145,8 @@ def _maybe_route_rollup_instant(
     agg = None
     if fn.endswith("_over_time"):
         agg = fn[: -len("_over_time")]
-        if agg not in ("avg", "min", "max", "sum", "count", "last"):
+        if agg not in ("avg", "min", "max", "sum", "count", "last",
+                       "present"):
             return None
     elif fn not in ("rate", "irate", "increase", "delta"):
         return None
@@ -2188,6 +2189,8 @@ def _maybe_route_rollup_instant(
     if agg == "last":
         # the window's most recent sample = the last bucket's last_value
         value = F.expr("max_by(last_value, max_ts)")
+    elif agg == "present":
+        value = F.min(F.lit(1.0))  # a bucket row exists ⇔ samples exist
     elif agg is not None:
         value = rollup_moment(agg)
     else:
@@ -2260,10 +2263,13 @@ def _maybe_route_rollup(
         rng = parsed.range_seconds
         if parsed.q is not None or rng is None:
             return None
-        if over in ("avg", "min", "max", "sum", "count"):
+        if over in ("avg", "min", "max", "sum", "count", "present"):
+            # present_over_time recomposes from ANY rollup: a bucket row
+            # exists iff the window holds >= 1 sample (same min(lit(1))
+            # the raw arm emits)
             if rng == step_s:
                 fn = over  # tumbling: window == bucket
-            elif rng > step_s and rng % step_s == 0:
+            elif rng > step_s and rng % step_s == 0 and over != "present":
                 # sliding: window == m whole steps ending at the bucket
                 # end — mirrors _range_sliding_moment on the raw arm
                 fn = over
@@ -2340,6 +2346,8 @@ def _maybe_route_rollup(
         # the window's most recent sample = the last bucket's last_value
         # (same tuple-max convention as the raw arm's max_by(value, ts))
         value = F.expr("max_by(last_value, max_ts)")
+    elif fn == "present":
+        value = F.min(F.lit(1.0))  # the raw arm's present_over_time expr
     else:
         value = rollup_moment(fn)
     if slide_m > 1:

@@ -483,8 +483,10 @@ def test_instant_over_time_routes_rollup(spark, tmp_path):
         "increase(s0[3599s])",
         "delta(s0[3599s])",
         "irate(s0[3599s])",
-        # last_over_time recomposes from (last_value, max_ts)
+        # last_over_time recomposes from (last_value, max_ts);
+        # present_over_time from bucket-row existence
         "last_over_time(s0[3599s])",
+        "present_over_time(s0[3599s])",
     ):
         got = routed_eng.promql_instant(expr, time_s=t)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -583,6 +585,7 @@ def test_counter_and_sliding_routes_range_door(spark, tmp_path):
         ("max_over_time(s0[1800s])", 300),
         ("count_over_time(s0[1800s])", 600),
         ("last_over_time(s0[600s])", 600),
+        ("present_over_time(s0[600s])", 600),
     ):
         got, plan, exp = both(expr, step)
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
@@ -596,6 +599,7 @@ def test_counter_and_sliding_routes_range_door(spark, tmp_path):
         ("avg_over_time(s0[90s])", 90, True),
         ("deriv(s0[600s])", 600, True),
         ("last_over_time(s0[1800s])", 600, True),  # sliding last: raw
+        ("present_over_time(s0[1800s])", 600, True),  # sliding present: raw
     ):
         got, plan, exp = both(expr, step, faithful)
         assert "r300" not in plan, (expr, plan)
@@ -1563,6 +1567,46 @@ def test_cascade_union_serves_stale_coarse_tier(spark, tmp_path):
     assert st[coarse_root]["eligible"]
 
 
+def test_cascade_union_vacuumed_parent_falls_back(spark, tmp_path):
+    """Safety rail for the cascade recompute: if a file the parent diff
+    REMOVED was vacuumed, the old rows are unrecoverable and the touched
+    bucket set cannot be computed — the tier must drop out (raw serves,
+    bit-equal), never serve a partial recompute."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import cascade_rollup
+    from cardinalsin_spark.sources.ingest import write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    fine_root = str(tmp_path / "r300")
+    coarse_root = str(tmp_path / "r3600")
+    write_metrics(_metrics_fixture(spark, path, 0, 3000), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    eng.refresh_rollup(fine_root, 300, series_cols=["metric_name"])
+    cascade_rollup(spark, fine_root, coarse_root, 3600, ["metric_name"])
+    eng.attach_rollup(coarse_root, fresh="union")
+    _append_committed(spark, path, cat, 3000, 5000)
+    eng.metrics = raw.metrics = cat.read(spark)
+    # fine refreshed (its merge is rewrite-shaped: removes files), then
+    # aggressively vacuumed — only the head manifest's files survive
+    eng.refresh_rollup(fine_root, 300, series_cols=["metric_name"])
+    SnapshotCatalog(fine_root).vacuum(keep_last=1)
+    start, end, step = START, START + 3600 - 1, 3600
+    df = eng.promql_range("sum(s0)", start, end, step)
+    files = df.inputFiles()
+    assert not any("/r3600/" in f for f in files), files  # tier out
+    assert df.collect() == raw.promql_range(
+        "sum(s0)", start, end, step
+    ).collect()
+    st = {s["path"]: s for s in eng.rollup_status()}
+    assert not st[coarse_root]["eligible"]
+    assert "recompute unavailable" in st[coarse_root]["reason"]
+
+
 def test_direct_union_status_agrees_with_routing(spark, tmp_path):
     """ADVICE r11 item 1: a ``fresh='union'`` DIRECT rollup lagging an
     append-only base is SERVED by ``_route_rollups`` — ``rollup_status``
@@ -1699,6 +1743,10 @@ def test_range_over_time_routes_rollup(spark, tmp_path):
         "max_over_time(s0[600s])",
         "count_over_time(s0[600s])",
         "avg_over_time(s0[600s])",
+        # r12: last/present route too (last_value+max_ts moments /
+        # bucket-row existence)
+        "last_over_time(s0[600s])",
+        "present_over_time(s0[600s])",
     ):
         got = eng.promql_range(expr, start, end, step)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -1706,10 +1754,11 @@ def test_range_over_time_routes_rollup(spark, tmp_path):
         assert got.collect() == raw.promql_range(
             expr, start, end, step
         ).collect(), expr
-    # fall-backs: range != step, non-moment over-time, quantile form
+    # fall-backs: a range finer than the rollup, non-moment over-time,
+    # quantile form, offset
     for expr in (
         "sum_over_time(s0[300s])",
-        "last_over_time(s0[600s])",
+        "mad_over_time(s0[600s])",
         "quantile_over_time(0.9, s0[600s])",
         "sum_over_time(s0[600s]) offset 600s",
     ):
