@@ -77,6 +77,9 @@ class CardinalSin:
         # attached continuous aggregates:
         # (resolution_s, path, subsecond, fresh_mode)
         self._attached_rollups: list[tuple[int, str, bool, str]] = []
+        # (step_s, start_s, end_s) per bucketed range query, both doors —
+        # the rollup advisor's input (bounded; see _log_range)
+        self._range_log: list[tuple[int, float, float]] = []
 
     # -- opt-in subsystems ----------------------------------------------------
 
@@ -111,6 +114,64 @@ class CardinalSin:
         self.collector.record(df)
         if self.lifecycle is not None:
             self.lifecycle.record_query(df, self.collector.columns)
+
+    def _log_range(self, step_s: int, start_s: float, end_s: float) -> None:
+        """Workload log feeding :meth:`recommend_rollups` — bounded so a
+        long-lived session cannot grow driver memory (10k entries ≈ a
+        dashboard fleet's refresh cycle many times over)."""
+        if len(self._range_log) < 10_000:
+            self._range_log.append((int(step_s), float(start_s), float(end_s)))
+
+    def recommend_rollups(
+        self, subsecond: bool = False, top: int = 5
+    ) -> list[dict]:
+        """The adaptive-indexing idea applied to continuous aggregates:
+        the reference ships downsample resolution as STATIC config
+        (``compactor/mod.rs:70-91``) and its adaptive_index module
+        recommends indexes from query patterns (``adaptive_index/``) —
+        this does the same for rollups.  From the session's recorded
+        bucketed range queries (both promql doors + the SQL door's
+        grammar matches), rank candidate resolutions by how many
+        recorded queries a rollup at that resolution would serve
+        (``rollup_covers``: resolution divides the step AND the bounds
+        tile whole buckets).  Candidates are the distinct observed steps
+        plus their GCD (the finest resolution serving everything whose
+        bounds align).  Each entry reports the resolution, how many of
+        the recorded queries it serves, and whether it is already
+        attached — feed the winner to ``refresh_rollup`` +
+        ``attach_rollup``.  ``subsecond`` must match the data's
+        timestamp precision (same flag as ``attach_rollup``)."""
+        import math
+
+        from cardinalsin_spark.operators.rollup import rollup_covers
+
+        if not self._range_log:
+            return []
+        candidates = {s for s, _, _ in self._range_log}
+        g = 0
+        for s, _, _ in self._range_log:
+            g = math.gcd(g, s)
+        if g:
+            candidates.add(g)
+        attached = {r for r, _, _, _ in self._attached_rollups}
+        out = []
+        for r in sorted(candidates):
+            served = sum(
+                1
+                for s, a, b in self._range_log
+                if rollup_covers(r, a, b, s, subsecond)
+            )
+            if served:
+                out.append(
+                    {
+                        "resolution_s": r,
+                        "serves": served,
+                        "of": len(self._range_log),
+                        "already_attached": r in attached,
+                    }
+                )
+        out.sort(key=lambda d: (-d["serves"], -d["resolution_s"]))
+        return out[:top]
 
     # -- write path ----------------------------------------------------------
 
@@ -319,6 +380,7 @@ class CardinalSin:
         Snapshot-pinned evaluation (``at_version``) never routes: the
         rollup tracks the live table, not the pinned manifest."""
         self._admit_query(tenant_id)
+        self._log_range(step_s, start_s, end_s)
         out = promql_range(
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
@@ -467,8 +529,6 @@ class CardinalSin:
         resolution divides the step and whose buckets tile the closed
         bounds, and recompose from the downsample moments. None = not
         that shape / nothing aligned / stale — caller runs raw SQL."""
-        if not self._attached_rollups:
-            return None
         from cardinalsin_spark.functions.core import time_bucket
         from cardinalsin_spark.operators.rollup import (
             match_bucket_agg_sql,
@@ -479,6 +539,11 @@ class CardinalSin:
 
         spec = match_bucket_agg_sql(query, view=self.view_name)
         if spec is None or spec["ts_col"] != "timestamp":
+            return None
+        # log BEFORE the attached check: the advisor's whole point is
+        # seeing the bucketed workload a session runs with NO rollup yet
+        self._log_range(spec["step_s"], spec["start_s"], spec["end_s"])
+        if not self._attached_rollups:
             return None
         if any(val != "value" for _, val, _ in spec["aggs"]):
             return None

@@ -1632,6 +1632,58 @@ def test_direct_union_status_agrees_with_routing(spark, tmp_path):
     assert "rollup ∪ downsampled delta" in st[fine_root]["reason"], st
 
 
+def test_rollup_advisor_recommends_from_workload(spark, tmp_path):
+    """The adaptive-indexing idea applied to continuous aggregates: the
+    engine records every bucketed range query (both doors) and
+    recommend_rollups() ranks candidate resolutions by how many of them
+    a rollup would serve — the dynamic answer to the reference's static
+    downsample config."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import write_metrics
+
+    path = str(tmp_path / "metrics")
+    write_metrics(_metrics_fixture(spark, path, 0, 2000), path,
+                  mode="overwrite")
+    eng = CardinalSin(spark, path)
+    assert eng.recommend_rollups() == []  # nothing recorded yet
+    start = START
+    # a dashboard fleet: mostly 600s steps over aligned hours, a few
+    # 300s, one misaligned query no rollup can serve
+    for _ in range(6):
+        eng.promql_range("sum(s0)", start, start + 3600 - 1, 600)
+    for _ in range(3):
+        eng.promql_range("avg(s0)", start, start + 3600 - 1, 300)
+    eng.promql_range("sum(s0)", start + 7, start + 3600 - 1, 600)
+    # the SQL door's grammar matches feed the log too — even with no
+    # rollup attached (when advice matters most)
+    eng.metrics.createOrReplaceTempView("metrics")
+    eng.sql(
+        "SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        "count(value_f64) AS n FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({start + 3599}) "
+        "GROUP BY tb, metric_name"
+    )
+    recs = eng.recommend_rollups()
+    assert recs, "workload recorded, advice expected"
+    by_res = {r["resolution_s"]: r for r in recs}
+    # a 300s rollup serves every aligned query (300 | 600); a 600s one
+    # serves only the 600-step queries; the misaligned query serves never
+    assert by_res[300]["serves"] == 10
+    assert by_res[600]["serves"] == 7
+    assert recs[0]["resolution_s"] == 300  # most-served wins
+    assert not recs[0]["already_attached"]
+    assert all(r["of"] == 11 for r in recs)
+    # acting on the advice: refresh + attach at the winner, re-ask
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    SnapshotCatalog(path).init_from_directory()
+    eng.refresh_rollup(str(tmp_path / "r300"), 300,
+                       series_cols=["metric_name"])
+    eng.attach_rollup(str(tmp_path / "r300"))
+    assert eng.recommend_rollups()[0]["already_attached"]
+
+
 def test_streaming_sink_cascade_pyramid(spark, tmp_path):
     """Streaming hierarchical continuous aggregates: the snapshot sink's
     on_commit hook refreshes the fine tier AND cascades the coarse tier
