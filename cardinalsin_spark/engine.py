@@ -591,7 +591,12 @@ class CardinalSin:
             ]
         )
         if spec["order_by"]:
-            out = out.orderBy(*spec["order_by"])
+            out = out.orderBy(
+                *[
+                    F.desc(name) if descending else F.asc(name)
+                    for name, descending in spec["order_by"]
+                ]
+            )
         return out
 
     def _rollup_chain_state(

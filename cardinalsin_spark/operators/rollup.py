@@ -472,10 +472,10 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
           [AND label_col = 'literal' ...]            -- or label_col IN
                                                      -- ('a', 'b', ...)
         GROUP BY {b | positions | the bucket expression}[, label_col ...]
-        [ORDER BY {b}[, label_col ...] [ASC]]
+        [ORDER BY {b}[, label_col ...] [ASC|DESC]]
 
-    Anything outside this grammar (expressions, HAVING, JOINs, DESC,
-    LIMIT, subqueries, other tables, quoted quotes in a literal) returns
+    Anything outside this grammar (expressions, HAVING, JOINs, LIMIT,
+    subqueries, other tables, quoted quotes in a literal) returns
     None and the query passes through to Spark untouched — the router
     must never guess. The parse verifies GROUP BY is exactly the bucket
     + the selected label columns (by alias, select-list position, or the
@@ -484,7 +484,8 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     plan cannot change grouping or ordering semantics. Returns the
     routing spec dict; ``filters`` entries are ``(column, [literals])``
     (equality = a one-literal list — SQL ``BETWEEN``/``IN`` are both
-    inclusive/disjunctive exactly like the >=/<=/= forms they sugar)."""
+    inclusive/disjunctive exactly like the >=/<=/= forms they sugar);
+    ``order_by`` entries are ``(column, descending)``."""
     m = _SQL_BUCKET_AGG.fullmatch(query)
     if m is None:
         return None
@@ -554,17 +555,21 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     gb = [_norm(i) for i in bucket_expr.sub(b, m.group("gb")).split(",")]
     if None in gb or set(gb) != {b, *groups} or len(gb) != 1 + len(groups):
         return None
-    order: list[str] | None = None
+    order: list[tuple[str, bool]] | None = None
     if m.group("ob") is not None:
         order = []
         for item in bucket_expr.sub(b, m.group("ob")).split(","):
             item = item.strip()
-            if item.lower().endswith(" asc"):
+            descending = False
+            if item.lower().endswith(" desc"):
+                item = item[:-5].strip()
+                descending = True
+            elif item.lower().endswith(" asc"):
                 item = item[:-4].strip()
             n = _norm(item)
             if n is None:
                 return None
-            order.append(n)
+            order.append((n, descending))
     filters: list[tuple[str, list[str]]] = []
     for f in _SQL_FILTER.finditer(m.group("filters")):
         if f.group("lit") is not None:

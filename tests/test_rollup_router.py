@@ -1009,8 +1009,12 @@ def test_match_bucket_agg_sql_grammar():
         "ts_col": "timestamp", "step_s": 600, "bucket_alias": "tb",
         "group_cols": ["metric_name"], "aggs": [("sum", "value", "v")],
         "start_s": 1000, "end_s": 4599,
-        "filters": [("svc", ["api"])], "order_by": ["tb", "metric_name"],
+        "filters": [("svc", ["api"])],
+        "order_by": [("tb", False), ("metric_name", False)],
     }
+    # DESC parses per item (the dashboards-newest-first shape)
+    dsc = m(q.replace("ORDER BY tb, metric_name", "ORDER BY tb DESC, metric_name"))
+    assert dsc["order_by"] == [("tb", True), ("metric_name", False)]
     # BETWEEN bounds (inclusive both ends — sugar for the >=/<= pair)
     bt = m(
         q.replace(
@@ -1073,7 +1077,7 @@ def test_match_bucket_agg_sql_grammar():
         q.replace("sum(value) AS v", "sum(value) AS v, avg(value) AS v"),
         q.replace("GROUP BY tb, metric_name", "GROUP BY tb"),  # drops a col
         q.replace("GROUP BY tb, metric_name", "GROUP BY tb, metric_name, svc"),
-        q.replace("ORDER BY tb, metric_name", "ORDER BY tb DESC"),
+        q.replace("ORDER BY tb, metric_name", "ORDER BY v"),  # agg order
         q.replace("sum(value)", "sum(value + 1)"),
         q.replace("FROM metrics", "FROM other"),
         q.replace("sum(value)", "approx_percentile(value, 0.5)"),
@@ -1186,6 +1190,13 @@ def test_sql_door_rollup_routing(spark, tmp_path):
     routed = eng.sql(between)
     assert rp in routed._jdf.queryExecution().executedPlan().toString()
     assert routed.collect() == raw_eng.sql(between).collect()
+    # ORDER BY ... DESC routes and matches the raw SQL ordering
+    newest_first = between.replace(
+        "ORDER BY tb, metric_name", "ORDER BY tb DESC, metric_name"
+    )
+    routed = eng.sql(newest_first)
+    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    assert routed.collect() == raw_eng.sql(newest_first).collect()
     # IN-list narrowing to one series == the equality form
     one = between.replace("IN ('s0', 's1')", "IN ('s0')")
     routed = eng.sql(one)
