@@ -854,15 +854,30 @@ class CardinalSin:
 
         tier = SnapshotCatalog(path).read(self.spark)
         fine_head = parent.read(self.spark, ph)
-        if not set(tier.columns).issubset(set(fine_head.columns) | MOMENT_COLS):
+        # every tier column must be reproducible from the parent head:
+        # series columns must exist there, and the fold only emits the
+        # counter moments when the parent carries them (a tier with
+        # counters over a counter-less parent is schema drift, not a
+        # crash at the select below)
+        from cardinalsin_spark.operators.compaction import (
+            COUNTER_MOMENT_COLS,
+        )
+
+        fold_cols = set(fine_head.columns) | (MOMENT_COLS - COUNTER_MOMENT_COLS)
+        if COUNTER_MOMENT_COLS.issubset(set(fine_head.columns)):
+            fold_cols |= COUNTER_MOMENT_COLS
+        if not set(tier.columns).issubset(fold_cols):
             return None  # schema drift between tier and parent
         series = [c for c in tier.columns if c not in MOMENT_COLS]
-        changed = parent.read_changes(self.spark, rb, ph)
+        # only the bucket column feeds the invalidation set — removed
+        # files may predate a parent schema change (e.g. the
+        # counter-moment upgrade), so never select the full width
+        changed = parent.read_changes(self.spark, rb, ph).select("bucket")
         if removed_paths:
             changed = changed.unionByName(
                 read_parquet_grouped(
                     self.spark, parent.root, removed_paths
-                ).select(*changed.columns)
+                ).select("bucket")
             )
         invalid = (
             changed.select(time_bucket("bucket", r).alias("__cb")).distinct()

@@ -243,12 +243,47 @@ def refresh_rollup(
         )
         counter_aggs, counter_sel = [], []
         if have_counters:
-            # ≤2 segments per key (the committed row + the delta
-            # partial): fold first/last by segment order (min_ts) and
-            # re-add the reset-aware boundary delta between them —
-            # exact when the delta's samples all land AFTER the
-            # committed bucket's (the append steady state, checked
-            # below; interleaved late data falls back to a rebuild)
+            # segment-disjointness probe BEFORE the fold, on the narrow
+            # (min_ts, max_ts) projection only — probing via the folded
+            # frame would run the whole touched-bucket aggregation twice
+            # (once for the probe, once for the merge)
+            interleaved = (
+                touched.select(
+                    *keys,
+                    F.col("min_ts").alias("__c_min"),
+                    F.col("max_ts").alias("__c_max"),
+                )
+                .join(
+                    partial.select(
+                        *keys,
+                        F.col("min_ts").alias("__p_min"),
+                        F.col("max_ts").alias("__p_max"),
+                    ),
+                    keys,
+                )
+                .filter(
+                    ~(
+                        (F.col("__p_min") > F.col("__c_max"))
+                        | (F.col("__c_min") > F.col("__p_max"))
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if interleaved:
+                # late data landed inside an already-rolled-up bucket:
+                # the two segments' time ranges interleave, so their
+                # first/last/inc moments cannot be folded — rebuild
+                # (same answer, paid only on out-of-order ingest)
+                full = _downsample(base.read(spark, base_head))
+                return ru._rewrite_and_commit(
+                    full, head, target_files, "bucket", extra=extra
+                )
+            # ≤2 disjoint segments per key (the committed row + the
+            # delta partial): fold first/last by segment order (min_ts)
+            # and re-add the reset-aware boundary delta between them —
+            # the probe above guarantees the segments don't interleave,
+            # in either time order (append OR pure backfill)
             n = F.count(F.lit(1))
             fv_late = F.max_by("first_value", "min_ts")
             lv_early = F.min_by("last_value", "min_ts")
@@ -269,8 +304,6 @@ def refresh_rollup(
                 F.min_by("first_value", "min_ts").alias("first_value"),
                 F.max_by("last_value", "max_ts").alias("last_value"),
                 inc.alias("inc_value"),
-                ((n == 1) | (F.max("min_ts") > F.min_by("max_ts", "min_ts")))
-                .alias("__segments_ordered"),
             ]
             counter_sel = ["min_ts", "first_value", "last_value", "inc_value"]
         combined = (
@@ -293,27 +326,8 @@ def refresh_rollup(
                 "count_value",
                 "max_ts",
                 *counter_sel,
-                *(
-                    [F.col("__segments_ordered")]
-                    if have_counters
-                    else []
-                ),
             )
         )
-        if have_counters:
-            interleaved = (
-                combined.filter(~F.col("__segments_ordered")).limit(1).count()
-            )
-            if interleaved:
-                # late data landed inside an already-rolled-up bucket:
-                # the two segments' time ranges interleave, so their
-                # first/last/inc moments cannot be folded — rebuild
-                # (same answer, paid only on out-of-order ingest)
-                full = _downsample(base.read(spark, base_head))
-                return ru._rewrite_and_commit(
-                    full, head, target_files, "bucket", extra=extra
-                )
-            combined = combined.drop("__segments_ordered")
         # head= pins the merge to the snapshot `touched` was computed
         # from: a commit landing in between conflicts (and this whole
         # closure re-runs) instead of merge_upsert silently applying

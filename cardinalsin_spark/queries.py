@@ -1704,6 +1704,7 @@ def q_maint_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         ts_col="ts",
         value_col="value_cents",
+        counters=False,  # only classic moments selected below
     )
     # avg derives from the EXACT moments, UNROUNDED: int64 cents sum →
     # one deterministic IEEE division chain, identical bits in both
@@ -1760,9 +1761,15 @@ def _fixture_dir(kind: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    import hashlib
+
+    # slug for readability, hash for uniqueness (the slug collapses
+    # punctuation runs, so 'data/sf0.1' and 'data-sf0.1' would collide)
     slug = _re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir.strip("/"))
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"cardinalsin-{kind}-{os.getpid()}-{slug}"
+        tempfile.gettempdir(),
+        f"cardinalsin-{kind}-{os.getpid()}-{slug}-{tag}",
     )
     if path not in _FIXTURE_DIRS:
         _FIXTURE_DIRS.add(path)
@@ -1788,6 +1795,7 @@ def _events_rollup_path(
             ["event_type"],
             ts_col="ts",
             value_col="value_cents",
+            counters=False,  # gauge routing only — skip the window sort
         ).write.mode("overwrite").parquet(path)
         _ROLLUP_CACHE[key] = path
     return path

@@ -791,6 +791,13 @@ def remote_write_flatten(
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     if version not in (1, 2, "auto"):
         raise ValueError(f"version must be 1, 2 or 'auto', got {version!r}")
+    if keep_injected_flag and not created_zero:
+        # a silent no-flag frame would crash the documented follow-up
+        # (append_ct_idempotent filters on the column) — fail loud here
+        raise ValueError(
+            "keep_injected_flag=True requires created_zero=True (there "
+            "is no injected-row flag without CT-zero injection)"
+        )
     acc = payloads.sparkSession.sparkContext.accumulator(0)
     # created_zero rows carry an internal injected flag through the
     # decode so the cross-payload dedup touches exactly those rows
@@ -936,18 +943,37 @@ def append_ct_idempotent(
     flag = F.col(flag_col)
     real = df.filter(~flag).drop(flag_col)
     injected = df.filter(flag).drop(flag_col)
-    keys = [
-        c
-        for c in real.columns
-        if c not in ("ts_ns", "value_f64", "value_i64", "value_u64", "value")
-    ]
+    value_cols = ("ts_ns", "value_f64", "value_i64", "value_u64", "value")
+    keys = [c for c in real.columns if c not in value_cols]
     if cat.current_version() is not None:
-        committed = cat.read(spark).select(*keys).distinct()
+        committed = cat.read(spark)
+        # label evolution cuts both ways (the store reads with
+        # mergeSchema): anti-join on the UNION of this batch's and the
+        # committed table's label keys, absent columns aligned to NULL —
+        # a batch carrying a NEW label must not crash the committed
+        # projection, and a batch MISSING a committed label must not
+        # suppress its zero against a different committed series that
+        # happens to share the narrower key
+        ckeys = [c for c in committed.columns if c not in value_cols]
+        all_keys = list(
+            dict.fromkeys([*keys, *[c for c in ckeys if c not in keys]])
+        )
+        probe = injected
+        for c in all_keys:
+            if c not in probe.columns:
+                probe = probe.withColumn(c, F.lit(None).cast("string"))
+        comm = committed
+        for c in all_keys:
+            if c not in comm.columns:
+                comm = comm.withColumn(c, F.lit(None).cast("string"))
+        comm = comm.select(*all_keys).distinct()
         cond = reduce(
             lambda a, b: a & b,
-            [injected[k].eqNullSafe(committed[k]) for k in keys],
+            [probe[k].eqNullSafe(comm[k]) for k in all_keys],
         )
-        injected = injected.join(committed, cond, "left_anti")
+        injected = probe.join(comm, cond, "left_anti").select(
+            *injected.columns
+        )
     out = real.unionByName(injected)
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(cat.root, f"_ct_stage-{token}")

@@ -1793,3 +1793,75 @@ def test_ct_zero_store_level_idempotence(spark, tmp_path):
         for r in at_ct
     )
     assert vals == [0.0, 2.0]
+
+
+def test_ct_idempotence_survives_label_evolution(spark, tmp_path):
+    """Review r12: the store reads with mergeSchema, so batch N+1 may
+    carry a label column the committed table lacks (and vice versa).
+    The CT anti-join must align on the UNION of label keys with
+    null-safe equality — a new-label batch neither crashes nor
+    suppresses a different committed series' zero."""
+    from cardinalsin_spark.sources.remote_write import (
+        append_ct_idempotent,
+        remote_write_flatten,
+        remote_write_to_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    import os as _os
+
+    def v2_with_ct(labels, samples, ct_ms):
+        symbols = [""]
+        refs = []
+        for k, v in labels.items():
+            for sym in (k, v):
+                if sym not in symbols:
+                    symbols.append(sym)
+            refs.extend((symbols.index(k), symbols.index(v)))
+        ts = _ld(1, b"".join(_varint(r) for r in refs))
+        ts += b"".join(_ld(2, _sample(v, t)) for v, t in samples)
+        ts += _varint(6 << 3 | 0) + _varint(ct_ms)
+        return b"".join(_ld(4, s.encode()) for s in symbols) + _ld(5, ts)
+
+    root = str(tmp_path / "store")
+    _os.makedirs(root)
+    cat = SnapshotCatalog(root)
+    # batch 1: labels {svc} only
+    p1 = v2_with_ct({"__name__": "m", "svc": "a"}, [(5.0, 1000)], ct_ms=400)
+    m1 = remote_write_to_metrics(
+        spark.createDataFrame([(bytearray(p1),)], "payload binary"),
+        label_keys=["svc"], version=2, created_zero=True,
+        keep_injected_flag=True,
+    )
+    append_ct_idempotent(spark, cat, m1)
+    # batch 2: a NEW label column 'instance', same svc + same CT — the
+    # (svc=a, instance=i1) series is DIFFERENT from committed (svc=a):
+    # its zero must land; re-sending batch 1's series must not
+    p2 = v2_with_ct(
+        {"__name__": "m", "svc": "a", "instance": "i1"},
+        [(7.0, 1200)], ct_ms=400,
+    )
+    m2 = remote_write_to_metrics(
+        spark.createDataFrame(
+            [(bytearray(p2),), (bytearray(p1),)], "payload binary"
+        ),
+        label_keys=["svc", "instance"], version=2, created_zero=True,
+        keep_injected_flag=True,
+    )
+    append_ct_idempotent(spark, cat, m2)
+    rows = cat.read(spark).collect()
+    zeros = sorted(
+        (r.svc, getattr(r, "instance", None) or "")
+        for r in rows
+        if (r.value_u64 == 0 if r.value_u64 is not None else r.value_f64 == 0.0)
+    )
+    # one zero per series: (a, <null>) from batch 1, (a, i1) from batch 2
+    assert zeros == [("a", ""), ("a", "i1")]
+    # flag without CT injection is a loud error, not a silent no-column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_injected_flag"):
+        remote_write_flatten(
+            spark.createDataFrame([(bytearray(p1),)], "payload binary"),
+            version=2, created_zero=False, keep_injected_flag=True,
+        )
