@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--older-than-days", type=int, default=30)
     d.add_argument("--resolution-s", type=int, default=300)
+    d.add_argument(
+        "--no-counters",
+        action="store_true",
+        help="skip the counter-function moments (min_ts/first/last/inc) "
+        "and their per-bucket sort — gauges-only rollups",
+    )
 
     z = sub.add_parser(
         "zorder", help="rewrite a table Z-order-clustered on two columns"
@@ -188,7 +194,12 @@ def main(argv: list[str] | None = None) -> int:
         old = df.filter(F.col("timestamp") < cutoff).withColumn(
             "value", value_expr()
         )
-        out = downsample(old, args.resolution_s, series_cols=series)
+        out = downsample(
+            old,
+            args.resolution_s,
+            series_cols=series,
+            counters=not args.no_counters,
+        )
         out.write.mode("overwrite").option("compression", "zstd").parquet(args.out)
         print(f"downsampled to {args.resolution_s}s buckets -> {args.out}")
 

@@ -2010,8 +2010,13 @@ def q_maint_rollup_rate_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         'increase({__name__=~".+"}[86400s])', start, end, step
     ).withColumnRenamed("value", "inc_cents")
     for df, what in ((rate, "rate"), (inc, "increase")):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if "/rollup" not in plan or "/metrics" in plan:
+        # inputFiles(), not the plan STRING — executedPlan().toString()
+        # truncates long FileScan lines, so a substring probe on it is
+        # one path character away from a false negative
+        files = df.inputFiles()
+        if not any("/rollup" in f for f in files) or any(
+            "/metrics" in f for f in files
+        ):
             raise RuntimeError(
                 f"maint_rollup_rate_routed: faithful {what} must serve "
                 "from the rollup (counter moments, alignment or "
