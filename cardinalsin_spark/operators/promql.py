@@ -1936,19 +1936,28 @@ def promql_range(
         frac = Fraction(parsed.q_str)
         series = [c for c in label_cols if c != "le"]
         latest = (
-            out.groupBy(
-                time_bucket(cols.ts, step_s).alias("time_bucket"),
-                F.col(cols.name),
-                *series,
-                "le",
+            _maybe_route_hist_latest(
+                df.sparkSession, rollups, parsed, start_s, end_s, step_s,
+                cols, series,
             )
-            .agg(
-                F.expr(f"max_by({cols.value}, {cols.ts})")
-                .cast("long")
-                .alias("cum")
-            )
-            .withColumn("_le_n", _le_micros())
+            if rollups
+            else None
         )
+        if latest is None:
+            latest = (
+                out.groupBy(
+                    time_bucket(cols.ts, step_s).alias("time_bucket"),
+                    F.col(cols.name),
+                    *series,
+                    "le",
+                )
+                .agg(
+                    F.expr(f"max_by({cols.value}, {cols.ts})")
+                    .cast("long")
+                    .alias("cum")
+                )
+                .withColumn("_le_n", _le_micros())
+            )
         return histogram_quantile_cumulative(
             latest,
             frac.numerator,
@@ -1978,19 +1987,28 @@ def promql_range(
             )
         series = [c for c in label_cols if c != "le"]
         latest = (
-            out.groupBy(
-                time_bucket(cols.ts, step_s).alias("time_bucket"),
-                F.col(cols.name),
-                *series,
-                "le",
+            _maybe_route_hist_latest(
+                df.sparkSession, rollups, parsed, start_s, end_s, step_s,
+                cols, series,
             )
-            .agg(
-                F.expr(f"max_by({cols.value}, {cols.ts})")
-                .cast("long")
-                .alias("cum")
-            )
-            .withColumn("_le_n", _le_micros())
+            if rollups
+            else None
         )
+        if latest is None:
+            latest = (
+                out.groupBy(
+                    time_bucket(cols.ts, step_s).alias("time_bucket"),
+                    F.col(cols.name),
+                    *series,
+                    "le",
+                )
+                .agg(
+                    F.expr(f"max_by({cols.value}, {cols.ts})")
+                    .cast("long")
+                    .alias("cum")
+                )
+                .withColumn("_le_n", _le_micros())
+            )
         return histogram_fraction_cumulative(
             latest,
             parsed.frac_lo,
@@ -2115,6 +2133,69 @@ def promql_range(
 
     return (
         df_group_sorted(out, keys, value.alias("value"))
+    )
+
+
+def _maybe_route_hist_latest(
+    spark: SparkSession,
+    rollups: list[tuple[int, object, bool]],
+    parsed: ParsedPromQL,
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    cols: MetricsCols,
+    series: list[str],
+) -> DataFrame | None:
+    """Latest-cumulative bucket state per (step, series, le) served from
+    a rollup's ``(last_value, max_ts)`` moments — the histogram tier's
+    continuous-aggregate path (a `le`-keyed rollup is the natural
+    downsample of a classic bucket family; the reference's histogram
+    queries re-scan raw, ``api/query/prometheus_api.rs:998-1012``).
+
+    Exact under ANY segmentation: ``max_by(last_value, max_ts)`` over
+    rollup rows is the globally latest raw sample of the (step, series,
+    le) group, whatever finer grouping or ``fresh='union'`` segment
+    split the rows carry — argmax composes, unlike ordered folds.
+    Same covers/column guards as the moment routes; rollups without the
+    counter moments simply never route."""
+    from cardinalsin_spark.operators.rollup import rollup_covers
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    if parsed.offset_seconds or parsed.at_seconds is not None:
+        return None
+    best: tuple[int, object] | None = None
+    for r, path, subsecond in rollups:
+        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return None
+    ro = (
+        read_table_auto(spark, best[1])
+        if isinstance(best[1], str)
+        else best[1]
+    )
+    need = {cols.name, "bucket", "le", "last_value", "max_ts", *series} | {
+        m.label for m in parsed.label_matchers if m.label != "__name__"
+    }
+    if not need.issubset(set(ro.columns)):
+        return None
+    b = F.col("bucket")
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+    )
+    return (
+        ro.groupBy(
+            time_bucket(b, step_s).alias("time_bucket"),
+            F.col(cols.name),
+            *series,
+            "le",
+        )
+        .agg(
+            F.expr("max_by(last_value, max_ts)").cast("long").alias("cum")
+        )
+        .withColumn("_le_n", _le_micros())
     )
 
 

@@ -1643,6 +1643,85 @@ def test_direct_union_status_agrees_with_routing(spark, tmp_path):
     assert "rollup ∪ downsampled delta" in st[fine_root]["reason"], st
 
 
+def test_histogram_quantile_routes_rollup(spark, tmp_path):
+    """Histogram serving from rollups: the latest-cumulative per
+    (step, series, le) state recomposes exactly from the counter-moment
+    pair (last_value, max_ts) — max_by over segments IS the global
+    argmax — so histogram_quantile/fraction dashboards read le-keyed
+    rollup rows instead of raw bucket samples.  Bit-equal to raw, raw
+    fallback on misaligned bounds or a counter-less rollup."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "metrics")
+    # cumulative bucket family: per le, counts only move forward
+    les = ["0.1", "0.5", "+Inf"]
+    src = spark.range(0, 3000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 1000).cast("long") * F.lit(3_000_000_000)
+        ).alias("ts_ns"),
+        F.lit("lat_bucket").alias("name"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in les]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("le"),
+        (
+            (F.col("id") % 1000) * (F.col("id") % 3 + 1) + F.col("id") % 3
+        ).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v", {"le": "le"}), path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name", "le"],
+    ).write.parquet(rp)
+    eng.attach_rollup(rp, 300)
+    start, end, step = START, START + 3600 - 1, 600
+    for expr in (
+        "histogram_quantile(0.9, lat_bucket)",
+        "histogram_quantile(0.5, lat_bucket)",
+        "histogram_fraction(0.0, 0.4, lat_bucket)",
+    ):
+        got = eng.promql_range(expr, start, end, step)
+        files = got.inputFiles()
+        assert any("/r300/" in f for f in files), (expr, files)
+        assert not any("/metrics/" in f for f in files), (expr, files)
+        assert got.collect() == raw.promql_range(
+            expr, start, end, step
+        ).collect(), expr
+    # misaligned bounds: raw serves, bit-equal
+    got = eng.promql_range(
+        "histogram_quantile(0.9, lat_bucket)", start + 7, end, step
+    )
+    assert not any("/r300/" in f for f in got.inputFiles())
+    assert got.collect() == raw.promql_range(
+        "histogram_quantile(0.9, lat_bucket)", start + 7, end, step
+    ).collect()
+    # a counter-less rollup never routes the histogram tier
+    rp2 = str(tmp_path / "r300nc")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name", "le"], counters=False,
+    ).write.parquet(rp2)
+    eng2 = CardinalSin(spark, path)
+    eng2.attach_rollup(rp2, 300)
+    got = eng2.promql_range("histogram_quantile(0.9, lat_bucket)", start, end, step)
+    assert not any("/r300nc/" in f for f in got.inputFiles())
+    assert got.collect() == raw.promql_range(
+        "histogram_quantile(0.9, lat_bucket)", start, end, step
+    ).collect()
+
+
 def test_rollup_advisor_recommends_from_workload(spark, tmp_path):
     """The adaptive-indexing idea applied to continuous aggregates: the
     engine records every bucketed range query (both doors) and
