@@ -973,18 +973,28 @@ def promql_instant(
         frac = Fraction(parsed.q_str)
         series = [c for c in discover_label_columns(parsed) if c != "le"]
         latest = (
-            out.groupBy(cols.name, *series, "le")
-            # cumulative bucket counts are integral by construction; the
-            # wide table's coalesced value column arrives as double (e.g.
-            # OTLP bucket ingest routes through value_u64) and the exact
-            # DECIMAL(38) rank/interpolation math requires an integer cum
-            .agg(
-                F.expr(f"max_by({cols.value}, {cols.ts})")
-                .cast("long")
-                .alias("cum")
+            _maybe_route_hist_latest_instant(
+                df.sparkSession, rollups, parsed, time_s - parsed.offset_seconds,
+                cols, series,
             )
-            .withColumn("_le_n", _le_micros())
+            if rollups and time_s is not None
+            else None
         )
+        if latest is None:
+            latest = (
+                out.groupBy(cols.name, *series, "le")
+                # cumulative bucket counts are integral by construction;
+                # the wide table's coalesced value column arrives as
+                # double (e.g. OTLP bucket ingest routes through
+                # value_u64) and the exact DECIMAL(38) rank/interpolation
+                # math requires an integer cum
+                .agg(
+                    F.expr(f"max_by({cols.value}, {cols.ts})")
+                    .cast("long")
+                    .alias("cum")
+                )
+                .withColumn("_le_n", _le_micros())
+            )
         return histogram_quantile_cumulative(
             latest,
             frac.numerator,
@@ -1014,14 +1024,23 @@ def promql_instant(
             )
         series = [c for c in discover_label_columns(parsed) if c != "le"]
         latest = (
-            out.groupBy(cols.name, *series, "le")
-            .agg(
-                F.expr(f"max_by({cols.value}, {cols.ts})")
-                .cast("long")
-                .alias("cum")
+            _maybe_route_hist_latest_instant(
+                df.sparkSession, rollups, parsed, time_s - parsed.offset_seconds,
+                cols, series,
             )
-            .withColumn("_le_n", _le_micros())
+            if rollups and time_s is not None
+            else None
         )
+        if latest is None:
+            latest = (
+                out.groupBy(cols.name, *series, "le")
+                .agg(
+                    F.expr(f"max_by({cols.value}, {cols.ts})")
+                    .cast("long")
+                    .alias("cum")
+                )
+                .withColumn("_le_n", _le_micros())
+            )
         return histogram_fraction_cumulative(
             latest,
             parsed.frac_lo,
@@ -2192,6 +2211,59 @@ def _maybe_route_hist_latest(
             *series,
             "le",
         )
+        .agg(
+            F.expr("max_by(last_value, max_ts)").cast("long").alias("cum")
+        )
+        .withColumn("_le_n", _le_micros())
+    )
+
+
+def _maybe_route_hist_latest_instant(
+    spark: SparkSession,
+    rollups: list[tuple[int, object, bool]],
+    parsed: ParsedPromQL,
+    t_eval: float,
+    cols: MetricsCols,
+    series: list[str],
+) -> DataFrame | None:
+    """Instant-door twin of ``_maybe_route_hist_latest`` — the alert
+    shape ``histogram_quantile(φ, m_bucket)`` at time T.  The instant
+    state is the latest cumulative count per (series, le) at-or-before
+    T with no lower bound, so the only geometry requirement is that T
+    sits at a bucket END (``(T+1) % r == 0``, micros-exact for
+    sub-second data): then every rollup bucket starting ≤ T holds only
+    samples ≤ T, and ``max_by(last_value, max_ts)`` over them is the
+    global latest sample — exact under any segmentation."""
+    best: tuple[int, object] | None = None
+    for r, path, subsecond in rollups:
+        if subsecond:
+            if (int(round(t_eval * 1e6)) + 1) % (r * 1_000_000):
+                continue
+        else:
+            if t_eval != int(t_eval) or (int(t_eval) + 1) % r:
+                continue
+        if best is None or r > best[0]:
+            best = (r, path)
+    if best is None:
+        return None
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    ro = (
+        read_table_auto(spark, best[1])
+        if isinstance(best[1], str)
+        else best[1]
+    )
+    need = {cols.name, "bucket", "le", "last_value", "max_ts", *series} | {
+        m.label for m in parsed.label_matchers if m.label != "__name__"
+    }
+    if not need.issubset(set(ro.columns)):
+        return None
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        F.col("bucket")
+        <= F.timestamp_micros(F.lit(int(round(t_eval * 1e6))))
+    )
+    return (
+        ro.groupBy(F.col(cols.name), *series, "le")
         .agg(
             F.expr("max_by(last_value, max_ts)").cast("long").alias("cum")
         )

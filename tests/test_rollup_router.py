@@ -1707,6 +1707,24 @@ def test_histogram_quantile_routes_rollup(spark, tmp_path):
     assert got.collect() == raw.promql_range(
         "histogram_quantile(0.9, lat_bucket)", start + 7, end, step
     ).collect()
+    # instant door (the alert shape): T at a bucket END routes, any
+    # other T stays raw — bit-equal either way
+    t = START + 3600 - 1
+    for expr in (
+        "histogram_quantile(0.9, lat_bucket)",
+        "histogram_fraction(0.0, 0.4, lat_bucket)",
+    ):
+        got = eng.promql_instant(expr, time_s=t)
+        files = got.inputFiles()
+        assert any("/r300/" in f for f in files), (expr, files)
+        assert not any("/metrics/" in f for f in files), (expr, files)
+        assert got.collect() == raw.promql_instant(expr, time_s=t).collect()
+    got = eng.promql_instant("histogram_quantile(0.9, lat_bucket)",
+                             time_s=t - 1)
+    assert not any("/r300/" in f for f in got.inputFiles())
+    assert got.collect() == raw.promql_instant(
+        "histogram_quantile(0.9, lat_bucket)", time_s=t - 1
+    ).collect()
     # a counter-less rollup never routes the histogram tier
     rp2 = str(tmp_path / "r300nc")
     downsample(
