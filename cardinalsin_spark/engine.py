@@ -547,6 +547,8 @@ class CardinalSin:
             return None
         if any(val != "value" for _, val, _ in spec["aggs"]):
             return None
+        if any(val != "value" for _, val, _, _ in spec["having"]):
+            return None
         need = {
             "bucket",
             *spec["group_cols"],
@@ -581,6 +583,34 @@ class CardinalSin:
             # equality and IN-list share one code path ((col, [literals])
             # — isin pushes to the scan as an In filter either way)
             ro = ro.filter(F.col(col).isin(*lits))
+        # HAVING conjuncts recompose from the same moments as the select
+        # list; conditions over aggregates NOT selected ride along as
+        # hidden columns and drop after the filter (same rows either
+        # way — Spark's HAVING also evaluates on the aggregated rows)
+        hidden: list[str] = []
+        hv_exprs = []
+        conds = []
+        for i, (agg, _, op, num) in enumerate(spec["having"]):
+            alias = next(
+                (a for ag, _, a in spec["aggs"] if ag == agg), None
+            )
+            if alias is None:
+                alias = f"__hv{i}"
+                hidden.append(alias)
+                hv_exprs.append(rollup_moment(agg).alias(alias))
+            lit = F.lit(float(num) if "." in num else int(num))
+            c = F.col(alias)
+            conds.append(
+                {
+                    "=": c == lit,
+                    "!=": c != lit,
+                    "<>": c != lit,
+                    "<": c < lit,
+                    "<=": c <= lit,
+                    ">": c > lit,
+                    ">=": c >= lit,
+                }[op]
+            )
         out = ro.groupBy(
             time_bucket(b, spec["step_s"]).alias(spec["bucket_alias"]),
             *[F.col(c) for c in spec["group_cols"]],
@@ -588,8 +618,13 @@ class CardinalSin:
             *[
                 rollup_moment(agg).alias(alias)
                 for agg, _, alias in spec["aggs"]
-            ]
+            ],
+            *hv_exprs,
         )
+        for cond in conds:
+            out = out.filter(cond)
+        if hidden:
+            out = out.drop(*hidden)
         if spec["order_by"]:
             out = out.orderBy(
                 *[
@@ -597,6 +632,10 @@ class CardinalSin:
                     for name, descending in spec["order_by"]
                 ]
             )
+        if spec["limit"] is not None:
+            # grammar guarantees a total ORDER BY here, so the routed
+            # top-n is the raw plan's top-n (TakeOrderedAndProject)
+            out = out.limit(spec["limit"])
         return out
 
     def _rollup_chain_state(

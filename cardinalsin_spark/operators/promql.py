@@ -2401,8 +2401,15 @@ def _maybe_route_rollup(
     """
     from cardinalsin_spark.operators.rollup import rollup_covers, rollup_moment
 
-    if parsed.offset_seconds or parsed.at_seconds is not None:
+    if parsed.at_seconds is not None:
         return None
+    # `offset` only shifts which samples the raw arm reads (it filters
+    # [start−off, end−off] and re-aligns ts by +off before bucketing) —
+    # a rollup whose resolution divides the offset serves the shifted
+    # window exactly: every shifted rollup bucket still lands wholly in
+    # one output step. The yesterday-vs-today dashboard shape.
+    off = parsed.offset_seconds or 0.0
+    off_us = int(round(off * 1e6))
     agg = parsed.aggregation
     counter_fn = None
     fn = None
@@ -2437,8 +2444,11 @@ def _maybe_route_rollup(
                 return None
             fn = "last"
         elif parsed.function in ("rate", "irate", "increase", "delta"):
-            if rng != step_s:
-                return None
+            # ANY range routes: this arm's window is always the step
+            # bucket (the reference's convention — the range only
+            # divides rate/irate, _range_fn_value), so the MAX−MIN
+            # recomposition is range-independent and the divisor below
+            # mirrors the raw arm's `parsed.range_seconds or step`
             counter_fn = parsed.function
         else:
             return None
@@ -2458,7 +2468,9 @@ def _maybe_route_rollup(
         return None
     best: tuple[int, str] | None = None
     for r, path, subsecond in rollups:
-        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+        if off_us % (r * 1_000_000):
+            continue  # shifted buckets would straddle output steps
+        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
             if best is None or r > best[0]:
                 best = (r, path)
     if best is None:
@@ -2484,9 +2496,16 @@ def _maybe_route_rollup(
         return None
     b = F.col("bucket")
     ro = ro.filter(_selector_filter(parsed, cols)).filter(
-        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
-        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)) - off_us)))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)) - off_us)))
     )
+    if off_us:
+        # re-align shifted buckets onto the query grid, mirroring the
+        # raw arm's ts + offset shift (exact integer µs)
+        ro = ro.withColumn(
+            "bucket",
+            F.timestamp_micros(F.unix_micros(b) + F.lit(off_us)),
+        )
     if counter_fn is not None:
         # the generic arm's reference counter semantics: MAX−MIN per
         # window (api/query/prometheus_api.rs:969-997) — max of bucket
@@ -2551,7 +2570,10 @@ def _maybe_route_rollup_counter(
 
     Guard rails (each miss returns None → the raw faithful arm runs):
 
-    * canonical tumbling shape ``fn(m[step])``, no offset/@/aggregation;
+    * plain ``rate``/``increase`` with no offset/@/aggregation — ANY
+      range: the raw faithful arm buckets by the step and never reads
+      the range (``rate_faithful`` sums per-bucket deltas / step), so
+      the recomposition is range-independent;
     * path targets only — a ``fresh='union'`` DataFrame target can hold a
       hot bucket split across two segments with no ordering proof;
     * the rollup carries the counter moments (pre-upgrade rollups don't);
@@ -2572,8 +2594,6 @@ def _maybe_route_rollup_counter(
     if parsed.aggregation is not None or parsed.q is not None:
         return None
     if parsed.function not in ("rate", "increase"):
-        return None
-    if parsed.range_seconds != step_s:
         return None
     label_cols = discover_label_columns(parsed)
     series = list(dict.fromkeys([*label_cols, *cols.labels]))

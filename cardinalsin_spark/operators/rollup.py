@@ -452,8 +452,21 @@ _SQL_BUCKET_AGG = re.compile(
     rf"\s+and\s+(?P<hifn2>{_SQL_TSFN})\(\s*(?P<hi2>\d+)\s*\))"
     rf"(?P<filters>(?:\s+and\s+{_SQL_ONE_FILTER})*)\s*"
     rf"group\s+by\s+(?P<gb>.+?)\s*"
-    rf"(?:order\s+by\s+(?P<ob>.+?)\s*)?;?\s*",
+    rf"(?:having\s+(?P<hv>.+?)\s*)?"
+    rf"(?:order\s+by\s+(?P<ob>.+?)\s*)?"
+    rf"(?:limit\s+(?P<lim>\d+)\s*)?;?\s*",
     re.IGNORECASE | re.DOTALL,
+)
+
+# One HAVING conjunct: an aggregate term (or the alias of one) compared
+# to a numeric literal. Anything richer (OR, parens, arithmetic, string
+# comparisons) fails the full-consumption walk and the query passes
+# through unrouted.
+_SQL_HAVING = re.compile(
+    rf"\s*(?P<conj>and\s+)?(?:(?P<agg>sum|avg|min|max|count)"
+    rf"\s*\(\s*(?P<val>{_SQL_IDENT})\s*\)|(?P<ident>{_SQL_IDENT}))"
+    rf"\s*(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<num>-?\d+(?:\.\d+)?)",
+    re.IGNORECASE,
 )
 
 _SQL_FILTER = re.compile(
@@ -486,20 +499,29 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
           [AND label_col = 'literal' ...]            -- or label_col IN
                                                      -- ('a', 'b', ...)
         GROUP BY {b | positions | the bucket expression}[, label_col ...]
+        [HAVING {agg(value) | agg_alias} {= != <> < <= > >=} {number}
+                [AND ...]]
         [ORDER BY {b}[, label_col ...] [ASC|DESC]]
+        [LIMIT {n}]                      -- only under a TOTAL order
 
-    Anything outside this grammar (expressions, HAVING, JOINs, LIMIT,
-    subqueries, other tables, quoted quotes in a literal) returns
-    None and the query passes through to Spark untouched — the router
-    must never guess. The parse verifies GROUP BY is exactly the bucket
-    + the selected label columns (by alias, select-list position, or the
-    repeated ``time_bucket`` expression) and ORDER BY (when present) is
-    a prefix-free subset of the non-aggregate select list, so the routed
-    plan cannot change grouping or ordering semantics. Returns the
-    routing spec dict; ``filters`` entries are ``(column, [literals])``
-    (equality = a one-literal list — SQL ``BETWEEN``/``IN`` are both
-    inclusive/disjunctive exactly like the >=/<=/= forms they sugar);
-    ``order_by`` entries are ``(column, descending)``."""
+    Anything outside this grammar (expressions, JOINs, subqueries,
+    other tables, quoted quotes in a literal, OR / parens / arithmetic
+    in HAVING, LIMIT without an ORDER BY covering every group column)
+    returns None and the query passes through to Spark untouched — the
+    router must never guess. The parse verifies GROUP BY is exactly the
+    bucket + the selected label columns (by alias, select-list
+    position, or the repeated ``time_bucket`` expression) and ORDER BY
+    (when present) is a prefix-free subset of the non-aggregate select
+    list, so the routed plan cannot change grouping or ordering
+    semantics. Returns the routing spec dict; ``filters`` entries are
+    ``(column, [literals])`` (equality = a one-literal list — SQL
+    ``BETWEEN``/``IN`` are both inclusive/disjunctive exactly like the
+    >=/<=/= forms they sugar); ``order_by`` entries are ``(column,
+    descending)``; ``having`` entries are ``(agg, value_col, op,
+    literal)`` — a post-aggregation group filter over the same moments
+    the select list recomposes (an alias resolves to its aggregate, so
+    ``HAVING total > 5`` and ``HAVING sum(value) > 5`` route
+    identically); ``limit`` is an int or None."""
     m = _SQL_BUCKET_AGG.fullmatch(query)
     if m is None:
         return None
@@ -584,6 +606,44 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
             if n is None:
                 return None
             order.append((n, descending))
+    # HAVING: AND-joined aggregate-vs-numeric-literal conjuncts only,
+    # full consumption (a condition the walk can't express passes the
+    # whole query through). Each conjunct resolves to (agg, value_col,
+    # op, literal) — bare identifiers must alias a select-list
+    # aggregate (a bare LABEL here would be a string-vs-number
+    # comparison; never guess its coercion).
+    having: list[tuple[str, str, str, str]] = []
+    if m.group("hv") is not None:
+        hv_txt, pos = m.group("hv"), 0
+        by_alias = {alias: (agg, val) for agg, val, alias in aggs}
+        first = True
+        while pos < len(hv_txt):
+            c = _SQL_HAVING.match(hv_txt, pos)
+            if c is None or c.end() == pos:
+                return None
+            if (c.group("conj") is None) != first:
+                return None  # AND between conjuncts, never leading
+            first = False
+            pos = c.end()
+            if c.group("ident") is not None:
+                resolved = by_alias.get(c.group("ident"))
+                if resolved is None:
+                    return None
+                agg_fn, val = resolved
+            else:
+                agg_fn, val = c.group("agg").lower(), c.group("val")
+            having.append((agg_fn, val, c.group("op"), c.group("num")))
+        if hv_txt[pos:].strip():
+            return None
+    # LIMIT routes only under a TOTAL order: ORDER BY must cover the
+    # bucket and every group column (group keys are unique per output
+    # row, so that order has no ties — a partial order would let the
+    # routed and raw plans keep different rows).
+    limit = int(m.group("lim")) if m.group("lim") is not None else None
+    if limit is not None and (
+        order is None or {n for n, _ in order} != {b, *groups}
+    ):
+        return None
     filters: list[tuple[str, list[str]]] = []
     for f in _SQL_FILTER.finditer(m.group("filters")):
         if f.group("lit") is not None:
@@ -611,6 +671,8 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
         "end_s": _bound(hifn, hi),
         "filters": filters,
         "order_by": order,
+        "having": having,
+        "limit": limit,
     }
 
 

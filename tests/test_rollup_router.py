@@ -151,13 +151,29 @@ def test_engine_promql_range_transparent_routing(spark, tmp_path):
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         expect = raw_eng.promql_range(expr, start, end, step)
         assert got.collect() == expect.collect(), expr
-    # non-routable shapes fall back to the raw table: a range function,
-    # misaligned bounds, a sub-resolution step, an offset
+    # offsets that are a multiple of the rollup resolution route (the
+    # yesterday-vs-today dashboard shape): shifted buckets re-align onto
+    # the query grid exactly like the raw arm's ts + offset shift
     for expr, b in (
-        ("rate(s0[300s])", (start, end, step)),
+        ("sum(s0) offset 300s", (start + 300, end, step)),
+        ("avg(s0) offset 600s", (start + 600, end, step)),
+    ):
+        got = routed_eng.promql_range(expr, *b)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        assert got.collect() == raw_eng.promql_range(expr, *b).collect(), expr
+    # (counter-function parity on finer-than-step ranges lives in
+    # test_counter_and_sliding_routes_range_door — THIS fixture has
+    # duplicate timestamps per series, where the raw faithful arm's
+    # ts-only lag order is plan-dependent by construction)
+    # non-routable shapes fall back to the raw table: a faithful
+    # function with no moment recomposition, misaligned bounds, a
+    # sub-resolution step, an offset off the rollup grid
+    for expr, b in (
+        ("resets(s0[600s])", (start, end, step)),
         ("sum(s0)", (start + 7, end, step)),
         ("sum(s0)", (start, end, 60)),
-        ("sum(s0) offset 300s", (start + 300, end, step)),
+        ("sum(s0) offset 150s", (start + 150, end, step)),
     ):
         got = routed_eng.promql_range(expr, *b)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -568,13 +584,20 @@ def test_counter_and_sliding_routes_range_door(spark, tmp_path):
         ("increase(s0[600s])", 600),
         ("rate(s0[300s])", 300),
         ('increase({__name__=~"s.+"}[600s])', 600),
+        # range ≠ step routes too: the raw faithful arm buckets by the
+        # step and never reads the range, so recomposition is
+        # range-independent
+        ("rate(s0[900s])", 600),
+        ("increase(s0[1800s])", 600),
+        ("rate(s0[300s])", 600),  # range finer than the step
     ):
         got, plan, exp = both(expr, step)
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         assert got.collect() == exp.collect(), expr
-    # default-mode (reference MAX−MIN) counter routes
+    # default-mode (reference MAX−MIN) counter routes — incl. range ≠
+    # step, where the range only divides rate/irate (window == bucket)
     for expr in ("rate(s0[600s])", "irate(s0[600s])", "increase(s0[600s])",
-                 "delta(s0[600s])"):
+                 "delta(s0[600s])", "rate(s0[900s])", "delta(s0[1800s])"):
         got, plan, exp = both(expr, 600, faithful=False)
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         assert got.collect() == exp.collect(), expr
@@ -590,11 +613,26 @@ def test_counter_and_sliding_routes_range_door(spark, tmp_path):
         got, plan, exp = both(expr, step)
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         assert got.collect() == exp.collect(), expr
-    # non-tiling shapes fall back (and stay bit-equal): range not a
-    # multiple of the step, a range finer than the rollup, faithful
-    # functions with no moment recomposition
+    # offsets on the rollup grid route through the generic arm: the
+    # shifted buckets re-align exactly like the raw arm's ts + offset
     for expr, step, faithful in (
-        ("rate(s0[900s])", 600, True),
+        ("avg_over_time(s0[600s]) offset 300s", 600, True),
+        ("sum_over_time(s0[1200s]) offset 600s", 600, True),  # sliding
+        ("rate(s0[600s] offset 300s)", 600, False),  # MAX−MIN counter
+        ("max(s0) offset 900s", 300, True),  # aggregation arm
+    ):
+        got, plan, exp = both(expr, step, faithful)
+        assert "r300" in plan and "metrics" not in plan, (expr, plan)
+        assert got.collect() == exp.collect(), expr
+    # non-tiling shapes fall back (and stay bit-equal): a moment range
+    # not a multiple of the step, a range finer than the rollup,
+    # faithful functions with no moment recomposition, an off-grid
+    # offset, a faithful counter under offset (the counter door keeps
+    # its no-offset guard — lag chains under a shifted window have no
+    # cheap exactness proof)
+    for expr, step, faithful in (
+        ("avg_over_time(s0[600s]) offset 450s", 600, True),
+        ("rate(s0[600s] offset 300s)", 600, True),
         ("avg_over_time(s0[900s])", 600, True),
         ("avg_over_time(s0[90s])", 90, True),
         ("deriv(s0[600s])", 600, True),
@@ -1011,6 +1049,7 @@ def test_match_bucket_agg_sql_grammar():
         "start_s": 1000, "end_s": 4599,
         "filters": [("svc", ["api"])],
         "order_by": [("tb", False), ("metric_name", False)],
+        "having": [], "limit": None,
     }
     # DESC parses per item (the dashboards-newest-first shape)
     dsc = m(q.replace("ORDER BY tb, metric_name", "ORDER BY tb DESC, metric_name"))
@@ -1068,6 +1107,35 @@ def test_match_bucket_agg_sql_grammar():
         .replace("timestamp_seconds(4599)", "timestamp_micros(4599999999)")
     )
     assert us["start_s"] == 1000.0 and us["end_s"] == 4599.999999
+    # HAVING: aggregate-vs-literal conjuncts, by expression or by alias
+    hv = m(
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING sum(value) > 100",
+        )
+    )
+    assert hv["having"] == [("sum", "value", ">", "100")]
+    hv = m(
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name "
+            "HAVING v >= 2.5 AND count(value) <> 0",
+        )
+    )
+    assert hv["having"] == [
+        ("sum", "value", ">=", "2.5"), ("count", "value", "<>", "0")
+    ]
+    # LIMIT under the total ORDER BY (bucket + every group column)
+    lm = m(q + " LIMIT 5")
+    assert lm["limit"] == 5 and lm["order_by"] is not None
+    lm = m(
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING sum(value) > 1",
+        )
+        + " LIMIT 7"
+    )
+    assert lm["limit"] == 7 and lm["having"] == [("sum", "value", ">", "1")]
     rejects = [
         # a label column AFTER an aggregate: ambiguous output order
         q.replace(
@@ -1081,7 +1149,6 @@ def test_match_bucket_agg_sql_grammar():
         q.replace("sum(value)", "sum(value + 1)"),
         q.replace("FROM metrics", "FROM other"),
         q.replace("sum(value)", "approx_percentile(value, 0.5)"),
-        q + " LIMIT 5",
         "SELECT * FROM metrics",
         q.replace("timestamp_seconds(1000)", "timestamp_seconds(1000.5)"),
         # widened-grammar edges that must STILL pass through: an empty
@@ -1101,6 +1168,39 @@ def test_match_bucket_agg_sql_grammar():
             "AND timestamp <= timestamp_seconds(4599)",
             "timestamp BETWEEN timestamp_seconds(1000)",
         ),
+        # HAVING edges that must pass through: OR, a leading AND, an
+        # unknown alias, a label (string) comparand, arithmetic, a
+        # quoted literal comparand
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name "
+            "HAVING sum(value) > 1 OR count(value) > 2",
+        ),
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING AND sum(value) > 1",
+        ),
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING nosuch > 1",
+        ),
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING metric_name > 1",
+        ),
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING sum(value) + 1 > 2",
+        ),
+        q.replace(
+            "GROUP BY tb, metric_name",
+            "GROUP BY tb, metric_name HAVING sum(value) > 'x'",
+        ),
+        # LIMIT without a TOTAL order: no ORDER BY, or one that skips a
+        # group column (ties → the kept rows are plan-dependent)
+        q.replace(" ORDER BY tb, metric_name", "") + " LIMIT 5",
+        q.replace("ORDER BY tb, metric_name", "ORDER BY tb") + " LIMIT 5",
+        q + " LIMIT 5 OFFSET 2",
     ]
     for bad in rejects:
         assert m(bad) is None, bad
@@ -1209,6 +1309,38 @@ def test_sql_door_rollup_routing(spark, tmp_path):
             f"AND timestamp_seconds({end})",
         )
     ).collect()
+    # HAVING routes: group filter recomposed from the same moments —
+    # by expression (incl. an aggregate NOT in the select list, which
+    # rides along hidden) and by alias, AND-joined
+    for extra_gb in (
+        " HAVING sum(value) > 300000",
+        " HAVING v > 300000 AND count(value) >= 100",
+        " HAVING avg(value) <= 3000.5",
+    ):
+        hq = simple("sum").replace(
+            " ORDER BY", extra_gb + " ORDER BY"
+        )
+        routed = eng.sql(hq)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert rp in plan and "metrics/" not in plan, (extra_gb, plan)
+        assert routed.collect() == raw_eng.sql(hq).collect(), extra_gb
+        assert routed.columns == ["tb", "metric_name", "v"], extra_gb
+    # LIMIT routes under the total ORDER BY, matching the raw top-n
+    lq = simple("sum") + " LIMIT 3"
+    routed = eng.sql(lq)
+    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    got = routed.collect()
+    assert len(got) == 3 and got == raw_eng.sql(lq).collect()
+    # all three widenings together, newest-first
+    full = (
+        simple("sum").replace(" ORDER BY", " HAVING v > 0 ORDER BY")
+        .replace("ORDER BY tb, metric_name",
+                 "ORDER BY tb DESC, metric_name DESC")
+        + " LIMIT 5"
+    )
+    routed = eng.sql(full)
+    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    assert routed.collect() == raw_eng.sql(full).collect()
     # non-routable: misaligned bounds / sub-resolution step / unknown
     # column — pass through (macro still expands) and stay correct
     for bad in (
@@ -1216,6 +1348,12 @@ def test_sql_door_rollup_routing(spark, tmp_path):
         simple("sum", step=60),
         simple("sum", extra=" AND nosuch = 'x'"),
         between.replace("IN ('s0', 's1')", "NOT IN ('s0')"),
+        simple("sum").replace(
+            " ORDER BY", " HAVING sum(value) > 1 OR count(value) > 2"
+            " ORDER BY"
+        ),
+        simple("sum").replace("ORDER BY tb, metric_name", "ORDER BY tb")
+        + " LIMIT 3",
     ):
         try:
             routed = eng.sql(bad)
@@ -1914,13 +2052,23 @@ def test_range_over_time_routes_rollup(spark, tmp_path):
         assert got.collect() == raw.promql_range(
             expr, start, end, step
         ).collect(), expr
-    # fall-backs: a range finer than the rollup, non-moment over-time,
-    # quantile form, offset
+    # r12: an offset on the rollup grid routes (shifted buckets re-align
+    # onto the query grid exactly like the raw arm's ts + offset shift)
+    got = eng.promql_range(
+        "sum_over_time(s0[600s]) offset 600s", start + 600, end, step
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "r300" in plan and "metrics" not in plan, plan
+    assert got.collect() == raw.promql_range(
+        "sum_over_time(s0[600s]) offset 600s", start + 600, end, step
+    ).collect()
+    # fall-backs: a range finer than the step, non-moment over-time,
+    # quantile form, an offset off the rollup grid
     for expr in (
         "sum_over_time(s0[300s])",
         "mad_over_time(s0[600s])",
         "quantile_over_time(0.9, s0[600s])",
-        "sum_over_time(s0[600s]) offset 600s",
+        "sum_over_time(s0[600s]) offset 450s",
     ):
         got = eng.promql_range(expr, start + 600, end, step)
         plan = got._jdf.queryExecution().executedPlan().toString()
