@@ -2180,11 +2180,18 @@ def _maybe_route_hist_latest(
     from cardinalsin_spark.operators.rollup import rollup_covers
     from cardinalsin_spark.sources.snapshots import read_table_auto
 
-    if parsed.offset_seconds or parsed.at_seconds is not None:
+    if parsed.at_seconds is not None:
         return None
+    # offsets on the rollup grid route like the generic door: read the
+    # shifted window, re-align buckets by +offset (argmax of
+    # (last_value, max_ts) is shift-invariant — max_ts stays raw)
+    off = parsed.offset_seconds or 0.0
+    off_us = int(round(off * 1e6))
     best: tuple[int, object] | None = None
     for r, path, subsecond in rollups:
-        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+        if off_us % (r * 1_000_000):
+            continue
+        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
             if best is None or r > best[0]:
                 best = (r, path)
     if best is None:
@@ -2201,9 +2208,14 @@ def _maybe_route_hist_latest(
         return None
     b = F.col("bucket")
     ro = ro.filter(_selector_filter(parsed, cols)).filter(
-        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
-        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)) - off_us)))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)) - off_us)))
     )
+    if off_us:
+        ro = ro.withColumn(
+            "bucket",
+            F.timestamp_micros(F.unix_micros(b) + F.lit(off_us)),
+        )
     return (
         ro.groupBy(
             time_bucket(b, step_s).alias("time_bucket"),
@@ -2377,21 +2389,27 @@ def _maybe_route_rollup(
     implemented either side).
 
     Routable iff the expression reaching the generic arm is a plain
-    selector (per-bucket AVG), a sum/avg/min/max/count aggregation with
-    no offset/@/function, a moment ``*_over_time`` range function in the
-    tumbling shape (``fn(m[step])`` — on this arm the window IS the
-    bucket, so the per-bucket moment recomposes exactly) or the SLIDING
-    shape (``fn(m[k·step])``, the Grafana smoothing default — the window
-    is k whole steps, recomposed by fanning each rollup bucket out to
-    the k output steps whose window covers it), or a counter function
-    ``rate/irate/increase/delta(m[step])`` (the reference's hottest
-    generated shape, ``api/query/prometheus_api.rs:969-983``, whose
-    MAX−MIN semantics recompose from the max/min moments); the step is a
+    selector (per-bucket AVG), a sum/avg/min/max/count aggregation, a
+    topk/bottomk aggregation (rank over the per-series per-bucket AVG —
+    the raw arm's convention), a moment ``*_over_time`` range function
+    in the tumbling shape (``fn(m[step])`` — on this arm the window IS
+    the bucket, so the per-bucket moment recomposes exactly) or the
+    SLIDING shape (``fn(m[k·step])``, the Grafana smoothing default —
+    the window is k whole steps, recomposed by fanning each rollup
+    bucket out to the k output steps whose window covers it), or a
+    counter function ``rate/irate/increase/delta(m[R])`` at ANY range
+    (the reference's hottest generated shape,
+    ``api/query/prometheus_api.rs:969-983`` — this arm's window is
+    always the step bucket, the range only divides, and the MAX−MIN
+    semantics recompose from the max/min moments); the step is a
     multiple of an attached rollup's resolution, the closed bounds cover
     whole rollup buckets (``rollup_covers`` — micros-exact for
-    sub-second data), and the rollup kept every column the result needs
-    (metric name, matcher labels, group-by labels).  Anything else
-    returns None and the raw-table arm runs unchanged.
+    sub-second data), any ``offset`` is a multiple of the rollup
+    resolution (the route reads the shifted window and re-aligns
+    buckets by +offset, mirroring the raw arm's timestamp shift), and
+    the rollup kept every column the result needs (metric name, matcher
+    labels, group-by labels).  Anything else returns None and the
+    raw-table arm runs unchanged.
 
     Exactness: min/max/count recompose exactly (so do the MAX−MIN
     counter shapes — max of maxes / min of mins); sum/avg re-add
@@ -2464,6 +2482,18 @@ def _maybe_route_rollup(
     ):
         fn = agg
         gcols = effective_group_by(parsed, cols)
+    elif (
+        agg in ("topk", "bottomk")
+        and parsed.k is not None
+        and parsed.dst_label is None
+        and parsed.q is None
+    ):
+        # per-step top-k ranks each series' per-bucket AVG (the raw
+        # arm's selector convention) — the AVG recomposes exactly from
+        # the sum/count moments, and the rank's tie-break (value, then
+        # the group columns ascending) is deterministic on equal values
+        fn = agg
+        gcols = effective_group_by(parsed, cols)
     else:
         return None
     best: tuple[int, str] | None = None
@@ -2505,6 +2535,25 @@ def _maybe_route_rollup(
         ro = ro.withColumn(
             "bucket",
             F.timestamp_micros(F.unix_micros(b) + F.lit(off_us)),
+        )
+    if fn in ("topk", "bottomk"):
+        # mirror the raw arm's rank exactly: per-(step, metric) window
+        # ordered by the per-series AVG then the group columns — the
+        # rank<=k filter compiles to WindowGroupLimit over ROLLUP rows
+        grouped = ro.groupBy(
+            time_bucket(b, step_s).alias("time_bucket"),
+            F.col(cols.name),
+            *[F.col(c) for c in gcols],
+        ).agg(rollup_moment("avg").alias("value"))
+        order = F.asc("value") if fn == "bottomk" else F.desc("value")
+        w = Window.partitionBy("time_bucket", cols.name).orderBy(
+            order, *[F.asc(c) for c in gcols]
+        )
+        return (
+            grouped.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= parsed.k)
+            .drop("_rk")
+            .orderBy("time_bucket", order, cols.name, *gcols)
         )
     if counter_fn is not None:
         # the generic arm's reference counter semantics: MAX−MIN per
@@ -2570,10 +2619,14 @@ def _maybe_route_rollup_counter(
 
     Guard rails (each miss returns None → the raw faithful arm runs):
 
-    * plain ``rate``/``increase`` with no offset/@/aggregation — ANY
-      range: the raw faithful arm buckets by the step and never reads
-      the range (``rate_faithful`` sums per-bucket deltas / step), so
-      the recomposition is range-independent;
+    * plain ``rate``/``increase`` with no @/aggregation — ANY range:
+      the raw faithful arm buckets by the step and never reads the
+      range (``rate_faithful`` sums per-bucket deltas / step), so the
+      recomposition is range-independent; an ``offset`` routes when it
+      is a multiple of the rollup resolution (the uniform +offset
+      shift preserves bucket order, so the lag chain's in-bucket and
+      boundary deltas are untouched — only the output grid labels
+      move, exactly like the raw arm's timestamp shift);
     * path targets only — a ``fresh='union'`` DataFrame target can hold a
       hot bucket split across two segments with no ordering proof;
     * the rollup carries the counter moments (pre-upgrade rollups don't);
@@ -2589,19 +2642,23 @@ def _maybe_route_rollup_counter(
     )
     from cardinalsin_spark.operators.rollup import rollup_covers
 
-    if parsed.offset_seconds or parsed.at_seconds is not None:
+    if parsed.at_seconds is not None:
         return None
     if parsed.aggregation is not None or parsed.q is not None:
         return None
     if parsed.function not in ("rate", "increase"):
         return None
+    off = parsed.offset_seconds or 0.0
+    off_us = int(round(off * 1e6))
     label_cols = discover_label_columns(parsed)
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
     best: tuple[int, str] | None = None
     for r, path, subsecond in rollups:
         if not isinstance(path, str):
             continue
-        if rollup_covers(r, start_s, end_s, step_s, subsecond):
+        if off_us % (r * 1_000_000):
+            continue  # shifted buckets would straddle output steps
+        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
             if best is None or r > best[0]:
                 best = (r, path)
     if best is None:
@@ -2616,9 +2673,17 @@ def _maybe_route_rollup_counter(
         return None
     b = F.col("bucket")
     ro = ro.filter(_selector_filter(parsed, cols)).filter(
-        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)))))
-        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)))))
+        (b >= F.timestamp_micros(F.lit(int(round(start_s * 1e6)) - off_us)))
+        & (b <= F.timestamp_micros(F.lit(int(round(end_s * 1e6)) - off_us)))
     )
+    if off_us:
+        # +offset re-alignment (the raw arm shifts sample timestamps):
+        # a uniform shift preserves bucket order, so the lag chain below
+        # sees the same consecutive pairs — only the grid labels move
+        ro = ro.withColumn(
+            "bucket",
+            F.timestamp_micros(F.unix_micros(b) + F.lit(off_us)),
+        )
     w = Window.partitionBy(cols.name, *series).orderBy("bucket")
     prev_last = F.lag("last_value").over(w)
     fv = F.col("first_value")

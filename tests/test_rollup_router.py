@@ -620,19 +620,22 @@ def test_counter_and_sliding_routes_range_door(spark, tmp_path):
         ("sum_over_time(s0[1200s]) offset 600s", 600, True),  # sliding
         ("rate(s0[600s] offset 300s)", 600, False),  # MAX−MIN counter
         ("max(s0) offset 900s", 300, True),  # aggregation arm
+        # faithful counter under an on-grid offset: the uniform shift
+        # preserves the lag chain (only grid labels move)
+        ("rate(s0[600s] offset 300s)", 600, True),
+        ("increase(s0[600s]) offset 600s", 600, True),
     ):
         got, plan, exp = both(expr, step, faithful)
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         assert got.collect() == exp.collect(), expr
     # non-tiling shapes fall back (and stay bit-equal): a moment range
     # not a multiple of the step, a range finer than the rollup,
-    # faithful functions with no moment recomposition, an off-grid
-    # offset, a faithful counter under offset (the counter door keeps
-    # its no-offset guard — lag chains under a shifted window have no
-    # cheap exactness proof)
+    # faithful functions with no moment recomposition, off-grid offsets
+    # in both modes
     for expr, step, faithful in (
         ("avg_over_time(s0[600s]) offset 450s", 600, True),
-        ("rate(s0[600s] offset 300s)", 600, True),
+        ("rate(s0[600s] offset 450s)", 600, True),
+        ("rate(s0[600s] offset 450s)", 600, False),
         ("avg_over_time(s0[900s])", 600, True),
         ("avg_over_time(s0[90s])", 90, True),
         ("deriv(s0[600s])", 600, True),
@@ -2076,3 +2079,76 @@ def test_range_over_time_routes_rollup(spark, tmp_path):
         assert got.collect() == raw.promql_range(
             expr, start + 600, end, step
         ).collect(), expr
+
+
+def test_topk_and_hist_route_rollup(spark, tmp_path):
+    """r12: per-step topk/bottomk route through rollups (rank over the
+    per-series per-bucket AVG recomposed from sum/count moments — the
+    raw arm's selector convention, same tie-break), composing with
+    group-by labels and on-grid offsets; histogram_quantile on the
+    range grid routes under an on-grid offset too (argmax of
+    (last_value, max_ts) is shift-invariant)."""
+    import datetime as dt
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.promql import promql_range
+
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = []
+    for i in range(7200):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i % 3600)
+        svc = "abcd"[i % 4]
+        rows.append((t, "m", svc, float((i * 7) % 97)))
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, metric_name string, svc string, "
+        "value double"
+    )
+    rp = str(tmp_path / "r300")
+    downsample(df, 300, ["metric_name", "svc"]).write.parquet(rp)
+    rollups = [(300, rp, False)]
+    start, end, step = START, START + 3600 - 1, 600
+    for expr, b in (
+        ("topk by (svc) (2, m)", (start, end, step)),
+        ("bottomk by (svc) (1, m)", (start, end, step)),
+        ("topk by (svc) (9, m)", (start, end, step)),  # k > series count
+        ("topk by (svc) (2, m) offset 300s", (start + 300, end, step)),
+    ):
+        got = promql_range(df, expr, *b, MetricsCols(), rollups=rollups)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan, (expr, plan)
+        exp = promql_range(df, expr, *b, MetricsCols())
+        assert got.collect() == exp.collect(), expr
+    # quantile-form and off-grid-offset topk fall back
+    for expr, b in (
+        ("quantile(0.5, m)", (start, end, step)),
+        ("topk by (svc) (2, m) offset 450s", (start + 450, end, step)),
+    ):
+        got = promql_range(df, expr, *b, MetricsCols(), rollups=rollups)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" not in plan, (expr, plan)
+        assert (
+            got.collect()
+            == promql_range(df, expr, *b, MetricsCols()).collect()
+        ), expr
+    # histogram_quantile under an on-grid offset reads the rollup
+    hrows = []
+    for i in range(3600):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        for le, mult in (("1000000", 1), ("5000000", 3), ("+Inf", 5)):
+            hrows.append((t, "lat_bucket", le, float((i + 1) * mult)))
+    hdf = spark.createDataFrame(
+        hrows, "timestamp timestamp, metric_name string, le string, "
+        "value double"
+    )
+    hrp = str(tmp_path / "h300")
+    downsample(hdf, 300, ["metric_name", "le"]).write.parquet(hrp)
+    hq = "histogram_quantile(0.9, lat_bucket) offset 300s"
+    got = promql_range(
+        hdf, hq, start + 300, end, step, MetricsCols(),
+        rollups=[(300, hrp, False)],
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "h300" in plan, plan
+    exp = promql_range(hdf, hq, start + 300, end, step, MetricsCols())
+    assert got.collect() == exp.collect()
