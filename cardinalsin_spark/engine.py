@@ -1097,6 +1097,97 @@ class CardinalSin:
             df = _ns_prefilter(df, start_s, end_s)
         return df
 
+    def _maybe_route_metadata(
+        self,
+        need_cols: list[str],
+        match: str | None,
+        start_s: float | None,
+        end_s: float | None,
+    ) -> DataFrame | None:
+        """Continuous-aggregate serving for the metadata endpoints
+        (``label_values``/``series`` — the Grafana variable-query shape):
+        a DISTINCT over series columns reads identically from any FRESH
+        rollup that kept those columns, because every raw row in scope
+        belongs to exactly one rollup row in scope with the same label
+        tuple. Time bounds must sit on the rollup grid (a straddling
+        bucket would leak label values whose only raw rows lie outside
+        the scope into the DISTINCT): ``start % r == 0`` and
+        ``(end + 1) % r == 0``, micros-exact for sub-second rollups —
+        the same closed-bounds convention as ``rollup_covers``. Picks
+        the coarsest qualifying rollup (fewest rows); returns the
+        filtered rollup frame, or None → the caller scans raw."""
+        if not self._attached_rollups:
+            return None
+        from cardinalsin_spark.functions.core import label_matcher
+        from cardinalsin_spark.operators.promql import parse_promql
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        parsed = parse_promql(match) if match else None
+        need = {*need_cols, "metric_name", "bucket"}
+        if parsed is not None:
+            need |= {
+                m.label
+                for m in parsed.label_matchers
+                if m.label != "__name__"
+            }
+
+        def _aligned(r: int, sub: bool) -> bool:
+            r_us = r * 1_000_000
+            if start_s is not None:
+                if sub:
+                    if int(round(start_s * 1e6)) % r_us:
+                        return False
+                elif start_s != int(start_s) or int(start_s) % r:
+                    return False
+            if end_s is not None:
+                if sub:
+                    if (int(round(end_s * 1e6)) + 1) % r_us:
+                        return False
+                elif end_s != int(end_s) or (int(end_s) + 1) % r:
+                    return False
+            return True
+
+        best: tuple[int, DataFrame] | None = None
+        for r, target, sub in self._route_rollups():
+            if not _aligned(r, sub):
+                continue
+            ro = (
+                read_table_auto(self.spark, target)
+                if isinstance(target, str)
+                else target
+            )
+            if need.issubset(set(ro.columns)) and (
+                best is None or r > best[0]
+            ):
+                best = (r, ro)
+        if best is None:
+            return None
+        ro = best[1]
+        if parsed is not None:
+            if parsed.metric_name:
+                ro = ro.filter(F.col("metric_name") == parsed.metric_name)
+            known = set(self.labels())
+            for m in parsed.label_matchers:
+                if m.label == "__name__":
+                    ro = ro.filter(
+                        label_matcher("metric_name", m.op, m.value)
+                    )
+                    continue
+                if m.label not in known:
+                    raise ValueError(f"unknown label: {m.label}")
+                ro = ro.filter(label_matcher(m.label, m.op, m.value))
+        if start_s is not None:
+            ro = ro.filter(
+                F.col("bucket")
+                >= F.timestamp_micros(F.lit(int(round(start_s * 1e6))))
+            )
+        if end_s is not None:
+            ro = ro.filter(
+                F.col("bucket")
+                <= F.timestamp_micros(F.lit(int(round(end_s * 1e6))))
+            )
+        return ro
+
     def label_values(
         self,
         label: str,
@@ -1113,9 +1204,11 @@ class CardinalSin:
         range hits exactly this."""
         if label not in self.labels():
             raise ValueError(f"unknown label: {label}")
+        scope = self._maybe_route_metadata([label], match, start_s, end_s)
+        if scope is None:
+            scope = self._metadata_scope(match, start_s, end_s)
         return (
-            self._metadata_scope(match, start_s, end_s)
-            .select(label)
+            scope.select(label)
             .filter(F.col(label).isNotNull())
             .distinct()
             .orderBy(label)
@@ -1130,11 +1223,12 @@ class CardinalSin:
         """`/api/v1/series` — DISTINCT over all label columns, optionally
         scoped by matchers + time bounds
         (``api/query/prometheus_api.rs:428-535``)."""
-        return (
-            self._metadata_scope(match, start_s, end_s)
-            .select(self.labels())
-            .distinct()
+        scope = self._maybe_route_metadata(
+            self.labels(), match, start_s, end_s
         )
+        if scope is None:
+            scope = self._metadata_scope(match, start_s, end_s)
+        return scope.select(self.labels()).distinct()
 
     # -- entry point D: streaming --------------------------------------------
 

@@ -1065,6 +1065,14 @@ def promql_instant(
 
     gby = effective_group_by(parsed, cols)
 
+    if parsed.aggregation and rollups and time_s is not None:
+        routed = _maybe_route_rollup_instant_agg(
+            df.sparkSession, rollups, parsed,
+            time_s - parsed.offset_seconds, cols,
+        )
+        if routed is not None:
+            return routed
+
     if parsed.aggregation == "quantile" and parsed.q is not None:
         return (
             out.groupBy(cols.name, *gby)
@@ -2281,6 +2289,76 @@ def _maybe_route_hist_latest_instant(
         )
         .withColumn("_le_n", _le_micros())
     )
+
+
+def _maybe_route_rollup_instant_agg(
+    spark: SparkSession,
+    rollups: list[tuple[int, object, bool]],
+    parsed: ParsedPromQL,
+    t_eval: float,
+    cols: MetricsCols,
+) -> DataFrame | None:
+    """Instant-door AGGREGATION serving — ``sum/avg/min/max/count(m)``
+    and ``topk/bottomk(k, m)`` at time T.  This engine's instant
+    aggregation (reference-shaped) runs over ALL samples at-or-before T
+    (no lower bound), so the moments recompose it whenever T sits at a
+    bucket END (``(T+1) % r == 0``, micros-exact for sub-second data —
+    the same geometry as the instant histogram door): every rollup
+    bucket starting ≤ T then holds only samples ≤ T.  ``timestamp_``
+    reproduces exactly from the ``max_ts`` moment.  ``quantile`` and
+    ``count_values`` need the raw sample distribution and never route;
+    offset/@ need no special casing (both only move ``t_eval``)."""
+    agg = parsed.aggregation
+    if agg not in ("sum", "avg", "min", "max", "count", "topk", "bottomk"):
+        return None
+    if agg in ("topk", "bottomk") and parsed.k is None:
+        return None
+    if (
+        parsed.function is not None
+        or parsed.q is not None
+        or parsed.dst_label is not None
+    ):
+        return None
+    from cardinalsin_spark.operators.rollup import rollup_moment
+
+    best: tuple[int, object] | None = None
+    for r, path, subsecond in rollups:
+        if subsecond:
+            if (int(round(t_eval * 1e6)) + 1) % (r * 1_000_000):
+                continue
+        else:
+            if t_eval != int(t_eval) or (int(t_eval) + 1) % r:
+                continue
+        if best is None or r > best[0]:
+            best = (r, path)
+    if best is None:
+        return None
+    from cardinalsin_spark.sources.snapshots import read_table_auto
+
+    ro = (
+        read_table_auto(spark, best[1])
+        if isinstance(best[1], str)
+        else best[1]
+    )
+    gby = effective_group_by(parsed, cols)
+    need = {cols.name, "bucket", "max_ts", *gby} | {
+        m.label for m in parsed.label_matchers if m.label != "__name__"
+    }
+    if not need.issubset(set(ro.columns)):
+        return None
+    ro = ro.filter(_selector_filter(parsed, cols)).filter(
+        F.col("bucket")
+        <= F.timestamp_micros(F.lit(int(round(t_eval * 1e6))))
+    )
+    moment = rollup_moment("avg" if agg in ("topk", "bottomk") else agg)
+    grouped = ro.groupBy(F.col(cols.name), *[F.col(c) for c in gby]).agg(
+        F.max("max_ts").alias("timestamp_"), moment.alias("value")
+    )
+    if agg in ("topk", "bottomk"):
+        # mirror the raw arm: GLOBAL top-k across the grouped rows
+        order = F.asc("value") if agg == "bottomk" else F.desc("value")
+        return grouped.orderBy(order, cols.name, *gby).limit(parsed.k)
+    return grouped.orderBy(F.desc("value"), cols.name, *gby)
 
 
 def _maybe_route_rollup_instant(

@@ -503,6 +503,16 @@ def test_instant_over_time_routes_rollup(spark, tmp_path):
         # present_over_time from bucket-row existence
         "last_over_time(s0[3599s])",
         "present_over_time(s0[3599s])",
+        # r12: plain instant aggregations (sum over ALL samples <= T —
+        # this engine's reference-shaped instant semantics) recompose
+        # from the moments at a bucket-end T, incl. global top-k over
+        # the per-series AVGs
+        "sum(s0)",
+        "avg(s0)",
+        "count(s0)",
+        'topk(1, {__name__=~"s.+"})',
+        'bottomk(1, {__name__=~"s.+"})',
+        "max(s0) offset 300s",
     ):
         got = routed_eng.promql_instant(expr, time_s=t)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -519,6 +529,11 @@ def test_instant_over_time_routes_rollup(spark, tmp_path):
         ("resets(s0[3599s])", t),
         ("quantile_over_time(0.9, s0[3599s])", t),
         ("avg_over_time(s0[90s])", t),
+        # instant aggregations: misaligned T, and the raw-distribution
+        # aggregations that can never recompose from moments
+        ("sum(s0)", t - 7),
+        ("quantile(0.5, s0)", t),
+        ('count_values("v", s0)', t),
     ):
         got = routed_eng.promql_instant(expr, time_s=tt)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -2152,3 +2167,98 @@ def test_topk_and_hist_route_rollup(spark, tmp_path):
     assert "h300" in plan, plan
     exp = promql_range(hdf, hq, start + 300, end, step, MetricsCols())
     assert got.collect() == exp.collect()
+
+
+def test_metadata_routes_rollup(spark, tmp_path):
+    """r12: label_values()/series() (the Grafana variable-query shape)
+    serve their DISTINCT from a fresh rollup that kept the columns —
+    results identical to the raw scan, plan reads the rollup; misaligned
+    bounds, a missing column, and an unknown label behave like raw."""
+    import pytest
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 4000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        (F.col("id") % 11).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v", {"host": "host"}),
+        path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name", "host"],
+    ).write.parquet(rp)
+    eng.attach_rollup(rp, 300)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # unbounded, bounded-aligned, matcher-scoped — all routed, same rows
+    for kwargs in (
+        {},
+        {"start_s": START, "end_s": START + 3600 - 1},
+        {"match": 's0{host=~"h[0-2]"}'},
+        {"match": "s1", "start_s": START + 300, "end_s": START + 1199},
+    ):
+        got = eng.label_values("host", **kwargs)
+        assert "r300" in plan_of(got) and "metrics" not in plan_of(got), (
+            kwargs,
+            plan_of(got),
+        )
+        assert (
+            got.collect() == raw.label_values("host", **kwargs).collect()
+        ), kwargs
+        gs = eng.series(**kwargs)
+        assert "r300" in plan_of(gs) and "metrics" not in plan_of(gs)
+        assert sorted(map(tuple, gs.collect())) == sorted(
+            map(tuple, raw.series(**kwargs).collect())
+        ), kwargs
+    # metric_name is a label too (labels() includes it)
+    got = eng.label_values("metric_name")
+    assert "r300" in plan_of(got)
+    assert got.collect() == raw.label_values("metric_name").collect()
+    # fall-backs: misaligned bounds (a straddling bucket would leak
+    # out-of-scope values into the DISTINCT)
+    for kwargs in (
+        {"start_s": START + 7},
+        {"end_s": START + 300},  # (end+1) % 300 != 0
+    ):
+        got = eng.label_values("host", **kwargs)
+        assert "r300" not in plan_of(got), kwargs
+        assert (
+            got.collect() == raw.label_values("host", **kwargs).collect()
+        ), kwargs
+    # unknown labels still raise (both paths)
+    with pytest.raises(ValueError):
+        eng.label_values("nosuch")
+    with pytest.raises(ValueError):
+        eng.label_values("host", match='s0{nosuch="x"}')
+    # a rollup WITHOUT the needed column never routes
+    eng2 = CardinalSin(spark, path)
+    rp2 = str(tmp_path / "r300_namesonly")
+    downsample(
+        eng2.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name"],
+    ).write.parquet(rp2)
+    eng2.attach_rollup(rp2, 300)
+    got = eng2.label_values("host")
+    assert "r300" not in plan_of(got)
+    assert got.collect() == raw.label_values("host").collect()
