@@ -1761,12 +1761,60 @@ def promql_range(
         ao_off = (
             int(ao.group(4)) * _UNIT_SECONDS[ao.group(5)] if ao.group(4) else 0
         )
-        samples = df.filter(_selector_filter(parsed, cols)).filter(
-            (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - ao_off)))
-            & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s - ao_off)))
-        )
+        # presence recomposes from rollup bucket-row EXISTENCE (downsample
+        # only emits non-empty groups), so an aligned absent_over_time
+        # reads rollup-sized rows — same covers/offset rules as the
+        # moment routes
+        samples, ts_src = None, F.col(cols.ts)
+        if rollups:
+            from cardinalsin_spark.operators.rollup import rollup_covers
+            from cardinalsin_spark.sources.snapshots import read_table_auto
+
+            off_us = int(round(ao_off * 1e6))
+            best = None
+            for r, target, sub in rollups:
+                if off_us % (r * 1_000_000):
+                    continue
+                if rollup_covers(
+                    r, start_s - ao_off, end_s - ao_off, step_s, sub
+                ):
+                    if best is None or r > best[0]:
+                        best = (r, target)
+            if best is not None:
+                ro = (
+                    read_table_auto(df.sparkSession, best[1])
+                    if isinstance(best[1], str)
+                    else best[1]
+                )
+                need = {cols.name, "bucket"} | {
+                    m.label
+                    for m in parsed.label_matchers
+                    if m.label != "__name__"
+                }
+                if need.issubset(set(ro.columns)):
+                    b = F.col("bucket")
+                    samples = ro.filter(_selector_filter(parsed, cols)).filter(
+                        (
+                            b
+                            >= F.timestamp_micros(
+                                F.lit(int(round((start_s - ao_off) * 1e6)))
+                            )
+                        )
+                        & (
+                            b
+                            <= F.timestamp_micros(
+                                F.lit(int(round((end_s - ao_off) * 1e6)))
+                            )
+                        )
+                    )
+                    ts_src = b
+        if samples is None:
+            samples = df.filter(_selector_filter(parsed, cols)).filter(
+                (F.col(cols.ts) >= F.timestamp_seconds(F.lit(start_s - ao_off)))
+                & (F.col(cols.ts) <= F.timestamp_seconds(F.lit(end_s - ao_off)))
+            )
         grid_aligned = F.timestamp_micros(
-            F.unix_micros(F.col(cols.ts)) + F.lit(int(ao_off * 1_000_000))
+            F.unix_micros(ts_src) + F.lit(int(ao_off * 1_000_000))
         )
         present = samples.select(
             time_bucket(grid_aligned, step_s).alias("time_bucket")

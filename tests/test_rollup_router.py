@@ -2262,3 +2262,51 @@ def test_metadata_routes_rollup(spark, tmp_path):
     got = eng2.label_values("host")
     assert "r300" not in plan_of(got)
     assert got.collect() == raw.label_values("host").collect()
+
+
+def test_absent_over_time_routes_rollup(spark, tmp_path):
+    """r12: absent_over_time presence recomposes from rollup bucket-row
+    EXISTENCE (downsample only emits non-empty groups) — aligned queries
+    read rollup-sized rows, bit-equal to the raw anti-join, incl. the
+    offset re-alignment; off-grid offsets fall back."""
+    import datetime as dt
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = []
+    for i in list(range(0, 1200)) + list(range(2400, 3600)):  # a gap
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        rows.append((t, "m", 1.0))
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, metric_name string, value double"
+    )
+    rp = str(tmp_path / "r300")
+    downsample(df, 300, ["metric_name"]).write.parquet(rp)
+    rollups = [(300, rp, False)]
+    start, end, step = START, START + 3600 - 1, 600
+    for expr, b in (
+        ("absent_over_time(m[600s])", (start, end, step)),
+        ("absent_over_time(m[600s] offset 600s)", (start + 600, end, step)),
+    ):
+        got = promql_range(df, expr, *b, MetricsCols(), rollups=rollups)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan, (expr, plan)
+        exp = promql_range(df, expr, *b, MetricsCols())
+        rows_got = got.collect()
+        assert rows_got == exp.collect(), expr
+        assert rows_got, expr  # the gap makes some steps absent
+    # off-grid offset falls back, bit-equal
+    got = promql_range(
+        df, "absent_over_time(m[600s] offset 450s)", start + 450, end, step,
+        MetricsCols(), rollups=rollups,
+    )
+    assert "r300" not in got._jdf.queryExecution().executedPlan().toString()
+    assert (
+        got.collect()
+        == promql_range(
+            df, "absent_over_time(m[600s] offset 450s)", start + 450, end,
+            step, MetricsCols(),
+        ).collect()
+    )
