@@ -298,15 +298,19 @@ class CardinalSin:
           the canonical epoch-floor bucket expression;
         * transparent rollup routing (VERDICT r10 missing #3): the
           canonical bucketed-aggregation shape (see
-          ``operators.rollup.match_bucket_agg_sql``) serves from an
-          attached rollup when step/bounds align and the rollup carries
-          every referenced column — same ``rollup_covers`` rule and
-          freshness guard as the promql doors; anything else passes
-          through to Spark untouched."""
+          ``operators.rollup.match_bucket_agg_sql``) and the
+          DISTINCT-labels shape (``match_distinct_sql`` — the SQL twin
+          of ``label_values``/``series``) serve from an attached rollup
+          when step/bounds align and the rollup carries every referenced
+          column — same ``rollup_covers`` rule and freshness guard as
+          the promql doors; anything else passes through to Spark
+          untouched."""
         self._admit_query(tenant_id)
         from cardinalsin_spark.operators.rollup import expand_time_bucket_sql
 
         out = self._maybe_route_sql_rollup(query)
+        if out is None:
+            out = self._maybe_route_sql_distinct(query)
         if out is None:
             out = self.spark.sql(expand_time_bucket_sql(query))
         self._record(out)
@@ -636,6 +640,85 @@ class CardinalSin:
             # grammar guarantees a total ORDER BY here, so the routed
             # top-n is the raw plan's top-n (TakeOrderedAndProject)
             out = out.limit(spec["limit"])
+        return out
+
+    @staticmethod
+    def _bounds_on_grid(
+        start_s: float | None, end_s: float | None, r: int, sub: bool
+    ) -> bool:
+        """Closed bounds sit on the rollup grid: ``start % r == 0`` and
+        ``(end + 1) % r == 0`` (micros-exact when ``sub``) — the
+        straddling-bucket guard shared by the DISTINCT-serving routes."""
+        r_us = r * 1_000_000
+        if start_s is not None:
+            if sub:
+                if int(round(start_s * 1e6)) % r_us:
+                    return False
+            elif start_s != int(start_s) or int(start_s) % r:
+                return False
+        if end_s is not None:
+            if sub:
+                if (int(round(end_s * 1e6)) + 1) % r_us:
+                    return False
+            elif end_s != int(end_s) or (int(end_s) + 1) % r:
+                return False
+        return True
+
+    def _maybe_route_sql_distinct(self, query: str) -> DataFrame | None:
+        """SQL-door twin of the metadata route: ``SELECT DISTINCT
+        label_cols FROM metrics [WHERE aligned bounds + label filters]
+        [ORDER BY <all selected>]`` (``match_distinct_sql``) serves from
+        a fresh rollup that kept every referenced column — the DISTINCT
+        sets are identical because every raw row in scope belongs to
+        exactly one in-scope rollup row with the same label tuple.
+        Misaligned bounds, missing columns, or staleness → None (raw)."""
+        from cardinalsin_spark.operators.rollup import match_distinct_sql
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        spec = match_distinct_sql(query, view=self.view_name)
+        if spec is None or not self._attached_rollups:
+            return None
+        need = {*spec["cols"], "bucket", *[c for c, _ in spec["filters"]]}
+        best = None
+        for r, target, sub in self._route_rollups():
+            if not self._bounds_on_grid(
+                spec["start_s"], spec["end_s"], r, sub
+            ):
+                continue
+            ro = (
+                read_table_auto(self.spark, target)
+                if isinstance(target, str)
+                else target
+            )
+            if need.issubset(set(ro.columns)) and (
+                best is None or r > best[0]
+            ):
+                best = (r, ro)
+        if best is None:
+            return None
+        ro = best[1]
+        if spec["start_s"] is not None:
+            ro = ro.filter(
+                F.col("bucket")
+                >= F.timestamp_micros(
+                    F.lit(int(round(spec["start_s"] * 1e6)))
+                )
+            )
+        if spec["end_s"] is not None:
+            ro = ro.filter(
+                F.col("bucket")
+                <= F.timestamp_micros(F.lit(int(round(spec["end_s"] * 1e6))))
+            )
+        for col, lits in spec["filters"]:
+            ro = ro.filter(F.col(col).isin(*lits))
+        out = ro.select(*spec["cols"]).distinct()
+        if spec["order_by"]:
+            out = out.orderBy(
+                *[
+                    F.desc(n) if d else F.asc(n)
+                    for n, d in spec["order_by"]
+                ]
+            )
         return out
 
     def _rollup_chain_state(
@@ -1131,25 +1214,9 @@ class CardinalSin:
                 if m.label != "__name__"
             }
 
-        def _aligned(r: int, sub: bool) -> bool:
-            r_us = r * 1_000_000
-            if start_s is not None:
-                if sub:
-                    if int(round(start_s * 1e6)) % r_us:
-                        return False
-                elif start_s != int(start_s) or int(start_s) % r:
-                    return False
-            if end_s is not None:
-                if sub:
-                    if (int(round(end_s * 1e6)) + 1) % r_us:
-                        return False
-                elif end_s != int(end_s) or (int(end_s) + 1) % r:
-                    return False
-            return True
-
         best: tuple[int, DataFrame] | None = None
         for r, target, sub in self._route_rollups():
-            if not _aligned(r, sub):
+            if not self._bounds_on_grid(start_s, end_s, r, sub):
                 continue
             ro = (
                 read_table_auto(self.spark, target)

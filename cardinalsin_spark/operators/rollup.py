@@ -676,6 +676,88 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
     }
 
 
+_SQL_DISTINCT = re.compile(
+    rf"\s*select\s+distinct\s+(?P<cols>{_SQL_IDENT}(?:\s*,\s*{_SQL_IDENT})*)"
+    rf"\s+from\s+(?P<table>{_SQL_IDENT})"
+    rf"(?:\s+where\s+(?P<ts>{_SQL_IDENT})\s*>=\s*"
+    rf"(?P<lofn>{_SQL_TSFN})\(\s*(?P<lo>\d+)\s*\)"
+    rf"\s+and\s+(?P<ts2>{_SQL_IDENT})\s*<=\s*"
+    rf"(?P<hifn>{_SQL_TSFN})\(\s*(?P<hi>\d+)\s*\)"
+    rf"(?P<filters>(?:\s+and\s+{_SQL_ONE_FILTER})*))?\s*"
+    rf"(?:order\s+by\s+(?P<ob>.+?)\s*)?;?\s*",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_distinct_sql(query: str, view: str = "metrics") -> dict | None:
+    """Conservative parse of the DISTINCT-labels SQL shape (the Grafana
+    SQL-datasource variable query — the SQL-door twin of the
+    ``label_values``/``series`` metadata endpoints):
+
+    .. code-block:: sql
+
+        SELECT DISTINCT label_col [, label_col ...] FROM metrics
+        [WHERE timestamp >= timestamp_seconds(A)
+           AND timestamp <= timestamp_seconds(B)
+           [AND label_col = 'lit' | label_col IN ('a', 'b') ...]]
+        [ORDER BY <every selected column>]
+
+    Same never-guess doctrine as ``match_bucket_agg_sql``: expressions,
+    aggregates, a partial ORDER BY (ties would make the row order
+    plan-dependent), or any unconsumed text return None and the query
+    passes through to Spark. Returns ``{"cols", "start_s", "end_s",
+    "filters", "order_by"}`` — bounds None when no WHERE clause."""
+    m = _SQL_DISTINCT.fullmatch(query)
+    if m is None or m.group("table").lower() != view.lower():
+        return None
+    cols = [c.strip() for c in m.group("cols").split(",")]
+    if len(set(cols)) != len(cols):
+        return None
+    if m.group("ts") is not None:
+        if m.group("ts") != "timestamp" or m.group("ts2") != "timestamp":
+            return None
+    order = None
+    if m.group("ob") is not None:
+        order = []
+        for item in m.group("ob").split(","):
+            item = item.strip()
+            descending = False
+            if item.lower().endswith(" desc"):
+                item, descending = item[:-5].strip(), True
+            elif item.lower().endswith(" asc"):
+                item = item[:-4].strip()
+            if item not in cols:
+                return None
+            order.append((item, descending))
+        if {n for n, _ in order} != set(cols):
+            return None  # partial order: tie rows are plan-dependent
+    filters: list[tuple[str, list[str]]] = []
+    if m.group("filters"):
+        for f in _SQL_FILTER.finditer(m.group("filters")):
+            if f.group("lit") is not None:
+                filters.append((f.group("col"), [f.group("lit")]))
+            else:
+                filters.append(
+                    (f.group("col"), re.findall(r"'([^']*)'", f.group("lits")))
+                )
+
+    def _bound(fn_name, raw):
+        n = int(raw)
+        return n if fn_name.lower() == "timestamp_seconds" else n / 1e6
+
+    return {
+        "cols": cols,
+        "start_s": _bound(m.group("lofn"), m.group("lo"))
+        if m.group("lo") is not None
+        else None,
+        "end_s": _bound(m.group("hifn"), m.group("hi"))
+        if m.group("hi") is not None
+        else None,
+        "filters": filters,
+        "order_by": order,
+    }
+
+
 def expand_time_bucket_sql(query: str) -> str:
     """Rewrite the ``time_bucket(col, step)`` macro (TimescaleDB-style
     convenience, and the anchor of the SQL-door rollup grammar) into the

@@ -2310,3 +2310,96 @@ def test_absent_over_time_routes_rollup(spark, tmp_path):
             step, MetricsCols(),
         ).collect()
     )
+
+
+def test_sql_distinct_routes_rollup(spark, tmp_path):
+    """r12: the DISTINCT-labels SQL shape (the Grafana SQL-datasource
+    variable query) routes through a fresh rollup that kept the columns
+    — same rows as raw Spark SQL, rollup scanned; the grammar never
+    guesses (partial ORDER BY, expressions, misaligned bounds, missing
+    columns all pass through)."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.rollup import match_distinct_sql as m
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    # grammar accept/reject matrix (pure parse, no Spark)
+    q = (
+        "SELECT DISTINCT host, metric_name FROM metrics "
+        "WHERE timestamp >= timestamp_seconds(1000) "
+        "AND timestamp <= timestamp_seconds(4599) "
+        "AND env = 'prod' ORDER BY host, metric_name DESC"
+    )
+    spec = m(q)
+    assert spec == {
+        "cols": ["host", "metric_name"],
+        "start_s": 1000, "end_s": 4599,
+        "filters": [("env", ["prod"])],
+        "order_by": [("host", False), ("metric_name", True)],
+    }
+    nb = m("SELECT DISTINCT host FROM metrics")
+    assert nb == {
+        "cols": ["host"], "start_s": None, "end_s": None,
+        "filters": [], "order_by": None,
+    }
+    for bad in (
+        q.replace("ORDER BY host, metric_name DESC", "ORDER BY host"),
+        q.replace("DISTINCT host", "DISTINCT upper(host)"),
+        q.replace("FROM metrics", "FROM other"),
+        q.replace("host, metric_name", "host, host"),
+        "SELECT DISTINCT host FROM metrics LIMIT 5",
+        "SELECT host FROM metrics",
+    ):
+        assert m(bad) is None, bad
+
+    # engine routing parity
+    path = str(tmp_path / "metrics")
+    src = spark.range(0, 4000).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        (F.col("id") % 11).cast("double").alias("v"),
+    )
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v", {"host": "host"}),
+        path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    rp = str(tmp_path / "r300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name", "host"],
+    ).write.parquet(rp)
+    eng.attach_rollup(rp, 300)
+    for sql in (
+        "SELECT DISTINCT host FROM metrics ORDER BY host",
+        "SELECT DISTINCT metric_name, host FROM metrics "
+        "ORDER BY metric_name, host",
+        f"SELECT DISTINCT host FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({START}) "
+        f"AND timestamp <= timestamp_seconds({START + 3599}) "
+        f"AND metric_name IN ('s0', 's1') ORDER BY host",
+    ):
+        got = eng.sql(sql)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan and "metrics/" not in plan, (sql, plan)
+        assert got.collect() == raw.sql(sql).collect(), sql
+    # misaligned bounds / a column the rollup lacks: raw, same rows
+    for sql in (
+        f"SELECT DISTINCT host FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({START + 7}) "
+        f"AND timestamp <= timestamp_seconds({START + 3599}) ORDER BY host",
+        "SELECT DISTINCT host, date FROM metrics ORDER BY host, date",
+    ):
+        got = eng.sql(sql)
+        assert "r300" not in got._jdf.queryExecution().executedPlan().toString()
+        assert got.collect() == raw.sql(sql).collect(), sql
