@@ -489,8 +489,8 @@ class CardinalSin:
             except FileNotFoundError:
                 return None
 
+        man = _manifest_or_none(path)  # one read serves both checks below
         if resolution_s is None:
-            man = _manifest_or_none(path)
             if man is None:
                 raise ValueError(
                     f"attach_rollup({path!r}): no resolution_s given and "
@@ -510,10 +510,7 @@ class CardinalSin:
             fresh != "static"
             and self.metrics_path
             and snapshot_managed(self.metrics_path)
-            and (
-                (man := _manifest_or_none(path)) is None
-                or man.get("rollup_base_version") is None
-            )
+            and (man is None or man.get("rollup_base_version") is None)
         ):
             raise ValueError(
                 f"attach_rollup({path!r}): the base table is snapshot-"
@@ -552,6 +549,14 @@ class CardinalSin:
         if any(val != "value" for _, val, _ in spec["aggs"]):
             return None
         if any(val != "value" for _, val, _, _ in spec["having"]):
+            return None
+        # never-guess: group/filter columns must exist in the METRICS
+        # view — a rollup-internal name (bucket, sum_value) must not
+        # route where the raw SQL would raise AnalysisException
+        if not {
+            *spec["group_cols"],
+            *[c for c, _ in spec["filters"]],
+        }.issubset(set(self.metrics.columns)):
             return None
         need = {
             "bucket",
@@ -677,6 +682,13 @@ class CardinalSin:
 
         spec = match_distinct_sql(query, view=self.view_name)
         if spec is None or not self._attached_rollups:
+            return None
+        # never-guess: every referenced column must exist in the METRICS
+        # view too — otherwise a rollup-internal name (bucket, avg_value)
+        # would route and return rollup internals where the raw SQL
+        # raises AnalysisException
+        referenced = {*spec["cols"], *[c for c, _ in spec["filters"]]}
+        if not referenced.issubset(set(self.metrics.columns)):
             return None
         need = {*spec["cols"], "bucket", *[c for c, _ in spec["filters"]]}
         best = None
@@ -985,7 +997,12 @@ class CardinalSin:
             COUNTER_MOMENT_COLS,
         )
 
-        fold_cols = set(fine_head.columns) | (MOMENT_COLS - COUNTER_MOMENT_COLS)
+        # row_count folds only when the parent carries it (a tier with
+        # the moment over a parent without it is schema drift, like the
+        # counter-moment rule below)
+        fold_cols = set(fine_head.columns) | (
+            MOMENT_COLS - COUNTER_MOMENT_COLS - {"row_count"}
+        )
         if COUNTER_MOMENT_COLS.issubset(set(fine_head.columns)):
             fold_cols |= COUNTER_MOMENT_COLS
         if not set(tier.columns).issubset(fold_cols):

@@ -178,8 +178,8 @@ def compact_partition(
 MOMENT_COLS = frozenset(
     {
         "bucket", "avg_value", "min_value", "max_value", "sum_value",
-        "count_value", "max_ts", "min_ts", "first_value", "last_value",
-        "inc_value",
+        "count_value", "row_count", "max_ts", "min_ts", "first_value",
+        "last_value", "inc_value",
     }
 )
 
@@ -242,6 +242,10 @@ def downsample(
                 F.max(value_col).alias("max_value"),
                 F.sum(value_col).alias("sum_value"),
                 F.count(value_col).alias("count_value"),
+                # row_count counts ALL rows (NULL-valued included) — the
+                # PromQL count semantics; count_value (non-NULL) stays
+                # the avg divisor and the SQL count(value)
+                F.count(F.lit(1)).alias("row_count"),
                 F.max(ts_col).alias("max_ts"),
             )
             .orderBy("bucket", *series_cols)
@@ -267,6 +271,7 @@ def downsample(
             F.max(value_col).alias("max_value"),
             F.sum(value_col).alias("sum_value"),
             F.count(value_col).alias("count_value"),
+            F.count(F.lit(1)).alias("row_count"),
             F.max(ts_col).alias("max_ts"),
             F.min(ts_col).alias("min_ts"),
             F.min_by(v.cast("double"), ord_key).alias("first_value"),
@@ -309,6 +314,7 @@ def downsample_moments(
     from cardinalsin_spark.functions.core import time_bucket
 
     counters = COUNTER_MOMENT_COLS.issubset(set(df.columns))
+    has_rc = "row_count" in df.columns  # pre-upgrade rollups lack it
     extra_aggs = []
     if counters:
         cb = time_bucket("bucket", step_seconds)
@@ -336,6 +342,7 @@ def downsample_moments(
             F.max("max_value").alias("max_value"),
             F.sum("sum_value").alias("sum_value"),
             F.sum("count_value").alias("count_value"),
+            *([F.sum("row_count").alias("row_count")] if has_rc else []),
             F.max("max_ts").alias("max_ts"),
             *extra_aggs,
         )
@@ -366,6 +373,7 @@ def downsample_moments(
             "max_value",
             "sum_value",
             "count_value",
+            *(["row_count"] if has_rc else []),
             "max_ts",
             *counter_cols,
         )

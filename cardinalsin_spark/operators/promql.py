@@ -1767,19 +1767,9 @@ def promql_range(
         # moment routes
         samples, ts_src = None, F.col(cols.ts)
         if rollups:
-            from cardinalsin_spark.operators.rollup import rollup_covers
             from cardinalsin_spark.sources.snapshots import read_table_auto
 
-            off_us = int(round(ao_off * 1e6))
-            best = None
-            for r, target, sub in rollups:
-                if off_us % (r * 1_000_000):
-                    continue
-                if rollup_covers(
-                    r, start_s - ao_off, end_s - ao_off, step_s, sub
-                ):
-                    if best is None or r > best[0]:
-                        best = (r, target)
+            best = _best_covering(rollups, start_s, end_s, step_s, ao_off)
             if best is not None:
                 ro = (
                     read_table_auto(df.sparkSession, best[1])
@@ -2211,6 +2201,53 @@ def promql_range(
     )
 
 
+# moment columns each routed shape aggregates — gated in every door's
+# `need` check so a column-poor attached rollup (attach_rollup accepts
+# any parquet with an explicit resolution) falls back to raw instead of
+# raising AnalysisException mid-plan. "count" needs the row_count
+# moment: the PromQL count semantics count ALL rows (F.count(lit(1)))
+# while count_value counts non-NULL values (the avg divisor / SQL
+# count(value)) — pre-row_count rollups simply never route counts.
+_MOMENT_NEED: dict[str, frozenset[str]] = {
+    "avg": frozenset({"sum_value", "count_value"}),
+    "sum": frozenset({"sum_value"}),
+    "min": frozenset({"min_value"}),
+    "max": frozenset({"max_value"}),
+    "count": frozenset({"row_count"}),
+    "present": frozenset(),
+    "last": frozenset({"last_value", "max_ts"}),
+    "topk": frozenset({"sum_value", "count_value"}),
+    "bottomk": frozenset({"sum_value", "count_value"}),
+}
+_COUNTER_NEED = frozenset({"max_value", "min_value"})
+
+
+def _best_covering(
+    rollups: list[tuple[int, object, bool]],
+    start_s: float,
+    end_s: float,
+    step_s: int,
+    off: float = 0.0,
+    paths_only: bool = False,
+) -> tuple[int, object] | None:
+    """Pick the coarsest attached rollup whose buckets tile the (offset-
+    shifted) closed bounds at this step and whose resolution divides the
+    offset — the candidate loop shared by every range-door route."""
+    from cardinalsin_spark.operators.rollup import rollup_covers
+
+    off_us = int(round(off * 1e6))
+    best: tuple[int, object] | None = None
+    for r, target, sub in rollups:
+        if paths_only and not isinstance(target, str):
+            continue
+        if off_us % (r * 1_000_000):
+            continue  # shifted buckets would straddle output steps
+        if rollup_covers(r, start_s - off, end_s - off, step_s, sub):
+            if best is None or r > best[0]:
+                best = (r, target)
+    return best
+
+
 def _maybe_route_hist_latest(
     spark: SparkSession,
     rollups: list[tuple[int, object, bool]],
@@ -2233,7 +2270,6 @@ def _maybe_route_hist_latest(
     split the rows carry — argmax composes, unlike ordered folds.
     Same covers/column guards as the moment routes; rollups without the
     counter moments simply never route."""
-    from cardinalsin_spark.operators.rollup import rollup_covers
     from cardinalsin_spark.sources.snapshots import read_table_auto
 
     if parsed.at_seconds is not None:
@@ -2243,13 +2279,7 @@ def _maybe_route_hist_latest(
     # (last_value, max_ts) is shift-invariant — max_ts stays raw)
     off = parsed.offset_seconds or 0.0
     off_us = int(round(off * 1e6))
-    best: tuple[int, object] | None = None
-    for r, path, subsecond in rollups:
-        if off_us % (r * 1_000_000):
-            continue
-        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
-            if best is None or r > best[0]:
-                best = (r, path)
+    best = _best_covering(rollups, start_s, end_s, step_s, off)
     if best is None:
         return None
     ro = (
@@ -2302,14 +2332,12 @@ def _maybe_route_hist_latest_instant(
     sub-second data): then every rollup bucket starting ≤ T holds only
     samples ≤ T, and ``max_by(last_value, max_ts)`` over them is the
     global latest sample — exact under any segmentation."""
+    from cardinalsin_spark.operators.rollup import bucket_end_aligned
+
     best: tuple[int, object] | None = None
     for r, path, subsecond in rollups:
-        if subsecond:
-            if (int(round(t_eval * 1e6)) + 1) % (r * 1_000_000):
-                continue
-        else:
-            if t_eval != int(t_eval) or (int(t_eval) + 1) % r:
-                continue
+        if not bucket_end_aligned(t_eval, r, subsecond):
+            continue
         if best is None or r > best[0]:
             best = (r, path)
     if best is None:
@@ -2367,16 +2395,15 @@ def _maybe_route_rollup_instant_agg(
         or parsed.dst_label is not None
     ):
         return None
-    from cardinalsin_spark.operators.rollup import rollup_moment
+    from cardinalsin_spark.operators.rollup import (
+        bucket_end_aligned,
+        rollup_moment,
+    )
 
     best: tuple[int, object] | None = None
     for r, path, subsecond in rollups:
-        if subsecond:
-            if (int(round(t_eval * 1e6)) + 1) % (r * 1_000_000):
-                continue
-        else:
-            if t_eval != int(t_eval) or (int(t_eval) + 1) % r:
-                continue
+        if not bucket_end_aligned(t_eval, r, subsecond):
+            continue
         if best is None or r > best[0]:
             best = (r, path)
     if best is None:
@@ -2389,16 +2416,22 @@ def _maybe_route_rollup_instant_agg(
         else best[1]
     )
     gby = effective_group_by(parsed, cols)
-    need = {cols.name, "bucket", "max_ts", *gby} | {
-        m.label for m in parsed.label_matchers if m.label != "__name__"
-    }
+    need = (
+        {cols.name, "bucket", "max_ts", *gby}
+        | {m.label for m in parsed.label_matchers if m.label != "__name__"}
+        | _MOMENT_NEED[agg]
+    )
     if not need.issubset(set(ro.columns)):
         return None
     ro = ro.filter(_selector_filter(parsed, cols)).filter(
         F.col("bucket")
         <= F.timestamp_micros(F.lit(int(round(t_eval * 1e6))))
     )
-    moment = rollup_moment("avg" if agg in ("topk", "bottomk") else agg)
+    moment = (
+        F.sum("row_count")  # PromQL count = ALL rows, not count(value)
+        if agg == "count"
+        else rollup_moment("avg" if agg in ("topk", "bottomk") else agg)
+    )
     grouped = ro.groupBy(F.col(cols.name), *[F.col(c) for c in gby]).agg(
         F.max("max_ts").alias("timestamp_"), moment.alias("value")
     )
@@ -2465,11 +2498,14 @@ def _maybe_route_rollup_instant(
         else best[1]
     )
     gcols = discover_label_columns(parsed)
-    need = {cols.name, "bucket", "max_ts", *gcols} | {
-        m.label for m in parsed.label_matchers if m.label != "__name__"
-    }
-    if agg == "last":
-        need |= {"last_value"}  # pre-upgrade rollups lack the moment
+    # moment columns gated per shape: a column-poor rollup falls back
+    # to raw instead of raising mid-plan (pre-upgrade rollups lack the
+    # last/row_count moments and simply never route those shapes)
+    need = (
+        {cols.name, "bucket", "max_ts", *gcols}
+        | {m.label for m in parsed.label_matchers if m.label != "__name__"}
+        | (_MOMENT_NEED[agg] if agg is not None else _COUNTER_NEED)
+    )
     if not need.issubset(set(ro.columns)):
         return None
     b = F.col("bucket")
@@ -2482,6 +2518,8 @@ def _maybe_route_rollup_instant(
         value = F.expr("max_by(last_value, max_ts)")
     elif agg == "present":
         value = F.min(F.lit(1.0))  # a bucket row exists ⇔ samples exist
+    elif agg == "count":
+        value = F.sum("row_count")  # PromQL count = ALL rows
     elif agg is not None:
         value = rollup_moment(agg)
     else:
@@ -2543,7 +2581,7 @@ def _maybe_route_rollup(
     cents / counts — the determinism doctrine), bit-identical division
     for avg (same global sum / same global count as the raw arm).
     """
-    from cardinalsin_spark.operators.rollup import rollup_covers, rollup_moment
+    from cardinalsin_spark.operators.rollup import rollup_moment
 
     if parsed.at_seconds is not None:
         return None
@@ -2622,13 +2660,7 @@ def _maybe_route_rollup(
         gcols = effective_group_by(parsed, cols)
     else:
         return None
-    best: tuple[int, str] | None = None
-    for r, path, subsecond in rollups:
-        if off_us % (r * 1_000_000):
-            continue  # shifted buckets would straddle output steps
-        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
-            if best is None or r > best[0]:
-                best = (r, path)
+    best = _best_covering(rollups, start_s, end_s, step_s, off)
     if best is None:
         return None
     from cardinalsin_spark.sources.snapshots import read_table_auto
@@ -2643,11 +2675,14 @@ def _maybe_route_rollup(
         if isinstance(best[1], str)
         else best[1]
     )
-    need = {cols.name, "bucket", *gcols} | {
-        m.label for m in parsed.label_matchers if m.label != "__name__"
-    }
-    if fn == "last":
-        need |= {"last_value", "max_ts"}  # pre-upgrade rollups lack them
+    # moment columns gated per shape (a column-poor rollup falls back
+    # to raw instead of raising mid-plan); pre-row_count rollups never
+    # route counts — the PromQL count is ALL rows, not count(value)
+    need = (
+        {cols.name, "bucket", *gcols}
+        | {m.label for m in parsed.label_matchers if m.label != "__name__"}
+        | (_MOMENT_NEED[fn] if fn is not None else _COUNTER_NEED)
+    )
     if not need.issubset(set(ro.columns)):
         return None
     b = F.col("bucket")
@@ -2695,6 +2730,8 @@ def _maybe_route_rollup(
         value = F.expr("max_by(last_value, max_ts)")
     elif fn == "present":
         value = F.min(F.lit(1.0))  # the raw arm's present_over_time expr
+    elif fn == "count":
+        value = F.sum("row_count")  # PromQL count = ALL rows
     else:
         value = rollup_moment(fn)
     if slide_m > 1:
@@ -2766,7 +2803,6 @@ def _maybe_route_rollup_counter(
         COUNTER_MOMENT_COLS,
         MOMENT_COLS,
     )
-    from cardinalsin_spark.operators.rollup import rollup_covers
 
     if parsed.at_seconds is not None:
         return None
@@ -2778,15 +2814,9 @@ def _maybe_route_rollup_counter(
     off_us = int(round(off * 1e6))
     label_cols = discover_label_columns(parsed)
     series = list(dict.fromkeys([*label_cols, *cols.labels]))
-    best: tuple[int, str] | None = None
-    for r, path, subsecond in rollups:
-        if not isinstance(path, str):
-            continue
-        if off_us % (r * 1_000_000):
-            continue  # shifted buckets would straddle output steps
-        if rollup_covers(r, start_s - off, end_s - off, step_s, subsecond):
-            if best is None or r > best[0]:
-                best = (r, path)
+    best = _best_covering(
+        rollups, start_s, end_s, step_s, off, paths_only=True
+    )
     if best is None:
         return None
     from cardinalsin_spark.sources.snapshots import read_table_auto

@@ -71,6 +71,19 @@ def rollup_covers(
     return rollup_window_covers(resolution_s, start_s, end_s, subsecond)
 
 
+def bucket_end_aligned(
+    t_s: float, resolution_s: int, subsecond: bool = False
+) -> bool:
+    """T sits at a bucket END: ``(T+1) % r == 0`` (seconds convention,
+    integer T only) or ``(T_µs+1) % r_µs == 0`` (subsecond) — the
+    geometry every instant-door rollup route needs: a window ``(−∞, T]``
+    then covers whole buckets, so every bucket starting ≤ T holds only
+    samples ≤ T."""
+    if subsecond:
+        return (int(round(t_s * 1e6)) + 1) % (resolution_s * 1_000_000) == 0
+    return t_s == int(t_s) and (int(t_s) + 1) % resolution_s == 0
+
+
 def rollup_window_covers(
     resolution_s: int, start_s: float, end_s: float, subsecond: bool = False
 ) -> bool:
@@ -238,6 +251,10 @@ def refresh_rollup(
             # its classic schema — widening it here would leave NULL
             # counters on untouched buckets, poisoning counter routing
             partial = partial.drop(*COUNTER_MOMENT_COLS)
+        have_rowcount = "row_count" in current.columns
+        if not have_rowcount:
+            # same rule for the row_count moment (PromQL count serving)
+            partial = partial.drop("row_count")
         touched = current.join(
             partial.select(*keys).distinct(), keys, "left_semi"
         )
@@ -314,6 +331,11 @@ def refresh_rollup(
                 F.max("max_value").alias("max_value"),
                 F.sum("sum_value").alias("sum_value"),
                 F.sum("count_value").alias("count_value"),
+                *(
+                    [F.sum("row_count").alias("row_count")]
+                    if have_rowcount
+                    else []
+                ),
                 F.max("max_ts").alias("max_ts"),
                 *counter_aggs,
             )
@@ -324,6 +346,7 @@ def refresh_rollup(
                 "max_value",
                 "sum_value",
                 "count_value",
+                *(["row_count"] if have_rowcount else []),
                 "max_ts",
                 *counter_sel,
             )

@@ -2403,3 +2403,79 @@ def test_sql_distinct_routes_rollup(spark, tmp_path):
         got = eng.sql(sql)
         assert "r300" not in got._jdf.queryExecution().executedPlan().toString()
         assert got.collect() == raw.sql(sql).collect(), sql
+    # never-guess: a rollup-internal column name must NOT route — the
+    # raw SQL raises AnalysisException and so must the engine (review
+    # r12: serving rollup internals where raw errors is a wrong answer)
+    import pytest as _pytest
+
+    for sql in (
+        "SELECT DISTINCT bucket FROM metrics ORDER BY bucket",
+        "SELECT DISTINCT avg_value FROM metrics ORDER BY avg_value",
+        "SELECT DISTINCT host FROM metrics WHERE timestamp >= "
+        f"timestamp_seconds({START}) AND timestamp <= "
+        f"timestamp_seconds({START + 3599}) AND sum_value = 'x' "
+        "ORDER BY host",
+    ):
+        with _pytest.raises(Exception):
+            eng.sql(sql).collect()
+
+
+def test_count_routing_counts_all_rows_and_gates_columns(spark, tmp_path):
+    """Review r12: (a) PromQL count is ALL rows (F.count(lit(1))) while
+    count_value counts non-NULL values — routed counts now use the new
+    row_count moment and match raw even with NULL-valued samples;
+    (b) a column-poor rollup (pre-upgrade schema, or any hand-attached
+    parquet) falls back to raw instead of raising mid-plan."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.promql import promql_range
+    from cardinalsin_spark.operators.timeseries import MetricsCols
+
+    rows = []
+    for i in range(3600):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        v = None if i % 7 == 0 else float(i % 13)  # NULL-valued samples
+        rows.append(Row(timestamp=t, metric_name="m", value=v))
+    df = spark.createDataFrame(rows)
+    rp = str(tmp_path / "r300")
+    downsample(df, 300, ["metric_name"], counters=False).write.parquet(rp)
+    rollups = [(300, rp, False)]
+    start, end, step = START, START + 3600 - 1, 600
+    for expr in (
+        "count_over_time(m[600s])",
+        "count_over_time(m[1800s])",  # sliding
+        "count(m)",
+        "avg_over_time(m[600s])",  # NULL-skipping avg still exact
+        "sum(m)",
+    ):
+        got = promql_range(df, expr, start, end, step, MetricsCols(),
+                           rollups=rollups)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "r300" in plan, (expr, plan)
+        exp = promql_range(df, expr, start, end, step, MetricsCols())
+        assert got.collect() == exp.collect(), expr
+    # a pre-row_count rollup never routes counts (falls back bit-equal)
+    # but keeps routing the other moments
+    old = spark.read.parquet(rp).drop("row_count")
+    old_rollups = [(300, old, False)]
+    got = promql_range(df, "count_over_time(m[600s])", start, end, step,
+                       MetricsCols(), rollups=old_rollups)
+    assert got.collect() == promql_range(
+        df, "count_over_time(m[600s])", start, end, step, MetricsCols()
+    ).collect()
+    got = promql_range(df, "sum(m)", start, end, step, MetricsCols(),
+                       rollups=old_rollups)
+    assert got.collect() == promql_range(
+        df, "sum(m)", start, end, step, MetricsCols()
+    ).collect()
+    # a rollup missing the aggregated moment entirely (e.g. max_value)
+    # falls back instead of raising AnalysisException
+    poor = spark.read.parquet(rp).drop("max_value", "min_value")
+    got = promql_range(df, "rate(m[600s])", start, end, step,
+                       MetricsCols(), rollups=[(300, poor, False)])
+    assert got.collect() == promql_range(
+        df, "rate(m[600s])", start, end, step, MetricsCols()
+    ).collect()
