@@ -2479,3 +2479,93 @@ def test_count_routing_counts_all_rows_and_gates_columns(spark, tmp_path):
     assert got.collect() == promql_range(
         df, "rate(m[600s])", start, end, step, MetricsCols()
     ).collect()
+
+
+@pytest.mark.parametrize("seed,res", [(11, 300), (29, 600)])
+def test_routing_parity_randomized_matrix(spark, tmp_path, seed, res):
+    """Randomized cross-door parity sweep: gapped, irregular, labeled
+    series (unique ts per series so raw lag order is deterministic) —
+    every routed door answers bit-equal to the raw arm across a shape
+    matrix of aggregations, moments, sliding windows, counters, top-k
+    and on-grid offsets, at two rollup resolutions."""
+    import random
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    rng = random.Random(seed)
+    rows, counters = [], {}
+    for i in range(4800):
+        t = START + i  # one slot per second
+        for s in ("a", "b"):
+            if rng.random() < 0.35:
+                continue  # gaps: buckets with no samples for a series
+            key = s
+            if rng.random() < 0.02:
+                counters[key] = 0  # counter reset
+            counters[key] = counters.get(key, 0) + rng.randint(0, 5)
+            rows.append(
+                (t * 10**9, f"m_{s}", float(counters[key]))
+            )
+    src = spark.createDataFrame(rows, "ts_ns long, name string, v double")
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    routed = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    rp = str(tmp_path / f"r{res}")
+    downsample(
+        routed.metrics.withColumn("value", value_expr()), res,
+        ["metric_name"],
+    ).write.parquet(rp)
+    routed.attach_rollup(rp, res)
+    start, end = START, START + 4800 - 1
+    step = res * 2
+    shapes = [
+        ("m_a", True),
+        ('sum({__name__=~"m_.*"})', True),
+        ("avg(m_a)", True),
+        ("count(m_b)", True),
+        (f"max_over_time(m_a[{step}s])", True),
+        (f"sum_over_time(m_b[{2 * step}s])", True),  # sliding
+        (f"count_over_time(m_a[{2 * step}s])", True),  # sliding count
+        (f"last_over_time(m_b[{step}s])", True),
+        (f"rate(m_a[{step}s])", True),
+        (f"increase(m_b[{res}s])", True),  # range finer than step
+        (f"rate(m_a[{step}s])", False),
+        (f"delta(m_b[{3 * step}s])", False),
+        ('topk(1, {__name__=~"m_.*"})', True),
+        (f"min(m_a) offset {res}s", True),
+        (f"avg_over_time(m_a[{step}s]) offset {res * 2}s", True),
+    ]
+    for expr, faithful in shapes:
+        off = res if "offset" in expr else 0
+        got = routed.promql_range(
+            expr, start + off, end, step, faithful=faithful
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert f"r{res}" in plan and "metrics" not in plan, (expr, plan)
+        exp = raw.promql_range(expr, start + off, end, step, faithful=faithful)
+        assert got.collect() == exp.collect(), (expr, faithful, seed, res)
+    # instant door at a bucket-end instant
+    t_end = START + 4800 - 1
+    for expr in (
+        "sum(m_a)",
+        # closed bounds: an N-bucket instant window spans N*res - 1 s
+        f"avg_over_time(m_a[{4800 - res - 1}s])",
+        f"rate(m_b[{res * 4 - 1}s])",
+        'topk(1, {__name__=~"m_.*"})',
+    ):
+        got = routed.promql_instant(expr, time_s=t_end)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert f"r{res}" in plan and "metrics" not in plan, (expr, plan)
+        assert got.collect() == raw.promql_instant(
+            expr, time_s=t_end
+        ).collect(), (expr, seed, res)
