@@ -77,6 +77,8 @@ class CardinalSin:
         # attached continuous aggregates:
         # (resolution_s, path, subsecond, fresh_mode)
         self._attached_rollups: list[tuple[int, str, bool, str]] = []
+        # (resolution_s, path, subsecond, alpha) quantile-sketch tier
+        self._attached_sketches: list[tuple[int, str, bool, float]] = []
         # (step_s, start_s, end_s) per bucketed range query, both doors —
         # the rollup advisor's input (bounded; see _log_range)
         self._range_log: list[tuple[int, float, float]] = []
@@ -668,6 +670,151 @@ class CardinalSin:
             elif end_s != int(end_s) or (int(end_s) + 1) % r:
                 return False
         return True
+
+    def attach_quantile_sketch(
+        self,
+        path: str,
+        resolution_s: int,
+        alpha: float = 0.01,
+        subsecond: bool = False,
+        fresh: str = "static",
+    ) -> "CardinalSin":
+        """Attach a log-bucketed quantile sketch
+        (``operators.quantile_sketch.downsample_quantile_sketch``
+        output) for ``quantile_approx`` serving. The sketch tier has no
+        manifest-freshness machinery yet, so over a snapshot-managed
+        (live-written) base only the caller-asserted ``fresh='static'``
+        contract is accepted — the same loud-reject doctrine as
+        ``attach_rollup`` (a stale sketch must never silently answer).
+        """
+        if resolution_s <= 0:
+            raise ValueError(f"resolution must be positive, got {resolution_s}")
+        if not 0.0 < alpha < 1.0:
+            raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+        if fresh != "static":
+            raise ValueError(
+                "attach_quantile_sketch supports only fresh='static' "
+                "today — maintain the sketch externally and re-attach, "
+                "or keep quantiles on the raw path"
+            )
+        self._attached_sketches.append(
+            (int(resolution_s), path, bool(subsecond), float(alpha))
+        )
+        return self
+
+    def quantile_approx(
+        self,
+        selector: str,
+        q: float,
+        start_s: float,
+        end_s: float,
+        step_s: int,
+        alpha: float = 0.01,
+    ) -> DataFrame:
+        """Per-bucket q-quantile ESTIMATE (relative error ≤ alpha) for a
+        plain selector — the quantile shape the exact-moment rollups can
+        never recompose (quantiles need the sample distribution; the
+        reference only covers metrics instrumented as `le` families).
+        Serves from an attached quantile sketch whose resolution divides
+        the step, whose alpha matches, and whose buckets tile the closed
+        bounds; otherwise sketches the RAW samples at step granularity —
+        bit-equal to the routed path (both build the same per-(step,
+        slot) counts), so routing is transparent within the sketch
+        semantics. Output: ``(time_bucket, metric_name, *labels,
+        value)``."""
+        from cardinalsin_spark.functions.core import time_bucket
+        from cardinalsin_spark.operators.promql import (
+            _selector_filter,
+            discover_label_columns,
+            parse_promql,
+        )
+        from cardinalsin_spark.operators.timeseries import (
+            MetricsCols as _MCols,
+        )
+        from cardinalsin_spark.operators.quantile_sketch import (
+            downsample_quantile_sketch,
+            sketch_quantile,
+        )
+        from cardinalsin_spark.operators.rollup import rollup_covers
+        from cardinalsin_spark.schema import value_expr
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        parsed = parse_promql(selector)
+        if (
+            parsed.function is not None
+            or parsed.aggregation is not None
+            or parsed.range_seconds is not None
+        ):
+            raise ValueError(
+                "quantile_approx takes a plain selector "
+                "(metric{label=...}) — functions/aggregations/ranges "
+                "have no sketch-quantile semantics"
+            )
+        gcols = discover_label_columns(parsed)
+        group = ["metric_name", *gcols]
+        need = {
+            "bucket", "qslot", "qcount", *group,
+        } | {m.label for m in parsed.label_matchers if m.label != "__name__"}
+        best = None
+        for r, path, sub, a in self._attached_sketches:
+            if a != alpha:
+                continue  # a different-alpha sketch answers a different
+                # question — never silently substitute error bounds
+            if not rollup_covers(r, start_s, end_s, step_s, sub):
+                continue
+            ro = read_table_auto(self.spark, path)
+            if need.issubset(set(ro.columns)) and (
+                best is None or r > best[0]
+            ):
+                best = (r, ro)
+        if best is not None:
+            b = F.col("bucket")
+            ro = (
+                best[1]
+                .filter(_selector_filter(parsed, _MCols()))
+                .filter(
+                    (
+                        b
+                        >= F.timestamp_micros(
+                            F.lit(int(round(start_s * 1e6)))
+                        )
+                    )
+                    & (
+                        b
+                        <= F.timestamp_micros(F.lit(int(round(end_s * 1e6))))
+                    )
+                )
+            )
+            # slot counts add: re-bucket fine slots onto the step grid
+            sk = (
+                ro.groupBy(
+                    time_bucket(b, step_s).alias("time_bucket"),
+                    *[F.col(c) for c in group],
+                    F.col("qslot"),
+                )
+                .agg(F.sum("qcount").alias("qcount"))
+            )
+        else:
+            raw = (
+                self.metrics.withColumn("value", value_expr())
+                .filter(_selector_filter(parsed, _MCols()))
+                .filter(
+                    (
+                        F.col("timestamp")
+                        >= F.timestamp_seconds(F.lit(start_s))
+                    )
+                    & (
+                        F.col("timestamp")
+                        <= F.timestamp_seconds(F.lit(end_s))
+                    )
+                )
+            )
+            sk = downsample_quantile_sketch(
+                raw, step_s, group, alpha
+            ).withColumnRenamed("bucket", "time_bucket")
+        return sketch_quantile(
+            sk, q, group, alpha, bucket_col="time_bucket"
+        )
 
     def _maybe_route_sql_distinct(self, query: str) -> DataFrame | None:
         """SQL-door twin of the metadata route: ``SELECT DISTINCT

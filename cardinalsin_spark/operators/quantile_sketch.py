@@ -1,0 +1,184 @@
+"""Approximate-quantile continuous aggregates (log-bucketed sketch).
+
+The exact-moment rollups (``operators.compaction.downsample``) serve
+sum/avg/min/max/count/counters, but a quantile needs the sample
+DISTRIBUTION — the one shape the moment tier can never recompose (the
+reference hits the same wall: its ``histogram_quantile`` tier only
+covers metrics instrumented as `le`-bucket families,
+``api/query/prometheus_api.rs:998-1012``). This module closes that gap
+for ARBITRARY numeric series with a DDSketch-style log-bucketed count
+sketch (Masson et al., VLDB'19 — the idea behind TimescaleDB's
+``percentile_agg``/uddsketch): per (bucket, series), one count per
+log-scale slot, giving quantile estimates with a RELATIVE error bound
+``alpha`` under arbitrary merging.
+
+Representation — long format, not maps: one row per (bucket, *series,
+qslot) with an integer count, exactly the shape of the `le`-histogram
+rollups, so merging is ``groupBy().sum()`` (counts add — cascading
+tiers is EXACT relative to the fine sketch, zero error growth, unlike
+centroid-based sketches) and the quantile is one window cumsum. The
+slot encoding is order-preserving in the VALUE domain so the cumsum
+walks values ascending:
+
+* ``v > 0`` → slot ``+OFFSET + k`` where ``k = ceil(ln v / ln γ)``
+  (``v ∈ (γ^(k−1), γ^k]``), γ = (1+α)/(1−α);
+* ``v == 0`` → slot ``0``;
+* ``v < 0`` → slot ``−OFFSET − k(|v|)`` (larger magnitude → smaller
+  slot, mirroring the value order).
+
+The per-slot estimate ``±2·γ^k/(γ+1)`` is the midpoint minimizing the
+relative error, ``|est − v|/|v| ≤ α`` for every v in the slot.
+
+Determinism: ``F.log``/``F.pow`` are libm calls, so this tier follows
+the exp-histogram rule (SCALE.md "Determinism at scale") — pytest-
+checked error bounds and bit-equal routed-vs-raw-built parity on one
+platform, no cross-engine value-hash oracle. The bit-equality works
+because the ROUTED path and the raw fallback build the *same counts*:
+``quantile_approx`` over raw samples sketches the window with the same
+slot function, so serving from a sketch rollup is exact *with respect
+to the sketch semantics* — the same contract every other rollup door
+keeps.
+
+Scale shape: rows per (bucket, series) ≈ distinct occupied slots ≤
+log_γ(dynamic range) (~3.5k slots for alpha=0.01 across the full
+double range; tens in practice), mergeable with one hash aggregation —
+a 90-day p99 dashboard over raw gauges reads slot-count rows instead
+of raw samples, for metrics never instrumented as histograms.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# slot offset separating the negative / zero / positive regions; |k| is
+# bounded by ln(DBL_MAX)/ln(gamma) ≈ 709/ln(γ), far under 2^40 for any
+# sane alpha (alpha ≥ 1e-9 → |k| ≤ ~7·10^11... use 2^50 for headroom)
+_OFFSET = 1 << 50
+
+
+def _gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def quantile_sketch_slot(value_col, alpha: float):
+    """Order-preserving slot index for one value (NULL for NULL input)."""
+    ln_gamma = math.log(_gamma(alpha))
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    k_pos = F.ceil(F.log(v) / F.lit(ln_gamma)).cast("long")
+    k_neg = F.ceil(F.log(-v) / F.lit(ln_gamma)).cast("long")
+    return (
+        F.when(v > 0, F.lit(_OFFSET) + k_pos)
+        .when(v < 0, F.lit(-_OFFSET) - k_neg)
+        .when(v == 0, F.lit(0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def quantile_sketch_estimate(slot_col, alpha: float):
+    """The value estimate for a slot (midpoint minimizing relative
+    error): ``±2·γ^k/(γ+1)``, 0.0 for the zero slot."""
+    g = _gamma(alpha)
+    s = slot_col if not isinstance(slot_col, str) else F.col(slot_col)
+    k_pos = (s - F.lit(_OFFSET)).cast("double")
+    k_neg = (-s - F.lit(_OFFSET)).cast("double")
+    scale = F.lit(2.0 * 1.0 / (g + 1.0))
+    return (
+        F.when(s > 0, scale * F.pow(F.lit(g), k_pos))
+        .when(s < 0, -scale * F.pow(F.lit(g), k_neg))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def downsample_quantile_sketch(
+    df: DataFrame,
+    step_seconds: int,
+    series_cols: list[str],
+    alpha: float = 0.01,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucketed quantile sketch: one (bucket, *series, qslot,
+    qcount) row per occupied log-scale slot. NULL values are skipped
+    (quantiles are over the sample distribution, like ``percentile``).
+
+    One hash aggregation; output rows are slot-counts, not samples."""
+    from cardinalsin_spark.functions.core import time_bucket
+
+    slot = quantile_sketch_slot(F.col(value_col), alpha)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            time_bucket(ts_col, step_seconds).alias("bucket"),
+            *[F.col(c) for c in series_cols],
+            slot.alias("qslot"),
+        )
+        .agg(F.count(F.lit(1)).alias("qcount"))
+        .orderBy("bucket", *series_cols, "qslot")
+    )
+
+
+def coarsen_quantile_sketch(
+    sketch: DataFrame,
+    step_seconds: int,
+    series_cols: list[str],
+) -> DataFrame:
+    """Re-bucket a sketch to a coarser resolution — the cascade step.
+    EXACT relative to the fine sketch (slot counts add), so a 5m → 1h →
+    1d pyramid serves the same estimates as a direct sketch of raw at
+    any tier; bit-equal whenever the fine resolution divides the coarse
+    one (the ``downsample_moments`` contract)."""
+    from cardinalsin_spark.functions.core import time_bucket
+
+    return (
+        sketch.groupBy(
+            time_bucket("bucket", step_seconds).alias("bucket"),
+            *[F.col(c) for c in series_cols],
+            F.col("qslot"),
+        )
+        .agg(F.sum("qcount").alias("qcount"))
+        .orderBy("bucket", *series_cols, "qslot")
+    )
+
+
+def sketch_quantile(
+    sketch: DataFrame,
+    q: float,
+    group_cols: list[str],
+    alpha: float = 0.01,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The q-quantile estimate per (bucket, *group) from slot counts:
+    nearest-rank ``target = floor(q·(n−1)) + 1`` (the 1-indexed sample
+    percentile convention), found by one window cumsum over the
+    value-ordered slots. Relative error ≤ alpha vs the exact sample
+    quantile. Output: ``(bucket_col, *group_cols, value)``."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    keys = [F.col(bucket_col), *[F.col(c) for c in group_cols]]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("qslot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy(*keys)
+    cum = F.sum("qcount").over(w)
+    n = F.sum("qcount").over(total)
+    target = F.floor(F.lit(q) * (n - F.lit(1))).cast("long") + F.lit(1)
+    hit = sketch.withColumn("__cum", cum).withColumn("__t", target).filter(
+        F.col("__cum") >= F.col("__t")
+    )
+    # the FIRST slot whose cumulative count reaches the target rank —
+    # MIN over the (order-preserving) slots, one hash agg after the
+    # window
+    return (
+        hit.groupBy(*keys)
+        .agg(F.min("qslot").alias("__slot"))
+        .withColumn("value", quantile_sketch_estimate(F.col("__slot"), alpha))
+        .drop("__slot")
+        .orderBy(bucket_col, *group_cols)
+    )

@@ -1,0 +1,189 @@
+"""Approximate-quantile continuous aggregates (log-bucketed sketch):
+error bounds vs exact sample quantiles, sign/zero handling, exact
+cascade folds, and transparent engine serving (routed bit-equal to the
+raw-built sketch — the same contract as every other rollup door).
+Follows the exp-histogram libm rule: no DuckDB oracle (F.log/F.pow),
+pytest bounds + parity only (SCALE.md "Determinism at scale")."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cardinalsin_spark.operators.quantile_sketch import (
+    coarsen_quantile_sketch,
+    downsample_quantile_sketch,
+    sketch_quantile,
+)
+
+START = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def _metrics_df(spark, values_by_series, t0=START):
+    rows = []
+    for name, vals in values_by_series.items():
+        for i, v in enumerate(vals):
+            rows.append((t0 + i, name, v))
+    return spark.createDataFrame(
+        rows, "ts long, metric_name string, value double"
+    ).select(
+        F.timestamp_seconds("ts").alias("timestamp"), "metric_name", "value"
+    )
+
+
+def _exact_nearest_rank(vals, q):
+    """The convention sketch_quantile targets: the (floor(q*(n-1))+1)-th
+    smallest sample."""
+    s = sorted(vals)
+    return s[int(math.floor(q * (len(s) - 1)))]
+
+
+def test_error_bound_and_signs(spark):
+    rng = random.Random(5)
+    pos = [math.exp(rng.uniform(-3, 8)) for _ in range(4000)]
+    mixed = (
+        [-math.exp(rng.uniform(-2, 5)) for _ in range(1500)]
+        + [0.0] * 300
+        + [math.exp(rng.uniform(-2, 5)) for _ in range(2200)]
+    )
+    rng.shuffle(mixed)
+    alpha = 0.01
+    df = _metrics_df(spark, {"pos": pos, "mixed": mixed})
+    # 86400 tiles from START (midnight UTC) — one bucket per series
+    sk = downsample_quantile_sketch(df, 86400, ["metric_name"], alpha)
+    for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        got = {
+            r.metric_name: r.value
+            for r in sketch_quantile(sk, q, ["metric_name"], alpha).collect()
+        }
+        for name, vals in (("pos", pos), ("mixed", mixed)):
+            exact = _exact_nearest_rank(vals, q)
+            if exact == 0.0:
+                assert got[name] == 0.0, (name, q)
+            else:
+                rel = abs(got[name] - exact) / abs(exact)
+                assert rel <= alpha + 1e-12, (name, q, got[name], exact)
+    # the q=0/q=1 estimates sit in the min/max sample's slot: same sign
+    assert sketch_quantile(sk, 0.0, ["metric_name"], alpha).filter(
+        F.col("metric_name") == "mixed"
+    ).first().value < 0
+    assert sketch_quantile(sk, 1.0, ["metric_name"], alpha).filter(
+        F.col("metric_name") == "mixed"
+    ).first().value > 0
+
+
+def test_cascade_fold_is_exact(spark):
+    """Slot counts add: a coarse sketch folded from the fine tier is
+    IDENTICAL to sketching raw at the coarse step — cascades never grow
+    the error (unlike centroid sketches)."""
+    rng = random.Random(7)
+    vals = [math.exp(rng.uniform(-4, 6)) * (1 if rng.random() < 0.8 else -1)
+            for _ in range(7200)]
+    df = _metrics_df(spark, {"m": vals})
+    fine = downsample_quantile_sketch(df, 300, ["metric_name"], 0.02)
+    coarse_folded = coarsen_quantile_sketch(fine, 3600, ["metric_name"])
+    coarse_direct = downsample_quantile_sketch(df, 3600, ["metric_name"], 0.02)
+    assert sorted(map(tuple, coarse_folded.collect())) == sorted(
+        map(tuple, coarse_direct.collect())
+    )
+    # and the quantiles served from either are bit-equal
+    a = sketch_quantile(coarse_folded, 0.95, ["metric_name"], 0.02).collect()
+    b = sketch_quantile(coarse_direct, 0.95, ["metric_name"], 0.02).collect()
+    assert a == b
+
+
+def test_engine_quantile_approx_routes_sketch(spark, tmp_path):
+    """engine.quantile_approx serves from an attached sketch when the
+    geometry and alpha match — bit-equal to the raw-built sketch path
+    (both build the same per-(step, slot) counts); misaligned bounds or
+    a different alpha fall back to raw."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    rng = random.Random(11)
+    src = spark.createDataFrame(
+        [
+            (
+                (START + i // 2) * 10**9,
+                "lat" if i % 2 == 0 else "mem",
+                math.exp(rng.uniform(-2, 6)),
+            )
+            for i in range(7200)
+        ],
+        "ts_ns long, name string, v double",
+    )
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    sp = str(tmp_path / "qs300")
+    downsample_quantile_sketch(
+        eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name"], 0.01,
+    ).write.parquet(sp)
+    eng.attach_quantile_sketch(sp, 300, alpha=0.01)
+    start, end, step = START, START + 3600 - 1, 600
+    for sel, q in (("lat", 0.99), ("mem", 0.5), ('{__name__=~"l.*"}', 0.9)):
+        got = eng.quantile_approx(sel, q, start, end, step, alpha=0.01)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "qs300" in plan and "metrics" not in plan, (sel, plan)
+        exp = raw.quantile_approx(sel, q, start, end, step, alpha=0.01)
+        assert got.collect() == exp.collect(), (sel, q)
+        assert got.columns == ["time_bucket", "metric_name", "value"]
+    # sanity: the served estimate tracks the exact per-bucket quantile
+    exact = (
+        raw.metrics.withColumn("value", value_expr())
+        .filter(F.col("metric_name") == "lat")
+        .filter(
+            (F.col("timestamp") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("timestamp") <= F.timestamp_seconds(F.lit(end)))
+        )
+        .groupBy(F.window("timestamp", "600 seconds").start.alias("tb"))
+        .agg(F.expr("sort_array(collect_list(value))").alias("vs"))
+        .select(
+            "tb",
+            F.expr(
+                "vs[cast(floor(0.99 * (size(vs) - 1)) as int)]"
+            ).alias("exact"),
+        )
+        .collect()
+    )
+    got = {
+        r.time_bucket: r.value
+        for r in eng.quantile_approx("lat", 0.99, start, end, step).collect()
+    }
+    for r in exact:
+        rel = abs(got[r.tb] - r.exact) / abs(r.exact)
+        assert rel <= 0.01 + 1e-12, (r.tb, got[r.tb], r.exact)
+    # fall-backs: misaligned bounds; a different alpha (a different
+    # error bound is a different question — never silently substitute)
+    for kwargs in (
+        {"start_s": start + 7, "end_s": end, "step_s": step, "alpha": 0.01},
+        {"start_s": start, "end_s": end, "step_s": step, "alpha": 0.05},
+    ):
+        got = eng.quantile_approx("lat", 0.9, **kwargs)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "qs300" not in plan, (kwargs, plan)
+        assert (
+            got.collect()
+            == raw.quantile_approx("lat", 0.9, **kwargs).collect()
+        )
+    # guard rails
+    with pytest.raises(ValueError):
+        eng.quantile_approx("rate(lat[60s])", 0.9, start, end, step)
+    with pytest.raises(ValueError):
+        eng.attach_quantile_sketch(sp, 300, alpha=0.01, fresh="union")
+    with pytest.raises(ValueError):
+        eng.attach_quantile_sketch(sp, 0)
+    with pytest.raises(ValueError):
+        eng.attach_quantile_sketch(sp, 300, alpha=1.5)
