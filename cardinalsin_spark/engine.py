@@ -677,28 +677,61 @@ class CardinalSin:
         resolution_s: int,
         alpha: float = 0.01,
         subsecond: bool = False,
-        fresh: str = "static",
+        fresh: str = "fallback",
     ) -> "CardinalSin":
         """Attach a log-bucketed quantile sketch
-        (``operators.quantile_sketch.downsample_quantile_sketch``
-        output) for ``quantile_approx`` serving. The sketch tier has no
-        manifest-freshness machinery yet, so over a snapshot-managed
-        (live-written) base only the caller-asserted ``fresh='static'``
-        contract is accepted — the same loud-reject doctrine as
-        ``attach_rollup`` (a stale sketch must never silently answer).
-        """
+        (``downsample_quantile_sketch`` parquet, or a
+        ``refresh_quantile_sketch``-maintained snapshot table) for
+        ``quantile_approx`` serving.  Same freshness doctrine as
+        ``attach_rollup``: a refresh-maintained sketch carries the same
+        manifest keys as moment rollups, so the chain-aware guard
+        applies unchanged — ``fresh='fallback'`` (default) drops a stale
+        sketch from routing (raw path answers), ``fresh='static'``
+        asserts an immutable base. A manifest-recorded ``sketch_alpha``
+        must equal the attach ``alpha`` (a different error bound is a
+        different question — loud-reject, never substitute)."""
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            snapshot_managed,
+        )
+
         if resolution_s <= 0:
             raise ValueError(f"resolution must be positive, got {resolution_s}")
         if not 0.0 < alpha < 1.0:
             raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-        if fresh != "static":
+        if fresh not in ("fallback", "static"):
             raise ValueError(
-                "attach_quantile_sketch supports only fresh='static' "
-                "today — maintain the sketch externally and re-attach, "
-                "or keep quantiles on the raw path"
+                "attach_quantile_sketch supports fresh='fallback' or "
+                "'static' (sketch union serving is not implemented)"
+            )
+        man = None
+        if snapshot_managed(path):
+            try:
+                man = SnapshotCatalog(path).manifest()
+            except FileNotFoundError:
+                man = None
+        if man is not None and man.get("sketch_alpha") is not None:
+            if float(man["sketch_alpha"]) != float(alpha):
+                raise ValueError(
+                    f"attach_quantile_sketch({path!r}): sketch was built "
+                    f"with alpha={man['sketch_alpha']}, attach requested "
+                    f"alpha={alpha} — error bounds must match exactly"
+                )
+        if (
+            fresh != "static"
+            and self.metrics_path
+            and snapshot_managed(self.metrics_path)
+            and (man is None or man.get("rollup_base_version") is None)
+        ):
+            raise ValueError(
+                f"attach_quantile_sketch({path!r}): the base table is "
+                "snapshot-managed but this sketch carries no "
+                "rollup_base_version to check freshness against — "
+                "maintain it with refresh_quantile_sketch, or pass "
+                "fresh='static' to assert the base is not being written"
             )
         self._attached_sketches.append(
-            (int(resolution_s), path, bool(subsecond), float(alpha))
+            (int(resolution_s), path, bool(subsecond), float(alpha), fresh)
         )
         return self
 
@@ -750,17 +783,32 @@ class CardinalSin:
                 "(metric{label=...}) — functions/aggregations/ranges "
                 "have no sketch-quantile semantics"
             )
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
+
         gcols = discover_label_columns(parsed)
         group = ["metric_name", *gcols]
         need = {
             "bucket", "qslot", "qcount", *group,
         } | {m.label for m in parsed.label_matchers if m.label != "__name__"}
+        base_head = None
+        cat = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
         best = None
-        for r, path, sub, a in self._attached_sketches:
+        for r, path, sub, a, fresh in self._attached_sketches:
             if a != alpha:
                 continue  # a different-alpha sketch answers a different
                 # question — never silently substitute error bounds
             if not rollup_covers(r, start_s, end_s, step_s, sub):
+                continue
+            # the refresh-maintained sketch carries the same manifest
+            # keys as moment rollups → the shared freshness guard
+            # applies unchanged (stale under 'fallback' → raw)
+            target, _why = self._serving_state(
+                r, path, fresh, base_head, cat, build=False
+            )
+            if target is None:
                 continue
             ro = read_table_auto(self.spark, path)
             if need.issubset(set(ro.columns)) and (

@@ -145,6 +145,125 @@ def coarsen_quantile_sketch(
     )
 
 
+def refresh_quantile_sketch(
+    spark,
+    base,
+    sketch_root: str,
+    resolution_s: int,
+    series_cols: list[str],
+    alpha: float = 0.01,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    transform=None,
+    target_files: int = 1,
+    retries: int = 5,
+) -> int:
+    """Incremental refresh of a quantile-sketch continuous aggregate —
+    the sketch twin of ``operators.rollup.refresh_rollup``, and simpler:
+    slot counts ADD, so the incremental combine is one
+    ``groupBy().sum()`` over the touched (bucket, series, slot) rows,
+    with no counter-moment ordering proofs.
+
+    Same refresh modes, same crash-safe CAS discipline (the sketch is a
+    snapshot table; each commit records ``rollup_base_version`` /
+    ``rollup_resolution_s`` / ``rollup_base_root`` — the SAME manifest
+    keys as moment rollups, so the engine's chain-aware freshness guard
+    (``_rollup_chain_state``) works unchanged — plus ``sketch_alpha``,
+    which ``attach_quantile_sketch`` loud-checks: serving a
+    different-α sketch would silently change the error bound):
+
+    * bootstrap — full sketch of the base head, committed as v0;
+    * no-op — base head already folded;
+    * incremental (append-only diff) — sketch the CDC delta, sum with
+      the current counts of the touched keys only, file-pruned
+      ``merge_upsert``;
+    * rebuild — the diff removed files (compaction/retention): counts
+      cannot be subtracted, re-sketch the head.
+
+    Returns the sketch table's new (or unchanged) version."""
+    import os
+
+    if resolution_s <= 0:
+        raise ValueError(f"resolution must be positive, got {resolution_s}")
+    _gamma(alpha)  # validates alpha
+    base_head = base.current_version()
+    if base_head is None:
+        raise FileNotFoundError("base table has no snapshots to sketch")
+    shape = transform if transform is not None else (lambda df: df)
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return downsample_quantile_sketch(
+            shape(df), resolution_s, series_cols, alpha,
+            ts_col=ts_col, value_col=value_col,
+        )
+
+    extra = {
+        "rollup_base_version": base_head,
+        "rollup_resolution_s": int(resolution_s),
+        "rollup_base_root": os.path.abspath(base.root),
+        "sketch_alpha": float(alpha),
+    }
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    sk = SnapshotCatalog(sketch_root)
+    keys = ["bucket", *series_cols, "qslot"]
+
+    def _attempt() -> int:
+        head = sk.current_version()
+        if head is None:
+            os.makedirs(sketch_root, exist_ok=True)
+            return sk._rewrite_and_commit(
+                _sketch(base.read(spark, base_head)), None, target_files,
+                "bucket", extra=extra,
+            )
+        man = sk.manifest(head)
+        last_res = man.get("rollup_resolution_s")
+        if last_res is not None and int(last_res) != int(resolution_s):
+            raise ValueError(
+                f"sketch at {sketch_root} has resolution {last_res}s; "
+                f"refusing to refresh at {resolution_s}s"
+            )
+        last_alpha = man.get("sketch_alpha")
+        if last_alpha is not None and float(last_alpha) != float(alpha):
+            raise ValueError(
+                f"sketch at {sketch_root} was built with alpha="
+                f"{last_alpha}; refusing to refresh at alpha={alpha} — "
+                "slots from different error bounds must never mix"
+            )
+        last = man.get("rollup_base_version")
+        if last is not None and last >= base_head:
+            return head  # no-op (or a concurrent refresh already won)
+        diff = base.diff(last, base_head)
+        if last is None or diff["removed"]:
+            # rewrite-shaped base commit: counts cannot be subtracted
+            return sk._rewrite_and_commit(
+                _sketch(base.read(spark, base_head)), head, target_files,
+                "bucket", extra=extra,
+            )
+        partial = _sketch(base.read_changes(spark, last, base_head))
+        current = sk.read(spark, head)
+        touched = current.join(
+            partial.select(*keys).distinct(), keys, "left_semi"
+        )
+        combined = (
+            touched.unionByName(partial)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.sum("qcount").alias("qcount"))
+        )
+        return sk._merge_upsert_once(
+            spark,
+            combined,
+            key_cols=keys,
+            ts_col="bucket",
+            target_files=target_files,
+            prune_files=True,
+            extra=extra,
+            head=head,
+        )
+
+    return sk._retrying(_attempt, retries)
+
+
 def sketch_quantile(
     sketch: DataFrame,
     q: float,

@@ -187,3 +187,121 @@ def test_engine_quantile_approx_routes_sketch(spark, tmp_path):
         eng.attach_quantile_sketch(sp, 0)
     with pytest.raises(ValueError):
         eng.attach_quantile_sketch(sp, 300, alpha=1.5)
+
+
+def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
+    """refresh_quantile_sketch: bootstrap == direct sketch; append-only
+    increments fold exactly (counts add); a rewrite-shaped base commit
+    rebuilds; the engine's freshness guard drops a stale sketch from
+    routing (raw answers, same estimates) and resumes after refresh;
+    alpha mismatches loud-reject at attach and refresh."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    rng = random.Random(13)
+
+    def batch(i0, i1):
+        return spark.createDataFrame(
+            [
+                ((START + i) * 10**9, "m", math.exp(rng.uniform(-2, 5)))
+                for i in range(i0, i1)
+            ],
+            "ts_ns long, name string, v double",
+        )
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(batch(0, 2400), "ts_ns", "name", "v"), path,
+        mode="overwrite",
+    )
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    sk_root = str(tmp_path / "qs300")
+    shape = lambda df: df.withColumn("value", value_expr())  # noqa: E731
+
+    def check_equals_direct():
+        got = sorted(map(tuple, SnapshotCatalog(sk_root).read(spark).collect()))
+        want = sorted(
+            map(
+                tuple,
+                downsample_quantile_sketch(
+                    shape(cat.read(spark)), 300, ["metric_name"], 0.01
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+    )
+    check_equals_direct()
+    # append → incremental fold, bit-equal to a direct re-sketch
+    write_metrics(
+        normalize_to_metrics(batch(2400, 3600), "ts_ns", "name", "v"), path
+    )
+    cat.commit_new_files()
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+    )
+    check_equals_direct()
+    # engine serving honors freshness: stale after another append →
+    # raw path (same rows); refresh → sketch routes again
+    write_metrics(
+        normalize_to_metrics(batch(3600, 4200), "ts_ns", "name", "v"), path
+    )
+    cat.commit_new_files()
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    eng.attach_quantile_sketch(sk_root, 300, alpha=0.01)
+    start, end, step = START, START + 3600 - 1, 600
+    got = eng.quantile_approx("m", 0.9, start, end, step)
+    assert "qs300" not in got._jdf.queryExecution().executedPlan().toString()
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.9, start, end, step
+    ).collect()
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+    )
+    check_equals_direct()
+    got = eng.quantile_approx("m", 0.9, start, end, step)
+    # truncation-proof route pin: plan strings elide long paths, so
+    # check the actual input files (all sketch, no metrics)
+    files = got.inputFiles()
+    assert files and all("qs300" in f for f in files), files
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.9, start, end, step
+    ).collect()
+    # rewrite-shaped base commit (compaction) → rebuild, still equal
+    cat.compact(spark, target_files=1)
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+    )
+    check_equals_direct()
+    # alpha discipline: refresh and attach both loud-reject a mismatch
+    with pytest.raises(ValueError):
+        refresh_quantile_sketch(
+            spark, cat, sk_root, 300, ["metric_name"], 0.05, transform=shape
+        )
+    with pytest.raises(ValueError):
+        CardinalSin(spark, path).attach_quantile_sketch(
+            sk_root, 300, alpha=0.05
+        )
+    # a manifest-less sketch over a live base loud-rejects (fallback
+    # has nothing to check freshness against) but attaches as static
+    plain = str(tmp_path / "plain_sketch")
+    downsample_quantile_sketch(
+        shape(cat.read(spark)), 300, ["metric_name"], 0.01
+    ).write.parquet(plain)
+    with pytest.raises(ValueError):
+        CardinalSin(spark, path).attach_quantile_sketch(plain, 300)
+    CardinalSin(spark, path).attach_quantile_sketch(
+        plain, 300, fresh="static"
+    )
