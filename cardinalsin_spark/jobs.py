@@ -118,6 +118,20 @@ def main(argv: list[str] | None = None) -> int:
         "aggregates; never rescans raw data)",
     )
 
+    qs = sub.add_parser(
+        "sketch-refresh",
+        help="incrementally refresh a quantile-sketch continuous "
+        "aggregate (log-bucketed, relative error <= alpha) of a "
+        "snapshot-managed metrics table — the percentile tier for "
+        "metrics never instrumented as histogram families",
+    )
+    qs.add_argument("--path", required=True, help="snapshot-managed base table")
+    qs.add_argument("--out", required=True, help="sketch table root")
+    qs.add_argument("--resolution-s", type=int, default=300)
+    qs.add_argument("--alpha", type=float, default=0.01)
+    qs.add_argument("--target-files", type=int, default=1)
+    qs.add_argument("--retries", type=int, default=5)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
 
@@ -301,6 +315,40 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"rollup-refresh {args.path} -> {args.out} v{v} "
             f"(res {args.resolution_s}s, base v{cat.current_version()})"
+        )
+
+    elif args.cmd == "sketch-refresh":
+        from cardinalsin_spark.operators.quantile_sketch import (
+            refresh_quantile_sketch,
+        )
+        from cardinalsin_spark.schema import label_columns, value_expr
+        from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+        if not _snapshot_managed(args.path):
+            print(
+                f"sketch-refresh: {args.path} is not snapshot-managed — "
+                "run 'snapshot-compact' once (it bootstraps the manifest) "
+                "or ingest through the snapshot sink first",
+                file=sys.stderr,
+            )
+            return 2
+        cat = SnapshotCatalog(args.path)
+        series = ["metric_name", *label_columns(cat.read(spark).schema)]
+        v = refresh_quantile_sketch(
+            spark,
+            cat,
+            args.out,
+            args.resolution_s,
+            series,
+            alpha=args.alpha,
+            transform=lambda df: df.withColumn("value", value_expr()),
+            target_files=args.target_files,
+            retries=args.retries,
+        )
+        print(
+            f"sketch-refresh {args.path} -> {args.out} v{v} "
+            f"(res {args.resolution_s}s, alpha {args.alpha}, "
+            f"base v{cat.current_version()})"
         )
 
     return 0

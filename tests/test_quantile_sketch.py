@@ -305,3 +305,56 @@ def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
     CardinalSin(spark, path).attach_quantile_sketch(
         plain, 300, fresh="static"
     )
+
+
+def test_jobs_sketch_refresh_cli(spark, tmp_path, capsys):
+    """CLI smoke for `jobs sketch-refresh`: bootstrap prints the
+    version and stamps the manifest (resolution + alpha); non-snapshot
+    bases rc=2 loud-reject; the committed sketch equals a direct
+    sketch."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "m")
+    src = spark.range(0, 1000).select(
+        (F.lit(START * 1_000_000_000)
+         + F.col("id").cast("long") * F.lit(10**9)).alias("ts_ns"),
+        F.lit("x").alias("name"),
+        (F.col("id") % 37 + 1).cast("double").alias("v"),
+    )
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    out = str(tmp_path / "qs")
+    assert jobs.main(
+        ["sketch-refresh", "--path", path, "--out", out,
+         "--resolution-s", "300", "--alpha", "0.02"]
+    ) == 2
+    SnapshotCatalog(path).init_from_directory()
+    assert jobs.main(
+        ["sketch-refresh", "--path", path, "--out", out,
+         "--resolution-s", "300", "--alpha", "0.02"]
+    ) == 0
+    assert "v0" in capsys.readouterr().out
+    man = SnapshotCatalog(out).manifest(0)
+    assert man["rollup_resolution_s"] == 300
+    assert man["sketch_alpha"] == 0.02
+    got = sorted(map(tuple, SnapshotCatalog(out).read(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            downsample_quantile_sketch(
+                SnapshotCatalog(path)
+                .read(spark)
+                .withColumn("value", value_expr()),
+                300,
+                ["metric_name"],
+                0.02,
+            ).collect(),
+        )
+    )
+    assert got == want
