@@ -77,8 +77,10 @@ class CardinalSin:
         # attached continuous aggregates:
         # (resolution_s, path, subsecond, fresh_mode)
         self._attached_rollups: list[tuple[int, str, bool, str]] = []
-        # (resolution_s, path, subsecond, alpha) quantile-sketch tier
-        self._attached_sketches: list[tuple[int, str, bool, float]] = []
+        # (resolution_s, path, subsecond, alpha, fresh) sketch tier
+        self._attached_sketches: list[
+            tuple[int, str, bool, float, str]
+        ] = []
         # (step_s, start_s, end_s) per bucketed range query, both doors —
         # the rollup advisor's input (bounded; see _log_range)
         self._range_log: list[tuple[int, float, float]] = []
@@ -717,6 +719,16 @@ class CardinalSin:
                     f"with alpha={man['sketch_alpha']}, attach requested "
                     f"alpha={alpha} — error bounds must match exactly"
                 )
+        if man is not None and man.get("rollup_resolution_s") is not None:
+            if int(man["rollup_resolution_s"]) != int(resolution_s):
+                # a wrong declared resolution would pass rollup_covers
+                # at the finer grid and serve buckets holding
+                # out-of-range samples — silently-wrong counts
+                raise ValueError(
+                    f"attach_quantile_sketch({path!r}): sketch was built "
+                    f"at {man['rollup_resolution_s']}s, attach declared "
+                    f"{resolution_s}s"
+                )
         if (
             fresh != "static"
             and self.metrics_path
@@ -782,6 +794,13 @@ class CardinalSin:
                 "quantile_approx takes a plain selector "
                 "(metric{label=...}) — functions/aggregations/ranges "
                 "have no sketch-quantile semantics"
+            )
+        if parsed.offset_seconds or parsed.at_seconds is not None:
+            # neither arm applies modifiers here — silently ignoring
+            # them would return un-shifted quantiles for valid PromQL
+            raise ValueError(
+                "quantile_approx does not support offset/@ modifiers — "
+                "shift start_s/end_s instead"
             )
         from cardinalsin_spark.sources.snapshots import snapshot_managed
 

@@ -65,14 +65,27 @@ def _gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
+# dedicated sentinel slots for ±Inf, beyond any finite slot (|k| is
+# bounded by ln(DBL_MAX)/ln γ, far under 2^62 − _OFFSET) — Prometheus
+# sample values CAN be ±Inf (division results), and without sentinels
+# log(Inf)=Inf would overflow the long add and invert the value order
+_INF_SLOT = 1 << 62
+
+
 def quantile_sketch_slot(value_col, alpha: float):
-    """Order-preserving slot index for one value (NULL for NULL input)."""
+    """Order-preserving slot index for one value. NULL for NULL and NaN
+    input (NaN samples are excluded from the distribution, like NULLs —
+    guarded here too because Spark's NaN compares greater than any
+    number and would otherwise fall into the v > 0 branch)."""
     ln_gamma = math.log(_gamma(alpha))
     v = value_col if not isinstance(value_col, str) else F.col(value_col)
     k_pos = F.ceil(F.log(v) / F.lit(ln_gamma)).cast("long")
     k_neg = F.ceil(F.log(-v) / F.lit(ln_gamma)).cast("long")
     return (
-        F.when(v > 0, F.lit(_OFFSET) + k_pos)
+        F.when(F.isnan(v), F.lit(None).cast("long"))
+        .when(v == F.lit(float("inf")), F.lit(_INF_SLOT))
+        .when(v == F.lit(float("-inf")), F.lit(-_INF_SLOT))
+        .when(v > 0, F.lit(_OFFSET) + k_pos)
         .when(v < 0, F.lit(-_OFFSET) - k_neg)
         .when(v == 0, F.lit(0).cast("long"))
         .otherwise(F.lit(None).cast("long"))
@@ -88,7 +101,9 @@ def quantile_sketch_estimate(slot_col, alpha: float):
     k_neg = (-s - F.lit(_OFFSET)).cast("double")
     scale = F.lit(2.0 * 1.0 / (g + 1.0))
     return (
-        F.when(s > 0, scale * F.pow(F.lit(g), k_pos))
+        F.when(s == F.lit(_INF_SLOT), F.lit(float("inf")))
+        .when(s == F.lit(-_INF_SLOT), F.lit(float("-inf")))
+        .when(s > 0, scale * F.pow(F.lit(g), k_pos))
         .when(s < 0, -scale * F.pow(F.lit(g), k_neg))
         .otherwise(F.lit(0.0))
     )
@@ -103,15 +118,19 @@ def downsample_quantile_sketch(
     value_col: str = "value",
 ) -> DataFrame:
     """Time-bucketed quantile sketch: one (bucket, *series, qslot,
-    qcount) row per occupied log-scale slot. NULL values are skipped
-    (quantiles are over the sample distribution, like ``percentile``).
+    qcount) row per occupied log-scale slot. NULL and NaN values are
+    skipped (quantiles are over the sample distribution, like
+    ``percentile``; the OTLP source emits NaN for value-less points);
+    ±Inf samples keep dedicated extreme slots so rank semantics hold.
 
     One hash aggregation; output rows are slot-counts, not samples."""
     from cardinalsin_spark.functions.core import time_bucket
 
     slot = quantile_sketch_slot(F.col(value_col), alpha)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
         .groupBy(
             time_bucket(ts_col, step_seconds).alias("bucket"),
             *[F.col(c) for c in series_cols],

@@ -358,3 +358,63 @@ def test_jobs_sketch_refresh_cli(spark, tmp_path, capsys):
         )
     )
     assert got == want
+
+
+def test_nonfinite_values_and_modifier_guards(spark, tmp_path):
+    """Review r12 fixes: NaN samples are excluded (Spark's NaN>0 would
+    otherwise count them as ~1.0 values), ±Inf keeps dedicated extreme
+    slots (the long add would otherwise overflow and invert the value
+    order), offset/@ loud-reject in quantile_approx, and a declared
+    resolution that contradicts the sketch manifest loud-rejects at
+    attach."""
+    nan, inf = float("nan"), float("inf")
+    vals = [1.0, 2.0, 3.0, 4.0, nan, nan, inf, -inf]
+    df = _metrics_df(spark, {"m": vals})
+    sk = downsample_quantile_sketch(df, 86400, ["metric_name"], 0.01)
+    # 6 non-NaN samples: ranks 1..6 = [-inf, 1, 2, 3, 4, +inf]
+    q0 = sketch_quantile(sk, 0.0, ["metric_name"], 0.01).first().value
+    q1 = sketch_quantile(sk, 1.0, ["metric_name"], 0.01).first().value
+    qm = sketch_quantile(sk, 0.5, ["metric_name"], 0.01).first().value
+    assert q0 == float("-inf") and q1 == float("inf")
+    # target = floor(0.5*(6-1))+1 = 3rd smallest of [-inf,1,2,3,4,inf]
+    assert abs(qm - 2.0) / 2.0 <= 0.01
+    # NaN rows contribute no slot at all
+    total = sk.agg(F.sum("qcount")).first()[0]
+    assert total == 6
+    # modifier guards
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "m")
+    src = spark.range(0, 100).select(
+        (F.lit(START * 10**9)).alias("ts_ns"),
+        F.lit("x").alias("name"),
+        F.col("id").cast("double").alias("v"),
+    )
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    eng = CardinalSin(spark, path)
+    with pytest.raises(ValueError):
+        eng.quantile_approx("x offset 300s", 0.9, START, START + 599, 300)
+    with pytest.raises(ValueError):
+        eng.quantile_approx("x @ 100", 0.9, START, START + 599, 300)
+    # manifest-resolution contradiction loud-rejects at attach
+    from cardinalsin_spark.operators.quantile_sketch import (
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    SnapshotCatalog(path).init_from_directory()
+    sk_root = str(tmp_path / "qs")
+    refresh_quantile_sketch(
+        spark, SnapshotCatalog(path), sk_root, 300, ["metric_name"], 0.01,
+        transform=lambda d: d.withColumn("value", value_expr()),
+    )
+    with pytest.raises(ValueError):
+        CardinalSin(spark, path).attach_quantile_sketch(
+            sk_root, 600, alpha=0.01
+        )
