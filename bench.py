@@ -67,6 +67,11 @@ BENCH_ORDER = [
     # sql_door then measures the routed aggregation warm
     "maint_rollup_routed", "maint_rollup_rate_routed",
     "maint_rollup_sql_door",
+    # sketch_quantile_routed builds its own quantile-sketch fixture on
+    # top of the sqldoor metrics reshape (warm by now) — the sketch
+    # build is ITS continuous-aggregate "index" and is priced cold via
+    # CACHE_NAMESAKES each repeat
+    "maint_sketch_quantile_routed",
     "ts_asof_join", "ts_gapfill_locf", "ts_resets_changes",
     "ts_predict_linear", "ts_stddev", "promql_histogram_quantile",
     "tpch_q6", "tpch_q5ish", "tpch_q10ish", "tpch_q14ish", "ts_sessionize",
@@ -119,6 +124,9 @@ CACHE_NAMESAKES = {
     "docs_simhash": ("cardinalsin_spark.queries_llm", "_SIMHASH_CACHE"),
     "maint_rollup_routed": ("cardinalsin_spark.queries", "_ROLLUP_CACHE"),
     "maint_rollup_rate_routed": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
+    "maint_sketch_quantile_routed": (
+        "cardinalsin_spark.queries", "_SKETCH_FIXTURE_CACHE",
+    ),
 }
 
 
@@ -130,6 +138,34 @@ def _evict_index_cache(spec: tuple[str, str]) -> None:
 
 def _run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _calibration(spark, sf_dir: str) -> dict:
+    """Fixed-cost environment probes (VERDICT r12 item 4): the driver
+    totals drifted 153 → 168 → 225 s across rounds while idle medians
+    FELL, so round-over-round totals conflate plan regressions with
+    machine drift.  Two constant-work probes timed at the head and again
+    at the tail of the suite let future rounds normalize: a pure
+    CPU+shuffle probe (spark.range aggregation — no IO) and a fixed
+    parquet scan+agg probe (IO+decode).  Their tail/head ratio also
+    exposes in-JVM degradation (GC/codegen pressure) accumulated by the
+    suite itself."""
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    probes = {
+        "calib_range_agg": lambda: spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("(id * 2654435761) % 1000 AS k")
+        .groupBy("k")
+        .count(),
+        "calib_scan_agg": lambda: spark.read.parquet(li).selectExpr(
+            "sum(l_quantity) AS s", "count(*) AS n"
+        ),
+    }
+    out = {}
+    for name, mk in probes.items():
+        start = time.perf_counter()
+        _run_to_completion(mk())
+        out[name] = round(time.perf_counter() - start, 4)
+    return out
 
 
 def _group_of(name: str) -> str:
@@ -173,6 +209,11 @@ def main() -> int:
     write_path = _bench_write_path(spark, sf_dir)
     _between_groups(spark)
 
+    # Head calibration probes: fixed-cost work in the same quiet JVM the
+    # write path saw; the tail run (after the suite) closes the bracket.
+    calib_head = _calibration(spark, sf_dir)
+    _between_groups(spark)
+
     # SPARK_GRAFT_BENCH_REPEATS > 1 records the per-query MEDIAN of N
     # back-to-back runs (VERDICT r8 item 6: single-pass timings on
     # local[32] carry a ±15-20% machine band that round-over-round
@@ -202,6 +243,21 @@ def main() -> int:
             runs.append(time.perf_counter() - start)
         timings[name] = round(statistics.median(runs), 4)
 
+    _between_groups(spark)
+    calib_tail = _calibration(spark, sf_dir)
+    head_total = sum(calib_head.values())
+    calib = {
+        "head": calib_head,
+        "tail": calib_tail,
+        # >1 means the JVM got slower over the suite (or the machine is
+        # loaded); divide a round's total by `head_sec` vs a reference
+        # round's to separate environment drift from plan regressions
+        "drift": round(sum(calib_tail.values()) / head_total, 3)
+        if head_total
+        else None,
+        "head_sec": round(head_total, 4),
+    }
+
     total = round(sum(timings.values()), 4)
     detail = {
         "metric": "total_query_sec",
@@ -212,6 +268,7 @@ def main() -> int:
         "repeats": repeats,
         "write_path": write_path,
         "write_path_position": "pre-suite",
+        "calibration": calib,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     detail_name = "BENCH_MEDIANS.json" if repeats > 1 else "BENCH_DETAIL.json"
@@ -242,6 +299,11 @@ def _compact_line(detail: dict) -> str:
             "detail": "BENCH_DETAIL.json",
             "sf": detail["sf"],
             "write_path": detail["write_path"],
+            "calib": {
+                k: detail["calibration"][k]
+                for k in ("head_sec", "drift")
+                if detail.get("calibration")
+            },
         }
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= OUTPUT_BUDGET:

@@ -119,12 +119,26 @@ class CardinalSin:
         if self.lifecycle is not None:
             self.lifecycle.record_query(df, self.collector.columns)
 
-    def _log_range(self, step_s: int, start_s: float, end_s: float) -> None:
+    def _log_range(
+        self,
+        step_s: int,
+        start_s: float,
+        end_s: float,
+        kind: str = "moment",
+        alpha: float | None = None,
+    ) -> None:
         """Workload log feeding :meth:`recommend_rollups` — bounded so a
         long-lived session cannot grow driver memory (10k entries ≈ a
-        dashboard fleet's refresh cycle many times over)."""
+        dashboard fleet's refresh cycle many times over).  ``kind`` tags
+        the tier that would serve the query (VERDICT r12 item 7):
+        ``moment`` (sum/avg/min/max/count recomposition), ``quantile``
+        (needs a quantile-sketch tier; ``alpha`` is the requested error
+        bound, None = caller did not specify → advisor default), or
+        ``histogram`` (an `le`-keyed rollup serves it)."""
         if len(self._range_log) < 10_000:
-            self._range_log.append((int(step_s), float(start_s), float(end_s)))
+            self._range_log.append(
+                (int(step_s), float(start_s), float(end_s), kind, alpha)
+            )
 
     def recommend_rollups(
         self, subsecond: bool = False, top: int = 5
@@ -144,38 +158,78 @@ class CardinalSin:
         the recorded queries it serves, and whether it is already
         attached — feed the winner to ``refresh_rollup`` +
         ``attach_rollup``.  ``subsecond`` must match the data's
-        timestamp precision (same flag as ``attach_rollup``)."""
+        timestamp precision (same flag as ``attach_rollup``).
+
+        Entries are kind-tagged (VERDICT r12 item 7) — the advisor
+        recommends the tier that can actually serve each workload shape,
+        up to ``top`` entries per kind:
+
+        * ``moment`` — classic downsample rollup for sum/avg/min/max/
+          count shapes (``refresh_rollup`` + ``attach_rollup``);
+        * ``quantile_sketch`` — quantile-shaped queries
+          (``quantile_approx``, SQL ``approx_percentile`` over
+          ``time_bucket``) need a slot-count sketch tier; entries carry
+          the requested ``alpha`` (an unspecified α logs as the 0.01
+          default) and feed ``refresh_quantile_sketch`` +
+          ``attach_quantile_sketch``;
+        * ``histogram`` — ``histogram_quantile``/``histogram_fraction``
+          range queries are served by an `le`-keyed MOMENT rollup
+          (``attach_rollup`` over the bucket-series downsample), so the
+          recommendation is a rollup resolution tagged for the
+          histogram tier."""
         import math
 
         from cardinalsin_spark.operators.rollup import rollup_covers
 
         if not self._range_log:
             return []
-        candidates = {s for s, _, _ in self._range_log}
-        g = 0
-        for s, _, _ in self._range_log:
-            g = math.gcd(g, s)
-        if g:
-            candidates.add(g)
-        attached = {r for r, _, _, _ in self._attached_rollups}
-        out = []
-        for r in sorted(candidates):
-            served = sum(
-                1
-                for s, a, b in self._range_log
-                if rollup_covers(r, a, b, s, subsecond)
+        by_kind: dict[tuple[str, float | None], list] = {}
+        for s, a, b, kind, alpha in self._range_log:
+            key = (
+                ("quantile_sketch", 0.01 if alpha is None else alpha)
+                if kind == "quantile"
+                else (kind, None)
             )
-            if served:
-                out.append(
-                    {
-                        "resolution_s": r,
-                        "serves": served,
-                        "of": len(self._range_log),
-                        "already_attached": r in attached,
-                    }
+            by_kind.setdefault(key, []).append((s, a, b))
+        attached_rollups = {r for r, _, _, _ in self._attached_rollups}
+        attached_sketches = {
+            (r, al) for r, _, _, al, _ in self._attached_sketches
+        }
+        out = []
+        for (kind, alpha), entries in by_kind.items():
+            candidates = {s for s, _, _ in entries}
+            g = 0
+            for s, _, _ in entries:
+                g = math.gcd(g, s)
+            if g:
+                candidates.add(g)
+            ranked = []
+            for r in sorted(candidates):
+                served = sum(
+                    1
+                    for s, a, b in entries
+                    if rollup_covers(r, a, b, s, subsecond)
                 )
-        out.sort(key=lambda d: (-d["serves"], -d["resolution_s"]))
-        return out[:top]
+                if not served:
+                    continue
+                rec = {
+                    "kind": kind,
+                    "resolution_s": r,
+                    "serves": served,
+                    "of": len(entries),
+                    "already_attached": (
+                        (r, alpha) in attached_sketches
+                        if kind == "quantile_sketch"
+                        else r in attached_rollups
+                    ),
+                }
+                if kind == "quantile_sketch":
+                    rec["alpha"] = alpha
+                ranked.append(rec)
+            ranked.sort(key=lambda d: (-d["serves"], -d["resolution_s"]))
+            out.extend(ranked[:top])
+        out.sort(key=lambda d: (-d["serves"], d["kind"], -d["resolution_s"]))
+        return out
 
     # -- write path ----------------------------------------------------------
 
@@ -307,12 +361,17 @@ class CardinalSin:
           of ``label_values``/``series``) serve from an attached rollup
           when step/bounds align and the rollup carries every referenced
           column — same ``rollup_covers`` rule and freshness guard as
-          the promql doors; anything else passes through to Spark
-          untouched."""
+          the promql doors; ``approx_percentile``/``percentile_approx``
+          over a ``time_bucket`` grid serves from an attached quantile
+          sketch (``_maybe_route_sql_sketch`` — approximation-
+          transparent, see its docstring); anything else passes through
+          to Spark untouched."""
         self._admit_query(tenant_id)
         from cardinalsin_spark.operators.rollup import expand_time_bucket_sql
 
         out = self._maybe_route_sql_rollup(query)
+        if out is None:
+            out = self._maybe_route_sql_sketch(query)
         if out is None:
             out = self._maybe_route_sql_distinct(query)
         if out is None:
@@ -388,7 +447,19 @@ class CardinalSin:
         Snapshot-pinned evaluation (``at_version``) never routes: the
         rollup tracks the live table, not the pinned manifest."""
         self._admit_query(tenant_id)
-        self._log_range(step_s, start_s, end_s)
+        # advisor tag: histogram_quantile/fraction shapes are served by
+        # the `le`-keyed rollup tier, not plain moment recomposition
+        self._log_range(
+            step_s,
+            start_s,
+            end_s,
+            kind=(
+                "histogram"
+                if "histogram_quantile(" in promql
+                or "histogram_fraction(" in promql
+                else "moment"
+            ),
+        )
         out = promql_range(
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
@@ -432,6 +503,9 @@ class CardinalSin:
             ts_col="timestamp",
             value_col="value",
             transform=lambda df: df.withColumn("value", value_expr()),
+            # the value reshape adds a column, never drops a row — the
+            # rollup stays a complete downsample (serving-door covenant)
+            transform_complete=True,
             target_files=target_files,
             retries=retries,
         )
@@ -472,7 +546,17 @@ class CardinalSin:
 
         Over a NON-snapshot base there is no version to compare, so every
         mode behaves like ``"static"`` (documented limitation: appends to
-        a bare parquet dir are invisible to any freshness rule)."""
+        a bare parquet dir are invisible to any freshness rule).
+
+        COMPLETENESS COVENANT (ADVICE r12): every serving door —
+        bucket-agg, counter, DISTINCT/metadata, SQL — assumes the rollup
+        is a complete, unfiltered downsample of the base. A
+        refresh-maintained rollup whose manifest records
+        ``rollup_complete=false`` (a transform the refresher did not
+        declare row-preserving) is excluded from transparent serving
+        (``rollup_status`` says why); a plain-parquet rollup built from
+        a filtered base cannot be detected — keeping it faithful is the
+        caller's responsibility."""
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
             snapshot_managed,
@@ -599,7 +683,16 @@ class CardinalSin:
         # HAVING conjuncts recompose from the same moments as the select
         # list; conditions over aggregates NOT selected ride along as
         # hidden columns and drop after the filter (same rows either
-        # way — Spark's HAVING also evaluates on the aggregated rows)
+        # way — Spark's HAVING also evaluates on the aggregated rows).
+        # ROW-SET CAVEAT (ADVICE r12): sum/avg recompose from per-bucket
+        # partial sums, and float addition is reorder-sensitive — on
+        # NON-integer-exact values a group sitting exactly at a HAVING
+        # threshold can be included by one plan and excluded by the
+        # other, so the documented value-level drift (integer-cents
+        # doctrine, SCALE.md "Determinism at scale") becomes row-
+        # MEMBERSHIP drift here. min/max/count thresholds are exact
+        # either way; keep sum/avg HAVING thresholds to integer-exact
+        # data, or epsilon-pad the threshold.
         hidden: list[str] = []
         hv_exprs = []
         conds = []
@@ -688,10 +781,15 @@ class CardinalSin:
         ``attach_rollup``: a refresh-maintained sketch carries the same
         manifest keys as moment rollups, so the chain-aware guard
         applies unchanged — ``fresh='fallback'`` (default) drops a stale
-        sketch from routing (raw path answers), ``fresh='static'``
-        asserts an immutable base. A manifest-recorded ``sketch_alpha``
-        must equal the attach ``alpha`` (a different error bound is a
-        different question — loud-reject, never substitute)."""
+        sketch from routing (raw path answers); ``fresh='union'`` serves
+        a stale-but-append-only sketch as sketch rows ∪ the delta's slot
+        counts (exact — counts add; VERDICT r12 item 1), and a stale
+        CASCADE tier whose parent sketch chain is fresh as tier rows ∪
+        the parent-delta recompute of the touched coarse buckets;
+        ``fresh='static'`` asserts an immutable base. A
+        manifest-recorded ``sketch_alpha`` must equal the attach
+        ``alpha`` (a different error bound is a different question —
+        loud-reject, never substitute)."""
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
             snapshot_managed,
@@ -701,10 +799,9 @@ class CardinalSin:
             raise ValueError(f"resolution must be positive, got {resolution_s}")
         if not 0.0 < alpha < 1.0:
             raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-        if fresh not in ("fallback", "static"):
+        if fresh not in ("fallback", "union", "static"):
             raise ValueError(
-                "attach_quantile_sketch supports fresh='fallback' or "
-                "'static' (sketch union serving is not implemented)"
+                f"fresh must be 'fallback', 'union' or 'static', got {fresh!r}"
             )
         man = None
         if snapshot_managed(path):
@@ -795,6 +892,8 @@ class CardinalSin:
                 "(metric{label=...}) — functions/aggregations/ranges "
                 "have no sketch-quantile semantics"
             )
+        # advisor input: quantile shapes need a sketch tier at this α
+        self._log_range(step_s, start_s, end_s, kind="quantile", alpha=alpha)
         if parsed.offset_seconds or parsed.at_seconds is not None:
             # neither arm applies modifiers here — silently ignoring
             # them would return un-shifted quantiles for valid PromQL
@@ -822,14 +921,19 @@ class CardinalSin:
             if not rollup_covers(r, start_s, end_s, step_s, sub):
                 continue
             # the refresh-maintained sketch carries the same manifest
-            # keys as moment rollups → the shared freshness guard
-            # applies unchanged (stale under 'fallback' → raw)
-            target, _why = self._serving_state(
-                r, path, fresh, base_head, cat, build=False
+            # keys as moment rollups → the shared chain-aware freshness
+            # guard applies; stale under 'union' arrives as a pre-built
+            # frame (sketch ∪ delta counts, or the cascade recompute)
+            target, _why = self._sketch_serving_state(
+                r, path, fresh, a, base_head, cat, build=True
             )
             if target is None:
                 continue
-            ro = read_table_auto(self.spark, path)
+            ro = (
+                read_table_auto(self.spark, target)
+                if isinstance(target, str)
+                else target
+            )
             if need.issubset(set(ro.columns)) and (
                 best is None or r > best[0]
             ):
@@ -882,6 +986,146 @@ class CardinalSin:
         return sketch_quantile(
             sk, q, group, alpha, bucket_col="time_bucket"
         )
+
+    def _maybe_route_sql_sketch(self, query: str) -> DataFrame | None:
+        """SQL-door quantile-sketch routing (VERDICT r12 item 5):
+        ``approx_percentile(value, q)`` / ``percentile_approx(value, q)``
+        over a ``time_bucket`` grid (``match_bucket_quantile_sql`` — the
+        same full-consumption never-guess grammar as the moment door)
+        serves from an attached quantile sketch whose resolution divides
+        the step and whose buckets tile the closed bounds, re-bucketing
+        slot counts onto the step grid and walking the rank cumsum once
+        for ALL requested quantiles.
+
+        APPROXIMATION CONTRACT (documented, deliberate): SQL's
+        ``approx_percentile`` promises an approximate quantile with no
+        algorithm pinned — the routed plan answers with the sketch
+        estimator (relative error ≤ the attached sketch's α), the
+        unrouted plan with Spark's KLL-style estimator.  Both satisfy the
+        API contract but are DIFFERENT approximations, so this door is
+        the one place routing is approximation-transparent rather than
+        bit-transparent; ``quantile_approx`` is the bit-transparent door
+        (its raw arm builds the same sketch).  None = not that shape /
+        nothing aligned / stale — caller runs raw SQL."""
+        from pyspark.sql import Window
+
+        from cardinalsin_spark.functions.core import time_bucket
+        from cardinalsin_spark.operators.quantile_sketch import (
+            quantile_sketch_estimate,
+        )
+        from cardinalsin_spark.operators.rollup import (
+            match_bucket_quantile_sql,
+            rollup_covers,
+        )
+        from cardinalsin_spark.sources.snapshots import (
+            read_table_auto,
+            snapshot_managed,
+        )
+
+        spec = match_bucket_quantile_sql(query, view=self.view_name)
+        if spec is None:
+            return None
+        # advisor input first (the α the sketch should be built at is
+        # unspecified at the SQL door → default), like the moment door
+        self._log_range(
+            spec["step_s"], spec["start_s"], spec["end_s"], kind="quantile"
+        )
+        if not self._attached_sketches:
+            return None
+        if any(val != "value" for _, val, _ in spec["quantiles"]):
+            return None
+        # never-guess: group/filter columns must exist in the METRICS view
+        if not {
+            *spec["group_cols"],
+            *[c for c, _ in spec["filters"]],
+        }.issubset(set(self.metrics.columns)):
+            return None
+        need = {
+            "bucket",
+            "qslot",
+            "qcount",
+            *spec["group_cols"],
+            *[c for c, _ in spec["filters"]],
+        }
+        base_head = None
+        cat = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
+        best = None
+        for r, path, sub, a, fresh in self._attached_sketches:
+            if not rollup_covers(
+                r, spec["start_s"], spec["end_s"], spec["step_s"], sub
+            ):
+                continue
+            target, _why = self._sketch_serving_state(
+                r, path, fresh, a, base_head, cat, build=True
+            )
+            if target is None:
+                continue
+            ro = (
+                read_table_auto(self.spark, target)
+                if isinstance(target, str)
+                else target
+            )
+            if need.issubset(set(ro.columns)) and (
+                best is None or r > best[0]
+            ):
+                best = (r, ro, a)
+        if best is None:
+            return None
+        _, ro, alpha = best
+        b = F.col("bucket")
+        ro = ro.filter(
+            (b >= F.timestamp_micros(F.lit(int(round(spec["start_s"] * 1e6)))))
+            & (b <= F.timestamp_micros(F.lit(int(round(spec["end_s"] * 1e6)))))
+        )
+        for col, lits in spec["filters"]:
+            ro = ro.filter(F.col(col).isin(*lits))
+        keys = [
+            F.col(spec["bucket_alias"]),
+            *[F.col(c) for c in spec["group_cols"]],
+        ]
+        sk = ro.groupBy(
+            time_bucket(b, spec["step_s"]).alias(spec["bucket_alias"]),
+            *[F.col(c) for c in spec["group_cols"]],
+            F.col("qslot"),
+        ).agg(F.sum("qcount").alias("qcount"))
+        # one window cumsum serves every requested quantile: per group,
+        # the q-slot is the FIRST (min, slots are value-ordered) slot
+        # whose cumulative count reaches floor(q·(n−1))+1
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("qslot")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sk = sk.withColumn("__cum", F.sum("qcount").over(w)).withColumn(
+            "__n", F.sum("qcount").over(Window.partitionBy(*keys))
+        )
+        agg_exprs = []
+        for q, _, alias in spec["quantiles"]:
+            target_rank = (
+                F.floor(F.lit(q) * (F.col("__n") - 1)).cast("long") + F.lit(1)
+            )
+            slot_q = F.min(
+                F.when(F.col("__cum") >= target_rank, F.col("qslot"))
+            )
+            agg_exprs.append(
+                quantile_sketch_estimate(slot_q, alpha).alias(alias)
+            )
+        out = sk.groupBy(*keys).agg(*agg_exprs)
+        if spec["order_by"]:
+            out = out.orderBy(
+                *[
+                    F.desc(n) if d else F.asc(n)
+                    for n, d in spec["order_by"]
+                ]
+            )
+        if spec["limit"] is not None:
+            # grammar guarantees a TOTAL order over the group columns,
+            # so the routed top-n keeps exactly the raw plan's rows
+            out = out.limit(spec["limit"])
+        return out
 
     def _maybe_route_sql_distinct(self, query: str) -> DataFrame | None:
         """SQL-door twin of the metadata route: ``SELECT DISTINCT
@@ -1037,6 +1281,36 @@ class CardinalSin:
             )
         return out
 
+    def sketch_status(self) -> list[dict]:
+        """Freshness report for every attached quantile sketch — the
+        sketch twin of ``rollup_status`` (``eligible`` agrees with the
+        ``quantile_approx`` routing loop by construction: both ask
+        ``_sketch_serving_state``)."""
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
+
+        base_head = None
+        cat = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
+        out = []
+        for r, path, sub, a, fresh in self._attached_sketches:
+            mode, why = self._sketch_serving_state(
+                r, path, fresh, a, base_head, cat, build=False
+            )
+            out.append(
+                {
+                    "path": path,
+                    "resolution_s": r,
+                    "subsecond": sub,
+                    "alpha": a,
+                    "fresh": fresh,
+                    "eligible": mode is not None,
+                    "reason": why,
+                }
+            )
+        return out
+
     def _serving_state(
         self,
         r: int,
@@ -1071,6 +1345,18 @@ class CardinalSin:
           parent-head scan), never raw.  A vacuumed removed file falls
           through to raw.
         """
+        if not self._rollup_complete(path):
+            # ADVICE r12: a rollup maintained with a row-filtering
+            # transform would silently shrink DISTINCT/metadata results
+            # and bucket aggregates while passing every column/freshness
+            # guard — transparent serving requires the completeness
+            # covenant; explicit reads of the table keep working
+            return (
+                None,
+                "manifest records rollup_complete=false (maintained "
+                "with a row-filtering transform) — excluded from "
+                "transparent serving",
+            )
         if base_head is None:
             return (path, "base is not snapshot-managed")
         if fresh == "static":
@@ -1124,6 +1410,27 @@ class CardinalSin:
             "touched coarse buckets)",
         )
 
+    def _rollup_complete(self, path: str) -> bool:
+        """The completeness covenant (ADVICE r12): a refresh-maintained
+        rollup/sketch whose manifest records ``rollup_complete=false``
+        was built with a transform the caller did NOT declare
+        row-preserving — it may be a filtered subset of the base, so no
+        transparent-serving door may route through it. Plain parquet
+        rollups and pre-covenant manifests (no key) are trusted, as the
+        attach docstrings have always required."""
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            snapshot_managed,
+        )
+
+        if not isinstance(path, str) or not snapshot_managed(path):
+            return True
+        try:
+            man = SnapshotCatalog(path).manifest()
+        except FileNotFoundError:
+            return True
+        return bool(man.get("rollup_complete", True))
+
     def _direct_union_target(
         self, r: int, path: str, rb: int, base_head: int, cat
     ):
@@ -1151,19 +1458,18 @@ class CardinalSin:
         cols = [c for c in ro.columns if c not in COUNTER_MOMENT_COLS]
         return ro.select(*cols).unionByName(partial.select(*cols))
 
-    def _cascade_invalidation_target(
-        self, r: int, path: str, base_head: int | None, build: bool = True
-    ):
-        """Stale cascade tier under ``fresh='union'``: serve tier rows ∪
-        recomputed moments for the coarse buckets the PARENT rollup's
-        diff touched — reading only rollup catalogs, never raw metrics.
-        None ⇔ cannot serve exactly (parent chain itself stale, removed
-        file vacuumed, parent not a rollup, schema drift)."""
+    def _cascade_parent_state(self, path: str, base_head: int | None):
+        """Shared pre-checks for invalidation-region serving of a stale
+        CASCADE tier (moment rollups and quantile sketches alike): the
+        tier must be snapshot-managed with a rollup base chain, the
+        parent chain must itself be fresh, the tier must actually lag
+        its parent, and no file removed since the tier's fold point may
+        have been vacuumed.  Returns ``(man, parent, ph, rb,
+        removed_paths)`` or None ⇔ cannot serve exactly."""
         import os as _os
 
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
-            read_parquet_grouped,
             snapshot_managed,
         )
 
@@ -1192,6 +1498,25 @@ class CardinalSin:
         removed_paths = [_os.path.join(parent.root, rel) for rel in removed]
         if any(not _os.path.exists(p) for p in removed_paths):
             return None  # removed file vacuumed: the old rows are gone
+        return (man, parent, ph, rb, removed_paths)
+
+    def _cascade_invalidation_target(
+        self, r: int, path: str, base_head: int | None, build: bool = True
+    ):
+        """Stale cascade tier under ``fresh='union'``: serve tier rows ∪
+        recomputed moments for the coarse buckets the PARENT rollup's
+        diff touched — reading only rollup catalogs, never raw metrics.
+        None ⇔ cannot serve exactly (parent chain itself stale, removed
+        file vacuumed, parent not a rollup, schema drift)."""
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            read_parquet_grouped,
+        )
+
+        state = self._cascade_parent_state(path, base_head)
+        if state is None:
+            return None
+        _man, parent, ph, rb, removed_paths = state
         if not build:
             return True
         from cardinalsin_spark.functions.core import time_bucket
@@ -1239,6 +1564,179 @@ class CardinalSin:
             invalid, tier["bucket"] == invalid["__cb"], "left_anti"
         )
         recomputed = downsample_moments(
+            fine_head.join(
+                invalid,
+                time_bucket(fine_head["bucket"], r) == invalid["__cb"],
+                "left_semi",
+            ),
+            r,
+            series,
+        )
+        return kept.select(*tier.columns).unionByName(
+            recomputed.select(*tier.columns)
+        )
+
+    def _sketch_serving_state(
+        self,
+        r: int,
+        path: str,
+        fresh: str,
+        alpha: float,
+        base_head: int | None,
+        cat,
+        build: bool = True,
+    ) -> tuple[object, str]:
+        """Quantile-sketch twin of ``_serving_state`` — the same chain
+        walk and freshness doctrine, but the ``fresh='union'`` folds
+        build SLOT-COUNT partials instead of moment partials: a stale
+        direct sketch serves sketch rows ∪
+        ``downsample_quantile_sketch`` of the CDC delta, and a stale
+        cascade tier serves tier rows ∪ ``coarsen_quantile_sketch`` of
+        the parent head for the touched coarse buckets (VERDICT r12
+        item 1).  SIMPLER than the moment version by construction: slot
+        counts add with no counter-ordering proofs, so a hot bucket
+        split across a sketch row and a delta partial is fine — every
+        consumer re-aggregates by (bucket, series, qslot) before the
+        rank walk."""
+        if not self._rollup_complete(path):
+            return (
+                None,
+                "manifest records rollup_complete=false (maintained "
+                "with a row-filtering transform) — excluded from "
+                "transparent serving",
+            )
+        if base_head is None:
+            return (path, "base is not snapshot-managed")
+        if fresh == "static":
+            return (path, "fresh='static' (caller-asserted)")
+        is_fresh, rb, _direct, why = self._rollup_chain_state(path, base_head)
+        if is_fresh:
+            return (path, why)
+        if fresh != "union":
+            return (None, why)
+        if rb is not None:
+            # direct sketch over the metrics table (see _serving_state
+            # for why `rb is not None`, not the chain walk's direct
+            # flag, discriminates direct from cascade)
+            try:
+                unionable = (
+                    isinstance(rb, int)
+                    and rb < base_head
+                    and not cat.diff(rb, base_head)["removed"]
+                )
+            except FileNotFoundError:
+                unionable = False
+            if not unionable:
+                return (
+                    None,
+                    why + " (fresh='union' needs an append-only, "
+                    "unvacuumed base diff)",
+                )
+            why += " (fresh='union': serves sketch ∪ delta slot counts)"
+            if not build:
+                return (True, why)
+            return (
+                self._sketch_direct_union_target(r, path, rb, base_head,
+                                                 cat, alpha),
+                why,
+            )
+        target = self._sketch_cascade_invalidation_target(
+            r, path, base_head, alpha, build=build
+        )
+        if target is None:
+            return (
+                None,
+                why + " (fresh='union' cascade recompute unavailable — "
+                "parent chain stale, vacuumed, not a matching-α sketch, "
+                "or schema drift)",
+            )
+        return (
+            target,
+            why + " (fresh='union': tier ∪ parent-delta recompute of the "
+            "touched coarse buckets)",
+        )
+
+    def _sketch_direct_union_target(
+        self, r: int, path: str, rb: int, base_head: int, cat, alpha: float
+    ):
+        """Real-time quantile-sketch continuous aggregate: sketch rows ∪
+        slot counts of the CDC delta — exact because counts add (the
+        routed quantile re-aggregates by (bucket, series, qslot), so a
+        bucket split across both arms folds before the rank walk)."""
+        from cardinalsin_spark.operators.quantile_sketch import (
+            downsample_quantile_sketch,
+        )
+        from cardinalsin_spark.schema import value_expr
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        ro = read_table_auto(self.spark, path)
+        series = [
+            c for c in ro.columns if c not in ("bucket", "qslot", "qcount")
+        ]
+        delta = cat.read_changes(self.spark, rb, base_head).withColumn(
+            "value", value_expr()
+        )
+        partial = downsample_quantile_sketch(delta, r, series, alpha)
+        return ro.select(*partial.columns).unionByName(partial)
+
+    def _sketch_cascade_invalidation_target(
+        self,
+        r: int,
+        path: str,
+        base_head: int | None,
+        alpha: float,
+        build: bool = True,
+    ):
+        """Stale cascade SKETCH tier under ``fresh='union'``: tier rows
+        for coarse buckets the parent sketch's diff did NOT touch ∪
+        ``coarsen_quantile_sketch`` of the parent's CURRENT rows for the
+        touched coarse buckets — reading only sketch catalogs, never raw
+        samples.  None ⇔ cannot serve exactly (shared pre-checks in
+        ``_cascade_parent_state``, plus: the parent must be a sketch
+        with the SAME alpha — folding a different error bound, or a
+        moment rollup's rows, would silently change the estimates)."""
+        from cardinalsin_spark.functions.core import time_bucket
+        from cardinalsin_spark.operators.quantile_sketch import (
+            coarsen_quantile_sketch,
+        )
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            read_parquet_grouped,
+        )
+
+        state = self._cascade_parent_state(path, base_head)
+        if state is None:
+            return None
+        _man, parent, ph, rb, removed_paths = state
+        try:
+            parent_alpha = parent.manifest(ph).get("sketch_alpha")
+        except FileNotFoundError:
+            return None
+        if parent_alpha is None or float(parent_alpha) != float(alpha):
+            return None  # parent is not a matching-α sketch
+        if not build:
+            return True
+        tier = SnapshotCatalog(path).read(self.spark)
+        fine_head = parent.read(self.spark, ph)
+        if not set(tier.columns).issubset(set(fine_head.columns)):
+            return None  # schema drift between tier and parent
+        series = [
+            c for c in tier.columns if c not in ("bucket", "qslot", "qcount")
+        ]
+        changed = parent.read_changes(self.spark, rb, ph).select("bucket")
+        if removed_paths:
+            changed = changed.unionByName(
+                read_parquet_grouped(
+                    self.spark, parent.root, removed_paths
+                ).select("bucket")
+            )
+        invalid = (
+            changed.select(time_bucket("bucket", r).alias("__cb")).distinct()
+        )
+        kept = tier.join(
+            invalid, tier["bucket"] == invalid["__cb"], "left_anti"
+        )
+        recomputed = coarsen_quantile_sketch(
             fine_head.join(
                 invalid,
                 time_bucket(fine_head["bucket"], r) == invalid["__cb"],

@@ -309,6 +309,7 @@ def main(argv: list[str] | None = None) -> int:
                 ts_col="timestamp",
                 value_col="value",
                 transform=lambda df: df.withColumn("value", value_expr()),
+                transform_complete=True,  # value reshape, row-preserving
                 target_files=args.target_files,
                 retries=args.retries,
             )
@@ -342,6 +343,7 @@ def main(argv: list[str] | None = None) -> int:
             series,
             alpha=args.alpha,
             transform=lambda df: df.withColumn("value", value_expr()),
+            transform_complete=True,  # value reshape, row-preserving
             target_files=args.target_files,
             retries=args.retries,
         )

@@ -174,8 +174,10 @@ def refresh_quantile_sketch(
     ts_col: str = "timestamp",
     value_col: str = "value",
     transform=None,
+    transform_complete: bool = False,
     target_files: int = 1,
     retries: int = 5,
+    from_sketch: bool = False,
 ) -> int:
     """Incremental refresh of a quantile-sketch continuous aggregate —
     the sketch twin of ``operators.rollup.refresh_rollup``, and simpler:
@@ -199,6 +201,19 @@ def refresh_quantile_sketch(
     * rebuild — the diff removed files (compaction/retention): counts
       cannot be subtracted, re-sketch the head.
 
+    ``transform`` follows ``refresh_rollup``'s completeness covenant
+    (ADVICE r12): the manifest records ``rollup_complete`` — True when
+    no transform was used, else the caller-declared
+    ``transform_complete`` (pass True only for row-preserving reshapes;
+    the engine excludes incomplete sketches from transparent serving).
+
+    ``from_sketch=True`` declares the base is ITSELF a quantile-sketch
+    table (the hierarchical cascade, see :func:`cascade_quantile_sketch`):
+    the fold becomes :func:`coarsen_quantile_sketch` — slot counts add,
+    so the cascade is EXACT relative to the fine sketch and raw data is
+    never touched; ``ts_col``/``value_col``/``transform`` are rejected
+    (a sketch base has no sample rows to shape).
+
     Returns the sketch table's new (or unchanged) version."""
     import os
 
@@ -208,9 +223,37 @@ def refresh_quantile_sketch(
     base_head = base.current_version()
     if base_head is None:
         raise FileNotFoundError("base table has no snapshots to sketch")
+    if from_sketch:
+        if transform is not None:
+            raise ValueError(
+                "from_sketch=True folds slot counts — a transform has "
+                "no sample rows to act on"
+            )
+        fine_man = base.manifest(base_head)
+        fine_res = fine_man.get("rollup_resolution_s")
+        if fine_res is None:
+            raise ValueError(
+                f"{base.root} carries no rollup_resolution_s (not a "
+                "refresh_quantile_sketch table?)"
+            )
+        if resolution_s % int(fine_res):
+            raise ValueError(
+                f"coarse resolution {resolution_s}s must be a multiple "
+                f"of the fine sketch's {fine_res}s (a fine bucket must "
+                "land wholly inside one coarse bucket)"
+            )
+        fine_alpha = fine_man.get("sketch_alpha")
+        if fine_alpha is not None and float(fine_alpha) != float(alpha):
+            raise ValueError(
+                f"fine sketch at {base.root} was built with alpha="
+                f"{fine_alpha}; a cascade at alpha={alpha} would mix "
+                "error bounds — rebuild from raw instead"
+            )
     shape = transform if transform is not None else (lambda df: df)
 
     def _sketch(df: DataFrame) -> DataFrame:
+        if from_sketch:
+            return coarsen_quantile_sketch(df, resolution_s, series_cols)
         return downsample_quantile_sketch(
             shape(df), resolution_s, series_cols, alpha,
             ts_col=ts_col, value_col=value_col,
@@ -221,6 +264,7 @@ def refresh_quantile_sketch(
         "rollup_resolution_s": int(resolution_s),
         "rollup_base_root": os.path.abspath(base.root),
         "sketch_alpha": float(alpha),
+        "rollup_complete": transform is None or bool(transform_complete),
     }
     from cardinalsin_spark.sources.snapshots import SnapshotCatalog
 
@@ -252,6 +296,12 @@ def refresh_quantile_sketch(
         last = man.get("rollup_base_version")
         if last is not None and last >= base_head:
             return head  # no-op (or a concurrent refresh already won)
+        # completeness is sticky across INCREMENTAL refreshes (rows a
+        # past filtering transform dropped stay missing); the rebuild/
+        # bootstrap arms re-sketch the full head and stamp fresh
+        sticky_complete = extra["rollup_complete"] and bool(
+            man.get("rollup_complete", True)
+        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: counts cannot be subtracted
@@ -276,11 +326,58 @@ def refresh_quantile_sketch(
             ts_col="bucket",
             target_files=target_files,
             prune_files=True,
-            extra=extra,
+            extra={**extra, "rollup_complete": sticky_complete},
             head=head,
         )
 
     return sk._retrying(_attempt, retries)
+
+
+def cascade_quantile_sketch(
+    spark,
+    fine_root: str,
+    coarse_root: str,
+    resolution_s: int,
+    series_cols: list[str],
+    alpha: float = 0.01,
+    target_files: int = 1,
+    retries: int = 5,
+) -> int:
+    """Hierarchical quantile-sketch tiers (5m → 1h → 1d), the sketch
+    twin of ``operators.rollup.cascade_rollup``: maintain a COARSE
+    sketch from a FINER sketch's slot-count rows, never rescanning raw.
+    EXACT relative to the fine sketch — slot counts add, so every tier
+    serves the same estimates as a direct sketch of raw (unlike
+    centroid-based sketches, zero error growth per tier).
+
+    Refresh state chains exactly like moment cascades: the coarse
+    manifest records the fine sketch's version/path as
+    ``rollup_base_version``/``rollup_base_root``, which the engine's
+    chain-aware freshness guard walks unchanged; ``sketch_alpha`` must
+    match the fine tier's (mixing error bounds is loud-rejected).
+
+    Cost shape at 100 TB: the fine sketch's incremental merges are
+    rewrite-shaped diffs, so a cascade refresh usually rebuilds — but
+    the rebuild READS THE FINE SKETCH (~10⁵ slot rows for a year at
+    5m), never raw samples."""
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    fine = SnapshotCatalog(fine_root)
+    if fine.current_version() is None:
+        raise FileNotFoundError(
+            f"cascade_quantile_sketch: no snapshots at {fine_root}"
+        )
+    return refresh_quantile_sketch(
+        spark,
+        fine,
+        coarse_root,
+        resolution_s,
+        series_cols,
+        alpha=alpha,
+        target_files=target_files,
+        retries=retries,
+        from_sketch=True,
+    )
 
 
 def sketch_quantile(

@@ -121,6 +121,7 @@ def refresh_rollup(
     ts_col: str = "timestamp",
     value_col: str = "value",
     transform=None,
+    transform_complete: bool = False,
     target_files: int = 1,
     retries: int = 5,
     moments: bool = False,
@@ -166,7 +167,17 @@ def refresh_rollup(
 
     ``base`` is a ``SnapshotCatalog``; ``transform`` (optional) maps the
     raw stored schema to query shape before downsampling (the engine
-    passes its coalesced ``value`` view). ``moments=True`` declares the
+    passes its coalesced ``value`` view). The engine's transparent
+    serving doors assume every attached rollup is a COMPLETE, unfiltered
+    downsample of its base — a row-filtering transform would silently
+    shrink DISTINCT/metadata results and bucket aggregates while passing
+    every column/freshness guard (ADVICE r12). The manifest therefore
+    records ``rollup_complete``: True when ``transform`` is None, else
+    the caller-declared ``transform_complete`` (pass True ONLY when the
+    transform preserves the row set and series labels — e.g. a
+    ``withColumn`` value reshape; leave False for any filter/sample/
+    explode, and the engine will exclude the rollup from transparent
+    serving while explicit reads keep working). ``moments=True`` declares the
     base itself holds ``downsample()`` moment rows (the hierarchical-
     cascade case, see :func:`cascade_rollup`): the fold step becomes
     ``downsample_moments`` (sums/counts add, min/max fold, avg
@@ -204,6 +215,10 @@ def refresh_rollup(
         # (coarse ← fine ← base) instead of comparing every tier
         # against the metrics head directly
         "rollup_base_root": os.path.abspath(base.root),
+        # completeness covenant for the transparent-serving doors
+        # (ADVICE r12): False ⇔ an undeclared transform may have
+        # filtered rows — the engine then refuses to route through it
+        "rollup_complete": transform is None or bool(transform_complete),
     }
     ru = SnapshotCatalog(rollup_root)
 
@@ -232,6 +247,13 @@ def refresh_rollup(
             # refresh won the race) is already folded in; re-folding
             # the delta would double-count sums/counts
             return head
+        # completeness is sticky across INCREMENTAL refreshes: rows a
+        # past filtering transform dropped stay missing until a rebuild
+        # re-downsamples the full head (the rebuild/bootstrap arms below
+        # stamp the fresh covenant; this AND only guards the merge arm)
+        sticky_complete = extra["rollup_complete"] and bool(
+            man.get("rollup_complete", True)
+        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: moments cannot be subtracted
@@ -362,7 +384,7 @@ def refresh_rollup(
             ts_col="bucket",
             target_files=target_files,
             prune_files=True,
-            extra=extra,
+            extra={**extra, "rollup_complete": sticky_complete},
             head=head,
         )
 
@@ -697,6 +719,63 @@ def match_bucket_agg_sql(query: str, view: str = "metrics") -> dict | None:
         "having": having,
         "limit": limit,
     }
+
+
+_SQL_APPROX_PCT = re.compile(
+    rf"\b(?:approx_percentile|percentile_approx)\s*\(\s*"
+    rf"(?P<val>{_SQL_IDENT})\s*,\s*(?P<q>[01]?\.\d+|[01])\s*\)",
+    re.IGNORECASE,
+)
+
+
+def match_bucket_quantile_sql(query: str, view: str = "metrics") -> dict | None:
+    """Conservative parse of the bucketed APPROXIMATE-QUANTILE SQL shape
+    for transparent quantile-sketch routing at the SQL door (VERDICT r12
+    item 5): the canonical ``match_bucket_agg_sql`` grammar where every
+    select-list aggregate is ``approx_percentile(value, q)`` /
+    ``percentile_approx(value, q)`` with a literal q.
+
+    Implementation: each quantile call is rewritten to a placeholder
+    moment aggregate and the result fed through ``match_bucket_agg_sql``
+    — so grouping/bounds/filter/order/limit semantics are verified by
+    exactly the same full-consumption walk as the moment door. Refused
+    (→ None, query passes through to Spark untouched):
+
+    * a select list MIXING quantiles with sum/avg/min/max/count (a
+      joint moments+sketch recomposition is two doors — never guess);
+    * any HAVING (a group filter on an ESTIMATOR is row membership
+      decided by approximation error — the raw plan uses a different
+      estimator, so the row sets could differ);
+    * everything ``match_bucket_agg_sql`` itself refuses.
+
+    Returns the moment-door spec dict with ``aggs`` replaced by
+    ``quantiles``: ``(q, value_col, alias)`` per select-list entry."""
+    hits = list(_SQL_APPROX_PCT.finditer(query))
+    if not hits:
+        return None
+    if re.search(r"\b(?:sum|avg|min|max|count)\s*\(", query, re.IGNORECASE):
+        return None  # mixed moment+quantile select: two doors, refuse
+    rewritten = _SQL_APPROX_PCT.sub(
+        lambda m: f"min({m.group('val')})", query
+    )
+    spec = match_bucket_agg_sql(rewritten, view)
+    if spec is None or spec["having"] or len(spec["aggs"]) != len(hits):
+        return None
+    # substitution happens in text order == select-list order (the
+    # rewritten query fully matched the grammar, so every hit sits in
+    # the select list); zip the parsed aliases back onto the q literals
+    quantiles = []
+    for hit, (agg, val, alias) in zip(hits, spec["aggs"]):
+        if agg != "min" or val != hit.group("val"):
+            return None  # a pre-existing min() slipped into the zip
+        q = float(hit.group("q"))
+        if not 0.0 <= q <= 1.0:
+            return None
+        quantiles.append((q, val, alias))
+    spec = dict(spec)
+    del spec["aggs"], spec["having"]
+    spec["quantiles"] = quantiles
+    return spec
 
 
 _SQL_DISTINCT = re.compile(

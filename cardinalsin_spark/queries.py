@@ -2059,6 +2059,154 @@ FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Quantile-sketch parquet fixture for maint_sketch_quantile_routed: one
+# deterministic downsample_quantile_sketch() write per (process, sf_dir)
+# over the _sql_door_fixture metrics reshape — the continuous-aggregate
+# "index" whose build cost belongs to this query's cold bench time.
+_SKETCH_FIXTURE_CACHE: dict[str, str] = {}
+
+_SKETCH_ALPHA = 0.01
+
+
+def _sketch_fixture(spark: SparkSession, sf_dir: str,
+                    resolution_s: int = 21600) -> str:
+    from cardinalsin_spark.operators.quantile_sketch import (
+        downsample_quantile_sketch,
+    )
+    from cardinalsin_spark.schema import value_expr
+
+    key = f"{sf_dir}::{resolution_s}"
+    path = _SKETCH_FIXTURE_CACHE.get(key)
+    if path is None:
+        mpath, _ = _sql_door_fixture(spark, sf_dir)
+        path = _fixture_dir(f"qsketch-{resolution_s}", sf_dir) + "/qsketch"
+        downsample_quantile_sketch(
+            spark.read.parquet(mpath).withColumn("value", value_expr()),
+            resolution_s,
+            ["metric_name"],
+            _SKETCH_ALPHA,
+        ).write.mode("overwrite").parquet(path)
+        _SKETCH_FIXTURE_CACHE[key] = path
+    return path
+
+
+def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile continuous aggregate SERVING (VERDICT r12
+    item 2): a 14-day daily p90 over every metric answered from an
+    attached 6h quantile sketch (``engine.quantile_approx`` — DDSketch-
+    style log-bucketed slot counts, Masson et al. VLDB'19; the quantile
+    shape the exact-moment rollups can never recompose, and the
+    reference covers only for pre-instrumented `le` families,
+    ``api/query/prometheus_api.rs:998-1012``).  The inputFiles route
+    guard makes a silent raw fallback impossible.
+
+    The sketch ESTIMATE is libm-valued (F.log/F.pow slot math), so the
+    estimate itself stays out of the cross-engine hash; what IS
+    hash-checked is the sketch's CONTRACT, which is engine-independent:
+    per (day, event_type) the exact sample count, the exact nearest-rank
+    p90 on integer cents (``target = floor(0.9·(n−1)) + 1``, the same
+    convention ``sketch_quantile`` walks), and ``within_alpha`` — the
+    routed estimate lies within the declared α=1% relative error of that
+    exact quantile.  The oracle recomputes count + exact p90 in DuckDB
+    and asserts the bound as literal TRUE: a broken slot encoding, rank
+    walk, or serving path flips the boolean and fails the hash.
+
+    Scale shape: the serving arm reads ~10²-10³ slot-count rows instead
+    of raw samples — a 90-day p99 latency dashboard for gauges never
+    instrumented as histograms; the exact arm here is the EVALUATION
+    harness (collect_list per day-bucket group), not the serving path."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.functions.core import time_bucket
+
+    mpath, _ = _sql_door_fixture(spark, sf_dir)
+    spath = _sketch_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.attach_quantile_sketch(spath, 21600, alpha=_SKETCH_ALPHA,
+                               subsecond=True)
+    start = 1704067200  # 2024-01-01 00:00:00 UTC
+    end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
+    est = eng.quantile_approx(
+        '{__name__=~".+"}', 0.9, start, end, 86400, alpha=_SKETCH_ALPHA
+    )
+    files = est.inputFiles()
+    if not any("/qsketch" in f for f in files) or any(
+        "/metrics" in f for f in files
+    ):
+        raise RuntimeError(
+            "maint_sketch_quantile_routed: quantile_approx must serve "
+            "from the attached sketch (alignment, alpha or attach() "
+            "regressed) — refusing the silent raw fallback"
+        )
+    est = est.select(
+        "time_bucket",
+        F.col("metric_name").alias("event_type"),
+        F.col("value").alias("est_cents"),
+    )
+    exact = (
+        _events_cents(spark, sf_dir)
+        .filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") <= F.timestamp_micros(F.lit(1705276799999999)))
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            time_bucket("ts", 86400).alias("time_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sample_count"),
+            F.expr("sort_array(collect_list(value_cents))").alias("__vs"),
+        )
+        .select(
+            "time_bucket",
+            "event_type",
+            "sample_count",
+            F.element_at(
+                "__vs",
+                (
+                    F.floor(F.lit(0.9) * (F.col("sample_count") - 1)) + 1
+                ).cast("int"),
+            ).alias("p90_cents"),
+        )
+    )
+    rel_ok = (
+        F.abs(F.col("est_cents") - F.col("p90_cents"))
+        / F.abs(F.col("p90_cents"))
+    ) <= F.lit(_SKETCH_ALPHA + 1e-9)
+    within = F.when(
+        F.col("p90_cents") == 0, F.col("est_cents") == F.lit(0.0)
+    ).otherwise(rel_ok)
+    return (
+        exact.join(est, ["time_bucket", "event_type"])
+        .select(
+            "time_bucket",
+            "event_type",
+            "sample_count",
+            "p90_cents",
+            within.alias("within_alpha"),
+        )
+        .orderBy("time_bucket", "event_type")
+    )
+
+
+SQL_MAINT_SKETCH_QUANTILE_ROUTED = f"""
+WITH w AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+         {_sql_cents('value')} AS c
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    AND value IS NOT NULL
+)
+SELECT time_bucket, event_type,
+       count(*) AS sample_count,
+       (array_agg(c ORDER BY c))[CAST(floor(0.9 * (count(*) - 1)) AS BIGINT) + 1]
+           AS p90_cents,
+       TRUE AS within_alpha
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time joins and gap-filling (SURVEY §2.3/§2.4 superset — the
 # canonical time-series ops Spark lacks natively, built as compositions)
@@ -5761,6 +5909,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_maint_rollup_sql_door,
         SQL_MAINT_ROLLUP_SQL_DOOR,
     ),
+    "maint_sketch_quantile_routed": (
+        q_maint_sketch_quantile_routed,
+        SQL_MAINT_SKETCH_QUANTILE_ROUTED,
+    ),
     "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
     "ts_bloom_join": (q_ts_bloom_join, SQL_TS_BLOOM_JOIN),
     "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
@@ -5905,91 +6057,87 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-12 window (VERDICT r11 item 2), planned from
-    # `scripts/check_parity.py --ages --before 12`:
-    #   (a) the ENTIRE r8-stale tier — all 49 queries whose last green
-    #       driver row is CORRECTNESS_r08 (four code rounds stale; the
-    #       oldest coverage tier entering round 12): the docs
-    #       text-analysis/sketch tier, emb class/hamming/mips/mmr, the
-    #       media resample/scene_change rows, the promql group/fraction/
-    #       subquery/scalar rows, sql_grouping_sets/pivot,
-    #       tpch_q2/11/20ish, and the ts forecasting/outlier tier.
-    #       Includes docs_dedup_eval (ALSO reformulated late-r11 — the
-    #       single-pass full-join rewrite landed OUTSIDE the r11 window,
-    #       so it is builder-parity-verified only until now; VERDICT r11
-    #       item 2 names it) and ts_holt_winters (its driver-vs-median
-    #       1.61× reading gets a fresh driver datapoint).
-    #   (b) 1 addition: maint_rollup_rate_routed — NEW this round
-    #       (faithful counter-function rollup serving, VERDICT r11 item
-    #       1), never driver-checked; it also keeps a rollup-routing row
-    #       windowed while the rollup/promql machinery churns (the
-    #       VERDICT r11 watch-item-2 condition).
-    # Left out (r9-green, rotate into r13): the docs bm25/containment/
-    # edit-distance tier, emb semdedup/hamming_topk, the sketches rows,
-    # sampling/pack pipeline rows.  Every non-windowed registry query
-    # remains covered by the builder-side parity sweep
-    # (tests/test_oracle_parity.py).
-    # -- (a) r8-stale: docs text-analysis / sketch tier
-    "docs_char_diversity",
-    "docs_cms_heavy_hitters",
-    "docs_dedup_eval",
-    "docs_drift_chisq",
-    "docs_gopher_repetition",
-    "docs_hll_distinct",
-    "docs_hll_overlap",
-    "docs_kmv_setops",
-    "docs_lang_id",
-    "docs_pack_shards",
-    "docs_pii_scrub",
-    "docs_quality",
-    "docs_quality_filter",
-    "docs_rare_words",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "docs_zipf_ranks",
-    # -- (a) r8-stale: emb tiers
-    "emb_class_separation",
-    "emb_hamming_recall",
-    "emb_mips_topk",
-    "emb_mmr_rerank",
-    # -- (a) r8-stale: multimodal rows
-    "media_audio_resample",
-    "media_scene_change",
-    # -- (a) r8-stale: promql rows
-    "promql_group_agg",
-    "promql_histogram_fraction",
-    "promql_instant_subquery",
-    "promql_mod_arith",
-    "promql_present_over_time",
-    "promql_quantile_over_time",
-    "promql_range_fn_at",
-    "promql_range_scalar",
-    "promql_scalar_arith",
-    "promql_subquery_default_res",
-    "promql_subquery_outer_rate",
-    "promql_time_staleness",
-    "promql_timestamp_hour",
-    "promql_vector_fallback",
-    # -- (a) r8-stale: sql grouping tier
-    "sql_grouping_sets",
-    "sql_pivot",
-    # -- (a) r8-stale: tpch rows
-    "tpch_q2ish",
-    "tpch_q11ish",
-    "tpch_q20ish",
-    # -- (a) r8-stale: ts forecasting/outlier tier
-    "ts_bloom_join",
-    "ts_holt_winters",
-    "ts_ohlc",
-    "ts_outliers",
-    "ts_predict_linear",
-    "ts_winsorize",
-    # -- (b) ADDED in round 12 — never driver-checked (faithful counter
-    # rollup serving, VERDICT r11 item 1)
+    # Round-13 window (VERDICT r12 items 2+3), planned from
+    # `scripts/check_parity.py --ages --before 13`:
+    #   (a) the r9-stale tier — 48 of the 49 queries whose last green
+    #       driver row is CORRECTNESS_r09 (four code rounds stale; the
+    #       oldest coverage tier entering round 13): the docs search/
+    #       similarity/sampling tier, the emb projection/IVF/semdedup
+    #       tier, maint_retention, media_frame_sample, the tpch
+    #       q4/7/8/12/15-19/22ish rows, and the ts analytics tier.
+    #   (b) 2 additions: maint_sketch_quantile_routed — NEW this round
+    #       (quantile-sketch continuous-aggregate serving, VERDICT r12
+    #       item 2), never driver-checked; and maint_rollup_rate_routed
+    #       (r12-green) re-windowed because the serving gate every
+    #       rollup route passes through (`_serving_state`) gained the
+    #       completeness-covenant check this round (VERDICT r12 item 3:
+    #       "≥1 counter-routing row while the rollup tier churns").
+    #   Displaced to make room (the only r9-stale row left out):
+    #       docs_containment — its machinery (normalize_text +
+    #       _minhash_sims candidate pairs + a candidate-bounded pair
+    #       join) is pinned in-window by docs_edit_distance (same
+    #       family over the same candidates) and by docs_dedup_eval
+    #       (r12-green, same candidate index); it MUST lead the r14
+    #       window (5-round gap otherwise becomes 6).
+    # -- (a) r9-stale: docs search/similarity/sampling tier
+    "docs_bigram_lift",
+    "docs_bm25",
+    "docs_chunk_windows",
+    "docs_dup_cluster_stats",
+    "docs_edit_distance",
+    "docs_kmv_sample",
+    "docs_mixture_sample",
+    "docs_search_and",
+    "docs_source_quality",
+    "docs_tfidf_topterms",
+    # -- (a) r9-stale: emb tiers
+    "emb_centroids",
+    "emb_hamming_topk",
+    "emb_ivf_recall",
+    "emb_ivfpq_recall",
+    "emb_ivfpq_residual_topk",
+    "emb_norm_stats",
+    "emb_pca_project",
+    "emb_random_projection",
+    "emb_semdedup",
+    # -- (a) r9-stale: maintenance / media rows
+    "maint_retention",
+    "media_frame_sample",
+    # -- (a) r9-stale: tpch rows
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q12ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q22ish",
+    # -- (a) r9-stale: ts analytics tier
+    "ts_apdex",
+    "ts_autocorr_lag1",
+    "ts_burn_rate",
+    "ts_crosscorr",
+    "ts_cusum",
+    "ts_error_budget",
+    "ts_funnel",
+    "ts_gap_stats",
+    "ts_json_props",
+    "ts_lttb",
+    "ts_mad",
+    "ts_retention_cohorts",
+    "ts_seasonal_residual",
+    "ts_session_incidents",
+    "ts_time_weighted_avg",
+    "ts_value_quartiles",
+    "ts_weekday_profile",
+    # -- (b) ADDED in round 13 — never driver-checked (quantile-sketch
+    # continuous-aggregate serving, VERDICT r12 item 2)
+    "maint_sketch_quantile_routed",
+    # -- (b) re-windowed: the rollup serving gate churned this round
     "maint_rollup_rate_routed",
 ]
-
 
 def _reorder_registry() -> None:
     ordered: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

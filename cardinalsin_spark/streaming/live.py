@@ -876,6 +876,93 @@ def streaming_le_buckets(
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operator: log-bucketed quantile sketch (DDSketch-style)
+# ---------------------------------------------------------------------------
+
+_QSK_OUTPUT = "metric_name string, bucket_us long, qslot long, qcount long"
+_QSK_STATE = "slots array<long>, counts array<long>"
+
+
+def _qsketch_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Per-(metric, bucket) state: the occupied slot indices and their
+    counts as parallel long arrays — width bounded by log_γ(dynamic
+    range) (tens in practice), constant however long the stream runs.
+    The SLOT is computed Spark-side before this operator (the same
+    ``quantile_sketch_slot`` column expression the batch operator uses),
+    so JVM-vs-Python libm drift cannot split a value across slots; this
+    function only counts. Each micro-batch re-emits the full
+    (slot, count) grid, so the LAST emission per (metric, bucket, slot)
+    is bit-equal to ``downsample_quantile_sketch`` over the same rows."""
+    import pandas as pd
+
+    if state.exists:
+        got = state.get
+        m = dict(zip(list(got[0]), list(got[1])))
+    else:
+        m = {}
+    n = 0
+    for pdf in pdf_iter:
+        s = pdf["_slot"].dropna()
+        if len(s) == 0:
+            continue
+        n += len(s)
+        for slot, cnt in s.astype("int64").value_counts().items():
+            m[int(slot)] = m.get(int(slot), 0) + int(cnt)
+    items = sorted(m.items())
+    state.update(([k for k, _ in items], [v for _, v in items]))
+    if n == 0:
+        return
+    yield pd.DataFrame(
+        {
+            "metric_name": [key[0]] * len(items),
+            "bucket_us": [key[1]] * len(items),
+            "qslot": [k for k, _ in items],
+            "qcount": [v for _, v in items],
+        }
+    )
+
+
+def streaming_quantile_sketch(
+    sdf: DataFrame,
+    step_seconds: int,
+    alpha: float = 0.01,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance via
+    ``applyInPandasWithState`` — the stateful twin of
+    ``operators.quantile_sketch.downsample_quantile_sketch`` (VERDICT
+    r12 item 6, the eighth batch/stream twin): per (metric, time
+    bucket), one count per occupied log-scale slot, re-emitted each
+    micro-batch so the stream's last emission per (metric, bucket, slot)
+    is bit-equal to the batch sketch over the same rows (slot counts
+    add — the mergeability the sketch exists for). NULL/NaN values skip,
+    exactly like the batch filter (the slot expression yields NULL for
+    both). ``bucket_us`` is integer epoch-µs (``timestamp_micros`` it
+    for the batch shape). The reference's streaming layer forwards raw
+    rows only (``query/streaming.rs``; SURVEY §2.9 superset)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cardinalsin_spark.functions.core import time_bucket
+    from cardinalsin_spark.operators.quantile_sketch import (
+        quantile_sketch_slot,
+    )
+
+    keyed = sdf.select(
+        "metric_name",
+        F.unix_micros(time_bucket(ts_col, step_seconds)).alias("bucket_us"),
+        quantile_sketch_slot(F.col(value_col), alpha).alias("_slot"),
+    )
+    return keyed.groupBy("metric_name", "bucket_us").applyInPandasWithState(
+        _qsketch_fn,
+        outputStructType=_QSK_OUTPUT,
+        stateStructType=_QSK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snapshot-committing streaming sink (idempotent per micro-batch)
 # ---------------------------------------------------------------------------
 

@@ -318,3 +318,102 @@ def test_attach_rollup_empty_log_is_valueerror(spark, tmp_path):
         eng.attach_rollup(str(hollow), 300)
     with pytest.raises(ValueError, match="resolution|manifest"):
         eng.attach_rollup(str(hollow))
+
+
+def test_rollup_complete_covenant(spark, tmp_path):
+    """ADVICE r12 item 2: a rollup maintained with a row-FILTERING
+    transform would silently shrink DISTINCT/metadata results (and bucket
+    aggregates) while passing every column/freshness guard.  The refresh
+    now records a ``rollup_complete`` covenant in the manifest; the
+    engine excludes incomplete rollups from ALL transparent-serving doors
+    (rollup_status explains), completeness is sticky across incremental
+    refreshes, and a rebuild-arm refresh with a declared-complete
+    transform restores it."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    START = 1_704_067_200
+
+    def src(lo, hi):
+        return spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % 3600) * F.lit(10**9)
+            ).alias("ts_ns"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+
+    path = str(tmp_path / "metrics")
+    write_metrics(normalize_to_metrics(src(0, 3000), "ts_ns", "name", "v"),
+                  path, mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+
+    # a FILTERING transform without the completeness declaration
+    filtering = lambda df: df.withColumn("value", value_expr()).filter(
+        F.col("metric_name") == "s0"
+    )  # noqa: E731
+    bad_root = str(tmp_path / "ru_bad")
+    refresh_rollup(spark, cat, bad_root, 300, ["metric_name"],
+                   transform=filtering)
+    assert SnapshotCatalog(bad_root).manifest()["rollup_complete"] is False
+
+    eng = CardinalSin(spark, path).attach_rollup(bad_root, 300)
+    st = eng.rollup_status()[0]
+    assert not st["eligible"] and "rollup_complete" in st["reason"], st
+    assert eng._route_rollups() == []
+    # every door answers from raw — label_values must see BOTH series
+    # even over grid-aligned bounds (the exact ADVICE failure shape)
+    vals = [r[0] for r in
+            eng.label_values("metric_name", None, START, START + 599).collect()]
+    assert vals == ["s0", "s1"]
+    assert eng._maybe_route_metadata(["metric_name"], None, START,
+                                     START + 599) is None
+
+    # the engine's own value-reshape refresh declares completeness → routes
+    good_root = str(tmp_path / "ru_good")
+    eng2 = CardinalSin(spark, path)
+    eng2.refresh_rollup(good_root, 300, series_cols=["metric_name"])
+    assert SnapshotCatalog(good_root).manifest()["rollup_complete"] is True
+    eng2.attach_rollup(good_root)
+    assert eng2.rollup_status()[0]["eligible"]
+    assert eng2._maybe_route_metadata(["metric_name"], None, START,
+                                      START + 599) is not None
+
+    # stickiness: an incremental refresh with a now-complete transform
+    # cannot launder away rows the filtering history already dropped...
+    import shutil
+
+    stage = str(tmp_path / "extra-stage")
+    # strictly-later disjoint buckets: the refresh must take the MERGE
+    # arm (an overlap would trip the counter-segment probe into the
+    # rebuild arm, which legitimately restores completeness)
+    later = spark.range(0, 500).select(
+        (
+            F.lit((START + 7200) * 1_000_000_000) + F.col("id") * F.lit(10**9)
+        ).alias("ts_ns"),
+        F.lit("s0").alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    normalize_to_metrics(later, "ts_ns", "name", "v").coalesce(
+        1
+    ).write.parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(os.path.join(stage, f),
+                        os.path.join(path, f"extra-{i:04d}.parquet"))
+    cat.commit_new_files()
+    complete = lambda df: df.withColumn("value", value_expr())  # noqa: E731
+    refresh_rollup(spark, cat, bad_root, 300, ["metric_name"],
+                   transform=complete, transform_complete=True)
+    assert SnapshotCatalog(bad_root).manifest()["rollup_complete"] is False
+    # ...but a rebuild-arm refresh (rewrite-shaped base diff) re-sketches
+    # the full head and restores the covenant
+    cat.compact(spark, target_files=1)
+    refresh_rollup(spark, cat, bad_root, 300, ["metric_name"],
+                   transform=complete, transform_complete=True)
+    assert SnapshotCatalog(bad_root).manifest()["rollup_complete"] is True

@@ -182,7 +182,7 @@ def test_engine_quantile_approx_routes_sketch(spark, tmp_path):
     with pytest.raises(ValueError):
         eng.quantile_approx("rate(lat[60s])", 0.9, start, end, step)
     with pytest.raises(ValueError):
-        eng.attach_quantile_sketch(sp, 300, alpha=0.01, fresh="union")
+        eng.attach_quantile_sketch(sp, 300, alpha=0.01, fresh="bogus")
     with pytest.raises(ValueError):
         eng.attach_quantile_sketch(sp, 0)
     with pytest.raises(ValueError):
@@ -240,7 +240,8 @@ def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
         assert got == want
 
     refresh_quantile_sketch(
-        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape,
+        transform_complete=True
     )
     check_equals_direct()
     # append → incremental fold, bit-equal to a direct re-sketch
@@ -249,7 +250,8 @@ def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
     )
     cat.commit_new_files()
     refresh_quantile_sketch(
-        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape,
+        transform_complete=True
     )
     check_equals_direct()
     # engine serving honors freshness: stale after another append →
@@ -268,7 +270,8 @@ def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
         "m", 0.9, start, end, step
     ).collect()
     refresh_quantile_sketch(
-        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape,
+        transform_complete=True
     )
     check_equals_direct()
     got = eng.quantile_approx("m", 0.9, start, end, step)
@@ -282,13 +285,15 @@ def test_refresh_quantile_sketch_lifecycle(spark, tmp_path):
     # rewrite-shaped base commit (compaction) → rebuild, still equal
     cat.compact(spark, target_files=1)
     refresh_quantile_sketch(
-        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape
+        spark, cat, sk_root, 300, ["metric_name"], 0.01, transform=shape,
+        transform_complete=True
     )
     check_equals_direct()
     # alpha discipline: refresh and attach both loud-reject a mismatch
     with pytest.raises(ValueError):
         refresh_quantile_sketch(
-            spark, cat, sk_root, 300, ["metric_name"], 0.05, transform=shape
+            spark, cat, sk_root, 300, ["metric_name"], 0.05, transform=shape,
+        transform_complete=True
         )
     with pytest.raises(ValueError):
         CardinalSin(spark, path).attach_quantile_sketch(
@@ -413,8 +418,385 @@ def test_nonfinite_values_and_modifier_guards(spark, tmp_path):
     refresh_quantile_sketch(
         spark, SnapshotCatalog(path), sk_root, 300, ["metric_name"], 0.01,
         transform=lambda d: d.withColumn("value", value_expr()),
+        transform_complete=True,
     )
     with pytest.raises(ValueError):
         CardinalSin(spark, path).attach_quantile_sketch(
             sk_root, 600, alpha=0.01
         )
+
+
+def _norm_shape():
+    from cardinalsin_spark.schema import value_expr
+
+    return lambda df: df.withColumn("value", value_expr())
+
+
+def _sk_batch(spark, i0, i1, seed=13):
+    rng = random.Random(seed)
+    vals = [math.exp(rng.uniform(-2, 5)) for _ in range(i1)]
+    return spark.createDataFrame(
+        [((START + i) * 10**9, "m", vals[i]) for i in range(i0, i1)],
+        "ts_ns long, name string, v double",
+    )
+
+
+def test_sketch_union_serving(spark, tmp_path):
+    """VERDICT r12 item 1: a stale-but-append-only sketch under
+    fresh='union' serves sketch rows ∪ the CDC delta's slot counts —
+    bit-equal to the raw path (counts add), with inputFiles pinned to
+    the sketch plus ONLY the delta base files (the lagging history is
+    never rescanned); fresh='fallback' on the same state falls back."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 2400), "ts_ns", "name", "v"),
+        path, mode="overwrite",
+    )
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    sk_root = str(tmp_path / "qs300")
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01,
+        transform=_norm_shape(), transform_complete=True,
+    )
+    rb = SnapshotCatalog(sk_root).manifest()["rollup_base_version"]
+    # base moves on WITHOUT a sketch refresh
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 2400, 3600), "ts_ns", "name",
+                             "v"), path,
+    )
+    cat.commit_new_files()
+    head = cat.current_version()
+    added = {f for f in cat.diff(rb, head)["added"]}
+    assert added, "append must produce a CDC delta"
+
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    eng.attach_quantile_sketch(sk_root, 300, alpha=0.01, fresh="union")
+    st = eng.sketch_status()[0]
+    assert st["eligible"] and "union" in st["reason"], st
+
+    start, end, step = START, START + 3600 - 1, 600
+    got = eng.quantile_approx("m", 0.9, start, end, step)
+    want = raw.quantile_approx("m", 0.9, start, end, step)
+    assert got.collect() == want.collect()
+    # route pin: sketch files + ONLY the delta base files
+    files = got.inputFiles()
+    assert any("qs300" in f for f in files), files
+    base_files = [f for f in files if "qs300" not in f]
+    assert base_files, "the delta arm must read the appended files"
+    for f in base_files:
+        assert any(f.endswith(a) or a in f for a in added), (f, added)
+
+    # the same staleness under 'fallback' refuses the sketch entirely
+    fb = CardinalSin(spark, path)
+    fb.attach_quantile_sketch(sk_root, 300, alpha=0.01)
+    st = fb.sketch_status()[0]
+    assert not st["eligible"], st
+    got_fb = fb.quantile_approx("m", 0.9, start, end, step)
+    assert not any("qs300" in f for f in got_fb.inputFiles())
+    assert got_fb.collect() == want.collect()
+
+    # a rewrite-shaped base diff (compaction) is not unionable → raw
+    cat.compact(spark, target_files=1)
+    st = eng.sketch_status()[0]
+    assert not st["eligible"] and "append-only" in st["reason"], st
+    got2 = eng.quantile_approx("m", 0.9, start, end, step)
+    assert not any("qs300" in f for f in got2.inputFiles())
+    assert got2.collect() == raw.quantile_approx(
+        "m", 0.9, start, end, step
+    ).collect()
+
+
+def test_sketch_cascade_pyramid(spark, tmp_path):
+    """Cascaded sketch tiers (VERDICT r12 item 1, second half): a 300s →
+    3600s pyramid maintained by cascade_quantile_sketch is bit-equal to
+    sketching raw at 3600s; a STALE coarse tier whose parent chain is
+    fresh serves tier rows ∪ the parent-delta recompute under
+    fresh='union' — reading only sketch catalogs, never raw metrics."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        cascade_quantile_sketch,
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 3600, seed=29), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    fine_root = str(tmp_path / "qs300")
+    coarse_root = str(tmp_path / "qs3600")
+    shape = _norm_shape()
+    refresh_quantile_sketch(
+        spark, cat, fine_root, 300, ["metric_name"], 0.01,
+        transform=shape, transform_complete=True,
+    )
+    cascade_quantile_sketch(spark, fine_root, coarse_root, 3600,
+                            ["metric_name"], 0.01)
+    # the cascaded tier == sketching raw straight at 3600s
+    got = sorted(map(tuple,
+                     SnapshotCatalog(coarse_root).read(spark).collect()))
+    want = sorted(map(tuple, downsample_quantile_sketch(
+        shape(cat.read(spark)), 3600, ["metric_name"], 0.01
+    ).collect()))
+    assert got == want
+
+    # guard rails: resolution not a multiple / alpha mismatch loud-reject
+    with pytest.raises(ValueError, match="multiple"):
+        cascade_quantile_sketch(spark, fine_root,
+                                str(tmp_path / "bad"), 450,
+                                ["metric_name"], 0.01)
+    with pytest.raises(ValueError, match="alpha"):
+        cascade_quantile_sketch(spark, fine_root,
+                                str(tmp_path / "bad2"), 3600,
+                                ["metric_name"], 0.05)
+
+    # base moves on; ONLY the fine tier refreshes → coarse is stale with
+    # a fresh parent chain: the invalidation-region recompute serves
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 3600, 5400, seed=29), "ts_ns",
+                             "name", "v"), path,
+    )
+    cat.commit_new_files()
+    refresh_quantile_sketch(
+        spark, cat, fine_root, 300, ["metric_name"], 0.01,
+        transform=shape, transform_complete=True,
+    )
+    eng = CardinalSin(spark, path)
+    raw = CardinalSin(spark, path)
+    eng.attach_quantile_sketch(coarse_root, 3600, alpha=0.01, fresh="union")
+    st = eng.sketch_status()[0]
+    assert st["eligible"] and "touched coarse buckets" in st["reason"], st
+    start, end, step = START, START + 7200 - 1, 3600
+    got = eng.quantile_approx("m", 0.95, start, end, step)
+    files = got.inputFiles()
+    assert files and all(
+        ("qs300" in f) or ("qs3600" in f) for f in files
+    ), files  # sketch catalogs only — raw metrics never rescanned
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.95, start, end, step
+    ).collect()
+
+    # catching the coarse tier up empties the invalidation region:
+    # plain fresh serving, same answer
+    cascade_quantile_sketch(spark, fine_root, coarse_root, 3600,
+                            ["metric_name"], 0.01)
+    st = eng.sketch_status()[0]
+    assert st["eligible"] and "union" not in st["reason"], st
+    got = eng.quantile_approx("m", 0.95, start, end, step)
+    assert all("qs3600" in f for f in got.inputFiles())
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.95, start, end, step
+    ).collect()
+
+    # a stale PARENT chain takes the whole pyramid out (never a
+    # stale-on-stale recompute): append without refreshing the fine tier
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 5400, 6000, seed=29), "ts_ns",
+                             "name", "v"), path,
+    )
+    cat.commit_new_files()
+    st = eng.sketch_status()[0]
+    assert not st["eligible"] and "cascade recompute unavailable" in (
+        st["reason"]
+    ), st
+    got = eng.quantile_approx("m", 0.95, start, end, step)
+    assert not any("qs3600" in f for f in got.inputFiles())
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.95, start, end, step
+    ).collect()
+
+
+def test_sql_door_sketch_routing(spark, tmp_path):
+    """VERDICT r12 item 5: approx_percentile/percentile_approx over a
+    time_bucket grid routes through an attached quantile sketch under the
+    full-consumption never-guess grammar — sketch scanned, raw absent;
+    the routed estimates equal sketch_quantile over the raw-built sketch
+    (same counts, same rank walk) and sit within α of the exact sample
+    quantile. Refusals: mixed moment+quantile selects, HAVING, misaligned
+    bounds — all pass through to Spark's own estimator."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import match_bucket_quantile_sql
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 3600, seed=41), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    shaped = eng.metrics.withColumn("value", value_expr())
+    shaped.createOrReplaceTempView("metrics")
+    sp = str(tmp_path / "qs300")
+    downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01).write.parquet(sp)
+    eng.attach_quantile_sketch(sp, 300, alpha=0.01)
+    start, end = START, START + 3600 - 1
+    q = (
+        "SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        "approx_percentile(value, 0.5) AS p50, "
+        "percentile_approx(value, 0.99) AS p99 FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        "GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    routed = eng._maybe_route_sql_sketch(q)
+    assert routed is not None, "grammar + alignment must route"
+    out = eng.sql(q)
+    files = out.inputFiles()
+    assert files and all("qs300" in f for f in files), files
+    assert out.columns == ["tb", "metric_name", "p50", "p99"]
+    # parity with the explicit sketch path: same counts, same rank walk
+    win = shaped.filter(
+        (F.col("timestamp") >= F.timestamp_seconds(F.lit(start)))
+        & (F.col("timestamp") <= F.timestamp_seconds(F.lit(end)))
+    )
+    sk = downsample_quantile_sketch(win, 600, ["metric_name"], 0.01)
+    for col, qq in (("p50", 0.5), ("p99", 0.99)):
+        want = {
+            (r.bucket, r.metric_name): r.value
+            for r in sketch_quantile(sk, qq, ["metric_name"], 0.01).collect()
+        }
+        got = {(r.tb, r.metric_name): r[col] for r in out.collect()}
+        assert got == want, col
+    # α-bound sanity vs the exact sample quantile
+    exact = (
+        win.groupBy(
+            F.window("timestamp", "600 seconds").start.alias("tb"),
+            "metric_name",
+        )
+        .agg(F.expr("sort_array(collect_list(value))").alias("vs"))
+        .select(
+            "tb", "metric_name",
+            F.expr("vs[cast(floor(0.99 * (size(vs) - 1)) as int)]").alias("e"),
+        )
+        .collect()
+    )
+    got = {(r.tb, r.metric_name): r.p99 for r in out.collect()}
+    for r in exact:
+        rel = abs(got[(r.tb, r.metric_name)] - r.e) / abs(r.e)
+        assert rel <= 0.01 + 1e-9, (r.tb, rel)
+    # refusals → None from the door; eng.sql still answers via Spark
+    refuse = [
+        # mixed moment+quantile select: two doors, never guess
+        ("SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+         "sum(value) AS s, approx_percentile(value, 0.9) AS p90 "
+         "FROM metrics "
+         f"WHERE timestamp >= timestamp_seconds({start}) "
+         f"AND timestamp <= timestamp_seconds({end}) "
+         "GROUP BY tb, metric_name"),
+        # HAVING on an estimator: row membership decided by
+        # approximation error — refuse
+        ("SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+         "approx_percentile(value, 0.9) AS p90 FROM metrics "
+         f"WHERE timestamp >= timestamp_seconds({start}) "
+         f"AND timestamp <= timestamp_seconds({end}) "
+         "GROUP BY tb, metric_name HAVING approx_percentile(value, 0.9) > 1"),
+        # misaligned bounds: a straddling bucket would leak samples
+        ("SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+         "approx_percentile(value, 0.9) AS p90 FROM metrics "
+         f"WHERE timestamp >= timestamp_seconds({start + 7}) "
+         f"AND timestamp <= timestamp_seconds({end}) "
+         "GROUP BY tb, metric_name"),
+    ]
+    for bad in refuse:
+        assert eng._maybe_route_sql_sketch(bad) is None, bad
+        res = eng.sql(bad)  # passes through to Spark untouched
+        assert not any("qs300" in f for f in res.inputFiles()), bad
+        assert res.count() > 0
+
+
+def test_advisor_recommends_sketch_and_histogram_tiers(spark, tmp_path):
+    """VERDICT r12 item 7: the workload log tags quantile- and
+    histogram-shaped queries, and recommend_rollups() emits kind-tagged
+    recommendations — sketch tiers carry (resolution, α) and check
+    attachment against the attached SKETCHES, histogram shapes recommend
+    an le-keyed rollup resolution, moment shapes behave as before."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 1200, seed=3), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    assert eng.recommend_rollups() == []
+    start, end = START, START + 3600 - 1
+    # 3 quantile shapes at α=0.01 (two API, one SQL-door with default α)
+    eng.quantile_approx("m", 0.9, start, end, 600)
+    eng.quantile_approx("m", 0.5, start, end, 600)
+    eng.metrics.withColumn("value", value_expr()).createOrReplaceTempView(
+        "metrics"
+    )
+    eng.sql(
+        "SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        "approx_percentile(value, 0.9) AS p90 FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        "GROUP BY tb, metric_name"
+    )
+    # 2 histogram shapes + 1 moment shape through the promql door; the
+    # fixture has no `le` families, so the histogram queries may error
+    # AFTER logging — the advisor must still see the demand (a Grafana
+    # panel that errors for lack of buckets is exactly the workload a
+    # histogram tier recommendation should answer)
+    import contextlib
+
+    with contextlib.suppress(Exception):
+        eng.promql_range("histogram_quantile(0.9, m_bucket)", start, end, 600)
+    with contextlib.suppress(Exception):
+        eng.promql_range(
+            "histogram_fraction(0, 100, m_bucket)", start, end, 600
+        )
+    eng.promql_range("sum(m)", start, end, 600)
+    recs = eng.recommend_rollups()
+    by_kind: dict = {}
+    for r in recs:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert set(by_kind) == {"moment", "quantile_sketch", "histogram"}
+    sk = by_kind["quantile_sketch"][0]
+    assert sk["alpha"] == 0.01 and sk["serves"] == 3 and sk["of"] == 3
+    assert sk["resolution_s"] == 600  # the observed step (gcd == 600 too)
+    assert not sk["already_attached"]
+    hist = by_kind["histogram"][0]
+    assert hist["serves"] == 2 and hist["of"] == 2
+    mom = by_kind["moment"][0]
+    assert mom["serves"] == 1 and mom["of"] == 1
+    # acting on the sketch advice flips already_attached
+    from cardinalsin_spark.schema import value_expr as _ve
+
+    sp = str(tmp_path / "qs")
+    downsample_quantile_sketch(
+        eng.metrics.withColumn("value", _ve()), sk["resolution_s"],
+        ["metric_name"], 0.01,
+    ).write.parquet(sp)
+    eng.attach_quantile_sketch(sp, sk["resolution_s"], alpha=0.01)
+    recs = eng.recommend_rollups()
+    sk2 = [r for r in recs if r["kind"] == "quantile_sketch"][0]
+    assert sk2["already_attached"]

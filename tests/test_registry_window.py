@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
 of ``queries()`` (verified against CORRECTNESS_r03..r11: their keys were
-exactly registry[:50]).  These tests pin the round-12 window composition:
+exactly registry[:50]).  These tests pin the round-13 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -15,11 +15,12 @@ driver landing this round's (all-green) artifact cannot re-arm these tests
 — the r5/r6 self-arming failure.  The simulation regression below runs
 against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
 fake artifact into the live repo root risked leaving a forged driver file
-behind on a hard kill).  Window rotation for r13 is a planning task (bump
+behind on a hard kill).  Window rotation for r14 is a planning task (bump
 WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
-``scripts/check_parity.py --ages --before 13`` — the r9-green tier is
-next: docs bm25/containment/edit-distance, emb semdedup/hamming_topk,
-the sketches rows, sampling/pack pipeline rows).
+``scripts/check_parity.py --ages --before 14`` — the r10-green tier is
+next, AND docs_containment MUST lead the r14 window: it is the one
+r9-green row displaced from r13 to make room for the two maint routing
+rows, so its gap is already 5 rounds).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -67,75 +68,77 @@ def _past_driver_green(repo: str = _REPO) -> set[str]:
 # Queries deliberately left without driver coverage this round (window
 # space): each must name the sibling — windowed or past-driver-green —
 # that exercises the same machinery, and remains covered by the
-# builder-side parity sweep.  Empty entering round 12.
+# builder-side parity sweep.  Empty entering round 13.
 WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 # Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r8      — last green row is CORRECTNESS_r08, four code rounds
-#                   ago; the oldest coverage tier entering round 12
-#                   (VERDICT r11 item 2 names this exact 49-row set).
-#   changed-r11   — ALSO reformulated in LATE r11 OUTSIDE the r11 window
-#                   (docs_dedup_eval: the single-pass full-join rewrite
-#                   — builder-parity-verified only until now; VERDICT
-#                   r11 item 2 calls it out by name).
-#   sliding-r12   — its machinery sits on the promql_range generic arm
-#                   whose *_over_time handling gained the sliding-window
-#                   branch this round (range == step rows are untouched
-#                   by construction, but the tier deserves the driver
-#                   datapoint while the arm churns).
+#   stale-r9          — last green row is CORRECTNESS_r09, four code
+#                       rounds ago; the oldest coverage tier entering
+#                       round 13 (VERDICT r12 item 3 names this set;
+#                       docs_containment is the one r9 row displaced —
+#                       its candidate-pair machinery is pinned in-window
+#                       by docs_edit_distance and by the r12-green
+#                       docs_dedup_eval — and must lead the r14 window).
+#   serving-gate-r13  — maint_rollup_rate_routed is r12-green, but the
+#                       serving gate every rollup route passes through
+#                       (engine._serving_state) gained the completeness-
+#                       covenant check this round; VERDICT r12 item 3
+#                       demands ≥1 counter-routing row stay windowed
+#                       while the rollup serving tier churns.
 RECHECK: dict[str, str] = {
-    "docs_char_diversity": "stale-r8",
-    "docs_cms_heavy_hitters": "stale-r8",
-    "docs_dedup_eval": "changed-r11",
-    "docs_drift_chisq": "stale-r8",
-    "docs_gopher_repetition": "stale-r8",
-    "docs_hll_distinct": "stale-r8",
-    "docs_hll_overlap": "stale-r8",
-    "docs_kmv_setops": "stale-r8",
-    "docs_lang_id": "stale-r8",
-    "docs_pack_shards": "stale-r8",
-    "docs_pii_scrub": "stale-r8",
-    "docs_quality": "stale-r8",
-    "docs_quality_filter": "stale-r8",
-    "docs_rare_words": "stale-r8",
-    "docs_split_assign": "stale-r8",
-    "docs_stratified_sample": "stale-r8",
-    "docs_token_stats": "stale-r8",
-    "docs_zipf_ranks": "stale-r8",
-    "emb_class_separation": "stale-r8",
-    "emb_hamming_recall": "stale-r8",
-    "emb_mips_topk": "stale-r8",
-    "emb_mmr_rerank": "stale-r8",
-    "media_audio_resample": "stale-r8",
-    "media_scene_change": "stale-r8",
-    "promql_group_agg": "stale-r8",
-    "promql_histogram_fraction": "stale-r8",
-    "promql_instant_subquery": "stale-r8",
-    "promql_mod_arith": "stale-r8",
-    "promql_present_over_time": "sliding-r12",
-    "promql_quantile_over_time": "sliding-r12",
-    "promql_range_fn_at": "stale-r8",
-    "promql_range_scalar": "stale-r8",
-    "promql_scalar_arith": "stale-r8",
-    "promql_subquery_default_res": "stale-r8",
-    "promql_subquery_outer_rate": "stale-r8",
-    "promql_time_staleness": "stale-r8",
-    "promql_timestamp_hour": "stale-r8",
-    "promql_vector_fallback": "stale-r8",
-    "sql_grouping_sets": "stale-r8",
-    "sql_pivot": "stale-r8",
-    "tpch_q2ish": "stale-r8",
-    "tpch_q11ish": "stale-r8",
-    "tpch_q20ish": "stale-r8",
-    "ts_bloom_join": "stale-r8",
-    "ts_holt_winters": "stale-r8",
-    "ts_ohlc": "stale-r8",
-    "ts_outliers": "stale-r8",
-    "ts_predict_linear": "stale-r8",
-    "ts_winsorize": "stale-r8",
+    "docs_bigram_lift": "stale-r9",
+    "docs_bm25": "stale-r9",
+    "docs_chunk_windows": "stale-r9",
+    "docs_dup_cluster_stats": "stale-r9",
+    "docs_edit_distance": "stale-r9",
+    "docs_kmv_sample": "stale-r9",
+    "docs_mixture_sample": "stale-r9",
+    "docs_search_and": "stale-r9",
+    "docs_source_quality": "stale-r9",
+    "docs_tfidf_topterms": "stale-r9",
+    "emb_centroids": "stale-r9",
+    "emb_hamming_topk": "stale-r9",
+    "emb_ivf_recall": "stale-r9",
+    "emb_ivfpq_recall": "stale-r9",
+    "emb_ivfpq_residual_topk": "stale-r9",
+    "emb_norm_stats": "stale-r9",
+    "emb_pca_project": "stale-r9",
+    "emb_random_projection": "stale-r9",
+    "emb_semdedup": "stale-r9",
+    "maint_retention": "stale-r9",
+    "media_frame_sample": "stale-r9",
+    "tpch_q4ish": "stale-r9",
+    "tpch_q7ish": "stale-r9",
+    "tpch_q8ish": "stale-r9",
+    "tpch_q12ish": "stale-r9",
+    "tpch_q15ish": "stale-r9",
+    "tpch_q16ish": "stale-r9",
+    "tpch_q17ish": "stale-r9",
+    "tpch_q18ish": "stale-r9",
+    "tpch_q19ish": "stale-r9",
+    "tpch_q22ish": "stale-r9",
+    "ts_apdex": "stale-r9",
+    "ts_autocorr_lag1": "stale-r9",
+    "ts_burn_rate": "stale-r9",
+    "ts_crosscorr": "stale-r9",
+    "ts_cusum": "stale-r9",
+    "ts_error_budget": "stale-r9",
+    "ts_funnel": "stale-r9",
+    "ts_gap_stats": "stale-r9",
+    "ts_json_props": "stale-r9",
+    "ts_lttb": "stale-r9",
+    "ts_mad": "stale-r9",
+    "ts_retention_cohorts": "stale-r9",
+    "ts_seasonal_residual": "stale-r9",
+    "ts_session_incidents": "stale-r9",
+    "ts_time_weighted_avg": "stale-r9",
+    "ts_value_quartiles": "stale-r9",
+    "ts_weekday_profile": "stale-r9",
+    "maint_rollup_rate_routed": "serving-gate-r13",
 }
+
 
 
 def test_never_driver_checked_queries_are_windowed():
