@@ -510,6 +510,47 @@ class CardinalSin:
             retries=retries,
         )
 
+    def refresh_quantile_sketch(
+        self,
+        sketch_root: str,
+        resolution_s: int,
+        series_cols: list[str] | None = None,
+        alpha: float = 0.01,
+        target_files: int = 1,
+        retries: int = 5,
+    ) -> int:
+        """Sketch twin of :meth:`refresh_rollup`: incrementally refresh
+        (or bootstrap) a quantile-sketch continuous aggregate of this
+        engine's snapshot-managed metrics table
+        (``operators.quantile_sketch.refresh_quantile_sketch``) with the
+        engine's canonical value reshape. Pair with
+        ``attach_quantile_sketch(sketch_root, resolution_s, alpha)`` for
+        transparent ``quantile_approx`` serving under the same freshness
+        doctrine (stale → raw, or sketch ∪ delta under
+        ``fresh='union'``)."""
+        from cardinalsin_spark.operators.quantile_sketch import (
+            refresh_quantile_sketch,
+        )
+        from cardinalsin_spark.schema import label_columns, value_expr
+
+        cols = (
+            series_cols
+            if series_cols is not None
+            else ["metric_name", *label_columns(self.metrics.schema)]
+        )
+        return refresh_quantile_sketch(
+            self.spark,
+            self.snapshot_catalog(),
+            sketch_root,
+            resolution_s,
+            cols,
+            alpha=alpha,
+            transform=lambda df: df.withColumn("value", value_expr()),
+            transform_complete=True,  # value reshape, row-preserving
+            target_files=target_files,
+            retries=retries,
+        )
+
     def attach_rollup(
         self,
         path: str,
@@ -859,11 +900,13 @@ class CardinalSin:
         reference only covers metrics instrumented as `le` families).
         Serves from an attached quantile sketch whose resolution divides
         the step, whose alpha matches, and whose buckets tile the closed
-        bounds; otherwise sketches the RAW samples at step granularity —
-        bit-equal to the routed path (both build the same per-(step,
-        slot) counts), so routing is transparent within the sketch
-        semantics. Output: ``(time_bucket, metric_name, *labels,
-        value)``."""
+        bounds (a stale sketch under ``fresh='union'`` arrives as sketch
+        ∪ delta counts, or the cascade invalidation recompute — see
+        ``_sketch_serving_state``); otherwise sketches the RAW samples
+        at step granularity — bit-equal to the routed path (both build
+        the same per-(step, slot) counts), so routing is transparent
+        within the sketch semantics. Output: ``(time_bucket,
+        metric_name, *labels, value)``."""
         from cardinalsin_spark.functions.core import time_bucket
         from cardinalsin_spark.operators.promql import (
             _selector_filter,

@@ -131,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
     qs.add_argument("--alpha", type=float, default=0.01)
     qs.add_argument("--target-files", type=int, default=1)
     qs.add_argument("--retries", type=int, default=5)
+    qs.add_argument(
+        "--from-sketch",
+        action="store_true",
+        help="--path is itself a refresh_quantile_sketch table: cascade "
+        "its slot counts to the coarser --resolution-s (hierarchical "
+        "sketch tiers, EXACT — counts add; never rescans raw data)",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cardinalsin-{args.cmd}")
@@ -334,19 +341,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         cat = SnapshotCatalog(args.path)
-        series = ["metric_name", *label_columns(cat.read(spark).schema)]
-        v = refresh_quantile_sketch(
-            spark,
-            cat,
-            args.out,
-            args.resolution_s,
-            series,
-            alpha=args.alpha,
-            transform=lambda df: df.withColumn("value", value_expr()),
-            transform_complete=True,  # value reshape, row-preserving
-            target_files=args.target_files,
-            retries=args.retries,
-        )
+        if args.from_sketch:
+            from cardinalsin_spark.operators.quantile_sketch import (
+                cascade_quantile_sketch,
+            )
+
+            fine_cols = set(cat.read(spark).columns)
+            series = sorted(fine_cols - {"bucket", "qslot", "qcount"})
+            v = cascade_quantile_sketch(
+                spark,
+                args.path,
+                args.out,
+                args.resolution_s,
+                series,
+                alpha=args.alpha,
+                target_files=args.target_files,
+                retries=args.retries,
+            )
+        else:
+            series = ["metric_name", *label_columns(cat.read(spark).schema)]
+            v = refresh_quantile_sketch(
+                spark,
+                cat,
+                args.out,
+                args.resolution_s,
+                series,
+                alpha=args.alpha,
+                transform=lambda df: df.withColumn("value", value_expr()),
+                transform_complete=True,  # value reshape, row-preserving
+                target_files=args.target_files,
+                retries=args.retries,
+            )
         print(
             f"sketch-refresh {args.path} -> {args.out} v{v} "
             f"(res {args.resolution_s}s, alpha {args.alpha}, "

@@ -683,3 +683,53 @@ def test_range_topk_partial_group_limit(spark):
     plan = plan_string(out, "formatted")
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan  # the map-side phase below the exchange
+
+
+def test_sketch_routed_scans_sketch_not_metrics(spark, sf_dir):
+    """maint_sketch_quantile_routed (VERDICT r12 item 2): the SERVING arm
+    must read the quantile-sketch parquet, never the reshaped metrics
+    table (the query's inputFiles guard would normally raise first, this
+    pins the plan itself). events.parquet legitimately appears — the
+    EXACT arm is the evaluation harness, not the serving path."""
+    df = _df(spark, sf_dir, "maint_sketch_quantile_routed")
+    plan = plan_string(df, "formatted")
+    assert "cardinalsin-qsketch-" in plan, plan
+    assert "/metrics" not in plan, plan
+
+
+def test_sql_sketch_door_one_window_sketch_only(spark, sf_dir):
+    """SQL-door quantile routing (VERDICT r12 item 5): a two-quantile
+    approx_percentile query over an aligned time_bucket grid must (a)
+    scan ONLY the sketch parquet and (b) answer BOTH quantiles from ONE
+    rank-walk window over the re-bucketed slot counts — a second Window
+    (or a raw metrics scan) is a scale regression at 100 TB dashboards."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.queries import _sketch_fixture, _sql_door_fixture
+
+    mpath, _ = _sql_door_fixture(spark, sf_dir)
+    spath = _sketch_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.attach_quantile_sketch(spath, 21600, alpha=0.01, subsecond=True)
+    out = eng.sql(
+        "SELECT time_bucket(timestamp, 86400) AS tb, metric_name, "
+        "approx_percentile(value, 0.5) AS p50, "
+        "approx_percentile(value, 0.9) AS p90 FROM metrics "
+        "WHERE timestamp >= timestamp_micros(1704067200000000) "
+        "AND timestamp <= timestamp_micros(1705276799999999) "
+        "GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    plan = plan_string(out, "formatted")
+    assert "cardinalsin-qsketch-" in plan, plan
+    assert "/metrics" not in plan and "events.parquet" not in plan, plan
+    # the simple tree prints each physical node once — ONE rank-walk
+    # pass answers both quantiles: Spark splits the running cumsum and
+    # the whole-partition total into two Window nodes, but they share
+    # the same partitioning + sort (no exchange between them), so the
+    # whole route is two rollup-sized hash shuffles (slot re-bucket,
+    # rank-walk partition) + the final ORDER BY range exchange
+    simple = plan_string(out, "simple")
+    assert simple.count("Window") == 2, simple
+    assert simple.count("Exchange hashpartitioning") == 2, simple
+    first = simple.index("Window")
+    between = simple[first:simple.index("Window", first + 1)]
+    assert "Exchange" not in between, simple  # the pair shares one shuffle

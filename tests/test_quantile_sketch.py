@@ -800,3 +800,56 @@ def test_advisor_recommends_sketch_and_histogram_tiers(spark, tmp_path):
     recs = eng.recommend_rollups()
     sk2 = [r for r in recs if r["kind"] == "quantile_sketch"][0]
     assert sk2["already_attached"]
+
+
+def test_engine_refresh_and_cli_cascade(spark, tmp_path, capsys):
+    """engine.refresh_quantile_sketch (the refresh_rollup twin) bootstraps
+    and serves; `jobs sketch-refresh --from-sketch` cascades a fine sketch
+    to a coarser tier — bit-equal to sketching raw at the coarse step."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 3600, seed=59), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    fine_root = str(tmp_path / "qs300")
+    assert eng.refresh_quantile_sketch(fine_root, 300,
+                                       series_cols=["metric_name"]) == 0
+    man = SnapshotCatalog(fine_root).manifest()
+    assert man["sketch_alpha"] == 0.01 and man["rollup_complete"] is True
+    eng.attach_quantile_sketch(fine_root, 300, alpha=0.01)
+    start, end, step = START, START + 3600 - 1, 600
+    got = eng.quantile_approx("m", 0.9, start, end, step)
+    assert all("qs300" in f for f in got.inputFiles())
+    raw = CardinalSin(spark, path)
+    assert got.collect() == raw.quantile_approx(
+        "m", 0.9, start, end, step
+    ).collect()
+    # CLI cascade: fine -> 3600s coarse tier, never rescanning raw
+    coarse_root = str(tmp_path / "qs3600")
+    rc = jobs.main(
+        ["sketch-refresh", "--path", fine_root, "--out", coarse_root,
+         "--resolution-s", "3600", "--from-sketch"]
+    )
+    assert rc == 0
+    assert "sketch-refresh" in capsys.readouterr().out
+    got = sorted(map(tuple,
+                     SnapshotCatalog(coarse_root).read(spark).collect()))
+    want = sorted(map(tuple, downsample_quantile_sketch(
+        SnapshotCatalog(path).read(spark).withColumn("value", value_expr()),
+        3600, ["metric_name"], 0.01,
+    ).collect()))
+    assert got == want
+    cman = SnapshotCatalog(coarse_root).manifest()
+    assert cman["rollup_base_root"].endswith("qs300")
+    assert cman["sketch_alpha"] == 0.01
