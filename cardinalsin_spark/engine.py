@@ -1434,7 +1434,16 @@ class CardinalSin:
                     why + " (fresh='union' needs an append-only, "
                     "unvacuumed base diff)",
                 )
-            why += " (fresh='union': serves rollup ∪ downsampled delta)"
+            # VERDICT r12 watch 2: say loudly that the union frame only
+            # serves the classic moments — faithful counter functions
+            # (rate/irate/increase/delta) fall back to raw on this state
+            # because a hot bucket split across a rollup row and a delta
+            # partial has no first/last ordering proof
+            why += (
+                " (fresh='union': serves rollup ∪ downsampled delta — "
+                "classic moments only; faithful counter functions fall "
+                "back to raw until the next refresh)"
+            )
             if not build:
                 return (True, why)
             return (self._direct_union_target(r, path, rb, base_head, cat), why)

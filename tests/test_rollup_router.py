@@ -1797,6 +1797,10 @@ def test_direct_union_status_agrees_with_routing(spark, tmp_path):
     st = {s["path"]: s for s in eng.rollup_status()}
     assert st[fine_root]["eligible"], st
     assert "rollup ∪ downsampled delta" in st[fine_root]["reason"], st
+    # VERDICT r12 watch 2: the union-state caveat is LOUD — faithful
+    # counter functions do not ride the union frame (no ordering proof
+    # for a bucket split across rollup row + delta partial)
+    assert "counter functions fall back" in st[fine_root]["reason"], st
 
 
 def test_histogram_quantile_routes_rollup(spark, tmp_path):
