@@ -1182,7 +1182,9 @@ class CardinalSin:
         from cardinalsin_spark.sources.snapshots import read_table_auto
 
         spec = match_distinct_sql(query, view=self.view_name)
-        if spec is None or not self._attached_rollups:
+        if spec is None or not (
+            self._attached_rollups or self._attached_sketches
+        ):
             return None
         # never-guess: every referenced column must exist in the METRICS
         # view too — otherwise a rollup-internal name (bucket, avg_value)
@@ -1207,6 +1209,23 @@ class CardinalSin:
                 best is None or r > best[0]
             ):
                 best = (r, ro)
+        if best is None:
+            # last resort: a quantile sketch's (bucket, series) keys
+            # give the identical DISTINCT set (see _maybe_route_metadata)
+            for r, target, sub in self._route_sketches():
+                if not self._bounds_on_grid(
+                    spec["start_s"], spec["end_s"], r, sub
+                ):
+                    continue
+                ro = (
+                    read_table_auto(self.spark, target)
+                    if isinstance(target, str)
+                    else target
+                )
+                if need.issubset(set(ro.columns)) and (
+                    best is None or r > best[0]
+                ):
+                    best = (r, ro)
         if best is None:
             return None
         ro = best[1]
@@ -1831,6 +1850,32 @@ class CardinalSin:
             # bit-equal by construction
         return out
 
+    def _route_sketches(self) -> list[tuple[int, object, bool]]:
+        """Sketch twin of ``_route_rollups``: attached quantile sketches
+        with the chain-aware freshness (and completeness) guard applied.
+        Used by ``quantile_approx`` indirectly and by the metadata/
+        DISTINCT doors as a LAST-RESORT candidate list — a sketch keeps
+        the full (bucket, series) key set, so its DISTINCT labels are
+        exactly the raw table's over grid-aligned bounds, just across
+        more rows (×occupied slots) than a moment rollup would read."""
+        if not self._attached_sketches:
+            return []
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
+
+        base_head = None
+        cat = None
+        if self.metrics_path and snapshot_managed(self.metrics_path):
+            cat = self.snapshot_catalog()
+            base_head = cat.current_version()
+        out: list[tuple[int, object, bool]] = []
+        for r, path, sub, a, fresh in self._attached_sketches:
+            target, _why = self._sketch_serving_state(
+                r, path, fresh, a, base_head, cat, build=True
+            )
+            if target is not None:
+                out.append((r, target, sub))
+        return out
+
     def exp_histogram_quantile(
         self,
         base_name: str,
@@ -1979,8 +2024,12 @@ class CardinalSin:
         ``(end + 1) % r == 0``, micros-exact for sub-second rollups —
         the same closed-bounds convention as ``rollup_covers``. Picks
         the coarsest qualifying rollup (fewest rows); returns the
-        filtered rollup frame, or None → the caller scans raw."""
-        if not self._attached_rollups:
+        filtered rollup frame, or None → the caller scans raw. When no
+        ROLLUP qualifies, a fresh attached quantile SKETCH serves as the
+        last resort — its (bucket, series) keys give the identical
+        DISTINCT set over grid-aligned bounds, across ×occupied-slots
+        more rows than a rollup but orders of magnitude fewer than raw."""
+        if not (self._attached_rollups or self._attached_sketches):
             return None
         from cardinalsin_spark.functions.core import label_matcher
         from cardinalsin_spark.operators.promql import parse_promql
@@ -2008,6 +2057,23 @@ class CardinalSin:
                 best is None or r > best[0]
             ):
                 best = (r, ro)
+        if best is None:
+            # last resort: a quantile SKETCH keeps the full (bucket,
+            # series) key set too, so its DISTINCT labels are exactly
+            # the raw table's over grid-aligned bounds — more rows than
+            # a moment rollup (×occupied slots), far fewer than raw
+            for r, target, sub in self._route_sketches():
+                if not self._bounds_on_grid(start_s, end_s, r, sub):
+                    continue
+                ro = (
+                    read_table_auto(self.spark, target)
+                    if isinstance(target, str)
+                    else target
+                )
+                if need.issubset(set(ro.columns)) and (
+                    best is None or r > best[0]
+                ):
+                    best = (r, ro)
         if best is None:
             return None
         ro = best[1]

@@ -853,3 +853,64 @@ def test_engine_refresh_and_cli_cascade(spark, tmp_path, capsys):
     cman = SnapshotCatalog(coarse_root).manifest()
     assert cman["rollup_base_root"].endswith("qs300")
     assert cman["sketch_alpha"] == 0.01
+
+
+def test_metadata_doors_serve_from_sketch(spark, tmp_path):
+    """Serving-matrix symmetry: when no moment rollup qualifies, the
+    metadata endpoints (label_values/series) and the SQL DISTINCT door
+    serve from a fresh attached quantile sketch — its (bucket, series)
+    keys give the identical DISTINCT set over grid-aligned bounds. A
+    qualifying rollup still wins (fewer rows); misaligned bounds scan
+    raw."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    src = spark.createDataFrame(
+        [
+            ((START + i) * 10**9, "m" + str(i % 3), float(i % 11))
+            for i in range(1800)
+        ],
+        "ts_ns long, name string, v double",
+    )
+    path = str(tmp_path / "metrics")
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    eng = CardinalSin(spark, path)
+    shaped = eng.metrics.withColumn("value", value_expr())
+    sp = str(tmp_path / "qs300")
+    downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01)\
+        .write.parquet(sp)
+    eng.attach_quantile_sketch(sp, 300, alpha=0.01)
+    start, end = START, START + 1799  # (end+1) % 300 == 0
+
+    got = eng.label_values("metric_name", None, start, end)
+    assert got.inputFiles() and all("qs300" in f for f in got.inputFiles())
+    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    got = eng.series(None, start, end)
+    assert all("qs300" in f for f in got.inputFiles())
+    assert got.count() == 3
+    q = (
+        "SELECT DISTINCT metric_name FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) ORDER BY metric_name"
+    )
+    got = eng.sql(q)
+    assert all("qs300" in f for f in got.inputFiles())
+    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    # misaligned bounds: raw scan, same answer
+    got = eng.label_values("metric_name", None, start + 7, end)
+    assert not any("qs300" in f for f in got.inputFiles())
+    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    # a qualifying moment rollup wins over the sketch (fewer rows)
+    rp = str(tmp_path / "r300")
+    downsample(shaped, 300, ["metric_name"]).write.parquet(rp)
+    eng.attach_rollup(rp, 300)
+    got = eng.label_values("metric_name", None, start, end)
+    files = got.inputFiles()
+    assert files and all("r300" in f for f in files), files
+    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
