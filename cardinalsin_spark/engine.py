@@ -505,7 +505,10 @@ class CardinalSin:
             transform=lambda df: df.withColumn("value", value_expr()),
             # the value reshape adds a column, never drops a row — the
             # rollup stays a complete downsample (serving-door covenant)
+            # — and it IS the canonical reshape the union delta arm
+            # applies, so union serving stays exact
             transform_complete=True,
+            transform_canonical=True,
             target_files=target_files,
             retries=retries,
         )
@@ -546,7 +549,9 @@ class CardinalSin:
             cols,
             alpha=alpha,
             transform=lambda df: df.withColumn("value", value_expr()),
-            transform_complete=True,  # value reshape, row-preserving
+            # canonical value reshape: row-preserving AND union-safe
+            transform_complete=True,
+            transform_canonical=True,
             target_files=target_files,
             retries=retries,
         )
@@ -1066,7 +1071,10 @@ class CardinalSin:
         )
 
         spec = match_bucket_quantile_sql(query, view=self.view_name)
-        if spec is None:
+        # same guard as the moment door (r13 review finding): the sketch
+        # buckets are built over `timestamp` — a query bucketing another
+        # column must never route onto them
+        if spec is None or spec["ts_col"] != "timestamp":
             return None
         # advisor input first (the α the sketch should be built at is
         # unspecified at the SQL door → default), like the moment door
@@ -1076,6 +1084,18 @@ class CardinalSin:
         if not self._attached_sketches:
             return None
         if any(val != "value" for _, val, _ in spec["quantiles"]):
+            return None
+        # output names must not collide with sketch-internal columns —
+        # `... AS qslot` is valid raw SQL but would make the routed
+        # groupBy emit two `qslot` columns and the rank-walk Window
+        # raise AMBIGUOUS_REFERENCE (r13 review finding): refuse, raw
+        # answers
+        out_names = {
+            spec["bucket_alias"],
+            *spec["group_cols"],
+            *[a for _, _, a in spec["quantiles"]],
+        }
+        if out_names & {"qslot", "qcount", "__cum", "__n"}:
             return None
         # never-guess: group/filter columns must exist in the METRICS view
         if not {
@@ -1125,6 +1145,12 @@ class CardinalSin:
         )
         for col, lits in spec["filters"]:
             ro = ro.filter(F.col(col).isin(*lits))
+        # NULL/NaN sample counts (the NULL_SLOT sentinel) keep keys
+        # present for DISTINCT serving but are not part of the
+        # distribution — Spark's approx_percentile ignores nulls too
+        from cardinalsin_spark.operators.quantile_sketch import NULL_SLOT
+
+        ro = ro.filter(F.col("qslot") != F.lit(NULL_SLOT))
         keys = [
             F.col(spec["bucket_alias"]),
             *[F.col(c) for c in spec["group_cols"]],
@@ -1407,7 +1433,8 @@ class CardinalSin:
           parent-head scan), never raw.  A vacuumed removed file falls
           through to raw.
         """
-        if not self._rollup_complete(path):
+        complete, union_unsafe = self._manifest_flags(path)
+        if not complete:
             # ADVICE r12: a rollup maintained with a row-filtering
             # transform would silently shrink DISTINCT/metadata results
             # and bucket aggregates while passing every column/freshness
@@ -1436,6 +1463,16 @@ class CardinalSin:
         # walk stopped, which for a cascade tier stale at its own parent
         # link is still the first node
         if rb is not None:
+            if union_unsafe:
+                # r13 review finding: the union arm shapes the delta
+                # with the engine's canonical value reshape — over a
+                # table maintained with a CUSTOM transform it would mix
+                # incompatible values; refuse, raw answers bit-equal
+                return (
+                    None,
+                    why + " (fresh='union' refused: maintained with a "
+                    "custom transform the delta arm cannot reproduce)",
+                )
             try:
                 # a vacuumed base manifest (rb older than the retention
                 # horizon) makes the delta unreadable — treat as
@@ -1481,26 +1518,39 @@ class CardinalSin:
             "touched coarse buckets)",
         )
 
-    def _rollup_complete(self, path: str) -> bool:
-        """The completeness covenant (ADVICE r12): a refresh-maintained
-        rollup/sketch whose manifest records ``rollup_complete=false``
-        was built with a transform the caller did NOT declare
-        row-preserving — it may be a filtered subset of the base, so no
-        transparent-serving door may route through it. Plain parquet
-        rollups and pre-covenant manifests (no key) are trusted, as the
-        attach docstrings have always required."""
+    def _manifest_flags(self, path: str) -> tuple[bool, bool]:
+        """ONE manifest read serving both per-query covenant checks
+        (r13 review: the separate helpers each re-read the same JSON on
+        every query — needless on object storage). Returns
+        ``(complete, union_unsafe)``:
+
+        * ``complete`` — the ADVICE r12 completeness covenant: False ⇔
+          the manifest records ``rollup_complete=false`` (a transform
+          the refresher did not declare row-preserving); such a table
+          may be a filtered subset of the base, so NO transparent-
+          serving door may route through it. Plain parquet and
+          pre-covenant manifests are trusted, as the attach docstrings
+          have always required.
+        * ``union_unsafe`` — ``rollup_transform == 'custom'``: the
+          ``fresh='union'`` delta arms apply the engine's canonical
+          value reshape, so a custom-shaped table must never union with
+          them (missing key / plain parquet = legacy, trusted as
+          canonical like the completeness default)."""
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
             snapshot_managed,
         )
 
         if not isinstance(path, str) or not snapshot_managed(path):
-            return True
+            return True, False
         try:
             man = SnapshotCatalog(path).manifest()
         except FileNotFoundError:
-            return True
-        return bool(man.get("rollup_complete", True))
+            return True, False
+        return (
+            bool(man.get("rollup_complete", True)),
+            man.get("rollup_transform") == "custom",
+        )
 
     def _direct_union_target(
         self, r: int, path: str, rb: int, base_head: int, cat
@@ -1669,7 +1719,8 @@ class CardinalSin:
         split across a sketch row and a delta partial is fine — every
         consumer re-aggregates by (bucket, series, qslot) before the
         rank walk."""
-        if not self._rollup_complete(path):
+        complete, union_unsafe = self._manifest_flags(path)
+        if not complete:
             return (
                 None,
                 "manifest records rollup_complete=false (maintained "
@@ -1689,6 +1740,12 @@ class CardinalSin:
             # direct sketch over the metrics table (see _serving_state
             # for why `rb is not None`, not the chain walk's direct
             # flag, discriminates direct from cascade)
+            if union_unsafe:
+                return (
+                    None,
+                    why + " (fresh='union' refused: maintained with a "
+                    "custom transform the delta arm cannot reproduce)",
+                )
             try:
                 unionable = (
                     isinstance(rb, int)
@@ -1857,10 +1914,19 @@ class CardinalSin:
         DISTINCT doors as a LAST-RESORT candidate list — a sketch keeps
         the full (bucket, series) key set, so its DISTINCT labels are
         exactly the raw table's over grid-aligned bounds, just across
-        more rows (×occupied slots) than a moment rollup would read."""
+        more rows (×occupied slots) than a moment rollup would read.
+
+        Only sketches whose manifest records ``sketch_null_slot`` may
+        serve here (r13 review finding): a pre-sentinel sketch dropped
+        NULL/NaN-only (bucket, series) keys entirely, so its DISTINCT
+        sets could silently miss value-less series — never guess; a
+        plain-parquet sketch has no manifest to prove the property."""
         if not self._attached_sketches:
             return []
-        from cardinalsin_spark.sources.snapshots import snapshot_managed
+        from cardinalsin_spark.sources.snapshots import (
+            SnapshotCatalog,
+            snapshot_managed,
+        )
 
         base_head = None
         cat = None
@@ -1869,6 +1935,14 @@ class CardinalSin:
             base_head = cat.current_version()
         out: list[tuple[int, object, bool]] = []
         for r, path, sub, a, fresh in self._attached_sketches:
+            if not snapshot_managed(path):
+                continue
+            try:
+                man = SnapshotCatalog(path).manifest()
+            except FileNotFoundError:
+                continue
+            if not man.get("sketch_null_slot"):
+                continue
             target, _why = self._sketch_serving_state(
                 r, path, fresh, a, base_head, cat, build=True
             )

@@ -316,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
                 ts_col="timestamp",
                 value_col="value",
                 transform=lambda df: df.withColumn("value", value_expr()),
-                transform_complete=True,  # value reshape, row-preserving
+                transform_complete=True,  # canonical value reshape:
+                transform_canonical=True,  # row-preserving AND union-safe
                 target_files=args.target_files,
                 retries=args.retries,
             )
@@ -368,7 +369,8 @@ def main(argv: list[str] | None = None) -> int:
                 series,
                 alpha=args.alpha,
                 transform=lambda df: df.withColumn("value", value_expr()),
-                transform_complete=True,  # value reshape, row-preserving
+                transform_complete=True,  # canonical value reshape:
+                transform_canonical=True,  # row-preserving AND union-safe
                 target_files=args.target_files,
                 retries=args.retries,
             )

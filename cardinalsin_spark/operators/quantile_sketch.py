@@ -71,6 +71,17 @@ def _gamma(alpha: float) -> float:
 # log(Inf)=Inf would overflow the long add and invert the value order
 _INF_SLOT = 1 << 62
 
+# NULL/NaN samples keep a dedicated slot BELOW every value slot (r13
+# review finding): they are excluded from every quantile rank walk
+# (``sketch_quantile`` and the SQL door filter it), but their counts
+# keep the (bucket, series) key present — so the sketch is a COMPLETE
+# downsample whose DISTINCT label sets equal the raw table's, the same
+# all-rows property the moment tier gets from count(lit(1)). Without
+# it, a series whose in-range samples are all value-less (the OTLP
+# source emits NaN for those) would vanish from sketch-served
+# label_values/series/DISTINCT while raw and rollups keep it.
+NULL_SLOT = -(1 << 62) - 1
+
 
 def quantile_sketch_slot(value_col, alpha: float):
     """Order-preserving slot index for one value. NULL for NULL and NaN
@@ -94,7 +105,10 @@ def quantile_sketch_slot(value_col, alpha: float):
 
 def quantile_sketch_estimate(slot_col, alpha: float):
     """The value estimate for a slot (midpoint minimizing relative
-    error): ``±2·γ^k/(γ+1)``, 0.0 for the zero slot."""
+    error): ``±2·γ^k/(γ+1)``, 0.0 for the zero slot. Callers must
+    filter ``NULL_SLOT`` rows before estimating (every rank walk in
+    this module does) — the sentinel is a key-presence marker, not a
+    value."""
     g = _gamma(alpha)
     s = slot_col if not isinstance(slot_col, str) else F.col(slot_col)
     k_pos = (s - F.lit(_OFFSET)).cast("double")
@@ -118,20 +132,23 @@ def downsample_quantile_sketch(
     value_col: str = "value",
 ) -> DataFrame:
     """Time-bucketed quantile sketch: one (bucket, *series, qslot,
-    qcount) row per occupied log-scale slot. NULL and NaN values are
-    skipped (quantiles are over the sample distribution, like
-    ``percentile``; the OTLP source emits NaN for value-less points);
-    ±Inf samples keep dedicated extreme slots so rank semantics hold.
+    qcount) row per occupied log-scale slot. NULL and NaN values count
+    under the dedicated ``NULL_SLOT`` — excluded from every quantile
+    rank walk (quantiles are over the sample distribution, like
+    ``percentile``; the OTLP source emits NaN for value-less points)
+    but kept in the row set, so the sketch is a COMPLETE downsample
+    (every raw (bucket, series) key exists — the DISTINCT-serving
+    property); ±Inf samples keep dedicated extreme slots so rank
+    semantics hold.
 
     One hash aggregation; output rows are slot-counts, not samples."""
     from cardinalsin_spark.functions.core import time_bucket
 
-    slot = quantile_sketch_slot(F.col(value_col), alpha)
+    slot = F.coalesce(
+        quantile_sketch_slot(F.col(value_col), alpha), F.lit(NULL_SLOT)
+    )
     return (
-        df.filter(
-            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
-        )
-        .groupBy(
+        df.groupBy(
             time_bucket(ts_col, step_seconds).alias("bucket"),
             *[F.col(c) for c in series_cols],
             slot.alias("qslot"),
@@ -175,6 +192,7 @@ def refresh_quantile_sketch(
     value_col: str = "value",
     transform=None,
     transform_complete: bool = False,
+    transform_canonical: bool = False,
     target_files: int = 1,
     retries: int = 5,
     from_sketch: bool = False,
@@ -229,6 +247,14 @@ def refresh_quantile_sketch(
                 "from_sketch=True folds slot counts — a transform has "
                 "no sample rows to act on"
             )
+        if ts_col != "timestamp" or value_col != "value":
+            # the docstring promises these are rejected, not silently
+            # ignored (r13 review finding) — a caller passing them has
+            # mis-targeted the cascade
+            raise ValueError(
+                "from_sketch=True folds slot counts — ts_col/value_col "
+                "have no sample columns to point at"
+            )
         fine_man = base.manifest(base_head)
         fine_res = fine_man.get("rollup_resolution_s")
         if fine_res is None:
@@ -259,12 +285,32 @@ def refresh_quantile_sketch(
             ts_col=ts_col, value_col=value_col,
         )
 
+    # the completeness covenant inherits down cascades: a coarse tier
+    # folded from an incomplete fine tier is itself incomplete however
+    # clean its own fold is (r13 review finding — a cascade must never
+    # launder the flag away)
+    base_complete = bool(
+        base.manifest(base_head).get("rollup_complete", True)
+    )
     extra = {
         "rollup_base_version": base_head,
         "rollup_resolution_s": int(resolution_s),
         "rollup_base_root": os.path.abspath(base.root),
         "sketch_alpha": float(alpha),
-        "rollup_complete": transform is None or bool(transform_complete),
+        # this sketch retains NULL/NaN counts under NULL_SLOT — the
+        # complete-downsample property the metadata/DISTINCT doors
+        # require (pre-sentinel sketches lack it and must not serve them)
+        "sketch_null_slot": True,
+        "rollup_complete": base_complete
+        and (transform is None or bool(transform_complete)),
+        # union-safety shaping convention — see refresh_rollup (the
+        # engine's sketch union arm applies the canonical value reshape
+        # to the delta; a custom transform must refuse union serving)
+        "rollup_transform": (
+            "none"
+            if transform is None
+            else ("canonical" if transform_canonical else "custom")
+        ),
     }
     from cardinalsin_spark.sources.snapshots import SnapshotCatalog
 
@@ -302,6 +348,15 @@ def refresh_quantile_sketch(
         sticky_complete = extra["rollup_complete"] and bool(
             man.get("rollup_complete", True)
         )
+        # the shaping convention is sticky the same way: once any
+        # refresh folded custom-shaped rows in, the table stays
+        # union-unsafe until a rebuild re-shapes the full head
+        sticky_transform = (
+            "custom"
+            if man.get("rollup_transform") == "custom"
+            or extra["rollup_transform"] == "custom"
+            else extra["rollup_transform"]
+        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: counts cannot be subtracted
@@ -326,7 +381,11 @@ def refresh_quantile_sketch(
             ts_col="bucket",
             target_files=target_files,
             prune_files=True,
-            extra={**extra, "rollup_complete": sticky_complete},
+            extra={
+                **extra,
+                "rollup_complete": sticky_complete,
+                "rollup_transform": sticky_transform,
+            },
             head=head,
         )
 
@@ -394,6 +453,9 @@ def sketch_quantile(
     quantile. Output: ``(bucket_col, *group_cols, value)``."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
+    # NULL/NaN sample counts keep the keys present for DISTINCT serving
+    # but are NOT part of the distribution — drop before the rank walk
+    sketch = sketch.filter(F.col("qslot") != F.lit(NULL_SLOT))
     keys = [F.col(bucket_col), *[F.col(c) for c in group_cols]]
     w = (
         Window.partitionBy(*keys)

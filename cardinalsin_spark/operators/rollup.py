@@ -122,6 +122,7 @@ def refresh_rollup(
     value_col: str = "value",
     transform=None,
     transform_complete: bool = False,
+    transform_canonical: bool = False,
     target_files: int = 1,
     retries: int = 5,
     moments: bool = False,
@@ -208,6 +209,15 @@ def refresh_rollup(
             value_col=value_col,
         )
 
+    # completeness covenant for the transparent-serving doors (ADVICE
+    # r12): False ⇔ an undeclared transform may have filtered rows — the
+    # engine then refuses to route through it.  The covenant INHERITS
+    # down cascades: a coarse tier folded from an incomplete fine tier
+    # is itself incomplete however clean its own fold is (a cascade must
+    # never launder the flag away — r13 review finding)
+    base_complete = bool(
+        base.manifest(base_head).get("rollup_complete", True)
+    )
     extra = {
         "rollup_base_version": base_head,
         "rollup_resolution_s": int(resolution_s),
@@ -215,10 +225,19 @@ def refresh_rollup(
         # (coarse ← fine ← base) instead of comparing every tier
         # against the metrics head directly
         "rollup_base_root": os.path.abspath(base.root),
-        # completeness covenant for the transparent-serving doors
-        # (ADVICE r12): False ⇔ an undeclared transform may have
-        # filtered rows — the engine then refuses to route through it
-        "rollup_complete": transform is None or bool(transform_complete),
+        "rollup_complete": base_complete
+        and (transform is None or bool(transform_complete)),
+        # shaping convention for fresh='union' (r13 review finding): the
+        # union arm shapes the CDC delta with the engine's canonical
+        # value reshape, so it is only exact over tables maintained with
+        # no transform or that same canonical reshape — a CUSTOM
+        # transform makes the union arm mix incompatible values, and the
+        # engine refuses union serving for it (fresh/fallback unaffected)
+        "rollup_transform": (
+            "none"
+            if transform is None
+            else ("canonical" if transform_canonical else "custom")
+        ),
     }
     ru = SnapshotCatalog(rollup_root)
 
@@ -253,6 +272,15 @@ def refresh_rollup(
         # stamp the fresh covenant; this AND only guards the merge arm)
         sticky_complete = extra["rollup_complete"] and bool(
             man.get("rollup_complete", True)
+        )
+        # the shaping convention is sticky the same way: once any
+        # refresh folded custom-shaped rows in, the table stays
+        # union-unsafe until a rebuild re-shapes the full head
+        sticky_transform = (
+            "custom"
+            if man.get("rollup_transform") == "custom"
+            or extra["rollup_transform"] == "custom"
+            else extra["rollup_transform"]
         )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
@@ -384,7 +412,11 @@ def refresh_rollup(
             ts_col="bucket",
             target_files=target_files,
             prune_files=True,
-            extra={**extra, "rollup_complete": sticky_complete},
+            extra={
+                **extra,
+                "rollup_complete": sticky_complete,
+                "rollup_transform": sticky_transform,
+            },
             head=head,
         )
 

@@ -936,22 +936,29 @@ def streaming_quantile_sketch(
     bucket), one count per occupied log-scale slot, re-emitted each
     micro-batch so the stream's last emission per (metric, bucket, slot)
     is bit-equal to the batch sketch over the same rows (slot counts
-    add — the mergeability the sketch exists for). NULL/NaN values skip,
-    exactly like the batch filter (the slot expression yields NULL for
-    both). ``bucket_us`` is integer epoch-µs (``timestamp_micros`` it
-    for the batch shape). The reference's streaming layer forwards raw
+    add — the mergeability the sketch exists for). NULL/NaN values
+    count under ``NULL_SLOT``, exactly like the batch sketch (the
+    complete-downsample property; rank walks filter the sentinel).
+    ``bucket_us`` is integer epoch-µs (``timestamp_micros`` it for the
+    batch shape). The reference's streaming layer forwards raw
     rows only (``query/streaming.rs``; SURVEY §2.9 superset)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from cardinalsin_spark.functions.core import time_bucket
     from cardinalsin_spark.operators.quantile_sketch import (
+        NULL_SLOT,
         quantile_sketch_slot,
     )
 
     keyed = sdf.select(
         "metric_name",
         F.unix_micros(time_bucket(ts_col, step_seconds)).alias("bucket_us"),
-        quantile_sketch_slot(F.col(value_col), alpha).alias("_slot"),
+        # NULL/NaN samples count under NULL_SLOT, exactly like the
+        # batch sketch (complete-downsample property)
+        F.coalesce(
+            quantile_sketch_slot(F.col(value_col), alpha),
+            F.lit(NULL_SLOT),
+        ).alias("_slot"),
     )
     return keyed.groupBy("metric_name", "bucket_us").applyInPandasWithState(
         _qsketch_fn,

@@ -417,3 +417,176 @@ def test_rollup_complete_covenant(spark, tmp_path):
     refresh_rollup(spark, cat, bad_root, 300, ["metric_name"],
                    transform=complete, transform_complete=True)
     assert SnapshotCatalog(bad_root).manifest()["rollup_complete"] is True
+
+
+def test_cascade_inherits_completeness_covenant(spark, tmp_path):
+    """r13 review finding 1: a cascade must never launder the
+    completeness covenant away — a coarse tier folded from an incomplete
+    fine tier is itself incomplete (moment cascades AND sketch
+    cascades), and the engine excludes it from transparent serving."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        cascade_quantile_sketch,
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.operators.rollup import (
+        cascade_rollup,
+        refresh_rollup,
+    )
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    START = 1_704_067_200
+    src = spark.range(0, 2000).select(
+        (
+            F.lit(START * 1_000_000_000) + (F.col("id") % 3600) * F.lit(10**9)
+        ).alias("ts_ns"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("name"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "metrics")
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    filtering = lambda df: df.withColumn("value", value_expr()).filter(
+        F.col("metric_name") == "s0"
+    )  # noqa: E731
+
+    # moment cascade: incomplete fine -> incomplete coarse
+    fine = str(tmp_path / "r300")
+    refresh_rollup(spark, cat, fine, 300, ["metric_name"],
+                   transform=filtering)
+    assert SnapshotCatalog(fine).manifest()["rollup_complete"] is False
+    coarse = str(tmp_path / "r3600")
+    cascade_rollup(spark, fine, coarse, 3600, ["metric_name"])
+    assert SnapshotCatalog(coarse).manifest()["rollup_complete"] is False
+    eng = CardinalSin(spark, path).attach_rollup(coarse)
+    st = eng.rollup_status()[0]
+    assert not st["eligible"] and "rollup_complete" in st["reason"], st
+
+    # sketch cascade: same inheritance
+    sfine = str(tmp_path / "qs300")
+    refresh_quantile_sketch(spark, cat, sfine, 300, ["metric_name"], 0.01,
+                            transform=filtering)
+    assert SnapshotCatalog(sfine).manifest()["rollup_complete"] is False
+    scoarse = str(tmp_path / "qs3600")
+    cascade_quantile_sketch(spark, sfine, scoarse, 3600, ["metric_name"],
+                            0.01)
+    assert SnapshotCatalog(scoarse).manifest()["rollup_complete"] is False
+    eng2 = CardinalSin(spark, path)
+    eng2.attach_quantile_sketch(scoarse, 3600, alpha=0.01)
+    st = eng2.sketch_status()[0]
+    assert not st["eligible"] and "rollup_complete" in st["reason"], st
+
+
+def test_union_refuses_custom_transform(spark, tmp_path):
+    """r13 review finding 4: the fresh='union' delta arms shape the CDC
+    delta with the engine's CANONICAL value reshape — a table maintained
+    with a custom (even row-preserving) transform must refuse union
+    serving rather than mix incompatible values; the canonical reshape
+    (transform_canonical=True) keeps serving."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics, write_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    START = 1_704_067_200
+
+    def src(lo, hi):
+        return spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000) + F.col("id") * F.lit(10**9)
+            ).alias("ts_ns"),
+            F.lit("s0").alias("name"),
+            (F.col("id") % 7).cast("double").alias("v"),
+        )
+
+    path = str(tmp_path / "metrics")
+    write_metrics(normalize_to_metrics(src(0, 1200), "ts_ns", "name", "v"),
+                  path, mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    # a CUSTOM value reshape: row-preserving (complete) but NOT the
+    # canonical value_expr the union delta arm applies
+    scaled = lambda df: df.withColumn(
+        "value", value_expr() / F.lit(1000.0)
+    )  # noqa: E731
+    ru = str(tmp_path / "ru_custom")
+    refresh_rollup(spark, cat, ru, 300, ["metric_name"], transform=scaled,
+                   transform_complete=True)
+    assert SnapshotCatalog(ru).manifest()["rollup_transform"] == "custom"
+    eng = CardinalSin(spark, path).attach_rollup(ru, fresh="union")
+    # stale it with an append
+    import os
+    import shutil
+
+    stage = str(tmp_path / "stage")
+    normalize_to_metrics(src(1200, 1500), "ts_ns", "name", "v").coalesce(
+        1
+    ).write.parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(os.path.join(stage, f),
+                        os.path.join(path, f"x-{i}.parquet"))
+    cat.commit_new_files()
+    st = eng.rollup_status()[0]
+    assert not st["eligible"] and "custom transform" in st["reason"], st
+    assert eng._route_rollups() == []
+    # the canonical twin keeps union-serving on the same base state
+    eng2 = CardinalSin(spark, path)
+    ru2 = str(tmp_path / "ru_canon")
+    # refresh from the PRE-append state is gone; bootstrap now and
+    # append again so the rollup genuinely lags
+    eng2.refresh_rollup(ru2, 300, series_cols=["metric_name"])
+    stage2 = str(tmp_path / "stage2")
+    normalize_to_metrics(src(1500, 1800), "ts_ns", "name", "v").coalesce(
+        1
+    ).write.parquet(stage2)
+    for i, f in enumerate(sorted(os.listdir(stage2))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(os.path.join(stage2, f),
+                        os.path.join(path, f"y-{i}.parquet"))
+    cat.commit_new_files()
+    eng2.attach_rollup(ru2, fresh="union")
+    st2 = eng2.rollup_status()[0]
+    assert st2["eligible"] and "rollup ∪ downsampled delta" in st2["reason"]
+
+
+def test_from_sketch_rejects_sample_column_args(spark, tmp_path):
+    """r13 review finding 7: from_sketch=True must loud-reject
+    ts_col/value_col (the docstring's promise), not silently ignore
+    them."""
+    from cardinalsin_spark.operators.quantile_sketch import (
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    fake = SnapshotCatalog(str(tmp_path / "nothing"))
+    with pytest.raises(FileNotFoundError):
+        refresh_quantile_sketch(
+            spark, fake, str(tmp_path / "out"), 600, ["metric_name"],
+            from_sketch=True,
+        )
+    # the column-arg rejection fires before any base read
+    import os
+
+    os.makedirs(str(tmp_path / "nothing"), exist_ok=True)
+    with pytest.raises(ValueError, match="ts_col/value_col"):
+        refresh_quantile_sketch(
+            spark, _FakeBase(), str(tmp_path / "out"), 600, ["metric_name"],
+            from_sketch=True, ts_col="event_ts",
+        )
+
+
+class _FakeBase:
+    root = "/nonexistent"
+
+    def current_version(self):
+        return 0
+
+    def manifest(self, v):
+        return {"rollup_resolution_s": 300, "sketch_alpha": 0.01,
+                "rollup_complete": True}

@@ -383,9 +383,16 @@ def test_nonfinite_values_and_modifier_guards(spark, tmp_path):
     assert q0 == float("-inf") and q1 == float("inf")
     # target = floor(0.5*(6-1))+1 = 3rd smallest of [-inf,1,2,3,4,inf]
     assert abs(qm - 2.0) / 2.0 <= 0.01
-    # NaN rows contribute no slot at all
-    total = sk.agg(F.sum("qcount")).first()[0]
+    # NaN rows land in the NULL_SLOT sentinel (key presence for the
+    # DISTINCT doors) and NEVER in a value slot — the rank walks above
+    # already proved they are outside the distribution
+    from cardinalsin_spark.operators.quantile_sketch import NULL_SLOT
+
+    total = sk.filter(F.col("qslot") != NULL_SLOT).agg(
+        F.sum("qcount")
+    ).first()[0]
     assert total == 6
+    assert sk.filter(F.col("qslot") == NULL_SLOT).first().qcount == 2
     # modifier guards
     from cardinalsin_spark.engine import CardinalSin
     from cardinalsin_spark.sources.ingest import (
@@ -468,6 +475,7 @@ def test_sketch_union_serving(spark, tmp_path):
     refresh_quantile_sketch(
         spark, cat, sk_root, 300, ["metric_name"], 0.01,
         transform=_norm_shape(), transform_complete=True,
+        transform_canonical=True,  # union-safe: the engine's reshape
     )
     rb = SnapshotCatalog(sk_root).manifest()["rollup_base_version"]
     # base moves on WITHOUT a sketch refresh
@@ -548,6 +556,7 @@ def test_sketch_cascade_pyramid(spark, tmp_path):
     refresh_quantile_sketch(
         spark, cat, fine_root, 300, ["metric_name"], 0.01,
         transform=shape, transform_complete=True,
+        transform_canonical=True,
     )
     cascade_quantile_sketch(spark, fine_root, coarse_root, 3600,
                             ["metric_name"], 0.01)
@@ -579,6 +588,7 @@ def test_sketch_cascade_pyramid(spark, tmp_path):
     refresh_quantile_sketch(
         spark, cat, fine_root, 300, ["metric_name"], 0.01,
         transform=shape, transform_complete=True,
+        transform_canonical=True,
     )
     eng = CardinalSin(spark, path)
     raw = CardinalSin(spark, path)
@@ -719,12 +729,36 @@ def test_sql_door_sketch_routing(spark, tmp_path):
          f"WHERE timestamp >= timestamp_seconds({start + 7}) "
          f"AND timestamp <= timestamp_seconds({end}) "
          "GROUP BY tb, metric_name"),
+        # r13 review finding 5: an output alias colliding with a
+        # sketch-internal column would make the routed plan raise
+        # AMBIGUOUS_REFERENCE — refuse instead (raw answers)
+        ("SELECT time_bucket(timestamp, 600) AS qslot, metric_name, "
+         "approx_percentile(value, 0.9) AS p90 FROM metrics "
+         f"WHERE timestamp >= timestamp_seconds({start}) "
+         f"AND timestamp <= timestamp_seconds({end}) "
+         "GROUP BY qslot, metric_name"),
+        # 3-arg accuracy form pins Spark's KLL estimator — never route
+        ("SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+         "percentile_approx(value, 0.9, 100) AS p90 FROM metrics "
+         f"WHERE timestamp >= timestamp_seconds({start}) "
+         f"AND timestamp <= timestamp_seconds({end}) "
+         "GROUP BY tb, metric_name"),
     ]
     for bad in refuse:
         assert eng._maybe_route_sql_sketch(bad) is None, bad
         res = eng.sql(bad)  # passes through to Spark untouched
         assert not any("qs300" in f for f in res.inputFiles()), bad
         assert res.count() > 0
+    # r13 review finding 3: bucketing a NON-timestamp column must never
+    # route onto sketch buckets built over `timestamp` (door-only check
+    # — the raw form of this contrived query is itself a type error)
+    assert eng._maybe_route_sql_sketch(
+        "SELECT time_bucket(ts_ns, 600) AS tb, metric_name, "
+        "approx_percentile(value, 0.9) AS p90 FROM metrics "
+        f"WHERE ts_ns >= timestamp_seconds({start}) "
+        f"AND ts_ns <= timestamp_seconds({end}) "
+        "GROUP BY tb, metric_name"
+    ) is None
 
 
 def test_advisor_recommends_sketch_and_histogram_tiers(spark, tmp_path):
@@ -858,21 +892,33 @@ def test_engine_refresh_and_cli_cascade(spark, tmp_path, capsys):
 def test_metadata_doors_serve_from_sketch(spark, tmp_path):
     """Serving-matrix symmetry: when no moment rollup qualifies, the
     metadata endpoints (label_values/series) and the SQL DISTINCT door
-    serve from a fresh attached quantile sketch — its (bucket, series)
-    keys give the identical DISTINCT set over grid-aligned bounds. A
-    qualifying rollup still wins (fewer rows); misaligned bounds scan
-    raw."""
+    serve from a fresh attached quantile sketch — the NULL_SLOT sentinel
+    makes it a COMPLETE downsample, so a series whose in-window samples
+    are all NULL still appears (the r13 review failure scenario). Only
+    sketches whose manifest proves the sentinel property
+    (``sketch_null_slot``) may serve; a qualifying rollup still wins;
+    misaligned bounds scan raw."""
     from cardinalsin_spark.engine import CardinalSin
     from cardinalsin_spark.operators.compaction import downsample
+    from cardinalsin_spark.operators.quantile_sketch import (
+        refresh_quantile_sketch,
+    )
     from cardinalsin_spark.schema import value_expr
     from cardinalsin_spark.sources.ingest import (
         normalize_to_metrics,
         write_metrics,
     )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
 
+    # m0/m1/m2 carry values; m3's samples are ALL NULL (value-less
+    # points) — raw DISTINCT keeps it, so every served DISTINCT must too
     src = spark.createDataFrame(
         [
-            ((START + i) * 10**9, "m" + str(i % 3), float(i % 11))
+            (
+                (START + i) * 10**9,
+                "m" + str(i % 4),
+                None if i % 4 == 3 else float(i % 11),
+            )
             for i in range(1800)
         ],
         "ts_ns long, name string, v double",
@@ -880,20 +926,26 @@ def test_metadata_doors_serve_from_sketch(spark, tmp_path):
     path = str(tmp_path / "metrics")
     write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
                   mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
     eng = CardinalSin(spark, path)
-    shaped = eng.metrics.withColumn("value", value_expr())
     sp = str(tmp_path / "qs300")
-    downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01)\
-        .write.parquet(sp)
+    refresh_quantile_sketch(
+        spark, cat, sp, 300, ["metric_name"], 0.01,
+        transform=_norm_shape(), transform_complete=True,
+        transform_canonical=True,
+    )
+    assert SnapshotCatalog(sp).manifest()["sketch_null_slot"] is True
     eng.attach_quantile_sketch(sp, 300, alpha=0.01)
     start, end = START, START + 1799  # (end+1) % 300 == 0
+    want = ["m0", "m1", "m2", "m3"]
 
     got = eng.label_values("metric_name", None, start, end)
     assert got.inputFiles() and all("qs300" in f for f in got.inputFiles())
-    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    assert [r[0] for r in got.collect()] == want
     got = eng.series(None, start, end)
     assert all("qs300" in f for f in got.inputFiles())
-    assert got.count() == 3
+    assert got.count() == 4
     q = (
         "SELECT DISTINCT metric_name FROM metrics "
         f"WHERE timestamp >= timestamp_seconds({start}) "
@@ -901,16 +953,31 @@ def test_metadata_doors_serve_from_sketch(spark, tmp_path):
     )
     got = eng.sql(q)
     assert all("qs300" in f for f in got.inputFiles())
-    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    assert [r[0] for r in got.collect()] == want
     # misaligned bounds: raw scan, same answer
     got = eng.label_values("metric_name", None, start + 7, end)
     assert not any("qs300" in f for f in got.inputFiles())
-    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    assert [r[0] for r in got.collect()] == want
+    # a pre-sentinel / plain-parquet sketch cannot PROVE completeness —
+    # it must never serve the metadata doors
+    plain_eng = CardinalSin(spark, path)
+    pp = str(tmp_path / "plain_sketch")
+    downsample_quantile_sketch(
+        plain_eng.metrics.withColumn("value", value_expr()), 300,
+        ["metric_name"], 0.01,
+    ).write.parquet(pp)
+    plain_eng.attach_quantile_sketch(pp, 300, alpha=0.01, fresh="static")
+    got = plain_eng.label_values("metric_name", None, start, end)
+    assert not any("plain_sketch" in f for f in got.inputFiles())
+    assert [r[0] for r in got.collect()] == want
     # a qualifying moment rollup wins over the sketch (fewer rows)
     rp = str(tmp_path / "r300")
-    downsample(shaped, 300, ["metric_name"]).write.parquet(rp)
-    eng.attach_rollup(rp, 300)
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300, ["metric_name"]
+    ).write.parquet(rp)
+    eng.attach_rollup(rp, 300, fresh="static")
     got = eng.label_values("metric_name", None, start, end)
     files = got.inputFiles()
     assert files and all("r300" in f for f in files), files
-    assert [r[0] for r in got.collect()] == ["m0", "m1", "m2"]
+    assert [r[0] for r in got.collect()] == want
+

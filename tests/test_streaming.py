@@ -635,8 +635,9 @@ def test_streaming_quantile_sketch_matches_batch(
     stream's LAST emitted (slot, count) grid per (metric, bucket) must be
     bit-equal to downsample_quantile_sketch over the same rows — the slot
     is computed Spark-side with the SAME column expression on both paths,
-    so libm drift cannot split a value across slots. NULL values skip on
-    both sides."""
+    so libm drift cannot split a value across slots. NULL values count
+    under the NULL_SLOT sentinel on both sides (complete-downsample
+    property)."""
     from cardinalsin_spark.operators.quantile_sketch import (
         downsample_quantile_sketch,
     )
@@ -664,9 +665,12 @@ def test_streaming_quantile_sketch_matches_batch(
         .collect()
     }
     assert last == batch
-    # both micro-batches contributed (counts merged, not replaced):
-    # at least one (metric, bucket, slot) must exceed any single batch's
-    # contribution — cheap proxy: total count equals the non-null rows
-    assert sum(last.values()) == nulled.filter(
-        F.col("value").isNotNull()
-    ).count()
+    # the sketch is a COMPLETE downsample: total counts equal ALL rows
+    # (null samples under the sentinel), and the sentinel rows carry
+    # exactly the null count
+    from cardinalsin_spark.operators.quantile_sketch import NULL_SLOT
+
+    assert sum(last.values()) == nulled.count()
+    assert sum(
+        c for (m, b, s), c in last.items() if s == NULL_SLOT
+    ) == nulled.filter(F.col("value").isNull()).count()
