@@ -231,6 +231,48 @@ class CardinalSin:
         out.sort(key=lambda d: (-d["serves"], d["kind"], -d["resolution_s"]))
         return out
 
+    def apply_recommendation(
+        self,
+        rec: dict,
+        root: str,
+        series_cols: list[str] | None = None,
+        target_files: int = 1,
+    ) -> int:
+        """Act on one :meth:`recommend_rollups` entry: materialize the
+        recommended tier at ``root`` (``refresh_rollup`` /
+        ``refresh_quantile_sketch`` with the engine's canonical value
+        reshape) and attach it for transparent serving — the full
+        adaptive loop the reference's static downsample config never
+        closes (``compactor/mod.rs:70-91`` + ``adaptive_index/``).
+        ``moment`` and ``histogram`` recommendations both materialize a
+        moment rollup (the histogram tier serves from `le`-keyed moment
+        rows — the default series columns include every label, `le`
+        included); ``quantile_sketch`` materializes a sketch at the
+        recommended (resolution, α). Returns the new table version;
+        re-ask :meth:`recommend_rollups` afterwards and
+        ``already_attached`` flips."""
+        kind = rec.get("kind", "moment")
+        r = int(rec["resolution_s"])
+        if kind == "quantile_sketch":
+            v = self.refresh_quantile_sketch(
+                root,
+                r,
+                series_cols=series_cols,
+                alpha=float(rec.get("alpha", 0.01)),
+                target_files=target_files,
+            )
+            self.attach_quantile_sketch(
+                root, r, alpha=float(rec.get("alpha", 0.01))
+            )
+            return v
+        if kind in ("moment", "histogram"):
+            v = self.refresh_rollup(
+                root, r, series_cols=series_cols, target_files=target_files
+            )
+            self.attach_rollup(root, r)
+            return v
+        raise ValueError(f"unknown recommendation kind: {kind!r}")
+
     # -- write path ----------------------------------------------------------
 
     def ingest(

@@ -981,3 +981,44 @@ def test_metadata_doors_serve_from_sketch(spark, tmp_path):
     assert files and all("r300" in f for f in files), files
     assert [r[0] for r in got.collect()] == want
 
+
+
+def test_apply_recommendation_closes_the_loop(spark, tmp_path):
+    """engine.apply_recommendation materializes + attaches the advised
+    tier (moment rollup or quantile sketch) — recommend → apply → the
+    next recommend reports already_attached and the query routes."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 1800, seed=67), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    start, end = START, START + 1799
+    eng.promql_range("sum(m)", start, end, 600)
+    eng.quantile_approx("m", 0.9, start, end, 600)
+    recs = {r["kind"]: r for r in eng.recommend_rollups()}
+    assert {"moment", "quantile_sketch"} <= set(recs)
+
+    eng.apply_recommendation(recs["moment"], str(tmp_path / "ru"),
+                             series_cols=["metric_name"])
+    eng.apply_recommendation(recs["quantile_sketch"], str(tmp_path / "qs"),
+                             series_cols=["metric_name"])
+    after = {r["kind"]: r for r in eng.recommend_rollups()}
+    assert after["moment"]["already_attached"]
+    assert after["quantile_sketch"]["already_attached"]
+    # and both tiers actually serve
+    got = eng.promql_range("sum(m)", start, end, 600)
+    assert all("/ru" in f for f in got.inputFiles()), got.inputFiles()
+    got = eng.quantile_approx("m", 0.9, start, end, 600)
+    assert all("/qs" in f for f in got.inputFiles()), got.inputFiles()
+    with pytest.raises(ValueError, match="kind"):
+        eng.apply_recommendation({"kind": "bogus", "resolution_s": 600},
+                                 str(tmp_path / "x"))
