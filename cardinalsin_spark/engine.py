@@ -83,7 +83,9 @@ class CardinalSin:
         ] = []
         # (step_s, start_s, end_s) per bucketed range query, both doors —
         # the rollup advisor's input (bounded; see _log_range)
-        self._range_log: list[tuple[int, float, float]] = []
+        self._range_log: list[
+            tuple[int, float, float, str, float | None]
+        ] = []
 
     # -- opt-in subsystems ----------------------------------------------------
 
@@ -237,6 +239,7 @@ class CardinalSin:
         root: str,
         series_cols: list[str] | None = None,
         target_files: int = 1,
+        subsecond: bool = False,
     ) -> int:
         """Act on one :meth:`recommend_rollups` entry: materialize the
         recommended tier at ``root`` (``refresh_rollup`` /
@@ -250,7 +253,11 @@ class CardinalSin:
         included); ``quantile_sketch`` materializes a sketch at the
         recommended (resolution, α). Returns the new table version;
         re-ask :meth:`recommend_rollups` afterwards and
-        ``already_attached`` flips."""
+        ``already_attached`` flips.  ``subsecond`` MUST match the flag
+        the recommendations were computed with (r13 second-review
+        finding: attaching a tier without it over microsecond data
+        leaves the advised queries on the raw path while
+        already_attached reads True — a silent dead end)."""
         kind = rec.get("kind", "moment")
         r = int(rec["resolution_s"])
         if kind == "quantile_sketch":
@@ -262,14 +269,17 @@ class CardinalSin:
                 target_files=target_files,
             )
             self.attach_quantile_sketch(
-                root, r, alpha=float(rec.get("alpha", 0.01))
+                root,
+                r,
+                alpha=float(rec.get("alpha", 0.01)),
+                subsecond=subsecond,
             )
             return v
         if kind in ("moment", "histogram"):
             v = self.refresh_rollup(
                 root, r, series_cols=series_cols, target_files=target_files
             )
-            self.attach_rollup(root, r)
+            self.attach_rollup(root, r, subsecond=subsecond)
             return v
         raise ValueError(f"unknown recommendation kind: {kind!r}")
 
@@ -1095,8 +1105,13 @@ class CardinalSin:
         API contract but are DIFFERENT approximations, so this door is
         the one place routing is approximation-transparent rather than
         bit-transparent; ``quantile_approx`` is the bit-transparent door
-        (its raw arm builds the same sketch).  None = not that shape /
-        nothing aligned / stale — caller runs raw SQL."""
+        (its raw arm builds the same sketch).  The ROW SET is exact
+        either way: groups whose samples are all NULL emit a NULL
+        estimate, like raw.  One documented value edge: the sketch
+        excludes NaN samples from the distribution (the percentile
+        convention) while Spark's estimator sorts NaN above every
+        number.  None = not that shape / nothing aligned / stale —
+        caller runs raw SQL."""
         from pyspark.sql import Window
 
         from cardinalsin_spark.functions.core import time_bucket
@@ -1187,12 +1202,15 @@ class CardinalSin:
         )
         for col, lits in spec["filters"]:
             ro = ro.filter(F.col(col).isin(*lits))
-        # NULL/NaN sample counts (the NULL_SLOT sentinel) keep keys
-        # present for DISTINCT serving but are not part of the
-        # distribution — Spark's approx_percentile ignores nulls too
+        # NULL/NaN sample counts (the NULL_SLOT sentinel) are not part
+        # of the distribution — Spark's approx_percentile ignores nulls
+        # too — but their GROUPS must still appear: the raw plan emits
+        # (group, NULL) for an all-NULL group, so the routed plan keeps
+        # sentinel rows through the groupBy and only excludes them from
+        # the rank walk (r13 second-review finding: pre-filtering
+        # dropped those groups entirely — row-set divergence).
         from cardinalsin_spark.operators.quantile_sketch import NULL_SLOT
 
-        ro = ro.filter(F.col("qslot") != F.lit(NULL_SLOT))
         keys = [
             F.col(spec["bucket_alias"]),
             *[F.col(c) for c in spec["group_cols"]],
@@ -1204,14 +1222,18 @@ class CardinalSin:
         ).agg(F.sum("qcount").alias("qcount"))
         # one window cumsum serves every requested quantile: per group,
         # the q-slot is the FIRST (min, slots are value-ordered) slot
-        # whose cumulative count reaches floor(q·(n−1))+1
+        # whose cumulative count reaches floor(q·(n−1))+1 over the
+        # NON-sentinel counts
+        sample = F.when(
+            F.col("qslot") != F.lit(NULL_SLOT), F.col("qcount")
+        ).otherwise(F.lit(0))
         w = (
             Window.partitionBy(*keys)
             .orderBy("qslot")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        sk = sk.withColumn("__cum", F.sum("qcount").over(w)).withColumn(
-            "__n", F.sum("qcount").over(Window.partitionBy(*keys))
+        sk = sk.withColumn("__cum", F.sum(sample).over(w)).withColumn(
+            "__n", F.sum(sample).over(Window.partitionBy(*keys))
         )
         agg_exprs = []
         for q, _, alias in spec["quantiles"]:
@@ -1219,10 +1241,21 @@ class CardinalSin:
                 F.floor(F.lit(q) * (F.col("__n") - 1)).cast("long") + F.lit(1)
             )
             slot_q = F.min(
-                F.when(F.col("__cum") >= target_rank, F.col("qslot"))
+                F.when(
+                    (F.col("__cum") >= target_rank)
+                    & (F.col("qslot") != F.lit(NULL_SLOT)),
+                    F.col("qslot"),
+                )
             )
+            # an all-NULL group has no candidate slot → NULL, exactly
+            # the raw plan's NULL approx_percentile (the estimate
+            # when-chain would otherwise fall through to 0.0)
             agg_exprs.append(
-                quantile_sketch_estimate(slot_q, alpha).alias(alias)
+                F.when(
+                    slot_q.isNull(), F.lit(None).cast("double")
+                )
+                .otherwise(quantile_sketch_estimate(slot_q, alpha))
+                .alias(alias)
             )
         out = sk.groupBy(*keys).agg(*agg_exprs)
         if spec["order_by"]:
@@ -1262,38 +1295,15 @@ class CardinalSin:
         if not referenced.issubset(set(self.metrics.columns)):
             return None
         need = {*spec["cols"], "bucket", *[c for c, _ in spec["filters"]]}
-        best = None
-        for r, target, sub in self._route_rollups():
-            if not self._bounds_on_grid(
-                spec["start_s"], spec["end_s"], r, sub
-            ):
-                continue
-            ro = (
-                read_table_auto(self.spark, target)
-                if isinstance(target, str)
-                else target
-            )
-            if need.issubset(set(ro.columns)) and (
-                best is None or r > best[0]
-            ):
-                best = (r, ro)
+        best = self._best_tier(
+            self._route_rollups(), need, spec["start_s"], spec["end_s"]
+        )
         if best is None:
             # last resort: a quantile sketch's (bucket, series) keys
             # give the identical DISTINCT set (see _maybe_route_metadata)
-            for r, target, sub in self._route_sketches():
-                if not self._bounds_on_grid(
-                    spec["start_s"], spec["end_s"], r, sub
-                ):
-                    continue
-                ro = (
-                    read_table_auto(self.spark, target)
-                    if isinstance(target, str)
-                    else target
-                )
-                if need.issubset(set(ro.columns)) and (
-                    best is None or r > best[0]
-                ):
-                    best = (r, ro)
+            best = self._best_tier(
+                self._route_sketches(), need, spec["start_s"], spec["end_s"]
+            )
         if best is None:
             return None
         ro = best[1]
@@ -1475,7 +1485,7 @@ class CardinalSin:
           parent-head scan), never raw.  A vacuumed removed file falls
           through to raw.
         """
-        complete, union_unsafe = self._manifest_flags(path)
+        complete, union_unsafe, _ = self._manifest_flags(path)
         if not complete:
             # ADVICE r12: a rollup maintained with a row-filtering
             # transform would silently shrink DISTINCT/metadata results
@@ -1560,11 +1570,11 @@ class CardinalSin:
             "touched coarse buckets)",
         )
 
-    def _manifest_flags(self, path: str) -> tuple[bool, bool]:
-        """ONE manifest read serving both per-query covenant checks
+    def _manifest_flags(self, path: str) -> tuple[bool, bool, bool]:
+        """ONE manifest read serving every per-query covenant check
         (r13 review: the separate helpers each re-read the same JSON on
         every query — needless on object storage). Returns
-        ``(complete, union_unsafe)``:
+        ``(complete, union_unsafe, null_slot)``:
 
         * ``complete`` — the ADVICE r12 completeness covenant: False ⇔
           the manifest records ``rollup_complete=false`` (a transform
@@ -1577,21 +1587,27 @@ class CardinalSin:
           ``fresh='union'`` delta arms apply the engine's canonical
           value reshape, so a custom-shaped table must never union with
           them (missing key / plain parquet = legacy, trusted as
-          canonical like the completeness default)."""
+          canonical like the completeness default);
+        * ``null_slot`` — the sketch records NULL/NaN counts under the
+          NULL_SLOT sentinel (``sketch_null_slot``), the
+          complete-downsample property the metadata/DISTINCT doors
+          require — here the missing-key default is FALSE (a
+          pre-sentinel or plain-parquet sketch cannot prove it)."""
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
             snapshot_managed,
         )
 
         if not isinstance(path, str) or not snapshot_managed(path):
-            return True, False
+            return True, False, False
         try:
             man = SnapshotCatalog(path).manifest()
         except FileNotFoundError:
-            return True, False
+            return True, False, False
         return (
             bool(man.get("rollup_complete", True)),
             man.get("rollup_transform") == "custom",
+            bool(man.get("sketch_null_slot", False)),
         )
 
     def _direct_union_target(
@@ -1748,6 +1764,7 @@ class CardinalSin:
         base_head: int | None,
         cat,
         build: bool = True,
+        flags: tuple[bool, bool, bool] | None = None,
     ) -> tuple[object, str]:
         """Quantile-sketch twin of ``_serving_state`` — the same chain
         walk and freshness doctrine, but the ``fresh='union'`` folds
@@ -1761,7 +1778,9 @@ class CardinalSin:
         split across a sketch row and a delta partial is fine — every
         consumer re-aggregates by (bucket, series, qslot) before the
         rank walk."""
-        complete, union_unsafe = self._manifest_flags(path)
+        complete, union_unsafe, _ = (
+            flags if flags is not None else self._manifest_flags(path)
+        )
         if not complete:
             return (
                 None,
@@ -1965,10 +1984,7 @@ class CardinalSin:
         plain-parquet sketch has no manifest to prove the property."""
         if not self._attached_sketches:
             return []
-        from cardinalsin_spark.sources.snapshots import (
-            SnapshotCatalog,
-            snapshot_managed,
-        )
+        from cardinalsin_spark.sources.snapshots import snapshot_managed
 
         base_head = None
         cat = None
@@ -1977,16 +1993,11 @@ class CardinalSin:
             base_head = cat.current_version()
         out: list[tuple[int, object, bool]] = []
         for r, path, sub, a, fresh in self._attached_sketches:
-            if not snapshot_managed(path):
-                continue
-            try:
-                man = SnapshotCatalog(path).manifest()
-            except FileNotFoundError:
-                continue
-            if not man.get("sketch_null_slot"):
+            flags = self._manifest_flags(path)
+            if not flags[2]:  # no proven NULL_SLOT property
                 continue
             target, _why = self._sketch_serving_state(
-                r, path, fresh, a, base_head, cat, build=True
+                r, path, fresh, a, base_head, cat, build=True, flags=flags
             )
             if target is not None:
                 out.append((r, target, sub))
@@ -2122,6 +2133,37 @@ class CardinalSin:
             df = _ns_prefilter(df, start_s, end_s)
         return df
 
+    def _best_tier(
+        self,
+        triples,
+        need: set,
+        start_s: float | None,
+        end_s: float | None,
+        best=None,
+    ):
+        """Pick the coarsest serving candidate whose grid covers the
+        closed bounds and that kept every needed column — the shared
+        candidate walk of the metadata/DISTINCT doors (r13 review: the
+        same 17 lines were pasted per door per tier kind). ``triples``
+        is a ``_route_rollups()``/``_route_sketches()`` list; ``best``
+        threads a prior winner so tier kinds chain (rollups first,
+        sketches as the last resort)."""
+        from cardinalsin_spark.sources.snapshots import read_table_auto
+
+        for r, target, sub in triples:
+            if not self._bounds_on_grid(start_s, end_s, r, sub):
+                continue
+            ro = (
+                read_table_auto(self.spark, target)
+                if isinstance(target, str)
+                else target
+            )
+            if need.issubset(set(ro.columns)) and (
+                best is None or r > best[0]
+            ):
+                best = (r, ro)
+        return best
+
     def _maybe_route_metadata(
         self,
         need_cols: list[str],
@@ -2160,36 +2202,15 @@ class CardinalSin:
                 if m.label != "__name__"
             }
 
-        best: tuple[int, DataFrame] | None = None
-        for r, target, sub in self._route_rollups():
-            if not self._bounds_on_grid(start_s, end_s, r, sub):
-                continue
-            ro = (
-                read_table_auto(self.spark, target)
-                if isinstance(target, str)
-                else target
-            )
-            if need.issubset(set(ro.columns)) and (
-                best is None or r > best[0]
-            ):
-                best = (r, ro)
+        best = self._best_tier(self._route_rollups(), need, start_s, end_s)
         if best is None:
             # last resort: a quantile SKETCH keeps the full (bucket,
             # series) key set too, so its DISTINCT labels are exactly
             # the raw table's over grid-aligned bounds — more rows than
             # a moment rollup (×occupied slots), far fewer than raw
-            for r, target, sub in self._route_sketches():
-                if not self._bounds_on_grid(start_s, end_s, r, sub):
-                    continue
-                ro = (
-                    read_table_auto(self.spark, target)
-                    if isinstance(target, str)
-                    else target
-                )
-                if need.issubset(set(ro.columns)) and (
-                    best is None or r > best[0]
-                ):
-                    best = (r, ro)
+            best = self._best_tier(
+                self._route_sketches(), need, start_s, end_s
+            )
         if best is None:
             return None
         ro = best[1]

@@ -299,8 +299,16 @@ def refresh_quantile_sketch(
         "sketch_alpha": float(alpha),
         # this sketch retains NULL/NaN counts under NULL_SLOT — the
         # complete-downsample property the metadata/DISTINCT doors
-        # require (pre-sentinel sketches lack it and must not serve them)
-        "sketch_null_slot": True,
+        # require. The property INHERITS down cascades (a coarse tier
+        # folded from a pre-sentinel fine tier lacks the NULL-only
+        # keys) and, like the covenants, is sticky across incremental
+        # refreshes — only a rebuild/bootstrap that re-sketches the
+        # full head can (re)establish it (r13 second-review finding)
+        "sketch_null_slot": (
+            True
+            if not from_sketch
+            else bool(fine_man.get("sketch_null_slot", False))
+        ),
         "rollup_complete": base_complete
         and (transform is None or bool(transform_complete)),
         # union-safety shaping convention — see refresh_rollup (the
@@ -357,6 +365,11 @@ def refresh_quantile_sketch(
             or extra["rollup_transform"] == "custom"
             else extra["rollup_transform"]
         )
+        # pre-sentinel history keeps the table out of the DISTINCT
+        # doors until a rebuild re-sketches it with NULL_SLOT rows
+        sticky_null_slot = extra["sketch_null_slot"] and bool(
+            man.get("sketch_null_slot", False)
+        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: counts cannot be subtracted
@@ -385,6 +398,7 @@ def refresh_quantile_sketch(
                 **extra,
                 "rollup_complete": sticky_complete,
                 "rollup_transform": sticky_transform,
+                "sketch_null_slot": sticky_null_slot,
             },
             head=head,
         )

@@ -1022,3 +1022,152 @@ def test_apply_recommendation_closes_the_loop(spark, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         eng.apply_recommendation({"kind": "bogus", "resolution_s": 600},
                                  str(tmp_path / "x"))
+    # r13 second-review finding 3: subsecond threads through to the
+    # attach — otherwise micros-bounds workloads never route while
+    # already_attached reads True (a silent adaptive dead end)
+    eng.apply_recommendation(recs["quantile_sketch"],
+                             str(tmp_path / "qs_sub"),
+                             series_cols=["metric_name"], subsecond=True)
+    assert eng._attached_sketches[-1][2] is True  # the subsecond flag
+
+
+def test_null_slot_property_is_sticky_and_inherited(spark, tmp_path):
+    """r13 second-review finding 1: sketch_null_slot must not be
+    laundered — an incremental refresh over a pre-sentinel table keeps
+    False (only a rebuild re-sketches the full head and restores it),
+    a cascade from a pre-sentinel fine tier inherits False, and the
+    metadata doors exclude both."""
+    import json
+    import os
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        cascade_quantile_sketch,
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 1200, seed=71), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    sk_root = str(tmp_path / "qs300")
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01,
+        transform=_norm_shape(), transform_complete=True,
+        transform_canonical=True,
+    )
+    sk = SnapshotCatalog(sk_root)
+    assert sk.manifest()["sketch_null_slot"] is True
+
+    # simulate a PRE-SENTINEL table: strip the key from the head
+    # manifest (legacy manifests never carried it)
+    head = sk.current_version()
+    mpath = os.path.join(sk_root, "_snapshots", f"v{head:06d}.json")
+    man = json.load(open(mpath))
+    man.pop("sketch_null_slot")
+    json.dump(man, open(mpath, "w"))
+    assert "sketch_null_slot" not in sk.manifest()
+
+    # a cascade from the "legacy" fine tier inherits the missing
+    # property as False
+    coarse = str(tmp_path / "qs3600")
+    cascade_quantile_sketch(spark, sk_root, coarse, 3600, ["metric_name"],
+                            0.01)
+    assert SnapshotCatalog(coarse).manifest()["sketch_null_slot"] is False
+
+    # incremental refresh (disjoint later buckets) stays False...
+    write_metrics(
+        normalize_to_metrics(
+            _sk_batch(spark, 1200, 1800, seed=71), "ts_ns", "name", "v"
+        ),
+        path,
+    )
+    cat.commit_new_files()
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01,
+        transform=_norm_shape(), transform_complete=True,
+        transform_canonical=True,
+    )
+    assert sk.manifest()["sketch_null_slot"] is False
+    # ...and the metadata doors refuse it
+    eng = CardinalSin(spark, path)
+    eng.attach_quantile_sketch(sk_root, 300, alpha=0.01)
+    assert eng._route_sketches() == []
+    # a rewrite-shaped base commit rebuilds the full head → restored
+    cat.compact(spark, target_files=1)
+    refresh_quantile_sketch(
+        spark, cat, sk_root, 300, ["metric_name"], 0.01,
+        transform=_norm_shape(), transform_complete=True,
+        transform_canonical=True,
+    )
+    assert sk.manifest()["sketch_null_slot"] is True
+    eng2 = CardinalSin(spark, path)
+    eng2.attach_quantile_sketch(sk_root, 300, alpha=0.01)
+    assert eng2._route_sketches()
+
+
+def test_sql_sketch_door_keeps_all_null_groups(spark, tmp_path):
+    """r13 second-review finding 2: a (bucket, metric) whose in-range
+    samples are all NULL must appear in the routed result with a NULL
+    estimate — exactly the raw plan's row set."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (
+                (START + i) * 10**9,
+                "m" + str(i % 2),
+                None if i % 2 == 1 else float(1 + i % 7),
+            )
+            for i in range(1200)
+        ],
+        "ts_ns long, name string, v double",
+    )
+    path = str(tmp_path / "metrics")
+    write_metrics(normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+                  mode="overwrite")
+    eng = CardinalSin(spark, path)
+    shaped = eng.metrics.withColumn("value", value_expr())
+    shaped.createOrReplaceTempView("metrics")
+    sp = str(tmp_path / "qs300")
+    downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01)\
+        .write.parquet(sp)
+    eng.attach_quantile_sketch(sp, 300, alpha=0.01)
+    start, end = START, START + 1199
+    q = (
+        "SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        "approx_percentile(value, 0.9) AS p90 FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        "GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    out = eng.sql(q)
+    assert all("qs300" in f for f in out.inputFiles())
+    rows = out.collect()
+    # raw row set: both metrics in every bucket; m1's estimate is NULL
+    raw = spark.sql(
+        q.replace("time_bucket(timestamp, 600)",
+                  "timestamp_seconds(CAST(floor(unix_timestamp(timestamp)"
+                  "/600)*600 AS BIGINT))")
+    ).collect()
+    assert [(r.tb, r.metric_name) for r in rows] == [
+        (r.tb, r.metric_name) for r in raw
+    ]
+    for r in rows:
+        if r.metric_name == "m1":
+            assert r.p90 is None
+        else:
+            assert r.p90 is not None
