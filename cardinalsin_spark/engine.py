@@ -193,9 +193,21 @@ class CardinalSin:
                 else (kind, None)
             )
             by_kind.setdefault(key, []).append((s, a, b))
-        attached_rollups = {r for r, _, _, _ in self._attached_rollups}
+        # a tier attached with subsecond=True serves integer-second
+        # bounds too (micros-exact alignment subsumes them), but a
+        # sub=False tier can never serve micros-bounds queries — count
+        # it attached only when the workload's precision allows it
+        # (r13 third-review finding: the mismatch read already_attached
+        # True while the advised queries kept scanning raw)
+        attached_rollups = {
+            r
+            for r, _, sub, _ in self._attached_rollups
+            if sub or not subsecond
+        }
         attached_sketches = {
-            (r, al) for r, _, _, al, _ in self._attached_sketches
+            (r, al)
+            for r, _, sub, al, _ in self._attached_sketches
+            if sub or not subsecond
         }
         out = []
         for (kind, alpha), entries in by_kind.items():
@@ -1106,8 +1118,10 @@ class CardinalSin:
         the one place routing is approximation-transparent rather than
         bit-transparent; ``quantile_approx`` is the bit-transparent door
         (its raw arm builds the same sketch).  The ROW SET is exact
-        either way: groups whose samples are all NULL emit a NULL
-        estimate, like raw.  One documented value edge: the sketch
+        either way — groups whose samples are all NULL emit a NULL
+        estimate, like raw — which is why only sketches whose manifest
+        proves the NULL_SLOT sentinel property (``sketch_null_slot``,
+        stamped by ``refresh_quantile_sketch``) may serve this door.  One documented value edge: the sketch
         excludes NaN samples from the distribution (the percentile
         convention) while Spark's estimator sorts NaN above every
         number.  None = not that shape / nothing aligned / stale —
@@ -1178,8 +1192,18 @@ class CardinalSin:
                 r, spec["start_s"], spec["end_s"], spec["step_s"], sub
             ):
                 continue
+            flags = self._manifest_flags(path)
+            if not flags[2]:
+                # r13 third-review finding: a pre-sentinel / plain-
+                # parquet sketch has no NULL-count rows to prove, so an
+                # all-NULL (bucket, group) would vanish from the routed
+                # row set while raw SQL emits (group, NULL) — the
+                # row-set exactness this door promises requires the
+                # manifest-proven sentinel property (refresh-maintain
+                # the sketch); never guess, raw answers
+                continue
             target, _why = self._sketch_serving_state(
-                r, path, fresh, a, base_head, cat, build=True
+                r, path, fresh, a, base_head, cat, build=True, flags=flags
             )
             if target is None:
                 continue
@@ -1280,7 +1304,6 @@ class CardinalSin:
         exactly one in-scope rollup row with the same label tuple.
         Misaligned bounds, missing columns, or staleness → None (raw)."""
         from cardinalsin_spark.operators.rollup import match_distinct_sql
-        from cardinalsin_spark.sources.snapshots import read_table_auto
 
         spec = match_distinct_sql(query, view=self.view_name)
         if spec is None or not (
@@ -2139,17 +2162,17 @@ class CardinalSin:
         need: set,
         start_s: float | None,
         end_s: float | None,
-        best=None,
     ):
         """Pick the coarsest serving candidate whose grid covers the
         closed bounds and that kept every needed column — the shared
         candidate walk of the metadata/DISTINCT doors (r13 review: the
         same 17 lines were pasted per door per tier kind). ``triples``
-        is a ``_route_rollups()``/``_route_sketches()`` list; ``best``
-        threads a prior winner so tier kinds chain (rollups first,
-        sketches as the last resort)."""
+        is a ``_route_rollups()``/``_route_sketches()`` list; callers
+        chain tier kinds by calling again only when this returns None
+        (rollups first, sketches as the last resort)."""
         from cardinalsin_spark.sources.snapshots import read_table_auto
 
+        best = None
         for r, target, sub in triples:
             if not self._bounds_on_grid(start_s, end_s, r, sub):
                 continue
@@ -2191,7 +2214,6 @@ class CardinalSin:
             return None
         from cardinalsin_spark.functions.core import label_matcher
         from cardinalsin_spark.operators.promql import parse_promql
-        from cardinalsin_spark.sources.snapshots import read_table_auto
 
         parsed = parse_promql(match) if match else None
         need = {*need_cols, "metric_name", "bucket"}

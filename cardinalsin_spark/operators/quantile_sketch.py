@@ -290,7 +290,9 @@ def refresh_quantile_sketch(
     # clean its own fold is (r13 review finding — a cascade must never
     # launder the flag away)
     base_complete = bool(
-        base.manifest(base_head).get("rollup_complete", True)
+        (fine_man if from_sketch else base.manifest(base_head)).get(
+            "rollup_complete", True
+        )
     )
     extra = {
         "rollup_base_version": base_head,

@@ -2075,6 +2075,8 @@ def _sketch_fixture(spark: SparkSession, sf_dir: str,
     )
     from cardinalsin_spark.schema import value_expr
 
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
     key = f"{sf_dir}::{resolution_s}"
     path = _SKETCH_FIXTURE_CACHE.get(key)
     if path is None:
@@ -2086,6 +2088,20 @@ def _sketch_fixture(spark: SparkSession, sf_dir: str,
             ["metric_name"],
             _SKETCH_ALPHA,
         ).write.mode("overwrite").parquet(path)
+        # manifest-bootstrap with the sketch keys: the SQL quantile
+        # door only serves sketches whose manifest PROVES the NULL_SLOT
+        # sentinel property (this build just wrote those rows), and
+        # attach validates alpha/resolution from the same manifest
+        cat = SnapshotCatalog(path)
+        cat.commit(
+            cat._list_parquet(path),
+            None,
+            extra={
+                "rollup_resolution_s": int(resolution_s),
+                "sketch_alpha": float(_SKETCH_ALPHA),
+                "sketch_null_slot": True,
+            },
+        )
         _SKETCH_FIXTURE_CACHE[key] = path
     return path
 

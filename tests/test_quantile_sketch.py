@@ -635,6 +635,23 @@ def test_sketch_cascade_pyramid(spark, tmp_path):
     ).collect()
 
 
+def _prove_sketch(path, resolution_s, alpha=0.01):
+    """Manifest-bootstrap a plain-parquet sketch with the keys the SQL
+    quantile door requires (sketch_null_slot proof + alpha/resolution)."""
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(path)
+    cat.commit(
+        cat._list_parquet(path),
+        None,
+        extra={
+            "rollup_resolution_s": int(resolution_s),
+            "sketch_alpha": float(alpha),
+            "sketch_null_slot": True,
+        },
+    )
+
+
 def test_sql_door_sketch_routing(spark, tmp_path):
     """VERDICT r12 item 5: approx_percentile/percentile_approx over a
     time_bucket grid routes through an attached quantile sketch under the
@@ -661,6 +678,7 @@ def test_sql_door_sketch_routing(spark, tmp_path):
     shaped.createOrReplaceTempView("metrics")
     sp = str(tmp_path / "qs300")
     downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01).write.parquet(sp)
+    _prove_sketch(sp, 300)  # the SQL door requires the NULL_SLOT proof
     eng.attach_quantile_sketch(sp, 300, alpha=0.01)
     start, end = START, START + 3600 - 1
     q = (
@@ -1145,6 +1163,7 @@ def test_sql_sketch_door_keeps_all_null_groups(spark, tmp_path):
     sp = str(tmp_path / "qs300")
     downsample_quantile_sketch(shaped, 300, ["metric_name"], 0.01)\
         .write.parquet(sp)
+    _prove_sketch(sp, 300)
     eng.attach_quantile_sketch(sp, 300, alpha=0.01)
     start, end = START, START + 1199
     q = (
