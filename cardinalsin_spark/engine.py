@@ -1004,8 +1004,6 @@ class CardinalSin:
                 "(metric{label=...}) — functions/aggregations/ranges "
                 "have no sketch-quantile semantics"
             )
-        # advisor input: quantile shapes need a sketch tier at this α
-        self._log_range(step_s, start_s, end_s, kind="quantile", alpha=alpha)
         if parsed.offset_seconds or parsed.at_seconds is not None:
             # neither arm applies modifiers here — silently ignoring
             # them would return un-shifted quantiles for valid PromQL
@@ -1013,6 +1011,11 @@ class CardinalSin:
                 "quantile_approx does not support offset/@ modifiers — "
                 "shift start_s/end_s instead"
             )
+        # advisor input: quantile shapes need a sketch tier at this α.
+        # Logged AFTER the modifier validation (ADVICE r13 #4): a query
+        # that errors was never evaluated and must not count as servable
+        # quantile workload in recommend_rollups tallies
+        self._log_range(step_s, start_s, end_s, kind="quantile", alpha=alpha)
         from cardinalsin_spark.sources.snapshots import snapshot_managed
 
         gcols = discover_label_columns(parsed)
@@ -1530,6 +1533,20 @@ class CardinalSin:
             return (path, why)
         if fresh != "union":
             return (None, why)
+        if union_unsafe:
+            # r13 review finding, widened r14 (ADVICE r13 #1): BOTH
+            # union arms recompute rows canonically — the direct arm
+            # reshapes the CDC delta with the engine's value reshape,
+            # the cascade arm folds parent rows with downsample_moments
+            # and NO transform — so a table maintained with a CUSTOM
+            # transform must never union with either (it would mix
+            # custom-shaped stored rows with canonical recomputed
+            # rows); refuse, raw answers bit-equal
+            return (
+                None,
+                why + " (fresh='union' refused: maintained with a "
+                "custom transform the union arms cannot reproduce)",
+            )
         # rb is non-None ONLY when the rollup sits straight on the
         # metrics table (a cascade tier's version numbers belong to its
         # parent rollup's catalog and must never be compared — or diffed
@@ -1538,16 +1555,6 @@ class CardinalSin:
         # walk stopped, which for a cascade tier stale at its own parent
         # link is still the first node
         if rb is not None:
-            if union_unsafe:
-                # r13 review finding: the union arm shapes the delta
-                # with the engine's canonical value reshape — over a
-                # table maintained with a CUSTOM transform it would mix
-                # incompatible values; refuse, raw answers bit-equal
-                return (
-                    None,
-                    why + " (fresh='union' refused: maintained with a "
-                    "custom transform the delta arm cannot reproduce)",
-                )
             try:
                 # a vacuumed base manifest (rb older than the retention
                 # horizon) makes the delta unreadable — treat as

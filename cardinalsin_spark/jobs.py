@@ -347,8 +347,16 @@ def main(argv: list[str] | None = None) -> int:
                 cascade_quantile_sketch,
             )
 
-            fine_cols = set(cat.read(spark).columns)
-            series = sorted(fine_cols - {"bucket", "qslot", "qcount"})
+            # preserve the fine sketch's column order (ADVICE r13 #3):
+            # an alphabetized set-difference made the coarse tier's
+            # column order drift from the fine tier's metric_name-first
+            # layout — harmless to unionByName consumers, but the tiers
+            # should stay column-order-identical
+            series = [
+                c
+                for c in cat.read(spark).columns
+                if c not in ("bucket", "qslot", "qcount")
+            ]
             v = cascade_quantile_sketch(
                 spark,
                 args.path,

@@ -883,43 +883,63 @@ _QSK_OUTPUT = "metric_name string, bucket_us long, qslot long, qcount long"
 _QSK_STATE = "slots array<long>, counts array<long>"
 
 
-def _qsketch_fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+def _qsketch_fn_factory(evict_ms: int | None):
     """Per-(metric, bucket) state: the occupied slot indices and their
-    counts as parallel long arrays — width bounded by log_γ(dynamic
-    range) (tens in practice), constant however long the stream runs.
-    The SLOT is computed Spark-side before this operator (the same
-    ``quantile_sketch_slot`` column expression the batch operator uses),
-    so JVM-vs-Python libm drift cannot split a value across slots; this
-    function only counts. Each micro-batch re-emits the full
-    (slot, count) grid, so the LAST emission per (metric, bucket, slot)
-    is bit-equal to ``downsample_quantile_sketch`` over the same rows."""
-    import pandas as pd
+    counts as parallel long arrays — PER-KEY width bounded by
+    log_γ(dynamic range) (tens in practice).  The SLOT is computed
+    Spark-side before this operator (the same ``quantile_sketch_slot``
+    column expression the batch operator uses), so JVM-vs-Python libm
+    drift cannot split a value across slots; this function only counts.
+    Each micro-batch re-emits the full (slot, count) grid, so the LAST
+    emission per (metric, bucket, slot) is bit-equal to
+    ``downsample_quantile_sketch`` over the same rows.  ``evict_ms``
+    (ADVICE r13 #2) arms a processing-time timeout per key: a
+    (metric, bucket) seeing no new rows for that long drops its state —
+    the rows already emitted stand, only the ability to fold FURTHER
+    late samples into the bucket is given up."""
 
-    if state.exists:
-        got = state.get
-        m = dict(zip(list(got[0]), list(got[1])))
-    else:
-        m = {}
-    n = 0
-    for pdf in pdf_iter:
-        s = pdf["_slot"].dropna()
-        if len(s) == 0:
-            continue
-        n += len(s)
-        for slot, cnt in s.astype("int64").value_counts().items():
-            m[int(slot)] = m.get(int(slot), 0) + int(cnt)
-    items = sorted(m.items())
-    state.update(([k for k, _ in items], [v for _, v in items]))
-    if n == 0:
-        return
-    yield pd.DataFrame(
-        {
-            "metric_name": [key[0]] * len(items),
-            "bucket_us": [key[1]] * len(items),
-            "qslot": [k for k, _ in items],
-            "qcount": [v for _, v in items],
-        }
-    )
+    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+        import pandas as pd
+
+        if evict_ms is not None and getattr(state, "hasTimedOut", False):
+            # allowed-lateness horizon passed with no new rows for this
+            # (metric, bucket): drop the state.  A sample arriving AFTER
+            # eviction would restart the bucket's counts from zero — the
+            # documented trade-off of bounding total state.
+            state.remove()
+            return
+        if state.exists:
+            got = state.get
+            m = dict(zip(list(got[0]), list(got[1])))
+        else:
+            m = {}
+        n = 0
+        for pdf in pdf_iter:
+            s = pdf["_slot"].dropna()
+            if len(s) == 0:
+                continue
+            n += len(s)
+            for slot, cnt in s.astype("int64").value_counts().items():
+                m[int(slot)] = m.get(int(slot), 0) + int(cnt)
+        items = sorted(m.items())
+        state.update(([k for k, _ in items], [v for _, v in items]))
+        if evict_ms is not None:
+            state.setTimeoutDuration(evict_ms)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "metric_name": [key[0]] * len(items),
+                "bucket_us": [key[1]] * len(items),
+                "qslot": [k for k, _ in items],
+                "qcount": [v for _, v in items],
+            }
+        )
+
+    return fn
+
+
+_qsketch_fn = _qsketch_fn_factory(None)
 
 
 def streaming_quantile_sketch(
@@ -928,6 +948,7 @@ def streaming_quantile_sketch(
     alpha: float = 0.01,
     ts_col: str = "timestamp",
     value_col: str = "value",
+    evict_after_s: int | None = None,
 ) -> DataFrame:
     """Streaming quantile-sketch maintenance via
     ``applyInPandasWithState`` — the stateful twin of
@@ -941,7 +962,20 @@ def streaming_quantile_sketch(
     complete-downsample property; rank walks filter the sentinel).
     ``bucket_us`` is integer epoch-µs (``timestamp_micros`` it for the
     batch shape). The reference's streaming layer forwards raw
-    rows only (``query/streaming.rs``; SURVEY §2.9 superset)."""
+    rows only (``query/streaming.rs``; SURVEY §2.9 superset).
+
+    State bound (ADVICE r13 #2): each key's state is constant-width
+    (occupied slots), but the KEY COUNT grows by one (metric, bucket)
+    pair per step_seconds of stream lifetime under the default
+    ``evict_after_s=None`` — fine for bounded runs and tests, linear
+    for a months-long continuous aggregation.  Pass ``evict_after_s``
+    (an allowed-lateness horizon, e.g. several steps) to arm a
+    processing-time timeout that drops a bucket's state once no new
+    row has arrived for it in that long: total state becomes
+    O(active buckets), and bit-equality to the batch sketch then holds
+    for samples arriving within the horizon — a sample later than that
+    restarts its bucket's counts (choose the horizon ≥ the ingest
+    path's worst-case lateness, exactly like a watermark)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from cardinalsin_spark.functions.core import time_bucket
@@ -961,11 +995,19 @@ def streaming_quantile_sketch(
         ).alias("_slot"),
     )
     return keyed.groupBy("metric_name", "bucket_us").applyInPandasWithState(
-        _qsketch_fn,
+        (
+            _qsketch_fn
+            if evict_after_s is None
+            else _qsketch_fn_factory(int(evict_after_s) * 1000)
+        ),
         outputStructType=_QSK_OUTPUT,
         stateStructType=_QSK_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if evict_after_s is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -590,3 +590,207 @@ class _FakeBase:
     def manifest(self, v):
         return {"rollup_resolution_s": 300, "sketch_alpha": 0.01,
                 "rollup_complete": True}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 regressions
+# ---------------------------------------------------------------------------
+
+START_R14 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+
+def _r14_src(spark, lo, hi, name="s0"):
+    return spark.range(lo, hi).select(
+        (
+            F.lit(START_R14 * 1_000_000_000) + F.col("id") * F.lit(10**9)
+        ).alias("ts_ns"),
+        F.lit(name).alias("name"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def _r14_append(spark, path, cat, lo, hi, tag):
+    import os
+    import shutil
+
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics
+
+    stage = path + f"_stage_{tag}"
+    normalize_to_metrics(
+        _r14_src(spark, lo, hi), "ts_ns", "name", "v"
+    ).coalesce(1).write.parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(stage, f), os.path.join(path, f"{tag}-{i}.parquet")
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    cat.commit_new_files()
+
+
+def test_union_refuses_custom_transform_cascade(spark, tmp_path):
+    """ADVICE r13 #1: the union-unsafe (rollup_transform='custom')
+    refusal previously guarded only the DIRECT union arm — a stale
+    moments-CASCADE tier maintained with a custom transform still served
+    under fresh='union' through the invalidation recompute, which folds
+    parent rows with NO transform (mixing custom-shaped stored rows with
+    canonical recomputed ones). Both union arms must refuse; the
+    transform-free cascade twin on the same state keeps serving."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.rollup import refresh_rollup
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_r14_src(spark, 0, 1200), "ts_ns", "name", "v"),
+        path,
+        mode="overwrite",
+    )
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    eng = CardinalSin(spark, path)
+    fine = str(tmp_path / "ru_fine")
+    eng.refresh_rollup(fine, 300, series_cols=["metric_name"])
+    # CUSTOM moments transform (row-preserving, hence complete): scales
+    # the stored sums — fresh='union' recompute could never reproduce it
+    scaled = lambda df: df.withColumn(  # noqa: E731
+        "sum_value", F.col("sum_value") / F.lit(1000.0)
+    )
+    coarse = str(tmp_path / "ru_coarse_custom")
+    refresh_rollup(
+        spark, SnapshotCatalog(fine), coarse, 3600, ["metric_name"],
+        moments=True, transform=scaled, transform_complete=True,
+    )
+    assert SnapshotCatalog(coarse).manifest()["rollup_transform"] == "custom"
+    coarse2 = str(tmp_path / "ru_coarse_clean")
+    refresh_rollup(
+        spark, SnapshotCatalog(fine), coarse2, 3600, ["metric_name"],
+        moments=True,
+    )
+    # stale both coarse tiers at their parent link: append to metrics,
+    # refresh the fine tier (parent chain fresh, coarse tiers lag)
+    _r14_append(spark, path, cat, 1200, 1500, "x")
+    eng.refresh_rollup(fine, 300, series_cols=["metric_name"])
+    probe = CardinalSin(spark, path)
+    probe.attach_rollup(coarse, 3600, fresh="union")
+    probe.attach_rollup(coarse2, 3600, fresh="union")
+    st = {s["path"]: s for s in probe.rollup_status()}
+    assert not st[coarse]["eligible"], st[coarse]
+    assert "custom transform" in st[coarse]["reason"], st[coarse]
+    # the clean twin proves the cascade union arm WOULD have served —
+    # i.e. the refusal above is the only thing standing in the way
+    assert st[coarse2]["eligible"], st[coarse2]
+    assert "recompute" in st[coarse2]["reason"], st[coarse2]
+    assert [r for r, _, _ in probe._route_rollups()] == [3600]
+
+
+def test_qsketch_eviction_state_protocol(tmp_path):
+    """ADVICE r13 #2: streaming_quantile_sketch's state store grew one
+    key per (metric, bucket) forever under NoTimeout. The evict_after_s
+    horizon arms a processing-time timeout — the timed-out invocation
+    must drop the key's state and emit nothing; live invocations must
+    re-arm the timeout after every update."""
+    import pandas as pd
+
+    from cardinalsin_spark.streaming.live import _qsketch_fn_factory
+
+    class _FakeState:
+        def __init__(self, exists=False, got=None, timed_out=False):
+            self.exists = exists
+            self.get = got
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _qsketch_fn_factory(90_000)
+    # timed-out invocation: state dropped, nothing emitted
+    st = _FakeState(exists=True, got=([3], [7]), timed_out=True)
+    assert list(fn(("m", 0), iter([]), st)) == []
+    assert st.removed and st.updated is None
+    # live invocation: counts fold and the timeout re-arms
+    st2 = _FakeState(exists=True, got=([3], [7]))
+    out = list(fn(("m", 0), iter([pd.DataFrame({"_slot": [3, 4]})]), st2))
+    assert st2.updated == ([3, 4], [8, 1]) and st2.timeout_ms == 90_000
+    assert len(out) == 1 and list(out[0]["qcount"]) == [8, 1]
+    # the NoTimeout default never touches the timeout API
+    fn0 = _qsketch_fn_factory(None)
+    st3 = _FakeState(exists=False)
+    list(fn0(("m", 0), iter([pd.DataFrame({"_slot": [1]})]), st3))
+    assert st3.timeout_ms is None and not st3.removed
+
+
+def test_jobs_sketch_cascade_preserves_column_order(spark, tmp_path, capsys):
+    """ADVICE r13 #3: the --from-sketch arm derived series columns as a
+    sorted set difference, alphabetizing the coarse tier's layout away
+    from the fine sketch's metric_name-first order. The tiers must stay
+    column-order-identical."""
+    from cardinalsin_spark import jobs
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "m")
+    # a label ("host") that sorts BEFORE metric_name alphabetically
+    src = _r14_src(spark, 0, 600).withColumn("host", F.lit("h1"))
+    write_metrics(
+        normalize_to_metrics(src, "ts_ns", "name", "v",
+                             label_cols={"host": "host"}),
+        path, mode="overwrite",
+    )
+    SnapshotCatalog(path).init_from_directory()
+    fine, coarse = str(tmp_path / "qs300"), str(tmp_path / "qs3600")
+    assert jobs.main(
+        ["sketch-refresh", "--path", path, "--out", fine,
+         "--resolution-s", "300"]
+    ) == 0
+    assert jobs.main(
+        ["sketch-refresh", "--path", fine, "--out", coarse,
+         "--resolution-s", "3600", "--from-sketch"]
+    ) == 0
+    capsys.readouterr()
+    fine_cols = SnapshotCatalog(fine).read(spark).columns
+    coarse_cols = SnapshotCatalog(coarse).read(spark).columns
+    assert fine_cols.index("metric_name") < fine_cols.index("host")
+    assert coarse_cols == fine_cols, (fine_cols, coarse_cols)
+
+
+def test_quantile_approx_rejected_query_not_logged(spark, tmp_path):
+    """ADVICE r13 #4: quantile_approx logged the range to the advisor
+    BEFORE rejecting offset/@ modifiers, so erroring queries counted as
+    servable quantile workload and skewed recommend_rollups tallies."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "m")
+    write_metrics(
+        normalize_to_metrics(_r14_src(spark, 0, 60), "ts_ns", "name", "v"),
+        path, mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    with pytest.raises(ValueError, match="offset/@"):
+        eng.quantile_approx("s0 offset 5m", 0.9, START_R14,
+                            START_R14 + 600, 300)
+    assert eng._range_log == []
+    assert eng.recommend_rollups() == []
+    # a valid evaluation still feeds the advisor
+    eng.quantile_approx("s0", 0.9, START_R14, START_R14 + 600 - 1, 300)
+    assert len(eng._range_log) == 1 and eng._range_log[0][3] == "quantile"
