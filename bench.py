@@ -70,8 +70,11 @@ BENCH_ORDER = [
     # sketch_quantile_routed builds its own quantile-sketch fixture on
     # top of the sqldoor metrics reshape (warm by now) — the sketch
     # build is ITS continuous-aggregate "index" and is priced cold via
-    # CACHE_NAMESAKES each repeat
-    "maint_sketch_quantile_routed",
+    # CACHE_NAMESAKES each repeat; promql_quantile_routed then measures
+    # the PromQL approximate-quantile serving door over the SAME warm
+    # sketch (the door is what's new — its fixture cost is already
+    # attributed to the namesake above)
+    "maint_sketch_quantile_routed", "promql_quantile_routed",
     "ts_asof_join", "ts_gapfill_locf", "ts_resets_changes",
     "ts_predict_linear", "ts_stddev", "promql_histogram_quantile",
     "tpch_q6", "tpch_q5ish", "tpch_q10ish", "tpch_q14ish", "ts_sessionize",
@@ -203,6 +206,32 @@ def main() -> int:
         spark.range(1)
         .selectExpr("array(1L, 2L) AS a", "array(3L, 4L) AS b")
         .select(dot_q_vectorized()(F.col("a"), F.col("b")).alias("d"))
+    )
+    # VERDICT r13 item 6 (early-suite attribution): the first
+    # events-table queries in BENCH_ORDER (flagship_minute_p99,
+    # ts_burn_rate, promql_histogram_quantile) read 2-4x their idle
+    # medians under the driver because they pay the events-scan +
+    # window/percentile codegen warm-up that idle-median runs amortize
+    # across 199 queries. Same doctrine as the UDF warm-up above: a
+    # fixed, UNTIMED probe touches those code paths (parquet scan of
+    # events, a grouped exact percentile, a partitioned window) so the
+    # first timed query measures its plan, not JVM first-touch.
+    from pyspark.sql import Window as _W
+
+    _ev_warm = q._events(spark, sf_dir).limit(50_000)
+    _run_to_completion(
+        _ev_warm.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.99)").alias("_p"),
+            F.avg("value").alias("_a"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    _run_to_completion(
+        _ev_warm.select(
+            F.lag("value")
+            .over(_W.partitionBy("event_type").orderBy("ts"))
+            .alias("_l")
+        )
     )
 
     # Write path first: measured in a quiet JVM, not after the whole suite.

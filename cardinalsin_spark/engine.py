@@ -86,6 +86,11 @@ class CardinalSin:
         self._range_log: list[
             tuple[int, float, float, str, float | None]
         ] = []
+        # loud routing contract for the sketch-quantile doors
+        # (quantile_approx / promql_range approx_quantile_alpha): the
+        # most recent call's {"routed", "alpha", "path", "resolution_s",
+        # "reason"} — see _sketch_quantile_grid
+        self.last_quantile_route: dict | None = None
 
     # -- opt-in subsystems ----------------------------------------------------
 
@@ -492,6 +497,7 @@ class CardinalSin:
         faithful: bool = True,
         tenant_id: str | None = None,
         at_version: int | None = None,
+        approx_quantile_alpha: float | None = None,
     ) -> DataFrame:
         """`/api/v1/query_range` — epoch-seconds range + step.
 
@@ -509,8 +515,35 @@ class CardinalSin:
         count ≈ rows scanned) instead of raw samples — transparent, exact
         by the moment-recomposition rules, raw-path fallback otherwise.
         Snapshot-pinned evaluation (``at_version``) never routes: the
-        rollup tracks the live table, not the pinned manifest."""
+        rollup tracks the live table, not the pinned manifest.
+
+        ``approx_quantile_alpha`` (VERDICT r13 item 2) — OPT-IN
+        approximate evaluation for ``quantile_over_time(q, m[w])``: the
+        grid's per-step quantiles are answered with the DDSketch-style
+        estimator at the given relative-error bound, served from a
+        matching attached quantile sketch when one aligns (α equality,
+        resolution divides the step, buckets tile the bounds), else from
+        a sketch built over the raw samples — BIT-EQUAL arms, so opting
+        in fixes the SEMANTICS (estimate within α of the exact sample
+        quantile) independent of what gets scanned.  This is never
+        silent: the default ``None`` keeps the exact PromQL evaluation;
+        passing a value for any other query shape raises (the flag would
+        be meaningless); ``self.last_quantile_route`` records which arm
+        answered.  The window must equal the step (tumbling grid — the
+        raw door's window==bucket convention), matching the reference's
+        only quantile escape hatch of pre-instrumented ``le`` families
+        (``api/query/prometheus_api.rs:998-1012``) without requiring
+        histogram instrumentation."""
         self._admit_query(tenant_id)
+        if approx_quantile_alpha is not None:
+            return self._promql_range_approx_quantile(
+                promql,
+                start_s,
+                end_s,
+                step_s,
+                float(approx_quantile_alpha),
+                at_version,
+            )
         # advisor tag: histogram_quantile/fraction shapes are served by
         # the `le`-keyed rollup tier, not plain moment recomposition
         self._log_range(
@@ -528,6 +561,65 @@ class CardinalSin:
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
             rollups=self._route_rollups() if at_version is None else None,
+        )
+        self._record(out)
+        return out
+
+    def _promql_range_approx_quantile(
+        self,
+        promql: str,
+        start_s: float,
+        end_s: float,
+        step_s: int,
+        alpha: float,
+        at_version: int | None,
+    ) -> DataFrame:
+        """The ``approx_quantile_alpha`` arm of :meth:`promql_range` —
+        loud-rejects every shape the sketch estimator has no semantics
+        for, then evaluates the ``quantile_over_time`` grid through
+        ``_sketch_quantile_grid`` (the same code path as
+        ``quantile_approx``, so routing transparency, freshness doctrine
+        and the ``last_quantile_route`` contract are shared verbatim).
+        Output matches the raw door's shape: ``(time_bucket,
+        metric_name, *labels, value)`` ordered by bucket."""
+        from cardinalsin_spark.operators.promql import parse_promql
+
+        parsed = parse_promql(promql)
+        if parsed.function != "quantile_over_time" or parsed.q is None:
+            raise ValueError(
+                "approx_quantile_alpha only applies to plain "
+                "quantile_over_time(q, selector[w]) range queries — "
+                f"got {promql!r}; drop the flag for exact evaluation"
+            )
+        if parsed.aggregation is not None:
+            raise ValueError(
+                "approx_quantile_alpha does not support an outer "
+                "aggregation around quantile_over_time — aggregate the "
+                "returned per-series estimates instead"
+            )
+        if parsed.offset_seconds or parsed.at_seconds is not None:
+            raise ValueError(
+                "approx_quantile_alpha does not support offset/@ "
+                "modifiers — shift start_s/end_s instead"
+            )
+        if at_version is not None:
+            raise ValueError(
+                "approx_quantile_alpha cannot combine with at_version — "
+                "attached sketches track the live table, not a pinned "
+                "manifest; drop the flag for exact pinned evaluation"
+            )
+        if parsed.range_seconds != step_s:
+            raise ValueError(
+                "approx_quantile_alpha requires window == step "
+                f"(tumbling grid; got window={parsed.range_seconds}s, "
+                f"step={step_s}s) — the raw range door evaluates "
+                "*_over_time per bucket, and the sketch route answers "
+                "exactly that question"
+            )
+        # advisor input AFTER validation (ADVICE r13 #4 convention)
+        self._log_range(step_s, start_s, end_s, kind="quantile", alpha=alpha)
+        out = self._sketch_quantile_grid(
+            parsed, parsed.q, start_s, end_s, step_s, alpha
         )
         self._record(out)
         return out
@@ -1016,7 +1108,50 @@ class CardinalSin:
         # that errors was never evaluated and must not count as servable
         # quantile workload in recommend_rollups tallies
         self._log_range(step_s, start_s, end_s, kind="quantile", alpha=alpha)
-        from cardinalsin_spark.sources.snapshots import snapshot_managed
+        return self._sketch_quantile_grid(
+            parsed, q, start_s, end_s, step_s, alpha
+        )
+
+    def _sketch_quantile_grid(
+        self,
+        parsed,
+        q: float,
+        start_s: float,
+        end_s: float,
+        step_s: int,
+        alpha: float,
+    ) -> DataFrame:
+        """The shared sketch-quantile evaluation behind
+        :meth:`quantile_approx` and the PromQL door's opt-in
+        ``approx_quantile_alpha`` (VERDICT r13 item 2): per-step q-quantile
+        estimates for a parsed plain selector, served from the coarsest
+        aligned attached sketch when one matches (α equality, resolution
+        divides the step, buckets tile the closed bounds, serving state
+        fresh/union-servable), else from a sketch built over the raw
+        samples at step granularity — BIT-EQUAL arms (both produce the
+        same per-(step, slot) counts before the same rank walk), so which
+        arm ran changes scan cost, never the answer.  The loud routing
+        contract: ``self.last_quantile_route`` records
+        ``{"routed", "alpha", "path", "resolution_s", "reason"}`` for the
+        most recent call, the introspection twin of ``sketch_status()``."""
+        from cardinalsin_spark.functions.core import time_bucket
+        from cardinalsin_spark.operators.promql import (
+            _selector_filter,
+            discover_label_columns,
+        )
+        from cardinalsin_spark.operators.timeseries import (
+            MetricsCols as _MCols,
+        )
+        from cardinalsin_spark.operators.quantile_sketch import (
+            downsample_quantile_sketch,
+            sketch_quantile,
+        )
+        from cardinalsin_spark.operators.rollup import rollup_covers
+        from cardinalsin_spark.schema import value_expr
+        from cardinalsin_spark.sources.snapshots import (
+            read_table_auto,
+            snapshot_managed,
+        )
 
         gcols = discover_label_columns(parsed)
         group = ["metric_name", *gcols]
@@ -1052,8 +1187,15 @@ class CardinalSin:
             if need.issubset(set(ro.columns)) and (
                 best is None or r > best[0]
             ):
-                best = (r, ro)
+                best = (r, ro, path)
         if best is not None:
+            self.last_quantile_route = {
+                "routed": True,
+                "alpha": alpha,
+                "path": best[2],
+                "resolution_s": best[0],
+                "reason": "served from attached sketch",
+            }
             b = F.col("bucket")
             ro = (
                 best[1]
@@ -1081,6 +1223,17 @@ class CardinalSin:
                 .agg(F.sum("qcount").alias("qcount"))
             )
         else:
+            self.last_quantile_route = {
+                "routed": False,
+                "alpha": alpha,
+                "path": None,
+                "resolution_s": None,
+                "reason": (
+                    "no attached sketch matched (alpha equality, "
+                    "bound/step alignment, columns, freshness) — "
+                    "sketched the raw samples; bit-equal, raw-scan cost"
+                ),
+            }
             raw = (
                 self.metrics.withColumn("value", value_expr())
                 .filter(_selector_filter(parsed, _MCols()))

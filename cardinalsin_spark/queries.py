@@ -2223,6 +2223,128 @@ FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_promql_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in approximate ``quantile_over_time`` at the PromQL door
+    (VERDICT r13 item 2): a 14-day daily p95 grid evaluated as
+    ``promql_range("quantile_over_time(0.95, {__name__=~'.+'}[1d])",
+    ..., approx_quantile_alpha=0.01)`` and served from the attached 6h
+    quantile sketch — completing the jump over the reference's wall,
+    which serves quantiles ONLY for metrics pre-instrumented as ``le``
+    histogram families (``api/query/prometheus_api.rs:998-1012``).  The
+    opt-in is never silent: the default flag keeps exact PromQL
+    evaluation, any non-quantile shape with the flag raises, and
+    ``last_quantile_route`` + the inputFiles guard here make a silent
+    raw fallback impossible.
+
+    Like ``maint_sketch_quantile_routed``, the libm-valued sketch
+    ESTIMATE stays out of the cross-engine hash; the hash-checked
+    CONTRACT is engine-independent: per (day, event_type) the exact
+    non-null sample count, the exact nearest-rank p95 on integer cents,
+    and ``within_alpha`` — the routed estimate lies within the declared
+    α=1% relative error of that exact quantile, asserted as literal
+    TRUE by the DuckDB oracle.
+
+    Scale shape: a 90-day p95 latency dashboard over arbitrary gauges
+    reads ~10²-10³ slot-count rows through this door instead of raw
+    samples; the exact arm here is the EVALUATION harness, not the
+    serving path."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.functions.core import time_bucket
+
+    mpath, _ = _sql_door_fixture(spark, sf_dir)
+    spath = _sketch_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.attach_quantile_sketch(spath, 21600, alpha=_SKETCH_ALPHA,
+                               subsecond=True)
+    start = 1704067200  # 2024-01-01 00:00:00 UTC
+    end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
+    est = eng.promql_range(
+        'quantile_over_time(0.95, {__name__=~".+"}[86400s])',
+        start, end, 86400, approx_quantile_alpha=_SKETCH_ALPHA,
+    )
+    route = eng.last_quantile_route
+    files = est.inputFiles()
+    if (
+        route is None
+        or not route["routed"]
+        or not any("/qsketch" in f for f in files)
+        or any("/metrics" in f for f in files)
+    ):
+        raise RuntimeError(
+            "promql_quantile_routed: the approx_quantile_alpha door must "
+            "serve from the attached sketch (alignment, alpha or the "
+            "route regressed) — refusing the silent raw fallback"
+        )
+    est = est.select(
+        "time_bucket",
+        F.col("metric_name").alias("event_type"),
+        F.col("value").alias("est_cents"),
+    )
+    exact = (
+        _events_cents(spark, sf_dir)
+        .filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
+            & (F.col("ts") <= F.timestamp_micros(F.lit(1705276799999999)))
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            time_bucket("ts", 86400).alias("time_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sample_count"),
+            F.expr("sort_array(collect_list(value_cents))").alias("__vs"),
+        )
+        .select(
+            "time_bucket",
+            "event_type",
+            "sample_count",
+            F.element_at(
+                "__vs",
+                (
+                    F.floor(F.lit(0.95) * (F.col("sample_count") - 1)) + 1
+                ).cast("int"),
+            ).alias("p95_cents"),
+        )
+    )
+    rel_ok = (
+        F.abs(F.col("est_cents") - F.col("p95_cents"))
+        / F.abs(F.col("p95_cents"))
+    ) <= F.lit(_SKETCH_ALPHA + 1e-9)
+    within = F.when(
+        F.col("p95_cents") == 0, F.col("est_cents") == F.lit(0.0)
+    ).otherwise(rel_ok)
+    return (
+        exact.join(est, ["time_bucket", "event_type"])
+        .select(
+            "time_bucket",
+            "event_type",
+            "sample_count",
+            "p95_cents",
+            within.alias("within_alpha"),
+        )
+        .orderBy("time_bucket", "event_type")
+    )
+
+
+SQL_PROMQL_QUANTILE_ROUTED = f"""
+WITH w AS (
+  SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
+         {_sql_cents('value')} AS c
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    AND value IS NOT NULL
+)
+SELECT time_bucket, event_type,
+       count(*) AS sample_count,
+       (array_agg(c ORDER BY c))[CAST(floor(0.95 * (count(*) - 1)) AS BIGINT) + 1]
+           AS p95_cents,
+       TRUE AS within_alpha
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time joins and gap-filling (SURVEY §2.3/§2.4 superset — the
 # canonical time-series ops Spark lacks natively, built as compositions)
@@ -5929,6 +6051,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_maint_sketch_quantile_routed,
         SQL_MAINT_SKETCH_QUANTILE_ROUTED,
     ),
+    "promql_quantile_routed": (
+        q_promql_quantile_routed,
+        SQL_PROMQL_QUANTILE_ROUTED,
+    ),
     "ts_asof_join": (q_ts_asof_join, SQL_TS_ASOF_JOIN),
     "ts_bloom_join": (q_ts_bloom_join, SQL_TS_BLOOM_JOIN),
     "ts_gapfill_locf": (q_ts_gapfill_locf, SQL_TS_GAPFILL_LOCF),
@@ -6073,86 +6199,86 @@ _load_llm_registry()
 # the back.  Every registry entry — windowed or not — is still covered by the
 # builder-side parity sweep (tests/test_oracle_parity.py) at sf0.001.
 _DRIVER_WINDOW = [
-    # Round-13 window (VERDICT r12 items 2+3), planned from
-    # `scripts/check_parity.py --ages --before 13`:
-    #   (a) the r9-stale tier — 48 of the 49 queries whose last green
-    #       driver row is CORRECTNESS_r09 (four code rounds stale; the
-    #       oldest coverage tier entering round 13): the docs search/
-    #       similarity/sampling tier, the emb projection/IVF/semdedup
-    #       tier, maint_retention, media_frame_sample, the tpch
-    #       q4/7/8/12/15-19/22ish rows, and the ts analytics tier.
-    #   (b) 2 additions: maint_sketch_quantile_routed — NEW this round
-    #       (quantile-sketch continuous-aggregate serving, VERDICT r12
-    #       item 2), never driver-checked; and maint_rollup_rate_routed
-    #       (r12-green) re-windowed because the serving gate every
-    #       rollup route passes through (`_serving_state`) gained the
-    #       completeness-covenant check this round (VERDICT r12 item 3:
-    #       "≥1 counter-routing row while the rollup tier churns").
-    #   Displaced to make room (the only r9-stale row left out):
-    #       docs_containment — its machinery (normalize_text +
-    #       _minhash_sims candidate pairs + a candidate-bounded pair
-    #       join) is pinned in-window by docs_edit_distance (same
-    #       family over the same candidates) and by docs_dedup_eval
-    #       (r12-green, same candidate index); it MUST lead the r14
-    #       window (5-round gap otherwise becomes 6).
-    # -- (a) r9-stale: docs search/similarity/sampling tier
-    "docs_bigram_lift",
-    "docs_bm25",
-    "docs_chunk_windows",
-    "docs_dup_cluster_stats",
-    "docs_edit_distance",
-    "docs_kmv_sample",
-    "docs_mixture_sample",
-    "docs_search_and",
-    "docs_source_quality",
-    "docs_tfidf_topterms",
-    # -- (a) r9-stale: emb tiers
-    "emb_centroids",
-    "emb_hamming_topk",
-    "emb_ivf_recall",
-    "emb_ivfpq_recall",
-    "emb_ivfpq_residual_topk",
-    "emb_norm_stats",
-    "emb_pca_project",
-    "emb_random_projection",
-    "emb_semdedup",
-    # -- (a) r9-stale: maintenance / media rows
-    "maint_retention",
-    "media_frame_sample",
-    # -- (a) r9-stale: tpch rows
-    "tpch_q4ish",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q12ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q22ish",
-    # -- (a) r9-stale: ts analytics tier
-    "ts_apdex",
-    "ts_autocorr_lag1",
-    "ts_burn_rate",
-    "ts_crosscorr",
-    "ts_cusum",
-    "ts_error_budget",
-    "ts_funnel",
-    "ts_gap_stats",
-    "ts_json_props",
-    "ts_lttb",
-    "ts_mad",
-    "ts_retention_cohorts",
-    "ts_seasonal_residual",
-    "ts_session_incidents",
-    "ts_time_weighted_avg",
-    "ts_value_quartiles",
-    "ts_weekday_profile",
-    # -- (b) ADDED in round 13 — never driver-checked (quantile-sketch
-    # continuous-aggregate serving, VERDICT r12 item 2)
-    "maint_sketch_quantile_routed",
-    # -- (b) re-windowed: the rollup serving gate churned this round
-    "maint_rollup_rate_routed",
+    # Round-14 window (VERDICT r13 items 1+2+7), planned from
+    # `scripts/check_parity.py --ages --before 14`:
+    #   (a) LEAD: docs_containment — the registry's only r9-green row
+    #       (displaced from the r13 window; at the 4-round rotation
+    #       limit). VERDICT r13 item 1 names it the mandatory leader.
+    #   (b) promql_quantile_routed — NEW this round (opt-in approximate
+    #       quantile_over_time serving from attached sketches, VERDICT
+    #       r13 item 2), never driver-checked; also this window's
+    #       sketch-routing row while the sketch-serving code churns.
+    #   (c) maint_rollup_sql_door (r11-green) re-windowed: the SQL-door
+    #       HAVING route gains the value-exactness manifest guard this
+    #       round (VERDICT r13 item 3) — the row that proves routing
+    #       still engages must be driver-checked while that gate churns.
+    #   (d) the r10-green tier — 47 of its 49 rows (everything whose
+    #       last green driver row is CORRECTNESS_r10, four rounds old).
+    #   Displaced to make room (the only r10 rows left out; both must
+    #   join the r15 window):
+    #       ts_rate_faithful / ts_rate_extrapolated — their operators
+    #       (timeseries.rate_faithful / rate_extrapolated) are exercised
+    #       IN-WINDOW through the transpiler by promql_rate_faithful /
+    #       promql_rate_extrapolated (operators/promql.py:3153 calls the
+    #       same functions), so only the thin cents-reshape wrappers go
+    #       unchecked this round.
+    # -- (a) rotation-limit leader
+    "docs_containment",
+    # -- (b) NEW: PromQL approximate-quantile serving contract row
+    "promql_quantile_routed",
+    # -- (c) HAVING-route guard churns (VERDICT r13 item 3)
+    "maint_rollup_sql_door",
+    # -- (d) r10-green: docs/media/maint tier
+    "docs_clean_corpus",
+    "docs_contamination",
+    "docs_crossdup",
+    "docs_near_dedup_cc",
+    "docs_temperature_mixture",
+    "maint_downsample",
+    "media_audio_features",
+    "media_image_features",
+    "media_resize",
+    # -- (d) r10-green: promql tier
+    "promql_absent",
+    "promql_at_pinned",
+    "promql_at_start",
+    "promql_binary_ratio",
+    "promql_clamp",
+    "promql_cmp_vector",
+    "promql_count_values",
+    "promql_day_of_week",
+    "promql_delta_faithful",
+    "promql_histogram_quantile",
+    "promql_idelta",
+    "promql_instant_sum",
+    "promql_instant_topk",
+    "promql_irate_faithful",
+    "promql_label_replace",
+    "promql_mad_over_time",
+    "promql_offset_delta",
+    "promql_predict_linear",
+    "promql_quantile",
+    "promql_range_at_end",
+    "promql_range_sum_by",
+    "promql_rate_extrapolated",
+    "promql_rate_faithful",
+    "promql_rate_range",
+    "promql_resets",
+    "promql_scalar_fold",
+    "promql_set_or",
+    "promql_set_unless",
+    "promql_subquery_max_rate",
+    # -- (d) r10-green: tpch tier
+    "tpch_q1",
+    "tpch_q13ish",
+    "tpch_q21ish",
+    "tpch_q9ish",
+    # -- (d) r10-green: ts tier
+    "ts_asof_join",
+    "ts_ewma",
+    "ts_irate_faithful",
+    "ts_moving_avg",
+    "ts_topk_by",
 ]
 
 def _reorder_registry() -> None:

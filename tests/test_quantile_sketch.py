@@ -1190,3 +1190,115 @@ def test_sql_sketch_door_keeps_all_null_groups(spark, tmp_path):
             assert r.p90 is None
         else:
             assert r.p90 is not None
+
+
+def test_promql_range_approx_quantile_routed(spark, tmp_path):
+    """VERDICT r13 item 2: promql_range(..., approx_quantile_alpha=α)
+    routes quantile_over_time grids to a matching attached sketch —
+    inputFiles pinned to the sketch, bit-equal to the raw arm (both
+    build the same slot counts), estimate within α of the exact
+    nearest-rank quantile, and the last_quantile_route contract loud on
+    both arms. The default (no flag) keeps exact PromQL evaluation."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.functions.core import time_bucket
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 3600, seed=73), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    sk_root = str(tmp_path / "qs300")
+    eng.refresh_quantile_sketch(sk_root, 300, series_cols=["metric_name"])
+    eng.attach_quantile_sketch(sk_root, 300, alpha=0.01)
+    start, end, step = START, START + 3600 - 1, 600
+    pq = "quantile_over_time(0.9, m[600s])"
+
+    routed = eng.promql_range(pq, start, end, step,
+                              approx_quantile_alpha=0.01)
+    assert eng.last_quantile_route["routed"] is True
+    assert eng.last_quantile_route["path"] == sk_root
+    files = routed.inputFiles()
+    assert files and all("qs300" in f for f in files)
+    got = routed.collect()
+    assert [c for c in routed.columns] == ["time_bucket", "metric_name",
+                                           "value"]
+
+    # raw arm (no sketch attached): bit-equal, loud unrouted contract
+    raw_eng = CardinalSin(spark, path)
+    raw = raw_eng.promql_range(pq, start, end, step,
+                               approx_quantile_alpha=0.01)
+    assert raw_eng.last_quantile_route["routed"] is False
+    assert "raw" in raw_eng.last_quantile_route["reason"]
+    assert got == raw.collect()
+
+    # same grid through quantile_approx — the doors share the code path
+    assert got == eng.quantile_approx("m", 0.9, start, end, step).collect()
+
+    # estimate within α of the exact nearest-rank per-bucket quantile
+    exact = {
+        r["time_bucket"]: r["p"]
+        for r in eng.metrics.filter(F.col("metric_name") == "m")
+        .groupBy(time_bucket("timestamp", step).alias("time_bucket"))
+        .agg(F.expr("sort_array(collect_list(value_f64))").alias("vs"))
+        .select(
+            "time_bucket",
+            F.element_at(
+                "vs",
+                (F.floor(F.lit(0.9) * (F.size("vs") - 1)) + 1).cast("int"),
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assert len(got) == len(exact) == 6
+    for r in got:
+        e = exact[r["time_bucket"]]
+        assert abs(r["value"] - e) <= 0.01 * abs(e) + 1e-12, (r, e)
+
+    # the DEFAULT stays the exact interpolated evaluation (no sketch
+    # route — different estimator, so values legitimately differ)
+    exact_door = eng.promql_range(pq, start, end, step)
+    assert exact_door.count() == 6
+    assert not any("qs300" in f for f in exact_door.inputFiles())
+
+
+def test_promql_range_approx_quantile_loud_rejections(spark, tmp_path):
+    """The approx flag is never silent: any shape the sketch estimator
+    has no semantics for raises instead of quietly answering a different
+    question."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+
+    path = str(tmp_path / "m")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 60, seed=5), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    eng = CardinalSin(spark, path)
+    s, e = START, START + 600 - 1
+    with pytest.raises(ValueError, match="only applies to plain"):
+        eng.promql_range("rate(m[300s])", s, e, 300,
+                         approx_quantile_alpha=0.01)
+    with pytest.raises(ValueError, match="approx_quantile_alpha"):
+        eng.promql_range("sum(quantile_over_time(0.9, m[300s]))", s, e,
+                         300, approx_quantile_alpha=0.01)
+    with pytest.raises(ValueError, match="offset/@"):
+        eng.promql_range("quantile_over_time(0.9, m[300s] offset 5m)",
+                         s, e, 300, approx_quantile_alpha=0.01)
+    with pytest.raises(ValueError, match="at_version"):
+        eng.promql_range("quantile_over_time(0.9, m[300s])", s, e, 300,
+                         approx_quantile_alpha=0.01, at_version=0)
+    with pytest.raises(ValueError, match="window == step"):
+        eng.promql_range("quantile_over_time(0.9, m[900s])", s, e, 300,
+                         approx_quantile_alpha=0.01)
+    # none of the rejected queries fed the advisor (ADVICE r13 #4)
+    assert eng._range_log == []

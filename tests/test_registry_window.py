@@ -1,6 +1,6 @@
 """The external driver's correctness gate checks only the FIRST 50 entries
 of ``queries()`` (verified against CORRECTNESS_r03..r11: their keys were
-exactly registry[:50]).  These tests pin the round-13 window composition:
+exactly registry[:50]).  These tests pin the round-14 window composition:
 
 * every registry query with NO past green driver CORRECTNESS row must be
   windowed (or carry an explicit exception naming a sibling that pins the
@@ -15,12 +15,14 @@ driver landing this round's (all-green) artifact cannot re-arm these tests
 — the r5/r6 self-arming failure.  The simulation regression below runs
 against a COPY of the artifacts in a temp directory (ADVICE r7: writing the
 fake artifact into the live repo root risked leaving a forged driver file
-behind on a hard kill).  Window rotation for r14 is a planning task (bump
+behind on a hard kill).  Window rotation for r15 is a planning task (bump
 WINDOW_ROUND, rewrite _DRIVER_WINDOW and RECHECK together; see
-``scripts/check_parity.py --ages --before 14`` — the r10-green tier is
-next, AND docs_containment MUST lead the r14 window: it is the one
-r9-green row displaced from r13 to make room for the two maint routing
-rows, so its gap is already 5 rounds).
+``scripts/check_parity.py --ages --before 15`` — the r11-green tier is
+next, AND ts_rate_faithful / ts_rate_extrapolated MUST join the r15
+window: they are the two r10-green rows displaced from r14 to make room
+for promql_quantile_routed + maint_rollup_sql_door; their operators are
+pinned in-window by the promql twins, but the wrappers' own gap becomes
+5 rounds otherwise).
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ WINDOW = 50
 # The round whose driver gate this window is aimed at.  _past_driver_green
 # only reads CORRECTNESS files from rounds < WINDOW_ROUND, so the driver
 # landing this round's artifact cannot re-arm these tests.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -74,69 +76,74 @@ WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 # Justification for every windowed slot that already has a green driver row.
 # Keyed by query name → reason tag.  Reasons:
-#   stale-r9          — last green row is CORRECTNESS_r09, four code
+#   stale-r9-limit    — docs_containment: last green CORRECTNESS_r09,
+#                       FIVE code rounds ago (the one row displaced from
+#                       the r13 window) — at the 4-round rotation limit;
+#                       VERDICT r13 item 1 names it the mandatory r14
+#                       window leader.
+#   stale-r10         — last green row is CORRECTNESS_r10, four code
 #                       rounds ago; the oldest coverage tier entering
-#                       round 13 (VERDICT r12 item 3 names this set;
-#                       docs_containment is the one r9 row displaced —
-#                       its candidate-pair machinery is pinned in-window
-#                       by docs_edit_distance and by the r12-green
-#                       docs_dedup_eval — and must lead the r14 window).
-#   serving-gate-r13  — maint_rollup_rate_routed is r12-green, but the
-#                       serving gate every rollup route passes through
-#                       (engine._serving_state) gained the completeness-
-#                       covenant check this round; VERDICT r12 item 3
-#                       demands ≥1 counter-routing row stay windowed
-#                       while the rollup serving tier churns.
+#                       round 14 (VERDICT r13 item 1 names this set;
+#                       ts_rate_faithful / ts_rate_extrapolated are the
+#                       two rows displaced — operators pinned in-window
+#                       by promql_rate_faithful / promql_rate_extrapolated,
+#                       which call the same timeseries functions through
+#                       the transpiler — and must join the r15 window).
+#   having-guard-r14  — maint_rollup_sql_door is r11-green, but the SQL
+#                       HAVING route it proves gains the value-exactness
+#                       manifest guard this round (VERDICT r13 item 3):
+#                       the row that asserts routing still ENGAGES must
+#                       be driver-checked while that gate churns.
 RECHECK: dict[str, str] = {
-    "docs_bigram_lift": "stale-r9",
-    "docs_bm25": "stale-r9",
-    "docs_chunk_windows": "stale-r9",
-    "docs_dup_cluster_stats": "stale-r9",
-    "docs_edit_distance": "stale-r9",
-    "docs_kmv_sample": "stale-r9",
-    "docs_mixture_sample": "stale-r9",
-    "docs_search_and": "stale-r9",
-    "docs_source_quality": "stale-r9",
-    "docs_tfidf_topterms": "stale-r9",
-    "emb_centroids": "stale-r9",
-    "emb_hamming_topk": "stale-r9",
-    "emb_ivf_recall": "stale-r9",
-    "emb_ivfpq_recall": "stale-r9",
-    "emb_ivfpq_residual_topk": "stale-r9",
-    "emb_norm_stats": "stale-r9",
-    "emb_pca_project": "stale-r9",
-    "emb_random_projection": "stale-r9",
-    "emb_semdedup": "stale-r9",
-    "maint_retention": "stale-r9",
-    "media_frame_sample": "stale-r9",
-    "tpch_q4ish": "stale-r9",
-    "tpch_q7ish": "stale-r9",
-    "tpch_q8ish": "stale-r9",
-    "tpch_q12ish": "stale-r9",
-    "tpch_q15ish": "stale-r9",
-    "tpch_q16ish": "stale-r9",
-    "tpch_q17ish": "stale-r9",
-    "tpch_q18ish": "stale-r9",
-    "tpch_q19ish": "stale-r9",
-    "tpch_q22ish": "stale-r9",
-    "ts_apdex": "stale-r9",
-    "ts_autocorr_lag1": "stale-r9",
-    "ts_burn_rate": "stale-r9",
-    "ts_crosscorr": "stale-r9",
-    "ts_cusum": "stale-r9",
-    "ts_error_budget": "stale-r9",
-    "ts_funnel": "stale-r9",
-    "ts_gap_stats": "stale-r9",
-    "ts_json_props": "stale-r9",
-    "ts_lttb": "stale-r9",
-    "ts_mad": "stale-r9",
-    "ts_retention_cohorts": "stale-r9",
-    "ts_seasonal_residual": "stale-r9",
-    "ts_session_incidents": "stale-r9",
-    "ts_time_weighted_avg": "stale-r9",
-    "ts_value_quartiles": "stale-r9",
-    "ts_weekday_profile": "stale-r9",
-    "maint_rollup_rate_routed": "serving-gate-r13",
+    "docs_containment": "stale-r9-limit",
+    "maint_rollup_sql_door": "having-guard-r14",
+    "docs_clean_corpus": "stale-r10",
+    "docs_contamination": "stale-r10",
+    "docs_crossdup": "stale-r10",
+    "docs_near_dedup_cc": "stale-r10",
+    "docs_temperature_mixture": "stale-r10",
+    "maint_downsample": "stale-r10",
+    "media_audio_features": "stale-r10",
+    "media_image_features": "stale-r10",
+    "media_resize": "stale-r10",
+    "promql_absent": "stale-r10",
+    "promql_at_pinned": "stale-r10",
+    "promql_at_start": "stale-r10",
+    "promql_binary_ratio": "stale-r10",
+    "promql_clamp": "stale-r10",
+    "promql_cmp_vector": "stale-r10",
+    "promql_count_values": "stale-r10",
+    "promql_day_of_week": "stale-r10",
+    "promql_delta_faithful": "stale-r10",
+    "promql_histogram_quantile": "stale-r10",
+    "promql_idelta": "stale-r10",
+    "promql_instant_sum": "stale-r10",
+    "promql_instant_topk": "stale-r10",
+    "promql_irate_faithful": "stale-r10",
+    "promql_label_replace": "stale-r10",
+    "promql_mad_over_time": "stale-r10",
+    "promql_offset_delta": "stale-r10",
+    "promql_predict_linear": "stale-r10",
+    "promql_quantile": "stale-r10",
+    "promql_range_at_end": "stale-r10",
+    "promql_range_sum_by": "stale-r10",
+    "promql_rate_extrapolated": "stale-r10",
+    "promql_rate_faithful": "stale-r10",
+    "promql_rate_range": "stale-r10",
+    "promql_resets": "stale-r10",
+    "promql_scalar_fold": "stale-r10",
+    "promql_set_or": "stale-r10",
+    "promql_set_unless": "stale-r10",
+    "promql_subquery_max_rate": "stale-r10",
+    "tpch_q1": "stale-r10",
+    "tpch_q13ish": "stale-r10",
+    "tpch_q21ish": "stale-r10",
+    "tpch_q9ish": "stale-r10",
+    "ts_asof_join": "stale-r10",
+    "ts_ewma": "stale-r10",
+    "ts_irate_faithful": "stale-r10",
+    "ts_moving_avg": "stale-r10",
+    "ts_topk_by": "stale-r10",
 }
 
 
@@ -239,3 +246,34 @@ def test_bench_order_covers_registry():
     assert len(seq) == len(names)
     stale = [n for n in bench.BENCH_ORDER if n not in names]
     assert not stale, f"stale BENCH_ORDER entries: {stale}"
+
+
+def test_registry_rotation_age_and_size():
+    """VERDICT r13 item 7: the registry sits at the 4-round/50-slot cycle
+    limit. Two invariants keep the rotation honest: (1) no row may be
+    older than 4 rounds unless THIS window re-checks it — last green
+    round >= WINDOW_ROUND - 4, or a slot in the current window; (2) the
+    registry stays <= 205 rows so the cycle length never silently grows
+    (new rows displace bench-tail slots, not extend the cycle)."""
+    assert len(q.REGISTRY) <= 205, len(q.REGISTRY)
+    last_green: dict[str, int] = {}
+    for fname in sorted(os.listdir(_REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) >= WINDOW_ROUND:
+            continue
+        with open(os.path.join(_REPO, fname)) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), int(m.group(1)))
+    window = set(_first_window())
+    too_old = [
+        (n, last_green.get(n))
+        for n in q.REGISTRY
+        if n not in window and last_green.get(n, WINDOW_ROUND) < WINDOW_ROUND - 4
+    ]
+    assert not too_old, f"rows past the 4-round rotation limit: {too_old}"
