@@ -853,11 +853,25 @@ class CardinalSin:
             *spec["group_cols"],
             *[c for c, _ in spec["filters"]],
         }
+        # sum/avg HAVING thresholds gate on the value-exactness stamp
+        # (VERDICT r13 item 3): float addition is reorder-sensitive, so
+        # on non-integer-exact values a group sitting exactly at the
+        # threshold can be included by one plan and excluded by the
+        # other — row-MEMBERSHIP drift, not the documented value drift.
+        # Only a manifest PROVING every folded value integer-exact
+        # (``rollup_values_integer_exact``, stamped by refresh_rollup)
+        # may route such a query; min/max/count thresholds are exact
+        # either way and route regardless.
+        having_sum_avg = any(
+            agg in ("sum", "avg") for agg, _, _, _ in spec["having"]
+        )
         best = None
-        for r, target, sub in self._route_rollups():
+        for r, target, sub, path in self._route_rollups(with_paths=True):
             if not rollup_covers(
                 r, spec["start_s"], spec["end_s"], spec["step_s"], sub
             ):
+                continue
+            if having_sum_avg and not self._manifest_flags(path)[3]:
                 continue
             ro = (
                 read_table_auto(self.spark, target)
@@ -886,15 +900,13 @@ class CardinalSin:
         # list; conditions over aggregates NOT selected ride along as
         # hidden columns and drop after the filter (same rows either
         # way — Spark's HAVING also evaluates on the aggregated rows).
-        # ROW-SET CAVEAT (ADVICE r12): sum/avg recompose from per-bucket
-        # partial sums, and float addition is reorder-sensitive — on
-        # NON-integer-exact values a group sitting exactly at a HAVING
-        # threshold can be included by one plan and excluded by the
-        # other, so the documented value-level drift (integer-cents
-        # doctrine, SCALE.md "Determinism at scale") becomes row-
-        # MEMBERSHIP drift here. min/max/count thresholds are exact
-        # either way; keep sum/avg HAVING thresholds to integer-exact
-        # data, or epsilon-pad the threshold.
+        # Row-set exactness for sum/avg thresholds is GUARDED, not
+        # documented (VERDICT r13 item 3): the candidate loop above
+        # skips any rollup whose manifest does not prove the
+        # value-exactness stamp, so by the time a sum/avg HAVING
+        # recomposes here every folded value is an integer-exact
+        # double and the partial sums equal the raw sums bit-for-bit
+        # in any accumulation order.
         hidden: list[str] = []
         hv_exprs = []
         conds = []
@@ -1596,6 +1608,10 @@ class CardinalSin:
                     "fresh": fresh,
                     "eligible": mode is not None,
                     "reason": why,
+                    # VERDICT r13 item 3: sum/avg HAVING routes require
+                    # this manifest-proven stamp; surfaced here so "why
+                    # didn't my HAVING query route" is answerable
+                    "values_integer_exact": self._manifest_flags(path)[3],
                 }
             )
         return out
@@ -1664,7 +1680,7 @@ class CardinalSin:
           parent-head scan), never raw.  A vacuumed removed file falls
           through to raw.
         """
-        complete, union_unsafe, _ = self._manifest_flags(path)
+        complete, union_unsafe, _, _ = self._manifest_flags(path)
         if not complete:
             # ADVICE r12: a rollup maintained with a row-filtering
             # transform would silently shrink DISTINCT/metadata results
@@ -1753,11 +1769,11 @@ class CardinalSin:
             "touched coarse buckets)",
         )
 
-    def _manifest_flags(self, path: str) -> tuple[bool, bool, bool]:
+    def _manifest_flags(self, path: str) -> tuple[bool, bool, bool, bool]:
         """ONE manifest read serving every per-query covenant check
         (r13 review: the separate helpers each re-read the same JSON on
         every query — needless on object storage). Returns
-        ``(complete, union_unsafe, null_slot)``:
+        ``(complete, union_unsafe, null_slot, values_exact)``:
 
         * ``complete`` — the ADVICE r12 completeness covenant: False ⇔
           the manifest records ``rollup_complete=false`` (a transform
@@ -1775,22 +1791,32 @@ class CardinalSin:
           NULL_SLOT sentinel (``sketch_null_slot``), the
           complete-downsample property the metadata/DISTINCT doors
           require — here the missing-key default is FALSE (a
-          pre-sentinel or plain-parquet sketch cannot prove it)."""
+          pre-sentinel or plain-parquet sketch cannot prove it);
+        * ``values_exact`` — every folded value was an integer-valued
+          |v| ≤ 2⁵³ double (``rollup_values_integer_exact``, stamped by
+          every refresh, VERDICT r13 item 3): the precondition under
+          which sum/avg recomposition is accumulation-order exact, so a
+          HAVING threshold on sum/avg selects identical row SETS routed
+          and raw.  Missing-key default FALSE — a plain-parquet or
+          pre-stamp rollup cannot prove it, and guessing would turn the
+          documented value-drift caveat into silent row-membership
+          drift."""
         from cardinalsin_spark.sources.snapshots import (
             SnapshotCatalog,
             snapshot_managed,
         )
 
         if not isinstance(path, str) or not snapshot_managed(path):
-            return True, False, False
+            return True, False, False, False
         try:
             man = SnapshotCatalog(path).manifest()
         except FileNotFoundError:
-            return True, False, False
+            return True, False, False, False
         return (
             bool(man.get("rollup_complete", True)),
             man.get("rollup_transform") == "custom",
             bool(man.get("sketch_null_slot", False)),
+            bool(man.get("rollup_values_integer_exact", False)),
         )
 
     def _direct_union_target(
@@ -1961,7 +1987,7 @@ class CardinalSin:
         split across a sketch row and a delta partial is fine — every
         consumer re-aggregates by (bucket, series, qslot) before the
         rank walk."""
-        complete, union_unsafe, _ = (
+        complete, union_unsafe, _, _ = (
             flags if flags is not None else self._manifest_flags(path)
         )
         if not complete:
@@ -2121,7 +2147,9 @@ class CardinalSin:
             recomputed.select(*tier.columns)
         )
 
-    def _route_rollups(self) -> list[tuple[int, object, bool]]:
+    def _route_rollups(
+        self, with_paths: bool = False
+    ) -> list[tuple]:
         """The per-query routing list: attached rollups with the
         freshness guard applied (VERDICT r10 — `_maybe_route_rollup`
         itself is geometry-only, so staleness is decided here, where the
@@ -2129,7 +2157,11 @@ class CardinalSin:
         subsecond) triples; stale ``fresh='union'`` rollups arrive as
         pre-built DataFrames (direct: rollup ∪ downsampled delta;
         cascade tier: tier ∪ parent-delta recompute — see
-        ``_serving_state``)."""
+        ``_serving_state``). ``with_paths=True`` appends the attached
+        PATH as a fourth element (the serving target may be a pre-built
+        union frame, but per-table covenants — e.g. the value-exactness
+        stamp the SQL HAVING route checks — live at the path's
+        manifest)."""
         if not self._attached_rollups:
             return []
         from cardinalsin_spark.sources.snapshots import snapshot_managed
@@ -2139,13 +2171,15 @@ class CardinalSin:
         if self.metrics_path and snapshot_managed(self.metrics_path):
             cat = self.snapshot_catalog()
             base_head = cat.current_version()
-        out: list[tuple[int, object, bool]] = []
+        out: list[tuple] = []
         for r, path, sub, fresh in self._attached_rollups:
             target, _why = self._serving_state(
                 r, path, fresh, base_head, cat, build=True
             )
             if target is not None:
-                out.append((r, target, sub))
+                out.append(
+                    (r, target, sub, path) if with_paths else (r, target, sub)
+                )
             # stale under 'fallback' (or unservable under 'union'):
             # drop from the routing list — the raw arm scans base,
             # bit-equal by construction

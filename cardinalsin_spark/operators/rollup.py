@@ -209,6 +209,36 @@ def refresh_rollup(
             value_col=value_col,
         )
 
+    def _folded_values_exact(df: DataFrame) -> bool:
+        """Value-exactness stamp (VERDICT r13 item 3): True ⇔ every
+        non-null folded value is an integer-valued, |v| ≤ 2⁵³ double —
+        the precondition under which float summation is exact in ANY
+        accumulation order, so sum/avg moments recomposed from
+        per-bucket partial sums are BIT-equal to the raw aggregation
+        and HAVING thresholds select identical row sets routed or raw.
+        One cheap aggregate over the shaped delta per refresh; NaN/±Inf
+        flag inexact (x % 1.0 is NaN for both, and NaN == 0.0 is false
+        under Spark's NaN ordering). The moments arm inherits the
+        parent's stamp instead — integer-ness of raw samples is not
+        derivable from moment rows."""
+        if moments:
+            return bool(
+                base.manifest(base_head).get(
+                    "rollup_values_integer_exact", False
+                )
+            )
+        vc = F.col(value_col).cast("double")
+        bad = vc.isNotNull() & (
+            ~(vc % F.lit(1.0) == F.lit(0.0))
+            | (F.abs(vc) > F.lit(2.0 ** 53))
+        )
+        n = (
+            shape(df)
+            .select(F.count(F.when(bad, F.lit(1))).alias("n"))
+            .first()["n"]
+        )
+        return n == 0
+
     # completeness covenant for the transparent-serving doors (ADVICE
     # r12): False ⇔ an undeclared transform may have filtered rows — the
     # engine then refuses to route through it.  The covenant INHERITS
@@ -241,6 +271,17 @@ def refresh_rollup(
     }
     ru = SnapshotCatalog(rollup_root)
 
+    def _extra_full() -> dict:
+        # bootstrap/rebuild re-downsample the full head, so the stamp is
+        # recomputed from the full head too (stickiness resets, like the
+        # completeness covenant)
+        return {
+            **extra,
+            "rollup_values_integer_exact": _folded_values_exact(
+                base.read(spark, base_head)
+            ),
+        }
+
     def _attempt() -> int:
         # re-read BOTH heads each attempt: after a lost CAS race the
         # refresh decision (bootstrap / no-op / incremental / rebuild)
@@ -250,7 +291,7 @@ def refresh_rollup(
             os.makedirs(rollup_root, exist_ok=True)
             full = _downsample(base.read(spark, base_head))
             return ru._rewrite_and_commit(
-                full, None, target_files, "bucket", extra=extra
+                full, None, target_files, "bucket", extra=_extra_full()
             )
         man = ru.manifest(head)
         last_res = man.get("rollup_resolution_s")
@@ -282,14 +323,24 @@ def refresh_rollup(
             or extra["rollup_transform"] == "custom"
             else extra["rollup_transform"]
         )
+        # the value-exactness stamp is sticky-AND across incremental
+        # refreshes like the completeness covenant (a pre-stamp manifest
+        # cannot prove it → False); short-circuit skips the delta scan
+        # once the table is already marked inexact
+        sticky_values_exact = bool(
+            man.get("rollup_values_integer_exact", False)
+        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: moments cannot be subtracted
             full = _downsample(base.read(spark, base_head))
             return ru._rewrite_and_commit(
-                full, head, target_files, "bucket", extra=extra
+                full, head, target_files, "bucket", extra=_extra_full()
             )
         delta = base.read_changes(spark, last, base_head)
+        sticky_values_exact = sticky_values_exact and _folded_values_exact(
+            delta
+        )
         partial = _downsample(delta)
         keys = ["bucket", *series_cols]
         current = ru.read(spark, head)
@@ -344,7 +395,7 @@ def refresh_rollup(
                 # (same answer, paid only on out-of-order ingest)
                 full = _downsample(base.read(spark, base_head))
                 return ru._rewrite_and_commit(
-                    full, head, target_files, "bucket", extra=extra
+                    full, head, target_files, "bucket", extra=_extra_full()
                 )
             # ≤2 disjoint segments per key (the committed row + the
             # delta partial): fold first/last by segment order (min_ts)
@@ -416,6 +467,7 @@ def refresh_rollup(
                 **extra,
                 "rollup_complete": sticky_complete,
                 "rollup_transform": sticky_transform,
+                "rollup_values_integer_exact": sticky_values_exact,
             },
             head=head,
         )

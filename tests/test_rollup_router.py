@@ -1327,6 +1327,41 @@ def test_sql_door_rollup_routing(spark, tmp_path):
             f"AND timestamp_seconds({end})",
         )
     ).collect()
+    # HAVING with a sum/avg threshold requires the value-exactness
+    # stamp (VERDICT r13 item 3): the PLAIN-parquet rollup above cannot
+    # prove it, so the sum-threshold query falls back to raw (bit-equal
+    # rows), while a count threshold — exact regardless — keeps routing
+    # through the unstamped rollup.
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    hq0 = simple("sum").replace(
+        " ORDER BY", " HAVING sum(value) > 300000 ORDER BY"
+    )
+    unrouted = eng.sql(hq0)
+    assert rp not in unrouted._jdf.queryExecution().executedPlan().toString()
+    assert unrouted.collect() == raw_eng.sql(hq0).collect()
+    cq = simple("sum").replace(
+        " ORDER BY", " HAVING count(value) >= 100 ORDER BY"
+    )
+    assert rp in eng.sql(cq)._jdf.queryExecution().executedPlan().toString()
+    # a rollup whose manifest PROVES the stamp serves the sum/avg
+    # HAVING shapes (the fixture values are integer — refresh_rollup
+    # would stamp this True; asserted here via the manifest form the
+    # engine actually checks)
+    sp = str(tmp_path / "stamped300")
+    downsample(
+        eng.metrics.withColumn("value", value_expr()), 300, ["metric_name"]
+    ).write.parquet(sp)
+    spc = SnapshotCatalog(sp)
+    spc.commit(
+        spc._list_parquet(sp),
+        None,
+        extra={
+            "rollup_resolution_s": 300,
+            "rollup_values_integer_exact": True,
+        },
+    )
+    eng.attach_rollup(sp, 300, fresh="static")
     # HAVING routes: group filter recomposed from the same moments —
     # by expression (incl. an aggregate NOT in the select list, which
     # rides along hidden) and by alias, AND-joined
@@ -1339,8 +1374,10 @@ def test_sql_door_rollup_routing(spark, tmp_path):
             " ORDER BY", extra_gb + " ORDER BY"
         )
         routed = eng.sql(hq)
-        plan = routed._jdf.queryExecution().executedPlan().toString()
-        assert rp in plan and "metrics/" not in plan, (extra_gb, plan)
+        files = routed.inputFiles()
+        assert files and all("stamped300" in f for f in files), (
+            extra_gb, files,
+        )
         assert routed.collect() == raw_eng.sql(hq).collect(), extra_gb
         assert routed.columns == ["tb", "metric_name", "v"], extra_gb
     # LIMIT routes under the total ORDER BY, matching the raw top-n
@@ -1349,7 +1386,8 @@ def test_sql_door_rollup_routing(spark, tmp_path):
     assert rp in routed._jdf.queryExecution().executedPlan().toString()
     got = routed.collect()
     assert len(got) == 3 and got == raw_eng.sql(lq).collect()
-    # all three widenings together, newest-first
+    # all three widenings together, newest-first (the sum-alias HAVING
+    # routes through the stamped rollup per the value-exactness guard)
     full = (
         simple("sum").replace(" ORDER BY", " HAVING v > 0 ORDER BY")
         .replace("ORDER BY tb, metric_name",
@@ -1357,7 +1395,7 @@ def test_sql_door_rollup_routing(spark, tmp_path):
         + " LIMIT 5"
     )
     routed = eng.sql(full)
-    assert rp in routed._jdf.queryExecution().executedPlan().toString()
+    assert all("stamped300" in f for f in routed.inputFiles())
     assert routed.collect() == raw_eng.sql(full).collect()
     # non-routable: misaligned bounds / sub-resolution step / unknown
     # column — pass through (macro still expands) and stay correct
@@ -2573,3 +2611,124 @@ def test_routing_parity_randomized_matrix(spark, tmp_path, seed, res):
         assert got.collect() == raw.promql_instant(
             expr, time_s=t_end
         ).collect(), (expr, seed, res)
+
+
+def test_having_value_exactness_guard(spark, tmp_path):
+    """VERDICT r13 item 3: refresh_rollup stamps whether every folded
+    value was integer-exact; the SQL door routes sum/avg HAVING
+    conjuncts ONLY when the stamp holds. A float-valued group sitting
+    exactly at a HAVING threshold therefore gets identical row sets
+    from the engine and the raw plan — because the engine refuses the
+    rollup and runs the raw plan itself. The stamp is sticky-False
+    across incremental refreshes once any float delta folds in."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    def mk(path, offset):
+        src = spark.range(0, 1200).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+            ).alias("ts_ns"),
+            F.concat(
+                F.lit("s"), (F.col("id") % 2).cast("string")
+            ).alias("name"),
+            ((F.col("id") % 97).cast("double") + F.lit(offset)).alias("v"),
+        )
+        write_metrics(
+            normalize_to_metrics(src, "ts_ns", "name", "v"), path,
+            mode="overwrite",
+        )
+        SnapshotCatalog(path).init_from_directory()
+        return CardinalSin(spark, path)
+
+    start, end = START, START + 3600 - 1
+    hq = (
+        f"SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        f"sum(value) AS v FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        f"GROUP BY tb, metric_name "
+        # the dangerous boundary: a threshold a float group's sum can
+        # sit EXACTLY on — row membership would drift if an unstamped
+        # rollup's reordered partial sums answered
+        f"HAVING sum(value) > 9624.25 "
+        f"ORDER BY tb, metric_name"
+    )
+
+    def with_value_view(eng):
+        eng.metrics.withColumn(
+            "value", F.coalesce("value_f64", "value_i64", "value_u64")
+        ).createOrReplaceTempView("metrics")
+        return eng
+
+    # float values (x.25): refresh stamps the manifest False
+    fe = mk(str(tmp_path / "mf"), 0.25)
+    raw_f = CardinalSin(spark, str(tmp_path / "mf"))
+    fr = str(tmp_path / "rf300")
+    fe.refresh_rollup(fr, 300, series_cols=["metric_name"])
+    man = SnapshotCatalog(fr).manifest()
+    assert man["rollup_values_integer_exact"] is False
+    with_value_view(fe).attach_rollup(fr, 300)
+    st = fe.rollup_status()[0]
+    assert st["eligible"] and st["values_integer_exact"] is False
+    routed = fe.sql(hq)
+    assert not any("rf300" in f for f in routed.inputFiles())
+    assert routed.collect() == raw_f.sql(hq).collect()
+
+    # integer twin: stamp True, the same HAVING shape routes
+    ie = mk(str(tmp_path / "mi"), 0.0)
+    raw_i = CardinalSin(spark, str(tmp_path / "mi"))
+    ir = str(tmp_path / "ri300")
+    ie.refresh_rollup(ir, 300, series_cols=["metric_name"])
+    assert (
+        SnapshotCatalog(ir).manifest()["rollup_values_integer_exact"]
+        is True
+    )
+    with_value_view(ie).attach_rollup(ir, 300)
+    assert ie.rollup_status()[0]["values_integer_exact"] is True
+    hq_i = hq.replace("9624.25", "9624")
+    routed = ie.sql(hq_i)
+    files = routed.inputFiles()
+    assert files and all("ri300" in f for f in files)
+    assert routed.collect() == raw_i.sql(hq_i).collect()
+    # count/min/max thresholds stay routable on the FLOAT table (exact
+    # either way — the guard is sum/avg-specific)
+    with_value_view(fe)
+    cq = hq.replace("HAVING sum(value) > 9624.25",
+                    "HAVING count(value) >= 100")
+    cf = fe.sql(cq).inputFiles()
+    assert cf and all("rf300" in f for f in cf)
+
+    # stickiness: a float delta folded incrementally flips the integer
+    # table's stamp to False (and only a rebuild can restore it)
+    import os
+    import shutil
+
+    mi = str(tmp_path / "mi")
+    stage = str(tmp_path / "mi-stage")
+    flt = spark.range(3600, 3660).select(
+        (
+            F.lit(START * 1_000_000_000)
+            + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+        ).alias("ts_ns"),
+        F.lit("s0").alias("name"),
+        (F.col("id").cast("double") + F.lit(0.5)).alias("v"),
+    )
+    normalize_to_metrics(flt, "ts_ns", "name", "v").coalesce(1).write.parquet(
+        stage
+    )
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            shutil.move(os.path.join(stage, f),
+                        os.path.join(mi, f"flt-{i}.parquet"))
+    SnapshotCatalog(mi).commit_new_files()
+    ie.refresh_rollup(ir, 300, series_cols=["metric_name"])
+    assert (
+        SnapshotCatalog(ir).manifest()["rollup_values_integer_exact"]
+        is False
+    )
