@@ -1302,3 +1302,105 @@ def test_promql_range_approx_quantile_loud_rejections(spark, tmp_path):
                          approx_quantile_alpha=0.01)
     # none of the rejected queries fed the advisor (ADVICE r13 #4)
     assert eng._range_log == []
+
+
+def test_streaming_sink_sketch_maintenance(spark, tmp_path):
+    """VERDICT r13 item 4 — the sketch twin of the moment-rollup
+    pyramid streaming test: snapshot_ingest_sink's on_commit hook
+    refreshes the fine quantile sketch AND cascades the coarse tier per
+    micro-batch; after every batch both tiers are bit-equal to a direct
+    sketch of the table, serving routes through the fine tier, a batch
+    landing WITHOUT a refresh serves bit-equal through the fresh='union'
+    arm (sketch rows ∪ the delta's slot counts, delta files only), and
+    a replayed batch leaves both tiers untouched."""
+    import os
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.operators.quantile_sketch import (
+        cascade_quantile_sketch,
+        downsample_quantile_sketch,
+        refresh_quantile_sketch,
+    )
+    from cardinalsin_spark.schema import value_expr
+    from cardinalsin_spark.sources.ingest import normalize_to_metrics
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+    from cardinalsin_spark.streaming.live import snapshot_ingest_sink
+
+    root = str(tmp_path / "t")
+    fine = str(tmp_path / "qs300")
+    coarse = str(tmp_path / "qs3600")
+    os.makedirs(root)
+    cat = SnapshotCatalog(root)
+    reshape = lambda df: df.withColumn("value", value_expr())  # noqa: E731
+
+    def hook(version: int) -> None:
+        refresh_quantile_sketch(
+            spark, cat, fine, 300, ["metric_name"],
+            transform=reshape, transform_complete=True,
+            transform_canonical=True,
+        )
+        cascade_quantile_sketch(spark, fine, coarse, 3600, ["metric_name"])
+
+    def batch(lo, hi, metric="a"):
+        src = spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % 7200) * F.lit(10**9)
+            ).alias("ts_ns"),
+            F.lit(metric).alias("name"),
+            (F.col("id") % 7 + 1).cast("double").alias("v"),
+        )
+        return normalize_to_metrics(src, "ts_ns", "name", "v")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def check_tiers():
+        base = reshape(cat.read(spark))
+        for res, path in ((300, fine), (3600, coarse)):
+            got = rows(SnapshotCatalog(path).read(spark))
+            want = rows(
+                downsample_quantile_sketch(base, res, ["metric_name"], 0.01)
+            )
+            assert got == want, res
+
+    sink = snapshot_ingest_sink(root, on_commit=hook)
+    sink(batch(0, 2000, "a"), 0)
+    check_tiers()
+    sink(batch(2000, 3500, "b"), 1)
+    check_tiers()
+
+    # fresh serving: quantile_approx reads the fine tier only, bit-equal
+    # to the raw arm
+    start, end, step = START, START + 7200 - 1, 600
+    eng = CardinalSin(spark, root)
+    eng.attach_quantile_sketch(fine, 300, alpha=0.01)
+    served = eng.quantile_approx('{__name__=~".+"}', 0.9, start, end, step)
+    assert all("qs300" in f for f in served.inputFiles())
+    raw = CardinalSin(spark, root)
+    assert served.collect() == raw.quantile_approx(
+        '{__name__=~".+"}', 0.9, start, end, step
+    ).collect()
+
+    # a batch landing with NO refresh: the union arm serves sketch rows
+    # ∪ the CDC delta's slot counts — bit-equal to raw, reading the fine
+    # tier plus ONLY the new batch's stream files
+    snapshot_ingest_sink(root)(batch(3500, 4200, "c"), 2)
+    ueng = CardinalSin(spark, root)
+    ueng.attach_quantile_sketch(fine, 300, alpha=0.01, fresh="union")
+    got = ueng.quantile_approx('{__name__=~".+"}', 0.9, start, end, step)
+    files = got.inputFiles()
+    assert any("qs300" in f for f in files)
+    base_files = [f for f in files if "qs300" not in f]
+    assert base_files and all("stream-00000002" in f for f in base_files)
+    raw2 = CardinalSin(spark, root)
+    assert got.collect() == raw2.quantile_approx(
+        '{__name__=~".+"}', 0.9, start, end, step
+    ).collect()
+
+    # replayed batch: rows already durable, hook not fired, tiers intact
+    fine_v = SnapshotCatalog(fine).current_version()
+    coarse_v = SnapshotCatalog(coarse).current_version()
+    sink(batch(2000, 3500, "b"), 1)
+    assert SnapshotCatalog(fine).current_version() == fine_v
+    assert SnapshotCatalog(coarse).current_version() == coarse_v
