@@ -183,7 +183,21 @@ class CardinalSin:
           range queries are served by an `le`-keyed MOMENT rollup
           (``attach_rollup`` over the bucket-series downsample), so the
           recommendation is a rollup resolution tagged for the
-          histogram tier."""
+          histogram tier.
+
+        CASCADE recommendations (VERDICT r13 item 5): when one kind's
+        workload holds MULTIPLE observed steps with divisor structure
+        (5m and 1h and 1d), independent single-tier recommendations
+        would each refresh from raw — a ``cascade_rollup`` /
+        ``cascade_quantile_sketch`` pyramid serves every step while the
+        coarse tiers refresh from the FINE tier (index-sized reads,
+        never raw).  The advisor therefore also emits one
+        ``kind='cascade'`` entry per kind whose served steps form a
+        divisor chain of length ≥ 2: ``resolutions_s`` is the
+        fine→coarse chain, ``base_kind`` the tier type, ``tiers``
+        carries per-tier serves/already_attached (so acting on the
+        pyramid flips them one by one), and ``already_attached`` is the
+        AND over tiers.  Feed it to :meth:`apply_recommendation`."""
         import math
 
         from cardinalsin_spark.operators.rollup import rollup_covers
@@ -247,7 +261,76 @@ class CardinalSin:
                 ranked.append(rec)
             ranked.sort(key=lambda d: (-d["serves"], -d["resolution_s"]))
             out.extend(ranked[:top])
-        out.sort(key=lambda d: (-d["serves"], d["kind"], -d["resolution_s"]))
+            # cascade detection: the observed steps that serve their own
+            # queries exactly (resolution == step), chained greedily from
+            # the finest by divisibility — 300|3600|86400 chains, 300 and
+            # 420 do not.  ≥2 tiers → recommend the pyramid.
+            own_steps = sorted(
+                {
+                    s
+                    for s, a, b in entries
+                    if rollup_covers(s, a, b, s, subsecond)
+                }
+            )
+            chain: list[int] = []
+            for s in own_steps:
+                if not chain or s % chain[-1] == 0:
+                    chain.append(s)
+            if len(chain) >= 2:
+                tiers = []
+                for r in chain:
+                    tiers.append(
+                        {
+                            "resolution_s": r,
+                            "serves": sum(
+                                1
+                                for s, a, b in entries
+                                if rollup_covers(r, a, b, s, subsecond)
+                            ),
+                            "already_attached": (
+                                (r, alpha) in attached_sketches
+                                if kind == "quantile_sketch"
+                                else r in attached_rollups
+                            ),
+                        }
+                    )
+                cas = {
+                    "kind": "cascade",
+                    "base_kind": kind,
+                    "resolutions_s": chain,
+                    # a query counts served if SOME tier covers it
+                    "serves": sum(
+                        1
+                        for s, a, b in entries
+                        if any(
+                            rollup_covers(r, a, b, s, subsecond)
+                            for r in chain
+                        )
+                    ),
+                    "of": len(entries),
+                    "tiers": tiers,
+                    "already_attached": all(
+                        t["already_attached"] for t in tiers
+                    ),
+                    # sort keys below expect resolution_s: the chain's
+                    # fine tier (what a refresh would materialize first)
+                    "resolution_s": chain[0],
+                }
+                if kind == "quantile_sketch":
+                    cas["alpha"] = alpha
+                out.append(cas)
+        # cascades rank AFTER single tiers at equal serves: a single
+        # fine tier answers the same queries; the pyramid's win is
+        # refresh cost, so it is the upgrade suggestion, not the first
+        # answer
+        out.sort(
+            key=lambda d: (
+                -d["serves"],
+                d["kind"] == "cascade",
+                d["kind"],
+                -d["resolution_s"],
+            )
+        )
         return out
 
     def apply_recommendation(
@@ -274,8 +357,79 @@ class CardinalSin:
         the recommendations were computed with (r13 second-review
         finding: attaching a tier without it over microsecond data
         leaves the advised queries on the raw path while
-        already_attached reads True — a silent dead end)."""
+        already_attached reads True — a silent dead end).
+
+        ``cascade`` recommendations (VERDICT r13 item 5) materialize
+        the whole pyramid under ``root``: the fine tier refreshes from
+        the metrics table at ``root/r<fine>``, every coarser tier
+        cascades from its predecessor at ``root/r<res>``
+        (``cascade_rollup`` / ``cascade_quantile_sketch`` — coarse
+        refreshes read the fine tier, never raw), and all tiers attach;
+        returns the COARSEST tier's version."""
         kind = rec.get("kind", "moment")
+        if kind == "cascade":
+            import os as _os
+
+            from cardinalsin_spark.operators.quantile_sketch import (
+                cascade_quantile_sketch,
+            )
+            from cardinalsin_spark.operators.rollup import cascade_rollup
+            from cardinalsin_spark.schema import label_columns
+
+            chain = [int(x) for x in rec["resolutions_s"]]
+            if len(chain) < 2 or any(
+                b % a for a, b in zip(chain, chain[1:])
+            ):
+                raise ValueError(
+                    f"cascade resolutions must be a divisor chain, got "
+                    f"{chain}"
+                )
+            base_kind = rec.get("base_kind", "moment")
+            cols = (
+                series_cols
+                if series_cols is not None
+                else ["metric_name", *label_columns(self.metrics.schema)]
+            )
+            roots = {r_: _os.path.join(root, f"r{r_}") for r_ in chain}
+            alpha = float(rec.get("alpha", 0.01))
+            if base_kind == "quantile_sketch":
+                v = self.refresh_quantile_sketch(
+                    roots[chain[0]], chain[0], series_cols=series_cols,
+                    alpha=alpha, target_files=target_files,
+                )
+                self.attach_quantile_sketch(
+                    roots[chain[0]], chain[0], alpha=alpha,
+                    subsecond=subsecond,
+                )
+                for fine_r, coarse_r in zip(chain, chain[1:]):
+                    v = cascade_quantile_sketch(
+                        self.spark, roots[fine_r], roots[coarse_r],
+                        coarse_r, cols, alpha=alpha,
+                        target_files=target_files,
+                    )
+                    self.attach_quantile_sketch(
+                        roots[coarse_r], coarse_r, alpha=alpha,
+                        subsecond=subsecond,
+                    )
+                return v
+            if base_kind in ("moment", "histogram"):
+                v = self.refresh_rollup(
+                    roots[chain[0]], chain[0], series_cols=series_cols,
+                    target_files=target_files,
+                )
+                self.attach_rollup(
+                    roots[chain[0]], chain[0], subsecond=subsecond
+                )
+                for fine_r, coarse_r in zip(chain, chain[1:]):
+                    v = cascade_rollup(
+                        self.spark, roots[fine_r], roots[coarse_r],
+                        coarse_r, cols, target_files=target_files,
+                    )
+                    self.attach_rollup(
+                        roots[coarse_r], coarse_r, subsecond=subsecond
+                    )
+                return v
+            raise ValueError(f"unknown cascade base_kind: {base_kind!r}")
         r = int(rec["resolution_s"])
         if kind == "quantile_sketch":
             v = self.refresh_quantile_sketch(

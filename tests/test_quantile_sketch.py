@@ -1404,3 +1404,102 @@ def test_streaming_sink_sketch_maintenance(spark, tmp_path):
     sink(batch(2000, 3500, "b"), 1)
     assert SnapshotCatalog(fine).current_version() == fine_v
     assert SnapshotCatalog(coarse).current_version() == coarse_v
+
+
+def test_advisor_cascade_recommendation_and_apply(spark, tmp_path):
+    """VERDICT r13 item 5: a workload with divisor-structured steps
+    (5m-ish / 1h / 1d) produces a kind='cascade' recommendation per
+    tier type, apply_recommendation materializes the pyramid (fine from
+    raw, coarse tiers from the fine tier) under root/r<res> and attaches
+    every tier, and re-asking shows already_attached flipping per tier."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    path = str(tmp_path / "metrics")
+    write_metrics(
+        normalize_to_metrics(_sk_batch(spark, 0, 3600, seed=41), "ts_ns",
+                             "name", "v"), path, mode="overwrite",
+    )
+    SnapshotCatalog(path).init_from_directory()
+    eng = CardinalSin(spark, path)
+    day_end = START + 86400 - 1
+    # multi-scale dashboard fleet: the same metric at 5m-ish, 1h, 1d
+    for step in (300, 3600, 86400):
+        eng.promql_range("sum(m)", START, day_end, step)
+        eng.quantile_approx("m", 0.9, START, day_end, step)
+    recs = eng.recommend_rollups()
+    cas = {
+        r["base_kind"]: r for r in recs if r["kind"] == "cascade"
+    }
+    assert set(cas) == {"moment", "quantile_sketch"}
+    for r in cas.values():
+        assert r["resolutions_s"] == [300, 3600, 86400]
+        assert r["serves"] == 3 and r["of"] == 3
+        assert not r["already_attached"]
+        assert [t["resolution_s"] for t in r["tiers"]] == [300, 3600, 86400]
+    assert cas["quantile_sketch"]["alpha"] == 0.01
+
+    # attach ONE tier by hand: the cascade's per-tier flags flip
+    # individually, the pyramid flag stays False
+    pre = str(tmp_path / "pre3600")
+    eng.refresh_rollup(pre, 3600, series_cols=["metric_name"])
+    eng.attach_rollup(pre, 3600)
+    half = [
+        r
+        for r in eng.recommend_rollups()
+        if r["kind"] == "cascade" and r["base_kind"] == "moment"
+    ][0]
+    assert [t["already_attached"] for t in half["tiers"]] == [
+        False, True, False,
+    ]
+    assert not half["already_attached"]
+
+    # apply both pyramids: fine refreshes from raw, coarse tiers cascade
+    # from the fine tier (never raw), every tier attaches
+    mroot, qroot = str(tmp_path / "mom"), str(tmp_path / "qs")
+    eng.apply_recommendation(cas["moment"], mroot,
+                             series_cols=["metric_name"])
+    eng.apply_recommendation(cas["quantile_sketch"], qroot,
+                             series_cols=["metric_name"])
+    for r in (300, 3600, 86400):
+        assert SnapshotCatalog(
+            f"{mroot}/r{r}"
+        ).manifest()["rollup_resolution_s"] == r
+        assert SnapshotCatalog(
+            f"{qroot}/r{r}"
+        ).manifest()["sketch_alpha"] == 0.01
+    # coarse tiers chain off the fine tier, not the metrics table
+    for root in (mroot, qroot):
+        man = SnapshotCatalog(f"{root}/r3600").manifest()
+        assert man["rollup_base_root"].endswith("r300")
+        man = SnapshotCatalog(f"{root}/r86400").manifest()
+        assert man["rollup_base_root"].endswith("r3600")
+    after = {
+        r["base_kind"]: r
+        for r in eng.recommend_rollups()
+        if r["kind"] == "cascade"
+    }
+    for r in after.values():
+        assert r["already_attached"]
+        assert all(t["already_attached"] for t in r["tiers"])
+
+    # and the pyramid actually serves: the 1d queries read the 1d tier
+    got = eng.promql_range("sum(m)", START, day_end, 86400)
+    assert got.inputFiles() and all(
+        "r86400" in f for f in got.inputFiles()
+    )
+    got = eng.quantile_approx("m", 0.9, START, day_end, 86400)
+    assert got.inputFiles() and all(
+        "r86400" in f for f in got.inputFiles()
+    )
+    # a non-chain recommendation is refused loudly
+    with pytest.raises(ValueError, match="divisor chain"):
+        eng.apply_recommendation(
+            {"kind": "cascade", "base_kind": "moment",
+             "resolutions_s": [300, 420]},
+            str(tmp_path / "bad"),
+        )

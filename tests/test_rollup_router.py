@@ -1972,14 +1972,22 @@ def test_rollup_advisor_recommends_from_workload(spark, tmp_path):
     )
     recs = eng.recommend_rollups()
     assert recs, "workload recorded, advice expected"
-    by_res = {r["resolution_s"]: r for r in recs}
+    singles = [r for r in recs if r["kind"] != "cascade"]
+    by_res = {r["resolution_s"]: r for r in singles}
     # a 300s rollup serves every aligned query (300 | 600); a 600s one
     # serves only the 600-step queries; the misaligned query serves never
     assert by_res[300]["serves"] == 10
     assert by_res[600]["serves"] == 7
     assert recs[0]["resolution_s"] == 300  # most-served wins
+    assert recs[0]["kind"] == "moment"  # cascades rank after singles
     assert not recs[0]["already_attached"]
     assert all(r["of"] == 11 for r in recs)
+    # the two observed steps form a divisor chain (300 | 600), so the
+    # advisor ALSO suggests the pyramid (VERDICT r13 item 5)
+    cas = [r for r in recs if r["kind"] == "cascade"]
+    assert len(cas) == 1 and cas[0]["base_kind"] == "moment"
+    assert cas[0]["resolutions_s"] == [300, 600]
+    assert cas[0]["serves"] == 10 and not cas[0]["already_attached"]
     # acting on the advice: refresh + attach at the winner, re-ask
     from cardinalsin_spark.sources.snapshots import SnapshotCatalog
 
