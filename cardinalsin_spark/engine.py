@@ -1015,17 +1015,24 @@ class CardinalSin:
         # Only a manifest PROVING every folded value integer-exact
         # (``rollup_values_integer_exact``, stamped by refresh_rollup)
         # may route such a query; min/max/count thresholds are exact
-        # either way and route regardless.
+        # either way and route regardless.  A fresh='union' target (a
+        # pre-built frame, not a path) never qualifies: its delta arm
+        # folds base rows committed AFTER the stamp was computed, so
+        # the manifest proves nothing about them (r14 review finding).
         having_sum_avg = any(
             agg in ("sum", "avg") for agg, _, _, _ in spec["having"]
         )
         best = None
-        for r, target, sub, path in self._route_rollups(with_paths=True):
+        for r, target, sub, _path, flags in self._route_rollups(
+            with_paths=True
+        ):
             if not rollup_covers(
                 r, spec["start_s"], spec["end_s"], spec["step_s"], sub
             ):
                 continue
-            if having_sum_avg and not self._manifest_flags(path)[3]:
+            if having_sum_avg and (
+                not isinstance(target, str) or not flags[3]
+            ):
                 continue
             ro = (
                 read_table_auto(self.spark, target)
@@ -1057,10 +1064,12 @@ class CardinalSin:
         # Row-set exactness for sum/avg thresholds is GUARDED, not
         # documented (VERDICT r13 item 3): the candidate loop above
         # skips any rollup whose manifest does not prove the
-        # value-exactness stamp, so by the time a sum/avg HAVING
-        # recomposes here every folded value is an integer-exact
-        # double and the partial sums equal the raw sums bit-for-bit
-        # in any accumulation order.
+        # value-exactness stamp (and any union-served frame), so by the
+        # time a sum/avg HAVING recomposes here every folded value is
+        # an integer-exact double and the partial sums equal the raw
+        # sums bit-for-bit in any accumulation order — while group
+        # totals stay ≤ 2⁵³, the integer-cents doctrine's side of the
+        # bargain (see _folded_values_exact).
         hidden: list[str] = []
         hv_exprs = []
         conds = []
@@ -1234,22 +1243,7 @@ class CardinalSin:
         the same per-(step, slot) counts), so routing is transparent
         within the sketch semantics. Output: ``(time_bucket,
         metric_name, *labels, value)``."""
-        from cardinalsin_spark.functions.core import time_bucket
-        from cardinalsin_spark.operators.promql import (
-            _selector_filter,
-            discover_label_columns,
-            parse_promql,
-        )
-        from cardinalsin_spark.operators.timeseries import (
-            MetricsCols as _MCols,
-        )
-        from cardinalsin_spark.operators.quantile_sketch import (
-            downsample_quantile_sketch,
-            sketch_quantile,
-        )
-        from cardinalsin_spark.operators.rollup import rollup_covers
-        from cardinalsin_spark.schema import value_expr
-        from cardinalsin_spark.sources.snapshots import read_table_auto
+        from cardinalsin_spark.operators.promql import parse_promql
 
         parsed = parse_promql(selector)
         if (
@@ -1751,8 +1745,9 @@ class CardinalSin:
             base_head = cat.current_version()
         out = []
         for r, path, sub, fresh in self._attached_rollups:
+            flags = self._manifest_flags(path)
             mode, why = self._serving_state(
-                r, path, fresh, base_head, cat, build=False
+                r, path, fresh, base_head, cat, build=False, flags=flags
             )
             out.append(
                 {
@@ -1765,7 +1760,7 @@ class CardinalSin:
                     # VERDICT r13 item 3: sum/avg HAVING routes require
                     # this manifest-proven stamp; surfaced here so "why
                     # didn't my HAVING query route" is answerable
-                    "values_integer_exact": self._manifest_flags(path)[3],
+                    "values_integer_exact": flags[3],
                 }
             )
         return out
@@ -1808,6 +1803,7 @@ class CardinalSin:
         base_head: int | None,
         cat,
         build: bool = True,
+        flags: tuple | None = None,
     ) -> tuple[object, str]:
         """The single freshness/serving decision shared by
         ``_route_rollups`` (``build=True`` — returns the target to scan)
@@ -1834,7 +1830,9 @@ class CardinalSin:
           parent-head scan), never raw.  A vacuumed removed file falls
           through to raw.
         """
-        complete, union_unsafe, _, _ = self._manifest_flags(path)
+        complete, union_unsafe, _, _ = (
+            flags if flags is not None else self._manifest_flags(path)
+        )
         if not complete:
             # ADVICE r12: a rollup maintained with a row-filtering
             # transform would silently shrink DISTINCT/metadata results
@@ -2312,10 +2310,12 @@ class CardinalSin:
         pre-built DataFrames (direct: rollup ∪ downsampled delta;
         cascade tier: tier ∪ parent-delta recompute — see
         ``_serving_state``). ``with_paths=True`` appends the attached
-        PATH as a fourth element (the serving target may be a pre-built
-        union frame, but per-table covenants — e.g. the value-exactness
-        stamp the SQL HAVING route checks — live at the path's
-        manifest)."""
+        PATH and its ``_manifest_flags`` tuple as fourth/fifth elements
+        (the serving target may be a pre-built union frame, but
+        per-table covenants — e.g. the value-exactness stamp the SQL
+        HAVING route checks — live at the path's manifest; returning
+        the already-read flags keeps it ONE manifest read per table per
+        query)."""
         if not self._attached_rollups:
             return []
         from cardinalsin_spark.sources.snapshots import snapshot_managed
@@ -2327,12 +2327,15 @@ class CardinalSin:
             base_head = cat.current_version()
         out: list[tuple] = []
         for r, path, sub, fresh in self._attached_rollups:
+            flags = self._manifest_flags(path)
             target, _why = self._serving_state(
-                r, path, fresh, base_head, cat, build=True
+                r, path, fresh, base_head, cat, build=True, flags=flags
             )
             if target is not None:
                 out.append(
-                    (r, target, sub, path) if with_paths else (r, target, sub)
+                    (r, target, sub, path, flags)
+                    if with_paths
+                    else (r, target, sub)
                 )
             # stale under 'fallback' (or unservable under 'union'):
             # drop from the routing list — the raw arm scans base,

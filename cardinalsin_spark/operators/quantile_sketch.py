@@ -277,27 +277,11 @@ def refresh_quantile_sketch(
             )
     shape = transform if transform is not None else (lambda df: df)
 
-    def _folded_values_exact(df: DataFrame) -> bool:
-        """Value-exactness stamp (VERDICT r13 item 3), same rule as
-        refresh_rollup: every non-null shaped value is an integer-valued
-        |v| <= 2**53 double. The sketch itself never recomposes sums, but
-        the stamp travels the same manifest so status surfaces it and
-        cascades inherit it uniformly."""
-        if from_sketch:
-            return bool(
-                fine_man.get("rollup_values_integer_exact", False)
-            )
-        vc = F.col(value_col).cast("double")
-        bad = vc.isNotNull() & (
-            ~(vc % F.lit(1.0) == F.lit(0.0))
-            | (F.abs(vc) > F.lit(2.0 ** 53))
-        )
-        n = (
-            shape(df)
-            .select(F.count(F.when(bad, F.lit(1))).alias("n"))
-            .first()["n"]
-        )
-        return n == 0
+    # NOTE: no value-exactness stamp here (r14 review): the stamp
+    # exists to guard sum/avg HAVING recomposition from moment rollups;
+    # the sketch estimator never recomposes sums, no serving door reads
+    # the stamp from a sketch manifest, and computing it would cost a
+    # base scan per bootstrap/rebuild for a write-only key.
 
     def _sketch(df: DataFrame) -> DataFrame:
         if from_sketch:
@@ -349,21 +333,13 @@ def refresh_quantile_sketch(
     sk = SnapshotCatalog(sketch_root)
     keys = ["bucket", *series_cols, "qslot"]
 
-    def _extra_full() -> dict:
-        return {
-            **extra,
-            "rollup_values_integer_exact": _folded_values_exact(
-                base.read(spark, base_head)
-            ),
-        }
-
     def _attempt() -> int:
         head = sk.current_version()
         if head is None:
             os.makedirs(sketch_root, exist_ok=True)
             return sk._rewrite_and_commit(
                 _sketch(base.read(spark, base_head)), None, target_files,
-                "bucket", extra=_extra_full(),
+                "bucket", extra=extra,
             )
         man = sk.manifest(head)
         last_res = man.get("rollup_resolution_s")
@@ -402,21 +378,14 @@ def refresh_quantile_sketch(
         sticky_null_slot = extra["sketch_null_slot"] and bool(
             man.get("sketch_null_slot", False)
         )
-        sticky_values_exact = bool(
-            man.get("rollup_values_integer_exact", False)
-        )
         diff = base.diff(last, base_head)
         if last is None or diff["removed"]:
             # rewrite-shaped base commit: counts cannot be subtracted
             return sk._rewrite_and_commit(
                 _sketch(base.read(spark, base_head)), head, target_files,
-                "bucket", extra=_extra_full(),
+                "bucket", extra=extra,
             )
-        delta = base.read_changes(spark, last, base_head)
-        sticky_values_exact = sticky_values_exact and _folded_values_exact(
-            delta
-        )
-        partial = _sketch(delta)
+        partial = _sketch(base.read_changes(spark, last, base_head))
         current = sk.read(spark, head)
         touched = current.join(
             partial.select(*keys).distinct(), keys, "left_semi"
@@ -438,7 +407,6 @@ def refresh_quantile_sketch(
                 "rollup_complete": sticky_complete,
                 "rollup_transform": sticky_transform,
                 "sketch_null_slot": sticky_null_slot,
-                "rollup_values_integer_exact": sticky_values_exact,
             },
             head=head,
         )

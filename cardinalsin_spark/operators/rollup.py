@@ -212,15 +212,25 @@ def refresh_rollup(
     def _folded_values_exact(df: DataFrame) -> bool:
         """Value-exactness stamp (VERDICT r13 item 3): True ⇔ every
         non-null folded value is an integer-valued, |v| ≤ 2⁵³ double —
-        the precondition under which float summation is exact in ANY
-        accumulation order, so sum/avg moments recomposed from
-        per-bucket partial sums are BIT-equal to the raw aggregation
-        and HAVING thresholds select identical row sets routed or raw.
-        One cheap aggregate over the shaped delta per refresh; NaN/±Inf
-        flag inexact (x % 1.0 is NaN for both, and NaN == 0.0 is false
-        under Spark's NaN ordering). The moments arm inherits the
-        parent's stamp instead — integer-ness of raw samples is not
-        derivable from moment rows."""
+        the VALUE half of the precondition under which float summation
+        is exact in any accumulation order: integer addends make every
+        intermediate sum an integer, and integer arithmetic on doubles
+        is exact while the running total stays ≤ 2⁵³.  The TOTAL half
+        (n·max|v| ≤ 2⁵³ per group) is a deployment property a per-delta
+        refresh cannot see and remains the integer-cents doctrine's
+        (documented) obligation — beyond 2⁵³ totals, routed and raw
+        sums can both round, and equally so only by luck.  Within it,
+        sum/avg moments recomposed from per-bucket partial sums are
+        bit-equal to the raw aggregation and HAVING thresholds select
+        identical row sets routed or raw.  Cost shape: one aggregate
+        over the shaped delta per incremental refresh; bootstrap/
+        rebuild scan the head again, but the aggregate consumes ONLY
+        the value column(s), so parquet column pruning makes it a
+        single-column scan next to the full-width downsample read.
+        NaN/±Inf flag inexact (x % 1.0 is NaN for both, and NaN == 0.0
+        is false under Spark's NaN ordering). The moments arm inherits
+        the parent's stamp instead — integer-ness of raw samples is
+        not derivable from moment rows."""
         if moments:
             return bool(
                 base.manifest(base_head).get(

@@ -2106,31 +2106,22 @@ def _sketch_fixture(spark: SparkSession, sf_dir: str,
     return path
 
 
-def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-quantile continuous aggregate SERVING (VERDICT r12
-    item 2): a 14-day daily p90 over every metric answered from an
-    attached 6h quantile sketch (``engine.quantile_approx`` — DDSketch-
-    style log-bucketed slot counts, Masson et al. VLDB'19; the quantile
-    shape the exact-moment rollups can never recompose, and the
-    reference covers only for pre-instrumented `le` families,
-    ``api/query/prometheus_api.rs:998-1012``).  The inputFiles route
-    guard makes a silent raw fallback impossible.
-
-    The sketch ESTIMATE is libm-valued (F.log/F.pow slot math), so the
-    estimate itself stays out of the cross-engine hash; what IS
-    hash-checked is the sketch's CONTRACT, which is engine-independent:
-    per (day, event_type) the exact sample count, the exact nearest-rank
-    p90 on integer cents (``target = floor(0.9·(n−1)) + 1``, the same
-    convention ``sketch_quantile`` walks), and ``within_alpha`` — the
-    routed estimate lies within the declared α=1% relative error of that
-    exact quantile.  The oracle recomputes count + exact p90 in DuckDB
-    and asserts the bound as literal TRUE: a broken slot encoding, rank
-    walk, or serving path flips the boolean and fails the hash.
-
-    Scale shape: the serving arm reads ~10²-10³ slot-count rows instead
-    of raw samples — a 90-day p99 latency dashboard for gauges never
-    instrumented as histograms; the exact arm here is the EVALUATION
-    harness (collect_list per day-bucket group), not the serving path."""
+def _quantile_contract_row(
+    spark: SparkSession, sf_dir: str, q: float, p_alias: str, door
+) -> DataFrame:
+    """Shared body of the two sketch-quantile contract rows
+    (``maint_sketch_quantile_routed`` / ``promql_quantile_routed`` —
+    r14 review: they were near-verbatim twins).  ``door`` evaluates the
+    14-day daily q-quantile grid through one serving door (and raises
+    on a silent raw fallback); this helper builds the engine + attached
+    6h sketch it runs against, the EXACT evaluation arm, and the
+    hash-checked contract: per (day, event_type) the exact non-null
+    sample count, the exact nearest-rank quantile on integer cents
+    (``target = floor(q·(n−1)) + 1``, the same convention
+    ``sketch_quantile`` walks), and ``within_alpha`` — the routed
+    estimate lies within the declared α=1% relative error of that exact
+    quantile, asserted as literal TRUE by the DuckDB oracle.  The
+    estimate itself is libm-valued and stays OUT of the hash."""
     from cardinalsin_spark.engine import CardinalSin
     from cardinalsin_spark.functions.core import time_bucket
 
@@ -2141,19 +2132,7 @@ def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFram
                                subsecond=True)
     start = 1704067200  # 2024-01-01 00:00:00 UTC
     end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
-    est = eng.quantile_approx(
-        '{__name__=~".+"}', 0.9, start, end, 86400, alpha=_SKETCH_ALPHA
-    )
-    files = est.inputFiles()
-    if not any("/qsketch" in f for f in files) or any(
-        "/metrics" in f for f in files
-    ):
-        raise RuntimeError(
-            "maint_sketch_quantile_routed: quantile_approx must serve "
-            "from the attached sketch (alignment, alpha or attach() "
-            "regressed) — refusing the silent raw fallback"
-        )
-    est = est.select(
+    est = door(eng, start, end).select(
         "time_bucket",
         F.col("metric_name").alias("event_type"),
         F.col("value").alias("est_cents"),
@@ -2180,17 +2159,16 @@ def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFram
             F.element_at(
                 "__vs",
                 (
-                    F.floor(F.lit(0.9) * (F.col("sample_count") - 1)) + 1
+                    F.floor(F.lit(q) * (F.col("sample_count") - 1)) + 1
                 ).cast("int"),
-            ).alias("p90_cents"),
+            ).alias(p_alias),
         )
     )
     rel_ok = (
-        F.abs(F.col("est_cents") - F.col("p90_cents"))
-        / F.abs(F.col("p90_cents"))
+        F.abs(F.col("est_cents") - F.col(p_alias)) / F.abs(F.col(p_alias))
     ) <= F.lit(_SKETCH_ALPHA + 1e-9)
     within = F.when(
-        F.col("p90_cents") == 0, F.col("est_cents") == F.lit(0.0)
+        F.col(p_alias) == 0, F.col("est_cents") == F.lit(0.0)
     ).otherwise(rel_ok)
     return (
         exact.join(est, ["time_bucket", "event_type"])
@@ -2198,14 +2176,15 @@ def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFram
             "time_bucket",
             "event_type",
             "sample_count",
-            "p90_cents",
+            p_alias,
             within.alias("within_alpha"),
         )
         .orderBy("time_bucket", "event_type")
     )
 
 
-SQL_MAINT_SKETCH_QUANTILE_ROUTED = f"""
+def _sql_quantile_contract(q: float, p_alias: str) -> str:
+    return f"""
 WITH w AS (
   SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
          {_sql_cents('value')} AS c
@@ -2216,11 +2195,48 @@ WITH w AS (
 )
 SELECT time_bucket, event_type,
        count(*) AS sample_count,
-       (array_agg(c ORDER BY c))[CAST(floor(0.9 * (count(*) - 1)) AS BIGINT) + 1]
-           AS p90_cents,
+       (array_agg(c ORDER BY c))[CAST(floor({q} * (count(*) - 1)) AS BIGINT) + 1]
+           AS {p_alias},
        TRUE AS within_alpha
 FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_maint_sketch_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile continuous aggregate SERVING (VERDICT r12
+    item 2): a 14-day daily p90 over every metric answered from an
+    attached 6h quantile sketch (``engine.quantile_approx`` — DDSketch-
+    style log-bucketed slot counts, Masson et al. VLDB'19; the quantile
+    shape the exact-moment rollups can never recompose, and the
+    reference covers only for pre-instrumented `le` families,
+    ``api/query/prometheus_api.rs:998-1012``).  The inputFiles route
+    guard makes a silent raw fallback impossible; the hash-checked
+    contract lives in ``_quantile_contract_row``.
+
+    Scale shape: the serving arm reads ~10²-10³ slot-count rows instead
+    of raw samples — a 90-day p99 latency dashboard for gauges never
+    instrumented as histograms; the exact arm is the EVALUATION
+    harness (collect_list per day-bucket group), not the serving path."""
+
+    def door(eng, start, end):
+        est = eng.quantile_approx(
+            '{__name__=~".+"}', 0.9, start, end, 86400, alpha=_SKETCH_ALPHA
+        )
+        files = est.inputFiles()
+        if not any("/qsketch" in f for f in files) or any(
+            "/metrics" in f for f in files
+        ):
+            raise RuntimeError(
+                "maint_sketch_quantile_routed: quantile_approx must "
+                "serve from the attached sketch (alignment, alpha or "
+                "attach() regressed) — refusing the silent raw fallback"
+            )
+        return est
+
+    return _quantile_contract_row(spark, sf_dir, 0.9, "p90_cents", door)
+
+
+SQL_MAINT_SKETCH_QUANTILE_ROUTED = _sql_quantile_contract(0.9, "p90_cents")
 
 
 def q_promql_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,115 +2250,38 @@ def q_promql_quantile_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     opt-in is never silent: the default flag keeps exact PromQL
     evaluation, any non-quantile shape with the flag raises, and
     ``last_quantile_route`` + the inputFiles guard here make a silent
-    raw fallback impossible.
-
-    Like ``maint_sketch_quantile_routed``, the libm-valued sketch
-    ESTIMATE stays out of the cross-engine hash; the hash-checked
-    CONTRACT is engine-independent: per (day, event_type) the exact
-    non-null sample count, the exact nearest-rank p95 on integer cents,
-    and ``within_alpha`` — the routed estimate lies within the declared
-    α=1% relative error of that exact quantile, asserted as literal
-    TRUE by the DuckDB oracle.
+    raw fallback impossible.  Hash-checked contract: see
+    ``_quantile_contract_row`` (p95 twin of the p90 maint row).
 
     Scale shape: a 90-day p95 latency dashboard over arbitrary gauges
     reads ~10²-10³ slot-count rows through this door instead of raw
-    samples; the exact arm here is the EVALUATION harness, not the
-    serving path."""
-    from cardinalsin_spark.engine import CardinalSin
-    from cardinalsin_spark.functions.core import time_bucket
+    samples."""
 
-    mpath, _ = _sql_door_fixture(spark, sf_dir)
-    spath = _sketch_fixture(spark, sf_dir)
-    eng = CardinalSin(spark, mpath)
-    eng.attach_quantile_sketch(spath, 21600, alpha=_SKETCH_ALPHA,
-                               subsecond=True)
-    start = 1704067200  # 2024-01-01 00:00:00 UTC
-    end = 1705276799.999999  # 2024-01-15 00:00:00 − 1µs
-    est = eng.promql_range(
-        'quantile_over_time(0.95, {__name__=~".+"}[86400s])',
-        start, end, 86400, approx_quantile_alpha=_SKETCH_ALPHA,
-    )
-    route = eng.last_quantile_route
-    files = est.inputFiles()
-    if (
-        route is None
-        or not route["routed"]
-        or not any("/qsketch" in f for f in files)
-        or any("/metrics" in f for f in files)
-    ):
-        raise RuntimeError(
-            "promql_quantile_routed: the approx_quantile_alpha door must "
-            "serve from the attached sketch (alignment, alpha or the "
-            "route regressed) — refusing the silent raw fallback"
+    def door(eng, start, end):
+        est = eng.promql_range(
+            'quantile_over_time(0.95, {__name__=~".+"}[86400s])',
+            start, end, 86400, approx_quantile_alpha=_SKETCH_ALPHA,
         )
-    est = est.select(
-        "time_bucket",
-        F.col("metric_name").alias("event_type"),
-        F.col("value").alias("est_cents"),
-    )
-    exact = (
-        _events_cents(spark, sf_dir)
-        .filter(
-            (F.col("ts") >= F.timestamp_seconds(F.lit(start)))
-            & (F.col("ts") <= F.timestamp_micros(F.lit(1705276799999999)))
-            & F.col("value").isNotNull()
-        )
-        .groupBy(
-            time_bucket("ts", 86400).alias("time_bucket"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("sample_count"),
-            F.expr("sort_array(collect_list(value_cents))").alias("__vs"),
-        )
-        .select(
-            "time_bucket",
-            "event_type",
-            "sample_count",
-            F.element_at(
-                "__vs",
-                (
-                    F.floor(F.lit(0.95) * (F.col("sample_count") - 1)) + 1
-                ).cast("int"),
-            ).alias("p95_cents"),
-        )
-    )
-    rel_ok = (
-        F.abs(F.col("est_cents") - F.col("p95_cents"))
-        / F.abs(F.col("p95_cents"))
-    ) <= F.lit(_SKETCH_ALPHA + 1e-9)
-    within = F.when(
-        F.col("p95_cents") == 0, F.col("est_cents") == F.lit(0.0)
-    ).otherwise(rel_ok)
-    return (
-        exact.join(est, ["time_bucket", "event_type"])
-        .select(
-            "time_bucket",
-            "event_type",
-            "sample_count",
-            "p95_cents",
-            within.alias("within_alpha"),
-        )
-        .orderBy("time_bucket", "event_type")
-    )
+        route = eng.last_quantile_route
+        files = est.inputFiles()
+        if (
+            route is None
+            or not route["routed"]
+            or not any("/qsketch" in f for f in files)
+            or any("/metrics" in f for f in files)
+        ):
+            raise RuntimeError(
+                "promql_quantile_routed: the approx_quantile_alpha door "
+                "must serve from the attached sketch (alignment, alpha "
+                "or the route regressed) — refusing the silent raw "
+                "fallback"
+            )
+        return est
+
+    return _quantile_contract_row(spark, sf_dir, 0.95, "p95_cents", door)
 
 
-SQL_PROMQL_QUANTILE_ROUTED = f"""
-WITH w AS (
-  SELECT {_sql_bucket(86400)} AS time_bucket, event_type,
-         {_sql_cents('value')} AS c
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
-    AND ts < TIMESTAMP '2024-01-15 00:00:00'
-    AND value IS NOT NULL
-)
-SELECT time_bucket, event_type,
-       count(*) AS sample_count,
-       (array_agg(c ORDER BY c))[CAST(floor(0.95 * (count(*) - 1)) AS BIGINT) + 1]
-           AS p95_cents,
-       TRUE AS within_alpha
-FROM w GROUP BY 1, 2 ORDER BY 1, 2
-"""
+SQL_PROMQL_QUANTILE_ROUTED = _sql_quantile_contract(0.95, "p95_cents")
 
 
 # ---------------------------------------------------------------------------

@@ -883,7 +883,7 @@ _QSK_OUTPUT = "metric_name string, bucket_us long, qslot long, qcount long"
 _QSK_STATE = "slots array<long>, counts array<long>"
 
 
-def _qsketch_fn_factory(evict_ms: int | None):
+def _qsketch_fn_factory(evict_ms: int | None, step_us: int | None = None):
     """Per-(metric, bucket) state: the occupied slot indices and their
     counts as parallel long arrays — PER-KEY width bounded by
     log_γ(dynamic range) (tens in practice).  The SLOT is computed
@@ -895,18 +895,43 @@ def _qsketch_fn_factory(evict_ms: int | None):
     ``downsample_quantile_sketch`` over the same rows.  ``evict_ms``
     (ADVICE r13 #2) arms a processing-time timeout per key: a
     (metric, bucket) seeing no new rows for that long drops its state —
-    the rows already emitted stand, only the ability to fold FURTHER
-    late samples into the bucket is given up."""
+    the rows already emitted stand.  Samples arriving for a bucket that
+    is ALREADY past the horizon (no live state, bucket end older than
+    ``evict_ms`` on the processing clock) are DROPPED, never folded: a
+    restarted key would re-emit a tiny partial count that supersedes
+    the bucket's correct final emission under the last-emission-wins
+    contract — a corrupted hybrid distribution, strictly worse than
+    ignoring the late sample (r14 review finding)."""
 
     def fn(key, pdf_iter: Iterator["pd.DataFrame"], state):
+        import time as _time
+
         import pandas as pd
 
         if evict_ms is not None and getattr(state, "hasTimedOut", False):
             # allowed-lateness horizon passed with no new rows for this
-            # (metric, bucket): drop the state.  A sample arriving AFTER
-            # eviction would restart the bucket's counts from zero — the
-            # documented trade-off of bounding total state.
+            # (metric, bucket): drop the state; the key's past
+            # emissions stand as its final counts.
             state.remove()
+            return
+        if (
+            evict_ms is not None
+            and step_us is not None
+            and not state.exists
+            and _time.time() * 1000.0 - (key[1] + step_us) / 1000.0
+            > evict_ms
+        ):
+            # no live state AND the bucket closed more than the horizon
+            # ago: this is (or is indistinguishable from) a post-
+            # eviction straggler — drop it rather than restart the key
+            # with a partial count that would supersede the bucket's
+            # final emission. Eviction mode therefore assumes LIVE
+            # ingestion (event time tracking the processing clock);
+            # replaying history through an evict-armed sketch would
+            # drop everything — use the default evict_after_s=None for
+            # backfill.
+            for _ in pdf_iter:
+                pass
             return
         if state.exists:
             got = state.get
@@ -974,8 +999,12 @@ def streaming_quantile_sketch(
     row has arrived for it in that long: total state becomes
     O(active buckets), and bit-equality to the batch sketch then holds
     for samples arriving within the horizon — a sample later than that
-    restarts its bucket's counts (choose the horizon ≥ the ingest
-    path's worst-case lateness, exactly like a watermark)."""
+    is DROPPED (restarting an evicted key would re-emit a partial
+    count that supersedes the bucket's correct final emission; choose
+    the horizon ≥ the ingest path's worst-case lateness, exactly like
+    a watermark).  Eviction mode assumes live ingestion — replaying
+    old event times through it would drop them; keep the default for
+    backfill."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from cardinalsin_spark.functions.core import time_bucket
@@ -998,7 +1027,9 @@ def streaming_quantile_sketch(
         (
             _qsketch_fn
             if evict_after_s is None
-            else _qsketch_fn_factory(int(evict_after_s) * 1000)
+            else _qsketch_fn_factory(
+                int(evict_after_s) * 1000, step_seconds * 1_000_000
+            )
         ),
         outputStructType=_QSK_OUTPUT,
         stateStructType=_QSK_STATE,

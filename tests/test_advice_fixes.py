@@ -731,6 +731,26 @@ def test_qsketch_eviction_state_protocol(tmp_path):
     st3 = _FakeState(exists=False)
     list(fn0(("m", 0), iter([pd.DataFrame({"_slot": [1]})]), st3))
     assert st3.timeout_ms is None and not st3.removed
+    # r14 review finding: a straggler for a bucket ALREADY past the
+    # horizon (no live state, bucket end older than evict_ms) is
+    # dropped — restarting the key would re-emit a partial count that
+    # supersedes the bucket's correct final emission
+    import time
+
+    fn2 = _qsketch_fn_factory(90_000, 600 * 1_000_000)
+    old_bucket_us = int((time.time() - 3600) * 1e6)
+    st4 = _FakeState(exists=False)
+    out = list(
+        fn2(("m", old_bucket_us), iter([pd.DataFrame({"_slot": [3]})]), st4)
+    )
+    assert out == [] and st4.updated is None and not st4.removed
+    # a CURRENT bucket with no state is simply new — it folds normally
+    new_bucket_us = int(time.time() * 1e6)
+    st5 = _FakeState(exists=False)
+    out = list(
+        fn2(("m", new_bucket_us), iter([pd.DataFrame({"_slot": [3]})]), st5)
+    )
+    assert len(out) == 1 and st5.updated == ([3], [1])
 
 
 def test_jobs_sketch_cascade_preserves_column_order(spark, tmp_path, capsys):

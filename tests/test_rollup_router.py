@@ -2740,3 +2740,84 @@ def test_having_value_exactness_guard(spark, tmp_path):
         SnapshotCatalog(ir).manifest()["rollup_values_integer_exact"]
         is False
     )
+
+
+def test_having_union_frame_refused(spark, tmp_path):
+    """r14 review finding: the value-exactness stamp proves the rollup's
+    FOLDED values only — a fresh='union' target folds base rows
+    committed AFTER the stamp, so sum/avg HAVING must refuse the union
+    frame (raw answers bit-equal) even when the manifest stamp is True;
+    the same query without HAVING keeps union-serving."""
+    import os
+    import shutil
+
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.sources.ingest import (
+        normalize_to_metrics,
+        write_metrics,
+    )
+    from cardinalsin_spark.sources.snapshots import SnapshotCatalog
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            (
+                F.lit(START * 1_000_000_000)
+                + (F.col("id") % 3600).cast("long") * F.lit(1_000_000_000)
+            ).alias("ts_ns"),
+            F.concat(
+                F.lit("s"), (F.col("id") % 2).cast("string")
+            ).alias("name"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+
+    path = str(tmp_path / "m")
+    write_metrics(normalize_to_metrics(rows(0, 1200), "ts_ns", "name", "v"),
+                  path, mode="overwrite")
+    cat = SnapshotCatalog(path)
+    cat.init_from_directory()
+    ru = str(tmp_path / "ru300")
+    CardinalSin(spark, path).refresh_rollup(ru, 300,
+                                            series_cols=["metric_name"])
+    assert SnapshotCatalog(ru).manifest()["rollup_values_integer_exact"]
+    # stale the rollup with an integer append (values stay exact — the
+    # point is the STAMP cannot know that). The sink moves a flat file
+    # in, so walk the hive layout the staging write produced.
+    stage = str(tmp_path / "stage")
+    normalize_to_metrics(rows(1200, 1500), "ts_ns", "name", "v").coalesce(
+        1
+    ).write.parquet(stage)
+    moved = 0
+    for sroot, _, files in os.walk(stage):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                shutil.move(os.path.join(sroot, f),
+                            os.path.join(path, f"x-{moved}.parquet"))
+                moved += 1
+    assert moved
+    cat.commit_new_files()
+    # engines built AFTER the append: a pre-append DataFrame pins the
+    # old file listing and would make the raw arm read stale data
+    eng = CardinalSin(spark, path)
+    raw_eng = CardinalSin(spark, path)
+    eng.attach_rollup(ru, 300, fresh="union")
+    assert eng.rollup_status()[0]["eligible"]  # union arm serves
+    eng.metrics.withColumn(
+        "value", F.coalesce("value_f64", "value_i64", "value_u64")
+    ).createOrReplaceTempView("metrics")
+    start, end = START, START + 3600 - 1
+    base = (
+        f"SELECT time_bucket(timestamp, 600) AS tb, metric_name, "
+        f"sum(value) AS v FROM metrics "
+        f"WHERE timestamp >= timestamp_seconds({start}) "
+        f"AND timestamp <= timestamp_seconds({end}) "
+        f"GROUP BY tb, metric_name ORDER BY tb, metric_name"
+    )
+    # no HAVING: the union frame serves (reads the rollup + delta only)
+    plain = eng.sql(base)
+    assert any("ru300" in f for f in plain.inputFiles())
+    assert plain.collect() == raw_eng.sql(base).collect()
+    # sum HAVING: the union frame is refused, raw answers bit-equal
+    hq = base.replace(" ORDER BY", " HAVING sum(value) > 9000 ORDER BY")
+    routed = eng.sql(hq)
+    assert not any("ru300" in f for f in routed.inputFiles())
+    assert routed.collect() == raw_eng.sql(hq).collect()
