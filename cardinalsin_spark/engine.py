@@ -1347,14 +1347,26 @@ class CardinalSin:
             if need.issubset(set(ro.columns)) and (
                 best is None or r > best[0]
             ):
-                best = (r, ro, path)
+                best = (r, ro, path, isinstance(target, str))
         if best is not None:
             self.last_quantile_route = {
                 "routed": True,
                 "alpha": alpha,
                 "path": best[2],
                 "resolution_s": best[0],
-                "reason": "served from attached sketch",
+                # r14 review: a stale fresh='union' state serves a
+                # pre-built frame that ALSO scans base CDC delta files —
+                # the route dict must disclose that, like the status
+                # doors do, or a caller using it to confirm a
+                # sketch-only scan is misled
+                "union": not best[3],
+                "reason": (
+                    "served from attached sketch"
+                    if best[3]
+                    else "served from attached sketch ∪ CDC delta "
+                    "(fresh='union' stale state — base delta files "
+                    "also scanned)"
+                ),
             }
             b = F.col("bucket")
             ro = (
@@ -1388,6 +1400,7 @@ class CardinalSin:
                 "alpha": alpha,
                 "path": None,
                 "resolution_s": None,
+                "union": False,
                 "reason": (
                     "no attached sketch matched (alpha equality, "
                     "bound/step alignment, columns, freshness) — "
@@ -2158,16 +2171,24 @@ class CardinalSin:
             return (path, why)
         if fresh != "union":
             return (None, why)
+        if union_unsafe:
+            # hoisted above the direct/cascade split like the moment
+            # twin (r14 review): both union arms recompute canonically
+            # (the direct arm reshapes the CDC delta, the cascade arm
+            # coarsens parent rows with no transform).  Unreachable for
+            # sketch tables built by refresh_quantile_sketch today —
+            # from_sketch loud-rejects transforms — but defense against
+            # a hand-built manifest or a future transform-applying
+            # cascade costs one check
+            return (
+                None,
+                why + " (fresh='union' refused: maintained with a "
+                "custom transform the union arms cannot reproduce)",
+            )
         if rb is not None:
             # direct sketch over the metrics table (see _serving_state
             # for why `rb is not None`, not the chain walk's direct
             # flag, discriminates direct from cascade)
-            if union_unsafe:
-                return (
-                    None,
-                    why + " (fresh='union' refused: maintained with a "
-                    "custom transform the delta arm cannot reproduce)",
-                )
             try:
                 unionable = (
                     isinstance(rb, int)

@@ -348,9 +348,6 @@ def refresh_rollup(
                 full, head, target_files, "bucket", extra=_extra_full()
             )
         delta = base.read_changes(spark, last, base_head)
-        sticky_values_exact = sticky_values_exact and _folded_values_exact(
-            delta
-        )
         partial = _downsample(delta)
         keys = ["bucket", *series_cols]
         current = ru.read(spark, head)
@@ -434,6 +431,14 @@ def refresh_rollup(
                 inc.alias("inc_value"),
             ]
             counter_sel = ["min_ts", "first_value", "last_value", "inc_value"]
+        # stamp the delta only AFTER the interleave probe settled on the
+        # merge arm (r14 review: scanning it earlier wasted one Spark
+        # job per out-of-order refresh — the rebuild arm recomputes the
+        # stamp from the full head anyway); short-circuit skips the scan
+        # once the table is already marked inexact
+        sticky_values_exact = sticky_values_exact and _folded_values_exact(
+            delta
+        )
         combined = (
             touched.unionByName(partial)
             .groupBy(*[F.col(k) for k in keys])

@@ -619,11 +619,19 @@ def _r14_append(spark, path, cat, lo, hi, tag):
     normalize_to_metrics(
         _r14_src(spark, lo, hi), "ts_ns", "name", "v"
     ).coalesce(1).write.parquet(stage)
-    for i, f in enumerate(sorted(os.listdir(stage))):
-        if f.endswith(".parquet") and not f.startswith((".", "_")):
-            shutil.move(
-                os.path.join(stage, f), os.path.join(path, f"{tag}-{i}.parquet")
-            )
+    moved = 0
+    # walk: robust to a hive-partitioned staging layout (r14 review —
+    # a flat listdir would silently move nothing and the test would
+    # vacuously pass on unstale data)
+    for sroot, _, files in os.walk(stage):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                shutil.move(
+                    os.path.join(sroot, f),
+                    os.path.join(path, f"{tag}-{moved}.parquet"),
+                )
+                moved += 1
+    assert moved, f"staging write produced no parquet files under {stage}"
     shutil.rmtree(stage, ignore_errors=True)
     cat.commit_new_files()
 

@@ -1389,6 +1389,12 @@ def test_streaming_sink_sketch_maintenance(spark, tmp_path):
     ueng = CardinalSin(spark, root)
     ueng.attach_quantile_sketch(fine, 300, alpha=0.01, fresh="union")
     got = ueng.quantile_approx('{__name__=~".+"}', 0.9, start, end, step)
+    # the route dict discloses the union arm (r14 review: a caller
+    # using it to confirm a sketch-only scan must not be misled)
+    assert ueng.last_quantile_route["routed"] is True
+    assert ueng.last_quantile_route["union"] is True
+    assert "delta" in ueng.last_quantile_route["reason"]
+    assert eng.last_quantile_route["union"] is False  # the fresh serve
     files = got.inputFiles()
     assert any("qs300" in f for f in files)
     base_files = [f for f in files if "qs300" not in f]

@@ -2730,10 +2730,14 @@ def test_having_value_exactness_guard(spark, tmp_path):
     normalize_to_metrics(flt, "ts_ns", "name", "v").coalesce(1).write.parquet(
         stage
     )
-    for i, f in enumerate(sorted(os.listdir(stage))):
-        if f.endswith(".parquet") and not f.startswith((".", "_")):
-            shutil.move(os.path.join(stage, f),
-                        os.path.join(mi, f"flt-{i}.parquet"))
+    moved = 0
+    for sroot, _, files in os.walk(stage):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                shutil.move(os.path.join(sroot, f),
+                            os.path.join(mi, f"flt-{moved}.parquet"))
+                moved += 1
+    assert moved
     SnapshotCatalog(mi).commit_new_files()
     ie.refresh_rollup(ir, 300, series_cols=["metric_name"])
     assert (
