@@ -367,6 +367,27 @@ class CardinalSin:
         refreshes read the fine tier, never raw), and all tiers attach;
         returns the COARSEST tier's version."""
         kind = rec.get("kind", "moment")
+
+        def _attach_rollup_once(p: str, res: int) -> None:
+            # re-applying a recommendation (already_attached tiers, a
+            # partial manual apply at the same root) must not append
+            # duplicate attach entries — each would re-read its manifest
+            # and rebuild union frames per query (r14 review)
+            if not any(
+                rr == res and pp == p
+                for rr, pp, _, _ in self._attached_rollups
+            ):
+                self.attach_rollup(p, res, subsecond=subsecond)
+
+        def _attach_sketch_once(p: str, res: int, a: float) -> None:
+            if not any(
+                rr == res and pp == p and aa == a
+                for rr, pp, _, aa, _ in self._attached_sketches
+            ):
+                self.attach_quantile_sketch(
+                    p, res, alpha=a, subsecond=subsecond
+                )
+
         if kind == "cascade":
             import os as _os
 
@@ -378,11 +399,14 @@ class CardinalSin:
 
             chain = [int(x) for x in rec["resolutions_s"]]
             if len(chain) < 2 or any(
-                b % a for a, b in zip(chain, chain[1:])
+                b <= a or b % a for a, b in zip(chain, chain[1:])
             ):
+                # strictly increasing (r14 review: equal adjacent
+                # resolutions would collapse two roots onto one path and
+                # cascade a tier FROM ITSELF, double-counting moments)
                 raise ValueError(
-                    f"cascade resolutions must be a divisor chain, got "
-                    f"{chain}"
+                    f"cascade resolutions must be a strictly increasing "
+                    f"divisor chain, got {chain}"
                 )
             base_kind = rec.get("base_kind", "moment")
             cols = (
@@ -397,37 +421,27 @@ class CardinalSin:
                     roots[chain[0]], chain[0], series_cols=series_cols,
                     alpha=alpha, target_files=target_files,
                 )
-                self.attach_quantile_sketch(
-                    roots[chain[0]], chain[0], alpha=alpha,
-                    subsecond=subsecond,
-                )
+                _attach_sketch_once(roots[chain[0]], chain[0], alpha)
                 for fine_r, coarse_r in zip(chain, chain[1:]):
                     v = cascade_quantile_sketch(
                         self.spark, roots[fine_r], roots[coarse_r],
                         coarse_r, cols, alpha=alpha,
                         target_files=target_files,
                     )
-                    self.attach_quantile_sketch(
-                        roots[coarse_r], coarse_r, alpha=alpha,
-                        subsecond=subsecond,
-                    )
+                    _attach_sketch_once(roots[coarse_r], coarse_r, alpha)
                 return v
             if base_kind in ("moment", "histogram"):
                 v = self.refresh_rollup(
                     roots[chain[0]], chain[0], series_cols=series_cols,
                     target_files=target_files,
                 )
-                self.attach_rollup(
-                    roots[chain[0]], chain[0], subsecond=subsecond
-                )
+                _attach_rollup_once(roots[chain[0]], chain[0])
                 for fine_r, coarse_r in zip(chain, chain[1:]):
                     v = cascade_rollup(
                         self.spark, roots[fine_r], roots[coarse_r],
                         coarse_r, cols, target_files=target_files,
                     )
-                    self.attach_rollup(
-                        roots[coarse_r], coarse_r, subsecond=subsecond
-                    )
+                    _attach_rollup_once(roots[coarse_r], coarse_r)
                 return v
             raise ValueError(f"unknown cascade base_kind: {base_kind!r}")
         r = int(rec["resolution_s"])
@@ -439,20 +453,48 @@ class CardinalSin:
                 alpha=float(rec.get("alpha", 0.01)),
                 target_files=target_files,
             )
-            self.attach_quantile_sketch(
-                root,
-                r,
-                alpha=float(rec.get("alpha", 0.01)),
-                subsecond=subsecond,
-            )
+            _attach_sketch_once(root, r, float(rec.get("alpha", 0.01)))
             return v
         if kind in ("moment", "histogram"):
             v = self.refresh_rollup(
                 root, r, series_cols=series_cols, target_files=target_files
             )
-            self.attach_rollup(root, r, subsecond=subsecond)
+            _attach_rollup_once(root, r)
             return v
         raise ValueError(f"unknown recommendation kind: {kind!r}")
+
+
+    @staticmethod
+    def _has_comparison(promql: str) -> bool:
+        """True when the query text carries a comparison operator outside
+        label matchers / range brackets — the shape whose ROW MEMBERSHIP
+        depends on recomposed float values sitting exactly on a
+        threshold (``sum(m) > X`` emits or drops whole rows).  Detection
+        is deliberately over-broad (any cmp token at any nesting level):
+        over-gating only costs routing performance on comparison
+        queries, never correctness."""
+        import re as _re
+
+        stripped = _re.sub(r"\{[^}]*\}|\[[^\]]*\]", "", promql)
+        return bool(_re.search(r"==|!=|>=|<=|>|<", stripped))
+
+    def _route_rollups_for(self, promql: str) -> list[tuple[int, object, bool]]:
+        """The PromQL doors' routing list: like ``_route_rollups``, but
+        comparison-shaped queries only route through rollups whose
+        manifest proves the value-exactness stamp, and never through
+        fresh='union' frames — the same guard the SQL door applies to
+        sum/avg HAVING (r14 review: a series sitting exactly on a
+        ``sum(m) > X`` threshold would otherwise be included by one plan
+        and excluded by the other on non-integer-exact values)."""
+        if not self._has_comparison(promql):
+            return self._route_rollups()
+        return [
+            (r, target, sub)
+            for r, target, sub, _path, flags in self._route_rollups(
+                with_paths=True
+            )
+            if isinstance(target, str) and flags[3]
+        ]
 
     # -- write path ----------------------------------------------------------
 
@@ -637,7 +679,11 @@ class CardinalSin:
         self._admit_query(tenant_id)
         out = promql_instant(
             self._promql_frame(at_version), promql, time_s,
-            rollups=self._route_rollups() if at_version is None else None,
+            rollups=(
+                self._route_rollups_for(promql)
+                if at_version is None
+                else None
+            ),
         )
         self._record(out)
         return out
@@ -714,7 +760,11 @@ class CardinalSin:
         out = promql_range(
             self._promql_frame(at_version), promql, start_s, end_s, step_s,
             faithful=faithful,
-            rollups=self._route_rollups() if at_version is None else None,
+            rollups=(
+                self._route_rollups_for(promql)
+                if at_version is None
+                else None
+            ),
         )
         self._record(out)
         return out
@@ -2138,7 +2188,7 @@ class CardinalSin:
         base_head: int | None,
         cat,
         build: bool = True,
-        flags: tuple[bool, bool, bool] | None = None,
+        flags: tuple[bool, bool, bool, bool] | None = None,
     ) -> tuple[object, str]:
         """Quantile-sketch twin of ``_serving_state`` — the same chain
         walk and freshness doctrine, but the ``fresh='union'`` folds

@@ -1002,10 +1002,26 @@ def streaming_quantile_sketch(
     is DROPPED (restarting an evicted key would re-emit a partial
     count that supersedes the bucket's correct final emission; choose
     the horizon ≥ the ingest path's worst-case lateness, exactly like
-    a watermark).  Eviction mode assumes live ingestion — replaying
-    old event times through it would drop them; keep the default for
-    backfill."""
+    a watermark).  ``evict_after_s < step_seconds`` is refused (r14
+    review): the timeout arms from the key's LAST ARRIVAL, so a
+    shorter horizon could evict a still-open bucket mid-life and the
+    next on-time sample would restart it — the same partial-count
+    corruption the straggler drop exists to prevent; the full
+    bit-equality guarantee needs the horizon ≥ the longest in-bucket
+    arrival gap, which a horizon ≥ one whole step makes true for any
+    stream delivering each bucket's samples without a bucket-sized
+    silence in the middle.  Eviction mode assumes live ingestion —
+    replaying old event times through it would drop them; keep the
+    default for backfill."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if evict_after_s is not None and int(evict_after_s) < int(step_seconds):
+        raise ValueError(
+            f"evict_after_s ({evict_after_s}) must be >= step_seconds "
+            f"({step_seconds}) — a sub-step horizon can evict a "
+            "still-open bucket mid-life and corrupt its counts on the "
+            "next on-time sample"
+        )
 
     from cardinalsin_spark.functions.core import time_bucket
     from cardinalsin_spark.operators.quantile_sketch import (

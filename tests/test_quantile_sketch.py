@@ -1502,10 +1502,22 @@ def test_advisor_cascade_recommendation_and_apply(spark, tmp_path):
     assert got.inputFiles() and all(
         "r86400" in f for f in got.inputFiles()
     )
-    # a non-chain recommendation is refused loudly
-    with pytest.raises(ValueError, match="divisor chain"):
-        eng.apply_recommendation(
-            {"kind": "cascade", "base_kind": "moment",
-             "resolutions_s": [300, 420]},
-            str(tmp_path / "bad"),
-        )
+    # re-applying the same recommendation must not duplicate attach
+    # entries (r14 review: each duplicate re-reads its manifest — and
+    # rebuilds union frames — on every subsequent query)
+    n_roll, n_sk = len(eng._attached_rollups), len(eng._attached_sketches)
+    eng.apply_recommendation(cas["moment"], mroot,
+                             series_cols=["metric_name"])
+    eng.apply_recommendation(cas["quantile_sketch"], qroot,
+                             series_cols=["metric_name"])
+    assert len(eng._attached_rollups) == n_roll
+    assert len(eng._attached_sketches) == n_sk
+    # a non-chain recommendation is refused loudly — including equal
+    # adjacent resolutions, which would cascade a tier FROM ITSELF
+    for bad in ([300, 420], [300, 300], [3600, 300]):
+        with pytest.raises(ValueError, match="divisor chain"):
+            eng.apply_recommendation(
+                {"kind": "cascade", "base_kind": "moment",
+                 "resolutions_s": bad},
+                str(tmp_path / "bad"),
+            )

@@ -2711,6 +2711,19 @@ def test_having_value_exactness_guard(spark, tmp_path):
                     "HAVING count(value) >= 100")
     cf = fe.sql(cq).inputFiles()
     assert cf and all("rf300" in f for f in cf)
+    # the PromQL doors apply the same stamp gate to COMPARISON shapes
+    # (r14 review: `sum(m) > X` emits/drops whole rows at a recomposed
+    # float threshold — row membership, not value drift): the float
+    # table's cmp query refuses the rollup while its plain aggregation
+    # keeps routing; the integer table's cmp query routes
+    cmp_f = fe.promql_range("sum(s0) > 4000", start, end, 600)
+    assert not any("rf300" in f for f in cmp_f.inputFiles())
+    plain_f = fe.promql_range("sum(s0)", start, end, 600)
+    assert any("rf300" in f for f in plain_f.inputFiles())
+    cmp_i = ie.promql_range("sum(s0) > 4000", start, end, 600)
+    assert cmp_i.inputFiles() and all(
+        "ri300" in f for f in cmp_i.inputFiles()
+    )
 
     # stickiness: a float delta folded incrementally flips the integer
     # table's stamp to False (and only a rebuild can restore it)

@@ -674,3 +674,23 @@ def test_streaming_quantile_sketch_matches_batch(
     assert sum(
         c for (m, b, s), c in last.items() if s == NULL_SLOT
     ) == nulled.filter(F.col("value").isNull()).count()
+
+
+def test_qsketch_evict_horizon_validation(spark):
+    """r14 review: a sub-step eviction horizon can evict a still-open
+    bucket mid-life (the timeout arms from last arrival, not bucket
+    close) — refused loudly; >= step passes validation."""
+    import pytest
+
+    from cardinalsin_spark.streaming.live import streaming_quantile_sketch
+
+    df = spark.range(1).selectExpr(
+        "timestamp_seconds(id) AS timestamp",
+        "'m' AS metric_name",
+        "cast(id as double) AS value",
+    )
+    with pytest.raises(ValueError, match="evict_after_s"):
+        streaming_quantile_sketch(df, 600, evict_after_s=90)
+    # >= step: validation passes (the plan builds; df is batch so we
+    # don't execute it)
+    streaming_quantile_sketch(df, 600, evict_after_s=600)
