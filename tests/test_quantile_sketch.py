@@ -135,8 +135,10 @@ def test_engine_quantile_approx_routes_sketch(spark, tmp_path):
     start, end, step = START, START + 3600 - 1, 600
     for sel, q in (("lat", 0.99), ("mem", 0.5), ('{__name__=~"l.*"}', 0.9)):
         got = eng.quantile_approx(sel, q, start, end, step, alpha=0.01)
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "qs300" in plan and "metrics" not in plan, (sel, plan)
+        # inputFiles, not the plan string: toString truncates long file
+        # locations, so the path check was flaky by tmp-dir name length
+        files = got.inputFiles()
+        assert files and all("qs300" in f for f in files), (sel, files)
         exp = raw.quantile_approx(sel, q, start, end, step, alpha=0.01)
         assert got.collect() == exp.collect(), (sel, q)
         assert got.columns == ["time_bucket", "metric_name", "value"]
@@ -172,8 +174,7 @@ def test_engine_quantile_approx_routes_sketch(spark, tmp_path):
         {"start_s": start, "end_s": end, "step_s": step, "alpha": 0.05},
     ):
         got = eng.quantile_approx("lat", 0.9, **kwargs)
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "qs300" not in plan, (kwargs, plan)
+        assert not any("qs300" in f for f in got.inputFiles()), kwargs
         assert (
             got.collect()
             == raw.quantile_approx("lat", 0.9, **kwargs).collect()

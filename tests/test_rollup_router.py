@@ -181,13 +181,23 @@ def test_engine_promql_range_transparent_routing(spark, tmp_path):
         assert got.collect() == raw_eng.promql_range(expr, *b).collect(), expr
     # rollups forward through the recursive branches: each side of a
     # composed expression routes independently
-    for expr in ("sum(s0) or vector(0)", "sum(s0) / sum(s1)",
-                 "avg(s0) > bool 0"):
+    for expr in ("sum(s0) or vector(0)", "sum(s0) / sum(s1)"):
         got = routed_eng.promql_range(expr, start, end, step)
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "r300" in plan and "metrics" not in plan, (expr, plan)
         expect = raw_eng.promql_range(expr, start, end, step)
         assert got.collect() == expect.collect(), expr
+    # COMPARISON shapes gate on the value-exactness stamp (r14): this
+    # plain-parquet rollup cannot prove it, so `avg(s0) > bool 0` now
+    # refuses the route (a threshold on a recomposed float decides row
+    # membership / the 0-1 bool value) and answers raw, bit-equal; the
+    # stamped-rollup route is pinned in test_having_value_exactness_guard
+    got = routed_eng.promql_range("avg(s0) > bool 0", start, end, step)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "r300" not in plan, plan
+    assert got.collect() == raw_eng.promql_range(
+        "avg(s0) > bool 0", start, end, step
+    ).collect()
     # snapshot-pinned evaluation must never consult the (live) rollup
     # even when aligned — guarded in the engine, not the operator
     assert routed_eng._attached_rollups  # the attach itself stuck
