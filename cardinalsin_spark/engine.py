@@ -485,7 +485,17 @@ class CardinalSin:
         fresh='union' frames — the same guard the SQL door applies to
         sum/avg HAVING (r14 review: a series sitting exactly on a
         ``sum(m) > X`` threshold would otherwise be included by one plan
-        and excluded by the other on non-integer-exact values)."""
+        and excluded by the other on non-integer-exact values).
+
+        Scope note: ``topk``/``bottomk`` (and SQL ORDER-BY + LIMIT)
+        share the threshold CLASS — the k-th rank boundary sits on
+        recomposed floats — but stay doctrine-documented rather than
+        gated: a rank flip needs two DISTINCT series within float-drift
+        of each other (raw engines disagree on such near-ties too, and
+        exact ties break deterministically by series name), whereas a
+        cmp/HAVING literal is a fixed line a single drifted value
+        crosses alone.  On integer-exact data both are exact; gate
+        top-k on the stamp too if that doctrine ever tightens."""
         if not self._has_comparison(promql):
             return self._route_rollups()
         return [

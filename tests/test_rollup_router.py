@@ -2848,3 +2848,12 @@ def test_having_union_frame_refused(spark, tmp_path):
     routed = eng.sql(hq)
     assert not any("ru300" in f for f in routed.inputFiles())
     assert routed.collect() == raw_eng.sql(hq).collect()
+    # the PromQL comparison gate applies the same union-frame rule:
+    # a stamped-but-stale rollup serves sum(s0) through the union arm,
+    # but sum(s0) > X must not (the delta rows postdate the stamp)
+    pr = eng.promql_range("sum(s0)", start, end, 600)
+    assert any("ru300" in f for f in pr.inputFiles())
+    pc = eng.promql_range("sum(s0) > 9000", start, end, 600)
+    assert not any("ru300" in f for f in pc.inputFiles())
+    raw_pc = raw_eng.promql_range("sum(s0) > 9000", start, end, 600)
+    assert pc.collect() == raw_pc.collect()
