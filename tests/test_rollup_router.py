@@ -176,8 +176,9 @@ def test_engine_promql_range_transparent_routing(spark, tmp_path):
         ("sum(s0) offset 150s", (start + 150, end, step)),
     ):
         got = routed_eng.promql_range(expr, *b)
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "r300" not in plan, (expr, plan)
+        # inputFiles, not the plan string: toString truncates long file
+        # locations, so a negative path check could pass vacuously
+        assert not any("r300" in f for f in got.inputFiles()), expr
         assert got.collect() == raw_eng.promql_range(expr, *b).collect(), expr
     # rollups forward through the recursive branches: each side of a
     # composed expression routes independently
@@ -191,10 +192,11 @@ def test_engine_promql_range_transparent_routing(spark, tmp_path):
     # plain-parquet rollup cannot prove it, so `avg(s0) > bool 0` now
     # refuses the route (a threshold on a recomposed float decides row
     # membership / the 0-1 bool value) and answers raw, bit-equal; the
-    # stamped-rollup route is pinned in test_having_value_exactness_guard
+    # stamped-rollup route (scan + collect equality) is pinned in
+    # test_having_value_exactness_guard. inputFiles, not the plan
+    # string — toString truncates long file locations
     got = routed_eng.promql_range("avg(s0) > bool 0", start, end, step)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "r300" not in plan, plan
+    assert not any("r300" in f for f in got.inputFiles())
     assert got.collect() == raw_eng.promql_range(
         "avg(s0) > bool 0", start, end, step
     ).collect()
@@ -2730,10 +2732,17 @@ def test_having_value_exactness_guard(spark, tmp_path):
     assert not any("rf300" in f for f in cmp_f.inputFiles())
     plain_f = fe.promql_range("sum(s0)", start, end, 600)
     assert any("rf300" in f for f in plain_f.inputFiles())
-    cmp_i = ie.promql_range("sum(s0) > 4000", start, end, 600)
-    assert cmp_i.inputFiles() and all(
-        "ri300" in f for f in cmp_i.inputFiles()
-    )
+    # routed-cmp RESULT equality, not just the scan (r14 fourth-pass
+    # review: inputFiles alone would let a recomposition bug in the
+    # cmp-served path hide) — filter form and bool form both bit-equal
+    # to the raw engine
+    for cq_expr in ("sum(s0) > 4000", "avg(s0) > bool 40"):
+        cmp_i = ie.promql_range(cq_expr, start, end, 600)
+        files_i = cmp_i.inputFiles()
+        assert files_i and all("ri300" in f for f in files_i), cq_expr
+        assert cmp_i.collect() == raw_i.promql_range(
+            cq_expr, start, end, 600
+        ).collect(), cq_expr
 
     # stickiness: a float delta folded incrementally flips the integer
     # table's stamp to False (and only a rebuild can restore it)
