@@ -733,3 +733,34 @@ def test_sql_sketch_door_one_window_sketch_only(spark, sf_dir):
     first = simple.index("Window")
     between = simple[first:simple.index("Window", first + 1)]
     assert "Exchange" not in between, simple  # the pair shares one shuffle
+
+
+def test_promql_approx_quantile_door_sketch_only_one_rank_walk(spark, sf_dir):
+    """PromQL opt-in approximate quantile serving (VERDICT r13 item 2):
+    a quantile_over_time grid with approx_quantile_alpha must (a) scan
+    ONLY the attached sketch parquet — never the metrics reshape — and
+    (b) answer through the same single rank-walk shape the SQL door
+    pins: two Window nodes (running cumsum + whole-partition total)
+    sharing one hash shuffle, so the whole route is two rollup-sized
+    exchanges plus the final ORDER BY. A raw scan or an extra exchange
+    here is a 100 TB dashboard regression."""
+    from cardinalsin_spark.engine import CardinalSin
+    from cardinalsin_spark.queries import _sketch_fixture, _sql_door_fixture
+
+    mpath, _ = _sql_door_fixture(spark, sf_dir)
+    spath = _sketch_fixture(spark, sf_dir)
+    eng = CardinalSin(spark, mpath)
+    eng.attach_quantile_sketch(spath, 21600, alpha=0.01, subsecond=True)
+    out = eng.promql_range(
+        'quantile_over_time(0.95, {__name__=~".+"}[86400s])',
+        1704067200, 1705276799.999999, 86400, approx_quantile_alpha=0.01,
+    )
+    assert eng.last_quantile_route["routed"] is True
+    plan = plan_string(out, "formatted")
+    assert "cardinalsin-qsketch-" in plan, plan
+    assert "/metrics" not in plan and "events.parquet" not in plan, plan
+    simple = plan_string(out, "simple")
+    assert simple.count("Window") == 2, simple
+    first = simple.index("Window")
+    between = simple[first:simple.index("Window", first + 1)]
+    assert "Exchange" not in between, simple  # the pair shares one shuffle
