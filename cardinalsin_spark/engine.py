@@ -602,7 +602,9 @@ class CardinalSin:
             return self.read_snapshot().filter(
                 _F.col("metric_name") == _F.lit(metric_name)
             )
-        return self.spark.read.parquet(self.metrics_path).filter(
+        from cardinalsin_spark.sources.tables import read_parquet_meta_cached
+
+        return read_parquet_meta_cached(self.spark, self.metrics_path).filter(
             _F.col("metric_name") == _F.lit(metric_name)
         )
 

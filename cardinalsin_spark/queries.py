@@ -112,11 +112,14 @@ def ns_range_filter(lo: str, hi: str) -> Column:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cardinalsin_spark.sources.tables import normalize_event_time
+    from cardinalsin_spark.sources.tables import (
+        normalize_event_time,
+        read_parquet_meta_cached,
+    )
 
     ensure_session_conf(spark)
     return normalize_event_time(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        read_parquet_meta_cached(spark, os.path.join(sf_dir, "events.parquet"))
     )
 
 
@@ -125,8 +128,12 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cardinalsin_spark.sources.tables import read_parquet_meta_cached
+
     ensure_session_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_meta_cached(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -23,16 +23,22 @@ from cardinalsin_spark.operators.text import BPE_TOKEN_RE, LANG_LEXICONS
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.queries import ensure_session_conf
+    from cardinalsin_spark.sources.tables import read_parquet_meta_cached
 
     ensure_session_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_meta_cached(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.queries import ensure_session_conf
+    from cardinalsin_spark.sources.tables import read_parquet_meta_cached
 
     ensure_session_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_meta_cached(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    )
 
 
 # SQL building blocks mirroring the Spark expressions exactly

@@ -220,7 +220,12 @@ def register_metrics(
         df.createOrReplaceTempView(view_name)
         return df
     try:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
+        from cardinalsin_spark.sources.tables import read_parquet_meta_cached
+
+        # merged-schema inference cached per dataset version — the
+        # "persist the merged schema in a metastore" design from the
+        # docstring above, applied in-process (tables._SCHEMA_CACHE)
+        df = read_parquet_meta_cached(spark, path, merge_schema=True)
     except Exception:
         df = spark.createDataFrame([], metrics_schema())
     df.createOrReplaceTempView(view_name)

@@ -229,6 +229,11 @@ def _partition_keys_of(root: str, path: str) -> tuple[str, ...]:
     return tuple(keys)
 
 
+# schema cache for manifest file-group reads — see the comment inside
+# read_parquet_grouped (metadata only; data is always read fresh)
+_GROUP_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
 def read_parquet_grouped(
     spark: SparkSession, root: str, paths: list[str]
 ) -> DataFrame:
@@ -250,7 +255,39 @@ def read_parquet_grouped(
         reader = spark.read.option("mergeSchema", "true")
         if key:
             reader = reader.option("basePath", root)
-        frames.append(reader.parquet(*sorted(groups[key])))
+        files = sorted(groups[key])
+        # merged-schema inference cached per (session, file group): the
+        # files a manifest references are content-addressed and never
+        # rewritten in place (mtimes included defensively for small
+        # groups), so repeated snapshot reads — every engine door query
+        # on a snapshot-managed table — skip the per-call footer sweep
+        # (OPTIMIZATION r14; same metadata-only doctrine as
+        # tables.read_parquet_meta_cached).
+        ckey = None
+        try:
+            mtimes: tuple = ()
+            if len(files) <= 64:
+                mtimes = tuple(os.stat(f).st_mtime_ns for f in files)
+            ckey = (
+                spark.sparkContext.applicationId,
+                root,
+                key,
+                tuple(files),
+                mtimes,
+            )
+        except OSError:
+            pass
+        if ckey is not None and ckey in _GROUP_SCHEMA_CACHE:
+            frames.append(
+                reader.schema(_GROUP_SCHEMA_CACHE[ckey]).parquet(*files)
+            )
+            continue
+        df = reader.parquet(*files)
+        if ckey is not None:
+            if len(_GROUP_SCHEMA_CACHE) >= 256:
+                _GROUP_SCHEMA_CACHE.clear()
+            _GROUP_SCHEMA_CACHE[ckey] = df.schema
+        frames.append(df)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

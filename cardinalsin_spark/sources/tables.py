@@ -17,6 +17,57 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Parquet read-METADATA cache (OPTIMIZATION r14, guide §6): every
+# ``spark.read.parquet(path)`` re-infers the schema from file footers and
+# re-resolves the datasource on the driver — ~70-90 ms per call on the
+# local bench, a footer round-trip per query against an object store at
+# scale — even though the datasets the registry reads are immutable
+# between writes. Cache the resolved DataFrame (an immutable logical
+# plan) per (applicationId, realpath, mtime_ns, mergeSchema). ONLY
+# metadata is cached — no rows, no computed results: the frame is lazy
+# and every action on it re-reads the files. Any rewrite/append bumps the
+# file or directory mtime (Spark's overwrite mode recreates the
+# directory; appends add entries) and invalidates the entry, so the
+# cached file listing can never go stale. This is the catalog-metastore
+# pattern ``register_metrics``'s docstring already names as the at-scale
+# design ("persist the merged schema in a metastore and pass it
+# explicitly").
+_READ_CACHE: dict[tuple, DataFrame] = {}
+_READ_CACHE_MAX = 256
+
+
+def read_parquet_meta_cached(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """``spark.read.parquet(path)`` with schema inference + datasource
+    resolution cached per (session, dataset version) — see ``_READ_CACHE``
+    above. Falls back to a plain uncached read whenever the path cannot
+    be stat'd (e.g. a non-local URI)."""
+    key = None
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(path),
+            st.st_mtime_ns,
+            merge_schema,
+        )
+    except OSError:
+        pass
+    if key is not None:
+        df = _READ_CACHE.get(key)
+        if df is not None:
+            return df
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
+    if key is not None:
+        if len(_READ_CACHE) >= _READ_CACHE_MAX:
+            _READ_CACHE.clear()
+        _READ_CACHE[key] = df
+    return df
+
 TABLES = [
     "region",
     "nation",
@@ -37,7 +88,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = read_parquet_meta_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_time(df)
     if name in SMALL_DIMS:
