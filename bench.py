@@ -186,14 +186,9 @@ def _between_groups(spark) -> None:
         pass
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
-    spark = get_spark(app_name="cardinalsin-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def warm_up(spark, sf_dir: str) -> None:
+    """Untimed JVM/codegen/Python-worker warm-up shared by bench runs and
+    the profiler — see the doctrine comments inline."""
     # Warm up the JVM/codegen paths and the Python UDF workers outside the
     # timed region (the first Arrow-batched UDF otherwise pays ~2 s of
     # worker fork + import inside whichever query hits it first).
@@ -233,6 +228,39 @@ def main() -> int:
             .alias("_l")
         )
     )
+    # Same doctrine for the docs/embeddings families (OPTIMIZATION r14):
+    # the first dedup-family query pays md5/regex/explode codegen
+    # first-touch (measured: the minhash index build runs 8.8 s cold vs
+    # 2.8 s warm — the difference is JIT, not plan). A 200-doc probe
+    # through normalize→shingle-explode→md5→aggregate and a tiny
+    # quantize→array probe touch those code paths UNTIMED so the timed
+    # queries measure their plans.
+    from cardinalsin_spark.operators import dedup_docs as _dd
+    from cardinalsin_spark.queries_llm import _docs as _docs_warm
+
+    _run_to_completion(
+        _dd.minhash_signatures_df(_docs_warm(spark, sf_dir).limit(200))
+    )
+    _run_to_completion(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .limit(200)
+        .selectExpr(
+            "vec_id",
+            "aggregate(transform(embedding, x -> CAST(round(x * 1000000.0)"
+            " AS BIGINT)), 0L, (a, x) -> a + x) AS _s",
+        )
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="cardinalsin-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    warm_up(spark, sf_dir)
 
     # Write path first: measured in a quiet JVM, not after the whole suite.
     write_path = _bench_write_path(spark, sf_dir)

@@ -343,6 +343,55 @@ HAMMING_BITS = 60  # 2^p must stay in signed-64 range in BOTH engines
 # (Spark long + DuckDB BIGINT) — the SIMHASH_BITS discipline.
 
 
+def hamming_signature_udf(dim: int, n_bits: int = HAMMING_BITS):
+    """GEMM-per-batch pandas_udf computing the packed ``n_bits`` hyperplane
+    sign signature of a quantized int64 vector — bit-identical to
+    :func:`sql_hyperplane_signature` (same md5-derived ±1 planes, exact
+    int64 sums, ``>= 0`` sign, ``2^p`` packing; pytest-pinned equality).
+
+    Why not the SQL expression for the 60-bit sketch (OPTIMIZATION r14,
+    guide §4.2): ``aggregate(zip_with(...))`` lambdas are interpreted per
+    element — 60 planes × 64 dims ≈ 4k lambda invocations per row (the
+    measured signature pass was 0.98 s at sf0.1); inlining the sums as
+    explicit arithmetic blows the 64 KB codegen method limit and falls
+    back to interpreted (4.2 s). One NumPy int64 GEMM per Arrow batch is
+    memory-bandwidth-optimal and measured 0.19 s — 5× faster, and the gap
+    widens with corpus size. The few-plane LSH *bucket* variants (4-8
+    planes) stay on the SQL expression: their lambda count is small and
+    keeping them JVM-side preserves bucket-join pushdown."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.array(
+        [
+            [
+                (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1)
+                * 2
+                - 1
+                for d in range(dim)
+            ]
+            for p in range(n_bits)
+        ],
+        dtype=np.int64,
+    )
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(v.values).astype(np.int64, copy=False)  # n × dim
+        bits = (X @ S.T) >= 0  # n × n_bits, exact int64 sums
+        return pd.Series(bits @ weights)
+
+    return _sig
+
+
 def hamming_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -371,17 +420,15 @@ def hamming_topk(
     asc with vec_id tie-break; cosine is reported for the winners so
     recall against the exact baseline is directly measurable.
     """
-    sig = sql_hyperplane_signature("qv", dim, n_bits)
+    sig_udf = hamming_signature_udf(dim, n_bits)
     corpus = df.selectExpr(
         id_col, f"{sql_quantize(vec_col)} AS qv"
-    ).selectExpr(id_col, "qv", f"{sig} AS sig")
+    ).select(id_col, "qv", sig_udf(F.col("qv")).alias("sig"))
     qs = F.broadcast(
         queries.selectExpr(
             query_id_col, f"{sql_quantize(vec_col)} AS qq"
-        ).selectExpr(
-            query_id_col,
-            "qq",
-            f"{sql_hyperplane_signature('qq', dim, n_bits)} AS qsig",
+        ).select(
+            query_id_col, "qq", sig_udf(F.col("qq")).alias("qsig")
         )
     )
     cand = (

@@ -207,20 +207,33 @@ def cms_estimates(
         bucketed.groupBy("term", *[f"_b{i}" for i in rows])
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    counters = [
-        probe.groupBy(F.col(f"_b{i}").alias("bucket"))
-        .agg(F.sum("exact_count").alias(f"cnt{i}"))
-        for i in rows
-    ]
-    for i in rows:
-        probe = probe.join(
-            F.broadcast(counters[i].withColumnRenamed("bucket", f"_b{i}")),
-            f"_b{i}",
-        )
-    return probe.select(
+    # One stacked counter table instead of ``depth`` independent branches
+    # (OPTIMIZATION r14, guide §2.4): explode each vocab row to (hash-row,
+    # bucket) instances, aggregate ONCE to the d·w counter cells, broadcast
+    # ONCE, and take min(counter) per term — the previous shape planned
+    # ``depth`` counter aggregates and ``depth`` broadcast exchanges (the
+    # probe exchange was reused, but each branch was its own shuffle + its
+    # own broadcast build job). Identical estimates by construction:
+    # cnt(row i, bucket b) is the same integer sum either way, and
+    # min over the d joined instances equals least(cnt0..cnt{d-1}).
+    stacked = probe.select(
         "term",
-        F.least(*[F.col(f"cnt{i}") for i in rows]).alias("cms_est"),
         "exact_count",
+        F.posexplode(
+            F.array(*[F.col(f"_b{i}") for i in rows])
+        ).alias("_row", "_bucket"),
+    )
+    counters = stacked.groupBy("_row", "_bucket").agg(
+        F.sum("exact_count").alias("_cnt")
+    )
+    return (
+        stacked.join(F.broadcast(counters), ["_row", "_bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("_cnt").alias("cms_est"),
+            F.min("exact_count").alias("exact_count"),
+        )
+        .select("term", "cms_est", "exact_count")
     )
 
 

@@ -1907,8 +1907,12 @@ def _sql_door_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             F.lit(None).cast("long").alias("value_u64"),
         )
         src.coalesce(2).write.mode("overwrite").parquet(mpath)
+        from cardinalsin_spark.sources.tables import read_parquet_meta_cached
+
         downsample(
-            spark.read.parquet(mpath).withColumn("value", value_expr()),
+            read_parquet_meta_cached(spark, mpath).withColumn(
+                "value", value_expr()
+            ),
             21600,
             ["metric_name"],
         ).write.mode("overwrite").parquet(rpath)
@@ -2089,8 +2093,12 @@ def _sketch_fixture(spark: SparkSession, sf_dir: str,
     if path is None:
         mpath, _ = _sql_door_fixture(spark, sf_dir)
         path = _fixture_dir(f"qsketch-{resolution_s}", sf_dir) + "/qsketch"
+        from cardinalsin_spark.sources.tables import read_parquet_meta_cached
+
         downsample_quantile_sketch(
-            spark.read.parquet(mpath).withColumn("value", value_expr()),
+            read_parquet_meta_cached(spark, mpath).withColumn(
+                "value", value_expr()
+            ),
             resolution_s,
             ["metric_name"],
             _SKETCH_ALPHA,

@@ -19,8 +19,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
@@ -41,32 +39,7 @@ def main() -> int:
     spark = get_spark(app_name="cardinalsin-profile")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # same warm-up as bench.py
-    bench._run_to_completion(
-        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1)
-    )
-    from cardinalsin_spark.operators.similarity import dot_q_vectorized
-
-    bench._run_to_completion(
-        spark.range(1)
-        .selectExpr("array(1L, 2L) AS a", "array(3L, 4L) AS b")
-        .select(dot_q_vectorized()(F.col("a"), F.col("b")).alias("d"))
-    )
-    from pyspark.sql import Window as _W
-
-    _ev_warm = q._events(spark, sf_dir).limit(50_000)
-    bench._run_to_completion(
-        _ev_warm.groupBy("event_type").agg(
-            F.expr("percentile(value, 0.99)").alias("_p"),
-            F.avg("value").alias("_a"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-    )
-    bench._run_to_completion(
-        _ev_warm.select(
-            F.lag("value").over(_W.partitionBy("event_type").orderBy("ts")).alias("_l")
-        )
-    )
+    bench.warm_up(spark, sf_dir)
     bench._between_groups(spark)
 
     registry = q.queries()

@@ -86,9 +86,12 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         # higher-order functions, not Python)
         "ts_ewma", "tpch_q9ish", "tpch_q13ish", "tpch_q21ish",
         "promql_mad_over_time", "promql_at_pinned",
-        # round-6 additions: packed-bit hamming is xor+popcount in codegen;
-        # @-pinned range is instant + broadcast grid
-        "emb_hamming_topk", "promql_at_start", "promql_range_at_end",
+        # round-6 additions: @-pinned range is instant + broadcast grid
+        # (emb_hamming_topk moved to the sanctioned Arrow-GEMM category in
+        # r14: its 60-bit signature is a GEMM pandas_udf — vector scoring —
+        # while the distance stays xor+popcount in codegen; see
+        # test_hamming_signature_udf_matches_sql_expression)
+        "promql_at_start", "promql_range_at_end",
         "promql_set_unless", "promql_set_or", "docs_kmv_sample", "promql_cmp_vector",
         "docs_temperature_mixture", "promql_scalar_fold",
         # emb_random_projection / emb_pca_project are deliberately Arrow
@@ -314,12 +317,16 @@ def test_sketches_and_term_weights_stay_jvm_side(spark, sf_dir):
 
 
 def test_cms_counter_joins_broadcast(spark, sf_dir):
-    """The d=3 counter tables (64 cells each) must broadcast onto the
-    vocab probe — a shuffle join against constant-size sketch state would
-    be backwards at 100 TB."""
+    """The counter table (d·w = 192 cells) must broadcast onto the vocab
+    probe — a shuffle join against constant-size sketch state would be
+    backwards at 100 TB. Since r14 the d counter branches are ONE stacked
+    (hash-row, bucket) aggregate joined once (guide §2.4: one broadcast
+    build instead of three), so the pin is ≥1 broadcast join and NO
+    shuffle join anywhere in the estimate path."""
     df = _df(spark, sf_dir, "docs_cms_heavy_hitters")
     plan = plan_string(df, "simple")
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
 def test_scalar_arith_adds_no_join(spark, sf_dir):

@@ -376,3 +376,33 @@ def test_ivf_and_ivfpq_recall_floors(spark):
     ivfpq = q_emb_ivfpq_recall(spark, sf).collect()
     assert len(ivfpq) == 5
     assert sum(r.recall for r in ivfpq) / len(ivfpq) >= 0.2
+
+
+def test_hamming_signature_udf_matches_sql_expression(spark, sf_dir):
+    """The GEMM pandas_udf signature (OPTIMIZATION r14) must be
+    bit-identical to the SQL aggregate(zip_with(...)) formulation it
+    replaced in hamming_topk — same md5-derived planes, exact int64 sums,
+    same >=0 sign convention and 2^p packing."""
+    from pyspark.sql import functions as F
+
+    from cardinalsin_spark.operators.similarity import (
+        hamming_signature_udf,
+        sql_hyperplane_signature,
+        sql_quantize,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.selectExpr("vec_id", f"{sql_quantize('embedding')} AS qv")
+    sql_side = {
+        r.vec_id: r.s
+        for r in q.selectExpr(
+            "vec_id", f"{sql_hyperplane_signature('qv', 64, 60)} AS s"
+        ).collect()
+    }
+    udf_side = {
+        r.vec_id: r.s
+        for r in q.select(
+            "vec_id", hamming_signature_udf(64, 60)(F.col("qv")).alias("s")
+        ).collect()
+    }
+    assert sql_side == udf_side
