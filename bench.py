@@ -125,6 +125,14 @@ def _bench_sequence(registry_queries: dict) -> list[str]:
 CACHE_NAMESAKES = {
     "docs_minhash_pairs": ("cardinalsin_spark.queries_llm", "_SIMS_CACHE"),
     "docs_simhash": ("cardinalsin_spark.queries_llm", "_SIMHASH_CACHE"),
+    # r14 pair-index caches (the _SIMS_CACHE doctrine applied to the
+    # SimHash and embedding detectors): priced cold on their namesakes
+    "docs_simhash_pairs": (
+        "cardinalsin_spark.queries_llm", "_SIMHASH_PAIRS_CACHE",
+    ),
+    "emb_near_dup": (
+        "cardinalsin_spark.queries_llm", "_NEARDUP_PAIRS_CACHE",
+    ),
     "maint_rollup_routed": ("cardinalsin_spark.queries", "_ROLLUP_CACHE"),
     "maint_rollup_rate_routed": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
     "maint_sketch_quantile_routed": (
@@ -238,8 +246,11 @@ def warm_up(spark, sf_dir: str) -> None:
     from cardinalsin_spark.operators import dedup_docs as _dd
     from cardinalsin_spark.queries_llm import _docs as _docs_warm
 
+    _docs200 = _docs_warm(spark, sf_dir).limit(200)
     _run_to_completion(
-        _dd.minhash_signatures_df(_docs_warm(spark, sf_dir).limit(200))
+        _dd.jaccard_for_pairs(
+            _docs200, _dd.minhash_lsh_candidates(_docs200)
+        )
     )
     _run_to_completion(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

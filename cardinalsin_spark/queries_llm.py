@@ -621,6 +621,29 @@ FROM votes GROUP BY 1
 """
 
 
+_SIMHASH_PAIRS_CACHE = _IndexCache()
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped SimHash near-dup PAIR index (OPTIMIZATION r14) —
+    the exact ``_SIMS_CACHE`` doctrine applied to the SimHash detector:
+    the verified (id_a, id_b, hamming≤3) pair frame is the dedup index
+    two registry queries consume (the pair listing and the cross-detector
+    eval), and it was being rebuilt — banded self-join plus sub-band
+    split — once per consumer. Index-sized retention (pairs only),
+    localCheckpoint blocks GC-reclaimed, keyed by (application, dataset);
+    bench attribution evicts before each timed repeat of the namesake
+    (``docs_simhash_pairs``) so the build is priced cold exactly once."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    pairs = _SIMHASH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = dd.simhash_pairs_from_signatures(
+            _simhash_sigs(spark, sf_dir), max_hamming=3
+        ).localCheckpoint()
+        _SIMHASH_PAIRS_CACHE.put(key, pairs)
+    return pairs
+
+
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 15-bit-band bucketed candidates (pigeonhole-
     exact for hamming <= 3 with 4 bands; oversized buckets get an exact
@@ -628,9 +651,7 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the simple single-level banding — candidate generation strategy
     doesn't change the exact output pair set. Consumes the session-scoped
     signature index (``_simhash_sigs``) rather than rebuilding it."""
-    return dd.simhash_pairs_from_signatures(
-        _simhash_sigs(spark, sf_dir), max_hamming=3
-    )
+    return _simhash_pairs(spark, sf_dir)
 
 
 SQL_DOCS_SIMHASH_PAIRS = f"""
@@ -959,16 +980,36 @@ _NEARDUP_THRESHOLD = 0.4
 _NEARDUP_PLANES = 4
 
 
+_NEARDUP_PAIRS_CACHE = _IndexCache()
+
+
+def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped embedding near-dup PAIR index (OPTIMIZATION r14;
+    the ``_SIMS_CACHE`` doctrine): the LSH-bucketed, cosine-verified
+    (id_a, id_b, cosine) pair frame feeds both the pair listing and the
+    connected-components grouping, and was rebuilt — quantize + bucket
+    self-join + GEMM scoring — once per consumer. Index-sized retention,
+    localCheckpoint blocks GC-reclaimed, keyed by (application, dataset);
+    bench eviction prices the build cold on the namesake
+    (``emb_near_dup``)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    pairs = _NEARDUP_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = sim.cosine_near_dup_pairs(
+            _emb(spark, sf_dir),
+            dim=64,
+            threshold=_NEARDUP_THRESHOLD,
+            n_planes=_NEARDUP_PLANES,
+        ).localCheckpoint()
+        _NEARDUP_PAIRS_CACHE.put(key, pairs)
+    return pairs
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: same-LSH-bucket candidates (4
     hyperplanes), cosine ≥ 0.4 (the fixture's vectors are near-orthogonal,
     so 0.4 marks its true outlier pairs)."""
-    return sim.cosine_near_dup_pairs(
-        _emb(spark, sf_dir),
-        dim=64,
-        threshold=_NEARDUP_THRESHOLD,
-        n_planes=_NEARDUP_PLANES,
-    )
+    return _emb_neardup_pairs(spark, sf_dir)
 
 
 SQL_EMB_NEAR_DUP = f"""
@@ -996,12 +1037,7 @@ def q_emb_near_dup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint operator as docs_near_dedup_cc, over embeddings."""
     from cardinalsin_spark.operators.dedup_docs import connected_components
 
-    pairs = sim.cosine_near_dup_pairs(
-        _emb(spark, sf_dir),
-        dim=64,
-        threshold=_NEARDUP_THRESHOLD,
-        n_planes=_NEARDUP_PLANES,
-    ).select("id_a", "id_b")
+    pairs = _emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
     return connected_components(pairs).orderBy("id")
 
 
@@ -1325,9 +1361,7 @@ def q_docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_mh", F.lit(1))
     )
     sh = (
-        dd.simhash_pairs_from_signatures(
-            _simhash_sigs(spark, sf_dir), max_hamming=3
-        )
+        _simhash_pairs(spark, sf_dir)
         .select("id_a", "id_b")
         .withColumn("in_sh", F.lit(1))
     )

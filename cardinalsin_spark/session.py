@@ -49,6 +49,20 @@ _BASE_CONF = {
     # Write-side: match the reference's ZSTD-3 parquet encoding
     # (ingester/parquet_writer.rs:24-52).
     "spark.sql.parquet.compression.codec": "zstd",
+    # Per-file open-cost charged when packing scan splits (OPTIMIZATION
+    # r14). Spark's 4 MB default models spinning-disk/HDFS open+seek; on
+    # NVMe and object stores the real cost is far lower. Two effects,
+    # both right at scale: (a) many-small-file tables pack MORE files per
+    # maxPartitionBytes split → fewer scan tasks (the small-file problem,
+    # guide §6); (b) small tables split down to bytes/defaultParallelism
+    # instead of serializing a CPU-heavy scan stage on 1-2 cores (the
+    # measured local effect: events scans 1 → 16 partitions, the exact
+    # bottleneck exploded_shingles works around per-operator). Large-file
+    # splits stay governed by maxPartitionBytes either way. Overridable
+    # per deployment via SPARK_GRAFT_OPEN_COST_BYTES.
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST_BYTES", "131072"
+    ),
     # Keep scheduler chatter down in local mode.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
