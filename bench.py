@@ -133,6 +133,14 @@ CACHE_NAMESAKES = {
     "emb_near_dup": (
         "cardinalsin_spark.queries_llm", "_NEARDUP_PAIRS_CACHE",
     ),
+    # trained-quantizer caches: the deterministic IVF/PQ trainings are
+    # index builds — priced cold on their first BENCH_ORDER consumer
+    "emb_ivf_topk": (
+        "cardinalsin_spark.queries_llm", "_IVF_CENTROIDS_CACHE",
+    ),
+    "emb_ivfpq_topk": (
+        "cardinalsin_spark.queries_llm", "_PQ_CODEBOOKS_CACHE",
+    ),
     "maint_rollup_routed": ("cardinalsin_spark.queries", "_ROLLUP_CACHE"),
     "maint_rollup_rate_routed": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
     "maint_sketch_quantile_routed": (

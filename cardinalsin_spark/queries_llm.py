@@ -957,6 +957,43 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+_IVF_CENTROIDS_CACHE = _IndexCache()
+_PQ_CODEBOOKS_CACHE = _IndexCache()
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Session-scoped trained coarse quantizer (OPTIMIZATION r14; the
+    ``_SIMS_CACHE`` doctrine applied to quantizer TRAINING): six registry
+    queries train the identical deterministic 16-cell k-means (2 Lloyd
+    rounds over the 1000-lowest-id sample) and each paid the sample
+    collect + numpy loop. The trained array is a 16×64 float constant —
+    the canonical 'build the index once' artifact. Bench attribution:
+    priced cold on ``emb_ivf_topk`` (the first consumer in BENCH_ORDER)
+    via CACHE_NAMESAKES eviction."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    c = _IVF_CENTROIDS_CACHE.get(key)
+    if c is None:
+        c = sim.ivf_train_centroids_local(
+            _emb(spark, sf_dir).orderBy("vec_id").limit(1000), k=16, iters=2
+        )
+        _IVF_CENTROIDS_CACHE.put(key, c)
+    return c
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Session-scoped trained PQ codebooks (8 subspaces × 16 codes over
+    the same deterministic sample) — the ``_ivf_centroids`` twin, priced
+    cold on ``emb_ivfpq_topk``."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cb = _PQ_CODEBOOKS_CACHE.get(key)
+    if cb is None:
+        cb = sim.pq_train_codebooks_local(
+            _emb(spark, sf_dir), m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
+        )
+        _PQ_CODEBOOKS_CACHE.put(key, cb)
+    return cb
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (16 cells, 2 Lloyd
     rounds over the 1000-lowest-id sample), queries probe their 2 nearest
@@ -967,9 +1004,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # train the quantizer on a deterministic sample, driver-side (standard
     # IVF practice: index build cost must not scale with the corpus)
-    centroids = sim.ivf_train_centroids_local(
-        emb.orderBy("vec_id").limit(1000), k=16, iters=2
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1804,9 +1839,7 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     need tuning had no recall row). Same scale posture as the hamming
     yardstick: the join touches k·|queries| rows, never the vectors."""
     emb = _emb(spark, sf_dir)
-    centroids = sim.ivf_train_centroids_local(
-        emb.orderBy("vec_id").limit(1000), k=16, iters=2
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1982,9 +2015,7 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine duplicates keep-lowest-id. One row per vector:
     (vec_id, cell, is_dup)."""
     emb = _emb(spark, sf_dir)
-    centroids = sim.ivf_train_centroids_local(
-        emb.orderBy("vec_id").limit(1000), k=16, iters=2
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     return sim.semdedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
 
 
@@ -2548,11 +2579,8 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 1000-lowest-id sample; queries probe 2 cells, corpus scored by
     exact-integer ADC lookup (one float division at the end)."""
     emb = _emb(spark, sf_dir)
-    sample = emb.orderBy("vec_id").limit(1000)
-    centroids = sim.ivf_train_centroids_local(sample, k=16, iters=2)
-    codebooks = sim.pq_train_codebooks_local(
-        emb, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
+    codebooks = _pq_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2683,11 +2711,8 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurable, so a codebook regression fails a driver row instead of
     silently degrading retrieval quality."""
     emb = _emb(spark, sf_dir)
-    sample = emb.orderBy("vec_id").limit(1000)
-    centroids = sim.ivf_train_centroids_local(sample, k=16, iters=2)
-    codebooks = sim.pq_train_codebooks_local(
-        emb, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
+    codebooks = _pq_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2705,8 +2730,7 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (classic IVFADC): codebooks trained on coarse
     residuals, ADC = coarse term + residual lookups, exact-integer grid."""
     emb = _emb(spark, sf_dir)
-    sample = emb.orderBy("vec_id").limit(1000)
-    centroids = sim.ivf_train_centroids_local(sample, k=16, iters=2)
+    centroids = _ivf_centroids(spark, sf_dir)
     codebooks = sim.pq_train_residual_codebooks_local(
         emb, centroids, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
     )
