@@ -141,7 +141,9 @@ FROM documents
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: length/stopword/punctuation signals (integer counts
     with single final divisions → bit-deterministic)."""
-    df = tx.quality_features(_docs(spark, sf_dir))
+    # raw-scan caller: widen before the regex-bound map (r14; the operator
+    # itself stays unwidened for mid-pipeline callers)
+    df = tx.quality_features(tx.widen_small_input(_docs(spark, sf_dir)))
     return df.select(
         "doc_id", "n_chars_m", "n_tokens", "avg_token_len",
         "stopword_ratio", "punct_density",
@@ -2141,7 +2143,7 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.operators import sampling as smp
 
     out = smp.quality_filter(
-        _docs(spark, sf_dir),
+        tx.widen_small_input(_docs(spark, sf_dir)),
         min_tokens=20,
         max_tokens=50_000,
         min_avg_token_len=2.5,
