@@ -111,6 +111,36 @@ def ns_range_filter(lo: str, hi: str) -> Column:
     )
 
 
+# Lazy-frame cache for the three events fixture variants (OPTIMIZATION
+# r14): rebuilding the normalize/cents/promql projections costs 18-37 ms
+# of py4j/analysis per call and the bench makes ~150+ such calls. Same
+# metadata-only doctrine and key discipline as tables._READ_CACHE (the
+# frames are immutable lazy plans over the mtime-keyed cached read; no
+# rows are ever cached).
+_EVENTS_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _events_variant(spark: SparkSession, sf_dir: str, variant: str,
+                    build) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(path),
+            os.stat(path).st_mtime_ns,
+            variant,
+        )
+    except OSError:
+        return build()
+    df = _EVENTS_FRAME_CACHE.get(key)
+    if df is None:
+        if len(_EVENTS_FRAME_CACHE) >= 64:
+            _EVENTS_FRAME_CACHE.clear()
+        df = build()
+        _EVENTS_FRAME_CACHE[key] = df
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.sources.tables import (
         normalize_event_time,
@@ -118,8 +148,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_conf(spark)
-    return normalize_event_time(
-        read_parquet_meta_cached(spark, os.path.join(sf_dir, "events.parquet"))
+    return _events_variant(
+        spark, sf_dir, "base",
+        lambda: normalize_event_time(
+            read_parquet_meta_cached(
+                spark, os.path.join(sf_dir, "events.parquet")
+            )
+        ),
     )
 
 
@@ -142,7 +177,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _events(spark, sf_dir).withColumn("value_cents", cents(F.col("value")))
+    return _events_variant(
+        spark, sf_dir, "cents",
+        lambda: _events(spark, sf_dir).withColumn(
+            "value_cents", cents(F.col("value"))
+        ),
+    )
 
 
 EV_CENTS = MetricsCols(ts="ts", name="event_type", value="value_cents", labels=("user_id",))
@@ -426,8 +466,11 @@ WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
 def _events_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events mapped to the metrics shape for PromQL: label values are
     strings in PromQL, so user_id is cast; value_cents carries exact sums."""
-    return _events_cents(spark, sf_dir).withColumn(
-        "user_id", F.col("user_id").cast("string")
+    return _events_variant(
+        spark, sf_dir, "promql",
+        lambda: _events_cents(spark, sf_dir).withColumn(
+            "user_id", F.col("user_id").cast("string")
+        ),
     )
 
 
