@@ -133,13 +133,16 @@ CACHE_NAMESAKES = {
     "emb_near_dup": (
         "cardinalsin_spark.queries_llm", "_NEARDUP_PAIRS_CACHE",
     ),
-    # trained-quantizer caches: the deterministic IVF/PQ trainings are
-    # index builds — priced cold on their first BENCH_ORDER consumer
+    # trained-quantizer + corpus-encode caches: the deterministic IVF/PQ
+    # trainings AND the corpus index records they produce are index
+    # builds — priced cold (together) on their first BENCH_ORDER consumer
     "emb_ivf_topk": (
-        "cardinalsin_spark.queries_llm", "_IVF_CENTROIDS_CACHE",
+        ("cardinalsin_spark.queries_llm", "_IVF_CENTROIDS_CACHE"),
+        ("cardinalsin_spark.queries_llm", "_IVF_CORPUS_CACHE"),
     ),
     "emb_ivfpq_topk": (
-        "cardinalsin_spark.queries_llm", "_PQ_CODEBOOKS_CACHE",
+        ("cardinalsin_spark.queries_llm", "_PQ_CODEBOOKS_CACHE"),
+        ("cardinalsin_spark.queries_llm", "_PQ_CORPUS_CACHE"),
     ),
     "maint_rollup_routed": ("cardinalsin_spark.queries", "_ROLLUP_CACHE"),
     "maint_rollup_rate_routed": ("cardinalsin_spark.queries", "_SQL_DOOR_CACHE"),
@@ -149,10 +152,15 @@ CACHE_NAMESAKES = {
 }
 
 
-def _evict_index_cache(spec: tuple[str, str]) -> None:
+def _evict_index_cache(spec) -> None:
+    """``spec`` is one (module, attr) pair or a tuple of them — a
+    namesake can own several composed index artifacts (e.g. quantizer
+    training + the corpus records encoded with it)."""
     import importlib
 
-    getattr(importlib.import_module(spec[0]), spec[1]).clear()
+    specs = (spec,) if isinstance(spec[0], str) else spec
+    for mod, attr in specs:
+        getattr(importlib.import_module(mod), attr).clear()
 
 
 def _run_to_completion(df) -> None:

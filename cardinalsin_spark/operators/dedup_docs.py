@@ -256,6 +256,50 @@ def minhash_lsh_candidates(
     )
 
 
+def distinct_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, _sh_set) — each document's DISTINCT char-shingle set as ONE
+    array cell, built entirely map-side (no Generate, no exchange): the
+    normalized text is projected first so the per-element lambda slices a
+    bound attribute (the ``exploded_shingles`` discipline), then
+    ``array_distinct`` dedups within the row."""
+    n = F.length(F.col("_norm"))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))),
+            lambda i: F.col("_norm").substr(i, F.lit(shingle_k)),
+        )
+    )
+    return df.select(
+        F.col(id_col), normalize_text(text_col).alias("_norm")
+    ).select(id_col, arr.alias("_sh_set"))
+
+
+def distinct_word_ngram_sets(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, _sh_set) — each document's DISTINCT word-n-gram set as one
+    array cell, map-side (the ``distinct_shingle_sets`` twin over the
+    token stream: tokenize once per doc, slice per element)."""
+    cnt = F.size(F.col("_toks"))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).select(id_col, arr.alias("_sh_set"))
+
+
 def jaccard_for_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -266,20 +310,26 @@ def jaccard_for_pairs(
     """Exact Jaccard similarity over distinct char-shingle sets, computed
     only for the given candidate pairs (the LSH-verify step).
 
-    |A∩B| via exploded shingle join restricted to candidates; |A∪B| =
-    |A|+|B|−|A∩B|. Integer counts → one final division → deterministic.
+    |A∩B| = ``size(array_intersect(...))`` over per-doc distinct-shingle
+    ARRAYS (OPTIMIZATION r14): the old formulation exploded candidate
+    docs to (id, sh) rows and shuffled that stream five ways (distinct,
+    sizes, two intersection joins, re-agg); the array form never shuffles
+    a shingle — sets build map-side and ride two hash joins keyed on the
+    pair ids (broadcast at this candidate count, graceful shuffle of
+    arrays beyond). |A∪B| = |A|+|B|−|A∩B|. Integer counts → one final
+    division → deterministic, bit-equal to the exploded form.
 
-    Only documents that appear in a candidate pair are exploded (semi-join
+    Only documents that appear in a candidate pair build sets (semi-join
     first) — verify cost scales with |candidates|, not corpus size.
     """
-    # localCheckpoint, not persist: pairs feed three consumers (semi-join,
-    # intersection join, final left join); eager materialization computes
-    # the LSH pipeline once and the blocks are GC-cleaned when unreferenced
+    # localCheckpoint, not persist: pairs feed the semi-join and both
+    # pair-id joins; eager materialization computes the LSH pipeline once
+    # and the blocks are GC-cleaned when unreferenced
     pairs = pairs.localCheckpoint()
-    sh = exploded_shingles(
+    sets_ = distinct_shingle_sets(
         _candidate_docs(df, pairs, id_col), text_col, id_col, shingle_k
-    ).distinct()
-    return _pair_jaccard(sh, pairs, id_col)
+    )
+    return _pair_jaccard(sets_, pairs, id_col)
 
 
 def ngram_jaccard_for_pairs(
@@ -293,10 +343,10 @@ def ngram_jaccard_for_pairs(
     ``jaccard_for_pairs`` but over word n-gram sets instead of char
     shingles."""
     pairs = pairs.localCheckpoint()  # see jaccard_for_pairs
-    grams = exploded_word_ngrams(
+    sets_ = distinct_word_ngram_sets(
         _candidate_docs(df, pairs, id_col), n, text_col, id_col
-    ).distinct()
-    return _pair_jaccard(grams, pairs, id_col)
+    )
+    return _pair_jaccard(sets_, pairs, id_col)
 
 
 def _candidate_docs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
@@ -309,23 +359,28 @@ def _candidate_docs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(F.broadcast(cand_ids), id_col, "left_semi")
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Jaccard from distinct (id, sh) item rows, for the given pairs."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+def _pair_jaccard(sets_: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Jaccard from per-doc distinct item-set arrays (id, _sh_set), for
+    the given pairs: attach both sides' sets by pair id, intersect in the
+    row. The two joins build from the SAME sets subplan, so the planner
+    broadcasts one exchange and reuses it; counts are exact integers and
+    the division is the single float op of the exploded formulation."""
+    a = sets_.select(
+        F.col(id_col).alias("id_a"), F.col("_sh_set").alias("_sa")
+    )
+    b = sets_.select(
+        F.col(id_col).alias("id_b"), F.col("_sh_set").alias("_sb")
     )
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_inter"),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")

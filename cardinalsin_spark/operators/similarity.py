@@ -634,6 +634,29 @@ def _probed_queries(
     )
 
 
+def ivf_corpus(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-flat inverted-list records — (id, qv, norm, cell): each
+    corpus vector quantized, its norm precomputed, assigned to its
+    nearest-centroid cell (one GEMM pandas_udf pass). This frame IS the
+    index a real IVF deployment stores (FAISS IndexIVFFlat keeps exactly
+    the vectors grouped by cell); extracted so consumers can build it
+    once per dataset instead of re-encoding the corpus per query."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    return (
+        df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
+        .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
+        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
+        .drop(vec_col)
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -643,20 +666,19 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their nearest-centroid cell;
     each query probes its ``nprobe`` nearest cells and scores only those
     vectors. Join shuffles on the cell id — cost ≈ corpus·(nprobe/k) —
-    the 100 TB path when LSH bucket skew bites."""
+    the 100 TB path when LSH bucket skew bites. ``corpus`` accepts a
+    prebuilt :func:`ivf_corpus` frame (the stored index) so repeated
+    searches skip the encode pass."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
-    corpus = (
-        df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
-        .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
-        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
-        .drop(vec_col)
-    )
+    if corpus is None:
+        corpus = ivf_corpus(df, centroids, id_col, vec_col)
     qs = _probed_queries(queries, C, nprobe, query_id_col, vec_col)
     scored = (
         corpus.join(qs, "cell")
@@ -892,6 +914,42 @@ def _sql_array_literal_2d(A) -> str:
     )
 
 
+def ivfpq_corpus(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """The IVF-PQ index records — (id, cell, codes, vnorm2q): coarse cell
+    + m sub-quantizer codes + the quantized reconstruction norm². The
+    compressed representation a PQ deployment stores (FAISS IndexIVFPQ);
+    extracted like :func:`ivf_corpus` so consumers encode the corpus once
+    per dataset."""
+    import numpy as np
+
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m = CB.shape[0]
+    _, CBn2 = _pq_quantized(CB, scale)
+    cbn_lit = _sql_array_literal_2d(CBn2)
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("cell", ivf_assign_udf(np.asarray(centroids))(F.col(vec_col)))
+        .withColumn("codes", pq_encode_udf(CB)(F.col(vec_col)))
+        .drop(vec_col)
+        .selectExpr(
+            id_col,
+            "cell",
+            "codes",
+            # vnorm²q from the codebook norms — part of the index record
+            f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
+            f" acc + element_at(element_at({cbn_lit}, s + 1),"
+            f" element_at(codes, s + 1) + 1)) AS vnorm2q",
+        )
+    )
+
+
 def cosine_topk_ivfpq(
     df: DataFrame,
     queries: DataFrame,
@@ -903,6 +961,7 @@ def cosine_topk_ivfpq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale: int = QUANT_SCALE,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN search: corpus = (cell, m codes, quantized norm²) — the
     compressed index representation; queries stay full-precision
@@ -918,23 +977,11 @@ def cosine_topk_ivfpq(
     m, ks, dsub = CB.shape
     CBq, CBn2 = _pq_quantized(CB, scale)
     cbq_lit = _sql_array_literal_3d(CBq)
-    cbn_lit = _sql_array_literal_2d(CBn2)
 
-    corpus = (
-        df.select(id_col, vec_col)
-        .withColumn("cell", ivf_assign_udf(np.asarray(centroids))(F.col(vec_col)))
-        .withColumn("codes", pq_encode_udf(CB)(F.col(vec_col)))
-        .drop(vec_col)
-        .selectExpr(
-            id_col,
-            "cell",
-            "codes",
-            # vnorm²q from the codebook norms — part of the index record
-            f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
-            f" acc + element_at(element_at({cbn_lit}, s + 1),"
-            f" element_at(codes, s + 1) + 1)) AS vnorm2q",
+    if corpus is None:
+        corpus = ivfpq_corpus(
+            df, centroids, codebooks, id_col, vec_col, scale
         )
-    )
 
     qs = _probed_queries(
         queries, centroids, nprobe, query_id_col, vec_col, scale
@@ -1131,6 +1178,7 @@ def semdedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering — assign every vector to its nearest
@@ -1148,16 +1196,16 @@ def semdedup(
     Σ cell² ≈ N²/k, and k grows with the corpus (√N keeps per-cell work
     flat). Assignment is one GEMM pandas_udf pass; cosines run on the
     exact integer-quantized grid (one deterministic float division at
-    the end) like every similarity operator here."""
-    import numpy as np
+    the end) like every similarity operator here.
 
-    C = np.asarray(centroids, dtype=np.float64)
+    ``corpus`` accepts a prebuilt (already materialized)
+    :func:`ivf_corpus` frame — the SAME index records the IVF search
+    tier stores — so a session that has built the index does not
+    re-encode the corpus."""
     c = (
-        df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
-        .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
-        .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
-        .drop(vec_col)
-        .localCheckpoint()
+        ivf_corpus(df, centroids, id_col, vec_col).localCheckpoint()
+        if corpus is None
+        else corpus
     )
     a, b = c.alias("a"), c.alias("b")
     dups = (

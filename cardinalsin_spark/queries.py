@@ -4792,28 +4792,28 @@ FROM (
 def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per (event_type, day): the robust outlier
     scale measure (`mad_over_time` in recent PromQL; z-score's breakdown-
-    resistant sibling). Two-level exact percentile on the cents grid —
-    median per group, broadcast-joined back (group count is small; at
-    high cardinality the join shuffles on the same key as the reagg so
-    AQE co-locates), then median of |v − med|. Interpolation on even
-    counts is a single (a+b)/2 float op — deterministic, matching
-    DuckDB's percentile_cont exactly (same contract promql_quantile
-    pins)."""
+    resistant sibling). SINGLE collected-array aggregate per group
+    (operators/promql._mad_expr — the same formulation
+    promql_mad_over_time ships): the two-level percentile runs on the
+    sorted value array inside ONE hash aggregate, so the stream is
+    scanned once and shuffled once instead of aggregated, joined back,
+    and re-aggregated (OPTIMIZATION r14: 2 full-stream exchanges + a
+    join → 1 exchange). Bit-equal to the old percentile/join plan: on
+    the integer cents grid every median is a sum of two ≤2^52 ints
+    halved and every |v − med| a multiple of 0.5 — all interpolations
+    exact, matching DuckDB's percentile_cont (same contract
+    promql_quantile pins)."""
+    from cardinalsin_spark.operators.promql import _mad_expr
+
     ev = _events_cents(spark, sf_dir)
     day = time_bucket(F.col("ts"), 86_400)
     base = ev.select(
         day.alias("day"), "event_type", F.col("value_cents").alias("vc")
     )
-    med = base.groupBy("day", "event_type").agg(
-        F.expr("percentile(vc, 0.5)").alias("med")
-    )
     return (
-        base.join(med, ["day", "event_type"])
-        .groupBy("day", "event_type")
+        base.groupBy("day", "event_type")
         .agg(
-            (F.expr("percentile(abs(vc - med), 0.5)") / F.lit(100.0)).alias(
-                "mad"
-            ),
+            (F.expr(_mad_expr("vc")) / F.lit(100.0)).alias("mad"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("day", "event_type")
