@@ -619,7 +619,16 @@ def _union_find_components(pairs: DataFrame, rows) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
     )
-    return pairs.sparkSession.createDataFrame(out, schema)
+    # hand the driver-side result back through the Arrow path (one record
+    # batch, JVM-side scan): the plain list form parallelizes into
+    # defaultParallelism pickled Python partitions, so every downstream
+    # action pays a fleet of Python-serialization tasks for an
+    # index-metadata-sized frame (OPTIMIZATION r14, measured on the cc
+    # consumers)
+    import pandas as pd
+
+    pdf = pd.DataFrame(out or None, columns=["id", "comp"])
+    return pairs.sparkSession.createDataFrame(pdf, schema)
 
 
 def near_dedup_cc(

@@ -709,41 +709,67 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to same-LSH-bucket vectors.
 
-    The self-join shuffles on the bucket key, so cost is Σ bucket² instead
-    of corpus² — the 100 TB path. Fewer planes ⇒ bigger buckets ⇒ higher
-    recall and higher cost (documented approximate-recall trade-off; an
-    exact variant is the brute-force cross join)."""
-    # norms precomputed per VECTOR (n rows), not per pair (n² worst case);
-    # eager localCheckpoint so the self-join computes them once and the
-    # blocks are GC-cleaned when the result frame is dropped (a bare
-    # persist would pin them in CacheManager with no unpersist site)
-    c = (
-        df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv")
-        .selectExpr(
-            "*",
-            f"{sql_hyperplane_signature('qv', dim, n_planes)} AS bucket",
-            f"{sql_norm_q('qv')} AS norm",
-        )
-        .localCheckpoint()
+    Work is bucketed — Σ bucket² pair scores instead of corpus² — the
+    100 TB path. Fewer planes ⇒ bigger buckets ⇒ higher recall and higher
+    cost (documented approximate-recall trade-off; an exact variant is
+    the brute-force cross join).
+
+    Scoring shape (OPTIMIZATION r14, guide §8 "move heavy bytes once"):
+    ONE groupBy(bucket) + applyInPandas GEMM per bucket, replacing the
+    bucket self-join + per-pair-instance pandas scoring — which shuffled
+    and Arrow-shipped BOTH quantized vectors per candidate pair
+    (Σ bucket² · dim longs; 2000 vectors at sf0.1 ≈ 250k instances ≈
+    256 MB through the Python boundary). Now each vector crosses the
+    shuffle and the boundary ONCE (Σ bucket · dim) and the bucket's exact
+    int64 Gram matrix is one ``M @ M.T``. Per-task state is one bucket
+    (b·dim ints + b² doubles) — bounded by the same bucket-size
+    discipline the join's Σ bucket² runtime already assumed.
+    Bit-identical by construction: the same quantized int64 dot and the
+    same ``dot / (norm_a · norm_b)`` float chain per pair
+    (tests/test_r14_equivalence.py pins it)."""
+    import numpy as np
+    import pandas as pd
+
+    c = df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv").selectExpr(
+        "*", f"{sql_hyperplane_signature('qv', dim, n_planes)} AS bucket"
     )
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    thr = float(threshold)
+    idc = id_col
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .withColumn(
-            "cosine",
-            dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
-            / (F.col("a.norm") * F.col("b.norm")),
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf[idc].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64, copy=False)
+        G = M @ M.T  # exact int64: |q| ≤ 1e6·dim ⇒ |dot| ≪ 2^63
+        dn = np.sqrt(G.diagonal().astype(np.float64))  # = sql_norm_q
+        # same float chain as the relational form: dot / (norm_a * norm_b)
+        C = G.astype(np.float64) / np.outer(dn, dn)
+        iu, ju = np.triu_indices(n, k=1)
+        cos = C[iu, ju]
+        keep = cos >= thr
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine": cos[keep],
+            }
         )
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
-        )
+
+    return c.groupBy("bucket").applyInPandas(
+        _pairs, "id_a long, id_b long, cosine double"
     )
 
 
@@ -1192,45 +1218,66 @@ def semdedup(
     (filter vs audit) without re-scoring.
 
     Scale: the paper's whole point is that clustering bounds the
-    quadratic term — the self-join shuffles on the cell id so cost is
-    Σ cell² ≈ N²/k, and k grows with the corpus (√N keeps per-cell work
-    flat). Assignment is one GEMM pandas_udf pass; cosines run on the
-    exact integer-quantized grid (one deterministic float division at
-    the end) like every similarity operator here.
+    quadratic term — work is Σ cell² ≈ N²/k pair scores, and k grows
+    with the corpus (√N keeps per-cell work flat). Assignment is one
+    GEMM pandas_udf pass; cosines run on the exact integer-quantized
+    grid (one deterministic float division at the end) like every
+    similarity operator here.
+
+    Scoring shape (OPTIMIZATION r14 — the ``cosine_near_dup_pairs``
+    restructure): ONE groupBy(cell) + applyInPandas GEMM per cell
+    replaces the cell self-join → per-pair-instance scoring → distinct →
+    flag join-back. Each vector crosses the shuffle and the Arrow
+    boundary once (Σ cell · dim instead of Σ cell² · dim) and the flag
+    ``any lower-id mate ≥ threshold`` is a triangular reduction of the
+    cell's exact int64 Gram matrix. Bit-identical flags (same quantized
+    dot, same float chain; tests/test_r14_equivalence.py).
 
     ``corpus`` accepts a prebuilt (already materialized)
     :func:`ivf_corpus` frame — the SAME index records the IVF search
     tier stores — so a session that has built the index does not
     re-encode the corpus."""
+    import numpy as np
+    import pandas as pd
+
     c = (
-        ivf_corpus(df, centroids, id_col, vec_col).localCheckpoint()
+        ivf_corpus(df, centroids, id_col, vec_col)
         if corpus is None
         else corpus
     )
-    a, b = c.alias("a"), c.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    thr = float(threshold)
+    idc = id_col
+
+    def _flags(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[idc].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        cell = int(pdf["cell"].iat[0])
+        n = len(ids)
+        if n == 1:
+            dup = np.zeros(1, dtype="int64")
+        else:
+            M = np.stack(pdf["qv"].to_numpy()[order]).astype(
+                np.int64, copy=False
+            )
+            G = M @ M.T  # exact int64
+            dn = np.sqrt(G.diagonal().astype(np.float64))  # = sql_norm_q
+            # same float chain as the relational form: dot / (na * nb)
+            C = G.astype(np.float64) / np.outer(dn, dn)
+            # dup[i] ⇔ ∃ j < i (lower id) with cosine ≥ threshold
+            dup = (
+                np.tril(C >= thr, k=-1).any(axis=1).astype("int64")
+            )
+        return pd.DataFrame(
+            {
+                idc: ids,
+                "cell": np.full(n, cell, dtype="int64"),
+                "is_dup": dup,
+            }
         )
-        .withColumn(
-            "cosine",
-            dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
-            / (F.col("a.norm") * F.col("b.norm")),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select(F.col(f"a.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
-    return (
-        c.join(dups, id_col, "left")
-        .select(
-            id_col,
-            F.col("cell").cast("long").alias("cell"),
-            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
-        )
+
+    return c.groupBy("cell").applyInPandas(
+        _flags, f"{id_col} long, cell long, is_dup long"
     )
 
 

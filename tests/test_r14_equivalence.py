@@ -175,6 +175,87 @@ def test_ivf_corpus_param_matches_inline_encode(spark):
     assert _rows(pq_inline) == _rows(pq_cached)
 
 
+def test_near_dup_bucket_gemm_matches_self_join(spark):
+    """cosine_near_dup_pairs (per-bucket applyInPandas GEMM) == the old
+    bucket self-join + per-pair scoring, bit for bit."""
+    from cardinalsin_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR_MEDIUM}/embeddings.parquet")
+    new = sim.cosine_near_dup_pairs(emb, dim=64, threshold=0.4, n_planes=4)
+
+    # the pre-r14 self-join formulation, inlined
+    c = (
+        emb.selectExpr("vec_id", f"{sim.sql_quantize('embedding')} AS qv")
+        .selectExpr(
+            "*",
+            f"{sim.sql_hyperplane_signature('qv', 64, 4)} AS bucket",
+            f"{sim.sql_norm_q('qv')} AS norm",
+        )
+        .localCheckpoint()
+    )
+    a, b = c.alias("a"), c.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            sim.dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
+            / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cosine") >= F.lit(0.4))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cosine",
+        )
+    )
+    new_rows = _rows(new)
+    assert len(new_rows) > 0
+    assert new_rows == _rows(old)
+
+
+def test_semdedup_cell_gemm_matches_self_join(spark):
+    """semdedup (per-cell applyInPandas flag GEMM) == the old self-join +
+    distinct + flag join-back, bit for bit."""
+    from cardinalsin_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR_MEDIUM}/embeddings.parquet")
+    centroids = sim.ivf_train_centroids_local(
+        emb.orderBy("vec_id").limit(200), k=4, iters=2
+    )
+    new = sim.semdedup(emb, centroids, threshold=0.4)
+
+    c = sim.ivf_corpus(emb, centroids).localCheckpoint()
+    a, b = c.alias("a"), c.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            sim.dot_q_vectorized()(F.col("a.qv"), F.col("b.qv"))
+            / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cosine") >= F.lit(0.4))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    old = c.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+    new_rows = _rows(new)
+    assert len(new_rows) == emb.count()
+    assert new_rows == _rows(old)
+
+
 def test_ivf_corpus_cache_evicts_and_rebuilds(spark, tmp_path):
     """_ivf_corpus honors the _IndexCache doctrine: keyed by (app, dataset),
     LRU-evicted, rebuilt identically after eviction."""
