@@ -3387,9 +3387,16 @@ def cumulative_le_buckets(
         .groupBy(*group_cols, le_col)
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    # Arrow path for the literal le dimension (OPTIMIZATION r14, the
+    # _union_find_components fix): a plain Python list parallelizes into
+    # defaultParallelism pickled partitions, so building this ~8-row
+    # broadcast cost a fleet of Python-serialization tasks per query
+    import pandas as pd
+
     le_df = F.broadcast(
         counts.sparkSession.createDataFrame(
-            [(int(v),) for v in bounds + [LE_INF]], f"{le_col} LONG"
+            pd.DataFrame({le_col: [int(v) for v in bounds + [LE_INF]]}),
+            f"{le_col} LONG",
         )
     )
     grid = counts.select(*group_cols).distinct().crossJoin(le_df)
