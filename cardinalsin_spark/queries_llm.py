@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cardinalsin_spark.indexes import stored_index
 from cardinalsin_spark.operators import dedup_docs as dd
 from cardinalsin_spark.operators import similarity as sim
 from cardinalsin_spark.operators import text as tx
@@ -211,48 +212,18 @@ _ROWS = _NUM_HASHES // _BANDS
 _SHINGLE_K = dd.DEFAULT_SHINGLE_K
 
 
-class _IndexCache:
-    """Session-scoped index cache with an LRU bound (VERDICT r5 watch
-    item): entries are checkpointed index frames keyed by (applicationId,
-    dataset path). Evicting an entry drops the last Python/py4j reference
-    to the frame, letting the JVM GC collect its RDD and the
-    ContextCleaner reclaim the checkpoint blocks — the localCheckpoint
-    reclamation doctrine pinned by tests/test_cache_hygiene.py. A
-    long-lived session touching many datasets therefore holds at most
-    ``maxsize`` index frames' worth of blocks per cache."""
-
-    def __init__(self, maxsize: int = 8):
-        from collections import OrderedDict
-
-        self.maxsize = maxsize
-        self._entries: "OrderedDict" = OrderedDict()
-
-    def get(self, key):
-        v = self._entries.get(key)
-        if v is not None:
-            self._entries.move_to_end(key)
-        return v
-
-    def put(self, key, value) -> None:
-        self._entries[key] = value
-        self._entries.move_to_end(key)
-        while len(self._entries) > self.maxsize:
-            self._entries.popitem(last=False)
-
-    def __len__(self) -> int:
-        return len(self._entries)
-
-    def __contains__(self, key) -> bool:
-        return key in self._entries
-
-    def clear(self) -> None:
-        """Drop every entry (bench attribution hook: evicting before a
-        timed run makes the namesake query pay its index build cold,
-        matching the driver's single-pass cost — VERDICT r10 item 4)."""
-        self._entries.clear()
-
-
-_SIMS_CACHE = _IndexCache()
+# Session-scoped stored indexes (OPTIMIZATION r15, VERDICT r14 item 5):
+# the former private _IndexCache memo dicts are now first-class
+# cardinalsin_spark.indexes.StoredIndex instances — named, listable,
+# explicitly invalidatable, LRU-bounded, mtime-stale-proof — while the
+# module attribute names stay so bench.CACHE_NAMESAKES keeps pointing at
+# each index's ``clear()`` eviction hook (the cold-build attribution
+# doctrine, VERDICT r10 item 4).
+_SIMS_CACHE = stored_index(
+    "docs_minhash_pairs",
+    "MinHash-LSH candidate pairs verified by exact char-shingle Jaccard "
+    "(id_a, id_b, n_inter, n_a, n_b, jaccard) — the dedup pair index",
+)
 
 
 def _minhash_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,21 +236,17 @@ def _minhash_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a handful of columns per pair — index-sized, not corpus-sized),
     checkpointed so consumers don't re-run the hash pipeline. Keyed by
     Spark application id, so a new session rebuilds from scratch; the
-    dataset path identifies an immutable snapshot, matching an index's
-    build-once contract (a mutating table would need invalidation here).
-    """
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    sims = _SIMS_CACHE.get(key)
-    if sims is None:
+    dataset mtime invalidates on rewrite (stored-index key discipline,
+    cardinalsin_spark.indexes)."""
+
+    def _build() -> DataFrame:
         docs = _docs(spark, sf_dir)
         cands = dd.minhash_lsh_candidates(
             docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_SHINGLE_K
         )
-        sims = dd.jaccard_for_pairs(
-            docs, cands, shingle_k=_SHINGLE_K
-        ).localCheckpoint()
-        _SIMS_CACHE.put(key, sims)
-    return sims
+        return dd.jaccard_for_pairs(docs, cands, shingle_k=_SHINGLE_K)
+
+    return _SIMS_CACHE.build(spark, sf_dir, _build)
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +547,11 @@ SELECT * FROM hist UNION ALL SELECT * FROM sng ORDER BY cluster_size
 # ---------------------------------------------------------------------------
 
 
-_SIMHASH_CACHE = _IndexCache()
+_SIMHASH_CACHE = stored_index(
+    "docs_simhash_sigs",
+    "60-bit SimHash signature per document (doc_id, simhash) — one long "
+    "per doc, the signature index both the listing and pair queries read",
+)
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,12 +560,9 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — index-sized — and both the signature listing and the pair
     query consume it, so the 3M-row token explode + packed-counter
     aggregation runs once per (application, dataset)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    sig = _SIMHASH_CACHE.get(key)
-    if sig is None:
-        sig = dd.simhash(_docs(spark, sf_dir)).localCheckpoint()
-        _SIMHASH_CACHE.put(key, sig)
-    return sig
+    return _SIMHASH_CACHE.build(
+        spark, sf_dir, lambda: dd.simhash(_docs(spark, sf_dir))
+    )
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,7 +591,11 @@ FROM votes GROUP BY 1
 """
 
 
-_SIMHASH_PAIRS_CACHE = _IndexCache()
+_SIMHASH_PAIRS_CACHE = stored_index(
+    "docs_simhash_pairs",
+    "verified SimHash near-dup pairs (id_a, id_b, hamming<=3) from the "
+    "banded signature self-join — the SimHash detector's pair index",
+)
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,14 +608,13 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint blocks GC-reclaimed, keyed by (application, dataset);
     bench attribution evicts before each timed repeat of the namesake
     (``docs_simhash_pairs``) so the build is priced cold exactly once."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    pairs = _SIMHASH_PAIRS_CACHE.get(key)
-    if pairs is None:
-        pairs = dd.simhash_pairs_from_signatures(
+    return _SIMHASH_PAIRS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: dd.simhash_pairs_from_signatures(
             _simhash_sigs(spark, sf_dir), max_hamming=3
-        ).localCheckpoint()
-        _SIMHASH_PAIRS_CACHE.put(key, pairs)
-    return pairs
+        ),
+    )
 
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,8 +930,18 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
-_IVF_CENTROIDS_CACHE = _IndexCache()
-_PQ_CODEBOOKS_CACHE = _IndexCache()
+_IVF_CENTROIDS_CACHE = stored_index(
+    "emb_ivf_centroids",
+    "trained IVF coarse quantizer (16x64 float k-means centroids, 2 Lloyd "
+    "rounds over the deterministic 1000-lowest-id sample)",
+    checkpoint=False,  # a small driver-side array, not a DataFrame
+)
+_PQ_CODEBOOKS_CACHE = stored_index(
+    "emb_pq_codebooks",
+    "trained product-quantization codebooks (8 subspaces x 16 codes over "
+    "the same deterministic sample)",
+    checkpoint=False,
+)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
@@ -972,32 +953,38 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     the canonical 'build the index once' artifact. Bench attribution:
     priced cold on ``emb_ivf_topk`` (the first consumer in BENCH_ORDER)
     via CACHE_NAMESAKES eviction."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    c = _IVF_CENTROIDS_CACHE.get(key)
-    if c is None:
-        c = sim.ivf_train_centroids_local(
+    return _IVF_CENTROIDS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.ivf_train_centroids_local(
             _emb(spark, sf_dir).orderBy("vec_id").limit(1000), k=16, iters=2
-        )
-        _IVF_CENTROIDS_CACHE.put(key, c)
-    return c
+        ),
+    )
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
     """Session-scoped trained PQ codebooks (8 subspaces × 16 codes over
     the same deterministic sample) — the ``_ivf_centroids`` twin, priced
     cold on ``emb_ivfpq_topk``."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    cb = _PQ_CODEBOOKS_CACHE.get(key)
-    if cb is None:
-        cb = sim.pq_train_codebooks_local(
+    return _PQ_CODEBOOKS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.pq_train_codebooks_local(
             _emb(spark, sf_dir), m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
-        )
-        _PQ_CODEBOOKS_CACHE.put(key, cb)
-    return cb
+        ),
+    )
 
 
-_IVF_CORPUS_CACHE = _IndexCache()
-_PQ_CORPUS_CACHE = _IndexCache()
+_IVF_CORPUS_CACHE = stored_index(
+    "emb_ivf_corpus",
+    "IVF-flat inverted-list index records (vec_id, quantized vector, "
+    "norm, cell) for the whole corpus — the FAISS-style stored index",
+)
+_PQ_CORPUS_CACHE = stored_index(
+    "emb_ivfpq_corpus",
+    "IVF-PQ index records (vec_id, cell, codes, vnorm2q) — the "
+    "compressed search tier's stored index",
+)
 
 
 def _ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,30 +997,28 @@ def _ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints + cell per vector), localCheckpoint blocks GC-reclaimed, keyed
     by (application, dataset); priced cold on ``emb_ivf_topk`` via
     CACHE_NAMESAKES like the quantizer training it composes with."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    c = _IVF_CORPUS_CACHE.get(key)
-    if c is None:
-        c = sim.ivf_corpus(
+    return _IVF_CORPUS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.ivf_corpus(
             _emb(spark, sf_dir), _ivf_centroids(spark, sf_dir)
-        ).localCheckpoint()
-        _IVF_CORPUS_CACHE.put(key, c)
-    return c
+        ),
+    )
 
 
 def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped IVF-PQ index records (cell, codes, vnorm2q) — the
     ``_ivf_corpus`` twin for the compressed tier, priced cold on
     ``emb_ivfpq_topk``."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    c = _PQ_CORPUS_CACHE.get(key)
-    if c is None:
-        c = sim.ivfpq_corpus(
+    return _PQ_CORPUS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.ivfpq_corpus(
             _emb(spark, sf_dir),
             _ivf_centroids(spark, sf_dir),
             _pq_codebooks(spark, sf_dir),
-        ).localCheckpoint()
-        _PQ_CORPUS_CACHE.put(key, c)
-    return c
+        ),
+    )
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,7 +1045,12 @@ _NEARDUP_THRESHOLD = 0.4
 _NEARDUP_PLANES = 4
 
 
-_NEARDUP_PAIRS_CACHE = _IndexCache()
+_NEARDUP_PAIRS_CACHE = stored_index(
+    "emb_near_dup_pairs",
+    "LSH-bucketed, cosine-verified embedding near-dup pairs "
+    "(id_a, id_b, cosine >= threshold) — the embedding detector's pair "
+    "index",
+)
 
 
 def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,17 +1062,16 @@ def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint blocks GC-reclaimed, keyed by (application, dataset);
     bench eviction prices the build cold on the namesake
     (``emb_near_dup``)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    pairs = _NEARDUP_PAIRS_CACHE.get(key)
-    if pairs is None:
-        pairs = sim.cosine_near_dup_pairs(
+    return _NEARDUP_PAIRS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.cosine_near_dup_pairs(
             _emb(spark, sf_dir),
             dim=64,
             threshold=_NEARDUP_THRESHOLD,
             n_planes=_NEARDUP_PLANES,
-        ).localCheckpoint()
-        _NEARDUP_PAIRS_CACHE.put(key, pairs)
-    return pairs
+        ),
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2788,14 +2777,40 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMB_IVFPQ_RECALL = _recall_oracle_sql(SQL_EMB_IVFPQ_TOPK)
 
 
+_PQ_RESIDUAL_CODEBOOKS_CACHE = stored_index(
+    "emb_pq_residual_codebooks",
+    "trained residual PQ codebooks (IVFADC: 8 subspaces x 16 codes over "
+    "coarse-quantizer residuals of the deterministic sample)",
+    checkpoint=False,
+)
+
+
+def _pq_residual_codebooks(spark: SparkSession, sf_dir: str):
+    """Session-scoped residual-PQ codebook training (OPTIMIZATION r15,
+    VERDICT r14 item 7): the one quantizer training left uncached after
+    r14 — the namesake (``emb_ivfpq_residual_topk``) is also its only
+    registry consumer, so bench eviction prices the training cold on
+    every timed repeat exactly like the other quantizer indexes."""
+    return _PQ_RESIDUAL_CODEBOOKS_CACHE.build(
+        spark,
+        sf_dir,
+        lambda: sim.pq_train_residual_codebooks_local(
+            _emb(spark, sf_dir),
+            _ivf_centroids(spark, sf_dir),
+            m=_PQ_M,
+            ks=_PQ_KS,
+            iters=2,
+            sample=1000,
+        ),
+    )
+
+
 def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (classic IVFADC): codebooks trained on coarse
     residuals, ADC = coarse term + residual lookups, exact-integer grid."""
     emb = _emb(spark, sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
-    codebooks = sim.pq_train_residual_codebooks_local(
-        emb, centroids, m=_PQ_M, ks=_PQ_KS, iters=2, sample=1000
-    )
+    codebooks = _pq_residual_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -257,17 +257,14 @@ def test_semdedup_cell_gemm_matches_self_join(spark):
 
 
 def test_ivf_corpus_cache_evicts_and_rebuilds(spark, tmp_path):
-    """_ivf_corpus honors the _IndexCache doctrine: keyed by (app, dataset),
-    LRU-evicted, rebuilt identically after eviction."""
-    import os
-
+    """_ivf_corpus honors the stored-index doctrine: keyed by (app,
+    dataset, mtime), LRU-evicted, rebuilt identically after eviction."""
     from cardinalsin_spark import queries_llm as ql
 
     sfd = SF_DIR_MEDIUM
     ql._IVF_CORPUS_CACHE.clear()
     first = ql._ivf_corpus(spark, sfd)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sfd))
-    assert key in ql._IVF_CORPUS_CACHE
+    assert ql._IVF_CORPUS_CACHE.read(spark, sfd) is not None
     baseline = _rows(first)
     ql._IVF_CORPUS_CACHE.clear()
     rebuilt = _rows(ql._ivf_corpus(spark, sfd))
