@@ -371,13 +371,22 @@ def _pair_jaccard(sets_: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     b = sets_.select(
         F.col(id_col).alias("id_b"), F.col("_sh_set").alias("_sb")
     )
+    # ADVICE r14 #2: array_intersect treats NULL elements as EQUAL, but
+    # the exploded formulation's equi-join on sh dropped NULLs — a pair
+    # of NULL-text docs (each set [null]) must intersect to 0, not 1.
+    # Filtering the INTERSECTION (not the sets) keeps n_a/n_b counting
+    # the null element exactly as the exploded form's per-doc row count
+    # did.
+    inter = F.filter(
+        F.array_intersect("_sa", "_sb"), lambda x: x.isNotNull()
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_inter"),
+            F.size(inter).cast("long").alias("n_inter"),
             F.size("_sa").cast("long").alias("n_a"),
             F.size("_sb").cast("long").alias("n_b"),
         )
@@ -760,34 +769,65 @@ def cross_split_contamination(
     semi-join relies on AQE's runtime skew split, which covers everything
     but the pathological single-key case.
 
-    Shape: fingerprints once over the whole corpus (shingle explode + one
-    window shuffle), then split labels RECOMPUTED per row from the id via
-    ``split_label`` (a pure column expression, e.g.
-    ``sampling.split_expr()``) — no assignment-table join at all, the
-    leakage-safe-join property split_assign advertises — then a semi-join
-    of test fingerprints against the distinct train fingerprint set.
-    Everything is exact integer hashing — no probabilistic misses beyond
-    winnowing's guarantee."""
+    Shape (OPTIMIZATION r15, VERDICT r14 item 8): fingerprints once over
+    the whole corpus (shingle explode + one window shuffle), then split
+    labels RECOMPUTED per row from the id via ``split_label`` (a pure
+    column expression, e.g. ``sampling.split_expr()``) — no
+    assignment-table join at all, the leakage-safe-join property
+    split_assign advertises — then ONE conditional aggregation per
+    fingerprint (has-a-train-doc flag + the set of test docs carrying
+    it) instead of the r14 semi-join of two FILTERED ARMS of the
+    fingerprint frame: Spark plans no common-subexpression sharing
+    across join inputs, so the two arms each re-evaluated the whole
+    winnow subtree (2 corpus scans + 2 shingle explodes + 2 window
+    shuffles — PROFILE_r14's single most expensive execute at 8.6 s).
+    The groupBy(fp) form evaluates winnowing ONCE; its per-fp state is
+    bounded by the test docs sharing that fingerprint — the same rows
+    the join's fp-reducer received. Everything is exact integer hashing
+    — no probabilistic misses beyond winnowing's guarantee.
+
+    ``salt_n`` (opt-in, for a single boilerplate fingerprint dominating
+    the test side) keeps the r14 salted-join formulation — identical
+    results, pytest-pinned — at the cost of the two-arm plan."""
     fps = winnowed_fingerprints(
         df, shingle_k=shingle_k, window=window, text_col=text_col, id_col=id_col
     )
     labeled = fps.withColumn("_split", split_label)
-    train_fps = (
-        labeled.filter(F.col("_split") == train_label).select("fp").distinct()
-    )
-    test_fps = labeled.filter(F.col("_split") == test_label)
     if salt_n:
         from cardinalsin_spark.functions.skew import salted_join
 
+        train_fps = (
+            labeled.filter(F.col("_split") == train_label)
+            .select("fp")
+            .distinct()
+        )
+        test_fps = labeled.filter(F.col("_split") == test_label)
         # inner ≡ leftsemi here: train_fps is distinct on fp, so each
         # matching test row joins exactly once (countDistinct is a
         # second belt anyway)
         matched = salted_join(test_fps, train_fps, on=["fp"], n_salts=salt_n)
-    else:
-        matched = test_fps.join(train_fps, on="fp", how="leftsemi")
+        return (
+            matched.groupBy(id_col)
+            .agg(F.countDistinct("fp").alias("n_shared_fps"))
+            .orderBy(id_col)
+        )
+    per_fp = labeled.groupBy("fp").agg(
+        F.max(
+            F.when(F.col("_split") == train_label, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("_has_train"),
+        # collect_set skips the NULLs the `when` emits for non-test rows
+        # and dedups (fp, doc) multiplicity exactly like countDistinct
+        F.collect_set(
+            F.when(F.col("_split") == test_label, F.col(id_col))
+        ).alias("_test_ids"),
+    )
     return (
-        matched.groupBy(id_col)
-        .agg(F.countDistinct("fp").alias("n_shared_fps"))
+        per_fp.filter(F.col("_has_train") == 1)
+        .select(F.explode("_test_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .orderBy(id_col)
     )
 

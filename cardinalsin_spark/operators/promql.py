@@ -3725,7 +3725,14 @@ def _median_of(arr: str) -> str:
 def _mad_expr(value_col: str) -> str:
     """Single-aggregate MAD: sort the collected values once (bound to a
     lambda var via the 1-element-array transform idiom — Spark SQL has no
-    let), take the median, re-sort absolute deviations, median again."""
+    let), take the median, re-sort absolute deviations, median again.
+
+    Memory: the ``collect_list`` buffer grows with the GROUP ROW COUNT —
+    fine for this expression's consumers (``mad_over_time`` range
+    windows, bounded by window duration × scrape interval) but NOT for
+    unbounded groups; those use :func:`_mad_grid_expr` over a
+    counts-per-value grid instead (OPTIMIZATION r15, VERDICT r14 item
+    4)."""
     inner = _median_of("a")
     outer = _median_of("d")
     # NB: [0] subscripts are Spark's 0-based GetArrayItem (element_at is
@@ -3734,6 +3741,52 @@ def _mad_expr(value_col: str) -> str:
         f"transform(array(array_sort(collect_list({value_col}))), a -> "
         f"transform(array(array_sort(transform(a, x -> abs(x - {inner})))),"
         f" d -> {outer})[0])[0]"
+    )
+
+
+def _rank_walk(arr: str, r: str) -> str:
+    """SQL fragment: the value at 1-based rank ``r`` of a (v, c)-struct
+    array sorted by v — a linear cumulative-count walk, the weighted
+    analogue of ``element_at(a, r)``."""
+    return (
+        f"aggregate({arr},"
+        f" named_struct('cum', 0L, 'val', CAST(NULL AS BIGINT)),"
+        f" (acc, s) -> CASE WHEN acc.val IS NOT NULL THEN acc"
+        f" WHEN acc.cum + s.c >= {r}"
+        f" THEN named_struct('cum', acc.cum + s.c, 'val', s.v)"
+        f" ELSE named_struct('cum', acc.cum + s.c, 'val', acc.val) END,"
+        f" acc -> acc.val)"
+    )
+
+
+def _mad_grid_expr(value_col: str, cnt_col: str) -> str:
+    """MAD over a pre-aggregated (integer value, count) GRID — the
+    memory-bounded form of :func:`_mad_expr` for unbounded groups
+    (OPTIMIZATION r15, VERDICT r14 item 4): the aggregation buffer holds
+    one struct per DISTINCT value (the cents grid), not one element per
+    row, so a hot group of billions of rows costs grid-sized state.
+
+    Shape: collect the sorted (v, c) pairs, total n = Σc, take the two
+    median ranks by cumulative-count walk (``med2 = v(r1) + v(r2)`` —
+    twice the median, kept integral), re-sort the grid by the integral
+    doubled deviations ``|2v − med2|``, walk the same two ranks, divide
+    by 4. Bit-equal to ``_mad_expr`` over the exploded rows: on the
+    integer grid every intermediate is an exact dyadic double
+    (tests/test_r15_equivalence.py pins it). NULL values are excluded
+    from the ranks exactly as ``collect_list`` drops them."""
+    r1 = "((n - 1) div 2) + 1"
+    r2 = "(n div 2) + 1"
+    med2 = f"({_rank_walk('g', r1)} + {_rank_walk('g', r2)})"
+    mad4 = f"({_rank_walk('d', r1)} + {_rank_walk('d', r2)})"
+    return (
+        f"transform(array(filter(array_sort(collect_list(named_struct("
+        f"'v', {value_col}, 'c', {cnt_col}))), s -> s.v IS NOT NULL)), g -> "
+        f"transform(array(aggregate(g, 0L, (a, s) -> a + s.c)), n -> "
+        f"transform(array({med2}), m -> "
+        f"transform(array(array_sort(transform(g, s -> "
+        f"named_struct('v', abs(2 * s.v - m), 'c', s.c)))), d -> "
+        f"CAST({mad4} AS DOUBLE) / 4.0"
+        f")[0])[0])[0])[0]"
     )
 
 

@@ -634,6 +634,49 @@ def _probed_queries(
     )
 
 
+def index_fingerprint(*arrays, scale: int = QUANT_SCALE) -> str:
+    """Deterministic fingerprint of an index's training inputs (centroid
+    / codebook arrays + quantization scale). Stamped onto corpus index
+    frames so a consumer given a prebuilt corpus can ASSERT it was
+    encoded with the same quantizer instead of silently producing
+    plausible-but-wrong results (ADVICE r14 #4)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    for a in arrays:
+        h.update(
+            np.ascontiguousarray(np.asarray(a, dtype=np.float64)).tobytes()
+        )
+    h.update(str(int(scale)).encode())
+    return h.hexdigest()
+
+
+def _stamp_cell(df: DataFrame, fp: str) -> DataFrame:
+    """Carry the quantizer fingerprint in the ``cell`` column's metadata —
+    part of the schema, so it survives localCheckpoint round trips."""
+    return df.withColumn(
+        "cell", F.col("cell").alias("cell", metadata={"index_fingerprint": fp})
+    )
+
+
+def _assert_corpus_stamp(corpus: DataFrame, fp: str, caller: str) -> None:
+    """Mismatch ⇒ ValueError; an UNstamped frame (built outside the
+    corpus builders) passes — provenance unknown is the caller's risk,
+    provenance KNOWN-wrong is an error."""
+    try:
+        got = corpus.schema["cell"].metadata.get("index_fingerprint")
+    except (KeyError, AttributeError):
+        got = None
+    if got is not None and got != fp:
+        raise ValueError(
+            f"{caller}: the prebuilt corpus index was encoded with a "
+            "different quantizer (centroids/codebooks/scale fingerprint "
+            f"{got} != {fp}) — rebuild it with these training inputs"
+        )
+
+
 def ivf_corpus(
     df: DataFrame,
     centroids,
@@ -645,15 +688,17 @@ def ivf_corpus(
     nearest-centroid cell (one GEMM pandas_udf pass). This frame IS the
     index a real IVF deployment stores (FAISS IndexIVFFlat keeps exactly
     the vectors grouped by cell); extracted so consumers can build it
-    once per dataset instead of re-encoding the corpus per query."""
+    once per dataset instead of re-encoding the corpus per query. The
+    ``cell`` column carries the quantizer fingerprint (ADVICE r14 #4)."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
-    return (
+    return _stamp_cell(
         df.selectExpr(id_col, vec_col, f"{sql_quantize(vec_col)} AS qv")
         .selectExpr("*", f"{sql_norm_q('qv')} AS norm")
         .withColumn("cell", ivf_assign_udf(C)(F.col(vec_col)))
-        .drop(vec_col)
+        .drop(vec_col),
+        index_fingerprint(C),
     )
 
 
@@ -679,6 +724,8 @@ def cosine_topk_ivf(
     C = np.asarray(centroids, dtype=np.float64)
     if corpus is None:
         corpus = ivf_corpus(df, centroids, id_col, vec_col)
+    else:
+        _assert_corpus_stamp(corpus, index_fingerprint(C), "cosine_topk_ivf")
     qs = _probed_queries(queries, C, nprobe, query_id_col, vec_col)
     scored = (
         corpus.join(qs, "cell")
@@ -720,14 +767,20 @@ def cosine_near_dup_pairs(
     and Arrow-shipped BOTH quantized vectors per candidate pair
     (Σ bucket² · dim longs; 2000 vectors at sf0.1 ≈ 250k instances ≈
     256 MB through the Python boundary). Now each vector crosses the
-    shuffle and the boundary ONCE (Σ bucket · dim) and the bucket's exact
-    int64 Gram matrix is one ``M @ M.T``. Per-task state is one bucket
-    (b·dim ints + b² doubles) — bounded by the same bucket-size
-    discipline the join's Σ bucket² runtime already assumed.
-    Bit-identical by construction: the same quantized int64 dot and the
-    same ``dot / (norm_a · norm_b)`` float chain per pair
-    (tests/test_r14_equivalence.py pins it)."""
-    import numpy as np
+    shuffle and the boundary ONCE (Σ bucket · dim).
+
+    Memory bound (OPTIMIZATION r15, VERDICT r14 item 3 / ADVICE r14 #1,
+    guide §5): the Gram matrix is computed in ROW BLOCKS
+    (:func:`_blocked_cosine_pairs`) so a skewed bucket costs
+    O(block · bucket) task memory instead of O(bucket²) — a 10⁵-row hot
+    bucket peaks around the block budget (~64 MB per intermediate)
+    rather than the 80 GB an n×n float64 matrix plus triu index arrays
+    would need. Σ bucket² compute is intrinsic to exact verification;
+    only the MEMORY was quadratic. Bit-identical: each block is the same
+    exact int64 ``M[i0:i1] @ M.T`` and the same
+    ``dot / (norm_a · norm_b)`` float chain, emitted in the same
+    row-major pair order (tests/test_r14_equivalence.py and
+    tests/test_r15_equivalence.py pin it)."""
     import pandas as pd
 
     c = df.selectExpr(id_col, f"{sql_quantize(vec_col)} AS qv").selectExpr(
@@ -735,41 +788,96 @@ def cosine_near_dup_pairs(
     )
     thr = float(threshold)
     idc = id_col
+    # ADVICE r14 #3: the output id type follows the input id column
+    # instead of hard-coding long (string doc ids used to fail at Arrow
+    # conversion)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-        n = len(pdf)
-        if n < 2:
-            return empty
-        ids = pdf[idc].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        M = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64, copy=False)
-        G = M @ M.T  # exact int64: |q| ≤ 1e6·dim ⇒ |dot| ≪ 2^63
-        dn = np.sqrt(G.diagonal().astype(np.float64))  # = sql_norm_q
-        # same float chain as the relational form: dot / (norm_a * norm_b)
-        C = G.astype(np.float64) / np.outer(dn, dn)
-        iu, ju = np.triu_indices(n, k=1)
-        cos = C[iu, ju]
-        keep = cos >= thr
-        if not keep.any():
-            return empty
+        import numpy as np
+
+        ids, M = _sorted_bucket_matrix(pdf, idc)
+        if M is None:
+            # ids[:0] keeps the input id dtype for the Arrow conversion
+            return pd.DataFrame(
+                {
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
+                    "cosine": np.array([], dtype="float64"),
+                }
+            )
+        ia, ib, cos = _blocked_cosine_pairs(M, thr)
         return pd.DataFrame(
-            {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "cosine": cos[keep],
-            }
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos}
         )
 
     return c.groupBy("bucket").applyInPandas(
-        _pairs, "id_a long, id_b long, cosine double"
+        _pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+# Row-block budget for the per-bucket Gram matrices: each int64/float64
+# intermediate is capped near 64 MB, so per-task peak is O(block·n), not
+# O(n²) (guide §5; VERDICT r14 item 3). Module-level so tests can shrink
+# it to force multi-block execution on small fixtures.
+GRAM_BLOCK_BYTES = 64 << 20
+
+
+def _gram_block_rows(n: int, block_bytes: int | None = None) -> int:
+    """Rows per Gram block: block·n·8 bytes ≈ the budget, ≥1, ≤n."""
+    b = int((block_bytes or GRAM_BLOCK_BYTES) // max(n * 8, 1))
+    return max(1, min(b, n))
+
+
+def _sorted_bucket_matrix(pdf, id_col: str):
+    """(ids sorted ascending, int64 matrix in that order) for one bucket
+    group; (ids, None) when the group is too small to pair."""
+    import numpy as np
+
+    n = len(pdf)
+    ids = pdf[id_col].to_numpy()
+    if n < 2:
+        return ids, None
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64, copy=False)
+    return ids, M
+
+
+def _blocked_cosine_pairs(M, thr: float, block_bytes: int | None = None):
+    """Upper-triangle cosine pairs of the quantized row matrix ``M`` with
+    cosine ≥ ``thr``, computed in row blocks: returns (i_idx, j_idx, cos)
+    with i < j, in row-major pair order — exactly the order and float
+    values of the full-matrix ``triu_indices`` formulation it replaced,
+    with per-call peak memory O(block · n) instead of O(n²)."""
+    import numpy as np
+
+    n = M.shape[0]
+    # exact int64 row norms == the full Gram's diagonal
+    d = np.einsum("ij,ij->i", M, M)
+    dn = np.sqrt(d.astype(np.float64))  # = sql_norm_q
+    block = _gram_block_rows(n, block_bytes)
+    out_i, out_j, out_c = [], [], []
+    for i0 in range(0, n - 1, block):
+        i1 = min(i0 + block, n)
+        G = M[i0:i1] @ M.T  # exact int64: |q| ≤ 1e6·dim ⇒ |dot| ≪ 2^63
+        # same float chain as the relational form: dot / (norm_a * norm_b)
+        C = G.astype(np.float64) / (dn[i0:i1, None] * dn[None, :])
+        mask = C >= thr
+        # upper triangle only: global j > global i
+        mask &= np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+        bi, bj = np.nonzero(mask)  # row-major, matching triu_indices order
+        if bi.size:
+            out_i.append(bi + i0)
+            out_j.append(bj)
+            out_c.append(C[bi, bj])
+    if not out_i:
+        z = np.array([], dtype="int64")
+        return z, z, np.array([], dtype="float64")
+    return (
+        np.concatenate(out_i),
+        np.concatenate(out_j),
+        np.concatenate(out_c),
     )
 
 
@@ -959,7 +1067,7 @@ def ivfpq_corpus(
     m = CB.shape[0]
     _, CBn2 = _pq_quantized(CB, scale)
     cbn_lit = _sql_array_literal_2d(CBn2)
-    return (
+    return _stamp_cell(
         df.select(id_col, vec_col)
         .withColumn("cell", ivf_assign_udf(np.asarray(centroids))(F.col(vec_col)))
         .withColumn("codes", pq_encode_udf(CB)(F.col(vec_col)))
@@ -972,7 +1080,8 @@ def ivfpq_corpus(
             f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) ->"
             f" acc + element_at(element_at({cbn_lit}, s + 1),"
             f" element_at(codes, s + 1) + 1)) AS vnorm2q",
-        )
+        ),
+        index_fingerprint(centroids, CB, scale=scale),
     )
 
 
@@ -1007,6 +1116,14 @@ def cosine_topk_ivfpq(
     if corpus is None:
         corpus = ivfpq_corpus(
             df, centroids, codebooks, id_col, vec_col, scale
+        )
+    else:
+        # ADVICE r14 #4: a corpus encoded with different centroids /
+        # codebooks / scale would yield plausible but wrong ADC scores
+        _assert_corpus_stamp(
+            corpus,
+            index_fingerprint(centroids, CB, scale=scale),
+            "cosine_topk_ivfpq",
         )
 
     qs = _probed_queries(
@@ -1230,44 +1347,45 @@ def semdedup(
     flag join-back. Each vector crosses the shuffle and the Arrow
     boundary once (Σ cell · dim instead of Σ cell² · dim) and the flag
     ``any lower-id mate ≥ threshold`` is a triangular reduction of the
-    cell's exact int64 Gram matrix. Bit-identical flags (same quantized
-    dot, same float chain; tests/test_r14_equivalence.py).
+    cell's exact int64 Gram matrix, computed in ROW BLOCKS
+    (:func:`_blocked_dup_flags`) so a hot cell costs O(block · cell)
+    task memory, not O(cell²) (OPTIMIZATION r15, VERDICT r14 item 3 /
+    ADVICE r14 #1). Bit-identical flags (same quantized dot, same float
+    chain; tests/test_r14_equivalence.py, tests/test_r15_equivalence.py).
 
     ``corpus`` accepts a prebuilt (already materialized)
     :func:`ivf_corpus` frame — the SAME index records the IVF search
     tier stores — so a session that has built the index does not
-    re-encode the corpus."""
+    re-encode the corpus. The frame must have been encoded with THESE
+    ``centroids`` at this module's quantization scale: per ADVICE r14
+    #4, :func:`ivf_corpus` stamps the frame with a fingerprint of its
+    training inputs and ``semdedup`` asserts the stamp matches instead
+    of silently trusting the caller."""
     import numpy as np
     import pandas as pd
 
-    c = (
-        ivf_corpus(df, centroids, id_col, vec_col)
-        if corpus is None
-        else corpus
-    )
+    if corpus is None:
+        c = ivf_corpus(df, centroids, id_col, vec_col)
+    else:
+        c = corpus
+        _assert_corpus_stamp(c, index_fingerprint(centroids), "semdedup")
     thr = float(threshold)
     idc = id_col
+    id_type = (
+        df.schema[id_col].dataType.simpleString()
+        if id_col in df.columns
+        else c.schema[id_col].dataType.simpleString()
+    )
 
     def _flags(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf[idc].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+        ids, M = _sorted_bucket_matrix(pdf, idc)
         cell = int(pdf["cell"].iat[0])
-        n = len(ids)
-        if n == 1:
-            dup = np.zeros(1, dtype="int64")
-        else:
-            M = np.stack(pdf["qv"].to_numpy()[order]).astype(
-                np.int64, copy=False
-            )
-            G = M @ M.T  # exact int64
-            dn = np.sqrt(G.diagonal().astype(np.float64))  # = sql_norm_q
-            # same float chain as the relational form: dot / (na * nb)
-            C = G.astype(np.float64) / np.outer(dn, dn)
-            # dup[i] ⇔ ∃ j < i (lower id) with cosine ≥ threshold
-            dup = (
-                np.tril(C >= thr, k=-1).any(axis=1).astype("int64")
-            )
+        n = len(ids)  # M is None ⇔ n == 1 (already trivially sorted)
+        dup = (
+            np.zeros(n, dtype="int64")
+            if M is None
+            else _blocked_dup_flags(M, thr)
+        )
         return pd.DataFrame(
             {
                 idc: ids,
@@ -1277,8 +1395,33 @@ def semdedup(
         )
 
     return c.groupBy("cell").applyInPandas(
-        _flags, f"{id_col} long, cell long, is_dup long"
+        _flags, f"{id_col} {id_type}, cell long, is_dup long"
     )
+
+
+def _blocked_dup_flags(M, thr: float, block_bytes: int | None = None):
+    """SemDeDup flag vector: dup[i] ⇔ ∃ j < i with cosine(i, j) ≥ thr,
+    over the quantized row matrix ``M`` (rows already in ascending-id
+    order). Row-blocked Gram — same exact int64 dots and float chain as
+    the full ``np.tril(C >= thr, -1).any(axis=1)`` form it replaces, with
+    O(block · n) peak memory."""
+    import numpy as np
+
+    n = M.shape[0]
+    d = np.einsum("ij,ij->i", M, M)
+    dn = np.sqrt(d.astype(np.float64))  # = sql_norm_q
+    block = _gram_block_rows(n, block_bytes)
+    dup = np.zeros(n, dtype="int64")
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        G = M[i0:i1] @ M.T  # exact int64
+        # same float chain as the relational form: dot / (na * nb)
+        C = G.astype(np.float64) / (dn[i0:i1, None] * dn[None, :])
+        mask = C >= thr
+        # strictly-lower triangle: global j < global i
+        mask &= np.arange(n)[None, :] < np.arange(i0, i1)[:, None]
+        dup[i0:i1] = mask.any(axis=1).astype("int64")
+    return dup
 
 
 def jl_sign_matrix(out_dim: int, in_dim: int, seed: str = "jl"):

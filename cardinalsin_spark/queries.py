@@ -4792,29 +4792,36 @@ FROM (
 def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per (event_type, day): the robust outlier
     scale measure (`mad_over_time` in recent PromQL; z-score's breakdown-
-    resistant sibling). SINGLE collected-array aggregate per group
-    (operators/promql._mad_expr — the same formulation
-    promql_mad_over_time ships): the two-level percentile runs on the
-    sorted value array inside ONE hash aggregate, so the stream is
-    scanned once and shuffled once instead of aggregated, joined back,
-    and re-aggregated (OPTIMIZATION r14: 2 full-stream exchanges + a
-    join → 1 exchange). Bit-equal to the old percentile/join plan: on
-    the integer cents grid every median is a sum of two ≤2^52 ints
-    halved and every |v − med| a multiple of 0.5 — all interpolations
-    exact, matching DuckDB's percentile_cont (same contract
-    promql_quantile pins)."""
-    from cardinalsin_spark.operators.promql import _mad_expr
+    resistant sibling). GRID-BOUNDED single-pass shape (OPTIMIZATION r15,
+    VERDICT r14 item 4): one map-side-combinable count per (day,
+    event_type, cents value) — the only full-stream shuffle, carrying
+    grid-sized partial counts — then a grid-sized MAD aggregate
+    (operators/promql._mad_grid_expr: sorted (value, count) pairs, two
+    cumulative-count rank walks for the median, re-sort of the integral
+    doubled deviations, two more walks). Replaces r14's
+    ``collect_list``-per-group form, whose aggregation buffer grew with
+    GROUP ROW COUNT — at 100 TB a hot (event_type, day) is billions of
+    rows in one buffer; the grid buffer is bounded by DISTINCT cents
+    values. Bit-equal to both prior forms: on the integer cents grid
+    every median is a sum of two ≤2^52 ints halved and every
+    |v − med| a multiple of 0.5 — all intermediates exact dyadic doubles
+    (tests/test_r15_equivalence.py pins grid == collect_list ==
+    percentile/join)."""
+    from cardinalsin_spark.operators.promql import _mad_grid_expr
 
     ev = _events_cents(spark, sf_dir)
     day = time_bucket(F.col("ts"), 86_400)
     base = ev.select(
         day.alias("day"), "event_type", F.col("value_cents").alias("vc")
     )
+    grid = base.groupBy("day", "event_type", "vc").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     return (
-        base.groupBy("day", "event_type")
+        grid.groupBy("day", "event_type")
         .agg(
-            (F.expr(_mad_expr("vc")) / F.lit(100.0)).alias("mad"),
-            F.count(F.lit(1)).alias("n"),
+            (F.expr(_mad_grid_expr("vc", "_c")) / F.lit(100.0)).alias("mad"),
+            F.sum("_c").alias("n"),
         )
         .orderBy("day", "event_type")
     )
