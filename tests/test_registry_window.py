@@ -248,6 +248,42 @@ def test_bench_order_covers_registry():
     assert not stale, f"stale BENCH_ORDER entries: {stale}"
 
 
+def test_bench_printed_key_set_is_fixed():
+    """OPTIMIZATION r15 (VERDICT r14 item 6): the bench's printed
+    per-query dict has a FIXED key set — the r14 anchor list — so two
+    consecutive runs (and rounds) produce identical keys regardless of
+    timing noise, the anchors are real registry queries, and the line
+    stays inside the driver's stdout budget."""
+    import json
+    import random
+
+    import bench
+
+    names = set(q.queries())
+    missing = [n for n in bench.BENCH_PRINT_ANCHORS if n not in names]
+    assert not missing, f"anchor names not in registry: {missing}"
+    assert len(set(bench.BENCH_PRINT_ANCHORS)) == len(bench.BENCH_PRINT_ANCHORS)
+
+    r = random.Random(7)
+    base = {n: 0.2 + 2.0 * r.random() for n in names}
+    detail = {
+        "metric": "total_query_sec", "value": 1.0, "unit": "sec",
+        "sf": 0.1, "queries": base,
+        "write_path": {"rows": 100000, "sec": 1.5,
+                       "rows_per_sec": 66000.0, "granularity": "date"},
+        "calibration": {"head_sec": 0.82, "drift": 0.99},
+    }
+    line1 = bench._compact_line(detail)
+    jittered = dict(detail, queries={
+        n: v * (0.5 + r.random()) for n, v in base.items()
+    })
+    line2 = bench._compact_line(jittered)
+    k1, k2 = set(json.loads(line1)["queries"]), set(json.loads(line2)["queries"])
+    assert k1 == k2 == set(bench.BENCH_PRINT_ANCHORS)
+    assert len(line1) <= bench.OUTPUT_BUDGET
+    assert len(line2) <= bench.OUTPUT_BUDGET
+
+
 def test_registry_rotation_age_and_size():
     """VERDICT r13 item 7: the registry sits at the 4-round/50-slot cycle
     limit. Two invariants keep the rotation honest: (1) no row may be
