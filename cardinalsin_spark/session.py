@@ -63,6 +63,20 @@ _BASE_CONF = {
     "spark.sql.files.openCostInBytes": os.environ.get(
         "SPARK_GRAFT_OPEN_COST_BYTES", "131072"
     ),
+    # Driver-side plan-construction cost (OPTIMIZATION r15, guide §1.2
+    # "the driver should do almost no data work"): PySpark 4 wraps every
+    # DataFrame/Column API call in error-context capture — a
+    # getActiveSession, a conf.get, a Python stack walk, and TWO extra
+    # py4j round trips (PySparkCurrentOrigin.set/clear) per call. A
+    # 200-query analytical driver makes ~100k such calls per suite
+    # (cProfile: ~12 s of 38 s construct time at r15 start); the only
+    # cost of disabling is losing the "called from <file>:<line>" line
+    # in DataFrame error messages. Identical on a real cluster — this is
+    # driver CPU, not data-path behavior. Overridable for debugging via
+    # SPARK_GRAFT_DF_DEBUGGING.
+    "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+        "SPARK_GRAFT_DF_DEBUGGING", "false"
+    ),
     # Keep scheduler chatter down in local mode.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
