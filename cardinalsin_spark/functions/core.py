@@ -6,7 +6,7 @@ no Python UDFs in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,32 @@ def label_matcher(col: Column | str, op: str, value: str) -> Column:
     if op == "!~":
         return ~c.rlike(anchored) | c.isNull()
     raise ValueError(f"unknown matcher op: {op!r}")
+
+
+def final_order(df: DataFrame, *cols, fuse: bool = True) -> DataFrame:
+    """Deterministic ordering of a FINAL, result-sized frame without a
+    RangePartitioning exchange (OPTIMIZATION r15, guide §2.4: "an
+    orderBy used only to make output deterministic" is an accidental
+    shuffle — it costs a SAMPLING pass over the entire sort input plus a
+    second shuffle of it, two extra AQE job waves per query). The rows
+    and their global order are IDENTICAL to ``orderBy(*cols)``; they are
+    just produced in one partition — the shape a result served to a
+    client takes anyway, and the same single post-shuffle partition AQE
+    already coalesces these grid-/cardinality-bounded results to.
+
+    ``fuse=True``  → ``coalesce(1)``: the sort fuses into the final
+    stage. Use when that stage is a bounded aggregate (its single task
+    reads the shuffled partial-agg output — exactly what AQE's coalesced
+    1-partition read does for result-sized data).
+
+    ``fuse=False`` → ``repartition(1)``: keeps the upstream stage's
+    parallelism (use above windows / per-row scoring stages whose work
+    must stay distributed) at the cost of one tiny round-robin exchange
+    of the RESULT rows only.
+
+    NOT for corpus-sized outputs (per-document / per-row transforms
+    whose row count scales with the input): those keep the distributed
+    ``orderBy``.
+    """
+    one = df.coalesce(1) if fuse else df.repartition(1)
+    return one.sortWithinPartitions(*cols)

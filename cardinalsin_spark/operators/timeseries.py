@@ -734,6 +734,7 @@ def sessionize(
     key_cols: list[str],
     cols: MetricsCols = MetricsCols(),
     order_tiebreak: list[str] | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Gap-based sessionization: per key, a new session starts when the gap
     to the previous event exceeds ``gap_seconds`` (the batch analogue of
@@ -759,7 +760,7 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         numbered.groupBy(*key_cols, "session_idx")
         .agg(
             F.min(cols.ts).alias("session_start"),
@@ -770,8 +771,12 @@ def sessionize(
                 " div 1000000"
             ).alias("duration_s"),
         )
-        .orderBy(*key_cols, "session_idx")
     )
+    # ``sort=False`` for mid-pipeline consumers (joins/aggregations over
+    # the sessions): Catalyst does NOT eliminate a sort below a join, so
+    # the default ordering would be a wasted full range shuffle of every
+    # session row (OPTIMIZATION r15, guide §2.4)
+    return out.orderBy(*key_cols, "session_idx") if sort else out
 
 
 def idelta_faithful(

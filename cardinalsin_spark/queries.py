@@ -25,7 +25,19 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cardinalsin_spark.functions.core import label_matcher, time_bucket
+from cardinalsin_spark.functions.core import (
+    final_order,
+    label_matcher,
+    time_bucket,
+)
+
+
+def _final_order_wide(df: DataFrame, *cols) -> DataFrame:
+    """``final_order`` with ``fuse=False`` in ``DataFrame.transform``
+    position: for results whose LAST stage is a join/window/union that
+    must keep its parallelism — the single-partition collapse happens in
+    a separate tiny round-robin exchange of the RESULT rows only."""
+    return final_order(df, *cols, fuse=False)
 from cardinalsin_spark.operators.timeseries import (
     MetricsCols,
     bucket_agg,
@@ -195,7 +207,7 @@ def q_ts_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "bucket", "event_type", (F.col("v") / F.lit(100.0)).alias("value")
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_BUCKET_AVG = f"""
@@ -214,7 +226,7 @@ def q_ts_instant_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("v").cast("double") / F.lit(100.0), 2).alias("value"),
         "sample_time",
-    )
+    ).transform(final_order, F.desc("value"), "event_type")
 
 
 SQL_TS_INSTANT_SUM = f"""
@@ -227,7 +239,9 @@ FROM events GROUP BY 1
 
 def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference rate(): (max-min)/range per 10-min bucket."""
-    return rate_bucketed(_events(spark, sf_dir), 600, cols=EV)
+    return rate_bucketed(_events(spark, sf_dir), 600, cols=EV).transform(
+        final_order, "bucket", "event_type"
+    )
 
 
 SQL_TS_RATE = f"""
@@ -239,7 +253,9 @@ FROM events GROUP BY 1, 2
 
 def q_ts_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference increase(): max-min per 10-min bucket."""
-    return increase_bucketed(_events(spark, sf_dir), 600, cols=EV)
+    return increase_bucketed(
+        _events(spark, sf_dir), 600, cols=EV
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_INCREASE = f"""
@@ -258,7 +274,7 @@ def q_ts_rate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         F.round(F.col("rate") / F.lit(100.0), 6).alias("rate"),
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_RATE_FAITHFUL = f"""
@@ -309,7 +325,7 @@ def q_ts_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         (scaled / F.lit(1_000_000.0)).alias("irate"),
-    )
+    ).transform(_final_order_wide, "bucket", "event_type")
 
 
 SQL_TS_IRATE_FAITHFUL = f"""
@@ -345,7 +361,7 @@ def q_ts_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         F.round(F.col("deriv") / F.lit(100.0), 6).alias("deriv"),
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_DERIV = f"""
@@ -374,7 +390,9 @@ def q_ts_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = latest_point_per_series(
         _events(spark, sf_dir), cols=EV, tiebreak=["event_id"]
     )
-    return df.select("event_id", "ts", "user_id", "event_type", "value")
+    return df.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).transform(_final_order_wide, "event_type")
 
 
 SQL_TS_LATEST_PER_SERIES = """
@@ -403,7 +421,9 @@ ORDER BY avg({_sql_cents('value')}) DESC, event_type LIMIT 3
 
 def q_ts_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL /label/<name>/values: DISTINCT label values."""
-    return distinct_label_values(_events(spark, sf_dir), "event_type")
+    return distinct_label_values(
+        _events(spark, sf_dir), "event_type"
+    ).transform(final_order, "event_type")
 
 
 SQL_TS_DISTINCT_VALUES = """
@@ -413,7 +433,9 @@ SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
 
 def q_ts_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL /series: DISTINCT series label tuples."""
-    return distinct_series(_events(spark, sf_dir), ["event_type", "user_id"])
+    return distinct_series(
+        _events(spark, sf_dir), ["event_type", "user_id"]
+    ).transform(final_order, "event_type", "user_id")
 
 
 SQL_TS_DISTINCT_SERIES = """
@@ -491,6 +513,8 @@ def q_promql_range_sum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -518,6 +542,8 @@ def q_promql_rate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,
         step_s=600,
         cols=EV,
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -548,6 +574,8 @@ def q_promql_instant_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -581,6 +609,8 @@ def q_promql_at_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -605,6 +635,8 @@ def q_promql_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -630,6 +662,8 @@ def q_promql_set_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -668,6 +702,8 @@ def q_promql_set_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        _final_order_wide, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -712,6 +748,8 @@ def q_promql_cmp_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        _final_order_wide, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -755,6 +793,8 @@ def q_promql_scalar_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("timestamp_").alias("sample_time"),
         F.round(F.col("value").cast("double"), 6).alias("value"),
+    ).transform(
+        _final_order_wide, F.desc("value"), "event_type", "user_id"
     )
 
 
@@ -799,6 +839,8 @@ def q_promql_range_at_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -844,6 +886,8 @@ def q_promql_range_fn_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -891,6 +935,8 @@ def q_promql_range_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value").cast("double"), 6).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -936,6 +982,8 @@ def q_promql_vector_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bucket",
         "event_type",
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type"
     )
 
 
@@ -981,6 +1029,8 @@ def q_promql_time_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bucket",
         "event_type",
         F.round(F.col("value").cast("double"), 6).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type"
     )
 
 
@@ -1047,6 +1097,8 @@ def q_promql_rate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value") / F.lit(100.0), 6).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -1099,6 +1151,8 @@ def q_promql_irate_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -1154,6 +1208,8 @@ def q_promql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("value", "n")
     return mx.join(cnt, ["time_bucket", "event_type"]).select(
         "time_bucket", "event_type", F.col("value").alias("max_value"), "n"
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type"
     )
 
 
@@ -1233,6 +1289,8 @@ def q_promql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value") / F.lit(100.0), 4).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -1261,6 +1319,8 @@ def q_promql_offset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,
         step_s=1800,
         cols=EV,
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -1300,6 +1360,8 @@ def q_promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "tier",
         F.round(F.col("value").cast("double") / F.lit(100.0), 2).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id", "tier"
     )
 
 
@@ -1328,6 +1390,8 @@ def q_promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         'count_values("v", purchase)',
         time_s=1706745600.0,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "event_type", "value"
     )
 
 
@@ -1390,7 +1454,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(final_order, "l_returnflag", "l_linestatus")
     )
 
 
@@ -1459,7 +1523,7 @@ def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .transform(final_order, "gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -1482,7 +1546,7 @@ def q_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("gid", "event_type", "user_id")
+        .transform(final_order, "gid", "event_type", "user_id")
     )
 
 
@@ -1510,7 +1574,7 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(cents(F.col("value"))).alias("value_cents"),
         )
-        .orderBy("gid", "event_type", "user_id")
+        .transform(final_order, "gid", "event_type", "user_id")
     )
 
 
@@ -1540,7 +1604,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p99_value"),
             F.count(F.lit(1)).alias("sample_count"),
         )
-        .orderBy("minute", "event_type")
+        .transform(final_order, "minute", "event_type")
     )
 
 
@@ -1618,7 +1682,7 @@ def q_maint_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
             F.sum("size_bytes").alias("bytes_small"),
         )
-        .orderBy("day_idx")
+        .transform(final_order, "day_idx")
     )
 
 
@@ -1646,7 +1710,7 @@ def q_maint_l0_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_bytes",
         "total_rows",
         F.array_join("chunk_paths", ",").alias("chunk_paths"),
-    )
+    ).transform(final_order, "hour_bucket")
 
 
 SQL_MAINT_L0_PLAN = f"""
@@ -1712,7 +1776,7 @@ def q_maint_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_ns = 1705276800 * 1_000_000_000  # 2024-01-15
     return retention_candidates(_derived_chunks(spark, sf_dir), cutoff_ns).select(
         "chunk_path", "max_timestamp", "row_count"
-    )
+    ).transform(final_order, "chunk_path")
 
 
 SQL_MAINT_RETENTION = f"""
@@ -1778,7 +1842,7 @@ def q_maint_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
         "count_value",
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_MAINT_DOWNSAMPLE = f"""
@@ -1903,7 +1967,7 @@ def q_maint_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value"
             ),
         )
-        .orderBy("time_bucket", "event_type")
+        .transform(_final_order_wide, "time_bucket", "event_type")
     )
 
 
@@ -2087,7 +2151,7 @@ def q_maint_rollup_rate_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") / F.lit(100.0)).alias("rate_value"),
             (F.col("inc_cents") / F.lit(100.0)).alias("increase_value"),
         )
-        .orderBy("time_bucket", "event_type")
+        .transform(_final_order_wide, "time_bucket", "event_type")
     )
 
 
@@ -2237,7 +2301,7 @@ def _quantile_contract_row(
             p_alias,
             within.alias("within_alpha"),
         )
-        .orderBy("time_bucket", "event_type")
+        .transform(_final_order_wide, "time_bucket", "event_type")
     )
 
 
@@ -2409,7 +2473,7 @@ def q_ts_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(cents(F.col("value"))).alias("value_cents"),
         )
-        .orderBy("user_id", "event_type")
+        .transform(final_order, "user_id", "event_type")
     )
 
 
@@ -2483,7 +2547,7 @@ def q_ts_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         (F.col("rate") / F.lit(100.0)).alias("rate"),
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_RATE_EXTRAPOLATED = f"""
@@ -2552,7 +2616,7 @@ def q_ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             band.alias("value_band"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bucket", "event_type", "value_band")
+        .transform(final_order, "bucket", "event_type", "value_band")
     )
 
 
@@ -2574,6 +2638,8 @@ def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(
         _events_cents(spark, sf_dir), 21600, z=3, by=["event_type"],
         cols=EV_CENTS,
+    ).transform(
+        _final_order_wide, "bucket", "event_type", "ts", "value_int"
     )
 
 
@@ -2618,7 +2684,7 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "n_events",
         "duration_s",
-    )
+    ).transform(final_order, "user_id", "session_idx")
 
 
 SQL_TS_SESSIONIZE = """
@@ -2662,7 +2728,7 @@ def q_ts_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         series=["user_id"],
         by=["event_type"],
         cols=EV_CENTS,
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_RESETS_CHANGES = f"""
@@ -2696,7 +2762,7 @@ def q_ts_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         (F.col("predicted") / F.lit(100.0)).alias("predicted"),
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 _PL_XEVAL_MS = (3600 + 1800) * 1000
@@ -2741,7 +2807,7 @@ def q_ts_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("stddev") / F.lit(100.0)).alias("stddev"),
         (F.col("stdvar") / F.lit(10_000.0)).alias("stdvar"),
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 SQL_TS_STDDEV = f"""
@@ -2782,7 +2848,7 @@ def q_promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_quantile_cumulative(
         cum, 9, 10, ["day", "event_type"], out_scale=100_000_000.0
-    )
+    ).transform(_final_order_wide, "day", "event_type")
 
 
 SQL_PROMQL_HISTOGRAM_QUANTILE = f"""
@@ -2843,7 +2909,7 @@ def q_promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_fraction_cumulative(
         cum, _HF_LO, _HF_HI, ["day", "event_type"]
-    )
+    ).transform(_final_order_wide, "day", "event_type")
 
 
 SQL_PROMQL_HISTOGRAM_FRACTION = f"""
@@ -2913,7 +2979,7 @@ def q_promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_s=21600,
         cols=EV_CENTS,
         faithful=True,
-    )
+    ).transform(final_order, "time_bucket", "event_type")
 
 
 SQL_PROMQL_RESETS = f"""
@@ -2956,6 +3022,8 @@ def q_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3014,6 +3082,8 @@ def q_promql_delta_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3067,6 +3137,8 @@ def q_promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bucket",
         "event_type",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -3144,6 +3216,8 @@ def q_promql_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        final_order, "event_type", "user_id"
     )
 
 
@@ -3177,6 +3251,8 @@ def q_promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        _final_order_wide, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3267,7 +3343,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg((rev / F.lit(10_000.0)).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .transform(final_order, F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -3396,7 +3472,7 @@ def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(final_order, "o_orderpriority")
     )
 
 
@@ -3427,7 +3503,7 @@ def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unshipped.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy("p_brand")
+        .transform(final_order, "p_brand")
     )
 
 
@@ -3525,7 +3601,7 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ps_supplycost_cents").cast("double") / F.lit(100.0), 2
             ).alias("supplycost"),
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .transform(_final_order_wide, F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
 
 
@@ -3585,7 +3661,7 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value"
             ),
         )
-        .orderBy(F.desc("value"), "p_partkey")
+        .transform(_final_order_wide, F.desc("value"), "p_partkey")
     )
 
 
@@ -3640,7 +3716,7 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s_), F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
-        .orderBy("s_suppkey")
+        .transform(final_order, "s_suppkey")
     )
 
 
@@ -3677,6 +3753,8 @@ def q_promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706918400.0,     # 2024-02-03
         step_s=3600,
         cols=EV_CENTS,
+    ).transform(
+        _final_order_wide, "time_bucket"
     )
 
 
@@ -3759,6 +3837,8 @@ def q_promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value") / F.lit(100.0), 6).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3809,6 +3889,8 @@ def q_promql_subquery_outer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bucket",
         "event_type",
         F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -3847,6 +3929,8 @@ def q_promql_instant_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "event_type", F.round(F.col("value") / 100.0, 6).alias("value")
+    ).transform(
+        final_order, "event_type"
     )
 
 
@@ -3887,6 +3971,8 @@ def q_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.round(F.col("value") / F.lit(100.0), 4).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3922,6 +4008,8 @@ def q_promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         (F.col("value") / F.lit(100.0)).alias("value"),
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -3967,7 +4055,7 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return holt_winters_bucketed(
         _events(spark, sf_dir), 3600, sf=0.3, tf=0.3, cols=EV
-    )
+    ).transform(final_order, "bucket", "event_type")
 
 
 # The DuckDB oracle replays the same sequential recursion as a RECURSIVE
@@ -4012,7 +4100,7 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return time_weighted_avg(
         _events_cents(spark, sf_dir), 86_400, cols=EV_CENTS
-    )
+    ).transform(final_order, "time_bucket", "event_type")
 
 
 SQL_TS_TIME_WEIGHTED_AVG = f"""
@@ -4057,7 +4145,7 @@ def q_ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("mean_value"),
         )
-        .orderBy("day_of_week", "event_type")
+        .transform(final_order, "day_of_week", "event_type")
     )
 
 
@@ -4101,7 +4189,7 @@ def q_ts_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("cum_total")
             ).alias("budget_consumed_frac"),
         )
-        .orderBy("day")
+        .transform(_final_order_wide, "day")
     )
 
 
@@ -4155,7 +4243,7 @@ def q_ts_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(2) * F.col("n_total"))
             ).alias("apdex"),
         )
-        .orderBy("hour")
+        .transform(final_order, "hour")
     )
 
 
@@ -4206,7 +4294,7 @@ def q_ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_stalls_1h"
             ),
         )
-        .orderBy("event_type")
+        .transform(final_order, "event_type")
     )
 
 
@@ -4275,7 +4363,7 @@ def q_ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
             ).alias("r1"),
         )
-        .orderBy("day", "event_type")
+        .transform(final_order, "day", "event_type")
     )
 
 
@@ -4363,7 +4451,7 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
             ).alias("r"),
         )
-        .orderBy("lag_h")
+        .transform(final_order, "lag_h")
     )
 
 
@@ -4424,7 +4512,7 @@ def q_ts_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value_cents").alias("hi_cents"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type", "quartile")
+        .transform(final_order, "event_type", "quartile")
     )
 
 
@@ -4476,7 +4564,7 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("day", "event_type")
+        .transform(final_order, "day", "event_type")
     )
 
 
@@ -4518,7 +4606,7 @@ def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _PIVOT_TYPES)
         .count()
         .na.fill(0, _PIVOT_TYPES)
-        .orderBy("day")
+        .transform(final_order, "day")
     )
 
 
@@ -4539,7 +4627,9 @@ def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     preprocessing for outlier-heavy gauges."""
     from cardinalsin_spark.operators.timeseries import winsorize_stats
 
-    return winsorize_stats(_events_cents(spark, sf_dir))
+    return winsorize_stats(_events_cents(spark, sf_dir)).transform(
+        final_order, "event_type"
+    )
 
 
 SQL_TS_WINSORIZE = f"""
@@ -4596,7 +4686,7 @@ def q_ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "residual"
             ),
         )
-        .orderBy("hour", "event_type")
+        .transform(_final_order_wide, "hour", "event_type")
     )
 
 
@@ -4641,7 +4731,7 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             (F.col("_nat").cast("double") / F.col("_tot")).alias("mkt_share"),
         )
-        .orderBy("o_year")
+        .transform(final_order, "o_year")
     )
 
 
@@ -4676,7 +4766,7 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=86_400,
         cols=EV_CENTS,
         tiebreak=["event_id"],
-    )
+    ).transform(final_order, "time_bucket", "event_type")
 
 
 SQL_TS_CUSUM = f"""
@@ -4716,6 +4806,8 @@ def q_promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1704240000.0,    # 2024-01-03
         step_s=3600,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -4765,7 +4857,7 @@ def q_ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_n",
         "tot_n",
         "tot_s",
-    ).orderBy("hour")
+    ).transform(final_order, "hour")
 
 
 SQL_TS_BURN_RATE = f"""
@@ -4823,7 +4915,7 @@ def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(_mad_grid_expr("vc", "_c")) / F.lit(100.0)).alias("mad"),
             F.sum("_c").alias("n"),
         )
-        .orderBy("day", "event_type")
+        .transform(final_order, "day", "event_type")
     )
 
 
@@ -4863,7 +4955,9 @@ def q_promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_s=3600,
         cols=EV_CENTS,
     )
-    return out.withColumn("value", F.col("value") / F.lit(100.0))
+    return out.withColumn("value", F.col("value") / F.lit(100.0)).transform(
+        final_order, "time_bucket", "event_type"
+    )
 
 
 SQL_PROMQL_MAD_OVER_TIME = f"""
@@ -4896,7 +4990,9 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.timeseries.lttb_downsample)."""
     from cardinalsin_spark.operators.timeseries import lttb_downsample
 
-    return lttb_downsample(_events_cents(spark, sf_dir), 3_600, cols=EV_CENTS)
+    return lttb_downsample(
+        _events_cents(spark, sf_dir), 3_600, cols=EV_CENTS
+    ).transform(final_order, "ts", "event_type")
 
 
 SQL_TS_LTTB = f"""
@@ -4966,7 +5062,8 @@ def q_ts_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     sessions = sessionize(
-        ev, 7200, key_cols=["user_id"], cols=EV, order_tiebreak=["event_id"]
+        ev, 7200, key_cols=["user_id"], cols=EV,
+        order_tiebreak=["event_id"], sort=False,
     ).select(
         "user_id",
         F.col("session_idx").cast("long").alias("session_idx"),
@@ -4997,7 +5094,7 @@ def q_ts_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         overlaps.groupBy("user_id", "session_idx")
         .agg(F.count(F.lit(1)).alias("n_incidents"))
-        .orderBy("user_id", "session_idx")
+        .transform(final_order, "user_id", "session_idx")
     )
 
 
@@ -5054,6 +5151,8 @@ def q_ts_topk_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         value_col="total_cents",
         tiebreak=["user_id"],
+    ).transform(
+        _final_order_wide, "event_type", F.desc("total_cents"), "user_id"
     )
 
 
@@ -5102,7 +5201,7 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             (F.col("rev_cents") / F.lit(10_000.0)).alias("total_revenue"),
         )
-        .orderBy("s_suppkey")
+        .transform(_final_order_wide, "s_suppkey")
     )
 
 
@@ -5244,7 +5343,7 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.select(depth.alias("funnel_depth"))
         .groupBy("funnel_depth")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("funnel_depth")
+        .transform(final_order, "funnel_depth")
     )
 
 
@@ -5298,7 +5397,7 @@ def q_ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        .transform(final_order, "cohort_week", "week_offset")
     )
 
 
@@ -5338,7 +5437,7 @@ def q_ts_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("value_cents").alias("value_cents_sum"),
         )
-        .orderBy("k_decile")
+        .transform(final_order, "k_decile")
     )
 
 
@@ -5365,6 +5464,8 @@ def q_promql_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,    # 2024-02-01
         step_s=1800,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -5396,6 +5497,8 @@ def q_promql_subquery_default_res(spark: SparkSession, sf_dir: str) -> DataFrame
         end_s=1706745600.0,    # 2024-02-01
         step_s=1800,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -5431,6 +5534,8 @@ def q_promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,    # 2024-02-01
         step_s=1800,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -5462,6 +5567,8 @@ def q_promql_mod_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,    # 2024-02-01
         step_s=1800,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type", "user_id"
     )
 
 
@@ -5494,6 +5601,8 @@ def q_promql_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1704240000.0,    # 2024-01-03
         step_s=3600,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -5525,6 +5634,8 @@ def q_promql_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_s=1706745600.0,    # 2024-02-01
         step_s=86400,
         cols=EV_CENTS,
+    ).transform(
+        final_order, "time_bucket", "event_type"
     )
 
 
@@ -5586,7 +5697,7 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg((rev / F.lit(10_000.0)).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(final_order, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -5626,7 +5737,7 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        .transform(final_order, "l_returnflag")
     )
 
 
@@ -5763,7 +5874,7 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
         )
-        .orderBy("c_mktsegment")
+        .transform(final_order, "c_mktsegment")
     )
 
 
@@ -5875,7 +5986,7 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg((F.sum(amount) / F.lit(10_000.0)).alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
+        .transform(final_order, "nation", F.desc("o_year"))
     )
 
 
@@ -5914,7 +6025,7 @@ def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .transform(final_order, F.desc("custdist"), F.desc("c_count"))
     )
 
 

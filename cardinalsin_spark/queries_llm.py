@@ -15,11 +15,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cardinalsin_spark.functions.core import final_order
 from cardinalsin_spark.indexes import stored_index
 from cardinalsin_spark.operators import dedup_docs as dd
 from cardinalsin_spark.operators import similarity as sim
 from cardinalsin_spark.operators import text as tx
 from cardinalsin_spark.operators.text import BPE_TOKEN_RE, LANG_LEXICONS
+
+
+def _final_order_wide(df: DataFrame, *cols) -> DataFrame:
+    """``final_order`` with ``fuse=False`` in ``DataFrame.transform``
+    position (see queries.py twin): for results whose LAST stage is a
+    join/window/pandas-group stage that must keep its parallelism."""
+    return final_order(df, *cols, fuse=False)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +470,7 @@ def q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("_ta").cast("long").alias("len_a"),
             F.length("_tb").cast("long").alias("len_b"),
         )
-        .orderBy("id_a", "id_b")
+        .transform(_final_order_wide, "id_a", "id_b")
     )
 
 
@@ -504,7 +512,9 @@ def q_docs_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("cluster_size"),
         (F.col("_t") - F.col("_g")).alias("n_clusters"),
     )
-    return hist.unionByName(singletons).orderBy("cluster_size")
+    return hist.unionByName(singletons).transform(
+        _final_order_wide, "cluster_size"
+    )
 
 
 SQL_DOCS_DUP_CLUSTER_STATS = (
@@ -611,8 +621,14 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SIMHASH_PAIRS_CACHE.build(
         spark,
         sf_dir,
+        # sort=False: the stored index keeps the join's natural
+        # partitioning; checkpointing a range-sorted frame paid a
+        # sampling pass + a full range shuffle of every pair (the r14
+        # driver's local[32] pathology, VERDICT item 2) — ordering is
+        # the CONSUMER's concern and costs one tiny single-partition
+        # sort of the index-sized result
         lambda: dd.simhash_pairs_from_signatures(
-            _simhash_sigs(spark, sf_dir), max_hamming=3
+            _simhash_sigs(spark, sf_dir), max_hamming=3, sort=False
         ),
     )
 
@@ -623,8 +639,12 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     secondary sub-band split), bit_count(xor) verification. The oracle
     keeps the simple single-level banding — candidate generation strategy
     doesn't change the exact output pair set. Consumes the session-scoped
-    signature index (``_simhash_sigs``) rather than rebuilding it."""
-    return _simhash_pairs(spark, sf_dir)
+    signature index (``_simhash_sigs``) rather than rebuilding it; the
+    index stores the UNSORTED pair set (see ``_simhash_pairs``) and the
+    listing orders the index-sized result in one partition."""
+    return _simhash_pairs(spark, sf_dir).transform(
+        _final_order_wide, "id_a", "id_b"
+    )
 
 
 SQL_DOCS_SIMHASH_PAIRS = f"""
@@ -681,7 +701,9 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+    return sim.cosine_topk_bruteforce(emb, queries, k=_TOPK).transform(
+        _final_order_wide, "query_id", "rank"
+    )
 
 
 _SQL_QVEC = (
@@ -724,7 +746,9 @@ def q_emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.mips_topk_bruteforce(emb, queries, k=_TOPK)
+    return sim.mips_topk_bruteforce(emb, queries, k=_TOPK).transform(
+        _final_order_wide, "query_id", "rank"
+    )
 
 
 SQL_EMB_MIPS_TOPK = f"""
@@ -786,7 +810,7 @@ def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.join(F.broadcast(actual), on="query_id")
         .select("query_id", "predicted", "actual", "votes")
-        .orderBy("query_id")
+        .transform(_final_order_wide, "query_id")
     )
 
 
@@ -836,7 +860,9 @@ def q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.cosine_topk_lsh(emb, queries, dim=64, k=_TOPK, n_planes=8)
+    return sim.cosine_topk_lsh(
+        emb, queries, dim=64, k=_TOPK, n_planes=8
+    ).transform(_final_order_wide, "query_id", "rank")
 
 
 def _sql_plane(p: int) -> str:
@@ -894,7 +920,9 @@ def q_emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.hamming_topk(emb, queries, dim=64, k=_TOPK)
+    return sim.hamming_topk(emb, queries, dim=64, k=_TOPK).transform(
+        _final_order_wide, "query_id", "rank"
+    )
 
 
 _SQL_HAMSIG = _sql_bucket(sim.HAMMING_BITS)
@@ -1038,7 +1066,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivf(
         emb, queries, centroids, k=_TOPK, nprobe=2,
         corpus=_ivf_corpus(spark, sf_dir),
-    )
+    ).transform(_final_order_wide, "query_id", "rank")
 
 
 _NEARDUP_THRESHOLD = 0.4
@@ -1107,7 +1135,7 @@ def q_emb_near_dup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.operators.dedup_docs import connected_components
 
     pairs = _emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs).orderBy("id")
+    return connected_components(pairs).transform(final_order, "id")
 
 
 SQL_EMB_NEAR_DUP_CC = f"""
@@ -1205,7 +1233,7 @@ def q_docs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.length("_ta"), F.length("_tb"))
             ).alias("sim"),
         )
-        .orderBy("id_a", "id_b")
+        .transform(_final_order_wide, "id_a", "id_b")
     )
 
 
@@ -1521,7 +1549,7 @@ def q_emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("centroid_cosine"),
         )
-        .orderBy("label_a", "label_b")
+        .transform(_final_order_wide, "label_a", "label_b")
     )
 
 
@@ -1593,7 +1621,7 @@ def q_docs_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (d.cast("double") * d.cast("double")) / den.cast("double"), 6
             ).alias("chi_term"),
         )
-        .orderBy("source", "bin")
+        .transform(_final_order_wide, "source", "bin")
     )
 
 
@@ -1623,7 +1651,9 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.mmr_rerank(emb, queries, k=5, n_candidates=20)
+    return sim.mmr_rerank(emb, queries, k=5, n_candidates=20).transform(
+        _final_order_wide, "query_id", "mmr_rank"
+    )
 
 
 def _mmr_sql(k: int = 5, n_cand: int = 20, lam: str = "0.7", mu: str = "0.3") -> str:
@@ -1829,7 +1859,9 @@ def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = sim.hamming_topk(emb, queries, dim=64, k=_TOPK)
     exact = sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
-    return sim.ann_recall(approx, exact, k=_TOPK)
+    return sim.ann_recall(approx, exact, k=_TOPK).transform(
+        final_order, "query_id"
+    )
 
 
 SQL_EMB_HAMMING_RECALL = f"""
@@ -1882,7 +1914,9 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=_ivf_corpus(spark, sf_dir),
     )
     exact = sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
-    return sim.ann_recall(approx, exact, k=_TOPK)
+    return sim.ann_recall(approx, exact, k=_TOPK).transform(
+        final_order, "query_id"
+    )
 
 
 SQL_EMB_IVF_RECALL = _recall_oracle_sql(SQL_EMB_IVF_TOPK)
@@ -1989,7 +2023,7 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.max("_norm") / F.lit(1e6)).alias("max_norm"),
         )
-        .orderBy("label")
+        .transform(final_order, "label")
     )
 
 
@@ -2285,7 +2319,7 @@ def q_docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .orderBy("source")
+        .transform(final_order, "source")
     )
 
 
@@ -2526,7 +2560,9 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids for nearest-centroid classification / cluster summaries).
     Flat (label, pos, value, n_vectors) rows — list-free schema so the
     result canonicalizes in pandas/duckdb tooling."""
-    return sim.centroid_by_label(_emb(spark, sf_dir), flat=True)
+    return sim.centroid_by_label(_emb(spark, sf_dir), flat=True).transform(
+        final_order, "label", "pos"
+    )
 
 
 SQL_EMB_CENTROIDS = f"""
@@ -2636,7 +2672,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivfpq(
         emb, queries, centroids, codebooks, k=_TOPK, nprobe=2,
         corpus=_pq_corpus(spark, sf_dir),
-    )
+    ).transform(_final_order_wide, "query_id", "rank")
 
 
 def _ivfpq_oracle_sql() -> str | None:
@@ -2771,7 +2807,9 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=_pq_corpus(spark, sf_dir),
     )
     exact = sim.cosine_topk_bruteforce(emb, queries, k=_TOPK)
-    return sim.ann_recall(approx, exact, k=_TOPK)
+    return sim.ann_recall(approx, exact, k=_TOPK).transform(
+        final_order, "query_id"
+    )
 
 
 SQL_EMB_IVFPQ_RECALL = _recall_oracle_sql(SQL_EMB_IVFPQ_TOPK)
@@ -2816,7 +2854,7 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim.cosine_topk_ivfpq_residual(
         emb, queries, centroids, codebooks, k=_TOPK, nprobe=2
-    )
+    ).transform(_final_order_wide, "query_id", "rank")
 
 
 def _ivfpq_residual_oracle_sql() -> str | None:
@@ -3127,7 +3165,9 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k1 = 6/5, b = 3/4), log-free idf surrogate, per-term contributions
     floored to an integer grid so the per-doc sum is
     accumulation-order-proof (operators.text.bm25_scores)."""
-    return tx.bm25_scores(_docs(spark, sf_dir), _BM25_QUERY)
+    return tx.bm25_scores(_docs(spark, sf_dir), _BM25_QUERY).transform(
+        final_order, F.desc("bm25"), F.asc("doc_id")
+    )
 
 
 SQL_DOCS_BM25 = f"""
@@ -3218,7 +3258,9 @@ def q_docs_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cardinalsin_spark.operators import sketches as sk
 
     docs = _docs(spark, sf_dir)
-    return sk.kmv_bottomk(docs, ["source"], "doc_id", k=_KMV_K)
+    return sk.kmv_bottomk(docs, ["source"], "doc_id", k=_KMV_K).transform(
+        _final_order_wide, "source", "rank"
+    )
 
 
 def _sql_kmv() -> str:
