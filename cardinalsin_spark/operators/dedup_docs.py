@@ -947,6 +947,7 @@ def simhash_pairs_from_signatures(
     bits: int = SIMHASH_BITS,
     bands: int = 4,
     bucket_cap: int = SIMHASH_BUCKET_CAP,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-dup pairs from a precomputed signature frame
     (``id_col, simhash``).
@@ -1073,4 +1074,12 @@ def simhash_pairs_from_signatures(
         sub_banded, ["band_idx", "band_val", "sub_idx", "sub_val"]
     ).distinct()
 
-    return pairs_small.unionByName(pairs_large).orderBy("id_a", "id_b")
+    out = pairs_small.unionByName(pairs_large)
+    # ``sort=False`` for index builds that localCheckpoint the pair set
+    # (OPTIMIZATION r15, VERDICT r14 item 2): materializing a globally
+    # RANGE-SORTED checkpoint costs a sampling pass plus a full range
+    # shuffle of every pair — at local[32] that widest-shuffle
+    # materialization was the driver-run pathology (7.7 s vs 2.9 s at 8
+    # cores). Consumers that need ordered output sort the index-sized
+    # result themselves.
+    return out.orderBy("id_a", "id_b") if sort else out

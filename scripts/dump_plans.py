@@ -1,8 +1,9 @@
-"""Dump .explain('formatted') for named registry queries to plans/<tag>/.
+"""Dump .explain('formatted') for named registry queries to plans/<dir>/.
 
 Usage: python scripts/dump_plans.py <outdir-suffix> name1 name2 ...
-Writes plans/r14/<name>_<suffix>.txt (driver-checkable plan evidence for
-the optimization rounds)."""
+       python scripts/dump_plans.py <outdir-suffix> --all
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<name>_<suffix>.txt (default plans/r15;
+driver-checkable plan evidence for the optimization rounds)."""
 import os
 import sys
 
@@ -18,8 +19,12 @@ def main() -> int:
     spark = get_spark(app_name="plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     reg = q.queries()
+    if names == ["--all"]:
+        names = list(reg)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r14")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = reg[name](spark, sf_dir)

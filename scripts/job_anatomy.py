@@ -45,13 +45,12 @@ def main() -> int:
             if ji is None:
                 print(f"  job {jid}: <gone>")
                 continue
-            sids = list(ji.get().stageIds())
+            sids = list(ji.stageIds())
             descs = []
             for sid in sids:
-                si = jvm_tracker.getStageInfo(sid)
-                if si is None:
+                s = jvm_tracker.getStageInfo(sid)
+                if s is None:
                     continue
-                s = si.get()
                 descs.append(
                     f"stage{sid}:{s.numTasks()}t:{s.name().split(' ')[0]}"
                 )

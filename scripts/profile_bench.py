@@ -7,7 +7,7 @@ and counts the Spark jobs each phase schedules.
 Usage:
     python scripts/profile_bench.py [--only name1,name2] [--top N]
 
-Writes PROFILE_r14.json next to bench.py.  Methodology mirrors bench.py
+Writes PROFILE_$SPARK_GRAFT_PROFILE_TAG.json (default r15) next to bench.py.  Methodology mirrors bench.py
 (same session factory, same warm-up, same namesake cache eviction) so the
 numbers decompose the bench's own timings rather than a different run.
 """
@@ -87,7 +87,8 @@ def main() -> int:
         "construct_jobs": sum(v["construct_jobs"] for v in out.values()),
         "execute_jobs": sum(v["execute_jobs"] for v in out.values()),
     }
-    with open(os.path.join(here, "PROFILE_r14.json"), "w") as fh:
+    tag = os.environ.get("SPARK_GRAFT_PROFILE_TAG", "r15")
+    with open(os.path.join(here, f"PROFILE_{tag}.json"), "w") as fh:
         json.dump({"queries": out, "totals": totals}, fh, indent=1, sort_keys=True)
     print(json.dumps(totals))
     return 0
