@@ -645,6 +645,7 @@ def promql_instant(
     cols: MetricsCols = MetricsCols(),
     tiebreak: list[str] | None = None,
     rollups: list[tuple[int, object, bool]] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Instant query (reference ``transpile_promql_instant``,
     ``api/query/prometheus_api.rs:877-935``).
@@ -665,8 +666,15 @@ def promql_instant(
     setop = _split_top_level_setop(promql)
     if setop:
         left, op, on_labels, right = setop
-        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
-        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
+        # operands feed the set-op join/union: their exit ordering would
+        # be a WASTED range shuffle (Catalyst does not eliminate a sort
+        # below a join — OPTIMIZATION r15, guide §2.4)
+        lf = promql_instant(
+            df, left, time_s, cols, tiebreak, rollups=rollups, ordered=False
+        )
+        rf = promql_instant(
+            df, right, time_s, cols, tiebreak, rollups=rollups, ordered=False
+        )
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
         if "value" not in rf.columns and cols.value in rf.columns:
@@ -701,12 +709,20 @@ def promql_instant(
             if "value" not in rf.columns and cols.value in rf.columns:
                 rf = rf.withColumnRenamed(cols.value, "value")
             return _apply_scalar_cmp(rf, _CMP_FLIP[op], float(left), want_bool)
-        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
+        # num_r keeps the operand's ordering (the filter output IS the
+        # result); the vector-vector case feeds _vector_cmp's join, where
+        # operand ordering is wasted work
+        lf = promql_instant(
+            df, left, time_s, cols, tiebreak, rollups=rollups,
+            ordered=bool(num_r),
+        )
         if "value" not in lf.columns and cols.value in lf.columns:
             lf = lf.withColumnRenamed(cols.value, "value")
         if num_r:
             return _apply_scalar_cmp(lf, op, float(right), want_bool)
-        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
+        rf = promql_instant(
+            df, right, time_s, cols, tiebreak, rollups=rollups, ordered=False
+        )
         if "value" not in rf.columns and cols.value in rf.columns:
             rf = rf.withColumnRenamed(cols.value, "value")
         return _vector_cmp(lf, rf, op, want_bool, on_labels, cols)
@@ -769,7 +785,10 @@ def promql_instant(
                 vec, sc_inner, vec_first = right, sc_l.group(1), False
             else:  # scalar(a) / scalar(b): fold rhs into lhs's single row
                 vec, sc_inner, vec_first = left, sc_r.group(1), True
-            lf = promql_instant(df, vec, time_s, cols, tiebreak, rollups=rollups)
+            lf = promql_instant(
+                df, vec, time_s, cols, tiebreak, rollups=rollups,
+                ordered=False,
+            )
             if "value" not in lf.columns and cols.value in lf.columns:
                 lf = lf.withColumnRenamed(cols.value, "value")
             sdf = _scalar_of(df, sc_inner, time_s, cols, tiebreak)
@@ -793,19 +812,26 @@ def promql_instant(
             return rf.withColumn(
                 "value", arith(F.lit(float(left)), F.col("value"))
             )
-        lf = promql_instant(df, left, time_s, cols, tiebreak, rollups=rollups)
-        rf = promql_instant(df, right, time_s, cols, tiebreak, rollups=rollups)
+        lf = promql_instant(
+            df, left, time_s, cols, tiebreak, rollups=rollups, ordered=False
+        )
+        rf = promql_instant(
+            df, right, time_s, cols, tiebreak, rollups=rollups, ordered=False
+        )
         drop = {cols.name, "value", "timestamp_", cols.ts}
         shared = sorted((set(lf.columns) & set(rf.columns)) - drop)
         keys = _match_keys(shared, on_labels)
         l = lf.select(*keys, F.col("value").alias("_lv"))
         r = rf.select(*keys, F.col("value").alias("_rv"))
         joined = l.join(r, keys) if keys else l.crossJoin(r)
-        return joined.select(
+        if not keys:
+            return joined.select(
+                arith(F.col("_lv"), F.col("_rv")).alias("value")
+            )
+        bout = joined.select(
             *keys, arith(F.col("_lv"), F.col("_rv")).alias("value")
-        ).orderBy(*keys) if keys else joined.select(
-            arith(F.col("_lv"), F.col("_rv")).alias("value")
         )
+        return bout.orderBy(*keys) if ordered else bout
 
     sq = _SUBQ_RE.match(promql.strip()) or _SUBQ_FN_RE.match(promql.strip())
     if sq:
@@ -1074,14 +1100,13 @@ def promql_instant(
             return routed
 
     if parsed.aggregation == "quantile" and parsed.q is not None:
-        return (
-            out.groupBy(cols.name, *gby)
-            .agg(
-                F.max(cols.ts).alias("timestamp_"),
-                _agg_column("quantile", cols.value, parsed.q).alias("value"),
-            )
-            .orderBy(F.desc("value"), cols.name, *gby)
+        qagg = out.groupBy(cols.name, *gby).agg(
+            F.max(cols.ts).alias("timestamp_"),
+            _agg_column("quantile", cols.value, parsed.q).alias("value"),
         )
+        if not ordered:
+            return qagg
+        return qagg.orderBy(F.desc("value"), cols.name, *gby)
 
     if parsed.aggregation in ("topk", "bottomk") and parsed.k is not None:
         agg_col = _agg_column("avg", cols.value)
@@ -1093,11 +1118,15 @@ def promql_instant(
 
     if parsed.aggregation:
         agg_col = _agg_column(parsed.aggregation, cols.value)
-        return (
-            out.groupBy(cols.name, *gby)
-            .agg(F.max(cols.ts).alias("timestamp_"), agg_col.alias("value"))
-            .orderBy(F.desc("value"), cols.name, *gby)
+        agg = out.groupBy(cols.name, *gby).agg(
+            F.max(cols.ts).alias("timestamp_"), agg_col.alias("value")
         )
+        if not ordered:
+            # operand position (set/cmp/binop recursion): the consumer
+            # joins/unions this frame, so an exit sort would survive as a
+            # wasted range shuffle below the join
+            return agg
+        return agg.orderBy(F.desc("value"), cols.name, *gby)
 
     order = [F.desc(cols.ts)] + [F.desc(t) for t in (tiebreak or [])]
     return out.orderBy(*order).limit(1)

@@ -641,10 +641,12 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't change the exact output pair set. Consumes the session-scoped
     signature index (``_simhash_sigs``) rather than rebuilding it; the
     index stores the UNSORTED pair set (see ``_simhash_pairs``) and the
-    listing orders the index-sized result in one partition."""
-    return _simhash_pairs(spark, sf_dir).transform(
-        _final_order_wide, "id_a", "id_b"
-    )
+    listing returns it as-is — pair listings are set-valued results
+    (``docs_minhash_pairs`` and ``emb_near_dup`` have returned unsorted
+    pair sets since their index extraction; re-sorting 727k pairs per
+    read measured slower than the whole sorted-checkpoint pathology it
+    replaced)."""
+    return _simhash_pairs(spark, sf_dir)
 
 
 SQL_DOCS_SIMHASH_PAIRS = f"""
